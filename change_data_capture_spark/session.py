@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the conf below is
+chosen so the same logical plans survive a 1000-executor cluster:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+auto broadcast for small dimensions, Arrow for the few pandas-UDF
+paths, and UTC session time so results are comparable against the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "change_data_capture_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime shuffle-partition coalescing + skew-join handling.
+        # At 100 TB these replace hand-tuned partition counts.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Local default sized to cores; on a cluster this would be
+        # ~2-3x total cores and AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", _DEF_SHUFFLE_PARTITIONS)
+        # Dimension tables (region/nation/supplier/schema registry)
+        # stay broadcast-able; 64 MB covers TPC-H dims at sf100+.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas-UDF extension operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic comparisons vs the UTC-naive DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Streaming micro-batch state store kept small and local.
+        .config("spark.sql.streaming.stateStore.compression.codec", "lz4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,174 @@
+"""Apply/MERGE engine tests — mirror the reference's golden sink tests
+(CDCBigTablePluginIntegrationTest: DDL creates table, inserts land,
+update overwrites, insert+delete removes; CDCKudu deferred-create and
+schema-evolution semantics)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.changelog import (
+    ddl_record,
+    dml_records,
+    mutation_changelog,
+    snapshot_changelog,
+)
+from conftest import load
+
+
+def sorted_rows(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_snapshot_roundtrip(spark, sf_dir, tmp_path):
+    nation = load(spark, sf_dir, "nation")
+    log = snapshot_changelog(nation, "tpch.nation", ["n_nationkey"])
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, log, cat)
+    got = cat.read(spark, "tpch.nation")
+    assert sorted_rows(got, "n_nationkey") == sorted_rows(nation, "n_nationkey")
+    assert [f.name for f in got.schema.fields] == nation.columns
+
+
+def test_composite_pk_snapshot(spark, sf_dir, tmp_path):
+    # The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    # pairs; a keyed store collapses them (last-writer-wins), so feed a
+    # deduped snapshot and expect an exact roundtrip on the composite key.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+        .limit(500)
+    )
+    li = li.persist()
+    log = snapshot_changelog(li, "tpch.lineitem", ["l_orderkey", "l_linenumber"])
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, log, cat)
+    got = cat.read(spark, "tpch.lineitem")
+    assert got.count() == li.count()
+    li.unpersist()
+
+
+def test_update_overwrites_and_delete_removes(spark, sf_dir, tmp_path):
+    cust = load(spark, sf_dir, "customer")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    got = cat.read(spark, "tpch.customer")
+
+    exp = (
+        cust.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 == 3, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .filter(F.col("c_custkey") % 7 != 5)
+    )
+    assert sorted_rows(got, "c_custkey") == sorted_rows(exp, "c_custkey")
+
+
+def test_last_writer_wins_within_batch(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    # Net-change semantics: insert then two updates to the same key in
+    # ONE batch -> final values only (CTSQLServerPluginIntegrationTest
+    # :263-292 — CT returns the net row).
+    ins = dml_records(base, "t.x", ["id"], op="INSERT", version=1)
+    up1 = dml_records(
+        base.filter("id = 1"), "t.x", ["id"], op="UPDATE", version=2,
+        value_overrides={"v": F.lit("mid")},
+    )
+    up2 = dml_records(
+        base.filter("id = 1"), "t.x", ["id"], op="UPDATE", version=3,
+        value_overrides={"v": F.lit("final")},
+    )
+    log = ins.unionByName(up1).unionByName(up2)
+    apply_changelog(spark, log, cat)
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.x").collect()}
+    assert got == {1: "final", 2: "b"}
+
+
+def test_idempotent_replay(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    log = snapshot_changelog(base, "t.x", ["id"])
+    apply_changelog(spark, log, cat)
+    apply_changelog(spark, log, cat)  # at-least-once replay
+    assert cat.read(spark, "t.x").count() == 2
+    assert cat.meta("t.x")["applied_version"] == 1
+
+
+def test_deferred_create_until_first_dml(spark, tmp_path):
+    # DDL alone must NOT create the table (no PKs yet) — CDCKudu.java:80-85.
+    cat = TableCatalog(str(tmp_path / "cat"))
+    schema_json = spark.createDataFrame([(1, "a")], "id bigint, v string").schema.json()
+    apply_changelog(spark, ddl_record(spark, "t.x", schema_json), cat)
+    assert cat.meta("t.x")["schema"] is None
+    assert cat.meta("t.x")["pending_schema"] == schema_json
+
+    base = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    apply_changelog(spark, dml_records(base, "t.x", ["id"], version=2), cat)
+    meta = cat.meta("t.x")
+    assert meta["schema"] == schema_json and meta["pks"] == ["id"]
+    assert cat.read(spark, "t.x").count() == 1
+
+
+def test_schema_evolution_add_and_drop(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "cat"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    apply_changelog(spark, snapshot_changelog(v1, "t.x", ["id"]), cat)
+
+    # evolve: drop v, add w (set-difference alter, CDCKudu.java:78-137)
+    v2_schema = spark.createDataFrame([(1, 9)], "id bigint, w int").schema
+    apply_changelog(spark, ddl_record(spark, "t.x", v2_schema.json()), cat)
+    got = cat.read(spark, "t.x")
+    assert [f.name for f in got.schema.fields] == ["id", "w"]
+    assert {r["w"] for r in got.collect()} == {None}  # added col null-filled
+
+    # new-schema DML upserts
+    v2 = spark.createDataFrame([(1, 42)], "id bigint, w int")
+    apply_changelog(spark, dml_records(v2, "t.x", ["id"], op="UPDATE", version=5), cat)
+    rows = {r["id"]: r["w"] for r in cat.read(spark, "t.x").collect()}
+    assert rows == {1: 42, 2: None}
+
+
+def test_delete_carries_keys_only(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    log = dml_records(base, "t.x", ["id"], op="DELETE", version=9, keys_only=True)
+    row = log.select("dml.rows_values").collect()[0][0]
+    assert row == {"id": "1"}  # non-key columns absent/null
+
+
+def test_multi_table_batch(spark, sf_dir, tmp_path):
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    log = snapshot_changelog(region, "tpch.region", ["r_regionkey"]).unionByName(
+        snapshot_changelog(nation, "tpch.nation", ["n_nationkey"])
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, log, cat)
+    assert cat.read(spark, "tpch.region").count() == region.count()
+    assert cat.read(spark, "tpch.nation").count() == nation.count()
+    assert cat.tables() == ["tpch.nation", "tpch.region"]
+
+
+def test_rows_schema_is_valid_spark_schema(spark):
+    base = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    log = dml_records(base, "t.x", ["id"])
+    sj = log.select("dml.rows_schema").collect()[0][0]
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(sj))
+    assert [f.name for f in st.fields] == ["id", "v"]
