@@ -1,0 +1,139 @@
+"""Structured Streaming layer: changelog stream -> stateful schema
+dedup -> foreachBatch apply.
+
+The reference runs on Spark DStreams with driver-side offset state
+and ``mapWithState`` schema caches (``CTSQLServer.java:142-147``,
+``GoldenGateKafka.java:136-139``). Structured Streaming gives the
+rebuild its offset tracking, retries and exactly-once bookkeeping for
+free via the checkpoint location (replacing ST3/ST4); rate limiting
+(``maxRatePerPartition``/``maxBatchSize``, ST5/P5) becomes
+``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``.
+
+Stateful schema-announcement dedup (ST1, ``CTSQLServer.java:170-201``)
+is keyed BY TABLE here instead of the reference's single global state
+key (``mapToPair("")``, ``CTSQLServer.java:143``) — the global key
+funnels every record through one state partition, which would be the
+scalability bottleneck at 1000 tables; per-table keys shard the state
+store across executors.
+
+A Kafka variant of the source is a one-line swap
+(``spark.readStream.format("kafka").option("startingOffsets", ...)``),
+matching the reference's GoldenGate source (S5) — not wired here
+because the test container has no broker.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .apply import TableCatalog, apply_changes
+from .schema import CHANGE_SCHEMA
+
+
+def write_changelog(changelog: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist change records as parquet files consumable as a stream
+    (each write = one or more source files = micro-batch fodder)."""
+    changelog.write.mode(mode).parquet(path)
+
+
+def read_changelog_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(CHANGE_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# ST1: stateful schema-announcement dedup, keyed by table.
+# ---------------------------------------------------------------------------
+
+_FLAT_OUT = StructType([StructField("payload", StringType(), True)])
+_STATE = StructType([StructField("last_schema", StringType(), True)])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    out: list[str] = []
+    for pdf in pdfs:
+        # DDL-before-DML inside the batch (explicit ordering key).
+        pdf = pdf.sort_values(["kind", "version"], kind="stable")
+        for _, row in pdf.iterrows():
+            if row["kind"] == 0:
+                if row["schema_json"] != last:
+                    last = row["schema_json"]
+                    out.append(row["payload"])
+                # else: suppressed duplicate announcement
+            else:
+                out.append(row["payload"])
+    state.update((last,))
+    yield pd.DataFrame({"payload": out})
+
+
+def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
+    """Streaming ST1: suppress DDL records whose schema string matches
+    the table's last announcement; DML passes through. The envelope is
+    shuttled through the Arrow boundary as JSON (nested-struct-safe)
+    and re-parsed with ``from_json`` after."""
+    flat = changelog.select(
+        F.coalesce(F.col("ddl.table"), F.col("dml.table")).alias("table"),
+        F.when(F.col("ddl").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        F.col("ddl.schema").alias("schema_json"),
+        F.coalesce(F.col("dml.change_tracking_version"), F.lit(0)).alias("version"),
+        F.to_json(F.struct("ddl", "dml")).alias("payload"),
+    )
+    deduped = flat.groupBy("table").applyInPandasWithState(
+        _dedup_fn, _FLAT_OUT, _STATE, "append", GroupStateTimeout.NoTimeout
+    )
+    parsed = deduped.select(F.from_json("payload", CHANGE_SCHEMA).alias("r"))
+    return parsed.select("r.ddl", "r.dml")
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end streaming pipeline: source -> dedup -> apply.
+# ---------------------------------------------------------------------------
+
+
+def run_apply_stream(
+    spark: SparkSession,
+    changelog_dir: str,
+    catalog: TableCatalog,
+    checkpoint_dir: str,
+    *,
+    dedupe_ddl: bool = True,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> Any:
+    """Continuously (or availableNow for tests) apply a changelog file
+    stream into the catalog's managed tables. Checkpointing makes
+    restarts resume at the right offset; apply_changes' version
+    watermark makes replayed batches idempotent (at-least-once -> same
+    final state)."""
+    stream = read_changelog_stream(
+        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    if dedupe_ddl:
+        stream = dedupe_ddl_stream(stream)
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        apply_changes(batch_df.sparkSession, batch_df, catalog)
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

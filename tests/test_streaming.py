@@ -1,0 +1,94 @@
+"""Streaming pipeline tests: changelog files -> stateful DDL dedup ->
+foreachBatch apply -> materialized tables; restart/checkpoint resume."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog
+from change_data_capture_spark.changelog import (
+    ddl_record,
+    dml_records,
+    mutation_changelog,
+    snapshot_changelog,
+)
+from change_data_capture_spark.schema import CHANGE_SCHEMA
+from change_data_capture_spark.streaming import (
+    dedupe_ddl_stream,
+    run_apply_stream,
+    write_changelog,
+)
+from conftest import load
+
+
+def test_stream_apply_end_to_end(spark, sf_dir, tmp_path):
+    nation = load(spark, sf_dir, "nation")
+    logdir = str(tmp_path / "log")
+    write_changelog(snapshot_changelog(nation, "tpch.nation", ["n_nationkey"]), logdir)
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    run_apply_stream(spark, logdir, cat, str(tmp_path / "ckpt"))
+    got = cat.read(spark, "tpch.nation")
+    assert sorted(r["n_nationkey"] for r in got.collect()) == sorted(
+        r["n_nationkey"] for r in nation.collect()
+    )
+
+
+def test_stream_resume_applies_only_new_files(spark, sf_dir, tmp_path):
+    region = load(spark, sf_dir, "region")
+    logdir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = TableCatalog(str(tmp_path / "cat"))
+
+    write_changelog(snapshot_changelog(region, "tpch.region", ["r_regionkey"]), logdir)
+    run_apply_stream(spark, logdir, cat, ckpt)
+    assert cat.read(spark, "tpch.region").count() == region.count()
+
+    # second batch of files: mutations; restart the stream on the same
+    # checkpoint — only the new files are processed.
+    mut = mutation_changelog(
+        region,
+        "tpch.region",
+        ["r_regionkey"],
+        delete_where=F.col("r_regionkey") == 0,
+        delete_version=2,
+    )
+    write_changelog(mut, logdir)
+    run_apply_stream(spark, logdir, cat, ckpt)
+    got = cat.read(spark, "tpch.region")
+    assert got.count() == region.count() - 1
+    assert got.filter("r_regionkey = 0").count() == 0
+
+
+def test_stateful_ddl_dedup_across_batches(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    schema_json = base.schema.json()
+    logdir = str(tmp_path / "log")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: DDL + insert; batch 2: SAME DDL again + another insert
+    write_changelog(ddl_record(spark, "t.x", schema_json), logdir)
+    write_changelog(dml_records(base, "t.x", ["id"], version=1), logdir)
+    write_changelog(ddl_record(spark, "t.x", schema_json), logdir)
+    b2 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    write_changelog(dml_records(b2, "t.x", ["id"], version=2), logdir)
+
+    stream = dedupe_ddl_stream(
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(logdir)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(outdir)
+    # 1 DDL survives (second suppressed by state), 2 DMLs pass through
+    assert out.filter(F.col("ddl").isNotNull()).count() == 1
+    assert out.filter(F.col("dml").isNotNull()).count() == 2
