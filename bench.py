@@ -1,0 +1,104 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sum of per-query wall secs>,
+   "unit": "sec", "queries": {name: secs, ...}, "sf": <sf>, ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). A streaming-throughput figure mirroring the
+reference's perf test (N insert change events through source ->
+normalize -> apply; records/second, CDCPipelinePerfTest.java:195-199)
+is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from change_data_capture_spark import registry
+from change_data_capture_spark.apply import TableCatalog
+from change_data_capture_spark.changelog import snapshot_changelog
+from change_data_capture_spark.session import get_spark
+from change_data_capture_spark.streaming import run_apply_stream, write_changelog
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_top_orders_per_customer",
+    "q_events_hourly",
+    "q_user_sessions",
+    "cdc_apply_snapshot",
+    "cdc_apply_mutations",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_image_meta",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def streaming_throughput(spark, sf_dir: str, n_records: int = 5000) -> tuple[float, float]:
+    """Reference perf-test shape: N insert change events streamed
+    through dedup + apply; returns (elapsed_sec, records_per_sec)."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(n_records)
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    log = snapshot_changelog(cust, "perf.stream", ["c_custkey"], insert_version=F.col("c_custkey") + 1)
+    write_changelog(log, os.path.join(root, "log"))
+    cat = TableCatalog(os.path.join(root, "cat"))
+    t0 = time.time()
+    run_apply_stream(spark, os.path.join(root, "log"), cat, os.path.join(root, "ckpt"))
+    elapsed = time.time() - t0
+    n = cat.read(spark, "perf.stream").count()
+    return elapsed, n / elapsed
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cdc-spark-bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    stream_sec, stream_rps = streaming_throughput(spark, sf_dir)
+    timings["streaming_apply_5k"] = round(stream_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "streaming_records_per_sec": round(stream_rps, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

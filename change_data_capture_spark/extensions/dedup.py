@@ -1,0 +1,214 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Scale design:
+- exact dedup is a single hash-shuffle (groupBy md5);
+- brute-force Jaccard is the O(n^2) *correctness baseline* — its
+  shingle self-join explodes quadratically in group size and exists to
+  validate the LSH paths at small scale;
+- MinHash-LSH is the 100 TB path: per-doc signatures are one narrow
+  agg over shingles (128 mins), banding turns all-pairs into an
+  equi-join on (band, band-hash) buckets, and only bucket collisions
+  are verified with exact Jaccard. With 32 bands x 4 rows a true
+  pair at Jaccard 0.8 is missed with probability (1-0.8^4)^32 ~= 5e-8,
+  so the verified output equals the brute-force output w.h.p. while
+  doing ~linear work;
+- SimHash is the cheaper candidate generator (one 64-bit signature,
+  band-bucket join on 16-bit quarters, Hamming<=3 filter), again
+  followed by exact verification.
+
+All hashing is Spark's JVM xxhash64 — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+
+def shingles(docs: DataFrame, *, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct character n-gram shingles per document (one narrow
+    explode — no shuffle)."""
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))))
+    return (
+        docs.select(F.col(id_col), F.col(text_col), pos.alias("i"))
+        .select(F.col(id_col), F.col(text_col).substr(F.col("i"), F.lit(n)).alias("sh"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (dup_id, keeper_id) pairs where
+    keeper is the smallest id sharing the same md5(text)."""
+    from pyspark.sql import Window
+
+    keeper = F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col))))
+    return (
+        docs.select(F.col(id_col), keeper.alias("keeper_id"))
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(F.col(id_col).alias("dup_id"), "keeper_id")
+    )
+
+
+def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col: str) -> DataFrame:
+    """Exact Jaccard over shingle sets; optionally restricted to
+    candidate ``pairs`` (a_id, b_id).
+
+    With candidates the intersection is computed by joining the pair
+    list into the shingle table FIRST — work is O(|pairs| * shingles
+    per doc) — instead of materializing the full shingle self-join and
+    filtering after (which re-introduces the quadratic blowup that the
+    LSH existed to avoid: a hot shingle shared by thousands of docs
+    would still produce millions of join rows)."""
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a_id"), "sh")
+    b = sh.select(F.col(id_col).alias("b_id"), "sh")
+    if pairs is None:
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("k"))
+        )
+    else:
+        inter = (
+            F.broadcast(pairs)
+            .join(a, "a_id")
+            .join(b, ["b_id", "sh"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("k"))
+        )
+    ca = counts.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn("jaccard", F.col("k") / (F.col("na") + F.col("nb") - F.col("k")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def jaccard_duplicates(
+    docs: DataFrame, *, n: int = 5, threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Brute-force n-gram Jaccard near-dup pairs (the quadratic
+    correctness baseline)."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    return _jaccard_on(sh, None, threshold, id_col)
+
+
+def minhash_signatures(sh: DataFrame, *, k: int = 128, id_col: str = "doc_id") -> DataFrame:
+    """k min-hash values per doc: one string xxhash64 pass over the
+    shingles, then k fixed-width re-hashes of that 64-bit value seeded
+    by the permutation index (overflow-free under ANSI mode, all JVM
+    codegen)."""
+    with_h = sh.withColumn("__h", F.xxhash64("sh"))
+    mins = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    return with_h.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_duplicates(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified.
+
+    Output (a_id, b_id, jaccard) equals the brute-force
+    ``jaccard_duplicates`` w.h.p. (see module docstring) — the LSH only
+    changes WORK, not the answer, which is what lets the DuckDB oracle
+    check it.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    sig = minhash_signatures(sh, k=k, id_col=id_col)
+
+    band_rows = []
+    for b in range(bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bh")
+
+    a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
+    b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    out = _jaccard_on(sh, candidates, threshold, id_col)
+    sh.unpersist()
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, majority vote of
+    token-hash bits (explode + 64 conditional sums, all codegen)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicates(
+    docs: DataFrame,
+    *,
+    hamming_max: int = 3,
+    threshold: float = 0.8,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash-bucketed candidates (four 16-bit bands; Hamming<=k must
+    match at least one band exactly), Hamming-filtered, then exact
+    Jaccard-verified so the output is comparable to the brute-force
+    baseline."""
+    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col).persist()
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        for i in range(4)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.bh")
+    a = buckets.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sa"), "band", "bh")
+    b = buckets.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sb"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= hamming_max)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    out = _jaccard_on(sh, candidates, threshold, id_col)
+    sig.unpersist()
+    return out

@@ -1,0 +1,130 @@
+"""Text analysis operators: language id, quality scoring, token stats,
+document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/md5/windows) — each
+operator is a narrow map or one hash-shuffle, so they stream over a
+100 TB documents table without Python in the loop. Formulas are kept
+ANSI-SQL-expressible on purpose: the DuckDB oracle replays them
+exactly (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Tiny embedded stopword lists (public, language-characteristic words).
+# Deliberately small: language id here is the n-gram/stopword-ratio
+# HEURISTIC a data pipeline applies at scale, not a trained model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "für", "auf", "ein", "zu"),
+    "es": ("el", "la", "de", "los", "las", "es", "en", "por", "que", "un"),
+    "fr": ("le", "la", "les", "et", "est", "en", "pour", "que", "une", "dans"),
+}
+
+
+def tokens(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    )
+
+
+def token_stats(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: whitespace tokens, distinct tokens, and a
+    BPE-ish subword proxy (4-char chunks of the de-spaced text)."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    compact_len = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    t = tokens(docs, id_col=id_col, text_col=text_col)
+    distinct = t.groupBy(id_col).agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        compact_len.cast("bigint").alias("n_chars_compact"),
+        F.ceil(compact_len / 4).cast("bigint").alias("n_subword_est"),
+    )
+    return base.join(distinct, id_col)
+
+
+def quality_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score. Every ratio is
+    double arithmetic over integer counts -> engine-reproducible."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    compact = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_tok_len = compact.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    digit_ratio = n_digit.cast("double") / n_chars
+
+    t = tokens(docs, id_col=id_col, text_col=text_col)
+    sw = F.when(F.col("token").isin(*STOPWORDS["en"]), 1).otherwise(0)
+    swr = t.groupBy(id_col).agg(
+        (F.sum(sw).cast("double") / F.count("*")).alias("stopword_ratio")
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+    )
+    out = base.join(swr, id_col)
+    score = (
+        F.lit(1.0)
+        - F.least(F.col("punct_ratio") * 2, F.lit(0.5))
+        - F.least(F.col("digit_ratio") * 2, F.lit(0.3))
+        + F.least(F.col("stopword_ratio"), F.lit(0.2))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language id: the language whose stopword list hits
+    the most tokens wins (ties: lexicographically smallest language;
+    no hits at all: 'unknown')."""
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], "lang string, token string"
+    )
+    t = tokens(docs, id_col=id_col, text_col=text_col)
+    hits = (
+        t.join(F.broadcast(vocab), "token")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        id_col, F.col("lang").alias("detected_lang"), "hits"
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("detected_lang", F.lit("unknown")).alias("detected_lang"),
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("stopword_hits"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, *, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic document fingerprint: min/max md5 over character
+    n-gram shingles of the lowercased text (a winnowing-style content
+    signature; equal fingerprints => near-certain duplicate prefix/body)."""
+    text = F.lower(F.col(text_col))
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))))
+    sh = docs.select(F.col(id_col), text.alias("__t"), pos.alias("i")).select(
+        F.col(id_col), F.md5(F.col("__t").substr(F.col("i"), F.lit(n))).alias("h")
+    )
+    return sh.groupBy(id_col).agg(
+        F.min("h").alias("fp_min"), F.max("h").alias("fp_max"), F.count("*").alias("n_shingles")
+    )

@@ -1,0 +1,937 @@
+"""Query registry: every operator exposed as (spark_builder, oracle_sql).
+
+This is the correctness surface of the engine. Each entry pairs a
+PySpark DataFrame builder ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL string the DuckDB oracle runs on the same parquet
+tables; the driver hash-compares the two result sets (order- and
+row-order-insensitive, columns sorted by name).
+
+Determinism rules that make double-typed results hash-identical
+across engines:
+- sums of doubles go through DECIMAL (exact, order-independent) and
+  cast back to DOUBLE: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``;
+- per-row double arithmetic (products, ratios) is IEEE-identical in
+  both engines, so it is safe as long as no multi-row reduction
+  happens in floating point;
+- dot products fold arrays LEFT-TO-RIGHT in both engines (Spark
+  ``F.aggregate`` vs DuckDB ``list_dot_product``) and scores are
+  rounded to 6dp before ranking/filtering;
+- top-k queries carry an explicit deterministic tiebreak.
+
+Sections: [relational] the analytic query surface over the tables
+(SURVEY.md §2.6 — aggregations, joins, windows, set ops, scalar fns
+come straight from DataFrame built-ins); [pushdown] the reference's
+Change-Tracking scan shapes (SURVEY.md §2.2, P1-P6); [cdc] the
+envelope/normalize/apply operators run end-to-end; [extensions]
+dedup / similarity / text / multimodal operators.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .apply import TableCatalog, apply_changelog
+from .changelog import dml_records, mutation_changelog, snapshot_changelog
+from .envelope import rowkey_expr
+from .normalize import (
+    collapse_net_changes,
+    dedupe_ddl_announcements,
+    dml_flattener,
+    normalize_raw_ops,
+)
+from .extensions import dedup, multimodal, similarity, text
+from .streaming import run_apply_stream, write_changelog
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> non-SQL-expressible; rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark reads only
+    as a long (nanosAsLong); convert to a microsecond timestamp with
+    exact integer division (`div`, not `/` — double division would lose
+    precision on epoch-nano magnitudes)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col, scale: int = 2, prec: int = 18):
+    """Exact (order-independent) sum of a double column via decimal."""
+    return F.sum(F.col(col).cast(f"decimal({prec},{scale})")).cast("double")
+
+
+def _dsum_expr(expr, scale: int = 10, prec: int = 28):
+    return F.sum(expr.cast(f"decimal({prec},{scale})")).cast("double")
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# [relational] — layer (b): the analytic query surface
+# =====================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum_expr(disc).alias("sum_disc_price"),
+            _dsum_expr(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum_expr(disc).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum_expr(disc).alias("revenue"))
+    )
+
+
+@_q(
+    "q_top_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "q_customer_order_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customer_order_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@_q(
+    "q_set_ops",
+    """
+    SELECT n_nationkey, 'both' AS src FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS src FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    both = cust.intersect(supp).withColumn("src", F.lit("both"))
+    # SQL EXCEPT is distinct set difference -> subtract, not exceptAll
+    only = cust.subtract(supp).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+@_q(
+    "q_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@_q(
+    "q_scalar_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_type) AS type_len,
+           round(p_retailprice * 1.1, 2) AS bumped,
+           abs(p_size - 25) AS size_dist,
+           concat(p_brand, '#', p_type) AS brand_type
+    FROM part
+    """,
+)
+def q_scalar_functions(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_type").cast("bigint").alias("type_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+    )
+
+
+@_q(
+    "q_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "q_orders_without_lineitems",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)
+def q_orders_without_lineitems(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+@_q(
+    "q_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+
+    def n(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    return orders.groupBy("o_orderpriority").agg(
+        n("F").alias("n_f"), n("O").alias("n_o"), n("P").alias("n_p")
+    )
+
+
+@_q(
+    "q_user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("bigint").alias("n_sessions"))
+    )
+
+
+# =====================================================================
+# [pushdown] — the reference's Change-Tracking scan shapes (P1-P6)
+# =====================================================================
+
+_CT_OP = """CASE WHEN o_orderkey % 10 = 7 THEN 'D'
+                 WHEN o_orderkey % 10 IN (3, 5) THEN 'U'
+                 ELSE 'I' END"""
+
+
+@_q(
+    "p_ct_change_scan",
+    f"""
+    WITH ct AS (
+      SELECT o_orderkey AS pk, o_orderkey AS sys_change_version,
+             {_CT_OP} AS sys_change_operation
+      FROM orders
+      WHERE o_orderkey > 5000 AND o_orderkey <= 10000
+    ),
+    base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7)
+    SELECT ct.pk, ct.sys_change_version, ct.sys_change_operation,
+           base.o_custkey, base.o_totalprice
+    FROM ct LEFT JOIN base ON base.o_orderkey = ct.pk
+    """,
+)
+def p_ct_change_scan(spark, sf_dir):
+    """S4/P1-P4: the CHANGETABLE right-outer-join scan — changes keep
+    their row even when the base row is gone (deletes), the version
+    range is the incremental filter, projection prunes to PKs + value
+    columns (CTInputDStream.java:148-169)."""
+    orders = _t(spark, sf_dir, "orders")
+    op = (
+        F.when(F.col("o_orderkey") % 10 == 7, F.lit("D"))
+        .when((F.col("o_orderkey") % 10).isin(3, 5), F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    ct = orders.filter((F.col("o_orderkey") > 5000) & (F.col("o_orderkey") <= 10000)).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderkey").alias("sys_change_version"),
+        op.alias("sys_change_operation"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 10 != 7)
+    # base RIGHT OUTER JOIN ct == ct LEFT JOIN base
+    return ct.join(base, ct.pk == base.o_orderkey, "left").select(
+        "pk", "sys_change_version", "sys_change_operation", "o_custkey", "o_totalprice"
+    )
+
+
+@_q(
+    "p_batch_clamp",
+    """
+    SELECT o_orderkey AS sys_change_version FROM orders
+    WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def p_batch_clamp(spark, sf_dir):
+    """P5/P6: bounded incremental scan — high-watermark range plus a
+    batch-size clamp, total-ordered by change version
+    (CTInputDStream.java:114-115, maxBatchSize)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") > 5000)
+        .select(F.col("o_orderkey").alias("sys_change_version"))
+        .orderBy("sys_change_version")
+        .limit(100)
+    )
+
+
+# =====================================================================
+# [cdc] — envelope / normalize / apply, end-to-end
+# =====================================================================
+
+
+@_q(
+    "cdc_flatten_snapshot",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           'INSERT' AS CDC_OP_TYPE,
+           CAST(1 AS BIGINT) AS CHANGE_TRACKING_VERSION
+    FROM nation
+    """,
+)
+def cdc_flatten_snapshot(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    log = dml_records(nation, "tpch.nation", ["n_nationkey"], version=1)
+    return dml_flattener(log, nation.schema)
+
+
+@_q("cdc_apply_snapshot", "SELECT * FROM customer")
+def cdc_apply_snapshot(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_snap_"))
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+    return cat.read(spark, "tpch.customer")
+
+
+@_q("cdc_apply_events", "SELECT * FROM events")
+def cdc_apply_events(spark, sf_dir):
+    """Snapshot roundtrip of a table with microsecond timestamps and a
+    JSON-ish string column — exercises the string-encode/cast-decode
+    type fidelity of the envelope."""
+    ev = _events(spark, sf_dir)
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_ev_"))
+    apply_changelog(spark, snapshot_changelog(ev, "app.events", ["event_id"]), cat)
+    return cat.read(spark, "app.events")
+
+
+@_q(
+    "cdc_apply_mutations",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_apply_mutations(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_mut_"))
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    return cat.read(spark, "tpch.customer")
+
+
+@_q("cdc_apply_stream", "SELECT * FROM nation")
+def cdc_apply_stream(spark, sf_dir):
+    """The full Structured Streaming path: changelog files ->
+    stateful DDL dedup -> foreachBatch apply -> materialized table."""
+    nation = _t(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="cdc_q_stream_")
+    cat = TableCatalog(os.path.join(root, "cat"))
+    write_changelog(
+        snapshot_changelog(nation, "tpch.nation", ["n_nationkey"]),
+        os.path.join(root, "log"),
+    )
+    run_apply_stream(spark, os.path.join(root, "log"), cat, os.path.join(root, "ckpt"))
+    return cat.read(spark, "tpch.nation")
+
+
+@_q(
+    "cdc_net_change_collapse",
+    """
+    SELECT o_orderkey, 'INSERT' AS op_type, o_totalprice + 10.0 AS new_total
+      FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, 'UPDATE', o_totalprice + 20.0
+      FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, 'DELETE', NULL
+      FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 10 = 2
+    """,
+)
+def cdc_net_change_collapse(spark, sf_dir):
+    """Net-change semantics (CT golden test): multiple ops on a key in
+    one window collapse to a single record with final values."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey")
+    ins0 = dml_records(orders.filter(k % 10 == 0), "t.o", ["o_orderkey"], op="INSERT", version=1)
+    upd0 = dml_records(
+        orders.filter(k % 10 == 0), "t.o", ["o_orderkey"], op="UPDATE", version=2,
+        value_overrides={"o_totalprice": F.col("o_totalprice") + 10.0},
+    )
+    upd1 = dml_records(
+        orders.filter(k % 10 == 1), "t.o", ["o_orderkey"], op="UPDATE", version=3,
+        value_overrides={"o_totalprice": F.col("o_totalprice") + 20.0},
+    )
+    ins2 = dml_records(orders.filter(k % 10 == 2), "t.o", ["o_orderkey"], op="INSERT", version=4)
+    del2 = dml_records(
+        orders.filter(k % 10 == 2), "t.o", ["o_orderkey"], op="DELETE", version=5, keys_only=True
+    )
+    log = ins0.unionByName(upd0).unionByName(upd1).unionByName(ins2).unionByName(del2)
+    dml = log.select("dml.*")
+    collapsed = collapse_net_changes(dml, ["o_orderkey"])
+    return collapsed.select(
+        F.col("rows_values")["o_orderkey"].cast("bigint").alias("o_orderkey"),
+        "op_type",
+        F.col("rows_values")["o_totalprice"].cast("double").alias("new_total"),
+    )
+
+
+@_q(
+    "cdc_pk_update_split",
+    """
+    SELECT 'DELETE' AS op_type, s_suppkey, s_acctbal
+      FROM supplier WHERE s_suppkey % 3 = 0
+    UNION ALL
+    SELECT 'INSERT', s_suppkey + 1000, s_acctbal
+      FROM supplier WHERE s_suppkey % 3 = 0
+    UNION ALL
+    SELECT 'UPDATE', s_suppkey, s_acctbal + 5.0
+      FROM supplier WHERE s_suppkey % 3 <> 0
+    """,
+)
+def cdc_pk_update_split(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    before = F.create_map(
+        F.lit("s_suppkey"), k.cast("string"),
+        F.lit("s_acctbal"), F.col("s_acctbal").cast("string"),
+    )
+    after_pk = F.create_map(
+        F.lit("s_suppkey"), (k + 1000).cast("string"),
+        F.lit("s_acctbal"), F.col("s_acctbal").cast("string"),
+    )
+    after_val = F.create_map(
+        F.lit("s_suppkey"), k.cast("string"),
+        F.lit("s_acctbal"), (F.col("s_acctbal") + 5.0).cast("string"),
+    )
+    raw = supp.select(
+        F.lit("t.supplier").alias("table"),
+        F.lit("U").alias("op_type"),
+        F.array(F.lit("s_suppkey")).alias("primary_keys"),
+        before.alias("before"),
+        F.when(k % 3 == 0, after_pk).otherwise(after_val).alias("after"),
+        F.lit("{}").alias("rows_schema"),
+        k.cast("bigint").alias("change_tracking_version"),
+        F.lit(0).cast("bigint").alias("cdc_current_timestamp"),
+    )
+    env = normalize_raw_ops(raw)
+    return env.select(
+        F.col("dml.op_type").alias("op_type"),
+        F.col("dml.rows_values")["s_suppkey"].cast("bigint").alias("s_suppkey"),
+        F.col("dml.rows_values")["s_acctbal"].cast("double").alias("s_acctbal"),
+    )
+
+
+@_q(
+    "cdc_ddl_dedup",
+    """
+    WITH d AS (
+      SELECT concat('t', CAST(o_orderkey % 4 AS VARCHAR)) AS "table",
+             concat('s', CAST(o_orderkey % 3 AS VARCHAR)) AS "schema",
+             o_orderkey AS seq
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    x AS (SELECT *, lag("schema") OVER (PARTITION BY "table" ORDER BY seq) AS prev FROM d)
+    SELECT "table", "schema", seq FROM x WHERE prev IS NULL OR prev <> "schema"
+    """,
+)
+def cdc_ddl_dedup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    ddl = orders.select(
+        F.concat(F.lit("t"), (F.col("o_orderkey") % 4).cast("string")).alias("table"),
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 3).cast("string")).alias("schema"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return dedupe_ddl_announcements(ddl, ["seq"])
+
+
+@_q(
+    "cdc_rowkey",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat_ws(':', l_linenumber, l_orderkey) AS rowkey
+    FROM lineitem
+    """,
+)
+def cdc_rowkey(spark, sf_dir):
+    """K7: row identity = PK *names sorted*, values ':'-joined
+    ('l_linenumber' < 'l_orderkey' lexicographically, so the line
+    number leads) — exact reference semantics (CDCTableUtil.java:98-105)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rowkey_expr(["l_orderkey", "l_linenumber"]).alias("rowkey"),
+    )
+
+
+# =====================================================================
+# [extensions] — dedup / similarity / text / multimodal
+# =====================================================================
+
+_JACCARD_ORACLE = """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(k * 1.0 / (ca.n + cb.n - k), 6) AS jaccard
+    FROM inter
+    JOIN c ca ON ca.doc_id = a_id
+    JOIN c cb ON cb.doc_id = b_id
+    WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.8
+"""
+
+
+@_q(
+    "dedup_exact",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id FROM corpus)
+    SELECT doc_id AS dup_id, keeper_id FROM g WHERE doc_id <> keeper_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(docs.unionByName(copies))
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_duplicates(docs, n=5, threshold=0.8)
+
+
+@_q("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH changes the WORK (bucketed candidates instead of all-pairs),
+    not the ANSWER: verified output matches the brute-force oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_duplicates(docs, n=5, k=128, bands=32, threshold=0.8)
+
+
+@_q("dedup_simhash", None)  # candidate recall < 1 by design -> rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash measures token-level similarity, not shingle Jaccard —
+    near-dup pairs at Jaccard ~0.9 sit at Hamming ~5-6, so a Hamming<=3
+    candidate gate keeps precision (verified output is a strict subset
+    of the brute-force pairs) but not recall; no exact SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_duplicates(docs, hamming_max=3, threshold=0.8)
+
+
+_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_COSINE.format(a='a.v', b='b.v')}, 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COSINE.format(a='a.v', b='b.v')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+
+
+@_q(
+    "ann_topk_bruteforce",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_COSINE.format(a='q.v', b='c.v')}, 6) AS score
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rnk
+          FROM scored)
+    SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@_q("ann_lsh_bucketed", None)  # approximate: recall < 1 by design -> rows-only check
+def ann_lsh_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann_topk(emb, queries, k=5, dim=64, planes=8)
+
+
+@_q(
+    "text_token_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    d AS (SELECT doc_id, count(DISTINCT token) AS n_distinct_tokens FROM t GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_compact,
+           CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4) AS BIGINT) AS n_subword_est,
+           d.n_distinct_tokens
+    FROM documents JOIN d USING (doc_id)
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    swr AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','in','is','for','on','with')
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio
+      FROM t GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')), 6) AS mean_token_len,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS digit_ratio,
+           round(swr.stopword_ratio, 6) AS stopword_ratio,
+           round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
+                     - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+                     + least(swr.stopword_ratio, 0.2), 6) AS quality_score
+    FROM documents d JOIN swr ON swr.doc_id = d.doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    return text.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _stopword_values() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in text.STOPWORDS.items() for w in ws
+    )
+    return rows
+
+
+@_q(
+    "text_langid",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    v(lang, token) AS (VALUES {_stopword_values()}),
+    h AS (SELECT doc_id, lang, count(*) AS hits FROM t JOIN v USING (token) GROUP BY 1, 2),
+    b AS (SELECT doc_id, lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+          FROM h)
+    SELECT d.doc_id,
+           coalesce(b.lang, 'unknown') AS detected_lang,
+           CAST(coalesce(b.hits, 0) AS BIGINT) AS stopword_hits
+    FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def text_langid(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprint",
+    """
+    WITH idx AS (
+      SELECT doc_id, lower(text) AS t,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      FROM documents
+    ),
+    s AS (SELECT doc_id, md5(substr(t, i, 8)) AS h FROM idx)
+    SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(*) AS n_shingles
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprints(_t(spark, sf_dir, "documents"), n=8)
+
+
+@_q(
+    "multimodal_image_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.image_metadata(multimodal.attach_payload(docs))
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    WITH n AS (SELECT doc_id, octet_length(encode(text)) % 100 + 1 AS nf FROM documents)
+    SELECT doc_id, CAST(unnest(generate_series(0, nf - 1, 10)) AS INTEGER) AS frame_idx
+    FROM n
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.frame_sample_plan(multimodal.attach_payload(docs), every_nth=10)
+
+
+# ---------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: qd.oracle.strip() for name, qd in REGISTRY.items() if qd.oracle}

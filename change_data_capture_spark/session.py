@@ -37,6 +37,10 @@ def get_spark(app_name: str = "change_data_capture_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic comparisons vs the UTC-naive DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark has no TIMESTAMP(NANOS) parquet type; read as long and
+        # convert explicitly (see registry._events) — refusing the file
+        # outright would lose the events table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming micro-batch state store kept small and local.
         .config("spark.sql.streaming.stateStore.compression.codec", "lz4")
         .config("spark.ui.enabled", "false")
