@@ -45,7 +45,9 @@ from .normalize import (
     dml_flattener,
     normalize_raw_ops,
 )
+from . import functions as cf
 from .extensions import dedup, multimodal, similarity, text
+from .sources import jdbc_ct, kafka
 from .streaming import run_apply_stream, write_changelog
 
 
@@ -394,6 +396,296 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "q14_promo_effect",
+    """
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                 ELSE 0 END) AS DOUBLE))
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(28,10)"))).cast("double")
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(((F.lit(100.0) * promo) / total).alias("promo_revenue_pct"))
+    )
+
+
+@_q(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(qty.cast("double").alias("total_qty"), qty.alias("__q"))
+        .filter(F.col("__q") > 150)
+        .drop("__q")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum_expr(disc).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@_q(
+    "q_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           rank() OVER w2 AS price_rank,
+           dense_rank() OVER w2 AS price_drank,
+           ntile(4) OVER w AS quartile,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_suite(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w2).alias("price_rank"),
+        F.dense_rank().over(w2).alias("price_drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wrun).cast("double").alias("running_spend"),
+    )
+
+
+@_q(
+    "q_json_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+@_q(
+    "q_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k
+    FROM orders
+    """,
+)
+def q_date_functions(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3mo"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_y2k"),
+    )
+
+
+@_q(
+    "q_type_compat",
+    """
+    SELECT event_id,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS epoch_days,
+           epoch_us(ts) AS epoch_micros,
+           (hour(ts) * 3600 + minute(ts) * 60) * 1000000 + microsecond(ts) AS micros_of_day,
+           CAST(CAST(value AS DECIMAL(38,10)) AS DOUBLE) AS value_compat_dbl,
+           CAST(trunc(CAST(value AS DECIMAL(38,10))) AS BIGINT) AS value_compat_lng
+    FROM events
+    """,
+)
+def q_type_compat(spark, sf_dir):
+    """T11 compat-mode scalar functions (DBUtils.java:131-137,
+    ResultSetToDMLRecord.java:96-113) applied over the events table."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        cf.date_to_epoch_days(F.col("ts")).alias("epoch_days"),
+        cf.timestamp_to_epoch_micros(F.col("ts")).alias("epoch_micros"),
+        cf.time_to_micros_of_day(F.col("ts")).alias("micros_of_day"),
+        cf.compat_decimal(F.col("value"), 12, 4).alias("value_compat_dbl"),
+        cf.compat_decimal(F.col("value"), 18, 0).alias("value_compat_lng"),
+    )
+
+
 # =====================================================================
 # [pushdown] — the reference's Change-Tracking scan shapes (P1-P6)
 # =====================================================================
@@ -669,6 +961,132 @@ def cdc_rowkey(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         rowkey_expr(["l_orderkey", "l_linenumber"]).alias("rowkey"),
+    )
+
+
+_CT_NORM_OP = """CASE WHEN o_orderkey % 10 = 7 THEN 'DELETE'
+                      WHEN o_orderkey % 10 IN (3, 5) THEN 'UPDATE'
+                      ELSE 'INSERT' END"""
+
+
+@_q(
+    "cdc_ct_scan_normalize",
+    f"""
+    SELECT {_CT_NORM_OP} AS op_type,
+           o_orderkey,
+           CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_totalprice END AS o_totalprice,
+           o_orderkey AS change_tracking_version
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+)
+def cdc_ct_scan_normalize(spark, sf_dir):
+    """T1 (ResultSetToDMLRecord.java:56-113): a CT scan result — the
+    output shape of change_scan_sql — normalized into envelope records;
+    deletes carry PKs only (base row gone under the right outer join)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    k = F.col("o_orderkey")
+    op = (
+        F.when(k % 10 == 7, F.lit("D"))
+        .when((k % 10).isin(3, 5), F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    scan = orders.select(
+        "o_orderkey",
+        F.when(k % 10 != 7, F.col("o_custkey")).alias("o_custkey"),
+        F.when(k % 10 != 7, F.col("o_totalprice")).alias("o_totalprice"),
+        k.alias("SYS_CHANGE_VERSION"),
+        op.alias("SYS_CHANGE_OPERATION"),
+        F.lit("2024-01-01 00:00:00").alias("CDC_CURRENT_TIMESTAMP"),
+    )
+    ti = jdbc_ct.TableInformation(
+        schema_name="tpch",
+        name="orders",
+        columns=("o_orderkey", "o_custkey", "o_totalprice"),
+        primary_keys=("o_orderkey",),
+    )
+    env = jdbc_ct.ct_scan_to_change_records(scan, ti, "{}")
+    rv = F.col("dml.rows_values")
+    return env.select(
+        F.col("dml.op_type").alias("op_type"),
+        rv["o_orderkey"].cast("bigint").alias("o_orderkey"),
+        rv["o_custkey"].cast("bigint").alias("o_custkey"),
+        rv["o_totalprice"].cast("double").alias("o_totalprice"),
+        F.col("dml.change_tracking_version").alias("change_tracking_version"),
+    )
+
+
+@_q(
+    "cdc_goldengate_decode",
+    """
+    SELECT 'INSERT' AS op_type, s_suppkey, s_acctbal, s_suppkey AS version
+      FROM supplier
+    UNION ALL
+    SELECT 'DELETE', s_suppkey, s_acctbal, s_suppkey + 100000
+      FROM supplier WHERE s_suppkey % 5 = 0
+    UNION ALL
+    SELECT 'INSERT', s_suppkey + 9000, s_acctbal, s_suppkey + 100000
+      FROM supplier WHERE s_suppkey % 5 = 0
+    """,
+)
+def cdc_goldengate_decode(spark, sf_dir):
+    """S5/T6/T7/ST2 end-to-end: JSON-wrapper messages (schema
+    announcement + DML payloads) -> classify -> fingerprint-registry
+    join -> normalize, incl. the PK-update DELETE+INSERT split
+    (Normalizer.java:166-190)."""
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    img = lambda key, bal: F.create_map(  # noqa: E731
+        F.lit("s_suppkey"), key.cast("string"), F.lit("s_acctbal"), bal.cast("string")
+    )
+    schema_msg = spark.range(1).select(
+        F.to_json(
+            F.struct(
+                F.lit("schema").alias("kind"),
+                F.lit(7).alias("fingerprint"),
+                F.lit("tpch.supplier").alias("table"),
+                F.lit('{"type":"struct","fields":[]}').alias("schema"),
+                F.lit(0).alias("version"),
+            )
+        ).alias("message")
+    )
+    inserts = supp.select(
+        F.to_json(
+            F.struct(
+                F.lit("dml").alias("kind"),
+                F.lit("tpch.supplier").alias("table"),
+                F.lit(7).alias("fingerprint"),
+                F.lit("I").alias("op_type"),
+                F.array(F.lit("s_suppkey")).alias("primary_keys"),
+                img(k, F.col("s_acctbal")).alias("after"),
+                k.cast("bigint").alias("version"),
+                F.lit(0).alias("ts_micros"),
+            )
+        ).alias("message")
+    )
+    pk_updates = supp.filter(k % 5 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("dml").alias("kind"),
+                F.lit("tpch.supplier").alias("table"),
+                F.lit(7).alias("fingerprint"),
+                F.lit("U").alias("op_type"),
+                F.array(F.lit("s_suppkey")).alias("primary_keys"),
+                img(k, F.col("s_acctbal")).alias("before"),
+                img(k + 9000, F.col("s_acctbal")).alias("after"),
+                (k + 100000).cast("bigint").alias("version"),
+                F.lit(0).alias("ts_micros"),
+            )
+        ).alias("message")
+    )
+    msgs = schema_msg.unionByName(inserts, allowMissingColumns=False).unionByName(pk_updates)
+    env = kafka.goldengate_changelog(msgs)
+    rv = F.col("dml.rows_values")
+    return env.select(
+        F.col("dml.op_type").alias("op_type"),
+        rv["s_suppkey"].cast("bigint").alias("s_suppkey"),
+        rv["s_acctbal"].cast("double").alias("s_acctbal"),
+        F.col("dml.change_tracking_version").alias("version"),
     )
 
 

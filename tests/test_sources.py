@@ -1,0 +1,154 @@
+"""Sources: JDBC CT pushdown SQL generation (S2-S4, P1-P7), CT scan
+normalization, Kafka offset resolution (ST4), and the GoldenGate
+JSON-wrapper decode path (T6/T7/ST2)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.sources import jdbc_ct, kafka
+from change_data_capture_spark.sources.jdbc_ct import TableInformation
+
+TI = TableInformation(
+    schema_name="dbo",
+    name="accounts",
+    columns=("id", "region", "name", "balance"),
+    primary_keys=("id", "region"),
+)
+
+
+class TestCTSQL:
+    def test_value_columns_exclude_pks(self):
+        assert TI.value_columns == ("name", "balance")
+
+    def test_change_scan_sql_shape(self):
+        sql = jdbc_ct.change_scan_sql(TI, 10, 20)
+        # P1: right outer join on every PK column, AND-ed
+        assert "RIGHT OUTER JOIN CHANGETABLE(CHANGES [dbo].[accounts], 10)" in sql
+        assert "CT.[id] = CI.[id] AND CT.[region] = CI.[region]" in sql
+        # P2: incremental range
+        assert "CT.SYS_CHANGE_VERSION > 10 AND CT.SYS_CHANGE_VERSION <= 20" in sql
+        # P3: total order by version
+        assert sql.endswith("ORDER BY CT.SYS_CHANGE_VERSION")
+        # P4: PKs from CT, value columns from the base row
+        assert "SELECT CT.[id], CT.[region], CI.[name], CI.[balance]," in sql
+
+    def test_batch_clamp(self):
+        assert jdbc_ct.clamp_version(100, 5000, max_batch=1000) == 1100
+        assert jdbc_ct.clamp_version(100, 150, max_batch=1000) == 150
+
+    def test_catalog_sqls(self):
+        assert "sys.change_tracking_tables" in jdbc_ct.ct_enabled_tables_sql()
+        assert "PRIMARY KEY" in jdbc_ct.primary_keys_sql("dbo", "accounts")
+        assert jdbc_ct.current_version_sql() == "SELECT CHANGE_TRACKING_CURRENT_VERSION()"
+        assert "DB_ID" in jdbc_ct.ct_enabled_database_sql()
+        assert jdbc_ct.ddl_probe_sql(TI) == "SELECT TOP 1 * FROM [dbo].[accounts] WITH (NOLOCK)"
+
+
+class TestCTScanNormalize:
+    def test_scan_to_change_records(self, spark):
+        scan = spark.createDataFrame(
+            [
+                (1, "eu", "alice", 10.0, 11, "I", "2024-01-01 00:00:01"),
+                (2, "us", "bob", 20.0, 12, "U", "2024-01-01 00:00:02"),
+                (3, "eu", None, None, 13, "D", "2024-01-01 00:00:03"),
+            ],
+            "id int, region string, name string, balance double, "
+            "SYS_CHANGE_VERSION long, SYS_CHANGE_OPERATION string, "
+            "CDC_CURRENT_TIMESTAMP string",
+        )
+        out = jdbc_ct.ct_scan_to_change_records(scan, TI, "{}")
+        rows = {r["dml"]["rows_values"]["id"]: r["dml"] for r in out.collect()}
+        assert rows["1"]["op_type"] == "INSERT"
+        assert rows["2"]["op_type"] == "UPDATE"
+        assert rows["3"]["op_type"] == "DELETE"
+        # delete carries PKs only (null value columns filtered from the map)
+        assert set(rows["3"]["rows_values"]) == {"id", "region"}
+        assert rows["1"]["primary_keys"] == ["id", "region"]
+        assert rows["2"]["change_tracking_version"] == 12
+        assert rows["1"]["table"] == "dbo.accounts"
+
+    def test_unknown_op_fails(self, spark):
+        scan = spark.createDataFrame(
+            [(1, "eu", "x", 1.0, 1, "X", "2024-01-01 00:00:00")],
+            "id int, region string, name string, balance double, "
+            "SYS_CHANGE_VERSION long, SYS_CHANGE_OPERATION string, "
+            "CDC_CURRENT_TIMESTAMP string",
+        )
+        out = jdbc_ct.ct_scan_to_change_records(scan, TI, "{}")
+        with pytest.raises(Exception, match="unknown op"):
+            out.collect()
+
+
+class TestKafkaSurface:
+    def test_offset_resolution(self):
+        assert kafka.resolve_starting_offsets("t", kafka.EARLIEST) == "earliest"
+        assert kafka.resolve_starting_offsets("t", kafka.LATEST) == "latest"
+        assert json.loads(kafka.resolve_starting_offsets("t", 42)) == {"t": {"0": 42}}
+        with pytest.raises(ValueError):
+            kafka.resolve_starting_offsets("t", -5)
+
+    def test_option_map(self):
+        opts = kafka.kafka_options("b:9092", "gg", initial_offset=7, max_rate_per_partition=500)
+        assert opts["subscribe"] == "gg"
+        assert opts["maxOffsetsPerTrigger"] == "500"
+        assert json.loads(opts["startingOffsets"]) == {"gg": {"0": 7}}
+        # 0 = unlimited (reference GoldenGateKafkaConfig.java:96)
+        assert "maxOffsetsPerTrigger" not in kafka.kafka_options("b", "t", max_rate_per_partition=0)
+
+
+def _msg(**kw):
+    return (json.dumps(kw),)
+
+
+class TestGoldenGateDecode:
+    def test_end_to_end_decode(self, spark):
+        schema_json = (
+            '{"type":"struct","fields":['
+            '{"name":"id","type":"integer","nullable":false,"metadata":{}},'
+            '{"name":"v","type":"string","nullable":true,"metadata":{}}]}'
+        )
+        msgs = spark.createDataFrame(
+            [
+                _msg(kind="notice", table="x"),  # dropped (T10)
+                _msg(kind="schema", fingerprint=99, table="ns.t", schema=schema_json, version=1),
+                _msg(kind="dml", table="ns.t", fingerprint=99, op_type="I",
+                     primary_keys=["id"], before=None, after={"id": "1", "v": "a"},
+                     version=2, ts_micros=1000),
+                # PK-update: splits into DELETE(before) + INSERT(after)
+                _msg(kind="dml", table="ns.t", fingerprint=99, op_type="U",
+                     primary_keys=["id"], before={"id": "1", "v": "a"},
+                     after={"id": "2", "v": "a"}, version=3, ts_micros=2000),
+                # value-only update: images merge, after wins
+                _msg(kind="dml", table="ns.t", fingerprint=99, op_type="U",
+                     primary_keys=["id"], before={"id": "2", "v": "a"},
+                     after={"id": "2", "v": "b"}, version=4, ts_micros=3000),
+            ],
+            "message string",
+        )
+        out = kafka.goldengate_changelog(msgs)
+        recs = sorted(
+            (r["dml"]["change_tracking_version"], r["dml"]["op_type"],
+             dict(r["dml"]["rows_values"]), r["dml"]["rows_schema"])
+            for r in out.collect()
+        )
+        assert [(v, op, rv) for v, op, rv, _ in recs] == [
+            (2, "INSERT", {"id": "1", "v": "a"}),
+            (3, "DELETE", {"id": "1", "v": "a"}),
+            (3, "INSERT", {"id": "2", "v": "a"}),
+            (4, "UPDATE", {"id": "2", "v": "b"}),
+        ]
+        # every DML resolved its schema through the fingerprint registry
+        assert all(rs == schema_json for _, _, _, rs in recs)
+
+    def test_registry_last_wins(self, spark):
+        msgs = spark.createDataFrame(
+            [
+                _msg(kind="schema", fingerprint=1, table="ns.t", schema="s_old", version=1),
+                _msg(kind="schema", fingerprint=1, table="ns.t", schema="s_new", version=5),
+            ],
+            "message string",
+        )
+        reg = kafka.schema_registry(kafka.classify_messages(msgs)).collect()
+        assert len(reg) == 1 and reg[0]["schema"] == "s_new"
