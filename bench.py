@@ -69,11 +69,21 @@ def streaming_throughput(spark, sf_dir: str, n_records: int = 5000) -> tuple[flo
     return elapsed, n / elapsed
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """Touch every table once (parquet footers, codegen, executor
+    threads) so per-query timings measure steady-state work, not
+    first-action JVM warmup."""
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cdc-spark-bench")
     qs = registry.queries()
+    _warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -166,9 +166,11 @@ class TableCatalog:
         new_dir = f"data_v{seq + 1:06d}"
         out = os.path.join(self.table_dir(table_id), new_dir)
         pks = meta["pks"]
-        # Hash-cluster on PK so the next merge's anti-join co-locates;
-        # AQE picks the partition count (advisory repartition).
-        df.repartition(*[F.col(p) for p in pks]).write.mode("overwrite").parquet(out)
+        # Hash-cluster on PK so the next merge's anti-join co-locates.
+        # REBALANCE (vs plain repartition) lets AQE coalesce tiny
+        # batches to few files AND split skewed PK buckets — the
+        # behavior that matters at 100 TB.
+        df.hint("rebalance", *pks).write.mode("overwrite").parquet(out)
         meta["current"] = new_dir
         meta["applied_version"] = max(meta.get("applied_version", 0), applied_version)
         self.put_meta(table_id, meta)

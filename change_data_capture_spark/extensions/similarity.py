@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import spread
+
 
 def as_double_vec(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -52,7 +54,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # spread: the dot-product map stage is compute-bound, not IO-bound;
+    # see dedup.spread.
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -106,7 +110,7 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), dim, planes))
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", lsh_bucket_expr(F.col("cv"), dim, planes))
     scored = (
@@ -132,7 +136,7 @@ def embedding_near_duplicates(
     """All pairs with cosine >= threshold (brute force baseline for the
     embedding near-dup operator; the LSH bucket join is the scale
     variant)."""
-    a = vectors.select(F.col(id_col).alias("a_id"), as_double_vec(F.col(vec_col)).alias("va"))
+    a = spread(vectors).select(F.col(id_col).alias("a_id"), as_double_vec(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("b_id"), as_double_vec(F.col(vec_col)).alias("vb"))
     return (
         a.crossJoin(b)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import spread
+
 # Tiny embedded stopword lists (public, language-characteristic words).
 # Deliberately small: language id here is the n-gram/stopword-ratio
 # HEURISTIC a data pipeline applies at scale, not a trained model.
@@ -24,7 +26,8 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(
+    # spread: token explode is a high-expansion stage; see dedup.spread.
+    return spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
     )
@@ -121,8 +124,11 @@ def fingerprints(
     n-gram shingles of the lowercased text (a winnowing-style content
     signature; equal fingerprints => near-certain duplicate prefix/body)."""
     text = F.lower(F.col(text_col))
+    # explode + substr stays in whole-stage codegen (a transform()
+    # array build would be interpreted per element — measured ~9x
+    # slower at sf0.1).
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))))
-    sh = docs.select(F.col(id_col), text.alias("__t"), pos.alias("i")).select(
+    sh = spread(docs).select(F.col(id_col), text.alias("__t"), pos.alias("i")).select(
         F.col(id_col), F.md5(F.col("__t").substr(F.col("i"), F.lit(n))).alias("h")
     )
     return sh.groupBy(id_col).agg(

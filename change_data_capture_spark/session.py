@@ -33,6 +33,16 @@ def get_spark(app_name: str = "change_data_capture_spark") -> SparkSession:
         # Dimension tables (region/nation/supplier/schema registry)
         # stay broadcast-able; 64 MB covers TPC-H dims at sf100+.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-bench scan parallelism: the test parquet files are a
+        # few MB, so the 128 MB default packs every scan into 1-3
+        # partitions and leaves 29+ cores idle. 1 MB splits spread
+        # scans across cores; a production 100 TB deployment would
+        # keep the default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         # Arrow for pandas-UDF extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic comparisons vs the UTC-naive DuckDB oracle.

@@ -63,20 +63,22 @@ def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     last = state.get[0] if state.exists else None
-    out: list[str] = []
+    out: list[pd.Series] = []
     for pdf in pdfs:
         # DDL-before-DML inside the batch (explicit ordering key).
         pdf = pdf.sort_values(["kind", "version"], kind="stable")
-        for _, row in pdf.iterrows():
-            if row["kind"] == 0:
-                if row["schema_json"] != last:
-                    last = row["schema_json"]
-                    out.append(row["payload"])
-                # else: suppressed duplicate announcement
-            else:
-                out.append(row["payload"])
+        ddl = pdf[pdf["kind"] == 0]
+        if len(ddl):
+            # Vectorized consecutive-duplicate suppression with the
+            # state's last-seen schema as carry-in (no per-row loop).
+            prev = ddl["schema_json"].shift(1)
+            prev.iloc[0] = last
+            keep = prev.isna() | (ddl["schema_json"] != prev)
+            out.append(ddl.loc[keep, "payload"])
+            last = ddl["schema_json"].iloc[-1]
+        out.append(pdf.loc[pdf["kind"] == 1, "payload"])
     state.update((last,))
-    yield pd.DataFrame({"payload": out})
+    yield pd.DataFrame({"payload": pd.concat(out, ignore_index=True) if out else []})
 
 
 def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
