@@ -225,7 +225,10 @@ def minhash_lsh_duplicates(
         .join(F.broadcast(b_sig), "b_id")
         .filter(matches >= int(max(threshold - 0.2, 0.0) * k))
         .select("a_id", "b_id")
+        .persist()
     )
+    screened.count()  # materialize, then drop the signature cache
+    sig.unpersist()
     return _jaccard_on(sh, screened, threshold, id_col)
 
 

@@ -114,12 +114,21 @@ def run_apply_stream(
     dedupe_ddl: bool = True,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    state_partitions: int | None = 8,
 ) -> Any:
     """Continuously (or availableNow for tests) apply a changelog file
     stream into the catalog's managed tables. Checkpointing makes
     restarts resume at the right offset; apply_changes' version
     watermark makes replayed batches idempotent (at-least-once -> same
-    final state)."""
+    final state).
+
+    ``state_partitions``: stateful streaming disables AQE, so the
+    state-store partition count is frozen at the session's shuffle
+    partitions on first start — and every micro-batch pays a
+    commit/restore per partition. Schema-dedup state is O(#tables),
+    so a small fixed count beats inheriting a batch-sized default;
+    pass None to keep the session setting (e.g. thousands of tables
+    on a large cluster)."""
     stream = read_changelog_stream(
         spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
     )
@@ -134,8 +143,15 @@ def run_apply_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.start()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
