@@ -686,6 +686,245 @@ def q_type_compat(spark, sf_dir):
     )
 
 
+@_q(
+    "q_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("bigint")
+        .alias("gid"),
+    )
+
+
+@_q(
+    "q_set_ops_all",
+    """
+    SELECT n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier)
+    """,
+)
+def q_set_ops_all(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return cust.exceptAll(supp).unionByName(cust.intersectAll(supp))
+
+
+@_q(
+    "q_posexplode_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS pos,
+           unnest(l) AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def q_posexplode_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+
+
+@_q(
+    "q_string_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+           replace(p_type, 'A', '@') AS type_repl,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+           string_split(p_name, ' ')[1] AS name_head,
+           reverse(p_brand) AS brand_rev,
+           CAST(length(trim(BOTH ' ' FROM p_name)) AS INTEGER) AS name_len
+    FROM part
+    """,
+)
+def q_string_functions(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.replace("p_type", F.lit("A"), F.lit("@")).alias("type_repl"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.split("p_name", " ").getItem(0).alias("name_head"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.length(F.trim("p_name")).alias("name_len"),
+    )
+
+
+@_q(
+    "q_stats_moments",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(sx / n, 6) AS mean_price,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price
+    FROM s
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Deterministic second-moment stats: the naive stddev/variance
+    aggregates reduce doubles in partition order (non-reproducible
+    across engines/runs); summing through exact decimals and applying
+    the closed form in double afterwards is bit-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+    )
+    return s.select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_price"),
+        F.round(
+            F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)),
+            6,
+        ).alias("stddev_price"),
+    )
+
+
+@_q(
+    "q_conditional_null",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           greatest(o_totalprice, 150000.0) AS floor_price,
+           least(CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT)) AS min_key,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS maybe_price,
+           coalesce(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END, -1.0) AS filled_price
+    FROM orders
+    """,
+)
+def q_conditional_null(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(F.col("o_totalprice"))
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least(F.col("o_custkey").cast("bigint"), F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        maybe.alias("maybe_price"),
+        F.coalesce(maybe, F.lit(-1.0)).alias("filled_price"),
+    )
+
+
+@_q(
+    "q_latest_order_per_customer",
+    """
+    WITH mx AS (
+      SELECT o_custkey, max(o_orderdate) AS max_date FROM orders GROUP BY o_custkey
+    ),
+    best AS (
+      SELECT o.o_custkey, min(o_orderkey) AS o_orderkey
+      FROM orders o JOIN mx ON o.o_custkey = mx.o_custkey AND o.o_orderdate = mx.max_date
+      GROUP BY o.o_custkey
+    )
+    SELECT b.o_custkey, b.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM best b JOIN orders o ON b.o_orderkey = o.o_orderkey
+    """,
+)
+def q_latest_order_per_customer(spark, sf_dir):
+    """Min-per-group join-back (the TPC-H q2 correlated-subquery shape,
+    decorrelated): the aggregate runs once and joins back — no
+    per-row subquery execution."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("max_date")).withColumnRenamed("o_custkey", "mx_custkey")
+    best = (
+        orders.join(
+            mx,
+            (orders.o_custkey == mx.mx_custkey) & (orders.o_orderdate == mx.max_date),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    return best.join(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"), "o_orderkey"
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@_q(
+    "q_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@_q(
+    "q_first_last_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_window(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
 # =====================================================================
 # [pushdown] — the reference's Change-Tracking scan shapes (P1-P6)
 # =====================================================================
