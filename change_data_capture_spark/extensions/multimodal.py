@@ -81,6 +81,62 @@ def image_metadata(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
+def audio_chunk_plan(
+    docs_with_payload: DataFrame,
+    *,
+    sample_rate: int = 16_000,
+    chunk_seconds: int = 30,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Audio-style chunking PLAN: treat the payload as 16-bit mono PCM
+    and emit one row per fixed-duration chunk with its sample range —
+    the row-explosion shape of a whisper-style segmenter. The codec
+    step (actual resample/decode) stays behind the stub boundary."""
+    samples = (F.length("payload") / bytes_per_sample).cast("long")
+    chunk = sample_rate * chunk_seconds
+    n_chunks = F.ceil(samples / F.lit(chunk)).cast("int")
+    start = F.col("chunk_idx").cast("long") * chunk
+    return (
+        docs_with_payload.select(
+            "doc_id",
+            samples.alias("n_samples"),
+            F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start_sample"),
+            F.least(start + chunk, F.col("n_samples")).alias("end_sample"),
+        )
+    )
+
+
+def resize_spec(
+    docs_with_payload: DataFrame, *, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize + letterbox SPEC from the (stubbed)
+    decoded dimensions: pure column math producing the geometry a
+    vision-preprocessing UDF would apply per image."""
+    n = F.length("payload")
+    w = (n % 640 + 1).cast("double")
+    h = (n % 480 + 1).cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    new_w = F.floor(w * scale).cast("int")
+    new_h = F.floor(h * scale).cast("int")
+    return docs_with_payload.select(
+        "doc_id",
+        w.cast("int").alias("src_w"),
+        h.cast("int").alias("src_h"),
+        F.round(scale, 6).alias("scale"),
+        new_w.alias("dst_w"),
+        new_h.alias("dst_h"),
+        ((F.lit(target_w) - new_w) / 2).cast("int").alias("pad_left"),
+        ((F.lit(target_h) - new_h) / 2).cast("int").alias("pad_top"),
+    )
+
+
 def frame_sample_plan(docs_with_payload: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video-style frame sampling PLAN: explodes deterministic frame
     indices per payload (the partition/row-explosion shape of a frame

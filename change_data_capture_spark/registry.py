@@ -1574,6 +1574,72 @@ def multimodal_image_meta(spark, sf_dir):
 
 
 @_q(
+    "multimodal_audio_chunks",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             CAST(floor(octet_length(encode(text)) / 2) AS BIGINT) AS n_samples
+      FROM documents
+    ),
+    c AS (SELECT doc_id, n_samples,
+                 CAST(ceil(n_samples / 480000.0) AS INTEGER) AS n_chunks
+          FROM a)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, greatest(n_chunks - 1, 0))) AS INTEGER) AS chunk_idx,
+           CAST(unnest(generate_series(0, greatest(n_chunks - 1, 0))) AS BIGINT) * 480000 AS start_sample,
+           least(CAST(unnest(generate_series(0, greatest(n_chunks - 1, 0))) AS BIGINT) * 480000 + 480000,
+                 n_samples) AS end_sample
+    FROM c
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.audio_chunk_plan(multimodal.attach_payload(docs))
+
+
+@_q(
+    "multimodal_resize_spec",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS DOUBLE) AS w,
+             CAST(octet_length(encode(text)) % 480 + 1 AS DOUBLE) AS h
+      FROM documents
+    ),
+    s AS (SELECT *, least(224.0 / w, 224.0 / h) AS scale FROM d)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+           round(scale, 6) AS scale,
+           CAST(floor(w * scale) AS INTEGER) AS dst_w,
+           CAST(floor(h * scale) AS INTEGER) AS dst_h,
+           CAST(floor((224 - floor(w * scale)) / 2) AS INTEGER) AS pad_left,
+           CAST(floor((224 - floor(h * scale)) / 2) AS INTEGER) AS pad_top
+    FROM s
+    """,
+)
+def multimodal_resize_spec(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_spec(multimodal.attach_payload(docs))
+
+
+@_q(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Event-time tumbling window + watermark (streaming.py op): the
+    identical plan runs as a Structured Streaming query (see
+    tests/test_streaming.py); batch execution makes it
+    oracle-checkable."""
+    from .streaming import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir))
+
+
+@_q(
     "multimodal_frame_sample",
     """
     WITH n AS (SELECT doc_id, octet_length(encode(text)) % 100 + 1 AS nf FROM documents)

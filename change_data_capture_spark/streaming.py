@@ -100,6 +100,34 @@ def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
     return parsed.select("r.ddl", "r.dml")
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data handling.
+
+    The reference has no watermarks or event-time windows (SURVEY.md
+    §2.4 note) — this is engine surface beyond parity: a streaming
+    change feed rolled up into per-window per-key counts, with state
+    for windows older than the watermark evicted (bounded state at
+    100 TB). Works identically on a batch DataFrame (window() is the
+    same expression; the watermark is a streaming no-op in batch)."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The end-to-end streaming pipeline: source -> dedup -> apply.
 # ---------------------------------------------------------------------------

@@ -58,6 +58,43 @@ def test_stream_resume_applies_only_new_files(spark, sf_dir, tmp_path):
     assert got.filter("r_regionkey = 0").count() == 0
 
 
+def test_windowed_agg_runs_as_stream(spark, sf_dir, tmp_path):
+    """The windowed_event_counts plan executes as a real Structured
+    Streaming query (watermark + event-time tumbling window) and its
+    final counts equal the batch execution of the same plan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.streaming import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    counts = windowed_event_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(ev).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_ddl_dedup_across_batches(spark, tmp_path):
     base = spark.createDataFrame([(1, "a")], "id bigint, v string")
     schema_json = base.schema.json()
