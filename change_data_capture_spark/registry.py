@@ -686,6 +686,20 @@ def q_type_compat(spark, sf_dir):
     )
 
 
+@_q("q_approx_sketches", None)  # approximate by definition -> rows-only check
+def q_approx_sketches(spark, sf_dir):
+    """Sketch aggregates (HLL++ distinct count, GK-quantile): the
+    streaming-friendly O(1)-memory versions of q_customer_order_stats'
+    exact counterparts; rows-only check because sketch estimates are
+    engine-specific by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.count("*").alias("n"),
+    )
+
+
 @_q(
     "q_grouping_sets",
     """
