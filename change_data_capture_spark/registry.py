@@ -75,7 +75,16 @@ def _dsum(col, scale: int = 2, prec: int = 18):
     return F.sum(F.col(col).cast(f"decimal({prec},{scale})")).cast("double")
 
 
-def _dsum_expr(expr, scale: int = 10, prec: int = 28):
+def _dsum_expr(expr, scale: int = 6, prec: int = 28):
+    """Exact decimal sum of a double product expression.
+
+    Scale 8, not more: price*(1-disc)[*(1+tax)] products are exact
+    4-6dp decimals whose double representation is ~1e-11 off; rounding
+    at scale >= 8 can land within double error of the rounding boundary,
+    where Spark (shortest-string) and DuckDB (exact-binary) double->
+    decimal conversions can disagree by one unit. At scale 6 — the exact
+    scale of the products — the
+    boundary distance (5e-7) dwarfs the double error."""
     return F.sum(expr.cast(f"decimal({prec},{scale})")).cast("double")
 
 
@@ -101,8 +110,8 @@ def _q(name: str, oracle: str | None):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -132,7 +141,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -169,7 +178,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -399,7 +408,7 @@ def q_user_sessions(spark, sf_dir):
 @_q(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -451,9 +460,9 @@ def q4_order_priority(spark, sf_dir):
     "q14_promo_effect",
     """
     SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
                  ELSE 0 END) AS DOUBLE))
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
            AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -465,8 +474,8 @@ def q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
     )
     part = _t(spark, sf_dir, "part")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(28,10)"))).cast("double")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
     total = F.sum(disc).cast("double")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -504,7 +513,7 @@ def q18_large_volume_customer(spark, sf_dir):
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -683,6 +692,65 @@ def q_type_compat(spark, sf_dir):
         cf.time_to_micros_of_day(F.col("ts")).alias("micros_of_day"),
         cf.compat_decimal(F.col("value"), 12, 4).alias("value_compat_dbl"),
         cf.compat_decimal(F.col("value"), 18, 0).alias("value_compat_lng"),
+    )
+
+
+@_q(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """OR-of-ANDs predicate across both join sides (the TPC-H q19
+    shape): Catalyst extracts the common per-side conjuncts for
+    pushdown below the join while the residual disjunction evaluates
+    post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_dsum_expr(disc).alias("revenue"), F.count("*").alias("n"))
     )
 
 

@@ -138,8 +138,8 @@ def goldengate_changelog(raw: DataFrame) -> DataFrame:
     normalize before/after images into canonical change records,
     including the PK-update DELETE+INSERT split (T7,
     ``Normalizer.java:166-190``)."""
-    classified = classified_cached = classify_messages(raw)
-    registry = schema_registry(classified_cached)
+    classified = classify_messages(raw)
+    registry = schema_registry(classified)
     dml = classified.filter(F.col("kind") == "dml")
     resolved = dml.alias("d").join(
         F.broadcast(registry.select("fingerprint", F.col("schema").alias("rs"))),

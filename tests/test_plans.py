@@ -1,0 +1,69 @@
+"""Physical-plan regression guards: the properties that make these
+queries survive a 100 TB / 1000-executor scale-up. A correctness-green
+query that silently loses its broadcast join or column pruning, or
+grows a row-at-a-time Python eval in a relational plan, should fail CI
+before it fails a cluster."""
+
+import pytest
+
+from change_data_capture_spark import registry
+
+QS = registry.queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QS[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # column pruning: orderkey/partkey/suppkey never read
+    assert "l_orderkey" not in plan
+    # filter pushdown reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_anti_semi_joins_stay_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_orders_without_lineitems")
+    assert "LeftAnti" in plan
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q_window_suite",
+        "q_events_hourly",
+        "dedup_exact",
+        "text_quality",
+        "text_fingerprint",
+        "cdc_ct_scan_normalize",
+        "cdc_net_change_collapse",
+    ],
+)
+def test_no_python_in_relational_plans(spark, sf_dir, name):
+    """Relational + text operators must stay JVM-side (whole-stage
+    codegen); Python evaluation is reserved for the explicitly
+    Arrow-batched multimodal/stateful operators."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ct_scan_normalize_is_narrow(spark, sf_dir):
+    """The envelope normalization of a CT scan must not shuffle — it is
+    a map-only stage over the source scan."""
+    plan = plan_of(spark, sf_dir, "cdc_ct_scan_normalize")
+    assert "Exchange" not in plan
