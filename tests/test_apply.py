@@ -164,6 +164,55 @@ def test_multi_table_batch(spark, sf_dir, tmp_path):
     assert cat.tables() == ["tpch.nation", "tpch.region"]
 
 
+def test_unchanged_buckets_are_file_reused(spark, sf_dir, tmp_path):
+    """A small mutation batch must rewrite only the touched PK-hash
+    buckets; every other bucket's files are hard-linked (same inode)
+    from the previous version — per-batch write cost is O(changed
+    buckets), not O(table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from tests.conftest import load
+
+    cust = load(spark, sf_dir, "customer")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(cust, "t.c", ["c_custkey"]), cat)
+    one = cust.limit(1)
+    upd = dml_records(
+        one, "t.c", ["c_custkey"], op="UPDATE", version=2,
+        value_overrides={"c_acctbal": F.col("c_acctbal") + 1.0},
+    )
+    apply_changelog(spark, upd, cat)
+
+    tdir = cat.table_dir("t.c")
+    versions = sorted(d for d in os.listdir(tdir) if d.startswith("data_v"))
+    assert len(versions) == 2
+    old, new = (os.path.join(tdir, v) for v in versions)
+
+    def inodes(root):
+        out = {}
+        for b in os.listdir(root):
+            if not b.startswith("__bucket="):
+                continue
+            for f in os.listdir(os.path.join(root, b)):
+                if f.endswith(".parquet"):
+                    out[f"{b}/{f}"] = os.stat(os.path.join(root, b, f)).st_ino
+        return out
+
+    old_i, new_i = inodes(old), inodes(new)
+    shared = {k for k in old_i if k in new_i and old_i[k] == new_i[k]}
+    # exactly one bucket rewritten; all other buckets reuse old files
+    old_buckets = {k.split("/")[0] for k in old_i}
+    reused_buckets = {k.split("/")[0] for k in shared}
+    assert len(old_buckets - reused_buckets) == 1
+    # and the merged table still reads correctly
+    got = cat.read(spark, "t.c")
+    assert got.count() == cust.count()
+
+
 def test_rows_schema_is_valid_spark_schema(spark):
     base = spark.createDataFrame([(1, "a")], "id bigint, v string")
     log = dml_records(base, "t.x", ["id"])
