@@ -160,18 +160,41 @@ class TableCatalog:
         return meta
 
     # -- data path --------------------------------------------------
-    def read(self, spark: SparkSession, table_id: str, buckets: Sequence[int] | None = None) -> DataFrame:
-        """Read the current version; ``buckets`` restricts the scan to
-        those PK-hash bucket partitions (directory-level pruning — the
-        filter on the partition column never touches other buckets'
-        files)."""
+    def versions(self, table_id: str) -> list[int]:
+        """Published version sequence numbers, oldest first."""
+        tdir = self.table_dir(table_id)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d.rsplit("_v", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("data_v")
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        table_id: str,
+        buckets: Sequence[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the current version (or time-travel to ``version``);
+        ``buckets`` restricts the scan to those PK-hash bucket
+        partitions (directory-level pruning — the filter on the
+        partition column never touches other buckets' files)."""
         meta = self.meta(table_id)
         if meta is None or meta["schema"] is None:
             raise KeyError(f"unknown table {table_id!r}")
         schema = schema_from_json(meta["schema"])
-        if meta["current"] is None:
+        if version is not None:
+            if version not in self.versions(table_id):
+                raise KeyError(f"table {table_id!r} has no version {version}")
+            current = f"data_v{version:06d}"
+        else:
+            current = meta["current"]
+        if current is None:
             return spark.createDataFrame([], schema)
-        path = os.path.join(self.table_dir(table_id), meta["current"])
+        path = os.path.join(self.table_dir(table_id), current)
         df = spark.read.parquet(path)
         if buckets is not None and _BUCKET in df.columns:
             df = df.filter(F.col(_BUCKET).isin([int(b) for b in buckets]))
@@ -179,6 +202,61 @@ class TableCatalog:
         # pre-evolution files: added columns null, dropped pruned;
         # also drops the internal bucket partition column).
         return _align(df, schema)
+
+    def vacuum(self, table_id: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions. Safe under
+        file reuse: hard links mean a shared file's data survives until
+        its last referencing version is removed. Returns the dropped
+        version numbers."""
+        vs = self.versions(table_id)
+        meta = self.meta(table_id)
+        current_seq = (
+            int(meta["current"].rsplit("_v", 1)[1])
+            if meta and meta.get("current")
+            else None
+        )
+        drop = [v for v in vs[:-keep_last] if v != current_seq] if keep_last else []
+        for v in drop:
+            shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
+        return drop
+
+    def table_changes(
+        self, spark: SparkSession, table_id: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: diff two published versions back into flat
+        change rows (columns + ``_change_type`` of insert/
+        update_postimage/delete) — the engine re-emits the CDC it
+        consumed, so downstream pipelines can chain. Computed as two
+        PK-keyed anti/inner joins; with both sides bucket-partitioned
+        the comparison co-locates."""
+        meta = self.meta(table_id)
+        if meta is None or meta["schema"] is None:
+            raise KeyError(f"unknown table {table_id!r}")
+        pks = list(meta["pks"])
+        old = self.read(spark, table_id, version=from_version)
+        new = self.read(spark, table_id, version=to_version)
+        cols = new.columns
+        val_cols = [c for c in cols if c not in pks]
+        inserts = new.join(old, pks, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = old.join(new, pks, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        o = old.select(*pks, *[F.col(c).alias(f"__o_{c}") for c in val_cols])
+        changed_pred = None
+        for c in val_cols:
+            ne = ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+            changed_pred = ne if changed_pred is None else (changed_pred | ne)
+        updates = new.join(o, pks, "inner")
+        if changed_pred is not None:
+            updates = updates.filter(changed_pred)
+        else:
+            updates = updates.filter(F.lit(False))
+        updates = updates.select(*cols).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
 
     def write_new_version(
         self,

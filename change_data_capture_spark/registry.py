@@ -1140,6 +1140,39 @@ def cdc_apply_mutations(spark, sf_dir):
     return cat.read(spark, "tpch.customer")
 
 
+@_q(
+    "cdc_table_changes",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+           c_mktsegment, 'update_postimage' AS _change_type
+    FROM customer WHERE c_custkey % 7 = 3
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'delete'
+    FROM customer WHERE c_custkey % 7 = 5
+    """,
+)
+def cdc_table_changes(spark, sf_dir):
+    """Change data feed: the catalog re-derives change records by
+    diffing two published versions (PK-keyed anti/inner joins over
+    bucket-co-located layouts) — the engine emits the same CDC shape
+    it consumes, so pipelines chain."""
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_cdf_"))
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    return cat.table_changes(spark, "tpch.customer", from_version=1, to_version=2)
+
+
 @_q("cdc_apply_stream", "SELECT * FROM nation")
 def cdc_apply_stream(spark, sf_dir):
     """The full Structured Streaming path: changelog files ->
