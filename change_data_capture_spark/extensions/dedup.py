@@ -108,9 +108,13 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
             .distinct()
         )
         sh = sh.join(F.broadcast(ids), id_col, "left_semi").distinct()
-    # sh feeds three consumers (counts + both join sides): persist so
-    # the shingle scan/distinct runs once.
+    # sh feeds three consumers (counts + both join sides): persist AND
+    # materialize eagerly — within a single downstream action the
+    # three scan stages race before any cache block registers and
+    # each recomputes the subtree; a one-job materialization makes
+    # the other two read from cache.
     sh = sh.persist()
+    sh.count()
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a_id"), "sh")
     b = sh.select(F.col(id_col).alias("b_id"), "sh")
@@ -230,6 +234,58 @@ def minhash_lsh_duplicates(
     screened.count()  # materialize, then drop the signature cache
     sig.unpersist()
     return _jaccard_on(sh, screened, threshold, id_col)
+
+
+def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    with cluster_id = the smallest doc id reachable through pair
+    edges — the canonical-representative step every dedup pipeline
+    runs after pair finding (keep one doc per cluster).
+
+    Iterative min-label propagation: labels start as own id; each
+    round every node takes the min of its label and its neighbors'
+    labels, until a fixpoint. Near-dup components have tiny diameter,
+    so rounds ~ O(log n) in practice; each round is one shuffle of the
+    label table (O(V+E)), and ``localCheckpoint`` cuts the lineage so
+    plan size stays constant. Deterministic — no RNG, no ordering
+    dependence — hence exactly reproducible by a transitive-closure
+    SQL oracle."""
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def simhash_signatures(

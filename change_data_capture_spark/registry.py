@@ -1508,6 +1508,30 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS ({_JACCARD_ORACLE}),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+          UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the (exact-verified) MinHash near-dup
+    pairs: iterative min-label propagation on Spark vs a recursive-CTE
+    transitive closure in the oracle — the same fixpoint."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
 @_q("dedup_simhash", None)  # candidate recall < 1 by design -> rows-only
 def dedup_simhash(spark, sf_dir):
     """SimHash measures token-level similarity, not shingle Jaccard —

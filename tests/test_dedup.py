@@ -1,0 +1,56 @@
+"""Dedup operators: exact/jaccard/minhash agreement and the
+connected-components clustering fixpoint."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.extensions import dedup
+from tests.conftest import load
+
+
+def test_minhash_matches_bruteforce(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bf = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.jaccard_duplicates(docs, n=5, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.minhash_lsh_duplicates(
+            docs, n=5, k=96, bands=24, threshold=0.8
+        ).collect()
+    }
+    assert bf == lsh and len(bf) > 0
+
+
+def test_simhash_is_subset_of_bruteforce(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bf = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.jaccard_duplicates(docs, n=5, threshold=0.8).collect()
+    }
+    sh = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.simhash_duplicates(docs, hamming_max=3, threshold=0.8).collect()
+    }
+    assert sh <= bf
+
+
+def test_duplicate_clusters_fixpoint(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_exact_duplicates_on_injected_copies(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.limit(7).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    dups = dedup.exact_duplicates(docs.unionByName(copies))
+    got = {(r["dup_id"], r["keeper_id"]) for r in dups.collect()}
+    assert {(d + 500000, d) for (d,) in docs.limit(7).select("doc_id").collect()} <= got
