@@ -75,12 +75,19 @@ def brute_force_topk(
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (no RNG: fixed integer
-    mix per (plane, dim) coordinate, values in [-3, 3])."""
-    return [
-        float(((plane * 73856093 + d * 19349663 + 83492791) % 7) - 3)
-        for d in range(dim)
-    ]
+    """Deterministic pseudo-random hyperplane: each coordinate is a
+    uniform [-1, 1] value derived from md5(plane:dim) — reproducible
+    across runs/machines with no RNG state. (A periodic integer mix
+    was measurably bad here: components repeating every few dims make
+    all planes structurally similar and recall collapses.)"""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).digest()
+        v = int.from_bytes(h[:8], "big")
+        out.append(v / float(2**63) - 1.0)
+    return out
 
 
 def lsh_bucket_expr(vec_col, dim: int, planes: int = 8) -> F.Column:
@@ -100,16 +107,30 @@ def lsh_ann_topk(
     k: int = 5,
     dim: int = 64,
     planes: int = 8,
+    multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (equi-join on bucket id — the all-pairs cross join never
-    happens). Recall is traded for a ~2^planes candidate reduction;
-    multi-probe = union over neighboring buckets if needed."""
+    happens), trading recall for a ~2^planes candidate reduction.
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's sign pattern (flip each plane bit) —
+    near neighbors that straddle one hyperplane land there, which is
+    the dominant miss mode; probing is query-side only, so the corpus
+    index stays one row per vector."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), dim, planes))
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", lsh_bucket_expr(F.col("cv"), dim, planes))
@@ -117,6 +138,78 @@ def lsh_ann_topk(
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        # a (query, neighbor) pair can meet in several probed buckets
+        .select("query_id", "neighbor_id", "qv", "cv", "score")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are assigned to
+    inverted lists by nearest centroid; a query scores only the
+    vectors in its ``n_probe`` nearest lists. The candidate join is an
+    equi-join on list id — the same shape as the LSH variant, but with
+    data-adaptive cells instead of fixed hyperplanes.
+
+    Centroids are seeded deterministically (the ``n_lists`` smallest
+    corpus ids) rather than k-means-trained: Lloyd iterations average
+    doubles in partition order, which would make the index —
+    and therefore recall — nondeterministic across runs. Seeded
+    IVF keeps the exact inverted-list/probe machinery with a
+    reproducible layout."""
+    cent = (
+        spread(corpus)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("list_id"), as_double_vec(F.col(vec_col)).alias("centroid")
+        )
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+
+    def assign(df, vec, n_best, out_cols):
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "__sim", F.round(cosine(F.col(vec), F.col("centroid")), 6)
+        )
+        w = Window.partitionBy(out_cols[0]).orderBy(
+            F.col("__sim").desc(), F.col("list_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_best)
+            .select(*out_cols, "list_id")
+        )
+
+    lists = assign(c, "cv", 1, ["neighbor_id"]).join(c, "neighbor_id")
+    probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
+    scored = (
+        lists.join(probes, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        # a corpus vector can appear in several probed lists of the
+        # same query — dedupe before ranking
+        .select("query_id", "neighbor_id", "score")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (

@@ -1595,7 +1595,14 @@ def ann_topk_bruteforce(spark, sf_dir):
 def ann_lsh_bucketed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_ann_topk(emb, queries, k=5, dim=64, planes=8)
+    return similarity.lsh_ann_topk(emb, queries, k=5, dim=64, planes=4)
+
+
+@_q("ann_ivf", None)  # approximate: recall < 1 by design -> rows-only check
+def ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2)
 
 
 @_q(

@@ -1,0 +1,49 @@
+"""Similarity search: exact top-k determinism and ANN recall bounds."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.extensions import similarity
+from tests.conftest import load
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_brute_force_is_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = similarity.brute_force_topk(emb, q, k=5).collect()
+    b = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 5 * 5
+
+
+def test_ann_variants_recall(spark, sf_dir):
+    """Both approximate indexes must recover a meaningful fraction of
+    the exact top-5 (they trade recall for candidate reduction, but a
+    broken bucket join would drop to ~0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(similarity.brute_force_topk(emb, q, k=5))
+
+    for name, ann_df, floor in (
+        ("lsh", similarity.lsh_ann_topk(emb, q, k=5, dim=64, planes=4), 0.3),
+        ("ivf", similarity.ivf_ann_topk(emb, q, k=5, n_lists=16, n_probe=2), 0.6),
+    ):
+        approx = _topk_sets(ann_df)
+        hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= floor, f"{name} recall collapsed: {hits}/{total}"
+
+
+def test_ivf_respects_k_and_ranks(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_ann_topk(emb, q, k=5, n_lists=16, n_probe=2)
+    per_q = out.groupBy("query_id").agg(F.count("*").alias("n"), F.max("rnk").alias("mx"))
+    bad = per_q.filter((F.col("n") > 5) | (F.col("mx") > 5)).count()
+    assert bad == 0
