@@ -1276,6 +1276,79 @@ def cdc_pk_update_split(spark, sf_dir):
 
 
 @_q(
+    "cdc_goldengate_apply",
+    """
+    SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey % 5 <> 0
+    UNION ALL
+    SELECT s_suppkey + 9000, s_acctbal FROM supplier WHERE s_suppkey % 5 = 0
+    """,
+)
+def cdc_goldengate_apply(spark, sf_dir):
+    """Entry point 2 end-to-end (SURVEY.md §3.2): wrapped Kafka-style
+    messages -> classify -> fingerprint registry -> normalize (with
+    PK-update split) -> keyed MERGE apply -> final materialized state.
+    The reference runs this as five chained DStream stages; here it is
+    one Catalyst pipeline into the bucketed apply engine."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    supp = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    schema_json = StructType(
+        [
+            StructField("s_suppkey", LongType(), False),
+            StructField("s_acctbal", DoubleType(), True),
+        ]
+    ).json()
+    img = lambda key, bal: F.create_map(  # noqa: E731
+        F.lit("s_suppkey"), key.cast("string"), F.lit("s_acctbal"), bal.cast("string")
+    )
+
+    def msg(*fields):
+        return F.to_json(F.struct(*fields)).alias("message")
+
+    schema_msg = spark.range(1).select(
+        msg(
+            F.lit("schema").alias("kind"),
+            F.lit(11).alias("fingerprint"),
+            F.lit("gg.supplier").alias("table"),
+            F.lit(schema_json).alias("schema"),
+            F.lit(0).alias("version"),
+        )
+    )
+    inserts = supp.select(
+        msg(
+            F.lit("dml").alias("kind"),
+            F.lit("gg.supplier").alias("table"),
+            F.lit(11).alias("fingerprint"),
+            F.lit("I").alias("op_type"),
+            F.array(F.lit("s_suppkey")).alias("primary_keys"),
+            img(k, F.col("s_acctbal")).alias("after"),
+            k.cast("bigint").alias("version"),
+            F.lit(0).alias("ts_micros"),
+        )
+    )
+    pk_updates = supp.filter(k % 5 == 0).select(
+        msg(
+            F.lit("dml").alias("kind"),
+            F.lit("gg.supplier").alias("table"),
+            F.lit(11).alias("fingerprint"),
+            F.lit("U").alias("op_type"),
+            F.array(F.lit("s_suppkey")).alias("primary_keys"),
+            img(k, F.col("s_acctbal")).alias("before"),
+            img(k + 9000, F.col("s_acctbal")).alias("after"),
+            (k + 100000).cast("bigint").alias("version"),
+            F.lit(0).alias("ts_micros"),
+        )
+    )
+    env = kafka.goldengate_changelog(
+        schema_msg.unionByName(inserts).unionByName(pk_updates)
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_gg_"))
+    apply_changelog(spark, env, cat)
+    return cat.read(spark, "gg.supplier")
+
+
+@_q(
     "cdc_ddl_dedup",
     """
     WITH d AS (

@@ -36,16 +36,22 @@ from .apply import TableCatalog, apply_changes
 from .schema import CHANGE_SCHEMA
 
 
-def write_changelog(changelog: DataFrame, path: str, mode: str = "append") -> None:
-    """Persist change records as parquet files consumable as a stream
-    (each write = one or more source files = micro-batch fodder)."""
-    changelog.write.mode(mode).parquet(path)
+def write_changelog(changelog: DataFrame, path: str, mode: str = "append", fmt: str = "parquet") -> None:
+    """Persist change records as files consumable as a stream
+    (each write = one or more source files = micro-batch fodder).
+    ``fmt``: parquet (default) or json — JSON-lines interoperates with
+    non-Spark producers writing the envelope directly."""
+    changelog.write.mode(mode).format(fmt).save(path)
 
 
 def read_changelog_stream(
-    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    reader = spark.readStream.schema(CHANGE_SCHEMA).format("parquet")
+    reader = spark.readStream.schema(CHANGE_SCHEMA).format(fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
@@ -143,6 +149,7 @@ def run_apply_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     state_partitions: int | None = 8,
+    fmt: str = "parquet",
 ) -> Any:
     """Continuously (or availableNow for tests) apply a changelog file
     stream into the catalog's managed tables. Checkpointing makes
@@ -158,7 +165,7 @@ def run_apply_stream(
     pass None to keep the session setting (e.g. thousands of tables
     on a large cluster)."""
     stream = read_changelog_stream(
-        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger
+        spark, changelog_dir, max_files_per_trigger=max_files_per_trigger, fmt=fmt
     )
     if dedupe_ddl:
         stream = dedupe_ddl_stream(stream)

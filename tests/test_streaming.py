@@ -58,6 +58,25 @@ def test_stream_resume_applies_only_new_files(spark, sf_dir, tmp_path):
     assert got.filter("r_regionkey = 0").count() == 0
 
 
+def test_json_changelog_stream_roundtrip(spark, sf_dir, tmp_path):
+    """JSON-lines changelog files (non-Spark-producer interop) stream
+    through the same dedup+apply path as parquet."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.streaming import run_apply_stream, write_changelog
+
+    region = load(spark, sf_dir, "region")
+    log_dir, ckpt = str(tmp_path / "jlog"), str(tmp_path / "jckpt")
+    write_changelog(
+        snapshot_changelog(region, "t.region", ["r_regionkey"]), log_dir, fmt="json"
+    )
+    cat = TableCatalog(str(tmp_path / "jcat"))
+    run_apply_stream(spark, log_dir, cat, ckpt, fmt="json")
+    got = cat.read(spark, "t.region")
+    assert got.count() == region.count()
+    assert set(got.columns) >= set(region.columns)
+
+
 def test_windowed_agg_runs_as_stream(spark, sf_dir, tmp_path):
     """The windowed_event_counts plan executes as a real Structured
     Streaming query (watermark + event-time tumbling window) and its
