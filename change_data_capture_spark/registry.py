@@ -1871,6 +1871,499 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(multimodal.attach_payload(docs), every_nth=10)
 
 
+# =====================================================================
+# [relational] — TPC-H remainder, adapted to the fixture schema
+# (no partsupp table; no commit/receipt dates, phones, or comments —
+# filters and cost expressions are re-based on available columns).
+# Broadcast hints only on the fixed-cardinality dims (nation, region);
+# part/supplier scale with SF, so AQE picks their join strategy.
+# =====================================================================
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    SELECT p_partkey, p_name, s_name, unit_cost FROM (
+      SELECT p_partkey, p_name, s_name, unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                ORDER BY unit_cost, s_suppkey) AS rk
+      FROM (SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey) c
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+    ) WHERE rk = 1
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Adapted TPC-H Q2: cheapest supplier per part. The reference has no
+    partsupp relation, so supply cost is the observed average unit sale
+    price from lineitem (decimal-exact sums; deterministic s_suppkey
+    tiebreak)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (_dsum("l_extendedprice") / _dsum("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        cost.join(part, cost.l_partkey == part.p_partkey)
+        .join(supp, cost.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_suppkey", "unit_cost")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+    )
+
+
+@_q(
+    "q7_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations, by ship year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum_expr(F.col("volume")).alias("revenue"))
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1'
+                         THEN CAST(volume AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'ECONOMY') allnations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_1's share of ECONOMY-part revenue sold into
+    AMERICA, per order year. Numerator and denominator are both exact
+    decimal sums; the final per-row division is IEEE-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(28,6)"
+    base = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_1", F.col("volume").cast(dec)).otherwise(
+            F.lit(0).cast(dec)
+        )
+    ).cast("double")
+    den = F.sum(F.col("volume").cast(dec)).cast("double")
+    return base.groupBy("o_year").agg((num / den).alias("mkt_share"))
+
+
+@_q(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.1 * p_retailprice * l_quantity AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """Adapted TPC-H Q9 (product-type profit by nation and year). No
+    partsupp.ps_supplycost exists, so cost is modeled as 10% of the
+    part's retail price per unit."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum_expr(F.col("amount")).alias("sum_profit"))
+    )
+
+
+@_q(
+    "q11_important_part_value",
+    """
+    WITH base AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3')
+    SELECT l_partkey AS partkey,
+           CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS value
+    FROM base
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) >
+           (SELECT CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) * 0.001 FROM base)
+    """,
+)
+def q11_important_part_value(spark, sf_dir):
+    """Adapted TPC-H Q11: parts whose traded value through NATION_3's
+    suppliers exceeds 0.1% of that nation's total (partsupp stock value
+    re-based on lineitem revenue). The scalar threshold is a 1-row
+    broadcast cross join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("l_partkey"), val.alias("val"))
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        _dsum_expr(F.col("val")).alias("value")
+    )
+    total = base.agg((_dsum_expr(F.col("val")) * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("value"))
+    )
+
+
+@_q(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (distribution of customers by non-urgent order count;
+    the o_comment NOT LIKE filter is re-based on o_orderpriority)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue; the max is exact —
+    decimal-summed — so the equality predicate is deterministic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum_expr(disc).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#25' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """Adapted TPC-H Q16: distinct suppliers per brand/type/size bucket,
+    with the part-supplier relation re-based on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#25")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS t_partkey,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                   AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t ON t_partkey = p_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue). The correlated average
+    becomes a per-part aggregate joined back — a shuffle on l_partkey
+    both sides, so AQE can co-locate; the threshold is decimal-exact
+    so the < comparison is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (_dsum("l_quantity") / F.count("*"))).alias("qty_threshold")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresholds, F.col("p_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((_dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q20_heavy_part_suppliers",
+    """
+    SELECT s_suppkey, s_name, total_qty
+    FROM supplier JOIN (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 2400
+    ) shipped ON s_suppkey = l_suppkey
+    """,
+)
+def q20_heavy_part_suppliers(spark, sf_dir):
+    """Adapted TPC-H Q20: suppliers who moved >2400 units of 'small%'
+    parts (availqty semantics re-based on shipped lineitem quantity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 2400)
+    )
+    return shipped.join(supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_qty"
+    )
+
+
+@_q(
+    "q21_sole_returned_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_returned_supplier(spark, sf_dir):
+    """Adapted TPC-H Q21: on completed multi-supplier orders, the one
+    supplier whose lines came back returned while no co-supplier's did
+    (commit/receipt-date lateness re-based on l_returnflag). EXISTS /
+    NOT EXISTS compile to left-semi / left-anti shuffle joins on
+    l_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    cond_exists = (F.col("l_orderkey") == F.col("x_orderkey")) & (
+        F.col("l_suppkey") != F.col("x_suppkey")
+    )
+    cond_not_exists = (F.col("l_orderkey") == F.col("y_orderkey")) & (
+        F.col("l_suppkey") != F.col("y_suppkey")
+    )
+    return (
+        l1.join(l2, cond_exists, "left_semi")
+        .join(l3, cond_not_exists, "left_anti")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q22_dormant_value_customers",
+    """
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_value_customers(spark, sf_dir):
+    """Adapted TPC-H Q22: above-average-balance customers with no urgent
+    orders, by nation (country-code prefixes re-based on nation; the
+    no-orders anti-join is re-based on urgent orders because every
+    fixture customer has at least one order). The global average is a
+    decimal-exact 1-row broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum("c_acctbal") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 
 

@@ -62,6 +62,37 @@ def test_no_python_in_relational_plans(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_tpch_remainder_plan_shapes(spark, sf_dir):
+    """The adapted TPC-H remainder keeps its scale properties: fixed-
+    cardinality dims stay broadcast, EXISTS/NOT EXISTS stay semi/anti
+    joins, and scalar subqueries are broadcast joins, not collects."""
+    plan = plan_of(spark, sf_dir, "q7_nation_trade_volume")
+    assert "BroadcastHashJoin" in plan  # nation x2
+    plan = plan_of(spark, sf_dir, "q21_sole_returned_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    plan = plan_of(spark, sf_dir, "q22_dormant_value_customers")
+    assert "LeftAnti" in plan and "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_part_value",
+        "q13_customer_order_distribution",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "q20_heavy_part_suppliers",
+    ],
+)
+def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ct_scan_normalize_is_narrow(spark, sf_dir):
     """The envelope normalization of a CT scan must not shuffle — it is
     a map-only stage over the source scan."""
