@@ -1,0 +1,148 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+range (interval) join.
+
+The reference system has no temporal joins at all (SURVEY.md §2.6) —
+these are north-star additions a training-data / event-analytics
+pipeline needs (point-in-time feature lookup, attribution, windowed
+incident correlation).
+
+Both operators are pure relational compositions — no Python eval, no
+collect — so they inherit Catalyst/AQE planning and scale with the
+shuffle, not the driver:
+
+- ``asof_join`` uses the union+window pattern: tag both sides, union,
+  and carry the last right-side value forward per key with an ordered
+  window. ONE shuffle on (key), no range-condition nested-loop join,
+  no per-key skew beyond what the data itself has. This is the plan
+  you want at 100 TB — the naive alternative (theta-join on
+  ``l.ts >= r.ts`` + argmax) is a broadcast-nested-loop blow-up.
+- ``range_join`` buckets time so the interval predicate becomes an
+  equi-join on (key, bucket) plus a residual filter. Intervals are
+  exploded to the buckets they span (bounded by
+  ``interval_length/bucket + 2``), events map to exactly one bucket —
+  so no post-join dedup is needed and the join is hash-partitioned,
+  never nested-loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right
+    row with ``right.right_ts <= left.left_ts`` (direction='backward',
+    inclusive), per ``on`` key. Unmatched left rows keep nulls (left
+    as-of join semantics).
+
+    Right-side ties on (key, ts) are resolved by the order of
+    ``value_cols[0]`` — pass a unique id first for determinism.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    on = list(on)
+    value_cols = list(value_cols)
+
+    # Common event-time axis + side tag (right=0 sorts before left=1 on
+    # ties, making the match inclusive).
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[c for c in left.columns]).alias("__l"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(l_tagged.schema["__l"].dataType)
+        .alias("__l"),
+    )
+
+    tiebreak = [F.col(f"__r_{value_cols[0]}").asc_nulls_first()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__side"), *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            F.col("__l.*"),
+            *[F.col(f"__m_{c}").alias(f"right_{c}") for c in value_cols],
+        )
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    start_expr,
+    end_expr,
+    right_ts: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner-join left interval rows [start_expr, end_expr) to right
+    point rows on ``on`` equality plus interval containment of
+    ``right.right_ts``.
+
+    ``bucket_seconds`` trades shuffle width for residual-filter work:
+    choose it near the typical interval length so each interval
+    explodes into O(1) buckets.
+    """
+    on = list(on)
+    b = F.lit(bucket_seconds).cast("long")
+
+    li = left.select(
+        "*",
+        start_expr.alias("__start"),
+        end_expr.alias("__end"),
+    ).select(
+        "*",
+        F.sequence(
+            (F.unix_timestamp("__start") / b).cast("long"),
+            (F.unix_timestamp("__end") / b).cast("long"),
+        ).alias("__buckets"),
+    )
+    li = li.select("*", F.explode("__buckets").alias("__bucket")).drop("__buckets")
+
+    ri = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in right.columns],
+        (F.unix_timestamp(F.col(right_ts)) / b).cast("long").alias("__bucket"),
+        *[F.col(c).alias(f"__rk_{c}") for c in on],
+    )
+
+    joined = li.join(ri, [*(li[k] == ri[f"__rk_{k}"] for k in on), li["__bucket"] == ri["__bucket"]])
+    refined = joined.filter(
+        (F.col(f"__r_{right_ts}") >= F.col("__start"))
+        & (F.col(f"__r_{right_ts}") < F.col("__end"))
+    )
+    keep_left = [c for c in left.columns]
+    keep_right = [F.col(f"__r_{c}").alias(f"right_{c}") for c in right.columns]
+    return refined.select(*keep_left, "__start", "__end", *keep_right).drop(
+        "__start", "__end"
+    )

@@ -2364,6 +2364,83 @@ def q22_dormant_value_customers(spark, sf_dir):
     )
 
 
+# =====================================================================
+# [extensions] — temporal joins (as-of, range) over the events table
+# =====================================================================
+
+
+@_q(
+    "temporal_asof_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS right_event_id, v.ts AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def temporal_asof_attribution(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's most recent
+    at-or-before 'view' event. Union+window implementation — one
+    shuffle on user_id, no nested-loop (extensions/temporal.py)."""
+    from .extensions import temporal
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return temporal.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        value_cols=["event_id", "ts"],
+    )
+
+
+@_q(
+    "temporal_range_error_clicks",
+    """
+    SELECT e.event_id AS error_id, e.user_id,
+           COUNT(*) AS clicks_within_day
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 DAY
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def temporal_range_error_clicks(spark, sf_dir):
+    """Range join: clicks inside the 24 h window after each error, per
+    user. Day-bucketed equi-join + residual filter — hash-partitioned,
+    never nested-loop (extensions/temporal.py)."""
+    from .extensions import temporal
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = temporal.range_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        start_expr=F.col("ts"),
+        end_expr=F.col("ts") + F.expr("INTERVAL 1 DAY"),
+        right_ts="ts",
+        bucket_seconds=86400,
+    )
+    return joined.groupBy(
+        F.col("event_id").alias("error_id"), F.col("user_id")
+    ).agg(F.count("*").alias("clicks_within_day"))
+
+
 # ---------------------------------------------------------------------
 
 
