@@ -1,0 +1,135 @@
+"""Scale-out operators: deterministic sampling, histograms, and skew
+mitigation (salted aggregation / salted join).
+
+The reference has none of these (its only parallelism story is the
+1-partition JdbcRDD TODO, SURVEY.md §6); a 100 TB training-data
+pipeline needs all three constantly:
+
+- ``deterministic_sample`` replaces ``df.sample()`` where the sample
+  must be reproducible across engines, runs, and partitionings: the
+  keep-decision hashes the ROW KEY (md5), not a partition-local RNG
+  seed, so resharding the input cannot change membership and a DuckDB
+  oracle can verify it exactly.
+- ``histogram`` is one map-side-combinable groupBy over a closed-form
+  bucket id — no sort, no per-bucket pass.
+- ``salted_agg`` / ``salted_join`` break hot keys across ``salt``
+  sub-keys. AQE's skew-join handles most cases at runtime; the salted
+  forms are for the aggregations AQE cannot split (a single hot
+  group) and for deterministic plans in pinned pipelines. Results are
+  EXACT — salting only reshapes the shuffle — so both stay under the
+  DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["deterministic_sample", "histogram", "salted_agg", "salted_join"]
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, *, strata: Sequence[str] = ()
+) -> DataFrame:
+    """Keep a row iff the first 8 hex chars of md5(strata... ':' key)
+    sort below ``fraction`` of the 32-bit space. Lowercase-hex string
+    comparison IS numeric comparison (same length, '0'-'9' < 'a'-'f'),
+    so the predicate is engine-portable as a plain string compare —
+    md5 of a decimal-string key, reshuffle-stable, per-stratum
+    uniform."""
+    parts = [*[F.col(s).cast("string") for s in strata], F.col(key_col).cast("string")]
+    bucket = F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8)
+    threshold = format(int(fraction * 0x100000000), "08x")
+    return df.filter(bucket < F.lit(threshold))
+
+
+def histogram(
+    df: DataFrame, value_col: str, *, lo: float, hi: float, buckets: int
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over [lo, hi): returns
+    (bucket, lo_edge, count). Out-of-range rows clamp into the edge
+    buckets. One partial-aggregated shuffle of at most ``buckets``
+    groups."""
+    width = (hi - lo) / buckets
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo_edge", F.lit(lo) + F.col("bucket") * F.lit(width))
+        .select("bucket", "lo_edge", "n")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: phase 1 aggregates on
+    (keys..., salt) — spreading one hot key over ``salt`` reducers —
+    phase 2 merges the partials on keys alone (tiny input: at most
+    |groups| * salt rows).
+
+    ``aggs`` maps output column -> (source_col, fn) with fn in
+    {'sum', 'count', 'min', 'max'} (the mergeable set; avg = sum/count
+    composed by the caller). Sums that need cross-engine determinism
+    should pass an already-decimal-cast column.
+    """
+    keys = list(keys)
+    salt_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
+    partial_exprs = []
+    merge_exprs = []
+    for out, (src, fn) in aggs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(src).alias(p))
+            merge_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(src).alias(p))
+            merge_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(src).alias(p))
+            merge_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(src).alias(p))
+            merge_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-mergeable agg fn: {fn}")
+    return (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*merge_exprs)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed (large) side salted and the small side
+    replicated ``salt``-fold: left rows get a deterministic salt from
+    their full row hash; right rows are exploded to every salt value,
+    so (key, salt) matches exactly the unsalted (key) join. Use when a
+    single hot key overflows one reducer and AQE's split (which needs
+    sorted-shuffle stats) is unavailable — e.g., under a custom
+    partitioner or inside a pinned-plan pipeline."""
+    on = list(on)
+    lefts = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    rights = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return lefts.join(rights, [*on, "__salt"], how).drop("__salt")

@@ -2441,6 +2441,115 @@ def temporal_range_error_clicks(spark, sf_dir):
     ).agg(F.count("*").alias("clicks_within_day"))
 
 
+# =====================================================================
+# [extensions] — scale ops: deterministic sampling, histogram, salting
+# =====================================================================
+
+
+@_q(
+    "sample_stratified_docs",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(concat_ws(':', CAST(source AS VARCHAR), CAST(doc_id AS VARCHAR))), 1, 8)
+          < '33333333'
+    """,
+)
+def sample_stratified_docs(spark, sf_dir):
+    """Deterministic ~20% per-source stratified sample: membership is
+    a pure function of (source, doc_id), so it is identical across
+    engines, runs, and repartitionings (extensions/scale.py)."""
+    from .extensions import scale
+
+    docs = _t(spark, sf_dir, "documents")
+    return scale.deterministic_sample(
+        docs, "doc_id", 0.2, strata=["source"]
+    ).select("doc_id", "source")
+
+
+@_q(
+    "q_histogram_totalprice",
+    """
+    SELECT bucket, 0 + bucket * 30000.0 AS lo_edge, COUNT(*) AS n
+    FROM (SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0) / 30000.0), 0), 19) AS INTEGER)
+                 AS bucket
+          FROM orders)
+    GROUP BY bucket
+    """,
+)
+def q_histogram_totalprice(spark, sf_dir):
+    """Fixed-width 20-bucket histogram of order totals — closed-form
+    bucket id, one partially-aggregated shuffle (extensions/scale.py)."""
+    from .extensions import scale
+
+    return scale.histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", lo=0.0, hi=600000.0, buckets=20
+    )
+
+
+@_q(
+    "q_salted_heavy_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_heavy_agg(spark, sf_dir):
+    """Two-phase salted aggregation over the 5-hot-key events table:
+    phase 1 spreads each event_type over 32 salt reducers, phase 2
+    merges partials. Exact result; the salt only reshapes the shuffle
+    (extensions/scale.py)."""
+    from .extensions import scale
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = scale.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("event_type", "count"),
+            "total_value_dec": ("value_dec", "sum"),
+            "max_value": ("value", "max"),
+        },
+        salt=32,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+@_q(
+    "q_salted_join_parity",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join_parity(spark, sf_dir):
+    """Salted join of the skewed fact (events: 150 hot users) against
+    the customer dim: the fact side is salted, the dim side replicated
+    salt-fold, and the (key, salt) equi-join returns exactly the
+    unsalted join (extensions/scale.py)."""
+    from .extensions import scale
+
+    ev = _events(spark, sf_dir).withColumnRenamed("user_id", "c_custkey")
+    cust = _t(spark, sf_dir, "customer")
+    joined = scale.salted_join(ev, cust, on=["c_custkey"], salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        _dsum("value").alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 
