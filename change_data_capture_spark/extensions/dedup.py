@@ -86,28 +86,42 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
     """Exact Jaccard over shingle sets; optionally restricted to
     candidate ``pairs`` (a_id, b_id).
 
-    With candidates the intersection is computed by joining the pair
-    list into the shingle table FIRST — work is O(|pairs| * shingles
-    per doc) — instead of materializing the full shingle self-join and
-    filtering after (which re-introduces the quadratic blowup that the
-    LSH existed to avoid: a hot shingle shared by thousands of docs
-    would still produce millions of join rows)."""
+    With candidates the verification never touches non-candidate
+    docs and never materializes a shingle self-join: the shingle table
+    is semi-joined down to candidate docs (a vanishing fraction of the
+    corpus at scale), folded to one shingle-SET ARRAY per doc
+    (collect_set — per-doc bounded, ~doc_len rows in, 1 row out), and
+    the pair list joins two set arrays whose exact intersection is one
+    native ``array_intersect`` per pair. Three narrow shuffles total
+    (semi-join, per-doc fold, pair join) instead of the full-corpus
+    distinct + 3-way shingle join of the brute-force path."""
     if pairs is not None:
-        # The candidate list is referenced three times below (id
-        # semi-join + both pair joins); persist it so the generation
-        # subtree (signatures, buckets) runs once, not per reference.
+        # The candidate list is consumed twice (id semi-join + the pair
+        # join); persist it so the generation subtree (signatures,
+        # buckets) runs once, not per reference.
         pairs = pairs.persist()
         pairs.count()
-        # Verification only touches candidate docs: semi-join the
-        # shingle table down to them BEFORE the distinct — the global
-        # shingle set is never materialized (at corpus scale the
-        # candidates are a vanishing fraction of all docs).
         ids = (
             pairs.select(F.col("a_id").alias(id_col))
             .unionByName(pairs.select(F.col("b_id").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(F.broadcast(ids), id_col, "left_semi").distinct()
+        sets = (
+            sh.join(F.broadcast(ids), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("sh").alias("shset"))
+        )
+        a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("shset").alias("sa"))
+        b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("shset").alias("sb"))
+        k = F.size(F.array_intersect("sa", "sb"))
+        jac = k / (F.size("sa") + F.size("sb") - k)
+        return (
+            pairs.join(a_sets, "a_id")
+            .join(b_sets, "b_id")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+        )
     # sh feeds three consumers (counts + both join sides): persist AND
     # materialize eagerly — within a single downstream action the
     # three scan stages race before any cache block registers and
@@ -118,21 +132,12 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a_id"), "sh")
     b = sh.select(F.col(id_col).alias("b_id"), "sh")
-    if pairs is None:
-        inter = (
-            a.join(b, "sh")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("k"))
-        )
-    else:
-        inter = (
-            F.broadcast(pairs)
-            .join(a, "a_id")
-            .join(b, ["b_id", "sh"])
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("k"))
-        )
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("k"))
+    )
     ca = counts.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
     cb = counts.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
     return (
@@ -200,11 +205,20 @@ def minhash_lsh_duplicates(
 
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
+    # The dedup of bucket collisions is an aggregation anyway, so count
+    # matching bands while we're there and demand >= 2: a true J>=0.8
+    # pair matches ~0.41*bands bands in expectation and misses the cut
+    # with p ~= 6e-5 at 24 bands, while single-band coincidences — the
+    # bulk of a template-heavy corpus's collisions — drop out before
+    # the signature screen ever sees them. Same shuffle as distinct(),
+    # strictly fewer output rows.
     candidates = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("__nb"))
+        .filter(F.col("__nb") >= 2)
         .select("a_id", "b_id")
-        .distinct()
     )
     # Band collisions fire for mid-similarity pairs too (at J=0.5 a
     # 4-row band still matches with p~=6% somewhere across 24 bands),

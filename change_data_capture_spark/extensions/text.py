@@ -134,3 +134,39 @@ def fingerprints(
     return sh.groupBy(id_col).agg(
         F.min("h").alias("fp_min"), F.max("h").alias("fp_max"), F.count("*").alias("n_shingles")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, *, top_k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k terms per document by tf-idf with a LINEAR idf,
+    idf = (N + 1) / (df + 1), instead of the usual log: libm log()
+    differs across engines in the last ulp, and ranking must be
+    bit-reproducible for the oracle gate (and for reproducible
+    training-data curation generally). Monotone in df, so the top-k
+    ranking it induces differs from log-idf only through the tf
+    tradeoff, which the linear form weights more sharply.
+
+    Three shuffles, all partial-aggregated: per-(doc,term) tf, per-term
+    df, and the ranking window; the tiny (N) scalar joins in as a
+    broadcast."""
+    tok = tokens(docs, id_col=id_col, text_col=text_col).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(id_col, "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rn")
+    )

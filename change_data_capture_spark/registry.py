@@ -2550,6 +2550,54 @@ def q_salted_join_parity(spark, sf_dir):
     )
 
 
+@_q(
+    "text_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, ROUND(raw, 6) AS tfidf, rn
+    FROM (SELECT t.doc_id, t.token, t.tf, d.df,
+                 t.tf * (n.n_docs + 1.0) / (d.df + 1.0) AS raw,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                    ORDER BY t.tf * (n.n_docs + 1.0) / (d.df + 1.0) DESC,
+                                             t.token) AS rn
+          FROM tf t JOIN dfreq d USING (token) CROSS JOIN n)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Top-3 tf-idf terms per document, linear idf (engine-portable:
+    no libm log in the ranking) — extensions/text.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, top_k=3)
+
+
+@_q(
+    "q_unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS v FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide-to-long unpivot (melt) of the lineitem price metrics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+
+
 # ---------------------------------------------------------------------
 
 
