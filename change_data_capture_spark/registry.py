@@ -2551,6 +2551,41 @@ def q_salted_join_parity(spark, sf_dir):
 
 
 @_q(
+    "stream_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization — the batch twin of the
+    ``applyInPandasWithState`` streaming operator
+    (streaming.sessionize_stream), checked against the SQL gaps-and-
+    islands formulation. The streaming path shares the same fold (see
+    tests/test_streaming.py for stitching/timeout behavior)."""
+    from .streaming import sessionize_stream
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_stream(ev, gap_seconds=1800)
+    return out.withColumn("total_value", F.round("total_value", 6))
+
+
+@_q(
     "text_tfidf_topterms",
     """
     WITH tok AS (

@@ -30,7 +30,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from .apply import TableCatalog, apply_changes
 from .schema import CHANGE_SCHEMA
@@ -130,6 +137,151 @@ def windowed_event_counts(
             F.col("win.start").alias("window_start"),
             F.col(key_col),
             F.col("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization (inactivity-gap session windows).
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("session_start", LongType(), True),
+        StructField("last_ts", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+class _BatchState:
+    """GroupState stand-in for the batch twin: no prior state, no
+    timeouts, updates discarded."""
+
+    exists = False
+    hasTimedOut = False
+
+    def update(self, value: tuple) -> None:  # pragma: no cover - unused in flush mode
+        pass
+
+    def setTimeoutTimestamp(self, ms: int) -> None:  # pragma: no cover
+        pass
+
+
+def _sessionize_fn(gap_seconds: int, flush_at_end: bool):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                closed.append((user_id, start, last, n, total))
+                state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            events = pd.concat(list(pdfs), ignore_index=True)
+            events = events.sort_values("ts", kind="stable")
+            # Event times cross the Arrow boundary as pandas
+            # Timestamps (ns); work in integer micros (no tz
+            # ambiguity in the state encoder).
+            ts_us = events["ts"].astype("int64") // 1000
+            vals = events["value"].fillna(0.0)
+            for t, v in zip(ts_us, vals):
+                if cur is None:
+                    cur = [t, t, 1, float(v)]
+                elif t - cur[1] > gap_us:
+                    closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                    cur = [t, t, 1, float(v)]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+                    cur[3] += float(v)
+            if cur is not None:
+                if flush_at_end:
+                    # Batch mode: the input is finite, close the tail
+                    # session now.
+                    closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                else:
+                    state.update(tuple(cur))
+                    # Close the open session once no event arrives for
+                    # a gap past the watermark.
+                    state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "n_events": [c[3] for c in closed],
+                    "total_value": [c[4] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: inactivity-gap session
+    windows per user via ``applyInPandasWithState`` with event-time
+    timeout — the semantics of the batch ``q_user_sessions`` window
+    query, maintained incrementally.
+
+    A session closes when a new event arrives more than ``gap_seconds``
+    after the previous one (emitted immediately) or when the watermark
+    passes the open session's end + gap (emitted by state timeout), so
+    state per user is O(1) and total state is bounded by active users
+    within the watermark horizon — the property that keeps the operator
+    viable on an unbounded 100 TB feed. State timestamps are stored as
+    integer micros, not pandas objects, to keep the state encoder
+    fixed-width.
+
+    The reference's only stateful ops are schema caches (SURVEY.md
+    §2.4); this is north-star surface. Works on a batch DataFrame too
+    (single pass, no timeouts), which is how the unit test pins the
+    batch/stream agreement."""
+    slim = events.select("user_id", "ts", "value")
+    if not events.isStreaming:
+        # applyInPandasWithState is streaming-only; the batch twin runs
+        # the same per-group fold once, flushing the tail session.
+        fn = _sessionize_fn(gap_seconds, flush_at_end=True)
+
+        def batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = list(fn(key, iter([pdf]), _BatchState()))
+            return (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=[f.name for f in _SESSION_OUT.fields])
+            )
+
+        return slim.groupBy("user_id").applyInPandas(batch_fn, _SESSION_OUT)
+    return (
+        slim.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds, flush_at_end=False),
+            _SESSION_OUT,
+            _SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

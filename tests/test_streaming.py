@@ -148,3 +148,82 @@ def test_stateful_ddl_dedup_across_batches(spark, tmp_path):
     # 1 DDL survives (second suppressed by state), 2 DMLs pass through
     assert out.filter(F.col("ddl").isNotNull()).count() == 1
     assert out.filter(F.col("dml").isNotNull()).count() == 2
+
+
+def test_sessionize_batch_matches_window_query(spark, sf_dir):
+    """Batch execution of the stateful sessionizer agrees with the
+    q_user_sessions window formulation on session counts per user."""
+    from pyspark.sql import Window, functions as F
+
+    from change_data_capture_spark.streaming import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in sessionize_stream(ev, gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_sessionize_stream_stitches_and_times_out(spark, tmp_path):
+    """Sessions survive microbatch boundaries (events 10 min apart in
+    different files join one session) and open sessions close via
+    event-time timeout once the watermark passes."""
+    import datetime as dt
+    import os
+
+    from change_data_capture_spark.streaming import sessionize_stream
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    schema = "user_id bigint, ts timestamp, value double"
+    srcdir = str(tmp_path / "sess_src")
+    os.makedirs(srcdir)
+    # file 1: two events 10 min apart; file 2: third event in-gap,
+    # then a far-future event that both splits a new session for user
+    # 1 and advances the watermark far enough to time everything out.
+    spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(10), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(srcdir)
+    spark.createDataFrame(
+        [(1, ts(20), 3.0), (2, dt.datetime(2024, 1, 2), 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(srcdir)
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3), 5.0)], schema
+    ).coalesce(1).write.mode("append").parquet(srcdir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcdir)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # user 1's first session stitches all three 10-min-apart events
+    assert (1, ts(0), ts(20), 3, 6.0) in rows
