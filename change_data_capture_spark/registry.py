@@ -2551,6 +2551,38 @@ def q_salted_join_parity(spark, sf_dir):
 
 
 @_q(
+    "q_rolling_30d_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def q_rolling_30d_spend(spark, sf_dir):
+    """Time-based RANGE-frame window: per customer, each order's
+    trailing-30-day spend. Spark expresses the interval frame as a
+    rangeBetween over epoch seconds; peers with equal order dates are
+    frame-equivalent in both engines, so no tiebreak is needed."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@_q(
     "q_mode_per_group",
     """
     SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (

@@ -86,6 +86,14 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
         "q20_heavy_part_suppliers",
+        "q_mode_per_group",
+        "q_corr_quantity_price",
+        "q_rolling_30d_spend",
+        "q_unpivot_metrics",
+        "text_tfidf_topterms",
+        "q_histogram_totalprice",
+        "sample_stratified_docs",
+        "q_salted_heavy_agg",
     ],
 )
 def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):
