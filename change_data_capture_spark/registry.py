@@ -2551,6 +2551,33 @@ def q_salted_join_parity(spark, sf_dir):
 
 
 @_q(
+    "q_full_outer_entities",
+    """
+    SELECT COALESCE(c_custkey, s_suppkey) AS entity_key,
+           c_name, s_name,
+           CASE WHEN c_custkey IS NULL THEN 'supplier_only'
+                WHEN s_suppkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM customer FULL OUTER JOIN supplier ON c_custkey = s_suppkey
+    """,
+)
+def q_full_outer_entities(spark, sf_dir):
+    """Full outer join (the one join type the rest of the surface
+    doesn't exercise) with null-side classification."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return cust.join(supp, cust.c_custkey == supp.s_suppkey, "full_outer").select(
+        F.coalesce("c_custkey", "s_suppkey").alias("entity_key"),
+        "c_name",
+        "s_name",
+        F.when(F.col("c_custkey").isNull(), "supplier_only")
+        .when(F.col("s_suppkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+@_q(
     "q_rolling_30d_spend",
     """
     SELECT o_custkey, o_orderkey,
