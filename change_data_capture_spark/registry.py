@@ -2551,6 +2551,31 @@ def q_salted_join_parity(spark, sf_dir):
 
 
 @_q(
+    "dedup_corpus_materialize",
+    """
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents d2
+      WHERE d2.text = d.text AND d2.doc_id < d.doc_id)
+    """,
+)
+def dedup_corpus_materialize(spark, sf_dir):
+    """The operator a training pipeline actually consumes: the corpus
+    with exact duplicates dropped, keeping the smallest doc_id per
+    content hash. One window over md5(text) — content equality via
+    hash, no self-join (extensions/dedup.exact_duplicates shares the
+    keeper rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        docs.withColumn("__keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keeper"))
+        .drop("__keeper")
+    )
+
+
+@_q(
     "q_full_outer_entities",
     """
     SELECT COALESCE(c_custkey, s_suppkey) AS entity_key,
