@@ -2551,6 +2551,49 @@ def q_salted_join_parity(spark, sf_dir):
 
 
 @_q(
+    "embedding_cluster_assign",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, s.centroid_id,
+             round({_COSINE.format(a='e.v', b='s.cv')}, 6) AS sim
+      FROM e CROSS JOIN s
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, centroid_id) AS rn
+          FROM scored)
+    SELECT vec_id, centroid_id, sim FROM r WHERE rn = 1
+    """,
+)
+def embedding_cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment (the k-means / IVF-training step):
+    8 deterministic seed centroids broadcast against every vector, one
+    ranked window for the argmax — the exact dataflow shape a Lloyd
+    iteration uses at scale (centroids always broadcast-small; the
+    corpus never shuffles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", similarity.as_double_vec(F.col("embedding")).alias("v"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(similarity.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "sim")
+    )
+
+
+@_q(
     "dedup_corpus_materialize",
     """
     SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
