@@ -66,6 +66,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a long (nanosAsLong); convert to a microsecond timestamp with
     exact integer division (`div`, not `/` — double division would lose
     precision on epoch-nano magnitudes)."""
+    # nanosAsLong is a runtime SQLConf: set it here, not just in
+    # session.py, so the read works under ANY session (the driver's
+    # correctness harness builds a plain SparkSession that never goes
+    # through session.get_spark()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -361,9 +366,9 @@ def q_orders_without_lineitems(spark, sf_dir):
     "q_pivot_status_by_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -699,8 +704,8 @@ def q_type_compat(spark, sf_dir):
     "q12_priority_shipping",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_returnflag
