@@ -6,7 +6,14 @@ compares row count, column-name set, and an order-insensitive value
 canonicalization (columns sorted by name, every cell rendered to a
 canonical string, rows sorted). Exact match required.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--lenient] [sf_dir] [query ...]
+
+By default float cells render strictly (``repr``), so a DuckDB HUGEINT
+that pandas materializes as ``123.0`` will NOT match a Spark bigint
+``123`` — exactly like the driver's hash comparison. Fix the oracle SQL
+(CAST ... AS BIGINT) rather than reaching for ``--lenient``, which
+restores the old int-float parity and is strictly more forgiving than
+the driver.
 """
 
 from __future__ import annotations
@@ -28,13 +35,16 @@ TABLES = [
 ]
 
 
+LENIENT = False
+
+
 def canon_cell(v) -> str:
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
+        if LENIENT and v == int(v) and abs(v) < 1e15:
             return str(int(v))  # int-typed vs float-typed column parity
         return repr(v)
     if isinstance(v, bool):
@@ -60,10 +70,15 @@ def canon_frame(pdf) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    global LENIENT
+    argv = sys.argv[1:]
+    if "--lenient" in argv:
+        LENIENT = True
+        argv = [a for a in argv if a != "--lenient"]
+    sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
-    only = set(sys.argv[2:])
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from change_data_capture_spark.session import get_spark
