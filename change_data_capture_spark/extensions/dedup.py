@@ -220,34 +220,64 @@ def minhash_lsh_duplicates(
         .filter(F.col("__nb") >= 2)
         .select("a_id", "b_id")
     )
-    # Band collisions fire for mid-similarity pairs too (at J=0.5 a
-    # 4-row band still matches with p~=6% somewhere across 24 bands),
-    # so a template-heavy corpus yields orders of magnitude more
-    # candidates than true pairs. The signature Jaccard ESTIMATE
-    # (matching-minhash fraction) screens them before the expensive
-    # exact verify: at k=96 a true J>=0.8 pair falls below
-    # threshold-0.2 with p~=5e-7 (sigma = sqrt(J(1-J)/k) ~= 0.04),
-    # while J<=0.5 impostors are cut with >97% probability. Survivors
-    # are exact-verified — the screen changes work, not the answer.
-    a_sig = sig.select(
+    # The candidate list feeds three consumers in the screen (two id
+    # projections + the pair join); persist so the bucket-join subtree
+    # runs once.
+    candidates = candidates.persist()
+    candidates.count()
+    screened = _screen_candidates(
+        sig, candidates, k=k, threshold=threshold, id_col=id_col
+    ).persist()
+    screened.count()  # materialize, then drop the upstream caches
+    candidates.unpersist()
+    sig.unpersist()
+    return _jaccard_on(sh, screened, threshold, id_col)
+
+
+def _screen_candidates(
+    sig: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature-estimate screen over LSH bucket candidates.
+
+    Band collisions fire for mid-similarity pairs too (at J=0.5 a
+    4-row band still matches with p~=6% somewhere across 24 bands),
+    so a template-heavy corpus yields orders of magnitude more
+    candidates than true pairs. The signature Jaccard ESTIMATE
+    (matching-minhash fraction) screens them before the expensive
+    exact verify: at k=96 a true J>=0.8 pair falls below
+    threshold-0.2 with p~=5e-7 (sigma = sqrt(J(1-J)/k) ~= 0.04),
+    while J<=0.5 impostors are cut with >97% probability. Survivors
+    are exact-verified — the screen changes work, not the answer.
+
+    Scale contract: the O(corpus) signature table is never joined (let
+    alone broadcast) wholesale. It is first reduced by LEFT SEMI joins
+    to the candidate id sets — a vanishing fraction of the corpus —
+    and only the reduced relations enter the pair join. No broadcast
+    hints here: AQE sizes the reduced sides at runtime and picks the
+    strategy, so the plan is safe whether candidates number in the
+    hundreds or the hundreds of millions."""
+    a_ids = candidates.select(F.col("a_id").alias(id_col)).distinct()
+    b_ids = candidates.select(F.col("b_id").alias(id_col)).distinct()
+    a_sig = sig.join(a_ids, id_col, "left_semi").select(
         F.col(id_col).alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
     )
-    b_sig = sig.select(
+    b_sig = sig.join(b_ids, id_col, "left_semi").select(
         F.col(id_col).alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
     )
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     )
-    screened = (
-        candidates.join(F.broadcast(a_sig), "a_id")
-        .join(F.broadcast(b_sig), "b_id")
+    return (
+        candidates.join(a_sig, "a_id")
+        .join(b_sig, "b_id")
         .filter(matches >= int(max(threshold - 0.2, 0.0) * k))
         .select("a_id", "b_id")
-        .persist()
     )
-    screened.count()  # materialize, then drop the signature cache
-    sig.unpersist()
-    return _jaccard_on(sh, screened, threshold, id_col)
 
 
 def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:

@@ -101,6 +101,32 @@ def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_minhash_screen_never_broadcasts_signatures(spark, sf_dir):
+    """The O(corpus) MinHash signature table must never carry a
+    broadcast hint into the candidate screen; it is reduced via LEFT
+    SEMI joins to candidate ids first, and AQE picks the strategy for
+    the reduced relations (the 100 TB contract from dedup.py)."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.extensions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    sh = dedup.shingles(docs, n=5, distinct=False)
+    sig = dedup.minhash_signatures(sh, k=16)
+    ids = docs.select("doc_id").limit(6)
+    candidates = (
+        ids.select(F.col("doc_id").alias("a_id"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b_id")))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    screened = dedup._screen_candidates(sig, candidates, k=16, threshold=0.8)
+    qe = screened._jdf.queryExecution()
+    # no explicit broadcast hint anywhere in the screen subtree
+    assert "ResolvedHint" not in qe.analyzed().toString()
+    # both signature sides are semi-join-reduced before the pair join
+    assert qe.optimizedPlan().toString().count("LeftSemi") >= 2
+
+
 def test_ct_scan_normalize_is_narrow(spark, sf_dir):
     """The envelope normalization of a CT scan must not shuffle — it is
     a map-only stage over the source scan."""
