@@ -226,13 +226,130 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute force baseline for the
-    embedding near-dup operator; the LSH bucket join is the scale
-    variant)."""
+    """All pairs with cosine >= threshold — the EXPLICITLY QUADRATIC
+    correctness baseline (cross join + post-filter). Never run this at
+    corpus scale; ``embedding_near_duplicates_bucketed`` is the primary
+    operator and produces the identical output through a bucketed
+    equi-join plan."""
     a = spread(vectors).select(F.col(id_col).alias("a_id"), as_double_vec(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("b_id"), as_double_vec(F.col(vec_col)).alias("vb"))
     return (
         a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("a_id", "b_id", F.round("score", 6).alias("score"))
+    )
+
+
+def embedding_near_duplicates_bucketed(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.4,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold through a bucketed equi-join
+    plan — output IDENTICAL to ``embedding_near_duplicates`` (no recall
+    loss), which is what lets the same all-pairs SQL oracle verify it.
+
+    Why not sign-hyperplane LSH: at threshold 0.4 the qualifying pairs
+    sit at ~60-66 degrees, where per-plane agreement is ~0.63; banded
+    sign-LSH needs so many bands for recall ~1 that the bucket join
+    does MORE work than all-pairs (e.g. 4-plane bands need ~76 bands
+    for 1e-4 miss probability = 4.75*N^2 pair evaluations). Hyperplane
+    buckets only pay off for tight thresholds (>~0.9).
+
+    Instead: metric ball partitioning. Vectors are assigned to
+    ``n_lists`` deterministic seed centroids (the n_lists smallest
+    ids — same seeding rule as ``ivf_ann_topk``); angular distance is
+    a metric on the sphere, so a list pair (A, B) can contain a
+    qualifying pair only if
+
+        theta(c_A, c_B) - r_A - r_B <= acos(threshold)
+
+    (triangle inequality; r = list angular radius). Only surviving
+    list pairs are joined — an equi-join on list id, never a cartesian
+    product — and every joined pair is exact-cosine verified, so the
+    pruning changes WORK, not the answer.
+
+    Scale shape: centroid assignment is a pure projection against
+    n_lists inlined centroid literals (the corpus never shuffles for
+    it); radii are an n_lists-row aggregate; the list-pair candidate
+    table is <= n_lists^2 rows and broadcast; the pair join shuffles
+    by list id (AQE skew-join handles fat lists). On a clustered
+    corpus most list pairs prune; on adversarially uniform data the
+    comparison count degrades toward N^2 — which is the true lower
+    bound there, since near-threshold pairs at 60+ degrees are not
+    separable by any metric blocking — but the work stays distributed
+    and memory-bounded either way. A production run would persist the
+    assignment between the radii action and the pair join; the builder
+    stays lazy here so oracle replays see one plan.
+    """
+    import math
+
+    e = vectors.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+    cent_rows = (
+        e.orderBy(F.col("id").asc()).limit(n_lists).collect()
+    )  # bounded: n_lists centroid vectors (config-sized metadata)
+    cents = [(int(r["id"]), list(r["v"])) for r in cent_rows]
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return max(-1.0, min(1.0, d / (na * nb)))
+
+    # nearest-centroid assignment as a projection: array_max over
+    # (cosine, list_id) structs — ties to the larger list id,
+    # deterministic. Stays in whole-stage codegen.
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(cid).cast("long").alias("list_id"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    best = F.array_max(sims)
+    assigned = e.select(
+        "id",
+        "v",
+        best["list_id"].alias("list_id"),
+        F.acos(F.least(F.greatest(best["sim"], F.lit(-1.0)), F.lit(1.0))).alias("theta"),
+    )
+
+    # list radii: one tiny action (n_lists rows), then pure-Python
+    # list-pair pruning against the centroid angle matrix.
+    radii = {
+        int(r["list_id"]): float(r["r"])
+        for r in assigned.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
+    }
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    survivors = []
+    for la, va in cents:
+        for lb, vb in cents:
+            if la not in radii or lb not in radii:
+                continue  # empty list: nothing to join
+            theta_cc = math.acos(py_cos(va, vb))
+            # conservative bound + fp slack: over-keeping is only extra
+            # work, under-keeping would change the answer
+            if theta_cc - radii[la] - radii[lb] <= theta_t + 1e-6:
+                survivors.append((la, lb))
+    spark = vectors.sparkSession
+    cand = spark.createDataFrame(survivors or [(-1, -1)], "list_a long, list_b long")
+
+    a = assigned.select(
+        F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("list_id").alias("list_a")
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("list_id").alias("list_b")
+    )
+    return (
+        a.join(F.broadcast(cand), "list_a")
+        .join(b, "list_b")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("score", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("score") >= threshold)

@@ -1640,8 +1640,35 @@ _COSINE = (
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """Quadratic crossJoin BASELINE — kept registered as the oracle
+    twin for the bucketed primary below; never the op to run at
+    corpus scale."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.4)
+
+
+@_q(
+    "dedup_embedding_bucketed",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_COSINE.format(a='a.v', b='b.v')}, 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COSINE.format(a='a.v', b='b.v')} >= 0.4
+    """,
+)
+def dedup_embedding_bucketed(spark, sf_dir):
+    """PRIMARY embedding near-dup: ball-partitioned equi-join plan
+    with triangle-inequality list-pair pruning; output identical to
+    the all-pairs baseline (same oracle SQL), so the bucketing is
+    verified to change work, not the answer. See
+    similarity.embedding_near_duplicates_bucketed for why sign-LSH
+    cannot serve at threshold 0.4."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates_bucketed(emb, threshold=0.4, n_lists=16)
 
 
 @_q(

@@ -127,6 +127,16 @@ def test_minhash_screen_never_broadcasts_signatures(spark, sf_dir):
     assert qe.optimizedPlan().toString().count("LeftSemi") >= 2
 
 
+def test_embedding_bucketed_dedup_is_equijoin(spark, sf_dir):
+    """The primary embedding near-dup must never plan a cartesian
+    product or nested-loop join: the pair join is an equi-join on
+    list id with a broadcast list-pair candidate table."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ct_scan_normalize_is_narrow(spark, sf_dir):
     """The envelope normalization of a CT scan must not shuffle — it is
     a map-only stage over the source scan."""
