@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .envelope import rowkey_expr
-from .schema import OP_DELETE, schema_from_json
+from .schema import OP_DELETE, pk_compat_schema, schema_from_json
 
 _META = "_meta.json"
 _BUCKET = "__bucket"
@@ -123,7 +123,10 @@ class TableCatalog:
         if meta["schema"] is None:
             meta["pending_schema"] = schema_json
         else:
-            meta["schema"] = self._evolved(meta["schema"], schema_json)
+            evolved = schema_from_json(self._evolved(meta["schema"], schema_json))
+            # PK restriction survives evolution (CDCKudu.java:315-321):
+            # a re-announced float/bool PK column stays STRING.
+            meta["schema"] = pk_compat_schema(evolved, meta.get("pks")).json()
         self.put_meta(table_id, meta)
 
     @staticmethod
@@ -147,11 +150,14 @@ class TableCatalog:
                 "applied_version": 0,
                 "pending_schema": None,
             }
-        if meta["schema"] is None:
-            meta["schema"] = meta.get("pending_schema") or rows_schema_json
-            meta["pending_schema"] = None
         if not meta.get("pks"):
             meta["pks"] = list(pks)
+        if meta["schema"] is None:
+            # Kudu PK-type restriction at create time
+            # (CDCKudu.java:315-321): bool/float/double PKs -> STRING.
+            raw = schema_from_json(meta.get("pending_schema") or rows_schema_json)
+            meta["schema"] = pk_compat_schema(raw, meta["pks"]).json()
+            meta["pending_schema"] = None
         if not meta.get("buckets"):
             # Fixed at create time (like Kudu's hash partitions,
             # CDCKuduConfig.java:96-213); thousands on a real cluster.

@@ -1146,6 +1146,35 @@ def cdc_apply_mutations(spark, sf_dir):
 
 
 @_q(
+    "cdc_pk_type_coerce",
+    """
+    SELECT CAST(CAST(c_custkey AS DOUBLE) / 2 AS VARCHAR) AS ckey_f,
+           CAST(c_custkey % 2 = 0 AS VARCHAR) AS is_even,
+           c_name, c_acctbal
+    FROM customer
+    """,
+)
+def cdc_pk_type_coerce(spark, sf_dir):
+    """Keyed-store PK type restriction (K5, CDCKudu.java:315-321):
+    a table keyed by a DOUBLE and a BOOLEAN column is created with
+    those PKs coerced to STRING — the coercion is observable in the
+    read-back schema and values (the oracle casts the same way), while
+    non-key columns keep their types."""
+    cust = _t(spark, sf_dir, "customer")
+    keyed = cust.select(
+        (F.col("c_custkey").cast("double") / 2).alias("ckey_f"),
+        (F.col("c_custkey") % 2 == 0).alias("is_even"),
+        "c_name",
+        "c_acctbal",
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_pkc_"))
+    apply_changelog(
+        spark, snapshot_changelog(keyed, "tpch.customer_fk", ["ckey_f", "is_even"]), cat
+    )
+    return cat.read(spark, "tpch.customer_fk")
+
+
+@_q(
     "cdc_table_changes",
     """
     SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,

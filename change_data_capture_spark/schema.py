@@ -112,6 +112,27 @@ def native_decimal_type(precision: int, scale: int) -> DataType:
     return DecimalType(precision, scale)
 
 
+def pk_compat_schema(schema: StructType, pks) -> StructType:
+    """Keyed-store PK type restriction (CDCKudu.java:315-321): a
+    primary-key column typed BOOLEAN, FLOAT, or DOUBLE is stored as
+    STRING — those types cannot be key columns in the reference's
+    sink, and the coercion is observable (it changes the stored value
+    form and therefore row identity for float-keyed tables). Non-key
+    columns keep their type."""
+    from pyspark.sql.types import BooleanType, FloatType
+
+    pk_set = set(pks or [])
+    fields = []
+    for f in schema.fields:
+        if f.name in pk_set and isinstance(
+            f.dataType, (BooleanType, FloatType, DoubleType)
+        ):
+            fields.append(StructField(f.name, StringType(), f.nullable, f.metadata))
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
 def schema_to_json(schema: StructType) -> str:
     return schema.json()
 

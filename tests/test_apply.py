@@ -221,3 +221,34 @@ def test_rows_schema_is_valid_spark_schema(spark):
 
     st = StructType.fromJson(json.loads(sj))
     assert [f.name for f in st.fields] == ["id", "v"]
+
+
+def test_float_bool_pk_coerced_to_string(spark, tmp_path):
+    """Kudu PK-type restriction (CDCKudu.java:315-321): BOOL/FLOAT/
+    DOUBLE primary-key columns are stored as STRING; non-key columns
+    keep their type, and mutations keyed by the coerced columns still
+    target the right rows."""
+    base = spark.createDataFrame(
+        [(0.5, True, "a", 1.25), (1.0, False, "b", 2.5), (1.5, True, "c", 3.75)],
+        "kf double, kb boolean, v string, d double",
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "t.fk", ["kf", "kb"]), cat)
+    got = cat.read(spark, "t.fk")
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types["kf"] == "string" and types["kb"] == "string"
+    assert types["d"] == "double"  # non-key double untouched
+
+    mut = mutation_changelog(
+        base,
+        "t.fk",
+        ["kf", "kb"],
+        update_where=F.col("kf") == 0.5,
+        update_set={"v": F.lit("A")},
+        update_version=2,
+        delete_where=F.col("kf") == 1.0,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    rows = sorted_rows(cat.read(spark, "t.fk"), "kf")
+    assert rows == [("0.5", "true", "A", 1.25), ("1.5", "true", "c", 3.75)]
