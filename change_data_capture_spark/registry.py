@@ -47,7 +47,7 @@ from .normalize import (
 )
 from . import functions as cf
 from .extensions import dedup, multimodal, similarity, text
-from .sources import jdbc_ct, kafka
+from .sources import avro_binary, jdbc_ct, kafka
 from .streaming import run_apply_stream, write_changelog
 
 
@@ -1548,6 +1548,55 @@ def cdc_goldengate_decode(spark, sf_dir):
         rv["s_suppkey"].cast("bigint").alias("s_suppkey"),
         rv["s_acctbal"].cast("double").alias("s_acctbal"),
         F.col("dml.change_tracking_version").alias("version"),
+    )
+
+
+@_q(
+    "cdc_goldengate_binary_decode",
+    """
+    SELECT 'tpch.nation' AS table_name,
+           CAST(n_nationkey AS BIGINT) * 1099511627775 - 4503599627370
+             AS schema_fingerprint,
+           CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def cdc_goldengate_binary_decode(spark, sf_dir):
+    """T12/S5 binary parity: decode genuine Avro BINARY generic-wrapper
+    frames (Normalizer.java:124-140) and their flat simple-type
+    payloads with pure Catalyst expressions — no spark-avro jar, no
+    Python eval, one codegen projection (sources/avro_binary.py).
+
+    The golden wrapper bytes are constructed from the 25-row nation
+    dim (bounded collect — test-vector construction, standing in for
+    the Kafka topic the reference reads, GoldenGateKafka.java:196-237);
+    the fingerprint formula forces negative and multi-byte zigzag
+    varints through the decoder. The oracle recomputes the decoded
+    fields relationally."""
+    nation = _t(spark, sf_dir, "nation")
+    rows = nation.orderBy("n_nationkey").collect()
+    msgs = []
+    for r in rows:
+        payload = (
+            avro_binary.encode_zigzag_varint(int(r["n_nationkey"]))
+            + avro_binary.encode_string(str(r["n_name"]))
+            + avro_binary.encode_zigzag_varint(int(r["n_regionkey"]))
+        )
+        fp = int(r["n_nationkey"]) * 1099511627775 - 4503599627370
+        msgs.append((avro_binary.encode_generic_wrapper("tpch.nation", fp, payload),))
+    df = spark.createDataFrame(msgs, "value binary")
+    out = avro_binary.decode_generic_wrapper(df, "value")
+    out = avro_binary.decode_flat_payload(
+        out,
+        [
+            ("n_nationkey", "long"),
+            ("n_name", "string"),
+            ("n_regionkey", "long"),
+        ],
+    )
+    return out.select(
+        "table_name", "schema_fingerprint", "n_nationkey", "n_name", "n_regionkey"
     )
 
 

@@ -1,0 +1,167 @@
+"""Avro binary wire-format decode in pure Catalyst expressions.
+
+The reference's GoldenGate path carries DML as a *generic-wrapper*
+Avro binary record — ``{table_name: string, schema_fingerprint: long,
+payload: bytes}`` (``source/oracle/Normalizer.java:124-140``) — whose
+payload is the table-schema Avro record, decoded row-at-a-time with
+``GenericDatumReader`` (``Normalizer.java:92-104``,
+``BinaryMessages.java:33-40``). The container has no spark-avro jar,
+so instead of a JSON stand-in this module decodes the actual Avro
+BINARY ENCODING (the public Avro spec: zigzag-varint ints/longs,
+varint-length-framed UTF-8 strings and bytes) with nothing but
+JVM-side Catalyst expressions — ``hex``/``conv`` byte reads, bit ops,
+dynamic-offset ``substring`` — so the whole decode stays in
+whole-stage codegen, vectorized across rows, no Python and no
+row-at-a-time datum reader.
+
+Covered: the full generic-wrapper frame and flat payload records of
+the Avro simple types the reference's own converter handles for
+scalars (long/int and string; ``common/AvroConverter.java:51-85``).
+Not covered (requires spark-avro or a recursive schema walker):
+unions, nested records, maps — the JSON wire in ``kafka.py`` remains
+the documented stand-in for those, with ``from_avro`` as the drop-in
+swap where the jar is deployed.
+
+Layout note: every Avro long (including all length prefixes) is a
+zigzag varint of at most 10 bytes; offsets are data-dependent, so
+each decoded field carries its width and the running offset is a
+column, not a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LEN_MAX = 5  # Avro block/length varints fit in 5 bytes (int range)
+_LONG_MAX = 10  # full zigzag long
+
+
+def _byte_at(hex_col: Column, off: Column) -> Column:
+    """Byte value (0-255) at 0-based byte offset ``off`` of the binary
+    whose hex string is ``hex_col``. One byte is two hex chars; conv is
+    a native codegen expression."""
+    return F.conv(F.substring(hex_col, off * 2 + 1, F.lit(2)), 16, 10).cast("long")
+
+
+def varint_at(hex_col: Column, off: Column, max_bytes: int = _LONG_MAX) -> Column:
+    """Decode the zigzag varint starting at byte offset ``off``;
+    returns ``struct(value long, width long)``.
+
+    Unrolled over ``max_bytes``: byte i participates iff every earlier
+    byte had its continuation bit set. Disjoint 7-bit groups combine
+    with bitwise OR (carry-free — a shifted group at bit 63 may be a
+    negative long, which addition would mishandle under ANSI mode)."""
+    off = off.cast("long")
+    raw = F.lit(0).cast("long")
+    width = F.lit(0).cast("long")
+    prefix = F.lit(True)
+    for i in range(max_bytes):
+        b = _byte_at(hex_col, off + i)
+        group = F.shiftleft(b.bitwiseAND(F.lit(0x7F)), 7 * i)
+        raw = raw.bitwiseOR(F.when(prefix, group).otherwise(F.lit(0).cast("long")))
+        width = width + F.when(prefix, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        prefix = prefix & (b >= 128)
+    value = F.shiftrightunsigned(raw, 1).bitwiseXOR(-raw.bitwiseAND(F.lit(1)))
+    return F.struct(value.alias("value"), width.alias("width"))
+
+
+def decode_generic_wrapper(df: DataFrame, bin_col: str = "value") -> DataFrame:
+    """Decode the generic-wrapper frame (``Normalizer.java:124-140``):
+    appends ``table_name`` (string), ``schema_fingerprint`` (long) and
+    ``payload`` (binary) columns. Pure projection — no shuffle, no
+    Python; scales as a map stage over the Kafka scan."""
+    h = "__gw_hex"
+    out = df.withColumn(h, F.hex(F.col(bin_col)))
+    # table_name: varint byte length, then UTF-8 bytes
+    out = out.withColumn("__v0", varint_at(F.col(h), F.lit(0), _LEN_MAX))
+    name_off = F.col("__v0.width")  # 0-based offset of the name bytes
+    name_len = F.col("__v0.value")
+    out = out.withColumn(
+        "table_name",
+        F.substring(F.col(bin_col), (name_off + 1).cast("int"), name_len.cast("int")).cast(
+            "string"
+        ),
+    )
+    # schema_fingerprint: full zigzag long
+    out = out.withColumn("__v1", varint_at(F.col(h), name_off + name_len, _LONG_MAX))
+    out = out.withColumn("schema_fingerprint", F.col("__v1.value"))
+    # payload: varint byte length, then raw bytes
+    pay_len_off = name_off + name_len + F.col("__v1.width")
+    out = out.withColumn("__v2", varint_at(F.col(h), pay_len_off, _LEN_MAX))
+    pay_off = pay_len_off + F.col("__v2.width")
+    out = out.withColumn(
+        "payload",
+        F.substring(F.col(bin_col), (pay_off + 1).cast("int"), F.col("__v2.value").cast("int")),
+    )
+    return out.drop(h, "__v0", "__v1", "__v2")
+
+
+def decode_flat_payload(
+    df: DataFrame, fields: list[tuple[str, str]], payload_col: str = "payload"
+) -> DataFrame:
+    """Decode a flat Avro record of simple-typed fields from
+    ``payload_col``: ``fields`` is the record's (name, type) list in
+    schema order, type in {'long', 'int', 'string'}. Appends one typed
+    column per field (ints/longs zigzag varints, strings
+    varint-length-framed UTF-8) — the simple-type subset of the
+    reference's datum-reader path (``AvroConverter.java:51-85``),
+    vectorized as one Catalyst projection."""
+    h = "__fp_hex"
+    out = df.withColumn(h, F.hex(F.col(payload_col)))
+    off: Column = F.lit(0).cast("long")
+    for i, (name, ftype) in enumerate(fields):
+        v = f"__f{i}"
+        if ftype in ("long", "int"):
+            out = out.withColumn(v, varint_at(F.col(h), off, _LONG_MAX))
+            col = F.col(f"{v}.value")
+            out = out.withColumn(name, col.cast("int") if ftype == "int" else col)
+            off = off + F.col(f"{v}.width")
+        elif ftype == "string":
+            out = out.withColumn(v, varint_at(F.col(h), off, _LEN_MAX))
+            start = off + F.col(f"{v}.width")
+            out = out.withColumn(
+                name,
+                F.substring(
+                    F.col(payload_col), (start + 1).cast("int"), F.col(f"{v}.value").cast("int")
+                ).cast("string"),
+            )
+            off = start + F.col(f"{v}.value")
+        else:  # pragma: no cover - guarded by callers
+            raise ValueError(f"unsupported flat-payload type {ftype!r} for field {name!r}")
+        # materialize the running offset per field to keep the
+        # expression tree linear instead of exponential
+        out = out.withColumn(f"__off{i}", off)
+        off = F.col(f"__off{i}")
+    drop = [h] + [f"__f{i}" for i in range(len(fields))] + [f"__off{i}" for i in range(len(fields))]
+    return out.drop(*drop)
+
+
+def encode_zigzag_varint(n: int) -> bytes:
+    """Python-side Avro zigzag-varint encoder — test-vector/golden-byte
+    construction only (the decode path above is the product surface).
+    Follows the public Avro spec layout."""
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return encode_zigzag_varint(len(b)) + b
+
+
+def encode_bytes(b: bytes) -> bytes:
+    return encode_zigzag_varint(len(b)) + b
+
+
+def encode_generic_wrapper(table_name: str, fingerprint: int, payload: bytes) -> bytes:
+    """Golden-byte encoder for the wrapper frame (test construction)."""
+    return encode_string(table_name) + encode_zigzag_varint(fingerprint) + encode_bytes(payload)

@@ -15,7 +15,10 @@ keyed by 64-bit fingerprint, and wrapped DML payloads
 (``GoldenGateKafka.java:196-237``). The wire encoding here is a JSON
 wrapper with the same information content (the container has no
 spark-avro jar; ``from_avro`` decode is a drop-in swap where the jar
-is present — see ``decode_value_expr``):
+is present — see ``decode_value_expr``). The generic-wrapper BINARY
+frame and flat simple-type payloads need no jar at all: they are
+decoded from genuine Avro binary with pure Catalyst expressions in
+``sources/avro_binary.py``:
 
   schema msg: {"kind": "schema", "fingerprint": <long>,
                "table": "ns.t", "schema": <spark-schema-json>}
