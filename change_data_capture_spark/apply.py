@@ -365,27 +365,37 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
     """
     batch_df = batch_df.persist()
     try:
-        # --- DDL first (explicit ordering; see module docstring).
-        # DDL records are O(#tables) — collecting them is cheap.
-        ddls = (
-            batch_df.filter(F.col("ddl").isNotNull())
-            .select("ddl.table", "ddl.schema")
-            .collect()
-        )
-        for r in ddls:
-            catalog.announce_schema(r["table"], r["schema"])
-
-        dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")
-        # Table names only — never row data — hit the driver.
-        tables = [
-            (r["table"], r["primary_keys"], r["rows_schema"])
-            for r in dml.select("table", "primary_keys", "rows_schema")
-            .groupBy("table")
+        # --- One metadata action for the whole batch: DDL records and
+        # DML table descriptors together (O(#tables + #DDLs) rows to
+        # the driver, never row data). Grouping by (kind, table) keeps
+        # every DDL record while collapsing DML rows per table.
+        meta_rows = (
+            batch_df.groupBy(
+                F.col("ddl").isNotNull().alias("is_ddl"),
+                F.coalesce(F.col("ddl.table"), F.col("dml.table")).alias("table"),
+            )
             .agg(
-                F.first("primary_keys").alias("primary_keys"),
-                F.first("rows_schema").alias("rows_schema"),
+                # collect_list keeps every DDL record (a batch can
+                # evolve one table several times) in row order — the
+                # same ordering guarantee the previous per-record
+                # collect had.
+                F.collect_list("ddl.schema").alias("ddl_schemas"),
+                F.first("dml.primary_keys").alias("primary_keys"),
+                F.first("dml.rows_schema").alias("rows_schema"),
             )
             .collect()
+        )
+        # DDL first (explicit ordering; see module docstring).
+        for r in meta_rows:
+            if r["is_ddl"]:
+                for schema_json in r["ddl_schemas"]:
+                    catalog.announce_schema(r["table"], schema_json)
+
+        dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")
+        tables = [
+            (r["table"], r["primary_keys"], r["rows_schema"])
+            for r in meta_rows
+            if not r["is_ddl"]
         ]
 
         for table_id, pks, rows_schema_json in sorted(tables):

@@ -106,11 +106,17 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
             .unionByName(pairs.select(F.col("b_id").alias(id_col)))
             .distinct()
         )
+        # Persisted + materialized: both pair-join sides read `sets`,
+        # and each racing scan would otherwise redo the expensive part
+        # (full shingle explode + semi-join). The relation itself is
+        # tiny — one row per candidate doc.
         sets = (
             sh.join(F.broadcast(ids), id_col, "left_semi")
             .groupBy(id_col)
             .agg(F.collect_set("sh").alias("shset"))
+            .persist()
         )
+        sets.count()
         a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("shset").alias("sa"))
         b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("shset").alias("sb"))
         k = F.size(F.array_intersect("sa", "sb"))
@@ -162,7 +168,17 @@ def minhash_signatures(sh: DataFrame, *, k: int = 128, id_col: str = "doc_id") -
     """k min-hash values per doc: one string xxhash64 pass over the
     shingles, then k fixed-width re-hashes of that 64-bit value seeded
     by the permutation index (overflow-free under ANSI mode, all JVM
-    codegen)."""
+    codegen).
+
+    Measured dead end (do not retry): one-permutation hashing (bucket
+    by ``h mod k``, min per (doc, bucket), densify empty buckets) cuts
+    per-shingle hash work k-fold but was ~35% SLOWER end-to-end at
+    sf0.1 — the k seeded hashes are cheap long->long codegen ops and
+    the single groupBy's map-side combine already collapses each
+    partition to one row per doc, whereas OPH inserts a (doc, bucket)
+    shuffle of k rows per doc AND its shared densification fills
+    inflated band collisions ~40x while dropping true pairs (recall
+    252/256 on the sf0.1 fixture)."""
     with_h = sh.withColumn("__h", F.xxhash64("sh"))
     mins = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return with_h.groupBy(id_col).agg(*mins)
@@ -190,8 +206,13 @@ def minhash_lsh_duplicates(
     # Raw (non-distinct) shingles: the signature agg needs no set
     # semantics and the verify stage distincts only candidate docs.
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
-    # Persisted: consumed by the band buckets AND the estimate filter.
+    # Persisted AND eagerly materialized: the one verify action below
+    # scans sig four times (two bucket sides + two screen joins);
+    # without a one-job materialization those scans race before any
+    # cache block registers and the expensive shingle+minhash agg
+    # recomputes per scan.
     sig = minhash_signatures(sh, k=k, id_col=id_col).persist()
+    sig.count()
 
     band_rows = []
     for b in range(bands):
@@ -220,18 +241,13 @@ def minhash_lsh_duplicates(
         .filter(F.col("__nb") >= 2)
         .select("a_id", "b_id")
     )
-    # The candidate list feeds three consumers in the screen (two id
-    # projections + the pair join); persist so the bucket-join subtree
-    # runs once.
-    candidates = candidates.persist()
-    candidates.count()
-    screened = _screen_candidates(
-        sig, candidates, k=k, threshold=threshold, id_col=id_col
-    ).persist()
-    screened.count()  # materialize, then drop the upstream caches
-    candidates.unpersist()
+    screened = _screen_candidates(sig, candidates, k=k, threshold=threshold, id_col=id_col)
+    # _jaccard_on persists and eagerly materializes the candidate pair
+    # list itself, so by the time it returns the sig cache is no
+    # longer referenced by anything lazy.
+    out = _jaccard_on(sh, screened, threshold, id_col)
     sig.unpersist()
-    return _jaccard_on(sh, screened, threshold, id_col)
+    return out
 
 
 def _screen_candidates(
@@ -254,19 +270,18 @@ def _screen_candidates(
     while J<=0.5 impostors are cut with >97% probability. Survivors
     are exact-verified — the screen changes work, not the answer.
 
-    Scale contract: the O(corpus) signature table is never joined (let
-    alone broadcast) wholesale. It is first reduced by LEFT SEMI joins
-    to the candidate id sets — a vanishing fraction of the corpus —
-    and only the reduced relations enter the pair join. No broadcast
-    hints here: AQE sizes the reduced sides at runtime and picks the
-    strategy, so the plan is safe whether candidates number in the
-    hundreds or the hundreds of millions."""
-    a_ids = candidates.select(F.col("a_id").alias(id_col)).distinct()
-    b_ids = candidates.select(F.col("b_id").alias(id_col)).distinct()
-    a_sig = sig.join(a_ids, id_col, "left_semi").select(
+    Scale contract: the O(corpus) signature table must never carry a
+    broadcast hint into these joins — the INNER join on candidate ids
+    is itself the reduction (only candidate rows survive), and with no
+    hints AQE broadcasts whichever side is actually small at runtime:
+    the candidate list when collisions are rare, neither when a
+    template-heavy corpus makes candidates huge — in which case both
+    joins degrade to scale-safe shuffle joins instead of an O(corpus)
+    broadcast OOM."""
+    a_sig = sig.select(
         F.col(id_col).alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
     )
-    b_sig = sig.join(b_ids, id_col, "left_semi").select(
+    b_sig = sig.select(
         F.col(id_col).alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
     )
     matches = sum(
