@@ -26,7 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["deterministic_sample", "histogram", "salted_agg", "salted_join"]
+__all__ = ["deterministic_sample", "histogram", "salted_agg", "salted_join", "token_budget_cap"]
 
 
 def deterministic_sample(
@@ -133,3 +133,43 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return lefts.join(rights, [*on, "__salt"], how).drop("__salt")
+
+
+def token_budget_cap(
+    df: DataFrame,
+    *,
+    budget: int,
+    by: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-budget sampling (the data-mixture step that
+    caps each source/language at N tokens): docs are taken in
+    deterministic md5-shuffled order within each group, keeping every
+    doc while the group's running subword estimate stays within
+    ``budget``. Reshuffle-stable and engine-exact — the order key is
+    md5 of (group, id), the running sum is integer — so membership is
+    reproducible across runs, partitionings, and the DuckDB oracle.
+
+    One window over the group partitioning; at scale each group's
+    running sum is a single sorted partition stream (groups are the
+    parallelism unit, like any per-source rollup)."""
+    est = F.ceil(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / 4
+    ).cast("bigint")
+    order_key = F.md5(
+        F.concat_ws(":", F.col(by).cast("string"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_subword_est", est)
+        .withColumn("cum_tokens", F.sum("n_subword_est").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, by, "n_subword_est", "cum_tokens")
+    )

@@ -170,3 +170,81 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= top_k)
         .select(id_col, "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rn")
     )
+
+
+def decontaminate_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 12,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination, pair form: (doc_id, bench_id,
+    shared_ngrams) for every corpus/benchmark doc pair sharing at
+    least ``min_shared`` distinct character n-grams — the standard
+    train/eval overlap sweep an LLM pipeline runs before training.
+
+    Plan shape: distinct shingles per side, one equi-join on the
+    shingle value, pair-count aggregation. The benchmark side is
+    orders of magnitude smaller than the corpus (eval suites vs a
+    100 TB crawl), so AQE broadcasts it; the corpus side streams
+    through without ever self-joining."""
+    from .dedup import shingles
+
+    cs = shingles(corpus, n=n, id_col=id_col, text_col=text_col, distinct=True)
+    bs = shingles(benchmark, n=n, id_col=id_col, text_col=text_col, distinct=True).select(
+        F.col(id_col).alias("bench_id"), "sh"
+    )
+    return (
+        cs.join(bs, "sh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def contamination_ratio(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-corpus-doc contamination: the fraction of the doc's distinct
+    character n-grams that appear anywhere in the benchmark set — the
+    thresholdable metric behind decontamination decisions. Returns
+    (doc_id, n_shingles, n_contaminated, contamination) for every
+    corpus doc.
+
+    The benchmark shingle SET (one distinct column) is the only
+    relation joined against the corpus shingles — a left-semi count,
+    so the corpus never materializes a pair blowup even when overlap
+    is pervasive."""
+    from .dedup import shingles
+
+    cs = shingles(corpus, n=n, id_col=id_col, text_col=text_col, distinct=True)
+    bset = (
+        shingles(benchmark, n=n, id_col=id_col, text_col=text_col, distinct=True)
+        .select("sh")
+        .distinct()
+    )
+    hits = (
+        cs.join(bset, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = cs.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )

@@ -2661,6 +2661,154 @@ def q_salted_join_parity(spark, sf_dir):
 
 
 @_q(
+    "text_decontaminate_pairs",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src19'),
+    bench AS (SELECT * FROM documents WHERE source = 'src19'),
+    ci AS (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 11, 1))) AS i
+           FROM corpus),
+    cs AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS sh FROM ci),
+    bi AS (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 11, 1))) AS i
+           FROM bench),
+    bs AS (SELECT DISTINCT doc_id AS bench_id, substr(text, i, 12) AS sh FROM bi)
+    SELECT cs.doc_id, bs.bench_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM cs JOIN bs USING (sh)
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def text_decontaminate_pairs(spark, sf_dir):
+    """Train/eval decontamination sweep: every (corpus doc, benchmark
+    doc) pair sharing >= 3 distinct 12-gram shingles (src19 plays the
+    held-out benchmark). Equi-join on the shingle value — the
+    benchmark side is eval-suite-sized and broadcast-eligible, the
+    corpus never self-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    return text.decontaminate_pairs(corpus, bench, n=12, min_shared=3)
+
+
+@_q(
+    "text_contamination_ratio",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src19'),
+    bench AS (SELECT * FROM documents WHERE source = 'src19'),
+    ci AS (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 11, 1))) AS i
+           FROM corpus),
+    cs AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS sh FROM ci),
+    bi AS (SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 11, 1))) AS i
+           FROM bench),
+    bset AS (SELECT DISTINCT substr(text, i, 12) AS sh FROM bi),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+    hit AS (SELECT doc_id, count(*) AS n_cont FROM cs
+            WHERE sh IN (SELECT sh FROM bset) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_cont, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+    FROM tot t LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def text_contamination_ratio(spark, sf_dir):
+    """Thresholdable per-doc contamination metric: fraction of each
+    corpus doc's distinct 12-grams present anywhere in the benchmark
+    set. Left-semi count against the benchmark shingle SET — no pair
+    materialization even under pervasive overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    return text.contamination_ratio(corpus, bench, n=12)
+
+
+@_q(
+    "corpus_budget_sample",
+    r"""
+    WITH est AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4) AS BIGINT)
+               AS n_subword_est,
+             md5(concat_ws(':', CAST(source AS VARCHAR), CAST(doc_id AS VARCHAR))) AS ok
+      FROM documents),
+    c AS (SELECT doc_id, source, n_subword_est,
+                 CAST(SUM(n_subword_est) OVER (
+                   PARTITION BY source ORDER BY ok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM est)
+    SELECT doc_id, source, n_subword_est, cum_tokens FROM c WHERE cum_tokens <= 1000
+    """,
+)
+def corpus_budget_sample(spark, sf_dir):
+    """Data-mixture token budgeting: cap each source at 1000 estimated
+    subword tokens, taking docs in deterministic md5-shuffled order
+    (reshuffle-stable, engine-exact running integer sum —
+    extensions/scale.token_budget_cap)."""
+    from .extensions import scale
+
+    docs = _t(spark, sf_dir, "documents")
+    return scale.token_budget_cap(docs, budget=1000, by="source")
+
+
+@_q(
+    "corpus_quality_materialize",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    swr AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','in','is','for','on','with')
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio
+      FROM t GROUP BY doc_id
+    ),
+    score AS (
+      SELECT d.doc_id,
+             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
+                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+                       + least(swr.stopword_ratio, 0.2), 6) AS quality_score
+      FROM documents d JOIN swr ON swr.doc_id = d.doc_id
+    ),
+    v(lang, token) AS (VALUES {_stopword_values()}),
+    h AS (SELECT doc_id, lang, count(*) AS hits FROM t JOIN v USING (token) GROUP BY 1, 2),
+    b AS (SELECT doc_id, lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+          FROM h)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, s.quality_score
+    FROM documents d
+    JOIN score s ON s.doc_id = d.doc_id
+    LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON b.doc_id = d.doc_id
+    WHERE s.quality_score >= 1.06
+      AND coalesce(b.lang, 'unknown') = 'en'
+      AND d.n_chars BETWEEN 60 AND 500
+    """,
+)
+def corpus_quality_materialize(spark, sf_dir):
+    """The filter step a curation pipeline actually materializes:
+    corpus rows surviving quality-score, language-id, and length
+    gates, with the score attached (composition of text.quality_scores
+    + text.language_id — each a narrow map/one hash-shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = text.quality_scores(docs).select("doc_id", "quality_score")
+    li = text.language_id(docs).select("doc_id", "detected_lang")
+    return (
+        docs.join(qs, "doc_id")
+        .join(li, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 1.06)
+            & (F.col("detected_lang") == "en")
+            & F.col("n_chars").between(60, 500)
+        )
+        .select("doc_id", "text", "lang", "source", "n_chars", "quality_score")
+    )
+
+
+@_q(
     "embedding_cluster_assign",
     f"""
     WITH e AS (

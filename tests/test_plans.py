@@ -94,6 +94,10 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         "q_histogram_totalprice",
         "sample_stratified_docs",
         "q_salted_heavy_agg",
+        "text_decontaminate_pairs",
+        "text_contamination_ratio",
+        "corpus_budget_sample",
+        "corpus_quality_materialize",
     ],
 )
 def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):
@@ -113,11 +117,12 @@ def test_minhash_screen_never_broadcasts_signatures(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     sh = dedup.shingles(docs, n=5, distinct=False)
     sig = dedup.minhash_signatures(sh, k=16)
-    ids = docs.select("doc_id").limit(6)
+    # join-free candidate construction (the guard below must only see
+    # the screen's own joins)
     candidates = (
-        ids.select(F.col("doc_id").alias("a_id"))
-        .crossJoin(ids.select(F.col("doc_id").alias("b_id")))
-        .filter(F.col("a_id") < F.col("b_id"))
+        docs.select("doc_id")
+        .limit(6)
+        .select(F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id"))
     )
     screened = dedup._screen_candidates(sig, candidates, k=16, threshold=0.8)
     qe = screened._jdf.queryExecution()
