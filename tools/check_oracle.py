@@ -75,15 +75,31 @@ def main() -> int:
     if "--lenient" in argv:
         LENIENT = True
         argv = [a for a in argv if a != "--lenient"]
+    bare = "--bare" in argv
+    argv = [a for a in argv if a != "--bare"]
     sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
     only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
-    from change_data_capture_spark.session import get_spark
 
-    spark = get_spark("check-oracle")
+    if bare:
+        # Driver-mimic: a PLAIN session (none of session.py's confs),
+        # exactly how the correctness harness runs the registry. Any
+        # query green here is green under the driver.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check-oracle-bare")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from change_data_capture_spark.session import get_spark
+
+        spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
