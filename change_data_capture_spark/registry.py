@@ -1222,6 +1222,38 @@ def cdc_apply_stream(spark, sf_dir):
     return cat.read(spark, "tpch.nation")
 
 
+@_q("dedup_stream_exact", "SELECT doc_id, text FROM documents")
+def dedup_stream_exact(spark, sf_dir):
+    """Streaming exact dedup: the documents table is delivered TWICE
+    through a file stream (at-least-once redelivery), and
+    streaming.dedupe_documents_stream's dropDuplicates state emits
+    each content row once — the result is exactly the original corpus,
+    which is what makes a deterministic SQL oracle possible for a
+    streaming operator. Duplicates here are identical rows, so the
+    kept-row choice cannot affect the output."""
+    from .streaming import dedupe_documents_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dedup_stream_")
+    in_dir = os.path.join(root, "in")
+    docs.write.mode("append").parquet(in_dir)
+    docs.write.mode("append").parquet(in_dir)  # redelivery
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out = dedupe_documents_stream(stream)
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = (
+        out.select("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 @_q(
     "cdc_net_change_collapse",
     """

@@ -113,6 +113,28 @@ def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
     return parsed.select("r.ddl", "r.dml")
 
 
+def dedupe_documents_stream(
+    docs: DataFrame, *, text_col: str = "text", watermark: tuple[str, str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup / at-least-once redelivery suppression:
+    emit each content hash's row once across the whole stream —
+    ``dropDuplicates`` over md5(text), the streaming twin of
+    ``dedup_corpus_materialize`` and the step that turns an
+    at-least-once document feed into an exactly-once corpus.
+
+    State is one hash per distinct document. Unbounded by default
+    (matching a global dedup guarantee); pass ``watermark=(ts_col,
+    delay)`` to bound state for feeds where duplicates only arrive
+    within a redelivery horizon — ``dropDuplicates`` then evicts
+    hashes older than the watermark, the standard 100 TB deployment
+    shape."""
+    d = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if watermark is not None:
+        ts_col, delay = watermark
+        return d.withWatermark(ts_col, delay).dropDuplicates(["content_hash", ts_col])
+    return d.dropDuplicates(["content_hash"])
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

@@ -227,3 +227,37 @@ def test_sessionize_stream_stitches_and_times_out(spark, tmp_path):
     }
     # user 1's first session stitches all three 10-min-apart events
     assert (1, ts(0), ts(20), 3, 6.0) in rows
+
+
+def test_stream_document_dedup_across_batches(spark, tmp_path):
+    """dedupe_documents_stream suppresses redelivered content across
+    micro-batches: batch 2 redelivers batch 1's rows plus one new doc;
+    only the new doc is emitted in the second trigger."""
+    from change_data_capture_spark.streaming import dedupe_documents_stream
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(b1.schema).parquet(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        dedupe_documents_stream(stream)
+        .select("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")]
