@@ -219,10 +219,12 @@ def contamination_ratio(
     (doc_id, n_shingles, n_contaminated, contamination) for every
     corpus doc.
 
-    The benchmark shingle SET (one distinct column) is the only
-    relation joined against the corpus shingles — a left-semi count,
-    so the corpus never materializes a pair blowup even when overlap
-    is pervasive."""
+    The benchmark shingle SET (one distinct column, eval-suite-sized,
+    broadcast) is the only relation joined against the corpus
+    shingles, as a membership-marking LEFT join — so the corpus
+    shingle relation is computed and scanned exactly ONCE (total and
+    contaminated counts come out of the same aggregation), and no
+    pair blowup can occur even when overlap is pervasive."""
     from .dedup import shingles
 
     cs = shingles(corpus, n=n, id_col=id_col, text_col=text_col, distinct=True)
@@ -230,21 +232,21 @@ def contamination_ratio(
         shingles(benchmark, n=n, id_col=id_col, text_col=text_col, distinct=True)
         .select("sh")
         .distinct()
+        .withColumn("__in_bench", F.lit(1))
     )
-    hits = (
-        cs.join(bset, "sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = cs.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     return (
-        totals.join(hits, id_col, "left")
+        cs.join(bset, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("__in_bench", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
         .select(
             F.col(id_col),
             "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            "n_contaminated",
             F.round(
-                F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_shingles"), 6
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
             ).alias("contamination"),
         )
     )
