@@ -52,6 +52,8 @@ def test_anti_semi_joins_stay_joins(spark, sf_dir):
         "text_fingerprint",
         "cdc_ct_scan_normalize",
         "cdc_net_change_collapse",
+        "cdc_pk_type_coerce",
+        "cdc_goldengate_binary_decode",
     ],
 )
 def test_no_python_in_relational_plans(spark, sf_dir, name):

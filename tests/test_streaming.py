@@ -261,3 +261,39 @@ def test_stream_document_dedup_across_batches(spark, tmp_path):
     q.awaitTermination()
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert got == [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")]
+
+
+def test_stream_document_dedup_state_survives_restart(spark, tmp_path):
+    """The dedup state is checkpointed: a restarted stream (same
+    checkpoint) still suppresses content it saw before the restart."""
+    from change_data_capture_spark.streaming import dedupe_documents_stream
+
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            dedupe_documents_stream(stream)
+            .select("doc_id", "text")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    # restart: redeliver old content (new file) + one new doc
+    spark.createDataFrame([(9, "alpha"), (3, "gamma")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
