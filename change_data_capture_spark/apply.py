@@ -201,12 +201,21 @@ class TableCatalog:
         if current is None:
             return spark.createDataFrame([], schema)
         path = os.path.join(self.table_dir(table_id), current)
-        df = spark.read.parquet(path)
+        # Read with the REGISTERED schema, never inference: after an
+        # evolution, a version mixes hard-linked pre-evolution files
+        # with rewritten ones, and parquet inference samples ONE file —
+        # picking an old file would silently drop the added column
+        # for every row. With an explicit schema the reader nulls the
+        # added column in old files and skips dropped columns in new
+        # ones. The bucket partition column must ride along for
+        # directory pruning.
+        from pyspark.sql.types import IntegerType, StructField as _SF
+
+        read_schema = StructType([*schema.fields, _SF(_BUCKET, IntegerType(), True)])
+        df = spark.read.schema(read_schema).parquet(path)
         if buckets is not None and _BUCKET in df.columns:
             df = df.filter(F.col(_BUCKET).isin([int(b) for b in buckets]))
-        # Align to the registered schema (post-evolution reads of
-        # pre-evolution files: added columns null, dropped pruned;
-        # also drops the internal bucket partition column).
+        # Align drops the internal bucket column and fixes nullability.
         return _align(df, schema)
 
     def vacuum(self, table_id: str, keep_last: int = 2) -> list[int]:

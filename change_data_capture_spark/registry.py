@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .apply import TableCatalog, apply_changelog
-from .changelog import dml_records, mutation_changelog, snapshot_changelog
+from .changelog import ddl_record, dml_records, mutation_changelog, snapshot_changelog
 from .envelope import rowkey_expr
 from .normalize import (
     collapse_net_changes,
@@ -1220,6 +1220,87 @@ def cdc_apply_stream(spark, sf_dir):
     )
     run_apply_stream(spark, os.path.join(root, "log"), cat, os.path.join(root, "ckpt"))
     return cat.read(spark, "tpch.nation")
+
+
+@_q(
+    "cdc_apply_multi_table",
+    """
+    SELECT 'tpch.nation' AS t, CAST(n_nationkey AS VARCHAR) AS key FROM nation
+    UNION ALL
+    SELECT 'tpch.region', CAST(r_regionkey AS VARCHAR) FROM region
+    UNION ALL
+    SELECT 'tpch.supplier', CAST(s_suppkey AS VARCHAR) FROM supplier
+    WHERE s_suppkey % 3 <> 0
+    """,
+)
+def cdc_apply_multi_table(spark, sf_dir):
+    """T3/T9 through the driver gate: one interleaved batch carrying
+    three tables' snapshots plus supplier deletes applies with per-
+    table isolation — the union of the materialized tables' keys is
+    the observable."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = _t(spark, sf_dir, "supplier")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_multi_"))
+    batch = (
+        snapshot_changelog(nation, "tpch.nation", ["n_nationkey"])
+        .unionByName(snapshot_changelog(region, "tpch.region", ["r_regionkey"]))
+        .unionByName(snapshot_changelog(supp, "tpch.supplier", ["s_suppkey"]))
+        .unionByName(
+            mutation_changelog(
+                supp,
+                "tpch.supplier",
+                ["s_suppkey"],
+                delete_where=F.col("s_suppkey") % 3 == 0,
+                delete_version=2,
+            )
+        )
+    )
+    apply_changelog(spark, batch, cat)
+    outs = []
+    for t, key in (
+        ("tpch.nation", "n_nationkey"),
+        ("tpch.region", "r_regionkey"),
+        ("tpch.supplier", "s_suppkey"),
+    ):
+        outs.append(
+            cat.read(spark, t).select(
+                F.lit(t).alias("t"), F.col(key).cast("string").alias("key")
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+@_q(
+    "cdc_schema_evolution",
+    """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'audited' END AS n_flag
+    FROM nation
+    """,
+)
+def cdc_schema_evolution(spark, sf_dir):
+    """K3 through the driver gate: snapshot on the original schema,
+    then a DDL announcing an added nullable column followed by DML
+    carrying it — pre-evolution rows read back with the new column
+    NULL, updated rows carry the value."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_evo_"))
+    apply_changelog(spark, snapshot_changelog(nation, "tpch.nation2", ["n_nationkey"]), cat)
+
+    evolved = StructType(
+        [*nation.schema.fields, StructField("n_flag", StringType(), True)]
+    )
+    flagged = nation.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_flag", F.lit("audited")
+    )
+    batch = ddl_record(spark, "tpch.nation2", evolved.json()).unionByName(
+        dml_records(flagged, "tpch.nation2", ["n_nationkey"], op="UPDATE", version=2)
+    )
+    apply_changelog(spark, batch, cat)
+    return cat.read(spark, "tpch.nation2")
 
 
 @_q("dedup_stream_exact", "SELECT doc_id, text FROM documents")

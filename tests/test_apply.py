@@ -252,3 +252,32 @@ def test_float_bool_pk_coerced_to_string(spark, tmp_path):
     apply_changelog(spark, mut, cat)
     rows = sorted_rows(cat.read(spark, "t.fk"), "kf")
     assert rows == [("0.5", "true", "A", 1.25), ("1.5", "true", "c", 3.75)]
+
+
+def test_partial_rewrite_after_evolution_keeps_new_column(spark, tmp_path):
+    """Regression: a post-evolution version mixes hard-linked old-schema
+    files with rewritten new-schema files; the read must use the
+    registered schema (not one-file parquet inference, which can sample
+    an old file and silently null the added column everywhere)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from change_data_capture_spark.changelog import ddl_record
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id bigint, v string"
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "t.evo", ["id"]), cat)
+
+    evolved = StructType([*base.schema.fields, StructField("flag", StringType(), True)])
+    # touch only a FEW keys so most buckets are hard-linked old files
+    touched = base.filter(F.col("id") < 3).withColumn("flag", F.lit("y"))
+    batch = ddl_record(spark, "t.evo", evolved.json()).unionByName(
+        dml_records(touched, "t.evo", ["id"], op="UPDATE", version=2)
+    )
+    apply_changelog(spark, batch, cat)
+
+    got = {r["id"]: r["flag"] for r in cat.read(spark, "t.evo").collect()}
+    assert len(got) == 40
+    assert all(got[i] == "y" for i in range(3))
+    assert all(got[i] is None for i in range(3, 40))
