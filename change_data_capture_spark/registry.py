@@ -1303,6 +1303,78 @@ def cdc_schema_evolution(spark, sf_dir):
     return cat.read(spark, "tpch.nation2")
 
 
+@_q("cdc_time_travel", "SELECT * FROM nation")
+def cdc_time_travel(spark, sf_dir):
+    """Catalog time travel through the driver gate: after a mutating
+    second batch, version 1 still reads back as the original
+    snapshot (versioned data dirs + atomic metadata pointer)."""
+    nation = _t(spark, sf_dir, "nation")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_tt_"))
+    apply_changelog(spark, snapshot_changelog(nation, "tpch.nation", ["n_nationkey"]), cat)
+    mut = mutation_changelog(
+        nation,
+        "tpch.nation",
+        ["n_nationkey"],
+        update_where=F.col("n_nationkey") % 2 == 0,
+        update_set={"n_name": F.upper(F.concat(F.col("n_name"), F.lit("_x")))},
+        update_version=2,
+        delete_where=F.col("n_nationkey") % 7 == 3,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    return cat.read(spark, "tpch.nation", version=1)
+
+
+@_q(
+    "cdc_vacuum_safety",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 3 = 0 THEN concat(n_name, '_v3')
+                WHEN n_nationkey % 3 = 1 THEN concat(n_name, '_v2')
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation WHERE n_nationkey % 5 <> 4
+    """,
+)
+def cdc_vacuum_safety(spark, sf_dir):
+    """Vacuum through the driver gate: after three mutating batches
+    and a vacuum(keep_last=2), the current version still reads back
+    exactly — file-level reuse (hard links) means shared files
+    survive until their last referencing version is dropped."""
+    nation = _t(spark, sf_dir, "nation")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_vac_"))
+    apply_changelog(spark, snapshot_changelog(nation, "tpch.nation", ["n_nationkey"]), cat)
+    for version, (pred, suffix) in enumerate(
+        [(F.col("n_nationkey") % 3 == 1, "_v2"), (F.col("n_nationkey") % 3 == 0, "_v3")],
+        start=2,
+    ):
+        apply_changelog(
+            spark,
+            mutation_changelog(
+                nation,
+                "tpch.nation",
+                ["n_nationkey"],
+                update_where=pred,
+                update_set={"n_name": F.concat(F.col("n_name"), F.lit(suffix))},
+                update_version=version,
+            ),
+            cat,
+        )
+    apply_changelog(
+        spark,
+        mutation_changelog(
+            nation,
+            "tpch.nation",
+            ["n_nationkey"],
+            delete_where=F.col("n_nationkey") % 5 == 4,
+            delete_version=4,
+        ),
+        cat,
+    )
+    cat.vacuum("tpch.nation", keep_last=2)
+    return cat.read(spark, "tpch.nation")
+
+
 @_q("dedup_stream_exact", "SELECT doc_id, text FROM documents")
 def dedup_stream_exact(spark, sf_dir):
     """Streaming exact dedup: the documents table is delivered TWICE
