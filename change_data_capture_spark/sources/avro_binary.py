@@ -14,13 +14,15 @@ dynamic-offset ``substring`` — so the whole decode stays in
 whole-stage codegen, vectorized across rows, no Python and no
 row-at-a-time datum reader.
 
-Covered: the full generic-wrapper frame and flat payload records of
-the Avro simple types the reference's own converter handles for
-scalars (long/int and string; ``common/AvroConverter.java:51-85``).
-Not covered (requires spark-avro or a recursive schema walker):
-unions, nested records, maps — the JSON wire in ``kafka.py`` remains
-the documented stand-in for those, with ``from_avro`` as the drop-in
-swap where the jar is deployed.
+Covered: the full generic-wrapper frame; flat payload records
+(``decode_flat_payload``); and the reference's actual NESTED payload
+shape via ``decode_record`` — nested records, union-with-null
+(``["null", X]``), single-block ``array<string>``, booleans
+(``common/AvroConverter.java:51-245``). Not covered: IEEE
+double/float fields (Spark exposes no bits->double expression) and
+multi-block arrays/maps — the JSON wire in ``kafka.py`` remains the
+stand-in there, with ``from_avro`` as the drop-in swap where the
+spark-avro jar is deployed.
 
 Layout note: every Avro long (including all length prefixes) is a
 zigzag varint of at most 10 bytes; offsets are data-dependent, so
@@ -165,3 +167,136 @@ def encode_bytes(b: bytes) -> bytes:
 def encode_generic_wrapper(table_name: str, fingerprint: int, payload: bytes) -> bytes:
     """Golden-byte encoder for the wrapper frame (test construction)."""
     return encode_string(table_name) + encode_zigzag_varint(fingerprint) + encode_bytes(payload)
+
+
+# ---------------------------------------------------------------------------
+# Nested decode: the reference's actual GoldenGate payload shape.
+#
+# A schema SPEC is: "long" | "int" | "boolean" | "string" | "bytes"
+# | ("nullable", spec)          -- Avro union ["null", X], null first
+# | ("array", "string")         -- single-block string arrays
+# | ("record", [(name, spec), ...])
+#
+# The wrapped DML payload the reference decodes row-at-a-time
+# (Normalizer.java:92-104) is exactly this shape: a record of
+# strings/longs plus primary_keys: array<string> and
+# before/after: union(null, record{col..., col_isMissing boolean...})
+# (AvroConverter.java:51-245). Doubles/floats (8/4-byte IEEE) are the
+# one simple-type gap — Spark exposes no bits->double expression —
+# and are documented as requiring spark-avro.
+#
+# Offset threading: at the TOP level each field's end offset is
+# materialized with withColumn, keeping expression size linear in the
+# column count. Inside a union branch or array the offsets stay pure
+# (conditional) expressions — decoding speculative bytes is safe
+# (varint/substr tolerate junk; the when() discards it), which is what
+# lets the whole nested walk stay inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_ARRAY_UNROLL = 8  # max items decoded per (single-block) array
+
+
+def decode_record(
+    df: DataFrame, spec, payload_col: str = "payload", out_col: str = "rec"
+) -> DataFrame:
+    """Decode an Avro binary record of ``spec`` shape from
+    ``payload_col`` into a struct column ``out_col`` — the
+    set-oriented, codegen'd equivalent of the reference's
+    ``GenericDatumReader`` loop.
+
+    EVERY intermediate (varint struct, offset, decoded value) is
+    materialized as its own projection column, including inside union
+    branches and array items: a varint decode references its offset
+    ~10 times, so a tree-shaped build is exponential in nesting depth
+    (a first version heap-OOM'd the analyzer on the GoldenGate shape).
+    Speculative decode of a not-taken union branch reads junk bytes,
+    which every primitive tolerates (conv/substring return null/empty,
+    never error) — the ``when()`` on the branch index discards it.
+    Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    aliases in place, so the linear shape survives optimization."""
+    assert spec[0] == "record"
+    hexc = F.col("__rec_hex")
+    binc = F.col(payload_col)
+    state = {"df": df.withColumn("__rec_hex", F.hex(binc)), "n": 0}
+    tmps = ["__rec_hex"]
+
+    def emit(expr: Column) -> Column:
+        name = f"__av{state['n']}"
+        state["n"] += 1
+        state["df"] = state["df"].withColumn(name, expr)
+        tmps.append(name)
+        return F.col(name)
+
+    def walk(off: Column, sp):
+        if sp in ("long", "int"):
+            v = emit(varint_at(hexc, off, _LONG_MAX))
+            val = v["value"].cast("int") if sp == "int" else v["value"]
+            return val, emit(off + v["width"])
+        if sp == "boolean":
+            return _byte_at(hexc, off) == 1, emit(off + 1)
+        if sp in ("string", "bytes"):
+            v = emit(varint_at(hexc, off, _LEN_MAX))
+            start = emit(off + v["width"])
+            raw = F.substring(binc, (start + 1).cast("int"), v["value"].cast("int"))
+            val = raw.cast("string") if sp == "string" else raw
+            return val, emit(start + v["value"])
+        kind = sp[0]
+        if kind == "nullable":
+            b = emit(varint_at(hexc, off, _LEN_MAX))  # union index: 0=null
+            inner_off = emit(off + b["width"])
+            ival, iend = walk(inner_off, sp[1])
+            ival = emit(ival)
+            val = F.when(b["value"] == 1, ival)
+            end = emit(F.when(b["value"] == 1, iend).otherwise(inner_off))
+            return val, end
+        if kind == "array":
+            assert sp[1] == "string", "only array<string> is needed/supported"
+            c = emit(varint_at(hexc, off, _LEN_MAX))
+            n = c["value"]
+            first = emit(off + c["width"])
+            cur, items, ends = first, [], []
+            for _ in range(_ARRAY_UNROLL):
+                iv, cur = walk(cur, "string")
+                items.append(emit(iv))
+                ends.append(cur)
+            end_items: Column = first  # offset after 0 items
+            for i in range(_ARRAY_UNROLL):
+                end_items = F.when(n == i + 1, ends[i]).otherwise(end_items)
+            # terminator varint (0) follows any non-empty block
+            term = F.when(n > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            val = F.slice(F.array(*items), 1, F.greatest(n, F.lit(0)).cast("int"))
+            return val, emit(end_items + term)
+        if kind == "record":
+            fields, cur = [], off
+            for name, fspec in sp[1]:
+                fv, cur = walk(cur, fspec)
+                fields.append(emit(fv).alias(name))
+            return F.struct(*fields), cur
+        raise ValueError(f"unsupported avro spec: {sp!r}")
+
+    val, _ = walk(emit(F.lit(0).cast("long")), spec)
+    out = state["df"].withColumn(out_col, val)
+    return out.drop(*tmps)
+
+
+# --- Python-side encoders for the nested shapes (golden-byte tests) ---
+
+
+def encode_boolean(b: bool) -> bytes:
+    return bytes([1 if b else 0])
+
+
+def encode_nullable(value_bytes: bytes | None) -> bytes:
+    """Union ["null", X]: branch index 0 (null) or 1 + payload."""
+    if value_bytes is None:
+        return encode_zigzag_varint(0)
+    return encode_zigzag_varint(1) + value_bytes
+
+
+def encode_string_array(items: list[str]) -> bytes:
+    if not items:
+        return encode_zigzag_varint(0)
+    out = encode_zigzag_varint(len(items))
+    for s in items:
+        out += encode_string(s)
+    return out + encode_zigzag_varint(0)  # block terminator

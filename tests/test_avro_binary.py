@@ -100,3 +100,109 @@ def test_wrapper_then_payload_end_to_end(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+GG_ROW_SPEC = (
+    "record",
+    [
+        ("table", "string"),
+        ("op_type", "string"),
+        ("op_ts", "string"),
+        ("pos", "long"),
+        ("primary_keys", ("array", "string")),
+        (
+            "before",
+            (
+                "nullable",
+                (
+                    "record",
+                    [
+                        ("s_suppkey", "long"),
+                        ("s_suppkey_isMissing", "boolean"),
+                        ("s_name", "string"),
+                        ("s_name_isMissing", "boolean"),
+                    ],
+                ),
+            ),
+        ),
+        (
+            "after",
+            (
+                "nullable",
+                (
+                    "record",
+                    [
+                        ("s_suppkey", "long"),
+                        ("s_suppkey_isMissing", "boolean"),
+                        ("s_name", "string"),
+                        ("s_name_isMissing", "boolean"),
+                    ],
+                ),
+            ),
+        ),
+    ],
+)
+
+
+def _enc_inner(key, name, key_missing=False, name_missing=False):
+    return (
+        ab.encode_zigzag_varint(key)
+        + ab.encode_boolean(key_missing)
+        + ab.encode_string(name)
+        + ab.encode_boolean(name_missing)
+    )
+
+
+def _enc_gg_row(table, op, ts, pos, pks, before, after):
+    return (
+        ab.encode_string(table)
+        + ab.encode_string(op)
+        + ab.encode_string(ts)
+        + ab.encode_zigzag_varint(pos)
+        + ab.encode_string_array(pks)
+        + ab.encode_nullable(before)
+        + ab.encode_nullable(after)
+    )
+
+
+def test_nested_gg_payload_decode(spark):
+    """The reference's wrapped-DML payload shape (Normalizer.java:92-104,
+    AvroConverter.java:51-245): nested records, null/non-null unions,
+    string arrays, _isMissing booleans — decoded via decode_record."""
+    cases = [
+        # INSERT: before null, after present
+        ("gg.supplier", "I", "2020-01-01 00:00:00", 7,
+         ["s_suppkey"], None, _enc_inner(42, "alice")),
+        # DELETE: before present, after null
+        ("gg.supplier", "D", "2020-01-02 11:22:33", -9,
+         ["s_suppkey", "s_name"], _enc_inner(43, "bob", name_missing=True), None),
+        # UPDATE: both sides, empty pk array
+        ("gg.supplier", "U", "", 2**40, [], _enc_inner(44, ""), _enc_inner(44, "carol")),
+    ]
+    rows = [
+        (i, _enc_gg_row(*c)) for i, c in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i int, payload binary")
+    out = ab.decode_record(df, GG_ROW_SPEC).orderBy("i").select("i", "rec").collect()
+
+    r0 = out[0]["rec"]
+    assert r0["table"] == "gg.supplier" and r0["op_type"] == "I" and r0["pos"] == 7
+    assert r0["primary_keys"] == ["s_suppkey"]
+    assert r0["before"] is None
+    assert r0["after"]["s_suppkey"] == 42 and r0["after"]["s_name"] == "alice"
+    assert r0["after"]["s_name_isMissing"] is False
+
+    r1 = out[1]["rec"]
+    assert r1["op_type"] == "D" and r1["pos"] == -9
+    assert r1["primary_keys"] == ["s_suppkey", "s_name"]
+    assert r1["after"] is None
+    assert r1["before"]["s_suppkey"] == 43 and r1["before"]["s_name_isMissing"] is True
+
+    r2 = out[2]["rec"]
+    assert r2["op_type"] == "U" and r2["pos"] == 2**40
+    assert r2["primary_keys"] == []
+    assert r2["before"]["s_name"] == "" and r2["after"]["s_name"] == "carol"
+
+    plan = ab.decode_record(df, GG_ROW_SPEC)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
