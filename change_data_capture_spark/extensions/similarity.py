@@ -27,17 +27,42 @@ def as_double_vec(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a, b) -> F.Column:
-    """Sequential left-to-right double fold (bit-deterministic)."""
+def dot(a, b, dim: int | None = None) -> F.Column:
+    """Sequential left-to-right double dot product (bit-deterministic:
+    the addition chain is left-associated, matching a scalar engine's
+    in-order reduction).
+
+    With ``dim`` known, the product unrolls to ``element_at`` terms —
+    plain codegen'd expressions. Without it, the higher-order
+    ``aggregate(zip_with(...))`` fold is used, which Spark interprets
+    per element (~3x slower in the pairwise hot path: the quadratic
+    embedding near-dup verify dropped 57s -> 18s at sf0.1 from this
+    unroll). Both forms produce IEEE-identical sums.
+
+    ONLY unroll single-pair expressions. A projection that fuses many
+    unrolled dots (16 centroid cosines in one array, 8 hyperplane
+    signs in one hash) exceeds the JVM 64KB method limit, FAILS
+    whole-stage codegen, and the entire stage falls back to
+    interpreted eval — measured 82s vs 57s for the bucketed dedup when
+    the centroid assignment was unrolled. Multi-dot expressions keep
+    the HOF fold (dim=None)."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a) -> F.Column:
-    return F.sqrt(dot(a, a))
+def norm(a, dim: int | None = None) -> F.Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a, b) -> F.Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b, dim: int | None = None) -> F.Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -45,6 +70,7 @@ def brute_force_topk(
     queries: DataFrame,
     *,
     k: int = 5,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -64,7 +90,7 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # rank on the ROUNDED score so cross-engine ulp noise cannot
         # reorder near-ties; neighbor id breaks exact ties
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -95,6 +121,8 @@ def lsh_bucket_expr(vec_col, dim: int, planes: int = 8) -> F.Column:
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        # HOF fold on purpose: `planes` unrolled dots fused into one
+        # projection overflow the codegen method limit (see dot()).
         bit = F.when(dot(vec_col, hp) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseXOR(F.shiftleft(bit, p))
     return bucket
@@ -137,7 +165,7 @@ def lsh_ann_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
         # a (query, neighbor) pair can meet in several probed buckets
         .select("query_id", "neighbor_id", "qv", "cv", "score")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -157,6 +185,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 2,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -189,7 +218,7 @@ def ivf_ann_topk(
 
     def assign(df, vec, n_best, out_cols):
         scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "__sim", F.round(cosine(F.col(vec), F.col("centroid")), 6)
+            "__sim", F.round(cosine(F.col(vec), F.col("centroid"), dim), 6)
         )
         w = Window.partitionBy(out_cols[0]).orderBy(
             F.col("__sim").desc(), F.col("list_id").asc()
@@ -205,7 +234,7 @@ def ivf_ann_topk(
     scored = (
         lists.join(probes, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
         # a corpus vector can appear in several probed lists of the
         # same query — dedupe before ranking
         .select("query_id", "neighbor_id", "score")
@@ -223,6 +252,7 @@ def embedding_near_duplicates(
     vectors: DataFrame,
     *,
     threshold: float = 0.4,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -236,7 +266,7 @@ def embedding_near_duplicates(
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn("score", cosine(F.col("va"), F.col("vb"), dim))
         .filter(F.col("score") >= threshold)
         .select("a_id", "b_id", F.round("score", 6).alias("score"))
     )
@@ -247,6 +277,7 @@ def embedding_near_duplicates_bucketed(
     *,
     threshold: float = 0.4,
     n_lists: int = 16,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -307,6 +338,8 @@ def embedding_near_duplicates_bucketed(
     sims = F.array(
         *[
             F.struct(
+                # HOF fold on purpose: n_lists unrolled cosines in one
+                # array overflow the codegen method limit (see dot()).
                 cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
                 F.lit(cid).cast("long").alias("list_id"),
             )
@@ -314,12 +347,15 @@ def embedding_near_duplicates_bucketed(
         ]
     )
     best = F.array_max(sims)
+    # Persisted: the radii action below materializes it, and both pair
+    # join sides then read the cache instead of re-running the
+    # 16-cosine assignment projection (one narrow row per vector).
     assigned = e.select(
         "id",
         "v",
         best["list_id"].alias("list_id"),
         F.acos(F.least(F.greatest(best["sim"], F.lit(-1.0)), F.lit(1.0))).alias("theta"),
-    )
+    ).persist()
 
     # list radii: one tiny action (n_lists rows), then pure-Python
     # list-pair pruning against the centroid angle matrix.
@@ -351,7 +387,7 @@ def embedding_near_duplicates_bucketed(
         a.join(F.broadcast(cand), "list_a")
         .join(b, "list_b")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn("score", cosine(F.col("va"), F.col("vb"), dim))
         .filter(F.col("score") >= threshold)
         .select("a_id", "b_id", F.round("score", 6).alias("score"))
     )

@@ -2018,7 +2018,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     twin for the bucketed primary below; never the op to run at
     corpus scale."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+    return similarity.embedding_near_duplicates(emb, threshold=0.4, dim=64)
 
 
 @_q(
@@ -2042,7 +2042,7 @@ def dedup_embedding_bucketed(spark, sf_dir):
     similarity.embedding_near_duplicates_bucketed for why sign-LSH
     cannot serve at threshold 0.4."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates_bucketed(emb, threshold=0.4, n_lists=16)
+    return similarity.embedding_near_duplicates_bucketed(emb, threshold=0.4, n_lists=16, dim=64)
 
 
 @_q(
@@ -2067,7 +2067,7 @@ def dedup_embedding_bucketed(spark, sf_dir):
 def ann_topk_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.brute_force_topk(emb, queries, k=5, dim=64)
 
 
 @_q("ann_lsh_bucketed", None)  # approximate: recall < 1 by design -> rows-only check
@@ -2081,7 +2081,7 @@ def ann_lsh_bucketed(spark, sf_dir):
 def ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2)
+    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=64)
 
 
 @_q(
@@ -3137,7 +3137,7 @@ def embedding_cluster_assign(spark, sf_dir):
     scored = e.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "centroid_id",
-        F.round(similarity.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        F.round(similarity.cosine(F.col("v"), F.col("cv"), 64), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return (
