@@ -250,3 +250,35 @@ def contamination_ratio(
             ).alias("contamination"),
         )
     )
+
+
+def rarity_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-relative rarity/commonness proxy (the CCNet-style signal
+    for keeping rare, information-dense documents): per doc, the mean
+    document frequency of its DISTINCT tokens — low means the doc uses
+    vocabulary few other docs use. Deliberately integer-exact: the
+    aggregate is a sum of integer dfs, and the only floating-point op
+    is one final division of two exact integers — no log, no
+    order-dependent double accumulation, so the score is bit-identical
+    across engines, runs, and partitionings.
+
+    Two hash shuffles (distinct tokens, df counts) + one broadcast-
+    eligible join back — the same shape as the tf-idf operator."""
+    tok = tokens(docs, id_col=id_col, text_col=text_col).filter(F.col("token") != "").distinct()
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tok.join(dfreq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("df").cast("bigint").alias("df_sum"),
+        )
+        .select(
+            id_col,
+            "n_distinct_tokens",
+            "df_sum",
+            F.round(
+                F.col("df_sum").cast("double") / F.col("n_distinct_tokens"), 6
+            ).alias("commonness"),
+        )
+    )

@@ -2045,6 +2045,44 @@ def dedup_embedding_bucketed(spark, sf_dir):
     return similarity.embedding_near_duplicates_bucketed(emb, threshold=0.4, n_lists=16, dim=64)
 
 
+_EMB_PAIRS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COSINE.format(a='a.v', b='b.v')} >= 0.4
+"""
+
+
+@_q(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS ({_EMB_PAIRS_ORACLE}),
+    e2 AS (SELECT a_id AS u, b_id AS v FROM p
+           UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e2)
+      UNION
+      SELECT e2.u, r.v FROM e2 JOIN reach r ON e2.v = r.u
+    )
+    SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    """Connected components over the bucketed embedding near-dup pairs
+    (the keep-one-per-cluster step of an embedding dedup pipeline) —
+    same min-label propagation engine as dedup_clusters, fed by the
+    ball-partitioned pair finder, vs a recursive-CTE closure oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_bucketed(
+        emb, threshold=0.4, n_lists=16, dim=64
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 @_q(
     "ann_topk_bruteforce",
     f"""
@@ -2954,6 +2992,31 @@ def q_salted_join_parity(spark, sf_dir):
         F.count("*").alias("n"),
         _dsum("value").alias("total_value"),
     )
+
+
+@_q(
+    "text_rarity_score",
+    r"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents) s
+      WHERE token <> ''
+    ),
+    dfr AS (SELECT token, count(*) AS df FROM t GROUP BY token)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(dfr.df) AS BIGINT) AS df_sum,
+           round(CAST(sum(dfr.df) AS DOUBLE) / count(*), 6) AS commonness
+    FROM t JOIN dfr USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark, sf_dir):
+    """Corpus-relative rarity proxy: mean document frequency of each
+    doc's distinct tokens, integer-exact by construction
+    (extensions/text.rarity_scores)."""
+    return text.rarity_scores(_t(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -96,6 +96,7 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         "q_histogram_totalprice",
         "sample_stratified_docs",
         "q_salted_heavy_agg",
+        "text_rarity_score",
         "text_decontaminate_pairs",
         "text_contamination_ratio",
         "corpus_budget_sample",
