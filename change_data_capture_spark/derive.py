@@ -1,0 +1,90 @@
+"""Incrementally-maintained derived tables (materialized aggregates)
+over CDC-applied base tables.
+
+The reference stops at upserting rows into a keyed store; a warehouse
+consuming a change feed almost always maintains aggregates over it.
+This module adds that as a first-class engine feature: a GROUP BY
+materialization refreshed per batch by recomputing ONLY the groups a
+batch touched — O(changed groups), not O(table) — with the same
+versioned-publish/idempotence contract as the row store.
+
+Incremental rule (set-oriented, exact):
+  changed_pks = distinct PKs in the catalog change feed between the
+                two versions (inserts, deletes, updates)
+  affected    = group keys of the OLD version's rows at changed PKs
+                UNION group keys of the change-feed rows — covering
+                both the pre-image group (a group-moving update or a
+                delete must drop its old contribution) and the
+                post-image group
+  fresh       = full aggregation of the post-apply base restricted to
+                the affected groups (one semi-join scan; group-pruned)
+  next        = previous materialization ANTI JOIN affected UNION fresh
+
+Scale: the anti-join keys are the affected group set (small); the
+fresh aggregation semi-joins the base on its group key before
+aggregating, so a 100 TB base is touched only on the changed groups'
+partitions. Correctness is engine-checked in tests by comparing
+against a full recomputation after every batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .apply import TableCatalog
+
+
+def maintain_aggregate(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    base_table: str,
+    group_keys: Sequence[str],
+    aggs: dict[str, Column],
+    *,
+    prev: DataFrame | None = None,
+    from_version: int | None = None,
+) -> DataFrame:
+    """Return the maintained aggregate of ``base_table``.
+
+    - ``prev is None``: full initial materialization (one aggregation
+      of the base).
+    - otherwise: incremental refresh — group keys touched between
+      ``from_version`` and the current version (via the catalog's
+      change feed) are dropped from ``prev`` and recomputed from the
+      current base; untouched groups pass through untouched.
+
+    ``aggs`` maps output column name -> aggregate Column (caller
+    routes double sums through DECIMAL per the determinism rules).
+    """
+    keys = list(group_keys)
+    base = catalog.read(spark, base_table)
+    agg_exprs = [expr.alias(name) for name, expr in aggs.items()]
+    if prev is None:
+        return base.groupBy(*keys).agg(*agg_exprs)
+    assert from_version is not None, "incremental refresh needs from_version"
+
+    meta = catalog.meta(base_table)
+    pks = list(meta["pks"])
+    changes = catalog.table_changes(spark, base_table, from_version)
+    changed_pks = changes.select(*pks).distinct()
+    # pre-image groups: the OLD version's rows at changed PKs (a
+    # group-moving update or delete must drop its old contribution);
+    # post-image groups: the change-feed rows themselves
+    old = catalog.read(spark, base_table, version=from_version)
+    affected = (
+        old.join(changed_pks, pks, "left_semi")
+        .select(*keys)
+        .unionByName(changes.select(*keys))
+        .distinct()
+    )
+
+    fresh = (
+        base.join(affected, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(*agg_exprs)
+    )
+    kept = prev.join(affected, keys, "left_anti")
+    return kept.unionByName(fresh)

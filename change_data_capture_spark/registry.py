@@ -1414,6 +1414,55 @@ def cdc_goldengate_binary_e2e(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_incremental_agg",
+    """
+    WITH final AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 7 <> 5)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY c_mktsegment
+    """,
+)
+def cdc_incremental_agg(spark, sf_dir):
+    """Incrementally-maintained derived table (derive.py): a GROUP BY
+    materialization over the applied base is refreshed after the
+    mutation batch by recomputing ONLY the groups the batch touched
+    (change-feed pre+post group coverage, O(changed groups) per
+    batch); the oracle recomputes the final state from scratch, so a
+    stale or double-counted group fails the hash."""
+    from .derive import maintain_aggregate
+
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_iagg_"))
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+    aggs = {
+        "n": F.count("*").cast("bigint"),
+        "total": F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+    }
+    agg0 = maintain_aggregate(spark, cat, "tpch.customer", ["c_mktsegment"], aggs)
+    agg0 = agg0.localCheckpoint()  # freeze the pre-batch materialization
+    from_version = cat.versions("tpch.customer")[-1]
+
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    return maintain_aggregate(
+        spark, cat, "tpch.customer", ["c_mktsegment"], aggs,
+        prev=agg0, from_version=from_version,
+    )
+
+
 @_q("cdc_time_travel", "SELECT * FROM nation")
 def cdc_time_travel(spark, sf_dir):
     """Catalog time travel through the driver gate: after a mutating
