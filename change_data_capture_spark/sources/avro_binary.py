@@ -217,14 +217,33 @@ def decode_record(
     assert spec[0] == "record"
     hexc = F.col("__rec_hex")
     binc = F.col(payload_col)
-    state = {"df": df.withColumn("__rec_hex", F.hex(binc)), "n": 0}
+    # Intermediates are emitted as LATERAL column aliases (each alias
+    # may reference earlier aliases in the same projection, Spark
+    # 3.4+), flushed in bounded batches: one withColumn per
+    # intermediate re-runs the analyzer on the whole growing plan
+    # (O(n^2) — ~20s of pure analysis for the ~60-step GoldenGate
+    # chain), while a SINGLE select with 60 chained lateral aliases
+    # trips an internal analyzer error at depth. Batches of 10 keep
+    # per-select lateral depth shallow and cut analysis passes ~6x.
+    pending: list[tuple[str, Column]] = [("__rec_hex", F.hex(binc))]
     tmps = ["__rec_hex"]
+    state = {"n": 0, "df": df}
+    _FLUSH_AT = 10
+
+    def flush() -> None:
+        if pending:
+            state["df"] = state["df"].select(
+                "*", *[e.alias(n) for n, e in pending]
+            )
+            pending.clear()
 
     def emit(expr: Column) -> Column:
         name = f"__av{state['n']}"
         state["n"] += 1
-        state["df"] = state["df"].withColumn(name, expr)
+        pending.append((name, expr))
         tmps.append(name)
+        if len(pending) >= _FLUSH_AT:
+            flush()
         return F.col(name)
 
     def walk(off: Column, sp):
@@ -275,6 +294,7 @@ def decode_record(
         raise ValueError(f"unsupported avro spec: {sp!r}")
 
     val, _ = walk(emit(F.lit(0).cast("long")), spec)
+    flush()
     out = state["df"].withColumn(out_col, val)
     return out.drop(*tmps)
 
