@@ -17,9 +17,14 @@ row-at-a-time datum reader.
 Covered: the full generic-wrapper frame; flat payload records
 (``decode_flat_payload``); and the reference's actual NESTED payload
 shape via ``decode_record`` — nested records, union-with-null
-(``["null", X]``), single-block ``array<string>``, booleans
-(``common/AvroConverter.java:51-245``). Not covered: IEEE
-double/float fields (Spark exposes no bits->double expression) and
+(``["null", X]``), single-block ``array<string>``, booleans, and
+IEEE double/float fields (``common/AvroConverter.java:51-245``).
+Spark exposes no bits->double expression, so doubles are
+reconstructed from integer bit math: ``sign * (frac + 2^52) *
+2^(exp-1075)`` — every factor and the result are exactly
+representable, and IEEE multiplication is correctly rounded, so the
+decode is EXACT for all bit patterns (normals, denormals, ±0, ±inf,
+NaN; property-tested against ``struct.unpack``). Not covered:
 multi-block arrays/maps — the JSON wire in ``kafka.py`` remains the
 stand-in there, with ``from_avro`` as the drop-in swap where the
 spark-avro jar is deployed.
@@ -68,6 +73,61 @@ def varint_at(hex_col: Column, off: Column, max_bytes: int = _LONG_MAX) -> Colum
     return F.struct(value.alias("value"), width.alias("width"))
 
 
+def _le_bits(hex_col: Column, off: Column, nbytes: int) -> Column:
+    """Little-endian unsigned read of ``nbytes`` bytes as a long.
+    Avro stores float/double as little-endian IEEE bytes (public Avro
+    spec); byte i contributes bits [8i, 8i+8). Disjoint groups combine
+    with OR — byte 7 shifted to bit 56 can set the sign bit, which OR
+    handles and ANSI addition would not."""
+    bits = F.lit(0).cast("long")
+    for i in range(nbytes):
+        bits = bits.bitwiseOR(F.shiftleft(_byte_at(hex_col, off + i), 8 * i))
+    return bits
+
+
+def double_from_bits(bits: Column) -> Column:
+    """IEEE-754 binary64 from its bit pattern, in pure Catalyst.
+
+    value = sign * (frac + 2^52) * 2^(exp-1075) for normals,
+    sign * frac * 2^-1074 for denormals. Each factor is exactly
+    representable and the true product IS the encoded double, so the
+    correctly-rounded IEEE multiply returns it exactly — verified
+    against ``struct.unpack`` over normals/denormals/±0/±inf/NaN
+    (tests/test_avro_binary.py)."""
+    sign = F.when(bits < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftrightunsigned(bits, 52).bitwiseAND(F.lit(0x7FF))
+    frac = bits.bitwiseAND(F.lit((1 << 52) - 1))
+    mant = (frac + F.lit(1 << 52)).cast("double")
+    val_norm = sign * mant * F.pow(F.lit(2.0), (exp - 1075).cast("double"))
+    val_denorm = sign * frac.cast("double") * F.pow(F.lit(2.0), F.lit(-1074.0))
+    val_special = F.when(frac == 0, sign * F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    return (
+        F.when(exp == 2047, val_special)
+        .when(exp == 0, val_denorm)
+        .otherwise(val_norm)
+    )
+
+
+def float_from_bits(bits: Column) -> Column:
+    """IEEE-754 binary32 from its (unsigned, < 2^32) bit pattern.
+    Same exactness argument as :func:`double_from_bits`; computed in
+    double and cast to float at the end (every binary32 value is
+    exactly representable in binary64, and the final cast is exact)."""
+    sign = F.when(F.shiftrightunsigned(bits, 31) == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftrightunsigned(bits, 23).bitwiseAND(F.lit(0xFF))
+    frac = bits.bitwiseAND(F.lit((1 << 23) - 1))
+    mant = (frac + F.lit(1 << 23)).cast("double")
+    val_norm = sign * mant * F.pow(F.lit(2.0), (exp - 150).cast("double"))
+    val_denorm = sign * frac.cast("double") * F.pow(F.lit(2.0), F.lit(-149.0))
+    val_special = F.when(frac == 0, sign * F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    return (
+        F.when(exp == 255, val_special)
+        .when(exp == 0, val_denorm)
+        .otherwise(val_norm)
+        .cast("float")
+    )
+
+
 def decode_generic_wrapper(df: DataFrame, bin_col: str = "value") -> DataFrame:
     """Decode the generic-wrapper frame (``Normalizer.java:124-140``):
     appends ``table_name`` (string), ``schema_fingerprint`` (long) and
@@ -104,9 +164,10 @@ def decode_flat_payload(
 ) -> DataFrame:
     """Decode a flat Avro record of simple-typed fields from
     ``payload_col``: ``fields`` is the record's (name, type) list in
-    schema order, type in {'long', 'int', 'string'}. Appends one typed
-    column per field (ints/longs zigzag varints, strings
-    varint-length-framed UTF-8) — the simple-type subset of the
+    schema order, type in {'long', 'int', 'string', 'double',
+    'float'}. Appends one typed column per field (ints/longs zigzag
+    varints, strings varint-length-framed UTF-8, doubles/floats
+    fixed-width little-endian IEEE) — the simple-type subset of the
     reference's datum-reader path (``AvroConverter.java:51-85``),
     vectorized as one Catalyst projection."""
     h = "__fp_hex"
@@ -129,6 +190,12 @@ def decode_flat_payload(
                 ).cast("string"),
             )
             off = start + F.col(f"{v}.value")
+        elif ftype == "double":
+            out = out.withColumn(name, double_from_bits(_le_bits(F.col(h), off, 8)))
+            off = off + 8
+        elif ftype == "float":
+            out = out.withColumn(name, float_from_bits(_le_bits(F.col(h), off, 4)))
+            off = off + 4
         else:  # pragma: no cover - guarded by callers
             raise ValueError(f"unsupported flat-payload type {ftype!r} for field {name!r}")
         # materialize the running offset per field to keep the
@@ -173,6 +240,7 @@ def encode_generic_wrapper(table_name: str, fingerprint: int, payload: bytes) ->
 # Nested decode: the reference's actual GoldenGate payload shape.
 #
 # A schema SPEC is: "long" | "int" | "boolean" | "string" | "bytes"
+# | "double" | "float"               -- fixed-width LE IEEE
 # | ("nullable", spec)          -- Avro union ["null", X], null first
 # | ("array", "string")         -- single-block string arrays
 # | ("record", [(name, spec), ...])
@@ -181,9 +249,9 @@ def encode_generic_wrapper(table_name: str, fingerprint: int, payload: bytes) ->
 # (Normalizer.java:92-104) is exactly this shape: a record of
 # strings/longs plus primary_keys: array<string> and
 # before/after: union(null, record{col..., col_isMissing boolean...})
-# (AvroConverter.java:51-245). Doubles/floats (8/4-byte IEEE) are the
-# one simple-type gap — Spark exposes no bits->double expression —
-# and are documented as requiring spark-avro.
+# (AvroConverter.java:51-245). Doubles/floats are fixed-width
+# little-endian IEEE bytes, rebuilt exactly via integer bit math
+# (double_from_bits / float_from_bits above).
 #
 # Offset threading: at the TOP level each field's end offset is
 # materialized with withColumn, keeping expression size linear in the
@@ -253,6 +321,10 @@ def decode_record(
             return val, emit(off + v["width"])
         if sp == "boolean":
             return _byte_at(hexc, off) == 1, emit(off + 1)
+        if sp == "double":
+            return double_from_bits(_le_bits(hexc, off, 8)), emit(off + 8)
+        if sp == "float":
+            return float_from_bits(_le_bits(hexc, off, 4)), emit(off + 4)
         if sp in ("string", "bytes"):
             v = emit(varint_at(hexc, off, _LEN_MAX))
             start = emit(off + v["width"])
@@ -304,6 +376,18 @@ def decode_record(
 
 def encode_boolean(b: bool) -> bytes:
     return bytes([1 if b else 0])
+
+
+def encode_double(v: float) -> bytes:
+    import struct as _struct
+
+    return _struct.pack("<d", v)
+
+
+def encode_float(v: float) -> bytes:
+    import struct as _struct
+
+    return _struct.pack("<f", v)
 
 
 def encode_nullable(value_bytes: bytes | None) -> bytes:
