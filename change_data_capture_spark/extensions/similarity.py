@@ -39,6 +39,13 @@ def dot(a, b, dim: int | None = None) -> F.Column:
     embedding near-dup verify dropped 57s -> 18s at sf0.1 from this
     unroll). Both forms produce IEEE-identical sums.
 
+    The unroll is NOT free: a ~200-node expression tree costs ~1.3 s
+    of driver-side analysis/optimization per query build (measured; the
+    HOF form plans in 0.23 s). Unroll ONLY where the per-pair work
+    dominates — O(N^2)-pair verify stages — and keep the HOF fold for
+    candidate-join ANN scoring, where candidates per query are ~N/2^P
+    and plan cost would dominate the run.
+
     ONLY unroll single-pair expressions. A projection that fuses many
     unrolled dots (16 centroid cosines in one array, 8 hyperplane
     signs in one hash) exceeds the JVM 64KB method limit, FAILS
@@ -85,12 +92,17 @@ def brute_force_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
+    score = (
+        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        if dim is not None
+        else F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # rank on the ROUNDED score so cross-engine ulp noise cannot
         # reorder near-ties; neighbor id breaks exact ties
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
+        .withColumn("score", score)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -98,6 +110,31 @@ def brute_force_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("score", 6).alias("score"))
     )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the left-to-right HOF dot fold — parses to the
+    EXACT Catalyst tree the Column form builds (same fold order, same
+    IEEE sums), but reaches the JVM in ONE Py4J call. The Column API
+    pays a socket round trip per function node (~0.25 ms each); a
+    bucket expression built per-element was measured at ~1 s of pure
+    Py4J latency per query build."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+def _array_sql(values) -> str:
+    """array<double> literal as SQL text. repr() is the shortest
+    round-trip form; the D suffix forces DoubleType in the parser."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in values) + ")"
 
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
@@ -116,16 +153,22 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def lsh_bucket_expr(vec_col, dim: int, planes: int = 8) -> F.Column:
-    """Sign-pattern bucket id from `planes` fixed hyperplanes."""
-    bucket = F.lit(0).cast("long")
+def lsh_bucket_expr(vec_sql: str, dim: int, planes: int = 8) -> F.Column:
+    """Sign-pattern bucket id from `planes` fixed hyperplanes.
+
+    ``vec_sql`` is the SQL name/fragment of an array<double> column.
+    The whole expression — hyperplane array literals included — is
+    assembled as ONE SQL string and shipped in a single F.expr call
+    (see _dot_sql for why). HOF folds on purpose: `planes` unrolled
+    dots fused into one projection overflow the codegen method limit
+    (see dot())."""
+    parts = []
     for p in range(planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        # HOF fold on purpose: `planes` unrolled dots fused into one
-        # projection overflow the codegen method limit (see dot()).
-        bit = F.when(dot(vec_col, hp) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, p))
-    return bucket
+        hp = _array_sql(_hyperplane(dim, p))
+        parts.append(
+            f"shiftleft(if({_dot_sql(vec_sql, hp)} > 0, 1L, 0L), {p})"
+        )
+    return F.expr(" ^ ".join(parts))
 
 
 def lsh_ann_topk(
@@ -136,6 +179,7 @@ def lsh_ann_topk(
     dim: int = 64,
     planes: int = 8,
     multi_probe: int = 1,
+    unroll_score: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -147,10 +191,15 @@ def lsh_ann_topk(
     distance 1 from the query's sign pattern (flip each plane bit) —
     near neighbors that straddle one hyperplane land there, which is
     the dominant miss mode; probing is query-side only, so the corpus
-    index stays one row per vector."""
+    index stays one row per vector.
+
+    ``unroll_score`` controls the cosine form: the default HOF fold
+    plans fast and is right for the bucketed candidate volume; flip it
+    on only if a profile shows per-pair scoring dominating (see
+    dot())."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), dim, planes))
+    ).withColumn("bucket", lsh_bucket_expr("qv", dim, planes))
     if multi_probe >= 1:
         probes = F.array(
             F.col("bucket"),
@@ -161,13 +210,20 @@ def lsh_ann_topk(
         )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("cv"), dim, planes))
+    ).withColumn("bucket", lsh_bucket_expr("cv", dim, planes))
+    score = (
+        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        if unroll_score
+        else F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
-        # a (query, neighbor) pair can meet in several probed buckets
-        .select("query_id", "neighbor_id", "qv", "cv", "score")
+        .withColumn("score", score)
+        # a (query, neighbor) pair can meet in several probed buckets;
+        # dedupe AFTER projecting the vectors away — the duplicate-drop
+        # shuffle moves (ids, score), not two 64-double arrays per row
+        .select("query_id", "neighbor_id", "score")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -217,9 +273,12 @@ def ivf_ann_topk(
     )
 
     def assign(df, vec, n_best, out_cols):
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "__sim", F.round(cosine(F.col(vec), F.col("centroid"), dim), 6)
+        sim = (
+            F.round(cosine(F.col(vec), F.col("centroid"), dim), 6)
+            if dim is not None
+            else F.expr(f"round({_cosine_sql(vec, 'centroid')}, 6)")
         )
+        scored = df.crossJoin(F.broadcast(cent)).withColumn("__sim", sim)
         w = Window.partitionBy(out_cols[0]).orderBy(
             F.col("__sim").desc(), F.col("list_id").asc()
         )
@@ -231,10 +290,15 @@ def ivf_ann_topk(
 
     lists = assign(c, "cv", 1, ["neighbor_id"]).join(c, "neighbor_id")
     probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
+    pair_score = (
+        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        if dim is not None
+        else F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")
+    )
     scored = (
         lists.join(probes, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv"), dim), 6))
+        .withColumn("score", pair_score)
         # a corpus vector can appear in several probed lists of the
         # same query — dedupe before ranking
         .select("query_id", "neighbor_id", "score")
@@ -334,17 +398,20 @@ def embedding_near_duplicates_bucketed(
 
     # nearest-centroid assignment as a projection: array_max over
     # (cosine, list_id) structs — ties to the larger list id,
-    # deterministic. Stays in whole-stage codegen.
-    sims = F.array(
-        *[
-            F.struct(
-                # HOF fold on purpose: n_lists unrolled cosines in one
-                # array overflow the codegen method limit (see dot()).
-                cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                F.lit(cid).cast("long").alias("list_id"),
-            )
+    # deterministic. Stays in whole-stage codegen. HOF folds on
+    # purpose (n_lists unrolled cosines in one array overflow the
+    # codegen method limit, see dot()); the WHOLE array — centroid
+    # literals and all — is one SQL string / one Py4J call (see
+    # _dot_sql: the per-element Column form spent ~1.4 s per build in
+    # socket round trips at n_lists=16 x dim=64).
+    sims = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('sim', {_cosine_sql('v', _array_sql(cv))}, "
+            f"'list_id', {int(cid)}L)"
             for cid, cv in cents
-        ]
+        )
+        + ")"
     )
     best = F.array_max(sims)
     # Persisted: the radii action below materializes it, and both pair

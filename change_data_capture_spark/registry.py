@@ -2152,9 +2152,14 @@ def dedup_embedding_clusters(spark, sf_dir):
     """,
 )
 def ann_topk_bruteforce(spark, sf_dir):
+    # dim=None (HOF cosine): ANN scoring is candidate-join-shaped, so
+    # driver-side planning of an unrolled 64-dim cosine (~1.3 s) would
+    # dominate; the fold's interpreted per-element cost is negligible
+    # at Q*N candidate volume. See similarity.dot for the measured
+    # tradeoff (the O(N^2) verify stages keep the unroll).
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.brute_force_topk(emb, queries, k=5, dim=64)
+    return similarity.brute_force_topk(emb, queries, k=5, dim=None)
 
 
 @_q("ann_lsh_bucketed", None)  # approximate: recall < 1 by design -> rows-only check
@@ -2168,7 +2173,7 @@ def ann_lsh_bucketed(spark, sf_dir):
 def ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=64)
+    return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=None)
 
 
 @_q(
