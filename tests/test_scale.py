@@ -58,3 +58,76 @@ def test_salted_agg_two_exchanges(spark):
     out = scale.salted_agg(df, ["k"], {"n": ("v", "count")}, salt=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") >= 2
+
+
+def _docs(spark, n=40, sources=3):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, n)
+        .select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % sources)).alias("source"),
+            F.concat(F.lit("word "), F.repeat(F.lit("token x y "), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+        )
+    )
+
+
+def test_shard_manifest_partitions_everything(spark):
+    df = _docs(spark, n=200)
+    man = scale.shard_manifest(df, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in man) == 200
+    assert {r["shard"] for r in man} <= set(range(8))
+    # deterministic under reshuffle
+    man2 = scale.shard_manifest(df.repartition(17), n_shards=8).collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
+
+
+def test_mixture_rebalance_uniform_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, n=90, sources=3).filter(
+        ~((F.col("source") == "src0") & (F.col("doc_id").isin("d0", "d3", "d6")))
+    )  # src0 now smallest: 27 docs
+    out = scale.mixture_rebalance(df, by="source")
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"src0": 27, "src1": 27, "src2": 27}
+    ids_a = sorted(r["doc_id"] for r in out.collect())
+    ids_b = sorted(r["doc_id"] for r in scale.mixture_rebalance(df.repartition(13), by="source").collect())
+    assert ids_a == ids_b
+
+
+def test_pack_batches_matches_python_recompute(spark):
+    """Recompute the closed form (floor((running_sum - own)/budget) in
+    deterministic md5 order) driver-side and require exact agreement,
+    plus dense batch ids per group."""
+    import collections
+    import hashlib
+
+    df = _docs(spark, n=60)
+    out = {r["doc_id"]: r for r in scale.pack_batches(df, budget=20, by="source").collect()}
+    rows = df.select("doc_id", "source", "text").collect()
+
+    def est(text):
+        import math, re
+
+        return math.ceil(len(re.sub(r"\s", "", text)) / 4)
+
+    def okey(source, doc_id):
+        return int(hashlib.md5(f"{source}:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["source"]].append(r)
+    for src, rs in groups.items():
+        rs.sort(key=lambda r: (okey(r["source"], r["doc_id"]), r["doc_id"]))
+        cum = 0
+        seen = set()
+        for r in rs:
+            e = est(r["text"])
+            cum += e
+            expect = (cum - e) // 20
+            got = out[r["doc_id"]]
+            assert (got["n_subword_est"], got["batch_id"]) == (e, expect), r["doc_id"]
+            seen.add(expect)
+        assert sorted(seen) == list(range(len(seen)))
