@@ -31,10 +31,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .apply import TableCatalog
+from .schema import OP_DELETE
 
 
 def maintain_aggregate(
@@ -88,3 +89,45 @@ def maintain_aggregate(
     )
     kept = prev.join(affected, keys, "left_anti")
     return kept.unionByName(fresh)
+
+
+def scd2_history(
+    flat: DataFrame,
+    pks: Sequence[str],
+    *,
+    op_col: str = "CDC_OP_TYPE",
+    version_col: str = "CHANGE_TRACKING_VERSION",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a flattened DML
+    changelog: one row per (PK, version interval) with
+    ``valid_from``/``valid_to`` change versions and an ``is_current``
+    flag.
+
+    The reference applies changes destructively (last write wins,
+    ``sink/CDCBigTable.java`` upserts); warehouses consuming a change
+    feed routinely keep the full history instead. Interval rule, per PK
+    in change-version order: every INSERT/UPDATE row opens an interval
+    at its version; the NEXT change of the same PK (including a DELETE)
+    closes it (``valid_to`` = that version, exclusive). DELETE rows
+    close the previous interval and emit nothing. ``is_current`` =
+    interval still open.
+
+    Change versions must be unique per PK — guaranteed by the CT source
+    (monotone SYS_CHANGE_VERSION per row, ``CTInputDStream.java:149-162``).
+
+    Plan: ONE window shuffle on the PK (lead over version) — no joins,
+    no iteration; at 100 TB this is the same single hash-partition any
+    per-key rollup pays."""
+    keys = list(pks)
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
+    data_cols = [c for c in flat.columns if c not in (op_col, version_col)]
+    return (
+        flat.withColumn("valid_to", F.lead(version_col).over(w))
+        .filter(F.col(op_col) != OP_DELETE)
+        .select(
+            *data_cols,
+            F.col(version_col).alias("valid_from"),
+            F.col("valid_to"),
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

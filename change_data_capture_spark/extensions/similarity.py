@@ -312,6 +312,101 @@ def ivf_ann_topk(
     )
 
 
+def kmeans_lloyd(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd's algorithm): ``iters``
+    full assign/update rounds from seeded centroids, returning the
+    final per-vector (cluster, cosine score) assignment.
+
+    The ivf_ann_topk docstring's objection to Lloyd training —
+    partition-order double averaging — is solved here by computing
+    centroid means in EXACT integer space: each component is quantized
+    ``floor(x * 2^30)`` (floor of a double is exact; the quantization
+    error ~1e-9 is far below any clustering-relevant signal), summed
+    as BIGINT (order-independent, overflow-safe to ~2^23 vectors per
+    cluster at 2^30 scale — at larger corpora drop to 2^24 scale), and
+    divided back in ONE IEEE double op. Every step is reproducible
+    bit-for-bit across engines, which is what lets a SQL oracle replay
+    the whole iteration exactly. Raw decimal sums of doubles would NOT
+    be: Spark's shortest-string vs DuckDB's exact-binary double->
+    decimal conversion disagree near rounding boundaries (see the
+    registry determinism notes).
+
+    Scale shape per iteration: assignment is a pure projection of the
+    corpus against k inlined centroid literals (HOF folds — k unrolled
+    cosines would overflow the codegen method limit, see dot()); the
+    update is a posexplode to (cluster, dim) and ONE map-side-
+    combinable integer aggregation of k*dim groups; centroids come
+    back to the driver as k*dim longs (bounded metadata, the same
+    collect every distributed Lloyd implementation does). Empty
+    clusters keep their previous centroid.
+
+    Ties (on the 6dp-rounded cosine) break to the smaller cluster
+    label; cluster labels are the seed vectors' ids (the k smallest
+    corpus ids, the ivf_ann_topk seeding rule)."""
+    scale = float(1 << 30)
+    e = (
+        spread(vectors)
+        .select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+        .persist()
+    )
+    seed_rows = e.orderBy(F.col("id").asc()).limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["id"]), list(r["v"])) for r in seed_rows
+    ]
+
+    def assign(cur):
+        # one SQL string -> one Py4J call (see _dot_sql)
+        sims = F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('sim', round({_cosine_sql('v', _array_sql(cv))}, 6), "
+                f"'nc', {-cid}L)"
+                for cid, cv in cur
+            )
+            + ")"
+        )
+        best = F.array_max(sims)
+        return e.select(
+            "id",
+            "v",
+            (-best["nc"]).cast("long").alias("cluster"),
+            best["sim"].alias("score"),
+        )
+
+    for _ in range(iters):
+        rows = (
+            assign(cents)
+            .select("cluster", F.posexplode("v").alias("d", "x"))
+            .withColumn("q", F.floor(F.col("x") * scale).cast("long"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["d"])] = float(
+                r["s"]
+            ) / (int(r["n"]) * scale)
+        cents = [
+            (cid, [by_cluster[cid][d] for d in range(dim)] if cid in by_cluster else cv)
+            for cid, cv in cents
+        ]
+
+    final = assign(cents).select(
+        F.col("id").alias(id_col), "cluster", F.col("score")
+    )
+    e.unpersist()
+    return final
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     *,

@@ -212,6 +212,90 @@ def repetition_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str 
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (chunk-level) dedup — the "line-level dedup" of
+    CCNet/RefinedWeb (public reports) adapted to newline-free text:
+    documents are cut into disjoint ``chunk_tokens``-token chunks, a
+    chunk occurring in >= ``min_docs`` DISTINCT documents is boiler-
+    plate, and each doc reports its duplicated-chunk stats plus the
+    text rebuilt from only its unique chunks.
+
+    Output per doc: ``n_chunks``, ``n_dup_chunks``, ``dup_chunk_frac``
+    (6dp), ``cleaned_text`` (NULL when every chunk was boilerplate).
+
+    Plan shape: one explode to O(tokens/chunk_tokens) chunk rows
+    (slice over the ONE split array — codegen, no HOF in the hot
+    path), a map-side-combinable count-distinct by chunk (the global
+    dedup shuffle), a semi-join-shaped flag join back on chunk, and a
+    per-doc aggregation. The rebuild's sort+transform HOF runs on
+    per-doc arrays of <= a few hundred chunks — bounded, not
+    corpus-sized. All shuffles are on content hashes: no skew beyond
+    genuine boilerplate chunks, which AQE splits."""
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_chunks_of = F.ceil(F.size("__a") / chunk_tokens).cast("int")
+    chunks = (
+        spread(docs)
+        .select(F.col(id_col), arr.alias("__a"))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            F.explode(F.sequence(F.lit(0), n_chunks_of - 1)).alias("ci"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("ci"),
+            F.array_join(
+                F.slice("__a", F.col("ci") * chunk_tokens + 1, chunk_tokens), " "
+            ).alias("chunk"),
+        )
+    )
+    dup = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("__dup"))
+    )
+    flagged = chunks.join(dup, "chunk", "left").withColumn(
+        "__dup", F.coalesce(F.col("__dup"), F.lit(False))
+    )
+    stats = flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.col("__dup").cast("int")).cast("bigint").alias("n_dup_chunks"),
+    )
+    kept = (
+        flagged.filter(~F.col("__dup"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("cleaned_text")
+        )
+    )
+    return (
+        stats.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6).alias(
+                "dup_chunk_frac"
+            ),
+            "cleaned_text",
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, *, top_k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

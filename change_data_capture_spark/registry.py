@@ -1463,6 +1463,54 @@ def cdc_incremental_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_scd2_history",
+    """
+    WITH log AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             'INSERT' AS op, CAST(1 AS BIGINT) AS v FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment,
+             'UPDATE', CAST(2 AS BIGINT) FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, NULL, NULL,
+             'DELETE', CAST(3 AS BIGINT) FROM customer WHERE c_custkey % 7 = 5
+    ),
+    w AS (
+      SELECT *, LEAD(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to
+      FROM log
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           v AS valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM w WHERE op <> 'DELETE'
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension history from the changelog (derive.
+    scd2_history): every INSERT/UPDATE opens a (valid_from, valid_to)
+    interval per PK, the next change of that PK (including DELETE)
+    closes it — the warehouse-side history the reference's destructive
+    upsert sink (sink/CDCBigTable.java) discards. One window shuffle on
+    the PK; the oracle rebuilds the same log relationally."""
+    from .derive import scd2_history
+
+    cust = _t(spark, sf_dir, "customer")
+    log = snapshot_changelog(cust, "tpch.customer", ["c_custkey"]).unionByName(
+        mutation_changelog(
+            cust,
+            "tpch.customer",
+            ["c_custkey"],
+            update_where=F.col("c_custkey") % 7 == 3,
+            update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+            update_version=2,
+            delete_where=F.col("c_custkey") % 7 == 5,
+            delete_version=3,
+        )
+    )
+    flat = dml_flattener(log, cust.schema)
+    return scd2_history(flat, ["c_custkey"])
+
+
 @_q("cdc_time_travel", "SELECT * FROM nation")
 def cdc_time_travel(spark, sf_dir):
     """Catalog time travel through the driver gate: after a mutating
@@ -2092,6 +2140,62 @@ def dedup_embedding_bucketed(spark, sf_dir):
     cannot serve at threshold 0.4."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates_bucketed(emb, threshold=0.4, n_lists=16, dim=64)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """DuckDB replay of similarity.kmeans_lloyd: seeded centroids,
+    per-iteration rank-1 assignment on the 6dp-rounded cosine (ties to
+    the smaller cluster label) and integer-quantized centroid means —
+    the exact arithmetic the Spark builder uses, so the hash matches
+    bit-for-bit."""
+    cos = _COSINE.format(a="e.v", b="c.c")
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({cos}, 6) DESC, c.cluster ASC) AS rn
+        FROM e CROSS JOIN c{i-1} c) r WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT cluster, array_agg(cd ORDER BY d) AS c FROM (
+        SELECT cluster, d,
+               CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 1073741824.0) AS cd
+        FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS d
+              FROM a{i}) t
+        GROUP BY cluster, d) g GROUP BY cluster)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT p.cluster, COALESCE(m.c, p.c) AS c
+      FROM c{i-1} p LEFT JOIN m{i} m ON p.cluster = m.cluster)"""
+        )
+    body = ",\n    ".join(parts[1:])
+    return f"""{parts[0]},
+    {body}
+    SELECT vec_id, cluster, score FROM (
+      SELECT e.vec_id, c.cluster, round({cos}, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round({cos}, 6) DESC, c.cluster ASC) AS rn
+      FROM e CROSS JOIN c{iters} c) r WHERE rn = 1"""
+
+
+@_q("embedding_kmeans_lloyd", _kmeans_oracle(k=8, iters=2))
+def embedding_kmeans_lloyd(spark, sf_dir):
+    """Full Lloyd's k-means training (2 assign/update rounds, k=8)
+    made engine-exact via integer-quantized centroid means
+    (similarity.kmeans_lloyd) — the iterative-algorithm path the
+    seeded-IVF operator deliberately avoided, now deterministic enough
+    to hash-verify against a SQL replay."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, k=8, iters=2, dim=64)
 
 
 _EMB_PAIRS_ORACLE = f"""
@@ -3624,6 +3728,46 @@ def corpus_pack_batches(spark, sf_dir):
     return scale.pack_batches(
         _t(spark, sf_dir, "documents"), budget=4096, by="source"
     )
+
+
+@_q(
+    "text_chunk_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ci, array_to_string(a[ci*10+1 : ci*10+10], ' ') AS chunk
+      FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(a)/10.0) AS BIGINT))) AS ci) s
+    ),
+    d AS (
+      SELECT chunk, TRUE AS dup FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    f AS (
+      SELECT c.doc_id, c.ci, c.chunk, coalesce(d.dup, FALSE) AS dup
+      FROM c LEFT JOIN d USING (chunk)
+    ),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      FROM f GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS cleaned_text
+      FROM f WHERE NOT dup GROUP BY doc_id
+    )
+    SELECT stats.doc_id, n_chunks, n_dup_chunks,
+           round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_chunk_frac,
+           kept.cleaned_text
+    FROM stats LEFT JOIN kept USING (doc_id)
+    """,
+)
+def text_chunk_dedup(spark, sf_dir):
+    """Sub-document chunk-level dedup (CCNet/RefinedWeb line-dedup
+    shape): disjoint 10-token chunks, cross-corpus distinct-doc
+    counts, per-doc boilerplate stats + text rebuilt from unique
+    chunks (extensions/text.chunk_dedup)."""
+    return text.chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------

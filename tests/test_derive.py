@@ -73,3 +73,33 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
             prev=prev, from_version=from_version,
         )
         assert _rows(agg) == _rows(_full(spark, cat))
+
+
+def test_scd2_history_interval_semantics(spark):
+    from change_data_capture_spark.derive import scd2_history
+
+    flat = spark.createDataFrame(
+        [
+            # k=1: insert -> update -> delete (two closed intervals)
+            (1, "a", "INSERT", 10),
+            (1, "b", "UPDATE", 20),
+            (1, None, "DELETE", 30),
+            # k=2: insert only (one open interval)
+            (2, "x", "INSERT", 15),
+            # k=3: insert -> update, still current
+            (3, "p", "INSERT", 5),
+            (3, "q", "UPDATE", 25),
+        ],
+        "k int, val string, CDC_OP_TYPE string, CHANGE_TRACKING_VERSION long",
+    )
+    out = {
+        (r["k"], r["valid_from"]): (r["val"], r["valid_to"], r["is_current"])
+        for r in scd2_history(flat, ["k"]).collect()
+    }
+    assert out == {
+        (1, 10): ("a", 20, False),
+        (1, 20): ("b", 30, False),  # closed by the DELETE
+        (2, 15): ("x", None, True),
+        (3, 5): ("p", 25, False),
+        (3, 25): ("q", None, True),
+    }

@@ -47,3 +47,23 @@ def test_ivf_respects_k_and_ranks(spark, sf_dir):
     per_q = out.groupBy("query_id").agg(F.count("*").alias("n"), F.max("rnk").alias("mx"))
     bad = per_q.filter((F.col("n") > 5) | (F.col("mx") > 5)).count()
     assert bad == 0
+
+
+def test_kmeans_lloyd_deterministic_and_improving(spark, sf_dir):
+    """Lloyd training must be bit-identical across input partitionings
+    (the integer-quantized mean is the whole point), cover every
+    vector exactly once, and not make the mean assignment score worse
+    than the seeded (0-iteration) assignment."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_lloyd(emb, k=4, iters=2, dim=64).collect()
+    b = similarity.kmeans_lloyd(emb.repartition(13), k=4, iters=2, dim=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = emb.count()
+    assert len(a) == n
+    assert len({r["vec_id"] for r in a}) == n
+    assert len({r["cluster"] for r in a}) <= 4
+
+    seeded = similarity.kmeans_lloyd(emb, k=4, iters=0, dim=64).collect()
+    mean_trained = sum(r["score"] for r in a) / n
+    mean_seeded = sum(r["score"] for r in seeded) / n
+    assert mean_trained >= mean_seeded - 1e-9

@@ -32,3 +32,31 @@ def test_repetition_scores_hand_computed(spark):
     d3 = out["d3"]
     assert d3["dup_token_frac"] == 0.0
     assert d3["n_bigrams"] == 3 and d3["dup_bigram_frac"] == 0.0
+
+
+def test_chunk_dedup_flags_shared_chunks(spark):
+    # chunk size 3; "x y z" appears in d1 and d2 -> boilerplate
+    docs = spark.createDataFrame(
+        [
+            ("d1", "x y z a b c"),
+            ("d2", "x y z q r"),
+            ("d3", "u v w"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in text.chunk_dedup(docs, chunk_tokens=3).collect()}
+    assert (out["d1"]["n_chunks"], out["d1"]["n_dup_chunks"]) == (2, 1)
+    assert out["d1"]["cleaned_text"] == "a b c"
+    assert (out["d2"]["n_chunks"], out["d2"]["n_dup_chunks"]) == (2, 1)
+    assert out["d2"]["cleaned_text"] == "q r"
+    assert (out["d3"]["n_chunks"], out["d3"]["n_dup_chunks"]) == (1, 0)
+    assert out["d3"]["cleaned_text"] == "u v w"
+
+
+def test_chunk_dedup_all_duplicate_doc_null_text(spark):
+    docs = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "a b c")], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r for r in text.chunk_dedup(docs, chunk_tokens=3).collect()}
+    assert out["d1"]["dup_chunk_frac"] == 1.0
+    assert out["d1"]["cleaned_text"] is None
