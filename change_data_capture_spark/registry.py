@@ -62,17 +62,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark reads only
-    as a long (nanosAsLong); convert to a microsecond timestamp with
-    exact integer division (`div`, not `/` — double division would lose
-    precision on epoch-nano magnitudes)."""
-    # nanosAsLong is a runtime SQLConf: set it here, not just in
-    # session.py, so the read works under ANY session (the driver's
-    # correctness harness builds a plain SparkSession that never goes
-    # through session.get_spark()).
+    """Read events.parquet with a timezone-stable TIMESTAMP ``ts``,
+    whatever physical encoding the fixture generation used.
+
+    Two encodings exist across fixture generations: TIMESTAMP(NANOS)
+    (readable only as a long under nanosAsLong — converted here with
+    exact integer division, never double division, which loses
+    precision at epoch-nano magnitudes) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read natively as TIMESTAMP_NTZ). Both are
+    normalized to the session-local TIMESTAMP the downstream operators
+    (watermarks, window(), unix_micros) expect, with the session
+    timezone pinned to UTC so the NTZ->LTZ cast is value-identical and
+    the DuckDB oracle (which reads the same naive values) hashes the
+    same under ANY driver session — the correctness harness builds a
+    plain SparkSession that never goes through session.get_spark()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dsum(col, scale: int = 2, prec: int = 18):

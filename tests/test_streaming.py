@@ -87,9 +87,9 @@ def test_windowed_agg_runs_as_stream(spark, sf_dir, tmp_path):
 
     from change_data_capture_spark.streaming import windowed_event_counts
 
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from change_data_capture_spark.registry import _events
+
+    ev = _events(spark, sf_dir)
     src = str(tmp_path / "ev_src")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -157,9 +157,9 @@ def test_sessionize_batch_matches_window_query(spark, sf_dir):
 
     from change_data_capture_spark.streaming import sessionize_stream
 
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from change_data_capture_spark.registry import _events
+
+    ev = _events(spark, sf_dir)
     got = {
         r["user_id"]: r["n"]
         for r in sessionize_stream(ev, gap_seconds=1800)
