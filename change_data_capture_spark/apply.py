@@ -298,15 +298,24 @@ class TableCatalog:
         out = os.path.join(self.table_dir(table_id), new_dir)
         old = None if meta["current"] is None else os.path.join(self.table_dir(table_id), meta["current"])
         pks = meta["pks"]
-        # One file per bucket partition: rebalance on the bucket id so
-        # each write task owns whole buckets (AQE splits skewed ones).
+        # One file per bucket partition: pre-shuffle on the bucket id so
+        # each write task owns whole buckets. REBALANCE lets AQE split
+        # skewed buckets, but it exists only under AQE — inside a
+        # stateful streaming query AQE is force-disabled and the hint
+        # is silently DROPPED (HintErrorLogger warning), leaving no
+        # exchange at all: every input partition then writes a file
+        # into every bucket dir it touches (small-file blowup + task
+        # overhead). Fall back to an explicit hash repartition there.
         bucketed = df.withColumn(_BUCKET, bucket_expr(pks, n_buckets))
-        (
-            bucketed.hint("rebalance", _BUCKET)
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(out)
+        aqe_on = (
+            str(df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")).lower()
+            == "true"
         )
+        if aqe_on:
+            bucketed = bucketed.hint("rebalance", _BUCKET)
+        else:
+            bucketed = bucketed.repartition(n_buckets, F.col(_BUCKET))
+        bucketed.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
         if changed_buckets is not None and old is not None:
             changed = {int(b) for b in changed_buckets}
             for entry in os.listdir(old):
