@@ -412,6 +412,117 @@ def contamination_ratio(
     )
 
 
+
+# PII patterns shared by the scan and the redactor. Kept inside the
+# regex subset Java (Spark) and RE2 (DuckDB) match identically: plain
+# character classes and counted repetition — no backreferences, no
+# lookaround, so counts and replacements agree across engines.
+# Redaction applies the list IN ORDER (emails before bare digit runs,
+# IPs before phone-shaped digit groups).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "[PHONE]"),
+    ("id_number", r"[0-9]{9,}", "[ID]"),
+)
+
+
+def pii_scan(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrubbing pass a pretraining
+    pipeline runs before publishing a corpus. Per doc: one match count
+    per pattern class (emails, IPv4 addresses, phone-shaped numbers,
+    long digit runs), a total, and the text with every match replaced
+    by its class token.
+
+    A pure narrow map (regexp_count + chained regexp_replace, all
+    JVM codegen): zero shuffles, streams over a 100 TB corpus at scan
+    speed. Counts are taken on the ORIGINAL text per class (the
+    classes are constructed non-overlapping: digit runs require >= 9
+    consecutive digits, phones require separators, IPs require dots);
+    redaction applies the classes in PII_PATTERNS order so nested
+    matches (digits inside an already-redacted email) cannot double
+    fire."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = text
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    out = docs.select(F.col(id_col), *counts, red.alias("redacted_text"))
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}s")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total.cast("bigint"))
+
+
+def lm_fluency(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-bigram fluency score — the engine-portable analog of the
+    CCNet/KenLM perplexity filter (Wenzek et al. 2020, public): how
+    well each document's word transitions are supported by the corpus
+    itself. Documents full of incoherent transitions score low and get
+    filtered; formulaic text scores high.
+
+    Per doc: ``fluency = sum(C(w1,w2)) / sum(C(w1))`` over the doc's
+    bigram instances, where C(w1,w2) is the corpus count of that
+    bigram and C(w1) the corpus count of bigram contexts starting
+    with w1 — a support-weighted average of the conditional
+    probabilities P(w2|w1) that a bigram LM would assign. Kept
+    integer-exact on purpose (two BIGINT sums, ONE final double
+    division — no log, no order-dependent float accumulation) so the
+    score is bit-identical across engines and partitionings.
+
+    Plan shape: per-(doc,bigram) pre-aggregation FIRST (map-side
+    combinable, collapses repeated bigrams before any join), then the
+    corpus count tables join against the compressed relation, then one
+    per-doc roll-up — the tf-idf shape, no self-joins, skew bounded by
+    genuine head bigrams which AQE splits."""
+    text = F.trim(F.lower(F.col(text_col)))
+    arr = F.split(text, r"\s+")
+    bg = (
+        spread(docs)
+        .select(F.col(id_col), arr.alias("__a"))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
+            ).alias("i"),
+        )
+        .filter(F.col("i") <= F.size("__a") - 1)
+        .select(
+            F.col(id_col),
+            F.element_at("__a", F.col("i")).alias("w1"),
+            F.element_at("__a", F.col("i") + 1).alias("w2"),
+        )
+    )
+    d = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
+    pair_c = d.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    ctx_c = d.groupBy("w1").agg(F.sum("m").alias("c1"))
+    per_doc = (
+        d.join(pair_c, ["w1", "w2"])
+        .join(ctx_c, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("c2")).cast("bigint").alias("pair_support_sum"),
+            F.sum(F.col("m") * F.col("c1")).cast("bigint").alias("ctx_support_sum"),
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("pair_support_sum", F.lit(0)).cast("bigint").alias("pair_support_sum"),
+        F.coalesce("ctx_support_sum", F.lit(0)).cast("bigint").alias("ctx_support_sum"),
+        F.round(
+            F.col("pair_support_sum").cast("double") / F.col("ctx_support_sum"), 6
+        ).alias("fluency"),
+    )
+
+
 def rarity_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Corpus-relative rarity/commonness proxy (the CCNet-style signal
     for keeping rare, information-dense documents): per doc, the mean

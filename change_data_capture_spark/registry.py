@@ -3780,6 +3780,97 @@ def text_chunk_dedup(spark, sf_dir):
     return text.chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "text_pii_redact",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 call 555-123-4567 acct '
+                  || CAST(900000000 + doc_id AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4s,
+           CAST(len(regexp_extract_all(text,
+                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_id_numbers,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+               '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g'),
+             '[0-9]{9,}', '[ID]', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text,
+                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+              + len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))
+              + len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_pii_total
+    FROM d
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing pass (extensions/text.pii_scan): per-class match
+    counts + class-token redaction, all narrow-map regexp codegen. The
+    fixture text is synthetic word salad with no natural PII, so the
+    query injects one deterministic instance of each class per doc
+    (email, IPv4, phone, long digit run) IN BOTH ENGINES before the
+    scan — the regex semantics, class ordering, and replacement logic
+    do real, per-doc-varying work the oracle hash-verifies."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567 acct "),
+            (F.col("doc_id") + 900000000).cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_scan(docs)
+
+
+@_q(
+    "text_lm_fluency",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i FROM t),
+    bg AS (SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+           FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+    d AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY 1, 2, 3),
+    pc AS (SELECT w1, w2, SUM(m) AS c2 FROM d GROUP BY 1, 2),
+    cc AS (SELECT w1, SUM(m) AS c1 FROM d GROUP BY 1),
+    per AS (SELECT doc_id,
+                   CAST(SUM(m) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(m * c2) AS BIGINT) AS pair_support_sum,
+                   CAST(SUM(m * c1) AS BIGINT) AS ctx_support_sum
+            FROM d JOIN pc USING (w1, w2) JOIN cc USING (w1) GROUP BY doc_id)
+    SELECT documents.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(per.pair_support_sum, 0) AS BIGINT) AS pair_support_sum,
+           CAST(coalesce(per.ctx_support_sum, 0) AS BIGINT) AS ctx_support_sum,
+           round(CAST(per.pair_support_sum AS DOUBLE) / per.ctx_support_sum, 6) AS fluency
+    FROM documents LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_lm_fluency(spark, sf_dir):
+    """Corpus-bigram fluency scoring (extensions/text.lm_fluency): the
+    CCNet/KenLM-style LM filter signal, integer-exact by construction
+    (support sums are BIGINT; one final division)."""
+    return text.lm_fluency(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 
 

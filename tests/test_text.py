@@ -60,3 +60,51 @@ def test_chunk_dedup_all_duplicate_doc_null_text(spark):
     out = {r["doc_id"]: r for r in text.chunk_dedup(docs, chunk_tokens=3).collect()}
     assert out["d1"]["dup_chunk_frac"] == 1.0
     assert out["d1"]["cleaned_text"] is None
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "mail me at jo.doe+x@corp.example.org thanks"),
+            ("d2", "server 192.168.0.1 and 10.0.0.255 up"),
+            ("d3", "call 555-123-4567 or 555.987.6543"),
+            ("d4", "ssn-ish 123456789 acct 98765432101234"),
+            ("d5", "clean text no identifiers here"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_scan(docs).collect()}
+    assert out["d1"]["n_emails"] == 1 and out["d1"]["n_pii_total"] == 1
+    assert out["d1"]["redacted_text"] == "mail me at [EMAIL] thanks"
+    assert out["d2"]["n_ipv4s"] == 2
+    assert out["d2"]["redacted_text"] == "server [IP] and [IP] up"
+    assert out["d3"]["n_phones"] == 2
+    assert out["d3"]["redacted_text"] == "call [PHONE] or [PHONE]"
+    assert out["d4"]["n_id_numbers"] == 2
+    assert out["d4"]["redacted_text"] == "ssn-ish [ID] acct [ID]"
+    assert out["d5"]["n_pii_total"] == 0
+    assert out["d5"]["redacted_text"] == "clean text no identifiers here"
+
+
+def test_lm_fluency_hand_computed(spark):
+    # corpus bigrams: d1 "a b","b a","a b"; d2 "a b","b c"
+    # C(a,b)=3 C(b,a)=1 C(b,c)=1; contexts C(a)=3 C(b)=2
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a b c"), ("d3", "solo")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in text.lm_fluency(docs).collect()}
+    d1 = out["d1"]
+    # instances: (a,b) m=2 -> c2=3, (b,a) m=1 -> c2=1; ctx: a->3 (x2), b->2
+    assert d1["n_bigrams"] == 3
+    assert d1["pair_support_sum"] == 2 * 3 + 1 * 1
+    assert d1["ctx_support_sum"] == 2 * 3 + 1 * 2
+    assert d1["fluency"] == round(7 / 8, 6)
+    d2 = out["d2"]
+    # instances: (a,b) m=1 -> c2=3, (b,c) m=1 -> c2=1; ctx: a->3, b->2
+    assert d2["n_bigrams"] == 2
+    assert d2["pair_support_sum"] == 3 + 1
+    assert d2["ctx_support_sum"] == 3 + 2
+    assert d2["fluency"] == round(4 / 5, 6)
+    d3 = out["d3"]
+    assert d3["n_bigrams"] == 0 and d3["fluency"] is None
