@@ -407,6 +407,56 @@ def kmeans_lloyd(
     return final
 
 
+def quantize_int8(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column —
+    the 4x storage/bandwidth reduction step an embedding store applies
+    before indexing (the scalar-quantization baseline of FAISS/IVF-SQ,
+    public). Each dimension d gets a corpus-wide [min_d, max_d] range;
+    a component quantizes to ``floor((x - min_d) / (max_d - min_d) *
+    255) - 128`` (code in [-128, 127]; a constant dimension codes 0).
+
+    Deterministic by construction: min/max involve no accumulation,
+    the affine map is one IEEE double expression per element, and
+    floor of a double is exact — so codes are bit-identical across
+    engines/partitionings and the DuckDB oracle replays them.
+
+    Scale shape: one posexplode to (vector, dim) rows, a dim-sized
+    min/max aggregate (map-side combinable; dim rows out), a BROADCAST
+    join of those stats back, and one regroup to rebuild the code
+    array — the regroup shuffles int codes, not doubles, which is the
+    point of quantizing before moving data. The rebuild's
+    array_sort+transform runs on bounded per-vector arrays."""
+    ex = spread(vectors).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double_vec(F.col(vec_col))).alias("d", "x"),
+    )
+    stats = ex.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    coded = ex.join(F.broadcast(stats), "d").withColumn(
+        "code",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255)
+            - 128
+        )
+        .cast("int"),
+    )
+    return (
+        coded.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("id").alias(id_col), "codes")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     *,

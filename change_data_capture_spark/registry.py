@@ -3871,6 +3871,43 @@ def text_lm_fluency(spark, sf_dir):
     return text.lm_fluency(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "embedding_quantize_int8",
+    r"""
+    WITH ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ),
+    st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+    coded AS (
+      SELECT vec_id, ex.d,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT) - 128
+                  END AS INTEGER) AS code
+      FROM ex JOIN st USING (d)
+    )
+    SELECT vec_id, string_agg(code, ',' ORDER BY d) AS codes_csv
+    FROM coded GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-dimension int8 scalar quantization of the embedding table
+    (extensions/similarity.quantize_int8): corpus min/max per
+    dimension, exact affine floor codes — deterministic, so the
+    oracle hash-verifies every code. The int8 array is serialized to
+    CSV for the comparison only: array-typed result columns reach the
+    comparator as numpy arrays with unstable string forms (the
+    library operator returns the real array<int>)."""
+    out = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 
 

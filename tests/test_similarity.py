@@ -67,3 +67,22 @@ def test_kmeans_lloyd_deterministic_and_improving(spark, sf_dir):
     mean_trained = sum(r["score"] for r in a) / n
     mean_seeded = sum(r["score"] for r in seeded) / n
     assert mean_trained >= mean_seeded - 1e-9
+
+
+def test_quantize_int8_hand_computed(spark):
+    from change_data_capture_spark.extensions.similarity import quantize_int8
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 7.0]),
+            (2, [5.0, 10.0, 7.0]),
+            (3, [10.0, 20.0, 7.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: list(r["codes"]) for r in quantize_int8(vecs).collect()}
+    # d1: range [0,10] -> floor(x/10*255)-128; d2: range [10,20]; d3 constant -> 0
+    assert out[1] == [-128, -128, 0]
+    assert out[2] == [int(5 / 10 * 255) - 128, -128, 0]  # floor(127.5)=127 -> -1
+    assert out[2][0] == -1
+    assert out[3] == [127, 127, 0]
