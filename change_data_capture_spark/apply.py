@@ -400,6 +400,11 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 F.collect_list("ddl.schema").alias("ddl_schemas"),
                 F.first("dml.primary_keys").alias("primary_keys"),
                 F.first("dml.rows_schema").alias("rows_schema"),
+                # Batch high-watermark rides the same scan: for the
+                # create path (no current version, applied==0) it is
+                # exactly the post-filter max, so the per-table stats
+                # action below can be skipped entirely there.
+                F.max("dml.change_tracking_version").alias("max_version"),
             )
             .collect()
         )
@@ -411,12 +416,12 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
 
         dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")
         tables = [
-            (r["table"], r["primary_keys"], r["rows_schema"])
+            (r["table"], r["primary_keys"], r["rows_schema"], r["max_version"])
             for r in meta_rows
             if not r["is_ddl"]
         ]
 
-        for table_id, pks, rows_schema_json in sorted(tables):
+        for table_id, pks, rows_schema_json, batch_max_version in sorted(tables):
             meta = catalog.ensure_table(table_id, pks, rows_schema_json)
             schema = schema_from_json(meta["schema"])
             pks = meta["pks"]
@@ -429,6 +434,26 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
 
             winners = collapse_last_writer(t, pks)
             n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
+
+            if meta.get("current") is None:
+                # Create path: no base rows to merge against, so the
+                # merge degenerates to the batch's own upserts — one
+                # write action, no per-table stats collect, no cache
+                # (the plan has a single consumer). applied==0 whenever
+                # current is None (only write_new_version advances it),
+                # so the batch-level max version from the meta scan IS
+                # the high-watermark.
+                if batch_max_version is None:
+                    continue  # DDL-only or empty slice for this table
+                typed = decode_rows(winners, schema)
+                upserts = typed.filter(F.col("op_type") != OP_DELETE).select(
+                    *[f.name for f in schema.fields]
+                )
+                catalog.write_new_version(
+                    table_id, upserts, int(batch_max_version), changed_buckets=None
+                )
+                continue
+
             typed = decode_rows(winners, schema).persist()
             try:
                 # One action: batch high-watermark + the set of touched
