@@ -53,6 +53,14 @@ def get_spark(app_name: str = "change_data_capture_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming micro-batch state store kept small and local.
         .config("spark.sql.streaming.stateStore.compression.codec", "lz4")
+        # Task-side output commit (v2): tasks move files into the final
+        # directory at task commit instead of a sequential driver-side
+        # rename per partition dir at job commit. The apply engine
+        # publishes many small bucket-partitioned versions, so the
+        # O(#buckets) driver rename was measurable; v2's tradeoff
+        # (partial files visible on job failure) is void here because
+        # readers only see a version after the atomic _meta.json swap.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
