@@ -415,3 +415,33 @@ def simhash_duplicates(
     out = _jaccard_on(sh, candidates, threshold, id_col)
     sig.unpersist()
     return out
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-document selection — the step after clustering in
+    every dedup pipeline: per duplicate cluster, KEEP the
+    highest-quality member (ties to the smallest id, so the choice is
+    deterministic) and mark the rest for dropping. One window over the
+    cluster key; cluster sizes are small by construction (near-dup
+    groups), so the partitioned sort never skews."""
+    from pyspark.sql import Window
+
+    j = clusters.join(scores, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col(score_col),
+            (F.col("__rn") == 1).alias("keep"),
+        )
+    )

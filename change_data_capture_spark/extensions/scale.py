@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "deterministic_sample", "histogram", "salted_agg", "salted_join",
     "token_budget_cap", "shard_manifest", "mixture_rebalance", "pack_batches",
+    "split_assign",
 ]
 
 
@@ -298,3 +299,36 @@ def token_budget_cap(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, by, "n_subword_est", "cum_tokens")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    *,
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the leakage-safe way
+    to split a training corpus: membership is a pure function of the
+    row KEY (md5 of salt:key), so re-runs, re-shuffles, incremental
+    appends, and different cluster sizes all assign every document to
+    the same split, and a document can never migrate between train and
+    holdout as the corpus grows. The salt namespaces independent
+    splits of the same corpus.
+
+    Engine-portable by the same construction as deterministic_sample:
+    the first 8 md5 hex chars compared as strings IS a uniform 32-bit
+    draw. Zero shuffles — a narrow projection."""
+    assert 0 < train and 0 <= val and train + val <= 1
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    t_hi = format(int(train * 0x100000000), "08x")
+    v_hi = format(int((train + val) * 0x100000000), "08x")
+    split = (
+        F.when(bucket < F.lit(t_hi), F.lit("train"))
+        .when(bucket < F.lit(v_hi), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -553,3 +553,55 @@ def rarity_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
             ).alias("commonness"),
         )
     )
+
+
+def span_dedup_signals(
+    docs: DataFrame, *, w: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicated token-span detection — the exact-
+    substring dedup signal of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), reshaped from suffix arrays to
+    relational form: every w-token sliding window is a span; a span
+    that occurs in >= 2 DISTINCT documents is duplicated; each doc
+    reports its total spans, duplicated-span positions, and the
+    duplicated fraction (the signal used to cut boilerplate and
+    memorization-prone text).
+
+    Plan shape (100 TB): one explode (w-token windows via
+    slice+array_join, all codegen), one hash-shuffle groupBy on the
+    span's 64-bit xxhash, one shuffle join back on that hash, one
+    per-doc agg. Spans travel as 8-byte hashes, never strings, after
+    the first projection; a 64-bit collision (~1e-7 at 1e9 spans)
+    can only flip one span's dup flag, which is the standard
+    fingerprinting trade every suffix-array sharder makes too."""
+    ts = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = spread(docs).select(F.col(id_col), ts.alias("__ts"))
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("__ts") - (w - 1), F.lit(1)))
+    )
+    spans = tok.select(F.col(id_col), "__ts", pos.alias("__i")).select(
+        F.col(id_col),
+        F.xxhash64(F.array_join(F.slice("__ts", F.col("__i"), w), " ")).alias("__sh"),
+    )
+    dup = (
+        spans.groupBy("__sh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__sh")
+    )
+    flagged = spans.join(dup.withColumn("__dup", F.lit(True)), "__sh", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )

@@ -3908,6 +3908,175 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+@_q(
+    "text_span_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    s AS (
+      SELECT doc_id, array_to_string(a[i : i + 7], ' ') AS span
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 1))) AS i) g
+    ),
+    d AS (SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+    f AS (SELECT s.doc_id, CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END AS dup
+          FROM s LEFT JOIN d USING (span))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(dup) AS BIGINT) AS n_dup_spans,
+           round(CAST(SUM(dup) AS DOUBLE) / COUNT(*), 6) AS dup_span_frac
+    FROM f GROUP BY doc_id
+    """,
+)
+def text_span_dedup(spark, sf_dir):
+    """Cross-document duplicated token-span signal (Lee et al. 2021
+    exact-substring dedup, relational form): 8-token sliding windows,
+    a span in >= 2 distinct docs is duplicated; per-doc duplicated
+    fraction (extensions/text.span_dedup_signals). Spark carries spans
+    as 64-bit hashes (never strings) after the first projection; the
+    oracle verifies the per-doc counts on the exact strings."""
+    return text.span_dedup_signals(_t(spark, sf_dir, "documents"), w=8)
+
+
+@_q(
+    "corpus_split_assign",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                  THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assign(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split (90/5/5):
+    membership is a pure function of md5('split:' || doc_id), so
+    re-runs, reshuffles and corpus growth never migrate a document
+    across the holdout boundary (extensions/scale.split_assign).
+    Zero-shuffle narrow projection."""
+    from .extensions import scale
+
+    return scale.split_assign(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        train=0.9,
+        val=0.05,
+    )
+
+
+_QUALITY_CTE = r"""
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    swr AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','in','is','for','on','with')
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio
+      FROM t GROUP BY doc_id
+    ),
+    q AS (
+      SELECT d.doc_id,
+             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
+                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+                       + least(swr.stopword_ratio, 0.2), 6) AS quality_score
+      FROM documents d JOIN swr ON swr.doc_id = d.doc_id
+    )
+"""
+
+
+@_q(
+    "dedup_cluster_best",
+    f"""
+    WITH RECURSIVE
+    p AS ({_JACCARD_ORACLE}),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+          UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u
+    ),
+    cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    {_QUALITY_CTE.strip()}
+    SELECT cl.doc_id, cl.cluster_id, q.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                              ORDER BY q.quality_score DESC, cl.doc_id ASC) = 1 AS keep
+    FROM cl JOIN q USING (doc_id)
+    """,
+)
+def dedup_cluster_best(spark, sf_dir):
+    """Canonical-document selection, the final step of the dedup
+    pipeline: LSH-verified near-dup pairs -> connected components ->
+    per cluster KEEP the highest-quality member (deterministic
+    tiebreak on doc_id), drop the rest
+    (extensions/dedup.cluster_representatives)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    scores = text.quality_scores(docs).select("doc_id", "quality_score")
+    return dedup.cluster_representatives(clusters, scores)
+
+
+@_q(
+    "q_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: first view,
+    first click strictly after it, first purchase strictly after that
+    — per-stage user counts. Each stage is one conditional-min agg
+    plus a join against the previous stage's per-user row (user-level
+    aggregates shrink monotonically, so AQE broadcasts the later
+    stages)."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df, label):
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
 # ---------------------------------------------------------------------
 
 

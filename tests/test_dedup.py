@@ -54,3 +54,20 @@ def test_exact_duplicates_on_injected_copies(spark, sf_dir):
     dups = dedup.exact_duplicates(docs.unionByName(copies))
     got = {(r["dup_id"], r["keeper_id"]) for r in dups.collect()}
     assert {(d + 500000, d) for (d,) in docs.limit(7).select("doc_id").collect()} <= got
+
+
+def test_cluster_representatives_keeps_best(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        # doc 2 best in cluster 1; tie in cluster 10 -> doc 10 by id
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.8), (11, 0.8)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.cluster_representatives(clusters, scores).collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 10: True, 11: False}

@@ -101,6 +101,9 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         "text_contamination_ratio",
         "corpus_budget_sample",
         "corpus_quality_materialize",
+        "text_span_dedup",
+        "corpus_split_assign",
+        "q_funnel_conversion",
     ],
 )
 def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):

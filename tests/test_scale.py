@@ -131,3 +131,25 @@ def test_pack_batches_matches_python_recompute(spark):
             assert (got["n_subword_est"], got["batch_id"]) == (e, expect), r["doc_id"]
             seen.add(expect)
         assert sorted(seen) == list(range(len(seen)))
+
+
+def test_split_assign_deterministic_and_exhaustive(spark, sf_dir):
+    import hashlib
+
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = scale.split_assign(docs, "doc_id", train=0.9, val=0.05)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    # exhaustive + reshuffle-stable (recompute on a repartitioned input)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in scale.split_assign(docs.repartition(7), "doc_id").collect()
+    }
+    assert rows == again
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # python-side replay of the md5 rule
+    for doc_id, split in rows.items():
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8]
+        expect = "train" if h < "e6666666" else ("val" if h < "f3333333" else "test")
+        assert split == expect, doc_id

@@ -108,3 +108,23 @@ def test_lm_fluency_hand_computed(spark):
     assert d2["fluency"] == round(4 / 5, 6)
     d3 = out["d3"]
     assert d3["n_bigrams"] == 0 and d3["fluency"] is None
+
+
+def test_span_dedup_hand_computed(spark):
+    # doc 1 and 2 share one exact 8-token span; doc 3 shares nothing.
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 {shared} y1"),          # 10 tokens -> 3 spans, 1 dup
+            (2, f"x2 x3 {shared}"),          # 10 tokens -> 3 spans, 1 dup
+            (3, "p q r s t u v w z9 z8"),    # 10 tokens -> 3 spans, 0 dup
+            (4, "tiny doc"),                 # < 8 tokens -> 1 whole-doc span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.span_dedup_signals(docs, w=8).collect()}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (3, 1)
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (3, 1)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (3, 0)
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (1, 0)
+    assert abs(out[1]["dup_span_frac"] - 1 / 3) < 1e-6
