@@ -383,10 +383,35 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
     """
     batch_df = batch_df.persist()
     try:
+        # For tables that already have data, the touched-bucket set is
+        # computable in the SAME batch scan as the metadata (pks and
+        # bucket counts are known driver-side), so the per-table stats
+        # action disappears. The per-table CASE arms also apply the
+        # version watermark, so the set is exactly the post-filter one.
+        known: dict[str, tuple[list[str], int, int]] = {}
+        for t in catalog.tables():
+            m = catalog.meta(t)
+            if m and m.get("pks") and m.get("current") is not None:
+                known[t] = (
+                    list(m["pks"]),
+                    int(m.get("buckets") or _DEFAULT_BUCKETS),
+                    int(m.get("applied_version", 0)),
+                )
+        bucket_of = F.lit(None).cast("int")
+        for t, (pks, nb, applied) in known.items():
+            arm = bucket_expr(
+                pks, nb, value_of=lambda c: F.col("dml.rows_values")[c]
+            ).cast("int")
+            bucket_of = F.when(
+                (F.col("dml.table") == t)
+                & (F.col("dml.change_tracking_version") > applied),
+                arm,
+            ).otherwise(bucket_of)
+
         # --- One metadata action for the whole batch: DDL records and
-        # DML table descriptors together (O(#tables + #DDLs) rows to
-        # the driver, never row data). Grouping by (kind, table) keeps
-        # every DDL record while collapsing DML rows per table.
+        # DML table descriptors together (O(#tables + #DDLs + #buckets)
+        # rows to the driver, never row data). Grouping by (kind, table)
+        # keeps every DDL record while collapsing DML rows per table.
         meta_rows = (
             batch_df.groupBy(
                 F.col("ddl").isNotNull().alias("is_ddl"),
@@ -405,6 +430,7 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 # exactly the post-filter max, so the per-table stats
                 # action below can be skipped entirely there.
                 F.max("dml.change_tracking_version").alias("max_version"),
+                F.collect_set(bucket_of).alias("touched_buckets"),
             )
             .collect()
         )
@@ -416,12 +442,18 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
 
         dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")
         tables = [
-            (r["table"], r["primary_keys"], r["rows_schema"], r["max_version"])
+            (
+                r["table"],
+                r["primary_keys"],
+                r["rows_schema"],
+                r["max_version"],
+                r["touched_buckets"],
+            )
             for r in meta_rows
             if not r["is_ddl"]
         ]
 
-        for table_id, pks, rows_schema_json, batch_max_version in sorted(tables):
+        for table_id, pks, rows_schema_json, batch_max_version, touched in sorted(tables):
             meta = catalog.ensure_table(table_id, pks, rows_schema_json)
             schema = schema_from_json(meta["schema"])
             pks = meta["pks"]
@@ -454,17 +486,32 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 )
                 continue
 
-            typed = decode_rows(winners, schema).persist()
-            try:
-                # One action: batch high-watermark + the set of touched
-                # PK-hash buckets (O(buckets) rows to the driver).
+            if table_id in known:
+                # Merge path with the touched-bucket set precomputed in
+                # the batch-level meta scan: no per-table action at all
+                # before the write. No cache either — the write is the
+                # only action, and the two consumers of the collapse
+                # shuffle (changed_keys + upserts) share it via
+                # exchange reuse.
+                if batch_max_version is None or int(batch_max_version) <= applied:
+                    continue  # nothing new for this table
+                changed_buckets = sorted(int(b) for b in touched)
+                typed = decode_rows(winners, schema)
+            else:
+                # Fallback (a catalog mutated behind our back): the
+                # original per-table stats action.
+                typed = decode_rows(winners, schema).persist()
                 stats = typed.agg(
                     F.max("change_tracking_version").alias("v"),
                     F.collect_set(bucket_expr(pks, n_buckets)).alias("bks"),
                 ).collect()[0]
                 if stats["v"] is None:
+                    typed.unpersist()
                     continue  # nothing new for this table
+                batch_max_version = stats["v"]
                 changed_buckets = sorted(int(b) for b in stats["bks"])
+
+            try:
                 upserts = typed.filter(F.col("op_type") != OP_DELETE).select(
                     *[f.name for f in schema.fields]
                 )
@@ -480,10 +527,14 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                     upserts
                 )
                 catalog.write_new_version(
-                    table_id, merged, int(stats["v"]), changed_buckets=changed_buckets
+                    table_id,
+                    merged,
+                    int(batch_max_version),
+                    changed_buckets=changed_buckets,
                 )
             finally:
-                typed.unpersist()
+                if typed.is_cached:
+                    typed.unpersist()
     finally:
         batch_df.unpersist()
 
