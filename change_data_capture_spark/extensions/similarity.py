@@ -603,3 +603,79 @@ def embedding_near_duplicates_bucketed(
         .filter(F.col("score") >= threshold)
         .select("a_id", "b_id", F.round("score", 6).alias("score"))
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (the FAISS PQ baseline, public): split each
+    vector into ``m`` subvectors of ``dim/m`` components; per subspace,
+    code = the index of the nearest of ``k`` codebook centroids
+    (squared L2, deterministic tiebreak to the smaller index). Output
+    is one int code column per subspace plus the total squared
+    reconstruction-distance proxy — the 32x compression step before an
+    IVF-PQ index.
+
+    Codebook: the ``k`` corpus vectors with the smallest ids (the
+    seeded-sample initialization every PQ trainer starts from; the
+    Lloyd refinement loop is ``kmeans_lloyd`` and composes on top).
+    That makes training a bounded O(k) driver collect, and encoding a
+    ZERO-SHUFFLE narrow projection: the codebook rides into the plan
+    as literals (the closure-broadcast pattern — no join side at all),
+    so encoding streams over a 100 TB embedding table at scan speed.
+
+    Determinism contract (same rules as the ANN operators): each
+    subspace distance is an 8-term left-associated sum of exact IEEE
+    double expressions, rounded to 6dp BEFORE the argmin, and the
+    reconstruction error is the left-associated sum of the m chosen
+    (already-rounded) distances — bit-identical in any engine that
+    evaluates the same expression tree, which the DuckDB oracle does."""
+    assert dim % m == 0
+    sub_d = dim // m
+    seeds = (
+        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    assert len(cents) == k, f"corpus smaller than codebook k={k}"
+
+    # Three stacked projections keep the expression tree small: cast
+    # each element once, difference each (element, centroid) pair once,
+    # then fold — vs inlining, which repeats every cast 2k times and
+    # bloats the codegen unit past the JIT threshold.
+    elems = vectors.selectExpr(
+        f"`{id_col}`",
+        *[f"CAST(`{vec_col}`[{i}] AS DOUBLE) as __v{i}" for i in range(dim)],
+    )
+
+    def d2(s: int, c: int) -> str:
+        terms = " + ".join(
+            f"__d{s}_{c}_{i} * __d{s}_{c}_{i}" for i in range(sub_d)
+        )
+        return f"round({terms}, 6)"
+
+    diffs = [
+        f"(__v{s * sub_d + i} - ({cents[c][s * sub_d + i]!r})) as __d{s}_{c}_{i}"
+        for s in range(m)
+        for c in range(k)
+        for i in range(sub_d)
+    ]
+    best = [
+        f"array_min(array({', '.join(f'struct({d2(s, c)} as d, {c} as c)' for c in range(k))})) as __m{s}"
+        for s in range(m)
+    ]
+    err = " + ".join(f"__m{s}.d" for s in range(m))
+    return (
+        elems.selectExpr(f"`{id_col}`", *diffs)
+        .selectExpr(f"`{id_col}`", *best)
+        .selectExpr(
+            f"`{id_col}`",
+            *[f"CAST(__m{s}.c AS INT) as code{s}" for s in range(m)],
+            f"round({err}, 6) as recon_err",
+        )
+    )

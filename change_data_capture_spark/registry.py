@@ -3908,6 +3908,52 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def _pq_oracle(m: int = 8, k: int = 16, sub_d: int = 8) -> str:
+    """DuckDB replay of similarity.pq_encode: same codebook (first k by
+    vec_id), same 8-term left-assoc subspace distances rounded to 6dp
+    before the argmin, same tiebreak, same left-assoc error sum."""
+    d_terms = " + ".join(
+        f"(e.v[g.sub*{sub_d}+{i + 1}] - s.sv[g.sub*{sub_d}+{i + 1}])"
+        f" * (e.v[g.sub*{sub_d}+{i + 1}] - s.sv[g.sub*{sub_d}+{i + 1}])"
+        for i in range(sub_d)
+    )
+    codes = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN sub = {s} THEN c END) AS INT) AS code{s}"
+        for s in range(m)
+    )
+    err = " + ".join(f"MAX(CASE WHEN sub = {s} THEN d END)" for s in range(m))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS sv
+      FROM e ORDER BY vec_id LIMIT {k}
+    ),
+    p AS (
+      SELECT e.vec_id, g.sub, s.c, round({d_terms}, 6) AS d
+      FROM e, seeds s, LATERAL (SELECT unnest(range({m})) AS sub) g
+    ),
+    best AS (
+      SELECT vec_id, sub, c, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, c) AS rn
+      FROM p
+    )
+    SELECT vec_id, {codes},
+           round({err}, 6) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@_q("embedding_pq_encode", _pq_oracle())
+def embedding_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (extensions/similarity.pq_encode):
+    8 subspaces x 16-centroid seeded codebook, codes + reconstruction
+    proxy as one zero-shuffle literal-codebook projection."""
+    return similarity.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
 @_q(
     "text_span_dedup",
     r"""

@@ -86,3 +86,36 @@ def test_quantize_int8_hand_computed(spark):
     assert out[2] == [int(5 / 10 * 255) - 128, -128, 0]  # floor(127.5)=127 -> -1
     assert out[2][0] == -1
     assert out[3] == [127, 127, 0]
+
+
+def test_pq_encode_hand_computed(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 1.0, 1.0]),
+            (3, [0.1, 0.0, 0.9, 1.0]),
+            (4, [1.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # codebook = vectors 1 and 2; subspaces are dims [0,1] and [2,3]
+    out = {
+        r["vec_id"]: r
+        for r in similarity.pq_encode(vecs, m=2, k=2, dim=4).collect()
+    }
+    assert (out[1]["code0"], out[1]["code1"]) == (0, 0)
+    assert (out[2]["code0"], out[2]["code1"]) == (1, 1)
+    assert (out[3]["code0"], out[3]["code1"]) == (0, 1)
+    assert (out[4]["code0"], out[4]["code1"]) == (1, 0)
+    assert abs(out[3]["recon_err"] - 0.02) < 1e-9
+    assert out[4]["recon_err"] == 0.0
+
+
+def test_pq_encode_plan_is_narrow(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = similarity.pq_encode(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # literal codebook: no join, no shuffle, no Python in the encode
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
