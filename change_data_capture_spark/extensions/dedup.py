@@ -220,17 +220,7 @@ def minhash_lsh_duplicates(
     sig = minhash_signatures(sh, k=k, id_col=id_col).persist()
     sig.count()
 
-    band_structs = ", ".join(
-        "struct({b} as band, xxhash64({cols}) as bh)".format(
-            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
-    )
-    # whole band explode as one SQL string = one Py4J call (see
-    # minhash_signatures)
-    buckets = sig.selectExpr(
-        f"`{id_col}`", f"explode(array({band_structs})) as bk"
-    ).select(id_col, "bk.band", "bk.bh")
+    buckets = _band_buckets(sig, bands=bands, rows=rows, id_col=id_col)
 
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
@@ -255,6 +245,77 @@ def minhash_lsh_duplicates(
     # longer referenced by anything lazy.
     out = _jaccard_on(sh, screened, threshold, id_col)
     sig.unpersist()
+    return out
+
+
+def _band_buckets(sig: DataFrame, *, bands: int, rows: int, id_col: str) -> DataFrame:
+    """Explode a signature row into (id, band, band-hash) bucket rows —
+    the LSH equi-join key. One SQL string = one Py4J call (see
+    minhash_signatures)."""
+    band_structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bh)".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return sig.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) as bk"
+    ).select(id_col, "bk.band", "bk.bh")
+
+
+def minhash_lsh_against(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: near-dup pairs (a_id = NEW doc,
+    b_id = CORPUS doc) of an incoming batch against an existing corpus
+    — the daily-ingest shape, where re-running all-corpus dedup per
+    batch would be O(corpus) wasted work. Ids of the two sets must be
+    disjoint.
+
+    Scale contract: the corpus side is touched exactly as the full
+    operator touches it (one shingle scan -> signature agg -> bucket
+    explode); in a production pipeline the corpus signatures/buckets
+    are the PERSISTED index this function's ``sig/bucket`` subplans
+    read from storage, so per-batch cost is O(new batch + collisions).
+    Candidates join on (band, band-hash) across the two sides only —
+    new-vs-new pairs are deliberately out of scope (they land in the
+    next full-corpus pass, or a same-batch call of the symmetric
+    operator)."""
+    assert k % bands == 0
+    rows = k // bands
+    sh_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    sh_old = shingles(corpus_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    sig_new = minhash_signatures(sh_new, k=k, id_col=id_col).persist()
+    sig_old = minhash_signatures(sh_old, k=k, id_col=id_col).persist()
+    sig_new.count()
+    sig_old.count()
+    a = _band_buckets(sig_new, bands=bands, rows=rows, id_col=id_col).select(
+        F.col(id_col).alias("a_id"), "band", "bh"
+    )
+    b = _band_buckets(sig_old, bands=bands, rows=rows, id_col=id_col).select(
+        F.col(id_col).alias("b_id"), "band", "bh"
+    )
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("__nb"))
+        .filter(F.col("__nb") >= 2)
+        .select("a_id", "b_id")
+    )
+    screened = _screen_candidates(
+        sig_new.unionByName(sig_old), candidates, k=k, threshold=threshold, id_col=id_col
+    )
+    out = _jaccard_on(sh_new.unionByName(sh_old), screened, threshold, id_col)
+    sig_new.unpersist()
+    sig_old.unpersist()
     return out
 
 

@@ -3908,6 +3908,81 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_minhash_incremental",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(k * 1.0 / (ca.n + cb.n - k), 6) AS jaccard
+    FROM inter
+    JOIN c ca ON ca.doc_id = a_id
+    JOIN c cb ON cb.doc_id = b_id
+    WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.8
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental dedup of an incoming batch (docs with id % 10 = 0
+    stand in for today's ingest) against the standing corpus via
+    banded MinHash-LSH (extensions/dedup.minhash_lsh_against) —
+    per-batch cost O(new + collisions), not O(corpus^2). Verified
+    output equals the brute-force cross-set Jaccard oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_lsh_against(new, corpus, n=5, k=96, bands=24, threshold=0.8)
+
+
+@_q(
+    "q_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS event_week FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, act.event_week) // 7 AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN f ON f.user_id = act.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix over the event stream: users bucketed by
+    first-active ISO week, counted in every later week they return.
+    Two shuffles (per-user first-week agg, cohort-cell agg) + one join
+    that AQE broadcasts once the per-user aggregate shrinks."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("event_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("event_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def _pq_oracle(m: int = 8, k: int = 16, sub_d: int = 8) -> str:
     """DuckDB replay of similarity.pq_encode: same codebook (first k by
     vec_id), same 8-term left-assoc subspace distances rounded to 6dp

@@ -71,3 +71,15 @@ def test_cluster_representatives_keeps_best(spark):
         for r in dedup.cluster_representatives(clusters, scores).collect()
     }
     assert got == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_minhash_incremental_finds_cross_set_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # "new batch" = exact copies of 6 corpus docs under fresh ids
+    new = docs.limit(6).select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    got = dedup.minhash_lsh_against(new, docs, n=5, k=96, bands=24, threshold=0.8)
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in got.collect()}
+    for (d,) in docs.limit(6).select("doc_id").collect():
+        assert pairs.get((d + 900000, d)) == 1.0, d
+    # direction is new -> corpus only
+    assert all(a >= 900000 and b < 900000 for a, b in pairs)
