@@ -2290,6 +2290,17 @@ def ann_ivf(spark, sf_dir):
     return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=None)
 
 
+@_q("ann_ivfpq", None)  # approximate: IVF recall x PQ ranking -> rows-only check
+def ann_ivfpq(spark, sf_dir):
+    """Full FAISS-shape IVF-PQ search (similarity.ivfpq_ann_topk):
+    inverted-list probe + int8-code candidates + literal-codebook ADC
+    ranking + exact top-rerank; recall floors asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2)
+
+
 @_q(
     "text_token_stats",
     r"""

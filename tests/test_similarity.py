@@ -33,6 +33,7 @@ def test_ann_variants_recall(spark, sf_dir):
     for name, ann_df, floor in (
         ("lsh", similarity.lsh_ann_topk(emb, q, k=5, dim=64, planes=4), 0.3),
         ("ivf", similarity.ivf_ann_topk(emb, q, k=5, n_lists=16, n_probe=2), 0.6),
+        ("ivfpq", similarity.ivfpq_ann_topk(emb, q, k=5, n_lists=16, n_probe=2), 0.5),
     ):
         approx = _topk_sets(ann_df)
         hits = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
