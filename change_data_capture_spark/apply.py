@@ -235,6 +235,27 @@ class TableCatalog:
             shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
         return drop
 
+    def compact(
+        self, spark: SparkSession, table_id: str, n_buckets: int | None = None
+    ) -> None:
+        """Maintenance rewrite: republish the current snapshot as a
+        fresh version, optionally re-hashing into ``n_buckets`` PK
+        buckets (grow the bucket count as the table grows so per-bucket
+        merge units stay executor-sized). A full rewrite by design —
+        the point is to re-layout — but versioned like any other write,
+        so readers never block and time travel still sees the old
+        layout."""
+        meta = self.meta(table_id)
+        if meta is None or meta["schema"] is None:
+            raise KeyError(f"unknown table {table_id!r}")
+        current = self.read(spark, table_id)
+        if n_buckets is not None:
+            meta["buckets"] = int(n_buckets)
+            self.put_meta(table_id, meta)
+        self.write_new_version(
+            table_id, current, int(meta.get("applied_version", 0)), changed_buckets=None
+        )
+
     def table_changes(
         self, spark: SparkSession, table_id: str, from_version: int, to_version: int | None = None
     ) -> DataFrame:

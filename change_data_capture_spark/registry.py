@@ -1217,6 +1217,39 @@ def cdc_table_changes(spark, sf_dir):
     return cat.table_changes(spark, "tpch.customer", from_version=1, to_version=2)
 
 
+@_q(
+    "cdc_compact",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_compact(spark, sf_dir):
+    """Catalog maintenance: after a snapshot + mutation batch, the
+    table is re-bucketed (16 -> 4) via TableCatalog.compact and read
+    back — the relayout must be invisible to readers (same rows as
+    cdc_apply_mutations' oracle) while subsequent merges use the new
+    bucket count."""
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_compact_"))
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    cat.compact(spark, "tpch.customer", n_buckets=4)
+    return cat.read(spark, "tpch.customer")
+
+
 @_q("cdc_apply_stream", "SELECT * FROM nation")
 def cdc_apply_stream(spark, sf_dir):
     """The full Structured Streaming path: changelog files ->
@@ -2288,6 +2321,63 @@ def ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=None)
+
+
+_QUALITY_CTE = r"""
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    swr AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','in','is','for','on','with')
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio
+      FROM t GROUP BY doc_id
+    ),
+    q AS (
+      SELECT d.doc_id,
+             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
+                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+                       + least(swr.stopword_ratio, 0.2), 6) AS quality_score
+      FROM documents d JOIN swr ON swr.doc_id = d.doc_id
+    )
+"""
+
+
+@_q(
+    "corpus_percentile_filter",
+    f"""
+    WITH
+    {_QUALITY_CTE.strip()},
+    r AS (
+      SELECT d.doc_id, d.source, q.quality_score,
+             PERCENT_RANK() OVER (PARTITION BY d.source
+                                  ORDER BY q.quality_score DESC, d.doc_id ASC) AS pr
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, quality_score, round(pr, 6) AS quality_pctl
+    FROM r WHERE pr <= 0.5
+    """,
+)
+def corpus_percentile_filter(spark, sf_dir):
+    """Per-source percentile quality gate (the FineWeb-style curation
+    step): keep each source's top half by composite quality score.
+    Percentile is (rank-1)/(n-1) over a totally-ordered window
+    (deterministic tiebreak on doc_id) — exact in both engines. One
+    window shuffle on the source key."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = text.quality_scores(docs).select("doc_id", "quality_score")
+    j = docs.select("doc_id", "source").join(scores, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select(
+            "doc_id", "source", "quality_score", F.round("pr", 6).alias("quality_pctl")
+        )
+    )
 
 
 @_q("ann_ivfpq", None)  # approximate: IVF recall x PQ ranking -> rows-only check
@@ -4097,25 +4187,6 @@ def corpus_split_assign(spark, sf_dir):
     )
 
 
-_QUALITY_CTE = r"""
-    t AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-      FROM documents
-    ),
-    swr AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN token IN ('the','a','of','and','to','in','is','for','on','with')
-                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stopword_ratio
-      FROM t GROUP BY doc_id
-    ),
-    q AS (
-      SELECT d.doc_id,
-             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
-                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
-                       + least(swr.stopword_ratio, 0.2), 6) AS quality_score
-      FROM documents d JOIN swr ON swr.doc_id = d.doc_id
-    )
-"""
 
 
 @_q(

@@ -61,3 +61,39 @@ def test_vacuum_keeps_current_readable(spark, versioned_cat):
     assert cat.read(spark, "t.n").count() == nation.count() - 1
     with pytest.raises(KeyError):
         cat.read(spark, "t.n", version=1)
+
+
+def test_compact_rebuckets_invisibly(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
+
+    cust = load(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp())
+    apply_changelog(spark, snapshot_changelog(cust, "t.c", ["c_custkey"]), cat)
+    before = {tuple(r) for r in cat.read(spark, "t.c").collect()}
+
+    cat.compact(spark, "t.c", n_buckets=4)
+    tdir = cat.table_dir("t.c")
+    cur = cat.meta("t.c")["current"]
+    bucket_dirs = [d for d in os.listdir(os.path.join(tdir, cur)) if d.startswith("__bucket=")]
+    assert len(bucket_dirs) == 4
+    assert {tuple(r) for r in cat.read(spark, "t.c").collect()} == before
+
+    # merges after the relayout use the new bucket count and stay correct
+    mut = mutation_changelog(
+        cust, "t.c", ["c_custkey"],
+        update_where=F.col("c_custkey") % 5 == 0,
+        update_set={"c_acctbal": F.col("c_acctbal") + 1.0},
+        update_version=7,
+        delete_where=F.lit(False),
+        delete_version=8,
+    )
+    apply_changelog(spark, mut, cat)
+    got = {r["c_custkey"]: r["c_acctbal"] for r in cat.read(spark, "t.c").collect()}
+    for r in cust.collect():
+        expect = r["c_acctbal"] + (1.0 if r["c_custkey"] % 5 == 0 else 0.0)
+        assert abs(got[r["c_custkey"]] - expect) < 1e-6
