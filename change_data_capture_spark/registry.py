@@ -2380,6 +2380,115 @@ def corpus_percentile_filter(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_vocab_build",
+    r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE token <> '' GROUP BY token)
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS token_id
+    FROM c ORDER BY token_id LIMIT 100
+    """,
+)
+def corpus_vocab_build(spark, sf_dir):
+    """Vocabulary construction (the tokenizer-training seed step):
+    corpus token frequencies, ids assigned by (freq desc, token asc) —
+    fully deterministic. One map-side-combinable count shuffle; the
+    global top-N is a parallel TakeOrdered, never a single-partition
+    sort."""
+    tok = text.tokens(_t(spark, sf_dir, "documents")).filter(F.col("token") != "")
+    c = tok.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        c.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+        .withColumn("token_id", F.row_number().over(w).cast("long"))
+    )
+
+
+@_q(
+    "text_oov_rate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS freq FROM t WHERE token <> '' GROUP BY token),
+    v AS (SELECT token FROM c ORDER BY freq DESC, token ASC LIMIT 1000)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM t LEFT JOIN v ON v.token = t.token
+    WHERE t.token <> ''
+    GROUP BY doc_id
+    """,
+)
+def text_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage signal: per-doc fraction of tokens outside
+    the corpus top-1000 vocabulary (the OOV-rate filter a tokenizer-
+    bound pipeline applies). The vocab is a bounded TakeOrdered and
+    BROADCAST into the coverage join — the corpus-sized side never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.tokens(docs).filter(F.col("token") != "")
+    c = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    vocab = (
+        c.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(1000)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        oov.cast("long").alias("n_oov"),
+        F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+@_q(
+    "q_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           round((o.o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+    FROM orders o JOIN s ON s.o_orderstatus = o.o_orderstatus
+    WHERE abs((o.o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 1.7
+    """,
+)
+def q_zscore_outliers(spark, sf_dir):
+    """Outlier screening (the numeric-column cleaning op): per-group
+    z-score against decimal-exact moments (see q_stats_moments), rows
+    in the distribution tail (|z| > 1.7; the fixture prices are uniform,
+    so max |z| is sqrt(3)) flagged. The moment table is O(groups) and
+    broadcast back; the scan side stays narrow."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("o_totalprice") - mean) / std
+    return (
+        orders.join(F.broadcast(s), "o_orderstatus")
+        .filter(F.abs(z) > 1.7)
+        .select("o_orderkey", "o_orderstatus", F.round(z, 6).alias("zscore"))
+    )
+
+
 @_q("ann_ivfpq", None)  # approximate: IVF recall x PQ ranking -> rows-only check
 def ann_ivfpq(spark, sf_dir):
     """Full FAISS-shape IVF-PQ search (similarity.ivfpq_ann_topk):
