@@ -68,7 +68,12 @@ def read_changelog_stream(
 # ST1: stateful schema-announcement dedup, keyed by table.
 # ---------------------------------------------------------------------------
 
-_FLAT_OUT = StructType([StructField("payload", StringType(), True)])
+_DDL_OUT = StructType(
+    [
+        StructField("table", StringType(), True),
+        StructField("schema_json", StringType(), True),
+    ]
+)
 _STATE = StructType([StructField("last_schema", StringType(), True)])
 
 
@@ -76,41 +81,77 @@ def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     last = state.get[0] if state.exists else None
-    out: list[pd.Series] = []
+    out: list[pd.DataFrame] = []
     for pdf in pdfs:
-        # DDL-before-DML inside the batch (explicit ordering key).
-        pdf = pdf.sort_values(["kind", "version"], kind="stable")
-        ddl = pdf[pdf["kind"] == 0]
-        if len(ddl):
-            # Vectorized consecutive-duplicate suppression with the
-            # state's last-seen schema as carry-in (no per-row loop).
-            prev = ddl["schema_json"].shift(1)
-            prev.iloc[0] = last
-            keep = prev.isna() | (ddl["schema_json"] != prev)
-            out.append(ddl.loc[keep, "payload"])
-            last = ddl["schema_json"].iloc[-1]
-        out.append(pdf.loc[pdf["kind"] == 1, "payload"])
+        if not len(pdf):
+            continue
+        # Arrow chunk arrival order = the same order guarantee the
+        # previous full-envelope fold had (partition order; DDL has no
+        # version column to order by — reference semantics are
+        # last-announcement-wins per arrival).
+        # Vectorized consecutive-duplicate suppression with the
+        # state's last-seen schema as carry-in (no per-row loop).
+        prev = pdf["schema_json"].shift(1)
+        prev.iloc[0] = last
+        keep = prev.isna() | (pdf["schema_json"] != prev)
+        out.append(pdf.loc[keep, ["table", "schema_json"]])
+        last = pdf["schema_json"].iloc[-1]
     state.update((last,))
-    yield pd.DataFrame({"payload": pd.concat(out, ignore_index=True) if out else []})
+    yield (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"table": [], "schema_json": []})
+    )
 
 
 def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
     """Streaming ST1: suppress DDL records whose schema string matches
-    the table's last announcement; DML passes through. The envelope is
-    shuttled through the Arrow boundary as JSON (nested-struct-safe)
-    and re-parsed with ``from_json`` after."""
-    flat = changelog.select(
-        F.coalesce(F.col("ddl.table"), F.col("dml.table")).alias("table"),
-        F.when(F.col("ddl").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    the table's last announcement; DML passes through.
+
+    Only the DDL slice crosses the Python/Arrow boundary: DML records
+    — the volume — stay JVM-side and union around the stateful
+    operator (a self-union of one streaming source shares offsets, so
+    both branches see the same micro-batch). The previous design
+    shuttled EVERY record through to_json -> pandas state -> from_json,
+    which made the schema cache the throughput ceiling of the whole
+    pipeline; state semantics are unchanged (keyed by table, last-seen
+    schema string). DDL-before-DML ordering is not a row-order concern
+    here — apply_changes orders DDL first explicitly."""
+    ddl = changelog.filter(F.col("ddl").isNotNull()).select(
+        F.col("ddl.table").alias("table"),
         F.col("ddl.schema").alias("schema_json"),
-        F.coalesce(F.col("dml.change_tracking_version"), F.lit(0)).alias("version"),
-        F.to_json(F.struct("ddl", "dml")).alias("payload"),
     )
-    deduped = flat.groupBy("table").applyInPandasWithState(
-        _dedup_fn, _FLAT_OUT, _STATE, "append", GroupStateTimeout.NoTimeout
+    deduped = ddl.groupBy("table").applyInPandasWithState(
+        _dedup_fn, _DDL_OUT, _STATE, "append", GroupStateTimeout.NoTimeout
     )
-    parsed = deduped.select(F.from_json("payload", CHANGE_SCHEMA).alias("r"))
-    return parsed.select("r.ddl", "r.dml")
+    def _relax(t: StructType) -> StructType:
+        return StructType(
+            [
+                StructField(
+                    f.name,
+                    _relax(f.dataType) if isinstance(f.dataType, StructType) else f.dataType,
+                    True,
+                )
+                for f in t.fields
+            ]
+        )
+
+    # Nullability-relaxed envelope types: the state output's columns are
+    # nullable, and a null literal fills the other branch's side — the
+    # union agrees on the relaxed type exactly as the old from_json
+    # roundtrip did.
+    ddl_type = _relax(CHANGE_SCHEMA["ddl"].dataType)
+    dml_type = _relax(CHANGE_SCHEMA["dml"].dataType)
+    ddl_env = deduped.select(
+        F.struct(
+            F.col("table").alias("table"), F.col("schema_json").alias("schema")
+        ).cast(ddl_type).alias("ddl"),
+        F.lit(None).cast(dml_type).alias("dml"),
+    )
+    dml_env = changelog.filter(F.col("dml").isNotNull()).select(
+        F.lit(None).cast(ddl_type).alias("ddl"), F.col("dml")
+    )
+    return ddl_env.unionByName(dml_env)
 
 
 def dedupe_documents_stream(
