@@ -2381,6 +2381,123 @@ def corpus_percentile_filter(spark, sf_dir):
 
 
 @_q(
+    "temporal_scd2_lookup",
+    """
+    WITH log AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment, 'INSERT' AS op, CAST(1 AS BIGINT) AS v
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, 'UPDATE', CAST(2 AS BIGINT)
+      FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, 'DELETE', CAST(3 AS BIGINT)
+      FROM customer WHERE c_custkey % 7 = 5
+    ),
+    w AS (
+      SELECT *, LEAD(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to FROM log
+    ),
+    h AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment, v AS valid_from, valid_to
+      FROM w WHERE op <> 'DELETE'
+    ),
+    e AS (SELECT event_id, user_id, CAST(event_id % 3 + 1 AS BIGINT) AS asof_v FROM events)
+    SELECT e.event_id, e.user_id, e.asof_v, h.c_acctbal, h.c_mktsegment, h.valid_from
+    FROM e JOIN h ON h.c_custkey = e.user_id
+                 AND e.asof_v >= h.valid_from
+                 AND (h.valid_to IS NULL OR e.asof_v < h.valid_to)
+    """,
+)
+def temporal_scd2_lookup(spark, sf_dir):
+    """CDC + temporal integration: enrich an event stream with the
+    dimension values that were CURRENT at each event's as-of version —
+    the SCD2 point-in-time lookup every warehouse join needs once a
+    destructive upsert sink is replaced by history
+    (derive.scd2_history). Plan: equi-join on the dimension PK with
+    the interval predicate as a residual filter — per-key history is
+    short, so the residual prunes a bounded set per probe (never a
+    range cross-product). Deleted dimension rows correctly produce no
+    match for as-of versions past the delete."""
+    from .derive import scd2_history
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    log = snapshot_changelog(cust, "tpch.customer", ["c_custkey"]).unionByName(
+        mutation_changelog(
+            cust,
+            "tpch.customer",
+            ["c_custkey"],
+            update_where=F.col("c_custkey") % 7 == 3,
+            update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+            update_version=2,
+            delete_where=F.col("c_custkey") % 7 == 5,
+            delete_version=3,
+        )
+    )
+    hist = scd2_history(dml_flattener(log, cust.schema), ["c_custkey"])
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("event_id") % 3 + 1).alias("asof_v")
+    )
+    cond = (
+        (ev.user_id == hist.c_custkey)
+        & (F.col("asof_v") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("asof_v") < F.col("valid_to")))
+    )
+    return ev.join(hist, cond).select(
+        "event_id", "user_id", "asof_v", "c_acctbal", "c_mktsegment", "valid_from"
+    )
+
+
+@_q(
+    "text_clean_normalize",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || '  noisy' || chr(9) || 'tab' || chr(7) || chr(27) || ' end ' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_raw_chars,
+           trim(regexp_replace(
+                regexp_replace(raw, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                '\s+', ' ', 'g')) AS cleaned_text,
+           CAST(length(trim(regexp_replace(
+                regexp_replace(raw, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                '\s+', ' ', 'g'))) AS BIGINT) AS n_clean_chars
+    FROM d
+    """,
+)
+def text_clean_normalize(spark, sf_dir):
+    """Text cleaning/normalization pass (the pre-tokenization scrub):
+    strip non-whitespace control characters, collapse whitespace runs,
+    trim. The fixture text is already clean, so deterministic noise
+    (double spaces, tab, BEL, ESC) is injected IN BOTH ENGINES first —
+    the regex classes and ordering (controls before collapse, so tabs
+    still count as whitespace) do verified per-doc work. Zero-shuffle
+    narrow map."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit("  noisy"),
+        F.expr("char(9)"),
+        F.lit("tab"),
+        F.expr("char(7)"),
+        F.expr("char(27)"),
+        F.lit(" end "),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_raw_chars"),
+        cleaned.alias("cleaned_text"),
+        F.length(cleaned).cast("long").alias("n_clean_chars"),
+    )
+
+
+@_q(
     "corpus_vocab_build",
     r"""
     WITH t AS (
