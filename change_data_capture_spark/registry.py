@@ -48,7 +48,7 @@ from .normalize import (
 from . import functions as cf
 from .extensions import dedup, multimodal, similarity, text
 from .sources import avro_binary, jdbc_ct, kafka
-from .streaming import run_apply_stream, write_changelog
+from .streaming import interval_join_streams, run_apply_stream, write_changelog
 
 
 @dataclass(frozen=True)
@@ -2378,6 +2378,41 @@ def corpus_percentile_filter(spark, sf_dir):
             "doc_id", "source", "quality_score", F.round("pr", 6).alias("quality_pctl")
         )
     )
+
+
+@_q(
+    "stream_interval_join",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS amount
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts, p.amount
+    FROM c JOIN p ON p.user_id = c.user_id
+                 AND p.purchase_ts >= c.click_ts
+                 AND p.purchase_ts < c.click_ts + INTERVAL '6 hours'
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Batch twin of streaming.interval_join_streams (click-to-purchase
+    attribution within 6 hours): the same join expression runs under a
+    watermarked stream-stream join in streaming mode
+    (tests/test_streaming.py pins stream == batch), and the batch form
+    hash-verifies against the oracle here."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return interval_join_streams(
+        clicks, purchases, key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        delay="6 hours",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "amount")
 
 
 @_q(

@@ -154,6 +154,40 @@ def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
     return ddl_env.unionByName(dml_env)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    delay: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Stream-stream interval inner join: right rows within
+    ``[left_ts, left_ts + delay)`` of a left row with the same key —
+    click-to-purchase attribution, error-to-deploy correlation, etc.
+    The reference has NO joins between streams (SURVEY §2.4 note);
+    this is engine surface beyond parity, built on Spark's watermarked
+    stream-stream join: both sides buffer only rows newer than the
+    watermark, and the time-bound condition lets the state store evict
+    — bounded state by construction, the only shape that survives an
+    unbounded stream. Works identically on batch DataFrames (same
+    join, no watermark), which is how the oracle twin verifies it.
+
+    Column contract: ``left_ts``/``right_ts`` must already be distinct
+    names; the right side's key column is dropped from the output."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] < left[left_ts] + F.expr(f"INTERVAL {delay}"))
+    )
+    return left.join(right, cond).drop(right[key])
+
+
 def dedupe_documents_stream(
     docs: DataFrame, *, text_col: str = "text", watermark: tuple[str, str] | None = None
 ) -> DataFrame:

@@ -297,3 +297,58 @@ def test_stream_document_dedup_state_survives_restart(spark, tmp_path):
     run_once()
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    batch join's rows once all data is within the watermark."""
+    from change_data_capture_spark.streaming import interval_join_streams
+    from tests.conftest import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    in_dir = str(tmp_path / "in")
+    ev.coalesce(2).write.mode("append").parquet(in_dir)
+
+    def split(df):
+        # watermark needs TIMESTAMP (session-zoned); fixture ts is NTZ
+        ts = F.col("ts").cast("timestamp")
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", ts.alias("click_ts")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            ts.alias("purchase_ts"),
+        )
+        return clicks, purchases
+
+    bc, bp = split(ev)
+    expect = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_streams(
+            bc, bp, key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+            delay="6 hours",
+        ).collect()
+    )
+    assert expect, "fixture produced no joinable pairs"
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    sc, sp = split(stream)
+    joined = interval_join_streams(
+        sc, sp, key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        delay="6 hours",
+    ).select("click_id", "purchase_id")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == expect
