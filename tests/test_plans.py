@@ -104,6 +104,12 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         "text_span_dedup",
         "corpus_split_assign",
         "q_funnel_conversion",
+        "q_retention_cohorts",
+        "q_zscore_outliers",
+        "corpus_vocab_build",
+        "text_oov_rate",
+        "text_clean_normalize",
+        "corpus_percentile_filter",
     ],
 )
 def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):
@@ -157,4 +163,20 @@ def test_ct_scan_normalize_is_narrow(spark, sf_dir):
     """The envelope normalization of a CT scan must not shuffle — it is
     a map-only stage over the source scan."""
     plan = plan_of(spark, sf_dir, "cdc_ct_scan_normalize")
+    assert "Exchange" not in plan
+
+
+def test_interval_and_scd2_joins_are_equijoins(spark, sf_dir):
+    """Time-bounded joins must plan as equi-joins with residual range
+    filters, never cartesian/nested-loop shapes."""
+    for name in ("stream_interval_join", "temporal_scd2_lookup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_clean_normalize_has_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_clean_normalize")
+    assert "Exchange" not in plan
+    plan = plan_of(spark, sf_dir, "corpus_split_assign")
     assert "Exchange" not in plan
