@@ -2641,6 +2641,68 @@ def q_zscore_outliers(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_knn_label_eval",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 100),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+             round({{cos}}, 6) AS score
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rnk
+          FROM scored),
+    votes AS (SELECT query_id, n_label, COUNT(*) AS cnt FROM r WHERE rnk <= 5
+              GROUP BY query_id, n_label),
+    pred AS (
+      SELECT query_id, n_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cnt DESC, n_label ASC) AS vr
+      FROM votes
+    )
+    SELECT q.label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS knn_accuracy
+    FROM pred p JOIN q ON q.vec_id = p.query_id
+    WHERE p.vr = 1
+    GROUP BY q.label
+    """.replace("{cos}", _COSINE.format(a="q.v", b="c.v")),
+)
+def embedding_knn_label_eval(spark, sf_dir):
+    """Embedding-quality evaluation: 5-NN majority-vote label accuracy
+    per class (the standard linear-probe-free eval a pipeline runs
+    after retraining an encoder). Exact top-k (deterministic tiebreaks,
+    6dp-rounded cosine), majority with (count desc, label asc)
+    tiebreak; per-label aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100)
+    topk = similarity.brute_force_topk(emb, q, k=5)
+    nlbl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    qlbl = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    votes = topk.join(F.broadcast(nlbl), "neighbor_id").groupBy("query_id", "n_label").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cnt").desc(), F.col("n_label").asc())
+    pred = votes.withColumn("vr", F.row_number().over(w)).filter(F.col("vr") == 1)
+    correct = F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+    return (
+        pred.join(F.broadcast(qlbl), "query_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            correct.cast("long").alias("n_correct"),
+            F.round(correct.cast("double") / F.count("*"), 6).alias("knn_accuracy"),
+        )
+    )
+
+
 @_q("ann_ivfpq", None)  # approximate: IVF recall x PQ ranking -> rows-only check
 def ann_ivfpq(spark, sf_dir):
     """Full FAISS-shape IVF-PQ search (similarity.ivfpq_ann_topk):
