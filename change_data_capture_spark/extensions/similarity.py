@@ -635,7 +635,13 @@ def pq_encode(
     double expressions, rounded to 6dp BEFORE the argmin, and the
     reconstruction error is the left-associated sum of the m chosen
     (already-rounded) distances — bit-identical in any engine that
-    evaluates the same expression tree, which the DuckDB oracle does."""
+    evaluates the same expression tree, which the DuckDB oracle does.
+
+    Sizing note: literal inlining is right for small codebooks (the
+    m*k*sub_d expression tree compiles once and streams). At FAISS's
+    kc=256 a codegen unit would bloat — there the codebook becomes a
+    BROADCAST (sub, code) -> centroid table and the ADC a join, same
+    zero-shuffle corpus side."""
     assert dim % m == 0
     sub_d = dim // m
     seeds = (
