@@ -2642,6 +2642,54 @@ def q_zscore_outliers(spark, sf_dir):
 
 
 @_q(
+    "corpus_stats_report",
+    f"""
+    WITH
+    {_QUALITY_CTE.strip()},
+    tok AS (
+      SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS mean_quality
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN tok ON tok.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_stats_report(spark, sf_dir):
+    """Per-source corpus health dashboard: doc/token/char volumes,
+    language spread, mean quality — the one-glance report a curation
+    run emits per snapshot. Quality means go through exact decimal
+    sums (6dp scores sum exactly) so the report is engine-reproducible.
+    Two narrow per-doc projections + one grouped aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = text.quality_scores(docs).select("doc_id", "quality_score")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select("doc_id", "source", "lang", "n_chars", n_tokens.alias("n_tokens"))
+    return (
+        base.join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).cast("double").alias("mean_quality"),
+        )
+    )
+
+
+@_q(
     "embedding_knn_label_eval",
     f"""
     WITH e AS (
