@@ -4654,8 +4654,35 @@ def q_funnel_conversion(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 
+def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
+    """Make a builder survive ANY harness session, including a plain
+    1 GB-driver ``SparkSession.builder.getOrCreate()`` running all ~140
+    registry queries back to back (the correctness driver's shape).
+
+    Two runtime settings, both SQL confs a query may legitimately own:
+    - ``shuffle.partitions=32``: the plain-session default of 200
+      reducers x 32 local threads allocates ~6x the shuffle-writer
+      buffers per map task; on a shared 1 GB local JVM that is the
+      difference between finishing and OutOfMemoryError (observed: the
+      full bare-gate run died exactly this way). On a real cluster the
+      driver sets its own value and AQE coalesces — this only right-
+      sizes harnesses that never tuned it.
+    - ``clearCache()``: operators that cache intermediates (LSH
+      signatures, candidate sets) release them, but blocks legitimately
+      alive at return (the result still reads them) accumulate across a
+      139-query session; clearing LEFTOVERS on entry keeps the session
+      flat without touching the current query's own caches."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: _harness_safe(qd.fn) for name, qd in REGISTRY.items()}
 
 
 def oracles() -> dict[str, str]:
