@@ -100,7 +100,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cdc-spark-bench")
-    qs = registry.queries()
+    # RAW builders, not registry.queries(): the queries() wrapper
+    # (_harness_safe) clears caches and re-sets confs per call — the
+    # right guard for an untuned correctness harness, but it would
+    # change this benchmark's methodology mid-series (rounds are
+    # compared on identical min-of-2 semantics over a tuned session).
+    qs = {name: qd.fn for name, qd in registry.REGISTRY.items()}
     _warmup(spark, sf_dir, qs)
 
     timings: dict[str, float] = {}
