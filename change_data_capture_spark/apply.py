@@ -249,11 +249,18 @@ class TableCatalog:
         if meta is None or meta["schema"] is None:
             raise KeyError(f"unknown table {table_id!r}")
         current = self.read(spark, table_id)
-        if n_buckets is not None:
-            meta["buckets"] = int(n_buckets)
-            self.put_meta(table_id, meta)
+        # The new bucket count is published in the SAME atomic meta
+        # swap as the new data pointer (inside write_new_version) — a
+        # crash mid-compact must never leave meta['buckets']
+        # describing a layout the still-current data dir doesn't have
+        # (bucket pruning would then skip changed keys' old rows and
+        # the merge would duplicate them).
         self.write_new_version(
-            table_id, current, int(meta.get("applied_version", 0)), changed_buckets=None
+            table_id,
+            current,
+            int(meta.get("applied_version", 0)),
+            changed_buckets=None,
+            n_buckets=None if n_buckets is None else int(n_buckets),
         )
 
     def table_changes(
@@ -300,8 +307,16 @@ class TableCatalog:
         df: DataFrame,
         applied_version: int,
         changed_buckets: Sequence[int] | None = None,
+        n_buckets: int | None = None,
     ) -> None:
         """Publish a new table version.
+
+        ``n_buckets`` re-hashes this version into a new bucket count
+        (compaction); the count is published atomically with the data
+        pointer in the single meta swap below, so readers always see a
+        'buckets' value consistent with the current layout. Requires a
+        full rewrite (``changed_buckets=None``) — file reuse across
+        bucket counts is meaningless.
 
         ``changed_buckets=None`` -> full rewrite (first load, schema
         rewrite). Otherwise ``df`` holds ONLY the merged rows of the
@@ -313,7 +328,10 @@ class TableCatalog:
         local filesystem expresses the same file-reuse semantics.)"""
         meta = self.meta(table_id)
         assert meta is not None and meta["schema"] is not None
-        n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
+        if n_buckets is not None:
+            assert changed_buckets is None, "re-bucketing requires a full rewrite"
+        else:
+            n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
         seq = 0 if meta["current"] is None else int(meta["current"].rsplit("_v", 1)[1])
         new_dir = f"data_v{seq + 1:06d}"
         out = os.path.join(self.table_dir(table_id), new_dir)
@@ -355,6 +373,7 @@ class TableCatalog:
                     except OSError:
                         shutil.copy2(src, dst)
         meta["current"] = new_dir
+        meta["buckets"] = n_buckets
         meta["applied_version"] = max(meta.get("applied_version", 0), applied_version)
         self.put_meta(table_id, meta)
 
@@ -380,13 +399,31 @@ def decode_rows(dml: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
-def collapse_last_writer(dml: DataFrame, pks: Sequence[str]) -> DataFrame:
+def pk_value_of(schema: StructType, rows_col: str = "rows_values"):
+    """``value_of`` for PK expressions over the string-typed
+    ``rows_values`` map that normalizes each value through its
+    REGISTERED column type first. Row identity (and therefore bucket
+    identity) must be computed on the canonical Spark
+    cast-to-string form — ``CAST(CAST('007' AS INT) AS STRING) = '7'``
+    — because the write path buckets typed rows; hashing the raw
+    source string would send a non-canonical form ('007', '+5',
+    '1.50', timestamp format variants) to a different bucket than the
+    one its typed row is written into."""
+    types = {f.name: f.dataType for f in schema.fields}
+    return lambda c: F.col(rows_col)[c].cast(types[c])
+
+
+def collapse_last_writer(dml: DataFrame, pks: Sequence[str], value_of=None) -> DataFrame:
     """Per-key last-writer-wins inside a batch: keep only the highest
     change_tracking_version per row key. Replaces the reference's
     reliance on single-partition ordered iteration
     (CTInputDStream.java:157-158, 166-167) with an explicit,
-    shuffle-parallel rule."""
-    key = rowkey_expr(pks, value_of=lambda c: F.col("rows_values")[c])
+    shuffle-parallel rule.
+
+    ``value_of`` lets callers normalize key values (see
+    ``pk_value_of``) so that two source-string spellings of the same
+    typed key collapse together; default is the raw string map."""
+    key = rowkey_expr(pks, value_of=value_of or (lambda c: F.col("rows_values")[c]))
     w = Window.partitionBy(key).orderBy(
         F.col("change_tracking_version").desc(), F.col("op_type").asc()
     )
@@ -409,7 +446,7 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
         # bucket counts are known driver-side), so the per-table stats
         # action disappears. The per-table CASE arms also apply the
         # version watermark, so the set is exactly the post-filter one.
-        known: dict[str, tuple[list[str], int, int]] = {}
+        known: dict[str, tuple[list[str], int, int, StructType]] = {}
         for t in catalog.tables():
             m = catalog.meta(t)
             if m and m.get("pks") and m.get("current") is not None:
@@ -417,11 +454,17 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                     list(m["pks"]),
                     int(m.get("buckets") or _DEFAULT_BUCKETS),
                     int(m.get("applied_version", 0)),
+                    schema_from_json(m["schema"]),
                 )
         bucket_of = F.lit(None).cast("int")
-        for t, (pks, nb, applied) in known.items():
+        for t, (pks, nb, applied, tschema) in known.items():
+            # Hash schema-NORMALIZED values (cast to the registered PK
+            # type, back to string inside rowkey_expr) so the
+            # precomputed bucket matches the write-time bucket exactly
+            # even when the source string is not the canonical Spark
+            # form (see pk_value_of).
             arm = bucket_expr(
-                pks, nb, value_of=lambda c: F.col("dml.rows_values")[c]
+                pks, nb, value_of=pk_value_of(tschema, "dml.rows_values")
             ).cast("int")
             bucket_of = F.when(
                 (F.col("dml.table") == t)
@@ -485,7 +528,10 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
             if applied:
                 t = t.filter(F.col("change_tracking_version") > applied)
 
-            winners = collapse_last_writer(t, pks)
+            # Collapse on schema-normalized key values: two source
+            # spellings of the same typed key ('7' / '007') are ONE
+            # row identity, exactly as the typed merge sees them.
+            winners = collapse_last_writer(t, pks, value_of=pk_value_of(schema))
             n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
 
             if meta.get("current") is None:

@@ -281,3 +281,100 @@ def test_partial_rewrite_after_evolution_keeps_new_column(spark, tmp_path):
     assert len(got) == 40
     assert all(got[i] == "y" for i in range(3))
     assert all(got[i] is None for i in range(3, 40))
+
+
+def test_noncanonical_pk_string_hits_the_typed_bucket(spark, tmp_path):
+    """A mutation whose rows_values PK string is NOT the canonical
+    Spark cast-to-string form ('007' for int 7) must still merge into
+    the same PK-hash bucket as the typed row it targets. Before the
+    schema-normalized bucket arm, the precomputed touched-bucket set
+    hashed the raw string, wrote the upsert into one bucket and
+    hard-linked the old row's bucket untouched — a duplicate."""
+    base = spark.range(1, 21).select(
+        F.col("id").cast("bigint").alias("id"), F.lit("orig").alias("v")
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "t.pad", ["id"]), cat)
+
+    upd = dml_records(
+        base.filter("id <= 5"), "t.pad", ["id"], op="UPDATE", version=2,
+        value_overrides={
+            "id": F.format_string("%03d", F.col("id")),  # '001'..'005'
+            "v": F.lit("upd"),
+        },
+    )
+    apply_changelog(spark, upd, cat)
+
+    got = cat.read(spark, "t.pad")
+    assert got.count() == 20  # no duplicates, no losses
+    vals = {r["id"]: r["v"] for r in got.collect()}
+    assert all(vals[i] == "upd" for i in range(1, 6))
+    assert all(vals[i] == "orig" for i in range(6, 21))
+
+
+def test_collapse_unifies_pk_string_spellings(spark, tmp_path):
+    """Two spellings of the same typed key inside ONE batch ('1' at v2,
+    '001' at v3) are one row identity: last-writer-wins keeps only v3."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "t.sp", ["id"]), cat)
+
+    one = base.filter("id = 1")
+    up_canon = dml_records(
+        one, "t.sp", ["id"], op="UPDATE", version=2,
+        value_overrides={"v": F.lit("mid")},
+    )
+    up_padded = dml_records(
+        one, "t.sp", ["id"], op="UPDATE", version=3,
+        value_overrides={"id": F.lit("001"), "v": F.lit("final")},
+    )
+    apply_changelog(spark, up_canon.unionByName(up_padded), cat)
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.sp").collect()}
+    assert got == {1: "final", 2: "b"}
+
+
+def test_compact_publishes_bucket_count_atomically(spark, tmp_path):
+    """compact(n_buckets=N) must publish the new bucket count in the
+    SAME meta swap as the new data pointer: no intermediate meta state
+    may pair the new count with the old layout (bucket pruning against
+    a mismatched hash silently skips changed keys' old rows)."""
+    import os
+
+    base = spark.range(0, 50).select(
+        F.col("id").cast("bigint").alias("id"), (F.col("id") % 7).alias("v")
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "t.cb", ["id"]), cat)
+    assert cat.meta("t.cb")["buckets"] == 16
+
+    metas = []
+    orig_put = TableCatalog.put_meta
+    try:
+        TableCatalog.put_meta = lambda self, t, m: (
+            metas.append(dict(m)), orig_put(self, t, m))[-1]
+        cat.compact(spark, "t.cb", n_buckets=4)
+    finally:
+        TableCatalog.put_meta = orig_put
+
+    # every meta write during compact that carries the new count also
+    # carries the new data pointer (single atomic swap)
+    final_current = cat.meta("t.cb")["current"]
+    for m in metas:
+        if m.get("buckets") == 4:
+            assert m.get("current") == final_current
+    assert cat.meta("t.cb")["buckets"] == 4
+
+    vdir = os.path.join(cat.table_dir("t.cb"), final_current)
+    got_buckets = sorted(
+        int(d.split("=")[1]) for d in os.listdir(vdir) if d.startswith("__bucket=")
+    )
+    assert got_buckets == [0, 1, 2, 3]
+
+    # merges after re-bucketing still prune/merge correctly
+    upd = dml_records(
+        base.filter("id = 13"), "t.cb", ["id"], op="UPDATE", version=2,
+        value_overrides={"v": F.lit(99)},
+    )
+    apply_changelog(spark, upd, cat)
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.cb").collect()}
+    assert len(got) == 50 and got[13] == 99
