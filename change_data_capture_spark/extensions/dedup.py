@@ -111,9 +111,13 @@ def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col
         # Persisted + materialized: both pair-join sides read `sets`,
         # and each racing scan would otherwise redo the expensive part
         # (full shingle explode + semi-join). The relation itself is
-        # tiny — one row per candidate doc.
+        # one row per candidate doc. No broadcast hint on the semi-join:
+        # candidate-doc count is O(near-dup collisions), which a
+        # template-heavy 100 TB corpus can blow past any driver memory
+        # bound — AQE broadcasts it when it measures small, shuffles
+        # when it doesn't.
         sets = (
-            sh.join(F.broadcast(ids), id_col, "left_semi")
+            sh.join(ids, id_col, "left_semi")
             .groupBy(id_col)
             .agg(F.collect_set("sh").alias("shset"))
             .persist()
@@ -278,7 +282,9 @@ def minhash_lsh_against(
     b_id = CORPUS doc) of an incoming batch against an existing corpus
     — the daily-ingest shape, where re-running all-corpus dedup per
     batch would be O(corpus) wasted work. Ids of the two sets must be
-    disjoint.
+    disjoint; the contract is enforced (anti-join below) rather than
+    trusted, because an overlapping id would silently union two docs'
+    shingle sets and corrupt every Jaccard it touches.
 
     Scale contract: the corpus side is touched exactly as the full
     operator touches it (one shingle scan -> signature agg -> bucket
@@ -291,6 +297,13 @@ def minhash_lsh_against(
     operator)."""
     assert k % bands == 0
     rows = k // bands
+    # Enforce the disjoint-id contract: a corpus row reusing a new-batch
+    # id is dropped (left-anti on the id only — O(|new|) side, AQE
+    # broadcasts it) so the unioned shingle/signature tables below can
+    # never mix two documents under one id.
+    corpus_docs = corpus_docs.join(
+        new_docs.select(id_col).distinct(), id_col, "left_anti"
+    )
     sh_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
     sh_old = shingles(corpus_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
     sig_new = minhash_signatures(sh_new, k=k, id_col=id_col).persist()
