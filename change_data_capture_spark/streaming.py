@@ -177,8 +177,14 @@ def interval_join_streams(
 
     Column contract: ``left_ts``/``right_ts`` must already be distinct
     names; the right side's key column is dropped from the output."""
+    # Watermark each side independently, exactly when that side is a
+    # stream: a mixed batch/stream call must still watermark the
+    # streaming side (stream-stream interval joins without watermarks
+    # on both streaming sides are rejected or buffer unbounded state);
+    # on a batch side the watermark would be a no-op anyway.
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
     cond = (
         (left[key] == right[key])

@@ -352,3 +352,49 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
         (r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out_dir).collect()
     )
     assert got == expect
+
+
+def test_interval_join_watermarks_gate_per_side(spark, sf_dir, tmp_path):
+    """Mixed batch/stream calls must watermark exactly the streaming
+    side(s): a batch left with a streaming right previously got NO
+    watermark anywhere (the gate keyed off left.isStreaming only),
+    an unbounded-state shape."""
+    from change_data_capture_spark.streaming import interval_join_streams
+    from tests.conftest import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    in_dir = str(tmp_path / "in")
+    ev.limit(100).write.mode("append").parquet(in_dir)
+
+    ts = F.col("ts").cast("timestamp")
+    batch_left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", ts.alias("click_ts")
+    )
+    stream_right = (
+        spark.readStream.schema(ev.schema)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", ts.alias("purchase_ts")
+        )
+    )
+    joined = interval_join_streams(
+        batch_left, stream_right,
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts", delay="6 hours",
+    )
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan, "streaming right side lost its watermark"
+
+    # and the pure stream-stream shape watermarks BOTH sides
+    stream_left = (
+        spark.readStream.schema(ev.schema)
+        .parquet(in_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", ts.alias("click_ts"))
+    )
+    both = interval_join_streams(
+        stream_left, stream_right,
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts", delay="6 hours",
+    )
+    plan2 = both._jdf.queryExecution().analyzed().toString()
+    assert plan2.count("EventTimeWatermark") == 2
