@@ -32,7 +32,9 @@ Semantics preserved:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import logging
+import time
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -225,6 +227,14 @@ class CTPollingSource:
     max_batch: int = 100_000
     num_partitions: int = 8
     tracking_offset: int = 0
+    # ST3 retry window (CTSQLServerConfig.java:42,148-150 — default -1):
+    # 0 fails on the first error; a positive value keeps polling through
+    # transient source failures, emitting empty batches, until the
+    # failure streak outlasts this many seconds; negative tolerates
+    # exactly one failing tick.
+    max_retry_seconds: int = -1
+    clock: Callable[[], float] = time.monotonic
+    _failure_start: float | None = field(default=None, init=False, repr=False)
 
     def _jdbc_query(self, spark: SparkSession, sql: str, *, partitioned_on: str | None = None,
                     lower: int = 0, upper: int = 0) -> DataFrame:
@@ -279,3 +289,47 @@ class CTPollingSource:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # -- ST3: transient-failure retry window ------------------------
+    def _should_fail(self) -> bool:
+        """Reference formula (CTInputDStream.java:91-94): retry
+        disabled (0) fails immediately; otherwise fail only once the
+        current failure streak has outlasted ``max_retry_seconds``."""
+        if self.max_retry_seconds == 0:
+            return True
+        return (
+            self._failure_start is not None
+            and self.clock() - self._failure_start > self.max_retry_seconds
+        )
+
+    def compute(
+        self, spark: SparkSession, tables: Sequence[TableInformation]
+    ) -> DataFrame | None:
+        """One DStream-style tick with the reference's failure policy
+        (``CTInputDStream.java:73-98``): a transient source failure is
+        swallowed into an EMPTY batch (None) and the poll loop keeps
+        going — the offset does not advance, so the next tick re-reads
+        the same version range — until failures have persisted past
+        ``max_retry_seconds``, at which point the error propagates.
+
+        One deliberate deviation: the reference never clears
+        ``isFailing`` after a successful batch, so a recovered stream
+        fails instantly on its NEXT transient error (the stale
+        ``failureStartTime`` makes ``shouldFail`` true no matter how
+        long ago the old streak was). Here a success closes the
+        window: each new failure streak gets the full retry budget."""
+        try:
+            batch = self.poll_batch(spark, tables)
+        except Exception:
+            if self._should_fail():
+                raise
+            if self._failure_start is None:
+                self._failure_start = self.clock()
+            logging.getLogger(__name__).warning(
+                "CT poll failed; retrying next interval (window %ss)",
+                self.max_retry_seconds,
+                exc_info=True,
+            )
+            return None
+        self._failure_start = None
+        return batch

@@ -152,3 +152,94 @@ class TestGoldenGateDecode:
         )
         reg = kafka.schema_registry(kafka.classify_messages(msgs)).collect()
         assert len(reg) == 1 and reg[0]["schema"] == "s_new"
+
+
+class _FakeCTSource(jdbc_ct.CTPollingSource):
+    """CTPollingSource with the JDBC round-trip replaced by canned
+    DataFrames: a scripted source version plus a connection that can be
+    told to fail for the next N calls. Everything else — clamping,
+    offset advancement, DDL-before-DML union, retry window — is the
+    real code under test."""
+
+    def __init__(self, spark, *, version=5, **kw):
+        super().__init__(url="jdbc:fake", **kw)
+        self._spark = spark
+        self.source_version = version
+        self.fail_next = 0
+        self.jdbc_calls = 0
+
+    def _jdbc_query(self, spark, sql, *, partitioned_on=None, lower=0, upper=0):
+        self.jdbc_calls += 1
+        if self.fail_next > 0:
+            self.fail_next -= 1
+            raise ConnectionError("transient: source unreachable")
+        if sql == jdbc_ct.current_version_sql():
+            return spark.createDataFrame([(self.source_version,)], "v long")
+        if sql.startswith("SELECT TOP 1"):
+            return spark.createDataFrame(
+                [], "id int, region string, name string, balance double"
+            )
+        assert "CHANGETABLE" in sql
+        return spark.createDataFrame(
+            [(1, "eu", "alice", 10.0, upper, "I", "2024-01-01 00:00:01")],
+            "id int, region string, name string, balance double, "
+            "SYS_CHANGE_VERSION long, SYS_CHANGE_OPERATION string, "
+            "CDC_CURRENT_TIMESTAMP string",
+        )
+
+
+class TestRetryWindow:
+    """ST3 parity: the poll loop survives transient source failures with
+    empty batches, keeps offsets unchanged across the gap, and fails
+    only once the failure streak outlasts max_retry_seconds
+    (CTInputDStream.java:58-60, 73-98)."""
+
+    def test_transient_failure_emits_empty_batch_and_holds_offset(self, spark):
+        src = _FakeCTSource(spark, max_retry_seconds=3600)
+        src.fail_next = 2
+        assert src.compute(spark, [TI]) is None
+        assert src.compute(spark, [TI]) is None
+        assert src.tracking_offset == 0  # offset untouched across the gap
+
+        batch = src.compute(spark, [TI])  # recovered
+        assert batch is not None
+        assert src.tracking_offset == 5  # resumes from the held offset
+        ops = batch.filter(F.col("dml").isNotNull()).select("dml.op_type").collect()
+        assert [r["op_type"] for r in ops] == ["INSERT"]
+
+    def test_fails_after_window_elapses(self, spark):
+        t = [0.0]
+        src = _FakeCTSource(spark, max_retry_seconds=10, clock=lambda: t[0])
+        src.fail_next = 100
+        assert src.compute(spark, [TI]) is None  # opens the window at t=0
+        t[0] = 5.0
+        assert src.compute(spark, [TI]) is None  # still inside
+        t[0] = 11.0
+        with pytest.raises(ConnectionError):
+            src.compute(spark, [TI])  # streak outlasted the window
+
+    def test_zero_window_fails_immediately(self, spark):
+        src = _FakeCTSource(spark, max_retry_seconds=0)
+        src.fail_next = 1
+        with pytest.raises(ConnectionError):
+            src.compute(spark, [TI])
+
+    def test_success_reopens_the_window(self, spark):
+        """Deviation from the reference (which never clears isFailing):
+        a successful batch must give the NEXT failure streak the full
+        retry budget, not the stale failureStartTime."""
+        t = [0.0]
+        src = _FakeCTSource(spark, max_retry_seconds=10, clock=lambda: t[0])
+        src.fail_next = 1
+        assert src.compute(spark, [TI]) is None
+        assert src.compute(spark, [TI]) is not None  # recovery at t=0
+        t[0] = 100.0  # far past the old window
+        src.source_version = 50
+        src.fail_next = 1
+        assert src.compute(spark, [TI]) is None  # fresh streak: swallowed
+        assert src.tracking_offset == 5
+
+    def test_no_new_changes_is_not_a_failure(self, spark):
+        src = _FakeCTSource(spark, version=0, max_retry_seconds=0)
+        assert src.compute(spark, [TI]) is None
+        assert src.tracking_offset == 0
