@@ -1,22 +1,24 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video columns are carried as ``binary`` with typed
-metadata columns alongside. The Spark-side machinery here is real —
+metadata columns alongside. The Spark-side machinery is real —
 schemas, Arrow batch iteration via ``mapInPandas``, partition-friendly
-batch shapes — while the actual codec step is STUBBED: the container
-has no image/audio libraries, so ``decode_image_meta`` derives
-deterministic fake dimensions from the payload bytes and
-``decode_image_pixels`` raises ``NotImplementedError`` where a real
-pipeline would call PIL/ffmpeg. Swapping the stub for a real decoder
-changes nothing about the Spark plan.
+batch shapes — and so is the container-header metadata step:
+``decode_image_meta`` parses PNG IHDR and JPEG SOF headers from raw
+bytes with ``struct`` (no image library involved). Only the PIXEL
+codec is stubbed: the container has no PIL/libjpeg/ffmpeg, so
+``decode_image_pixels`` raises ``NotImplementedError`` at the exact
+point a real pipeline would hand the bytes to a decoder. Swapping that
+stub for a real decoder changes nothing about the Spark plan.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -44,12 +46,61 @@ def attach_payload(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def decode_image_meta(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder: deterministic fake (width, height, channels) from
-    the byte length. A real implementation would parse the container
-    header (PNG IHDR / JPEG SOF) — not available in this environment."""
-    n = len(payload)
-    return (n % 640) + 1, (n % 480) + 1, 3
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG standalone markers that carry no length segment
+_JPEG_BARE = {0xD8, 0x01, *range(0xD0, 0xD8)}
+
+
+def decode_image_meta(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, channels) parsed straight from the container
+    header bytes — PNG IHDR (signature + first chunk, fixed offsets)
+    or JPEG SOF (marker walk to the first frame header). No image
+    library: both headers are fixed-layout big-endian ``struct``
+    territory. Unrecognized payloads yield (None, None, None)."""
+    p = bytes(payload)
+    if p[:8] == _PNG_SIG and len(p) >= 26 and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        color_type = p[25]
+        return int(w), int(h), _PNG_CHANNELS.get(color_type)
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 2 <= len(p) and p[i] == 0xFF:
+            marker = p[i + 1]
+            if marker in _JPEG_BARE:
+                i += 2
+                continue
+            if i + 4 > len(p):
+                break
+            (seg_len,) = struct.unpack(">H", p[i + 2 : i + 4])
+            # SOF0-SOF15 minus DHT/JPG/DAC hold the frame dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 <= len(p):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    return int(w), int(h), int(p[i + 9])
+                break
+            i += 2 + seg_len
+    return None, None, None
+
+
+def png_header_expr(width: Column, height: Column, *, color_type: int = 6, bit_depth: int = 8) -> Column:
+    """Synthesize the 29-byte PNG signature + IHDR prefix as a pure
+    column expression (int -> 4-byte big-endian via hex/lpad/unhex):
+    lets tests and oracle-paired queries build REAL decodable headers
+    JVM-side, no Python in the generation path."""
+    def be4(c: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+    return F.concat(
+        F.unhex(F.lit(_PNG_SIG.hex().upper())),
+        F.unhex(F.lit("0000000D")),  # IHDR length = 13
+        F.unhex(F.lit(b"IHDR".hex().upper())),
+        be4(width),
+        be4(height),
+        # bit depth, color type, compression, filter, interlace
+        F.unhex(F.lit(f"{bit_depth:02X}{color_type:02X}000000")),
+    )
 
 
 def decode_image_pixels(payload: bytes):  # pragma: no cover - documented stub
@@ -68,13 +119,15 @@ def image_metadata(docs_with_payload: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = pdf["payload"]
             meta = [decode_image_meta(p) for p in payloads]
+            # nullable Int32: unrecognized containers surface as NULL
+            # dims, never fake numbers
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "byte_len": payloads.map(len).astype("int64"),
-                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
-                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
-                    "channels": pd.Series([m[2] for m in meta], dtype="int32"),
+                    "width": pd.Series([m[0] for m in meta], dtype="Int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="Int32"),
+                    "channels": pd.Series([m[2] for m in meta], dtype="Int32"),
                 }
             )
 
@@ -114,18 +167,18 @@ def audio_chunk_plan(
 
 
 def resize_spec(
-    docs_with_payload: DataFrame, *, target_w: int = 224, target_h: int = 224
+    image_meta: DataFrame, *, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Aspect-preserving resize + letterbox SPEC from the (stubbed)
-    decoded dimensions: pure column math producing the geometry a
-    vision-preprocessing UDF would apply per image."""
-    n = F.length("payload")
-    w = (n % 640 + 1).cast("double")
-    h = (n % 480 + 1).cast("double")
+    """Aspect-preserving resize + letterbox SPEC over decoded image
+    metadata (``image_metadata`` output or any frame with
+    ``doc_id``/``width``/``height``): pure column math producing the
+    geometry a vision-preprocessing UDF would apply per image."""
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
     scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
     new_w = F.floor(w * scale).cast("int")
     new_h = F.floor(h * scale).cast("int")
-    return docs_with_payload.select(
+    return image_meta.select(
         "doc_id",
         w.cast("int").alias("src_w"),
         h.cast("int").alias("src_h"),

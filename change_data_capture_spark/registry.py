@@ -2864,16 +2864,28 @@ def text_fingerprint(spark, sf_dir):
     "multimodal_image_meta",
     """
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS channels
+           CAST(29 AS BIGINT) AS byte_len,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS channels
     FROM documents
     """,
 )
 def multimodal_image_meta(spark, sf_dir):
+    """Real header decode end-to-end: VALID PNG IHDR headers are
+    synthesized JVM-side from per-doc dimensions (png_header_expr),
+    then the Arrow-batched metadata UDF struct-parses width/height/
+    channels back out of the raw bytes. The oracle recomputes the
+    dimensions arithmetically — a parser bug cannot hash-match."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.image_metadata(multimodal.attach_payload(docs))
+    payloads = docs.select(
+        "doc_id",
+        multimodal.png_header_expr(
+            (F.col("doc_id") % 640 + 1).cast("int"),
+            (F.col("doc_id") % 480 + 1).cast("int"),
+        ).alias("payload"),
+    )
+    return multimodal.image_metadata(payloads)
 
 
 @_q(
@@ -2905,8 +2917,8 @@ def multimodal_audio_chunks(spark, sf_dir):
     """
     WITH d AS (
       SELECT doc_id,
-             CAST(octet_length(encode(text)) % 640 + 1 AS DOUBLE) AS w,
-             CAST(octet_length(encode(text)) % 480 + 1 AS DOUBLE) AS h
+             CAST(doc_id % 640 + 1 AS DOUBLE) AS w,
+             CAST(doc_id % 480 + 1 AS DOUBLE) AS h
       FROM documents
     ),
     s AS (SELECT *, least(224.0 / w, 224.0 / h) AS scale FROM d)
@@ -2921,8 +2933,18 @@ def multimodal_audio_chunks(spark, sf_dir):
     """,
 )
 def multimodal_resize_spec(spark, sf_dir):
+    """decode -> resize-spec composition: letterbox geometry computed
+    from dimensions the header parser just read out of real PNG
+    bytes (not from the payload length)."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.resize_spec(multimodal.attach_payload(docs))
+    payloads = docs.select(
+        "doc_id",
+        multimodal.png_header_expr(
+            (F.col("doc_id") % 640 + 1).cast("int"),
+            (F.col("doc_id") % 480 + 1).cast("int"),
+        ).alias("payload"),
+    )
+    return multimodal.resize_spec(multimodal.image_metadata(payloads))
 
 
 @_q(

@@ -1,12 +1,30 @@
-"""Multimodal plumbing: binary payload attach, Arrow-batched metadata
-extraction, frame/audio-chunk explosion plans, resize geometry, and
-the documented codec stub boundary."""
+"""Multimodal plumbing: binary payload attach, real PNG/JPEG header
+parsing, Arrow-batched metadata extraction, frame/audio-chunk explosion
+plans, resize geometry, and the documented pixel-codec stub boundary."""
+
+import struct
 
 import pytest
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.extensions import multimodal
 from tests.conftest import load
+
+
+def png_bytes(w: int, h: int, color_type: int = 6, bit_depth: int = 8) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", w, h)
+        + bytes([bit_depth, color_type, 0, 0, 0])
+    )
+
+
+def jpeg_bytes(w: int, h: int, ncomp: int = 3) -> bytes:
+    sof_payload = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + b"\x00" * (3 * ncomp)
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"  # skippable segment
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + sof0
 
 
 @pytest.fixture(scope="module")
@@ -18,13 +36,53 @@ def test_payload_is_binary(payloads):
     assert dict(payloads.dtypes)["payload"] == "binary"
 
 
+class TestHeaderParse:
+    """Golden-bytes tests for the struct-based container-header parser
+    (no image library involved)."""
+
+    def test_png_ihdr(self):
+        assert multimodal.decode_image_meta(png_bytes(640, 480)) == (640, 480, 4)
+        assert multimodal.decode_image_meta(png_bytes(1, 1, color_type=0)) == (1, 1, 1)
+        assert multimodal.decode_image_meta(png_bytes(65535, 2, color_type=2)) == (65535, 2, 3)
+
+    def test_jpeg_sof_marker_walk(self):
+        assert multimodal.decode_image_meta(jpeg_bytes(1920, 1080)) == (1920, 1080, 3)
+        assert multimodal.decode_image_meta(jpeg_bytes(8, 8, ncomp=1)) == (8, 8, 1)
+
+    def test_unrecognized_payload_is_null_not_fake(self):
+        assert multimodal.decode_image_meta(b"just some text bytes") == (None, None, None)
+        assert multimodal.decode_image_meta(b"") == (None, None, None)
+        # truncated PNG signature only — no IHDR to read
+        assert multimodal.decode_image_meta(b"\x89PNG\r\n\x1a\n\x00\x00") == (None, None, None)
+        # JPEG SOI but stream ends before any SOF
+        assert multimodal.decode_image_meta(b"\xff\xd8\xff\xe0\x00\x04JF") == (None, None, None)
+
+    def test_png_header_expr_roundtrips_through_parser(self, spark):
+        """The JVM-side header synthesizer and the Python parser agree
+        bit-for-bit: build headers from columns, decode them back."""
+        df = spark.range(1, 50).select(
+            F.col("id").alias("doc_id"),
+            multimodal.png_header_expr(
+                (F.col("id") % 640 + 1).cast("int"), (F.col("id") % 480 + 1).cast("int")
+            ).alias("payload"),
+        )
+        meta = multimodal.image_metadata(df)
+        rows = meta.collect()
+        assert len(rows) == 49
+        for r in rows:
+            assert r["width"] == r["doc_id"] % 640 + 1
+            assert r["height"] == r["doc_id"] % 480 + 1
+            assert r["channels"] == 4 and r["byte_len"] == 29
+
+
 def test_image_metadata_arrow_batches(payloads):
+    # text payloads are not image containers: dims must be NULL
     meta = multimodal.image_metadata(payloads)
     rows = meta.collect()
     assert len(rows) == payloads.count()
     for r in rows[:20]:
-        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
-        assert r["channels"] == 3 and r["byte_len"] > 0
+        assert r["width"] is None and r["height"] is None and r["channels"] is None
+        assert r["byte_len"] > 0
 
 
 def test_pixel_decode_is_stubbed():
@@ -61,8 +119,13 @@ def test_audio_chunks_cover_all_samples(spark, payloads):
     assert sizes <= 480_000
 
 
-def test_resize_spec_fits_target(payloads):
-    spec = multimodal.resize_spec(payloads, target_w=224, target_h=224)
+def test_resize_spec_fits_target(spark):
+    meta = spark.range(1, 200).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 1920 + 1).cast("int").alias("width"),
+        ((F.col("id") * 53) % 1080 + 1).cast("int").alias("height"),
+    )
+    spec = multimodal.resize_spec(meta, target_w=224, target_h=224)
     bad = spec.filter(
         (F.col("dst_w") > 224)
         | (F.col("dst_h") > 224)
