@@ -6,12 +6,16 @@ Prints ONE JSON line:
    "unit": "sec", "queries": {name: secs, ...}, "sf": <sf>, ...}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect) and timed TWICE after warmup, reporting the min of
-the two runs per query: on a shared machine the local[32] scheduler
-adds multi-second noise spikes (observed headline swings of ~15% on
-identical code), and min-of-2 is the standard steady-state filter for
-that — both runs do the full work, nothing is cached between them
-beyond the OS page cache both already share with the warmup pass. A
+no driver collect) and timed THREE times after warmup, reporting the
+min per query: on a shared machine the local[32] scheduler adds
+multi-second noise spikes (observed: identical code, back-to-back
+runs, one query 0.84 s then 4.35 s), and min-of-N is the standard
+steady-state filter for that — every run does the full work, nothing
+is cached between them beyond the OS page cache all already share
+with the warmup pass. N=3 (was 2 through round 2) because round-3
+measurements showed min-of-2 still letting whole-run noise bursts
+through; min can only go DOWN with more runs, so cross-round
+comparisons stay valid. A
 streaming-throughput figure mirroring the reference's perf test
 (N insert change events through source -> normalize -> apply;
 records/second, CDCPipelinePerfTest.java:195-199) is reported
@@ -111,7 +115,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)

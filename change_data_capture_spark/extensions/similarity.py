@@ -92,11 +92,17 @@ def brute_force_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     )
-    score = (
-        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
-        if dim is not None
-        else F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")
-    )
+    # Hoist the norms to one fold per SIDE row instead of two extra
+    # folds per PAIR: the Q*N scoring stage then runs a single
+    # interpreted HOF fold (the dot) per candidate — ~3x less fold
+    # work, IEEE-identical values (same fold over the same array,
+    # same divide/multiply order as _cosine_sql).
+    if dim is None:
+        q = q.withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
+        c = c.withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
+        score = F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
+    else:
+        score = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -211,11 +217,14 @@ def lsh_ann_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", lsh_bucket_expr("cv", dim, planes))
-    score = (
-        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
-        if unroll_score
-        else F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")
-    )
+    if unroll_score:
+        score = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+    else:
+        # per-side norm hoist: one fold per candidate pair, not three
+        # (see brute_force_topk)
+        q = q.withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
+        c = c.withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
+        score = F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -271,13 +280,22 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
+    if dim is None:
+        # per-side norm hoist (see brute_force_topk): centroid
+        # assignment then costs one fold per (row, centroid) and the
+        # final scoring one fold per candidate pair
+        cent = cent.withColumn("__centn", F.expr(f"sqrt({_dot_sql('centroid', 'centroid')})"))
+        c = c.withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
+        q = q.withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
 
     def assign(df, vec, n_best, out_cols):
-        sim = (
-            F.round(cosine(F.col(vec), F.col("centroid"), dim), 6)
-            if dim is not None
-            else F.expr(f"round({_cosine_sql(vec, 'centroid')}, 6)")
-        )
+        if dim is not None:
+            sim = F.round(cosine(F.col(vec), F.col("centroid"), dim), 6)
+        else:
+            vn = "cn" if vec == "cv" else "qn"
+            sim = F.expr(
+                f"round(({_dot_sql(vec, 'centroid')} / ({vn} * __centn)), 6)"
+            )
         scored = df.crossJoin(F.broadcast(cent)).withColumn("__sim", sim)
         w = Window.partitionBy(out_cols[0]).orderBy(
             F.col("__sim").desc(), F.col("list_id").asc()
@@ -293,7 +311,7 @@ def ivf_ann_topk(
     pair_score = (
         F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
         if dim is not None
-        else F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")
+        else F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
     )
     scored = (
         lists.join(probes, "list_id")

@@ -95,25 +95,46 @@ def quality_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "
 def language_id(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language id: the language whose stopword list hits
     the most tokens wins (ties: lexicographically smallest language;
-    no hits at all: 'unknown')."""
-    spark = docs.sparkSession
-    vocab = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], "lang string, token string"
-    )
+    no hits at all: 'unknown').
+
+    One shuffle total: the token explode feeds a single per-doc
+    aggregation with one conditional sum per language (all codegen;
+    the 40-word membership tests are IN-list predicates), and the
+    winner falls out of a struct max — (hits, -lang_rank) compares
+    field-by-field, so the highest hit count wins and ties go to the
+    SMALLEST language rank. The previous shape (broadcast vocab join
+    -> (doc, lang) agg -> ranking window -> join back to all docs)
+    paid three shuffles and dropped no work the conditional sums
+    don't also do."""
+    langs = sorted(STOPWORDS)
     t = tokens(docs, id_col=id_col, text_col=text_col)
-    hits = (
-        t.join(F.broadcast(vocab), "token")
-        .groupBy(id_col, "lang")
-        .agg(F.count("*").alias("hits"))
+    hits = t.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("token").isin(*STOPWORDS[lang]), 1).otherwise(0)
+            ).alias(f"__h_{lang}")
+            for lang in langs
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang").asc())
-    best = hits.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
-        id_col, F.col("lang").alias("detected_lang"), "hits"
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"__h_{lang}").alias("hits"), F.lit(-i).alias("nrank")
+            )
+            for i, lang in enumerate(langs)
+        ]
     )
-    return docs.select(id_col).join(best, id_col, "left").select(
+    lang_names = F.array(*[F.lit(lang) for lang in langs])
+    # every doc yields >= 1 token row (split of '' is ['']), so the
+    # aggregate covers all docs — no join back needed
+    return hits.select(
         id_col,
-        F.coalesce("detected_lang", F.lit("unknown")).alias("detected_lang"),
-        F.coalesce("hits", F.lit(0)).cast("bigint").alias("stopword_hits"),
+        F.when(
+            best["hits"] > 0, F.element_at(lang_names, -best["nrank"] + 1)
+        )
+        .otherwise("unknown")
+        .alias("detected_lang"),
+        best["hits"].cast("bigint").alias("stopword_hits"),
     )
 
 
