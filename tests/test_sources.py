@@ -243,3 +243,35 @@ class TestRetryWindow:
         src = _FakeCTSource(spark, version=0, max_retry_seconds=0)
         assert src.compute(spark, [TI]) is None
         assert src.tracking_offset == 0
+
+
+class TestKafkaOptionParity:
+    """Checklist parity with the reference's full config surface
+    (GoldenGateKafkaConfig.java:40-97) — every reference option has a
+    translated Structured Streaming option, with the reference's
+    defaults. The README 'live broker' section documents the mapping;
+    this test keeps code and doc from drifting."""
+
+    def test_every_reference_option_is_mapped(self):
+        opts = kafka.kafka_options("b1:9092,b2:9092", "ogg")
+        # broker (Config:40-43) -> bootstrap.servers
+        assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+        # topic (Config:45-48) -> subscribe
+        assert opts["subscribe"] == "ogg"
+        # defaultInitialOffset (Config:50-56): reference default -1 = latest
+        assert opts["startingOffsets"] == "latest"
+        # maxRatePerPartition (Config:58-62): reference default 1000
+        assert opts["maxOffsetsPerTrigger"] == "1000"
+
+    def test_rate_zero_means_unlimited(self):
+        # Config:59 '0 means there is no limit' -> option omitted entirely
+        opts = kafka.kafka_options("b:9092", "t", max_rate_per_partition=0)
+        assert "maxOffsetsPerTrigger" not in opts
+
+    def test_offset_wire_values(self):
+        # GoldenGateKafka.loadOffsets:142-169 wire values
+        assert kafka.resolve_starting_offsets("t", kafka.EARLIEST) == "earliest"
+        assert kafka.resolve_starting_offsets("t", kafka.LATEST) == "latest"
+        assert kafka.resolve_starting_offsets("t", 5) == '{"t": {"0": 5}}'
+        with pytest.raises(ValueError):
+            kafka.resolve_starting_offsets("t", -3)
