@@ -47,7 +47,7 @@ from .normalize import (
 )
 from . import functions as cf
 from .extensions import dedup, multimodal, similarity, text
-from .sources import avro_binary, jdbc_ct, kafka
+from .sources import avro_binary, debezium, jdbc_ct, kafka
 from .streaming import interval_join_streams, run_apply_stream, write_changelog
 
 
@@ -4703,6 +4703,97 @@ def q_funnel_conversion(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 
+def _debezium_customer_feed(spark, sf_dir):
+    """Deterministic Debezium JSON feed over the customer table:
+    snapshot reads ('r', ts 1) for every row, quantity updates ('u',
+    ts 2) for custkey%7==3, deletes ('d', ts 3) for custkey%7==5 —
+    the same mutation pattern as the CT-path fixtures, so oracles
+    replay it in SQL. Half the messages use the schemas.enable
+    wrapper, half the flat form (custkey parity), so one feed
+    exercises both parse paths."""
+    cust = _t(spark, sf_dir, "customer")
+    cols = cust.columns
+    full = F.struct(*[F.col(c) for c in cols])
+    upd_after = F.struct(
+        *[
+            ((F.col(c) + 100.0).alias(c) if c == "c_acctbal" else F.col(c))
+            for c in cols
+        ]
+    )
+    wrapped = F.col("c_custkey") % 2 == 0
+    snap = debezium.encode_debezium_json(
+        cust, table="tpch.customer", op="r", before=None, after=full,
+        ts_ms=1, wrapped=wrapped,
+    )
+    upd = debezium.encode_debezium_json(
+        cust.filter(F.col("c_custkey") % 7 == 3), table="tpch.customer",
+        op="u", before=full, after=upd_after, ts_ms=2, wrapped=wrapped,
+    )
+    dele = debezium.encode_debezium_json(
+        cust.filter(F.col("c_custkey") % 7 == 5), table="tpch.customer",
+        op="d", before=full, after=None, ts_ms=3, wrapped=wrapped,
+    )
+    return snap.unionByName(upd).unionByName(dele)
+
+
+@_q(
+    "cdc_debezium_decode",
+    """
+    SELECT 'INSERT' AS op_type, CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_acctbal, CAST(1 AS BIGINT) AS version
+    FROM customer
+    UNION ALL
+    SELECT 'UPDATE', CAST(c_custkey AS BIGINT), c_acctbal + 100.0, CAST(2 AS BIGINT)
+    FROM customer WHERE c_custkey % 7 = 3
+    UNION ALL
+    SELECT 'DELETE', CAST(c_custkey AS BIGINT), c_acctbal, CAST(3 AS BIGINT)
+    FROM customer WHERE c_custkey % 7 = 5
+    """,
+)
+def cdc_debezium_decode(spark, sf_dir):
+    """Debezium envelope decode -> canonical change records: typed
+    JSON images coerce to the stringified-values contract and cast
+    back losslessly (shortest-repr double round-trip), UPDATE merges
+    before+after, DELETE carries the before image
+    (sources/debezium.py; Normalizer.java:176-221 semantics)."""
+    raw = debezium.debezium_raw_ops(
+        _debezium_customer_feed(spark, sf_dir), {"tpch.customer": ["c_custkey"]}
+    )
+    recs = normalize_raw_ops(raw)
+    return recs.select(
+        F.col("dml.op_type").alias("op_type"),
+        F.col("dml.rows_values")["c_custkey"].cast("bigint").alias("c_custkey"),
+        F.col("dml.rows_values")["c_acctbal"].cast("double").alias("c_acctbal"),
+        F.col("dml.change_tracking_version").alias("version"),
+    )
+
+
+@_q(
+    "cdc_debezium_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_debezium_apply(spark, sf_dir):
+    """Debezium feed decoded, normalized, and MERGEd end-to-end into a
+    managed table — the full migration path for a Debezium user: the
+    snapshot reads create the table, the updates upsert, the deletes
+    remove, all through the identical apply engine the CT and
+    GoldenGate paths use."""
+    cust = _t(spark, sf_dir, "customer")
+    raw = debezium.debezium_raw_ops(
+        _debezium_customer_feed(spark, sf_dir),
+        {"tpch.customer": ["c_custkey"]},
+        rows_schemas={"tpch.customer": cust.schema.json()},
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_dbz_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return cat.read(spark, "tpch.customer")
+
+
 def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
     """Make a builder survive ANY harness session, including a plain
     1 GB-driver ``SparkSession.builder.getOrCreate()`` running all ~140
@@ -4762,6 +4853,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_goldengate_decode",
     "cdc_goldengate_apply",
     "cdc_goldengate_binary_e2e",
+    "cdc_debezium_apply",
     "cdc_compact",
     "cdc_incremental_agg",
     # --- relational surface: agg/join/window/sets/scalars/semi-structured (13)
@@ -4775,7 +4867,6 @@ DRIVER_WINDOW: list[str] = [
     "q_array_ops",
     "q_type_compat",
     "q_pivot_status_by_priority",
-    "q_approx_sketches",
     "q_events_hourly",
     # --- LLM-pipeline flagships: one per area (17)
     "dedup_exact",

@@ -1,0 +1,138 @@
+"""Debezium envelope decode: wrapped + flat forms, op-code mapping,
+whitelist drop semantics, typed-JSON -> string-map coercion, and the
+full decode -> normalize -> apply pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changes
+from change_data_capture_spark.normalize import normalize_raw_ops
+from change_data_capture_spark.sources import debezium
+
+
+KEYS = {"shop.orders": ["id"]}
+
+
+def msgs(spark, *texts):
+    return spark.createDataFrame([(t,) for t in texts], "message string")
+
+
+WRAPPED_INSERT = (
+    '{"schema": {"type": "struct"}, "payload": {"before": null, '
+    '"after": {"id": 7, "item": "ax", "qty": 2, "price": 10.5, "rush": true}, '
+    '"source": {"db": "shop", "table": "orders", "ts_ms": 100, "lsn": 55}, '
+    '"op": "c", "ts_ms": 990}}'
+)
+FLAT_UPDATE = (
+    '{"before": {"id": 7, "item": "ax", "qty": 2, "price": 10.5, "rush": true}, '
+    '"after": {"id": 7, "item": "ax", "qty": 5, "price": 10.5, "rush": false}, '
+    '"source": {"db": "shop", "table": "orders", "ts_ms": 200}, "op": "u", "ts_ms": 991}'
+)
+FLAT_DELETE = (
+    '{"before": {"id": 7, "item": "ax", "qty": 5}, "after": null, '
+    '"source": {"db": "shop", "table": "orders", "ts_ms": 300}, "op": "d", "ts_ms": 992}'
+)
+SNAPSHOT_READ = (
+    '{"payload": {"before": null, "after": {"id": 1, "item": "b"}, '
+    '"source": {"db": "shop", "table": "orders", "ts_ms": 50}, "op": "r", "ts_ms": 900}}'
+)
+TRUNCATE = (
+    '{"before": null, "after": null, '
+    '"source": {"db": "shop", "table": "orders", "ts_ms": 400}, "op": "t", "ts_ms": 993}'
+)
+OTHER_TABLE = (
+    '{"before": null, "after": {"id": 9}, '
+    '"source": {"db": "shop", "table": "audit_log", "ts_ms": 10}, "op": "c", "ts_ms": 11}'
+)
+
+
+def test_wrapped_and_flat_forms_decode_identically(spark):
+    raw = debezium.debezium_raw_ops(
+        msgs(spark, WRAPPED_INSERT, FLAT_UPDATE, FLAT_DELETE, SNAPSHOT_READ), KEYS
+    )
+    rows = {(r["op_type"], r["change_tracking_version"]): r for r in raw.collect()}
+    assert set(rows) == {("I", 100), ("U", 200), ("D", 300), ("I", 50)}
+    ins = rows[("I", 100)]
+    # typed JSON values coerce to the stringified-values contract
+    assert ins["after"] == {"id": "7", "item": "ax", "qty": "2", "price": "10.5", "rush": "true"}
+    assert ins["before"] is None
+    assert ins["primary_keys"] == ["id"]
+    assert ins["table"] == "shop.orders"
+    assert ins["cdc_current_timestamp"] == 990_000
+    upd = rows[("U", 200)]
+    assert upd["before"]["qty"] == "2" and upd["after"]["qty"] == "5"
+    assert rows[("D", 300)]["after"] is None
+
+
+def test_truncate_and_unlisted_tables_are_dropped(spark):
+    raw = debezium.debezium_raw_ops(
+        msgs(spark, WRAPPED_INSERT, TRUNCATE, OTHER_TABLE), KEYS
+    )
+    assert raw.count() == 1
+
+
+def test_decode_plan_is_jvm_only(spark):
+    raw = debezium.debezium_raw_ops(msgs(spark, WRAPPED_INSERT), KEYS)
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map stage, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pk_update_split_applies_through_normalize(spark):
+    """A Debezium 'u' that changes the key splits into DELETE(before)
+    + INSERT(after) — the engine's subtlest shared semantic, running
+    unchanged on the Debezium path."""
+    key_change = (
+        '{"before": {"id": 7, "item": "ax"}, "after": {"id": 8, "item": "ax"}, '
+        '"source": {"db": "shop", "table": "orders", "ts_ms": 500}, "op": "u", "ts_ms": 994}'
+    )
+    raw = debezium.debezium_raw_ops(msgs(spark, key_change), KEYS)
+    recs = normalize_raw_ops(raw).select("dml.op_type", "dml.rows_values").collect()
+    got = sorted((r["op_type"], r["rows_values"]["id"]) for r in recs)
+    assert got == [("DELETE", "7"), ("INSERT", "8")]
+
+
+def test_decode_normalize_apply_end_to_end(spark, tmp_path):
+    schema_json = (
+        spark.createDataFrame([], "id bigint, item string, qty bigint").schema.json()
+    )
+    raw = debezium.debezium_raw_ops(
+        msgs(
+            spark,
+            '{"payload": {"before": null, "after": {"id": 1, "item": "a", "qty": 3}, '
+            '"source": {"db": "shop", "table": "orders", "ts_ms": 1}, "op": "r", "ts_ms": 1}}',
+            '{"before": null, "after": {"id": 2, "item": "b", "qty": 4}, '
+            '"source": {"db": "shop", "table": "orders", "ts_ms": 2}, "op": "c", "ts_ms": 2}',
+            '{"before": {"id": 1, "item": "a", "qty": 3}, "after": {"id": 1, "item": "a", "qty": 9}, '
+            '"source": {"db": "shop", "table": "orders", "ts_ms": 3}, "op": "u", "ts_ms": 3}',
+            '{"before": {"id": 2, "item": "b", "qty": 4}, "after": null, '
+            '"source": {"db": "shop", "table": "orders", "ts_ms": 4}, "op": "d", "ts_ms": 4}',
+        ),
+        KEYS,
+        rows_schemas={"shop.orders": schema_json},
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changes(spark, normalize_raw_ops(raw), cat)
+    got = {r["id"]: (r["item"], r["qty"]) for r in cat.read(spark, "shop.orders").collect()}
+    assert got == {1: ("a", 9)}
+
+
+def test_encode_roundtrips_through_decode(spark):
+    rows = spark.range(1, 6).select(
+        F.col("id"), F.concat(F.lit("item"), F.col("id")).alias("item")
+    )
+    enc = debezium.encode_debezium_json(
+        rows,
+        table="shop.orders",
+        op="c",
+        before=None,
+        after=F.struct("id", "item"),
+        ts_ms=F.col("id") + 100,
+        wrapped=F.col("id") % 2 == 0,  # exercise BOTH forms in one feed
+    )
+    raw = debezium.debezium_raw_ops(enc, KEYS)
+    got = sorted(
+        (r["after"]["id"], r["after"]["item"], r["change_tracking_version"])
+        for r in raw.collect()
+    )
+    assert got == [(str(i), f"item{i}", i + 100) for i in range(1, 6)]

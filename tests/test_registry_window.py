@@ -34,7 +34,7 @@ def test_oracles_follow_query_order_and_cover_window():
     assert all(any(q == o for q in it) for o in onames), "oracles() out of order vs queries()"
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in registry.oracles()]
     # only deliberately-approximate ops may be rows-only inside the window
-    assert set(rows_only) <= {"q_approx_sketches", "dedup_simhash", "ann_ivfpq"}, rows_only
+    assert set(rows_only) <= {"dedup_simhash", "ann_ivfpq"}, rows_only
 
 
 def test_window_spans_every_operator_area():
