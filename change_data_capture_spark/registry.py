@@ -210,7 +210,7 @@ def q3_shipping_priority(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum_expr(disc).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -247,7 +247,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -297,7 +297,7 @@ def q_customer_order_stats(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -523,7 +523,7 @@ def q14_promo_effect(spark, sf_dir):
     promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
     total = F.sum(disc).cast("double")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(((F.lit(100.0) * promo) / total).alias("promo_revenue_pct"))
     )
 
@@ -546,7 +546,7 @@ def q18_large_volume_customer(spark, sf_dir):
     qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
         .agg(qty.cast("double").alias("total_qty"), qty.alias("__q"))
         .filter(F.col("__q") > 150)
@@ -579,7 +579,7 @@ def q10_returned_items(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsum_expr(disc).alias("revenue"))
@@ -793,7 +793,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(_dsum_expr(disc).alias("revenue"), F.count("*").alias("n"))
     )
@@ -2761,14 +2761,14 @@ def embedding_knn_label_eval(spark, sf_dir):
     topk = similarity.brute_force_topk(emb, q, k=5)
     nlbl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
     qlbl = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
-    votes = topk.join(F.broadcast(nlbl), "neighbor_id").groupBy("query_id", "n_label").agg(
+    votes = topk.join(nlbl, "neighbor_id").groupBy("query_id", "n_label").agg(
         F.count("*").alias("cnt")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cnt").desc(), F.col("n_label").asc())
     pred = votes.withColumn("vr", F.row_number().over(w)).filter(F.col("vr") == 1)
     correct = F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
     return (
-        pred.join(F.broadcast(qlbl), "query_id")
+        pred.join(qlbl, "query_id")
         .groupBy(F.col("q_label").alias("label"))
         .agg(
             F.count("*").cast("long").alias("n_queries"),

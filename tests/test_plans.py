@@ -27,6 +27,13 @@ def test_q1_scan_prunes_and_pushes(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
+    """Dim joins plan as broadcast at test scale. Deliberately NOT via
+    hints: explicit F.broadcast() on SF-scaled relations (customer,
+    supplier, part) would pin a driver-OOM shape at 100 TB, so the
+    builders hint only true constants (nation=25, region=5 rows) and
+    this test verifies AQE picks broadcast when the measured size is
+    small — the strategy that degrades to shuffle join, not OOM, on
+    scale-up."""
     for name in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
         plan = plan_of(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
