@@ -4794,6 +4794,51 @@ def cdc_debezium_apply(spark, sf_dir):
     return cat.read(spark, "tpch.customer")
 
 
+@_q(
+    "cdc_debezium_outbound",
+    """
+    SELECT 'UPDATE' AS op_type, CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_acctbal + 100.0 AS c_acctbal, CAST(2 AS BIGINT) AS version
+    FROM customer WHERE c_custkey % 7 = 3
+    UNION ALL
+    SELECT 'DELETE', CAST(c_custkey AS BIGINT), c_acctbal, CAST(2 AS BIGINT)
+    FROM customer WHERE c_custkey % 7 = 5
+    """,
+)
+def cdc_debezium_outbound(spark, sf_dir):
+    """Full CDC chain: apply a mutation batch, diff the published
+    versions into a change feed, render it as OUTBOUND Debezium
+    messages, then decode those through the inbound path — proving the
+    engine's CDC output is consumable by any Debezium consumer
+    including itself. DELETE rows carry the before image (the CDF's
+    old-row values), updates the postimage."""
+    cust = _t(spark, sf_dir, "customer")
+    cat = _seeded_customer_catalog(spark, sf_dir)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    feed = cat.table_changes(spark, "tpch.customer", from_version=1, to_version=2)
+    messages = debezium.table_changes_to_debezium(
+        feed, table="tpch.customer", ts_ms=2
+    )
+    raw = debezium.debezium_raw_ops(messages, {"tpch.customer": ["c_custkey"]})
+    recs = normalize_raw_ops(raw)
+    return recs.select(
+        F.col("dml.op_type").alias("op_type"),
+        F.col("dml.rows_values")["c_custkey"].cast("bigint").alias("c_custkey"),
+        F.col("dml.rows_values")["c_acctbal"].cast("double").alias("c_acctbal"),
+        F.col("dml.change_tracking_version").alias("version"),
+    )
+
+
 def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
     """Make a builder survive ANY harness session, including a plain
     1 GB-driver ``SparkSession.builder.getOrCreate()`` running all ~140

@@ -126,6 +126,42 @@ def debezium_raw_ops(
     )
 
 
+def table_changes_to_debezium(
+    changes: DataFrame, *, table: str, ts_ms: Column | int = 0,
+    wrapped: bool = False,
+) -> DataFrame:
+    """Outbound half of the Debezium story: render a change-data-feed
+    frame (``TableCatalog.table_changes`` output — row columns plus
+    ``_change_type`` of insert/update_postimage/delete) as Debezium
+    JSON messages, so the engine's own CDC output chains into any
+    downstream Debezium consumer. insert -> 'c' (after image),
+    update_postimage -> 'u' (after only — the CDF carries no preimage,
+    which the inbound decoder and normalizer accept), delete -> 'd'
+    (before image). Pure projection, no shuffle."""
+    db, _, tbl = table.partition(".")
+    cols = [c for c in changes.columns if c != "_change_type"]
+    full = F.struct(*[F.col(c) for c in cols])
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("c"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("u"))
+        .when(F.col("_change_type") == "delete", F.lit("d"))
+    )
+    ts = (F.lit(ts_ms) if isinstance(ts_ms, int) else ts_ms).cast("long")
+    payload = F.struct(
+        F.when(op == "d", full).alias("before"),
+        F.when(op != "d", full).alias("after"),
+        F.struct(
+            F.lit(db).alias("db"), F.lit(tbl).alias("table"), ts.alias("ts_ms")
+        ).alias("source"),
+        op.alias("op"),
+        ts.alias("ts_ms"),
+    )
+    body = (
+        F.to_json(F.struct(payload.alias("payload"))) if wrapped else F.to_json(payload)
+    )
+    return changes.select(body.alias("message"))
+
+
 def encode_debezium_json(
     rows: DataFrame,
     *,

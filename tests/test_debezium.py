@@ -136,3 +136,34 @@ def test_encode_roundtrips_through_decode(spark):
         for r in raw.collect()
     )
     assert got == [(str(i), f"item{i}", i + 100) for i in range(1, 6)]
+
+
+def test_outbound_cdf_renders_and_roundtrips(spark, tmp_path):
+    """table_changes -> Debezium messages -> inbound decode closes the
+    loop: image placement per op (delete carries before, insert/update
+    after), ts threading, and op-code mapping all roundtrip."""
+    from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
+    from change_data_capture_spark.apply import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id bigint, v string, bal double"
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "shop.t", ["id"]), cat)
+    mut = mutation_changelog(
+        base, "shop.t", ["id"],
+        update_where=F.col("id") == 1, update_set={"bal": F.lit(99.0)},
+        update_version=2,
+        delete_where=F.col("id") == 3, delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    feed = cat.table_changes(spark, "shop.t", from_version=1, to_version=2)
+    msgs_df = debezium.table_changes_to_debezium(feed, table="shop.t", ts_ms=7)
+    raw = debezium.debezium_raw_ops(msgs_df, {"shop.t": ["id"]})
+    rows = {r["op_type"]: r for r in raw.collect()}
+    assert set(rows) == {"U", "D"}
+    assert rows["U"]["after"] == {"id": "1", "v": "a", "bal": "99.0"}
+    assert rows["U"]["before"] is None
+    assert rows["D"]["before"] == {"id": "3", "v": "c", "bal": "30.0"}
+    assert rows["D"]["after"] is None
+    assert all(r["change_tracking_version"] == 7 for r in rows.values())
