@@ -14,8 +14,18 @@ steady-state filter for that — every run does the full work, nothing
 is cached between them beyond the OS page cache all already share
 with the warmup pass. N=3 (was 2 through round 2) because round-3
 measurements showed min-of-2 still letting whole-run noise bursts
-through; min can only go DOWN with more runs, so cross-round
-comparisons stay valid. A
+through.
+
+PROTOCOL-CHANGE DISCLOSURE (round 3): two changes make the round-3
+headline not directly comparable to BENCH_r01/r02 — (a) min-of-3 is
+mechanically <= min-of-2 on identical code; (b) the mutation-shaped
+CDC queries now measure the merge against a pre-seeded base table
+(registry._seeded_customer_catalog) instead of re-timing the snapshot
+apply inside the operator. The round-3 engine wins were therefore
+verified under the OLD protocol first: on min-of-2 runs before the
+switch, cdc_apply_mutations measured 1.60s/1.35s (r02: 2.36),
+text_langid 0.62s/0.51s (r02: 0.99), ann_topk_bruteforce 0.53s/0.38s
+(r02: 0.64) — real engine deltas, not measurement artifacts. A
 streaming-throughput figure mirroring the reference's perf test
 (N insert change events through source -> normalize -> apply;
 records/second, CDCPipelinePerfTest.java:195-199) is reported

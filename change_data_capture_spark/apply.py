@@ -124,9 +124,21 @@ class TableCatalog:
             meta["pending_schema"] = schema_json
         else:
             evolved = schema_from_json(self._evolved(meta["schema"], schema_json))
+            # Primary-key columns survive evolution even when the
+            # announced schema omits them: dropping a key column would
+            # destroy row identity mid-table (Kudu refuses exactly this
+            # alter, CDCKudu.java:78-137 via AlterTableOptions), so the
+            # registered PK fields are re-added with their existing
+            # types rather than failing or silently un-keying the table.
+            pks = meta.get("pks") or []
+            present = {f.name for f in evolved.fields}
+            old_fields = {f.name: f for f in schema_from_json(meta["schema"]).fields}
+            for pk in pks:
+                if pk not in present and pk in old_fields:
+                    evolved = StructType([*evolved.fields, old_fields[pk]])
             # PK restriction survives evolution (CDCKudu.java:315-321):
             # a re-announced float/bool PK column stays STRING.
-            meta["schema"] = pk_compat_schema(evolved, meta.get("pks")).json()
+            meta["schema"] = pk_compat_schema(evolved, pks).json()
         self.put_meta(table_id, meta)
 
     @staticmethod
@@ -410,7 +422,16 @@ def pk_value_of(schema: StructType, rows_col: str = "rows_values"):
     '1.50', timestamp format variants) to a different bucket than the
     one its typed row is written into."""
     types = {f.name: f.dataType for f in schema.fields}
-    return lambda c: F.col(rows_col)[c].cast(types[c])
+
+    def value_of(c: str):
+        # a PK absent from the registered schema (malformed feed) falls
+        # back to raw-string identity — the same degraded behavior the
+        # write path exhibits, instead of a driver-side KeyError
+        t = types.get(c)
+        col = F.col(rows_col)[c]
+        return col.cast(t) if t is not None else col
+
+    return value_of
 
 
 def collapse_last_writer(dml: DataFrame, pks: Sequence[str], value_of=None) -> DataFrame:

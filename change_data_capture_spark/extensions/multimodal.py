@@ -67,6 +67,12 @@ def decode_image_meta(payload: bytes) -> tuple[int | None, int | None, int | Non
     if p[:2] == b"\xff\xd8":
         i = 2
         while i + 2 <= len(p) and p[i] == 0xFF:
+            # spec-legal fill bytes: any number of 0xFF may pad before
+            # the marker code (ITU T.81 B.1.1.2)
+            while i + 1 < len(p) and p[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > len(p):
+                break
             marker = p[i + 1]
             if marker in _JPEG_BARE:
                 i += 2

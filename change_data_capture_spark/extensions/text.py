@@ -107,7 +107,13 @@ def language_id(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     paid three shuffles and dropped no work the conditional sums
     don't also do."""
     langs = sorted(STOPWORDS)
-    t = tokens(docs, id_col=id_col, text_col=text_col)
+    # NULL text must still yield an 'unknown' row (the all-docs output
+    # contract): coalesce to '' so split/explode emits one empty token
+    # for it instead of zero rows.
+    safe = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+    t = tokens(safe, id_col=id_col, text_col=text_col)
     hits = t.groupBy(id_col).agg(
         *[
             F.sum(
@@ -125,8 +131,8 @@ def language_id(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
         ]
     )
     lang_names = F.array(*[F.lit(lang) for lang in langs])
-    # every doc yields >= 1 token row (split of '' is ['']), so the
-    # aggregate covers all docs — no join back needed
+    # with the coalesce above, every doc yields >= 1 token row (split
+    # of '' is ['']), so the aggregate covers all docs — no join back
     return hits.select(
         id_col,
         F.when(

@@ -4879,7 +4879,7 @@ def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
 # named here follows in registration order and stays covered by the
 # local 139-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
-    # --- CDC core: scan pushdown, normalize, apply, streaming (20)
+    # --- CDC core: scan pushdown, normalize, apply, streaming (21)
     "p_ct_change_scan",
     "p_batch_clamp",
     "cdc_ct_scan_normalize",
@@ -4901,7 +4901,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_debezium_apply",
     "cdc_compact",
     "cdc_incremental_agg",
-    # --- relational surface: agg/join/window/sets/scalars/semi-structured (13)
+    # --- relational surface: agg/join/window/sets/scalars/semi-structured (11)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q_window_suite",
@@ -4913,7 +4913,7 @@ DRIVER_WINDOW: list[str] = [
     "q_type_compat",
     "q_pivot_status_by_priority",
     "q_events_hourly",
-    # --- LLM-pipeline flagships: one per area (17)
+    # --- LLM-pipeline flagships: one per area (18)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -4937,7 +4937,8 @@ DRIVER_WINDOW: list[str] = [
 
 def _ordered_names() -> list[str]:
     window = [n for n in DRIVER_WINDOW if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(window)]
+    in_window = set(window)
+    rest = [n for n in REGISTRY if n not in in_window]
     return window + rest
 
 

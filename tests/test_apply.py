@@ -378,3 +378,28 @@ def test_compact_publishes_bucket_count_atomically(spark, tmp_path):
     apply_changelog(spark, upd, cat)
     got = {r["id"]: r["v"] for r in cat.read(spark, "t.cb").collect()}
     assert len(got) == 50 and got[13] == 99
+
+
+def test_evolution_cannot_drop_pk_columns(spark, tmp_path):
+    """A DDL whose schema omits a registered PK column must not un-key
+    the table (Kudu refuses key-column drops, CDCKudu.java:78-137):
+    the PK field is re-added with its existing type, and subsequent
+    merges keep working."""
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id bigint, v string, n bigint")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "t.e", ["id"]), cat)
+
+    # evolve: drop 'n', add 'w' — and (incorrectly) omit the PK 'id'
+    bad = spark.createDataFrame([], "v string, w string")
+    apply_changelog(spark, ddl_record(spark, "t.e", bad.schema.json()), cat)
+
+    meta_fields = [f["name"] for f in __import__("json").loads(cat.meta("t.e")["schema"])["fields"]]
+    assert "id" in meta_fields and "w" in meta_fields and "n" not in meta_fields
+
+    upd = dml_records(
+        spark.createDataFrame([(1, "a2", "x")], "id bigint, v string, w string"),
+        "t.e", ["id"], op="UPDATE", version=2,
+    )
+    apply_changelog(spark, upd, cat)
+    got = {r["id"]: (r["v"], r["w"]) for r in cat.read(spark, "t.e").collect()}
+    assert got == {1: ("a2", "x"), 2: ("b", None)}

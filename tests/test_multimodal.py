@@ -136,3 +136,17 @@ def test_resize_spec_fits_target(spark):
     # aspect preserved within rounding: the larger side hits the target
     off = spec.filter((F.col("dst_w") < 223) & (F.col("dst_h") < 223)).count()
     assert off == 0
+
+
+def test_jpeg_fill_bytes_before_marker(spark=None):
+    """ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code; the SOF walk must skip them."""
+    import struct as _s
+
+    sof_payload = bytes([8]) + _s.pack(">HH", 1080, 1920) + bytes([3]) + b"\x00" * 9
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff\xe0" + _s.pack(">H", 4) + b"JF"   # APP0 with 2 fill bytes
+        + b"\xff\xff\xc0" + _s.pack(">H", 2 + len(sof_payload)) + sof_payload
+    )
+    assert multimodal.decode_image_meta(padded) == (1920, 1080, 3)

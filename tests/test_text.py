@@ -128,3 +128,14 @@ def test_span_dedup_hand_computed(spark):
     assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (3, 0)
     assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (1, 0)
     assert abs(out[1]["dup_span_frac"] - 1 / 3) < 1e-6
+
+
+def test_language_id_keeps_null_and_empty_text_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the and of to in"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    from change_data_capture_spark.extensions import text as t
+
+    got = {r["doc_id"]: (r["detected_lang"], r["stopword_hits"]) for r in t.language_id(docs).collect()}
+    assert got == {1: ("en", 5), 2: ("unknown", 0), 3: ("unknown", 0)}
