@@ -455,11 +455,19 @@ def collapse_last_writer(dml: DataFrame, pks: Sequence[str], value_of=None) -> D
     )
 
 
-def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalog) -> None:
+def apply_changes(
+    spark: SparkSession, batch_df: DataFrame, catalog: TableCatalog
+) -> list[dict]:
     """Apply one micro-batch of change records (CHANGE_SCHEMA envelope)
     to the catalog's managed tables. Usable directly as a
     ``foreachBatch`` body: ``lambda df, _: apply_changes(spark, df, catalog)``.
-    """
+
+    Returns a per-table report of what the batch did — action taken
+    (create / merge / skip), high-watermark advanced to, and bucket
+    write amplification — built ONLY from driver-side metadata the
+    apply already holds (no extra Spark actions), so it is free to log
+    or ship to a metrics sink per micro-batch."""
+    report: list[dict] = []
     batch_df = batch_df.persist()
     try:
         # For tables that already have data, the touched-bucket set is
@@ -564,6 +572,7 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 # so the batch-level max version from the meta scan IS
                 # the high-watermark.
                 if batch_max_version is None:
+                    report.append({"table": table_id, "action": "skip_empty"})
                     continue  # DDL-only or empty slice for this table
                 typed = decode_rows(winners, schema)
                 upserts = typed.filter(F.col("op_type") != OP_DELETE).select(
@@ -571,6 +580,15 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 )
                 catalog.write_new_version(
                     table_id, upserts, int(batch_max_version), changed_buckets=None
+                )
+                report.append(
+                    {
+                        "table": table_id,
+                        "action": "create",
+                        "applied_version": int(batch_max_version),
+                        "buckets_written": n_buckets,
+                        "buckets_total": n_buckets,
+                    }
                 )
                 continue
 
@@ -582,6 +600,7 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 # shuffle (changed_keys + upserts) share it via
                 # exchange reuse.
                 if batch_max_version is None or int(batch_max_version) <= applied:
+                    report.append({"table": table_id, "action": "skip_replay"})
                     continue  # nothing new for this table
                 changed_buckets = sorted(int(b) for b in touched)
                 typed = decode_rows(winners, schema)
@@ -595,6 +614,7 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                 ).collect()[0]
                 if stats["v"] is None:
                     typed.unpersist()
+                    report.append({"table": table_id, "action": "skip_replay"})
                     continue  # nothing new for this table
                 batch_max_version = stats["v"]
                 changed_buckets = sorted(int(b) for b in stats["bks"])
@@ -620,13 +640,25 @@ def apply_changes(spark: SparkSession, batch_df: DataFrame, catalog: TableCatalo
                     int(batch_max_version),
                     changed_buckets=changed_buckets,
                 )
+                report.append(
+                    {
+                        "table": table_id,
+                        "action": "merge",
+                        "applied_version": int(batch_max_version),
+                        "buckets_written": len(changed_buckets),
+                        "buckets_total": n_buckets,
+                    }
+                )
             finally:
                 if typed.is_cached:
                     typed.unpersist()
+        return report
     finally:
         batch_df.unpersist()
 
 
-def apply_changelog(spark: SparkSession, changelog: DataFrame, catalog: TableCatalog) -> None:
+def apply_changelog(
+    spark: SparkSession, changelog: DataFrame, catalog: TableCatalog
+) -> list[dict]:
     """Batch convenience: treat an entire change log as one batch."""
-    apply_changes(spark, changelog, catalog)
+    return apply_changes(spark, changelog, catalog)

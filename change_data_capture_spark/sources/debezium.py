@@ -126,6 +126,38 @@ def debezium_raw_ops(
     )
 
 
+def debezium_dead_letters(
+    messages: DataFrame,
+    table_keys: Mapping[str, Sequence[str]],
+    *,
+    message_col: str = "message",
+) -> DataFrame:
+    """The rows ``debezium_raw_ops`` drops, with a reason column — the
+    dead-letter queue a production feed routes to a quarantine sink
+    instead of losing silently. Same parse expression as the decode
+    (Catalyst dedupes the work when both run in one plan); reasons:
+    'unparseable' (no envelope fields at all), 'unsupported_op'
+    (truncate/message/unknown codes), 'unknown_table' (not in the key
+    whitelist)."""
+    m = messages.select(
+        F.col(message_col).alias("message"),
+        F.from_json(F.col(message_col), _ENVELOPE_SCHEMA).alias("__m"),
+    )
+    src = F.coalesce(F.col("__m.payload.source"), F.col("__m.source"))
+    op_raw = _pick("op")
+    table_id = F.concat_ws(".", src["db"], src["table"])
+    known = F.lit(False)
+    for t in table_keys:
+        known = known | (table_id == t)
+    reason = (
+        F.when(op_raw.isNull() | src.isNull(), F.lit("unparseable"))
+        .when(~op_raw.isin(*_OP_MAP), F.lit("unsupported_op"))
+        .when(~known, F.lit("unknown_table"))
+    )
+    return m.select("message", reason.alias("reason"), op_raw.alias("op"),
+                    table_id.alias("table")).filter(F.col("reason").isNotNull())
+
+
 def table_changes_to_debezium(
     changes: DataFrame, *, table: str, ts_ms: Column | int = 0,
     wrapped: bool = False,

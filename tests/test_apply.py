@@ -403,3 +403,24 @@ def test_evolution_cannot_drop_pk_columns(spark, tmp_path):
     apply_changelog(spark, upd, cat)
     got = {r["id"]: (r["v"], r["w"]) for r in cat.read(spark, "t.e").collect()}
     assert got == {1: ("a2", "x"), 2: ("b", None)}
+
+
+def test_apply_report_describes_batch_outcomes(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    r1 = apply_changelog(spark, snapshot_changelog(base, "t.r", ["id"]), cat)
+    assert r1 == [
+        {"table": "t.r", "action": "create", "applied_version": 1,
+         "buckets_written": 16, "buckets_total": 16}
+    ]
+    upd = dml_records(
+        base.filter("id = 1"), "t.r", ["id"], op="UPDATE", version=2,
+        value_overrides={"v": F.lit("z")},
+    )
+    r2 = apply_changelog(spark, upd, cat)
+    assert r2 == [
+        {"table": "t.r", "action": "merge", "applied_version": 2,
+         "buckets_written": 1, "buckets_total": 16}
+    ]
+    r3 = apply_changelog(spark, upd, cat)  # replay
+    assert r3 == [{"table": "t.r", "action": "skip_replay"}]

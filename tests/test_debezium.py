@@ -167,3 +167,73 @@ def test_outbound_cdf_renders_and_roundtrips(spark, tmp_path):
     assert rows["D"]["before"] == {"id": "3", "v": "c", "bal": "30.0"}
     assert rows["D"]["after"] is None
     assert all(r["change_tracking_version"] == 7 for r in rows.values())
+
+
+def test_dead_letters_complement_the_decode(spark):
+    feed = msgs(
+        spark,
+        WRAPPED_INSERT,          # good
+        TRUNCATE,                # unsupported_op
+        OTHER_TABLE,             # unknown_table
+        "not json at all",       # unparseable
+        '{"op": "z", "source": {"db": "shop", "table": "orders"}}',  # unsupported_op
+    )
+    good = debezium.debezium_raw_ops(feed, KEYS)
+    dead = debezium.debezium_dead_letters(feed, KEYS)
+    assert good.count() == 1
+    got = {r["reason"] for r in dead.collect()}
+    assert got == {"unsupported_op", "unknown_table", "unparseable"}
+    assert dead.count() + good.count() == feed.count()
+    # dead letters carry the original message for replay
+    assert all(r["message"] for r in dead.collect())
+
+
+def test_streaming_debezium_feed_applies_end_to_end(spark, tmp_path):
+    """A file-backed stream of Debezium messages drives the full
+    decode -> normalize -> foreachBatch apply pipeline: the same
+    Structured Streaming shape a Kafka-backed deployment runs, with
+    the source swapped for files (no broker in the container)."""
+    from change_data_capture_spark.apply import apply_changes
+
+    schema_json = (
+        spark.createDataFrame([], "id bigint, item string, qty bigint").schema.json()
+    )
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    batch1 = [
+        '{"payload": {"before": null, "after": {"id": 1, "item": "a", "qty": 3}, '
+        '"source": {"db": "shop", "table": "orders", "ts_ms": 1}, "op": "r", "ts_ms": 1}}',
+        '{"before": null, "after": {"id": 2, "item": "b", "qty": 4}, '
+        '"source": {"db": "shop", "table": "orders", "ts_ms": 2}, "op": "c", "ts_ms": 2}',
+    ]
+    batch2 = [
+        '{"before": {"id": 1, "item": "a", "qty": 3}, "after": {"id": 1, "item": "a", "qty": 9}, '
+        '"source": {"db": "shop", "table": "orders", "ts_ms": 3}, "op": "u", "ts_ms": 3}',
+        '{"before": {"id": 2, "item": "b", "qty": 4}, "after": null, '
+        '"source": {"db": "shop", "table": "orders", "ts_ms": 4}, "op": "d", "ts_ms": 4}',
+    ]
+    msgs(spark, *batch1).coalesce(1).write.mode("append").text(in_dir)
+    msgs(spark, *batch2).coalesce(1).write.mode("append").text(in_dir)
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(in_dir)
+        .select(F.col("value").alias("message"))
+    )
+
+    def on_batch(batch_df, _):
+        raw = debezium.debezium_raw_ops(
+            batch_df, KEYS, rows_schemas={"shop.orders": schema_json}
+        )
+        apply_changes(batch_df.sparkSession, normalize_raw_ops(raw), cat)
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["id"]: (r["item"], r["qty"]) for r in cat.read(spark, "shop.orders").collect()}
+    assert got == {1: ("a", 9)}
