@@ -4839,6 +4839,46 @@ def cdc_debezium_outbound(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_debezium_dead_letters",
+    """
+    SELECT 'unknown_table' AS reason, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    UNION ALL
+    SELECT 'unsupported_op', CAST(COUNT(*) AS BIGINT) FROM region
+    UNION ALL
+    SELECT 'unparseable', CAST(5 AS BIGINT)
+    """,
+)
+def cdc_debezium_dead_letters(spark, sf_dir):
+    """Dead-letter routing through the driver gate: a feed mixing good
+    customer events with three malformation classes (events for an
+    unlisted table, truncate ops, plain junk) quarantines exactly the
+    bad rows by reason — and good + dead partition the feed, so the
+    decode can never silently lose a message."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    keys = {"tpch.customer": ["c_custkey"]}
+    good = debezium.encode_debezium_json(
+        cust, table="tpch.customer", op="c", before=None,
+        after=F.struct("c_custkey", "c_name"), ts_ms=1,
+    )
+    unlisted = debezium.encode_debezium_json(
+        nation, table="tpch.nation", op="c", before=None,
+        after=F.struct("n_nationkey"), ts_ms=1,
+    )
+    truncates = debezium.encode_debezium_json(
+        region, table="tpch.customer", op="t", before=None, after=None, ts_ms=1,
+    )
+    junk = spark.range(5).select(
+        F.concat(F.lit("junk line "), F.col("id")).alias("message")
+    )
+    feed = good.unionByName(unlisted).unionByName(truncates).unionByName(junk)
+    dead = debezium.debezium_dead_letters(feed, keys)
+    return dead.groupBy("reason").agg(F.count("*").cast("long").alias("n"))
+
+
 def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
     """Make a builder survive ANY harness session, including a plain
     1 GB-driver ``SparkSession.builder.getOrCreate()`` running all ~140
