@@ -40,7 +40,7 @@ import shutil
 import tempfile
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -443,15 +443,28 @@ def collapse_last_writer(dml: DataFrame, pks: Sequence[str], value_of=None) -> D
 
     ``value_of`` lets callers normalize key values (see
     ``pk_value_of``) so that two source-string spellings of the same
-    typed key collapse together; default is the raw string map."""
+    typed key collapse together; default is the raw string map.
+
+    Implemented as a ``max_by`` hash aggregation, not a ranking
+    window: the aggregate gets map-side partial combine, so only each
+    partition's per-key winner crosses the shuffle (a ranking window
+    shuffles EVERY change row, then sorts each partition). Winner
+    order matches the previous window exactly: highest version, ties
+    to DELETE > INSERT > UPDATE (the old ``op_type asc`` tiebreak)."""
     key = rowkey_expr(pks, value_of=value_of or (lambda c: F.col("rows_values")[c]))
-    w = Window.partitionBy(key).orderBy(
-        F.col("change_tracking_version").desc(), F.col("op_type").asc()
+    op_pref = (
+        F.when(F.col("op_type") == "DELETE", 2)
+        .when(F.col("op_type") == "INSERT", 1)
+        .otherwise(0)
     )
+    order_key = F.struct(
+        F.col("change_tracking_version").alias("v"), op_pref.alias("p")
+    )
+    row = F.struct(*[F.col(c) for c in dml.columns])
     return (
-        dml.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        dml.groupBy(key.alias("__k"))
+        .agg(F.max_by(row, order_key).alias("__w"))
+        .select("__w.*")
     )
 
 
