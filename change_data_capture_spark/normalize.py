@@ -184,22 +184,22 @@ def collapse_net_changes(dml: DataFrame, pks: Sequence[str]) -> DataFrame:
     key = F.concat_ws(
         ":", *[F.col("rows_values")[k].cast("string") for k in sorted(pks)]
     )
-    w = Window.partitionBy("table", key)
-    w_desc = w.orderBy(F.col("change_tracking_version").desc())
-    inserted = F.max(F.when(F.col("op_type") == "INSERT", 1).otherwise(0)).over(w)
-    rn = F.row_number().over(w_desc)
+    # One map-side-combinable aggregation instead of two window passes
+    # (per-key max flag + ranking): max_by picks the final row, the
+    # conditional max computes was-inserted, and only per-partition
+    # winners cross the shuffle — same shape rationale as
+    # apply.collapse_last_writer.
+    row = F.struct(*[F.col(c) for c in dml.columns])
     # A DELETE stays a DELETE even if the key was inserted inside the
     # window — applying it to a consumer that never saw the insert is a
     # harmless idempotent no-op.
-    return (
-        dml.withColumn("__ins", inserted)
-        .withColumn("__rn", rn)
-        .filter(F.col("__rn") == 1)
-        .withColumn(
-            "op_type",
-            F.when(F.col("op_type") == "DELETE", F.lit("DELETE"))
-            .when(F.col("__ins") == 1, F.lit("INSERT"))
-            .otherwise(F.lit("UPDATE")),
-        )
-        .drop("__ins", "__rn")
+    agged = dml.groupBy(F.col("table").alias("__t"), key.alias("__k")).agg(
+        F.max_by(row, F.col("change_tracking_version")).alias("__w"),
+        F.max(F.when(F.col("op_type") == "INSERT", 1).otherwise(0)).alias("__ins"),
     )
+    return agged.select("__w.*", "__ins").withColumn(
+        "op_type",
+        F.when(F.col("op_type") == "DELETE", F.lit("DELETE"))
+        .when(F.col("__ins") == 1, F.lit("INSERT"))
+        .otherwise(F.lit("UPDATE")),
+    ).drop("__ins")
