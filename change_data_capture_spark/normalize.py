@@ -193,8 +193,13 @@ def collapse_net_changes(dml: DataFrame, pks: Sequence[str]) -> DataFrame:
     # A DELETE stays a DELETE even if the key was inserted inside the
     # window — applying it to a consumer that never saw the insert is a
     # harmless idempotent no-op.
+    # struct-wrap the ordering key: max_by skips rows whose ordering
+    # key is NULL, which would turn an all-null-version key into a
+    # phantom all-null winner; a struct is never null, and a null
+    # version inside it sorts lowest (nulls-first struct order), so
+    # some real row always wins.
     agged = dml.groupBy(F.col("table").alias("__t"), key.alias("__k")).agg(
-        F.max_by(row, F.col("change_tracking_version")).alias("__w"),
+        F.max_by(row, F.struct(F.col("change_tracking_version"))).alias("__w"),
         F.max(F.when(F.col("op_type") == "INSERT", 1).otherwise(0)).alias("__ins"),
     )
     return agged.select("__w.*", "__ins").withColumn(

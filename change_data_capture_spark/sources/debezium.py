@@ -146,9 +146,7 @@ def debezium_dead_letters(
     src = F.coalesce(F.col("__m.payload.source"), F.col("__m.source"))
     op_raw = _pick("op")
     table_id = F.concat_ws(".", src["db"], src["table"])
-    known = F.lit(False)
-    for t in table_keys:
-        known = known | (table_id == t)
+    known = table_id.isin(*table_keys) if table_keys else F.lit(False)
     reason = (
         F.when(op_raw.isNull() | src.isNull(), F.lit("unparseable"))
         .when(~op_raw.isin(*_OP_MAP), F.lit("unsupported_op"))

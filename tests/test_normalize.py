@@ -148,3 +148,26 @@ def test_net_change_collapse(spark):
     assert out["1"] == ("INSERT", "b")
     assert out["2"] == ("UPDATE", "c")
     assert out["3"] == ("DELETE", None)
+
+
+def test_net_change_collapse_survives_null_versions(spark):
+    """max_by skips NULL ordering keys; the struct-wrapped order must
+    still pick a REAL row when every version for a key is null (a
+    Debezium feed with no ts anywhere), never a phantom all-null row."""
+    from change_data_capture_spark.normalize import collapse_net_changes
+
+    dml = spark.createDataFrame(
+        [
+            ("t.x", "INSERT", {"id": "1", "v": "a"}, None),
+            ("t.x", "UPDATE", {"id": "1", "v": "b"}, None),
+            ("t.x", "UPDATE", {"id": "2", "v": "c"}, 5),
+        ],
+        "table string, op_type string, rows_values map<string,string>, "
+        "change_tracking_version bigint",
+    )
+    out = collapse_net_changes(dml, ["id"]).collect()
+    by_key = {r["rows_values"]["id"]: r for r in out}
+    assert set(by_key) == {"1", "2"}  # no phantom null row
+    assert by_key["1"]["op_type"] == "INSERT"  # key was inserted in-window
+    assert by_key["1"]["rows_values"]["v"] in ("a", "b")  # a REAL row
+    assert by_key["2"]["rows_values"]["v"] == "c"

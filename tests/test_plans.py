@@ -214,3 +214,24 @@ def test_clean_normalize_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     plan = plan_of(spark, sf_dir, "corpus_split_assign")
     assert "Exchange" not in plan
+
+
+def test_lww_collapses_are_partial_aggregations_not_windows(spark, sf_dir):
+    """The last-writer-wins collapse and the net-change collapse must
+    plan as hash aggregations with a map-side partial pass (only
+    per-partition winners cross the shuffle) — never as ranking
+    windows, which shuffle and sort EVERY change row. This is the
+    scale property the max_by rewrites exist for."""
+    from change_data_capture_spark.apply import collapse_last_writer
+    from change_data_capture_spark.changelog import dml_records
+    from change_data_capture_spark.normalize import collapse_net_changes
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dml = dml_records(base, "t.n", ["n_nationkey"]).select("dml.*")
+    for df in (
+        collapse_last_writer(dml, ["n_nationkey"]),
+        collapse_net_changes(dml, ["n_nationkey"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial_max_by" in plan, "collapse lost its map-side combine"

@@ -85,7 +85,11 @@ def main() -> int:
     cat.compact(spark, "tpch.customer", n_buckets=4)
     dropped = cat.vacuum("tpch.customer", keep_last=2)
     print("vacuumed versions:", dropped, "| buckets now:", cat.meta("tpch.customer")["buckets"])
-    print("time travel v1 rows:", cat.read(spark, "tpch.customer", version=cat.versions("tpch.customer")[0]).count())
+    oldest = cat.versions("tpch.customer")[0]
+    print(
+        f"time travel to v{oldest} (oldest surviving) rows:",
+        cat.read(spark, "tpch.customer", version=oldest).count(),
+    )
 
     section("7. LLM-pipeline extensions on the documents/embeddings tables")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
