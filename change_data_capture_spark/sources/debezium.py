@@ -126,6 +126,56 @@ def debezium_raw_ops(
     )
 
 
+def evolve_from_observed_columns(raw_ops: DataFrame, catalog) -> dict[str, list[str]]:
+    """Schema-drift handling for DDL-less feeds (Debezium emits no
+    separate DDL event when a connector starts capturing a new column
+    — the new field simply appears in the images): observe the column
+    set per table in this batch, and evolve any registered table whose
+    images carry columns its schema lacks. New columns are added as
+    nullable STRING — the wire carries stringified values and the
+    engine's decode casts by registered type, so STRING is the
+    faithful type until a typed DDL says otherwise.
+
+    One O(#tables) aggregation (distinct map keys per table) and a
+    driver-side diff against catalog metadata; returns
+    {table: [added columns]} for observability. Run before
+    ``apply_changes`` in a foreachBatch body."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..schema import schema_from_json
+
+    observed = (
+        raw_ops.select(
+            "table",
+            F.explode(
+                F.array_union(
+                    F.coalesce(F.map_keys("before"), F.array()),
+                    F.coalesce(F.map_keys("after"), F.array()),
+                )
+            ).alias("col"),
+        )
+        .groupBy("table")
+        .agg(F.collect_set("col").alias("cols"))
+        .collect()
+    )
+    added: dict[str, list[str]] = {}
+    for r in observed:
+        meta = catalog.meta(r["table"])
+        if meta is None or meta.get("schema") is None:
+            continue  # table not created yet: create-on-first-DML handles it
+        schema = schema_from_json(meta["schema"])
+        have = {f.name for f in schema.fields}
+        new_cols = sorted(c for c in r["cols"] if c not in have)
+        if not new_cols:
+            continue
+        evolved = StructType(
+            [*schema.fields, *[StructField(c, StringType(), True) for c in new_cols]]
+        )
+        catalog.announce_schema(r["table"], evolved.json())
+        added[r["table"]] = new_cols
+    return added
+
+
 def debezium_dead_letters(
     messages: DataFrame,
     table_keys: Mapping[str, Sequence[str]],

@@ -237,3 +237,44 @@ def test_streaming_debezium_feed_applies_end_to_end(spark, tmp_path):
     q.awaitTermination()
     got = {r["id"]: (r["item"], r["qty"]) for r in cat.read(spark, "shop.orders").collect()}
     assert got == {1: ("a", 9)}
+
+
+def test_schema_drift_evolves_table_mid_stream(spark, tmp_path):
+    """A Debezium feed that starts carrying a new column (connector
+    schema drift, no DDL event) evolves the managed table: the new
+    column lands as nullable STRING, earlier rows read NULL, and the
+    merge keeps working."""
+    from change_data_capture_spark.apply import apply_changes
+    from change_data_capture_spark.sources.debezium import evolve_from_observed_columns
+
+    schema_json = spark.createDataFrame([], "id bigint, item string").schema.json()
+    cat = TableCatalog(str(tmp_path / "cat"))
+
+    batch1 = debezium.debezium_raw_ops(
+        msgs(
+            spark,
+            '{"before": null, "after": {"id": 1, "item": "a"}, '
+            '"source": {"db": "shop", "table": "orders", "ts_ms": 1}, "op": "c", "ts_ms": 1}',
+        ),
+        KEYS, rows_schemas={"shop.orders": schema_json},
+    )
+    assert evolve_from_observed_columns(batch1, cat) == {}  # not created yet
+    apply_changes(spark, normalize_raw_ops(batch1), cat)
+
+    batch2 = debezium.debezium_raw_ops(
+        msgs(
+            spark,
+            '{"before": null, "after": {"id": 2, "item": "b", "color": "red"}, '
+            '"source": {"db": "shop", "table": "orders", "ts_ms": 2}, "op": "c", "ts_ms": 2}',
+        ),
+        KEYS, rows_schemas={"shop.orders": schema_json},
+    )
+    added = evolve_from_observed_columns(batch2, cat)
+    assert added == {"shop.orders": ["color"]}
+    apply_changes(spark, normalize_raw_ops(batch2), cat)
+
+    got = {r["id"]: (r["item"], r["color"]) for r in cat.read(spark, "shop.orders").collect()}
+    assert got == {1: ("a", None), 2: ("b", "red")}
+
+    # idempotent: re-observing the same columns adds nothing
+    assert evolve_from_observed_columns(batch2, cat) == {}
