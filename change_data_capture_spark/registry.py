@@ -4960,13 +4960,13 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_incremental",
     "dedup_embedding_bucketed",
     "dedup_clusters",
-    "dedup_simhash",
+    "text_decontaminate_pairs",
     "text_quality",
     "text_langid",
     "text_fingerprint",
     "text_span_dedup",
     "ann_topk_bruteforce",
-    "ann_ivfpq",
+    "embedding_quantize_int8",
     "embedding_kmeans_lloyd",
     "temporal_asof_attribution",
     "stream_sessionize",
