@@ -384,10 +384,12 @@ def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     edges — the canonical-representative step every dedup pipeline
     runs after pair finding (keep one doc per cluster).
 
-    Iterative min-label propagation: labels start as own id; each
-    round every node takes the min of its label and its neighbors'
-    labels, until a fixpoint. Near-dup components have tiny diameter,
-    so rounds ~ O(log n) in practice; each round is one shuffle of the
+    Iterative min-label propagation, seeded one round ahead: labels
+    START at min(own id, min neighbor id) — for the clique/star
+    components template near-dups actually form, that IS the fixpoint,
+    so the loop usually runs a single confirmation round (changed=0)
+    instead of propagate+propagate+confirm. Longer chains still
+    converge in O(diameter) rounds; each round is one shuffle of the
     label table (O(V+E)), and ``localCheckpoint`` cuts the lineage so
     plan size stays constant. Deterministic — no RNG, no ordering
     dependence — hence exactly reproducible by a transitive-closure
@@ -398,32 +400,34 @@ def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).persist()
-    labels.count()
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nb"))
+        .select(F.col("u").alias("id"), F.least("u", "nb").alias("label"))
+        .persist()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
             .agg(F.min("label").alias("nb_label"))
         )
+        # carry the previous label through the checkpoint so convergence
+        # detection is a filter+count on the already-materialized rows
+        # instead of a second join of new vs old labels (halves the
+        # shuffles per round)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias("label"),
+                F.col("label").alias("prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("prev")
         if changed == 0:
             break
     edges.unpersist()
