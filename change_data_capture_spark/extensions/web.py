@@ -1,0 +1,157 @@
+"""Web-corpus curation operators: HTML boilerplate extraction and URL
+canonicalization / URL-level deduplication.
+
+Web-scrape pipelines run these BEFORE any content-level dedup: strip
+markup so quality/langid/minhash see prose, and collapse the many URL
+spellings of one page (tracking params, default ports, case-variant
+hosts, trailing slashes) so a page crawled twice costs one document.
+
+All pure Catalyst expressions — narrow maps plus (for URL dedup) one
+hash-shuffle on the canonical URL, so both stream over a 100 TB crawl
+table with zero Python in the loop. The regex cascades are deliberately
+RE2-safe (inline (?si) flags, non-greedy, no backreferences in
+patterns OR replacements) so the DuckDB oracle replays them verbatim;
+replacement-string backrefs are avoided entirely because Spark (Java)
+spells them ``$1`` while DuckDB (RE2) spells them ``\\1``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Entity decode order matters: `&amp;` LAST so `&amp;lt;` decodes once
+# to the literal `&lt;`, not twice to `<`.
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _clean_html_col(col: F.Column) -> F.Column:
+    # the whole <head> subtree is boilerplate (title/meta/links); the
+    # title is surfaced separately by html_extract
+    out = F.regexp_replace(col, r"(?si)<head(\s[^>]*)?>.*?</head\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?si)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?si)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def html_extract(
+    docs: DataFrame, *, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Markup -> prose: drop comments and <script>/<style> subtrees,
+    strip remaining tags (replaced by spaces so adjacent words don't
+    fuse), decode the six entities that dominate real HTML, collapse
+    whitespace. Also surfaces the <title> text and the stripped/total
+    length ratio — the standard "mostly boilerplate?" screen. One
+    narrow map, no shuffle."""
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(F.col(html_col), r"(?si)<title[^>]*>(.*?)</title>", 1),
+            r"\s+",
+            " ",
+        )
+    )
+    text = _clean_html_col(F.col(html_col))
+    return docs.select(
+        F.col(id_col),
+        title.alias("title"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.round(
+            F.length(text) / F.greatest(F.length(F.col(html_col)), F.lit(1)), 6
+        ).alias("text_ratio"),
+    )
+
+
+_TRACKING_PARAM = r"(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*"
+
+
+def canonical_url(col: F.Column) -> F.Column:
+    """One canonical spelling per page: lowercase scheme and host, drop
+    the scheme-default port, drop the fragment, strip tracking params
+    (utm_*, fbclid, gclid, ref), collapse a trailing slash. Park-level
+    heuristics (param reordering, mirror hosts) are out of scope — this
+    is the deterministic normalization layer crawl dedup keys on."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    query = F.regexp_replace(query, _TRACKING_PARAM, "")
+    query = F.regexp_replace(query, r"^&", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_domain(col: F.Column) -> F.Column:
+    """Registrable-host part of a URL (lowercased, port dropped)."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r":[0-9]+$",
+        "",
+    )
+
+
+def url_duplicates(
+    docs: DataFrame, *, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level dedup: canonicalize, then per canonical URL keep the
+    smallest doc id and report every other doc as a duplicate of it —
+    same output contract as content-level ``dedup.exact_duplicates`` so
+    the two compose into one drop list. One hash-shuffle on the
+    canonical URL; crawl frontiers are effectively unskewed on full
+    URLs, and a pathological hot URL still bounds the group to its
+    recrawl count."""
+    canon = docs.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("url_canon")
+    )
+    from pyspark.sql import Window
+
+    keeper = F.min(id_col).over(Window.partitionBy("url_canon"))
+    return (
+        canon.withColumn("keeper_id", keeper)
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(F.col(id_col).alias("dup_id"), "keeper_id", "url_canon")
+    )
+
+
+def domain_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Per-domain crawl profile (docs, distinct canonical pages,
+    recrawl ratio) — the table a per-domain cap or mixture policy is
+    derived from. One aggregation keyed by domain; the long tail of
+    domains dominates row count so the groupBy is naturally spread."""
+    canon = docs.select(
+        F.col(id_col),
+        url_domain(F.col(url_col)).alias("domain"),
+        canonical_url(F.col(url_col)).alias("url_canon"),
+    )
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url_canon").alias("n_pages"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("url_canon"), 6
+        ).alias("recrawl_ratio"),
+    )

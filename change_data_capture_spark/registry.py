@@ -46,7 +46,7 @@ from .normalize import (
     normalize_raw_ops,
 )
 from . import functions as cf
-from .extensions import dedup, multimodal, similarity, text
+from .extensions import dedup, multimodal, similarity, text, web
 from .sources import avro_binary, debezium, jdbc_ct, kafka
 from .streaming import interval_join_streams, run_apply_stream, write_changelog
 
@@ -4904,6 +4904,194 @@ def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
         return fn(spark, sf_dir)
 
     return run
+
+
+_WEB_HTML_CASCADE_SQL = r"""
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace({col}, '(?si)<head(\s[^>]*)?>.*?</head\s*>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      '\s+', ' ', 'g'))
+"""
+
+_WEB_HTML_SYNTH_SQL = """
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || ' &amp; friends</title><style>p{margin:0}</style></head><body>'
+      || '<!-- boilerplate\nnote --><p>' || text
+      || '</p><p>Tail &lt;b&gt;bold&lt;/b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>'
+      || '<script>var x = 1 < 2;\nlet s = "</p>";</script></body></html>'
+"""
+
+
+@_q(
+    "web_html_extract",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_WEB_HTML_SYNTH_SQL.strip()} AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, html,
+             {_WEB_HTML_CASCADE_SQL.format(col='html').strip()} AS text
+      FROM d
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_extract(html, '(?si)<title[^>]*>(.*?)</title>', 1),
+             '\\s+', ' ', 'g')) AS title,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(length(text) / greatest(length(html), 1), 6) AS text_ratio
+    FROM s
+    """,
+)
+def web_html_extract(spark, sf_dir):
+    """HTML boilerplate removal (extensions/web.html_extract): the
+    fixture text is prose, so an HTML page is synthesized around it IN
+    BOTH ENGINES — title, style and script subtrees (the script body
+    contains a bare '<' and a '</p>' string literal, so stripping tags
+    before dropping scripts would corrupt the text), an HTML comment,
+    and the six dominant entities. Zero-shuffle narrow map; the entity
+    pass runs AFTER tag stripping, so '&lt;b&gt;' survives as the
+    literal text '<b>' — order is part of the verified contract."""
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</title><style>p{margin:0}</style></head><body>"),
+        F.lit("<!-- boilerplate\nnote --><p>"),
+        F.col("text"),
+        F.lit("</p><p>Tail &lt;b&gt;bold&lt;/b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+        F.lit('<script>var x = 1 < 2;\nlet s = "</p>";</script></body></html>'),
+    )
+    return web.html_extract(
+        _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    )
+
+
+_WEB_URL_SYNTH_SQL = """
+      'HTTPS://' || source || '.Example.COM:443/Path/'
+      || CAST(doc_id % 8 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+      || '&utm_campaign=x#frag'
+"""
+
+_WEB_URL_CANON_SQL = """
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+      || CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           WHEN 'https' THEN regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+           WHEN 'http' THEN regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+           ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+         END
+      || CASE WHEN regexp_replace(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+              '/+$', '') = ''
+           THEN '/'
+           ELSE regexp_replace(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+              '/+$', '')
+         END
+      || CASE WHEN regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&', '') = ''
+           THEN ''
+           ELSE '?' || regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&', '')
+         END
+"""
+
+
+@_q(
+    "web_url_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_WEB_URL_SYNTH_SQL.strip()} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, {_WEB_URL_CANON_SQL.strip()} AS url_canon FROM d
+    ),
+    g AS (
+      SELECT doc_id, url_canon,
+             min(doc_id) OVER (PARTITION BY url_canon) AS keeper_id
+      FROM c
+    )
+    SELECT doc_id AS dup_id, keeper_id, url_canon
+    FROM g WHERE doc_id <> keeper_id
+    """,
+)
+def web_url_dedup(spark, sf_dir):
+    """URL-level crawl dedup (extensions/web.url_duplicates): URLs are
+    synthesized IN BOTH ENGINES with the noise canonicalization must
+    erase — uppercase scheme/host, the scheme-default :443 port,
+    trailing-slash variants, utm_* tracking params, a fragment — plus
+    doc_id-mod path/query so distinct pages stay distinct. Docs whose
+    URLs canonicalize identically dedup to the smallest doc id: one
+    hash-shuffle on the canonical URL."""
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    return web.url_duplicates(
+        _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    )
+
+
+@_q(
+    "web_domain_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_WEB_URL_SYNTH_SQL.strip()} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS domain,
+             {_WEB_URL_CANON_SQL.strip()} AS url_canon
+      FROM d
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url_canon) AS BIGINT) AS n_pages,
+           round(count(*) / count(DISTINCT url_canon), 6) AS recrawl_ratio
+    FROM c GROUP BY domain
+    """,
+)
+def web_domain_stats(spark, sf_dir):
+    """Per-domain crawl profile (extensions/web.domain_stats): doc
+    volume, distinct canonical pages, recrawl ratio — the input to
+    per-domain caps and mixture policies. One aggregation keyed by
+    domain."""
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    return web.domain_stats(
+        _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    )
 
 
 # The external correctness driver checks only the FIRST 50 entries of

@@ -1,0 +1,118 @@
+"""Web-curation operators: HTML boilerplate extraction, URL
+canonicalization / URL-level dedup, per-domain crawl stats.
+
+Hand-built golden cases pin the cascade ordering (scripts stripped
+BEFORE tags, entities decoded AFTER tags) and each canonicalization
+rule individually; the oracle queries (web_html_extract, web_url_dedup,
+web_domain_stats) cross-check the same expressions against DuckDB at
+corpus shape."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.extensions import web
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_html_extract_strips_scripts_before_tags(spark):
+    html = (
+        '<html><head><title> My  Page </title><style>p {color:red}</style></head>'
+        '<body><!-- note --><h1>Head</h1><p>one <b>two</b></p>'
+        '<script>if (1 < 2) { x = "</p>"; }</script>tail</body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = _one(web.html_extract(df))
+    assert r.title == "My Page"
+    # whole <head> subtree dropped (title surfaced separately); script
+    # body (with its bare '<' and '</p>' literal) fully gone; tags
+    # replaced by spaces so words never fuse
+    assert r.text == "Head one two tail"
+    assert r.n_chars == len(r.text)
+    assert 0 < r.text_ratio < 1
+
+
+def test_html_extract_decodes_entities_after_tags(spark):
+    # entity decode AFTER tag strip: encoded markup survives as text
+    html = "<p>a &lt;b&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;z</p>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = _one(web.html_extract(df))
+    assert r.text == 'a <b> &amp; "q" \'s\' z'
+    assert r.title == ""
+
+
+def test_canonical_url_rules(spark):
+    cases = [
+        # lowercase scheme+host, strip default port, add root path
+        ("HTTPS://Ex.COM:443", "https://ex.com/"),
+        ("http://EX.com:80/a", "http://ex.com/a"),
+        # non-default port kept; path case kept
+        ("https://ex.com:8443/A/B/", "https://ex.com:8443/A/B"),
+        # fragment dropped, tracking params dropped, real params kept
+        ("https://ex.com/p?utm_source=x&id=3&gclid=g#top", "https://ex.com/p?id=3"),
+        # all-tracking query collapses to no query
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        ("https://ex.com/p?ref=rss", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(web.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_duplicates_keep_smallest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://Ex.com/a?utm_x=1"),
+            (2, "HTTPS://ex.com:443/a"),
+            (3, "https://ex.com/a/"),
+            (4, "https://ex.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = web.url_duplicates(df).orderBy("dup_id").collect()
+    assert [(r.dup_id, r.keeper_id, r.url_canon) for r in out] == [
+        (2, 1, "https://ex.com/a"),
+        (3, 1, "https://ex.com/a"),
+    ]
+
+
+def test_domain_stats_counts_recrawls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x"),
+            (2, "https://A.com:443/x/"),
+            (3, "https://a.com/y"),
+            (4, "http://b.org/z"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.domain: r for r in web.domain_stats(df).collect()}
+    assert rows["a.com"].n_docs == 3
+    assert rows["a.com"].n_pages == 2
+    assert rows["a.com"].recrawl_ratio == 1.5
+    assert rows["b.org"].n_docs == 1 and rows["b.org"].n_pages == 1
+
+
+def test_web_plans_stay_jvm_side_and_narrow(spark, sf_dir):
+    from change_data_capture_spark import registry
+
+    qs = registry.queries()
+    for name in ("web_html_extract", "web_url_dedup", "web_domain_stats"):
+        plan = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # HTML extraction is a pure narrow map — no shuffle at any scale
+    plan = (
+        qs["web_html_extract"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
