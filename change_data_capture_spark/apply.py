@@ -230,6 +230,52 @@ class TableCatalog:
         # Align drops the internal bucket column and fixes nullability.
         return _align(df, schema)
 
+    def export_snapshot(
+        self, spark: SparkSession, table_id: str, dest_dir: str
+    ) -> dict:
+        """One-shot consistent export of the CURRENT version as plain
+        parquet (under ``dest_dir/data/``) plus a ``dest_dir/
+        manifest.json`` sidecar — the handoff from the
+        CDC-applied table to downstream consumers (training jobs, other
+        engines) that must not depend on this catalog's layout. The
+        export reads one published version, so it is consistent by
+        construction regardless of concurrent applies (they publish new
+        versions; this one is immutable). The manifest (table, source
+        version, row count, file list with sizes, schema, PKs) is
+        written LAST, so its presence marks a complete export — the
+        same publish-after-data discipline as the catalog's _meta.json
+        swap. Returns the manifest dict."""
+        meta = self.meta(table_id)
+        if meta is None or meta["schema"] is None:
+            raise KeyError(f"unknown table {table_id!r}")
+        data_dir = os.path.join(dest_dir, "data")
+        df = self.read(spark, table_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        # Count from the written files, not the source plan: cheaper
+        # (no merge lineage) and it verifies what actually landed.
+        n_rows = spark.read.parquet(data_dir).count()
+        files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        manifest = {
+            "table": table_id,
+            "applied_version": int(meta.get("applied_version", 0)),
+            "source_version_dir": meta.get("current"),
+            "n_rows": int(n_rows),
+            "n_files": len(files),
+            "files": [
+                {"name": f, "bytes": os.path.getsize(os.path.join(data_dir, f))}
+                for f in files
+            ],
+            "columns": [f.name for f in schema_from_json(meta["schema"]).fields],
+            "primary_keys": list(meta["pks"]),
+        }
+        tmp = os.path.join(dest_dir, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(dest_dir, "manifest.json"))
+        return manifest
+
     def vacuum(self, table_id: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` versions. Safe under
         file reuse: hard links mean a shared file's data survives until

@@ -136,6 +136,44 @@ def url_duplicates(
     )
 
 
+def domain_cap(
+    docs: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-domain document cap — the anti-monoculture step crawl
+    curation applies after URL dedup: keep at most ``k`` docs per
+    domain, chosen by a deterministic content-independent order
+    (md5 of the doc id, ties to the id) so the kept set is
+    reshuffle-stable and grows stably as the crawl grows. Returns
+    every doc with its in-domain rank and the keep verdict, so callers
+    can either filter kept or audit what a cap would drop. One window
+    over the domain key; post-URL-dedup domain groups are bounded by a
+    site's page count, and the cap itself means only the first k rows
+    per group matter."""
+    from pyspark.sql import Window
+
+    ranked = docs.select(
+        F.col(id_col),
+        url_domain(F.col(url_col)).alias("domain"),
+    ).withColumn(
+        "cap_rank",
+        F.row_number().over(
+            Window.partitionBy("domain").orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+        ),
+    )
+    return ranked.select(
+        id_col,
+        "domain",
+        F.col("cap_rank").cast("long").alias("cap_rank"),
+        (F.col("cap_rank") <= k).alias("kept"),
+    )
+
+
 def domain_stats(
     docs: DataFrame, *, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:

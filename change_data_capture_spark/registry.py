@@ -5094,6 +5094,98 @@ def web_domain_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "web_domain_cap",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_WEB_URL_SYNTH_SQL.strip()} AS url FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS domain
+      FROM d
+    )
+    SELECT doc_id, domain,
+           CAST(row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cap_rank,
+           row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10 AS kept
+    FROM r
+    """,
+)
+def web_domain_cap(spark, sf_dir):
+    """Per-domain crawl cap (extensions/web.domain_cap): keep at most
+    k=10 docs per domain, chosen by reshuffle-stable md5(doc_id) order
+    — the anti-monoculture step after URL dedup. Both engines rank the
+    same lowercase-hex md5, so the kept set is verified exactly."""
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    return web.domain_cap(
+        _t(spark, sf_dir, "documents").select("doc_id", url.alias("url")), k=10
+    )
+
+
+@_q(
+    "q_trending_topk",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT hour, event_type, n,
+             row_number() OVER (
+               PARTITION BY hour ORDER BY n DESC, event_type) AS rnk
+      FROM h
+    )
+    SELECT hour, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_trending_topk(spark, sf_dir):
+    """Trending top-k: per event-time hour, the 3 most frequent event
+    types with a deterministic tiebreak — the dashboard-feeding shape
+    of the streaming windowed counts. Partial-aggregated hourly counts,
+    then a per-hour window whose groups are bounded by the event-type
+    cardinality, never by volume."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour", "event_type", F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@_q("cdc_export_snapshot", "SELECT * FROM customer")
+def cdc_export_snapshot(spark, sf_dir):
+    """Consistent snapshot export (TableCatalog.export_snapshot): the
+    applied table leaves the catalog as plain parquet + manifest.json
+    for engine-agnostic downstream consumers. The query returns the
+    RE-READ exported files, so the oracle verifies the full roundtrip
+    source -> changelog -> apply -> export -> plain parquet."""
+    cat = _seeded_customer_catalog(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="cdc_q_export_")
+    manifest = cat.export_snapshot(spark, "tpch.customer", dest)
+    assert manifest["n_rows"] > 0 and manifest["primary_keys"] == ["c_custkey"]
+    return spark.read.parquet(os.path.join(dest, "data")).select(*manifest["columns"])
+
+
 # The external correctness driver checks only the FIRST 50 entries of
 # ``queries()`` in iteration order (proven empirically: CORRECTNESS_r01/
 # r02 each contain exactly the first 50 registered names). Registration

@@ -97,3 +97,28 @@ def test_compact_rebuckets_invisibly(spark, sf_dir):
     for r in cust.collect():
         expect = r["c_acctbal"] + (1.0 if r["c_custkey"] % 5 == 0 else 0.0)
         assert abs(got[r["c_custkey"]] - expect) < 1e-6
+
+
+def test_export_snapshot_roundtrip_with_manifest(spark, versioned_cat, tmp_path):
+    import json
+    import os
+
+    cat, nation = versioned_cat
+    dest = str(tmp_path / "export")
+    manifest = cat.export_snapshot(spark, "t.n", dest)
+    # manifest describes exactly what landed
+    assert manifest["table"] == "t.n"
+    assert manifest["primary_keys"] == ["n_nationkey"]
+    assert manifest["n_rows"] == nation.count() - 1  # v2: one delete
+    disk = json.load(open(os.path.join(dest, "manifest.json")))
+    assert disk == manifest
+    sizes = {f["name"]: f["bytes"] for f in manifest["files"]}
+    assert len(sizes) == manifest["n_files"] and all(b > 0 for b in sizes.values())
+    # exported data matches the catalog read, column-for-column
+    exported = spark.read.parquet(os.path.join(dest, "data"))
+    assert sorted(exported.columns) == sorted(manifest["columns"])
+    got = {tuple(r) for r in exported.collect()}
+    want = {tuple(r) for r in cat.read(spark, "t.n").collect()}
+    assert got == want
+    with pytest.raises(KeyError):
+        cat.export_snapshot(spark, "t.unknown", str(tmp_path / "x"))

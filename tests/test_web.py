@@ -96,6 +96,27 @@ def test_domain_stats_counts_recrawls(spark):
     assert rows["b.org"].n_docs == 1 and rows["b.org"].n_pages == 1
 
 
+def test_domain_cap_is_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://{'a' if i % 2 else 'b'}.com/p{i}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    out = web.domain_cap(df, k=3)
+    rows = out.collect()
+    assert len(rows) == 20  # every doc is ranked, kept or not
+    kept = [r for r in rows if r.kept]
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.cap_rank)
+    assert all(len(v) == 3 and sorted(v) == [1, 2, 3] for v in by_dom.values())
+    # reshuffle-stable: same verdicts from a repartitioned input
+    again = {
+        (r.doc_id, r.kept)
+        for r in web.domain_cap(df.repartition(7), k=3).collect()
+    }
+    assert again == {(r.doc_id, r.kept) for r in rows}
+
+
 def test_web_plans_stay_jvm_side_and_narrow(spark, sf_dir):
     from change_data_capture_spark import registry
 
