@@ -136,6 +136,73 @@ def url_duplicates(
     )
 
 
+def link_extract(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_url_col: str = "url",
+) -> DataFrame:
+    """Anchor/link extraction — the web-graph edge list behind link-
+    based quality signals and crawl frontier expansion. One narrow map
+    per doc (two regexp_extract_all passes zipped and exploded; the
+    expansion factor is the per-page link count), no shuffle.
+
+    Per link: the raw href, the anchor text (inner tags stripped), the
+    href resolved against the page's own URL and canonicalized
+    (absolute http(s) links and absolute paths; other schemes pass
+    through verbatim), and whether it leaves the page's domain
+    (null when not resolvable to a domain, e.g. mailto:)."""
+    pat = r'(?si)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(pat), 1)
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(pat), 2)
+    base_scheme = F.lower(
+        F.regexp_extract(F.col(base_url_col), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    base_domain = url_domain(F.col(base_url_col))
+    lk = docs.select(
+        F.col(id_col),
+        base_scheme.alias("__scheme"),
+        base_domain.alias("__base_dom"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))).alias("lk"),
+    ).select(
+        id_col,
+        "__scheme",
+        "__base_dom",
+        F.col("lk.href").alias("href"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("lk.anchor"), r"<[^>]+>", " "), r"\s+", " "
+            )
+        ).alias("anchor_text"),
+    )
+    abs_url = (
+        F.when(
+            F.substring("href", 1, 1) == "/",
+            F.concat(F.col("__scheme"), F.lit("://"), F.col("__base_dom"), F.col("href")),
+        )
+        .when(F.col("href").rlike(r"(?i)^https?://"), F.col("href"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        lk.withColumn("__abs", abs_url)
+        .select(
+            id_col,
+            "href",
+            "anchor_text",
+            F.when(F.col("__abs").isNotNull(), canonical_url(F.col("__abs")))
+            .otherwise(F.col("href"))
+            .alias("href_resolved"),
+            F.when(
+                F.col("__abs").isNotNull(),
+                url_domain(F.col("__abs")) != F.col("__base_dom"),
+            )
+            .otherwise(F.lit(None).cast("boolean"))
+            .alias("is_external"),
+        )
+    )
+
+
 def domain_cap(
     docs: DataFrame,
     *,

@@ -5172,6 +5172,97 @@ def q_trending_topk(spark, sf_dir):
     )
 
 
+_WEB_LINK_PAT = r'(?si)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+_WEB_LINK_HTML_SQL = """
+      '<html><body><p>See <a href="/local/' || CAST(doc_id % 8 AS VARCHAR)
+      || '">deep  page</a>, <a href="HTTPS://Peer.ORG:443/ref/'
+      || CAST(doc_id % 5 AS VARCHAR)
+      || '?utm_x=1&q=2">peer <b>site</b></a>, '
+      || '<a href="mailto:team@example.com">mail us</a>.</p></body></html>'
+"""
+
+
+@_q(
+    "web_link_extract",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_WEB_URL_SYNTH_SQL.strip()} AS url,
+             {_WEB_LINK_HTML_SQL.strip()} AS html
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, url,
+             unnest(list_zip(
+               regexp_extract_all(html, '{_WEB_LINK_PAT}', 1),
+               regexp_extract_all(html, '{_WEB_LINK_PAT}', 2))) AS lk
+      FROM d
+    ),
+    l AS (
+      SELECT doc_id, lk[1] AS href,
+             trim(regexp_replace(regexp_replace(lk[2], '<[^>]+>', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS anchor_text,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS base_dom
+      FROM x
+    ),
+    a AS (
+      SELECT doc_id, href, anchor_text, base_dom,
+             CASE WHEN substr(href, 1, 1) = '/'
+                    THEN scheme || '://' || base_dom || href
+                  WHEN regexp_matches(href, '(?i)^https?://') THEN href
+                  ELSE NULL END AS abs_url
+      FROM l
+    )
+    SELECT doc_id, href, anchor_text,
+           CASE WHEN abs_url IS NOT NULL
+                THEN {_WEB_URL_CANON_SQL.strip().replace("(url,", "(abs_url,")}
+                ELSE href END AS href_resolved,
+           CAST(CASE WHEN abs_url IS NOT NULL
+                THEN regexp_replace(lower(regexp_extract(abs_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                       ':[0-9]+$', '') <> base_dom
+                ELSE NULL END AS VARCHAR) AS is_external
+    FROM a
+    """,
+)
+def web_link_extract(spark, sf_dir):
+    """Web-graph edge extraction (extensions/web.link_extract): three
+    anchors are synthesized per doc IN BOTH ENGINES — a root-relative
+    path (resolved against the page's own scheme+domain), an absolute
+    link with canonicalization noise (uppercase host, default port,
+    tracking param), and a mailto: that must pass through verbatim with
+    a null is_external. Narrow map + per-page-bounded explode."""
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>See <a href="/local/'),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit('">deep  page</a>, <a href="HTTPS://Peer.ORG:443/ref/'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('?utm_x=1&q=2">peer <b>site</b></a>, '),
+        F.lit('<a href="mailto:team@example.com">mail us</a>.</p></body></html>'),
+    )
+    out = web.link_extract(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", url.alias("url"), html.alias("html")
+        )
+    )
+    # string-typed verdict at the QUERY layer only: a nullable BOOLEAN
+    # round-trips as NaN through the driver's pandas compare; the
+    # library operator keeps the real boolean
+    return out.withColumn("is_external", F.col("is_external").cast("string"))
+
+
 @_q("cdc_export_snapshot", "SELECT * FROM customer")
 def cdc_export_snapshot(spark, sf_dir):
     """Consistent snapshot export (TableCatalog.export_snapshot): the

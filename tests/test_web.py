@@ -96,6 +96,33 @@ def test_domain_stats_counts_recrawls(spark):
     assert rows["b.org"].n_docs == 1 and rows["b.org"].n_pages == 1
 
 
+def test_link_extract_resolves_and_classifies(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://My.Site.com/page",
+                '<p><a href="/a/b?utm_x=1">In <b>here</b></a>'
+                '<a class="z" href="HTTP://Other.ORG:80/c">out</a>'
+                '<a href="mailto:x@y.z">mail</a>'
+                '<a href="#frag">skip-me-not</a></p>',
+            ),
+            (2, "https://my.site.com/", "<p>no links</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    rows = web.link_extract(df).orderBy("doc_id", "href").collect()
+    got = [(r.href, r.anchor_text, r.href_resolved, r.is_external) for r in rows]
+    assert got == [
+        ("#frag", "skip-me-not", "#frag", None),  # not resolvable -> verbatim
+        ("/a/b?utm_x=1", "In here", "https://my.site.com/a/b", False),
+        ("HTTP://Other.ORG:80/c", "out", "http://other.org/c", True),
+        ("mailto:x@y.z", "mail", "mailto:x@y.z", None),
+    ]
+    # linkless docs simply contribute no edges
+    assert all(r.doc_id == 1 for r in rows)
+
+
 def test_domain_cap_is_deterministic_and_bounded(spark):
     df = spark.createDataFrame(
         [(i, f"https://{'a' if i % 2 else 'b'}.com/p{i}") for i in range(20)],
