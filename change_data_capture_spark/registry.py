@@ -5263,6 +5263,129 @@ def web_link_extract(spark, sf_dir):
     return out.withColumn("is_external", F.col("is_external").cast("string"))
 
 
+_PIPE_URL_SYNTH_SQL = """
+      'HTTPS://' || source || '.Example.COM:443/Path/'
+      || CAST(doc_id % 200 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+      || '&utm_campaign=x#frag'
+"""
+
+
+@_q(
+    "corpus_curation_pipeline",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {_PIPE_URL_SYNTH_SQL.strip()} AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, {_WEB_URL_CANON_SQL.strip()} AS url_canon,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS domain
+      FROM d
+    ),
+    k1 AS (
+      SELECT doc_id, domain FROM (
+        SELECT doc_id, domain,
+               min(doc_id) OVER (PARTITION BY url_canon) AS keeper
+        FROM c
+      ) WHERE doc_id = keeper
+    ),
+    {_QUALITY_CTE.strip()},
+    v(lang, token) AS (VALUES {_stopword_values()}),
+    h AS (SELECT doc_id, lang, count(*) AS hits FROM t JOIN v USING (token) GROUP BY 1, 2),
+    b AS (SELECT doc_id, lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+          FROM h),
+    l AS (SELECT doc_id, lang AS detected_lang FROM b WHERE rn = 1 AND lang = 'en'),
+    s2 AS (
+      SELECT d.doc_id, d.source, d.text, k1.domain, l.detected_lang, q.quality_score
+      FROM d JOIN k1 USING (doc_id) JOIN l USING (doc_id) JOIN q USING (doc_id)
+      WHERE q.quality_score >= 1.05
+    ),
+    cap AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY domain
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        FROM s2
+      ) WHERE rnk <= 3
+    ),
+    s3 AS (SELECT s2.* FROM s2 JOIN cap USING (doc_id)),
+    s4 AS (
+      SELECT doc_id, source, domain, detected_lang, quality_score FROM (
+        SELECT s3.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM s3
+      ) WHERE doc_id = keeper
+    )
+    SELECT doc_id, source, domain, detected_lang, quality_score,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                  THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM s4
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """FLAGSHIP COMPOSITE: the end-to-end curation pipeline a training
+    corpus actually runs, as ONE verified dataflow — URL-level crawl
+    dedup (canonicalized), language gate (stopword-vote winner = en),
+    quality gate (composite score >= 1.05), per-domain cap (3, md5
+    order), exact content dedup (md5(text) keeper), leakage-safe
+    train/val/test assignment. Every stage is the registry's own
+    operator (web.url_duplicates / text.language_id /
+    text.quality_scores / web.domain_cap / scale.split_assign), so this
+    query proves they COMPOSE; the single DuckDB oracle replays the
+    whole chain. Per-doc stages are narrow maps; the shuffles are the
+    URL-group window, the per-doc token aggs, the bounded domain-cap
+    window, and the content-hash window — each keyed on naturally
+    spread hashes."""
+    from .extensions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    d = docs.withColumn("url", url)
+    dups = web.url_duplicates(d.select("doc_id", "url"))
+    s1 = d.join(dups.select(F.col("dup_id").alias("doc_id")), "doc_id", "left_anti")
+    lang = (
+        text.language_id(docs)
+        .filter(F.col("detected_lang") == "en")
+        .select("doc_id", "detected_lang")
+    )
+    qual = (
+        text.quality_scores(docs)
+        .filter(F.col("quality_score") >= 1.05)
+        .select("doc_id", "quality_score")
+    )
+    s2 = s1.join(lang, "doc_id").join(qual, "doc_id")
+    cap = (
+        web.domain_cap(s2.select("doc_id", "url"), k=3)
+        .filter("kept")
+        .select("doc_id", "domain")
+    )
+    s3 = s2.join(cap, "doc_id")
+    w = Window.partitionBy(F.md5("text"))
+    s4 = s3.withColumn("__keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__keeper")
+    )
+    return scale.split_assign(
+        s4.select("doc_id", "source", "domain", "detected_lang", "quality_score"),
+        "doc_id",
+        train=0.9,
+        val=0.05,
+    )
+
+
 @_q("cdc_export_snapshot", "SELECT * FROM customer")
 def cdc_export_snapshot(spark, sf_dir):
     """Consistent snapshot export (TableCatalog.export_snapshot): the
@@ -5322,7 +5445,6 @@ DRIVER_WINDOW: list[str] = [
     "q_json_props",
     "q_array_ops",
     "q_type_compat",
-    "q_pivot_status_by_priority",
     "q_events_hourly",
     # --- LLM-pipeline flagships: one per area (18)
     "dedup_exact",
@@ -5342,6 +5464,7 @@ DRIVER_WINDOW: list[str] = [
     "temporal_asof_attribution",
     "stream_sessionize",
     "corpus_split_assign",
+    "corpus_curation_pipeline",
     "multimodal_image_meta",
 ]
 
