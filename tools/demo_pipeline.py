@@ -99,6 +99,14 @@ def main() -> int:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     similarity.brute_force_topk(emb, emb.filter("vec_id < 3"), k=3).show()
 
+    section("8. Web curation + snapshot export")
+    from change_data_capture_spark import registry
+
+    curated = registry.REGISTRY["corpus_curation_pipeline"].fn(spark, sf_dir)
+    curated.groupBy("split").count().show()
+    man = cat.export_snapshot(spark, "tpch.customer", os.path.join(root, "export"))
+    print("exported", man["n_rows"], "rows in", man["n_files"], "files + manifest.json")
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
