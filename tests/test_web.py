@@ -144,6 +144,33 @@ def test_domain_cap_is_deterministic_and_bounded(spark):
     assert again == {(r.doc_id, r.kept) for r in rows}
 
 
+def test_canonical_url_idempotent_on_generated_urls(spark):
+    """canon(canon(u)) == canon(u): a canonicalized URL must survive a
+    second pass unchanged, for every combination of scheme/host case,
+    default and explicit ports, path depth/trailing slashes, tracking
+    and real params, and fragments — the invariant that makes the
+    dedup key stable when pipelines re-ingest their own output."""
+    import itertools
+
+    urls = []
+    for scheme, host, port, path, q, frag in itertools.product(
+        ("https", "HTTP"),
+        ("Ex.COM", "sub.ex.org"),
+        ("", ":443", ":8080"),
+        ("", "/", "/A/b/", "/p"),
+        ("", "?utm_a=1", "?id=2&utm_b=x&z=3", "?utm_a=1&utm_b=2"),
+        ("", "#frag"),
+    ):
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(web.canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", web.canonical_url(F.col("c1")).alias("c2")
+    ).filter(F.col("c1") != F.col("c2"))
+    bad = twice.collect()
+    assert bad == [], bad[:5]
+
+
 def test_web_plans_stay_jvm_side_and_narrow(spark, sf_dir):
     from change_data_capture_spark import registry
 
