@@ -109,6 +109,117 @@ def png_header_expr(width: Column, height: Column, *, color_type: int = 6, bit_d
     )
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def decode_audio_meta(
+    payload: bytes,
+) -> tuple[int | None, int | None, int | None, int | None, int | None]:
+    """(sample_rate, channels, bits_per_sample, n_samples, duration_ms)
+    parsed straight from a RIFF/WAVE container: the fmt chunk is
+    fixed-layout little-endian ``struct`` territory and the data chunk
+    size plus block align give the sample count — no audio library.
+    Chunk walk honors word alignment (odd-sized chunks pad one byte).
+    duration_ms uses integer math (n * 1000 // rate) so it is exact
+    and engine-reproducible. Unrecognized payloads yield Nones."""
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None, None, None, None, None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        (sz,) = struct.unpack("<I", p[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(p):
+            _, ch, sr = struct.unpack("<HHI", p[i + 8 : i + 16])
+            block_align, bits = struct.unpack("<HH", p[i + 20 : i + 24])
+            fmt = (sr, ch, bits, block_align)
+        elif cid == b"data":
+            data_size = int(sz)
+        if fmt is not None and data_size is not None:
+            break
+        i += 8 + sz + (sz & 1)
+    if fmt is None:
+        return None, None, None, None, None
+    sr, ch, bits, block_align = fmt
+    n = dur = None
+    if data_size is not None and block_align:
+        n = data_size // block_align
+        dur = n * 1000 // sr if sr else None
+    return int(sr), int(ch), int(bits), n, dur
+
+
+def _le_bytes(c: Column, nbytes: int) -> Column:
+    """Little-endian fixed-width bytes from an int column (hex/lpad/
+    unhex with the byte pairs reversed — the LE twin of
+    png_header_expr's big-endian helper)."""
+    hexs = F.lpad(F.hex(c.cast("bigint")), nbytes * 2, "0")
+    pairs = [F.substring(hexs, i * 2 + 1, 2) for i in reversed(range(nbytes))]
+    return F.unhex(F.concat(*pairs))
+
+
+def wav_header_expr(
+    sample_rate: Column, channels: Column, n_samples: Column, *, bits: int = 16
+) -> Column:
+    """Synthesize a VALID 44-byte RIFF/WAVE header (canonical PCM fmt +
+    data chunk declaration) as a pure column expression, so tests and
+    oracle-paired queries build real decodable audio headers JVM-side.
+    The payload carries the header only; the data chunk size field
+    declares ``n_samples`` exactly as a streamed-out file would."""
+    block_align = channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return F.concat(
+        F.unhex(F.lit(b"RIFF".hex().upper())),
+        _le_bytes(data_size + 36, 4),
+        F.unhex(F.lit(b"WAVEfmt ".hex().upper())),
+        _le_bytes(F.lit(16), 4),  # fmt chunk size
+        _le_bytes(F.lit(1), 2),  # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(sample_rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(F.lit(bits), 2),
+        F.unhex(F.lit(b"data".hex().upper())),
+        _le_bytes(data_size, 4),
+    )
+
+
+def audio_metadata(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched WAV metadata extraction over the binary column —
+    the audio twin of ``image_metadata``, same mapInPandas plan
+    shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            meta = [decode_audio_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "sample_rate": pd.Series([m[0] for m in meta], dtype="Int32"),
+                    "channels": pd.Series([m[1] for m in meta], dtype="Int32"),
+                    "bits_per_sample": pd.Series([m[2] for m in meta], dtype="Int32"),
+                    "n_samples": pd.Series([m[3] for m in meta], dtype="Int64"),
+                    "duration_ms": pd.Series([m[4] for m in meta], dtype="Int64"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
 def decode_image_pixels(payload: bytes):  # pragma: no cover - documented stub
     raise NotImplementedError(
         "pixel decode requires an image library (PIL/libjpeg) not present "

@@ -5400,6 +5400,45 @@ def cdc_export_snapshot(spark, sf_dir):
     return spark.read.parquet(os.path.join(dest, "data")).select(*manifest["columns"])
 
 
+@_q(
+    "multimodal_audio_meta",
+    """
+    SELECT doc_id,
+           CAST(44 AS BIGINT) AS byte_len,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST((doc_id % 100 + 1) * 1000 AS BIGINT) AS n_samples,
+           CAST((doc_id % 100 + 1) * 1000 * 1000
+                // (CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                    ELSE 44100 END) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """Real audio-header decode end-to-end: VALID RIFF/WAVE headers are
+    synthesized JVM-side from per-doc (rate, channels, sample-count)
+    parameters (multimodal.wav_header_expr), then the Arrow-batched UDF
+    struct-parses them back out of the raw bytes
+    (multimodal.decode_audio_meta). The oracle recomputes every field
+    arithmetically — a parser bug cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.array(F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payloads = docs.select(
+        "doc_id",
+        multimodal.wav_header_expr(
+            rate,
+            (F.col("doc_id") % 2 + 1).cast("int"),
+            ((F.col("doc_id") % 100 + 1) * 1000).cast("long"),
+        ).alias("payload"),
+    )
+    return multimodal.audio_metadata(payloads)
+
+
 # The external correctness driver checks only the FIRST 50 entries of
 # ``queries()`` in iteration order (proven empirically: CORRECTNESS_r01/
 # r02 each contain exactly the first 50 registered names). Registration

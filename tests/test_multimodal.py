@@ -150,3 +150,58 @@ def test_jpeg_fill_bytes_before_marker(spark=None):
         + b"\xff\xff\xc0" + _s.pack(">H", 2 + len(sof_payload)) + sof_payload
     )
     assert multimodal.decode_image_meta(padded) == (1920, 1080, 3)
+
+
+class TestWavHeader:
+    def test_canonical_44_byte_header(self):
+        import struct as _s
+
+        hdr = (
+            b"RIFF" + _s.pack("<I", 36 + 8000) + b"WAVE"
+            + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+            + b"data" + _s.pack("<I", 8000)
+        )
+        assert multimodal.decode_audio_meta(hdr) == (44100, 2, 16, 2000, 45)
+
+    def test_chunk_walk_skips_odd_sized_list_chunk(self):
+        """RIFF chunks are word-aligned: an odd-sized chunk pads one
+        byte, and the walk must honor it to land on fmt/data."""
+        import struct as _s
+
+        hdr = (
+            b"RIFF" + _s.pack("<I", 0) + b"WAVE"
+            + b"LIST" + _s.pack("<I", 3) + b"abc\x00"  # odd size + pad
+            + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + _s.pack("<I", 32000)
+        )
+        assert multimodal.decode_audio_meta(hdr) == (16000, 1, 16, 16000, 1000)
+
+    def test_unrecognized_payload_is_null_not_fake(self):
+        assert multimodal.decode_audio_meta(b"not audio at all") == (
+            None, None, None, None, None,
+        )
+        assert multimodal.decode_audio_meta(b"RIFFxxxxWAVE") == (
+            None, None, None, None, None,
+        )
+
+    def test_wav_header_expr_roundtrips_through_parser(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 16000, 1, 16000), (2, 44100, 2, 441)],
+            "doc_id long, rate int, ch int, n long",
+        ).select(
+            "doc_id",
+            multimodal.wav_header_expr(
+                F.col("rate"), F.col("ch"), F.col("n")
+            ).alias("payload"),
+        )
+        rows = {r.doc_id: r for r in multimodal.audio_metadata(df).collect()}
+        assert (
+            rows[1].sample_rate, rows[1].channels, rows[1].n_samples,
+            rows[1].duration_ms, rows[1].byte_len,
+        ) == (16000, 1, 16000, 1000, 44)
+        assert (rows[2].sample_rate, rows[2].channels, rows[2].n_samples) == (
+            44100, 2, 441,
+        )
+        assert rows[2].duration_ms == 441 * 1000 // 44100
