@@ -216,6 +216,56 @@ def mixture_rebalance(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    by: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened source mixture (the alpha=0.5 data-mixing
+    step LLM pretraining uses to up-weight small sources without the
+    uniform mixture's brutal downsampling): each group of ``by`` is
+    thinned to ``min(n_s, floor(sqrt(n_s * mean_n)))`` docs — the
+    geometric interpolation between the source's own size and the
+    uniform share — taken in deterministic md5 order.
+
+    Engine-exact BY CONSTRUCTION: the only floating-point steps are one
+    division (total/k), one multiply and one sqrt, all IEEE correctly-
+    rounded functions of exact integer inputs, immediately floored back
+    to an integer target — no order-dependent double summation anywhere
+    (a p^alpha normalization would sum doubles across groups, whose
+    result depends on addition order and can differ between engines).
+    Plan: one per-group count + one 2-row global aggregate broadcast
+    back, one rank window per group — same shape as
+    ``mixture_rebalance``."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(by).agg(F.count("*").alias("__n"))
+    mean = counts.agg(
+        (F.sum("__n").cast("double") / F.count("*")).alias("__mean")
+    )
+    targets = counts.join(F.broadcast(mean)).select(
+        F.col(by),
+        F.least(
+            F.col("__n"),
+            F.floor(F.sqrt(F.col("__n") * F.col("__mean"))).cast("bigint"),
+        ).alias("target_n"),
+    )
+    order_key = _md5_hash32([F.col(by).cast("string"), F.col(id_col).cast("string")])
+    w = Window.partitionBy(by).orderBy(order_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(targets, by)
+        .filter(F.col("__rk") <= F.col("target_n"))
+        .select(
+            F.col(id_col),
+            F.col(by),
+            F.col("__rk").cast("long").alias("mix_rank"),
+            "target_n",
+        )
+    )
+
+
 def pack_batches(
     df: DataFrame,
     *,

@@ -5439,6 +5439,77 @@ def multimodal_audio_meta(spark, sf_dir):
     return multimodal.audio_metadata(payloads)
 
 
+@_q(
+    "corpus_temperature_mixture",
+    r"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean FROM c),
+    g AS (SELECT c.lang,
+                 least(c.n, CAST(floor(sqrt(c.n * t.mean)) AS BIGINT)) AS target_n
+          FROM c, t),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(concat_ws(':', CAST(lang AS VARCHAR),
+                                                      CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT,
+                        doc_id
+             ) AS mix_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank, g.target_n
+    FROM r JOIN g USING (lang) WHERE r.mix_rank <= g.target_n
+    """,
+)
+def corpus_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened (alpha=0.5) language mixture
+    (extensions/scale.temperature_mixture): the dominant language is
+    thinned toward the geometric mean of its size and the uniform
+    share while small languages keep everything — the standard
+    pretraining up-weighting of low-resource sources, engine-exact
+    because every float step is a correctly-rounded function of exact
+    integers (no cross-group double summation)."""
+    from .extensions import scale
+
+    return scale.temperature_mixture(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), by="lang"
+    )
+
+
+@_q(
+    "multimodal_video_meta",
+    """
+    SELECT doc_id,
+           CAST(132 AS BIGINT) AS byte_len,
+           'isom' AS brand,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 90000 ELSE 600 END AS BIGINT) AS timescale,
+           CAST((doc_id % 300 + 1) * 600 AS BIGINT) AS duration,
+           CAST((doc_id % 300 + 1) * 600 * 1000
+                // (CASE doc_id % 2 WHEN 0 THEN 90000 ELSE 600 END)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_video_meta(spark, sf_dir):
+    """Real video-container decode end-to-end: VALID minimal MP4
+    prefixes (ftyp + moov/mvhd v0) are synthesized JVM-side
+    (multimodal.mp4_header_expr), then the Arrow-batched UDF walks the
+    ISO-BMFF boxes back out of the raw bytes
+    (multimodal.decode_video_meta: brand, timescale, duration, exact
+    integer duration_ms). The oracle recomputes every field
+    arithmetically — a box-walk bug cannot hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    timescale = F.when(F.col("doc_id") % 2 == 0, F.lit(90000)).otherwise(F.lit(600))
+    payloads = docs.select(
+        "doc_id",
+        multimodal.mp4_header_expr(
+            timescale.cast("long"),
+            ((F.col("doc_id") % 300 + 1) * 600).cast("long"),
+        ).alias("payload"),
+    )
+    return multimodal.video_metadata(payloads)
+
+
 # The external correctness driver checks only the FIRST 50 entries of
 # ``queries()`` in iteration order (proven empirically: CORRECTNESS_r01/
 # r02 each contain exactly the first 50 registered names). Registration

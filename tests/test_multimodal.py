@@ -205,3 +205,47 @@ class TestWavHeader:
             44100, 2, 441,
         )
         assert rows[2].duration_ms == 441 * 1000 // 44100
+
+
+class TestMp4Header:
+    def test_hand_built_boxes(self):
+        import struct as _s
+
+        mvhd = _s.pack(">I", 108) + b"mvhd" + b"\x00" * 12 + _s.pack(">II", 90000, 180000) + b"\x00" * 80
+        p = (
+            _s.pack(">I", 16) + b"ftyp" + b"avc1" + _s.pack(">I", 512)
+            + _s.pack(">I", 8 + 108) + b"moov" + mvhd
+        )
+        assert multimodal.decode_video_meta(p) == ("avc1", 90000, 180000, 2000)
+
+    def test_unknown_boxes_are_skipped(self):
+        import struct as _s
+
+        free = _s.pack(">I", 12) + b"free" + b"abcd"
+        mvhd = _s.pack(">I", 108) + b"mvhd" + b"\x00" * 12 + _s.pack(">II", 600, 1234) + b"\x00" * 80
+        p = (
+            _s.pack(">I", 16) + b"ftyp" + b"isom" + _s.pack(">I", 0)
+            + free
+            + _s.pack(">I", 8 + 12 + 108) + b"moov" + free + mvhd
+        )
+        assert multimodal.decode_video_meta(p) == ("isom", 600, 1234, 1234 * 1000 // 600)
+
+    def test_garbage_yields_nulls(self):
+        assert multimodal.decode_video_meta(b"definitely not mp4") == (
+            None, None, None, None,
+        )
+
+    def test_mp4_header_expr_roundtrips_through_parser(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 90000, 450000), (2, 600, 600)], "doc_id long, ts long, dur long"
+        ).select(
+            "doc_id",
+            multimodal.mp4_header_expr(F.col("ts"), F.col("dur")).alias("payload"),
+        )
+        rows = {r.doc_id: r for r in multimodal.video_metadata(df).collect()}
+        assert (rows[1].brand, rows[1].timescale, rows[1].duration, rows[1].duration_ms) == (
+            "isom", 90000, 450000, 5000,
+        )
+        assert (rows[2].duration_ms, rows[2].byte_len) == (1000, 132)

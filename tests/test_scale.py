@@ -153,3 +153,22 @@ def test_split_assign_deterministic_and_exhaustive(spark, sf_dir):
         h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8]
         expect = "train" if h < "e6666666" else ("val" if h < "f3333333" else "test")
         assert split == expect, doc_id
+
+
+def test_temperature_mixture_flattens_toward_mean(spark):
+    import math
+
+    from change_data_capture_spark.extensions import scale
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = scale.temperature_mixture(df, by="source")
+    got = {r.source: r.target_n for r in out.select("source", "target_n").distinct().collect()}
+    mean = 425 / 2
+    assert got["big"] == math.floor(math.sqrt(400 * mean))  # thinned toward mean
+    assert got["small"] == 25  # small sources keep everything
+    kept = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in kept} == {"big": got["big"], "small": 25}
+    # reshuffle-stable membership
+    again = {r.doc_id for r in scale.temperature_mixture(df.repartition(5), by="source").collect()}
+    assert again == {r.doc_id for r in out.collect()}
