@@ -91,6 +91,88 @@ def maintain_aggregate(
     return kept.unionByName(fresh)
 
 
+def maintain_join(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    fact_table: str,
+    dim_table: str,
+    fk_col: str,
+    *,
+    prev: DataFrame | None = None,
+    fact_from: int | None = None,
+    dim_from: int | None = None,
+    dim_prefix: str = "dim_",
+) -> DataFrame:
+    """Return the maintained DENORMALIZED JOIN materialization
+    ``fact INNER JOIN dim ON fact.fk_col = dim.pk`` — the second
+    derived-table shape every warehouse keeps over a change feed
+    (pre-joined wide rows for serving), refreshed per batch in
+    O(changed), not O(table).
+
+    - ``prev is None``: full initial materialization (one join).
+    - otherwise: incremental refresh from the two bases' change feeds:
+
+      rewrite_keys (fact PKs whose M rows can be stale) =
+          PKs in the FACT change feed between fact_from and current
+          (covers insert/update/delete, including an update that moved
+          the row to another dim: M is keyed by fact PK, so dropping by
+          PK erases the pre-image row wherever it pointed)
+        UNION
+          PKs of CURRENT fact rows whose ``fk_col`` is in the DIM
+          change feed between dim_from and current (an unchanged fact
+          row under a changed/deleted dim row is stale in place)
+
+      next = prev ANTI JOIN rewrite_keys
+             UNION (current fact SEMI JOIN rewrite_keys) JOIN current dim
+
+    Scale: rewrite_keys is O(|fact changes| + |fact rows of changed dim
+    keys|); the fresh join semi-joins the fact base down to those keys
+    before joining the dim, so a 100 TB fact table is touched only on
+    the changed keys' bucket partitions (the catalog read prunes by PK
+    bucket), and the dim side of the fresh join is AQE-broadcastable.
+    Dim non-PK columns are prefixed with ``dim_prefix`` to keep the
+    wide schema collision-free. Exactness is engine-checked in tests by
+    comparing against a full recompute after every batch."""
+    fact = catalog.read(spark, fact_table)
+    dim = catalog.read(spark, dim_table)
+    dim_meta = catalog.meta(dim_table)
+    (dk,) = list(dim_meta["pks"])  # single-column dim PK by contract
+    dim_wide = dim.select(
+        F.col(dk),
+        *[
+            F.col(c).alias(f"{dim_prefix}{c}")
+            for c in dim.columns
+            if c != dk
+        ],
+    )
+
+    def joined(f: DataFrame) -> DataFrame:
+        return f.join(dim_wide, f[fk_col] == dim_wide[dk]).drop(dk)
+
+    if prev is None:
+        return joined(fact)
+    assert fact_from is not None and dim_from is not None
+
+    fact_meta = catalog.meta(fact_table)
+    fpks = list(fact_meta["pks"])
+    fact_changed = (
+        catalog.table_changes(spark, fact_table, fact_from).select(*fpks).distinct()
+    )
+    dim_changed = (
+        catalog.table_changes(spark, dim_table, dim_from)
+        .select(F.col(dk).alias("__dk"))
+        .distinct()
+    )
+    stale_via_dim = fact.join(
+        dim_changed, fact[fk_col] == dim_changed["__dk"], "left_semi"
+    ).select(*fpks)
+    rewrite_keys = fact_changed.unionByName(stale_via_dim).distinct()
+
+    kept = prev.join(rewrite_keys, fpks, "left_anti")
+    fresh = joined(fact.join(rewrite_keys, fpks, "left_semi"))
+    return kept.unionByName(fresh)
+
+
 def scd2_history(
     flat: DataFrame,
     pks: Sequence[str],

@@ -5440,6 +5440,87 @@ def multimodal_audio_meta(spark, sf_dir):
 
 
 @_q(
+    "cdc_incremental_join",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 3 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 <> 5
+    ),
+    nat AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 2 THEN n_name || '_X' ELSE n_name END AS n_name,
+             n_regionkey
+      FROM nation WHERE n_nationkey <> 24
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           n.n_name AS dim_n_name, n.n_regionkey AS dim_n_regionkey
+    FROM cust c JOIN nat n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def cdc_incremental_join(spark, sf_dir):
+    """Incrementally-maintained denormalized join (derive.maintain_join):
+    customer-fact x nation-dim materialization refreshed from BOTH
+    change feeds in O(changed) — the mutation batch moves facts to
+    other dims (c_nationkey rewrite), updates dim values in place
+    (stale wide rows under unchanged facts), and deletes a dim key
+    (its facts must vanish from the view). The oracle recomputes the
+    full join over the mutated bases; the query returns the
+    INCREMENTAL refresh, so any stale/duplicated/ghost wide row
+    hash-mismatches."""
+    from .derive import maintain_join
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_ijoin_"))
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    apply_changelog(spark, snapshot_changelog(nat, "tpch.nation", ["n_nationkey"]), cat)
+    apply_changelog(spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat)
+    prev = maintain_join(
+        spark, cat, "tpch.customer", "tpch.nation", "c_nationkey"
+    ).localCheckpoint()
+    fact_from = cat.versions("tpch.customer")[-1]
+    dim_from = cat.versions("tpch.nation")[-1]
+    fact_mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={
+            "c_acctbal": F.col("c_acctbal") + 100.0,
+            "c_nationkey": (F.col("c_nationkey") + 1) % 25,
+        },
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    dim_mut = mutation_changelog(
+        nat,
+        "tpch.nation",
+        ["n_nationkey"],
+        update_where=F.col("n_nationkey") % 5 == 2,
+        update_set={"n_name": F.concat(F.col("n_name"), F.lit("_X"))},
+        update_version=2,
+        delete_where=F.col("n_nationkey") == 24,
+        delete_version=3,
+    )
+    apply_changelog(spark, fact_mut.unionByName(dim_mut), cat)
+    return maintain_join(
+        spark,
+        cat,
+        "tpch.customer",
+        "tpch.nation",
+        "c_nationkey",
+        prev=prev,
+        fact_from=fact_from,
+        dim_from=dim_from,
+    )
+
+
+@_q(
     "corpus_temperature_mixture",
     r"""
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

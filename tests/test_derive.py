@@ -103,3 +103,91 @@ def test_scd2_history_interval_semantics(spark):
         (3, 5): ("p", 25, False),
         (3, 25): ("q", None, True),
     }
+
+
+def test_incremental_join_matches_full_recompute(spark, tmp_path):
+    """The denormalized-join materialization must equal a full rejoin
+    after every batch — including fact updates that MOVE a row to a
+    different dim key, dim value updates that stale unchanged fact
+    rows in place, and dim deletes that must erase their fact rows
+    from the view."""
+    from change_data_capture_spark.derive import maintain_join
+
+    rng = random.Random(7)
+    cat = TableCatalog(str(tmp_path / "cat"))
+
+    dims = [(d, f"name{d}", d * 10) for d in range(8)]
+    facts = [(i, i % 8, (i * 3) % 50) for i in range(40)]
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame(dims, "dk long, dname string, drank long"),
+            "t.dim", ["dk"], op="INSERT", version=1,
+        ),
+        cat,
+    )
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame(facts, "id long, dk_ref long, amount long"),
+            "t.fact", ["id"], op="INSERT", version=1,
+        ),
+        cat,
+    )
+
+    def full():
+        f, d = cat.read(spark, "t.fact"), cat.read(spark, "t.dim")
+        dw = d.select("dk", F.col("dname").alias("dim_dname"), F.col("drank").alias("dim_drank"))
+        return f.join(dw, f.dk_ref == dw.dk).drop("dk")
+
+    view = maintain_join(spark, cat, "t.fact", "t.dim", "dk_ref")
+    assert _rows(view) == _rows(full())
+
+    version = 1
+    for _ in range(3):
+        fact_from = cat.versions("t.fact")[-1]
+        dim_from = cat.versions("t.dim")[-1]
+        prev = view.localCheckpoint()
+
+        fops, dops = [], []
+        for _ in range(10):
+            version += 1
+            key = rng.randrange(50)  # hits existing facts + inserts new
+            if rng.random() < 0.25:
+                fops.append((version, key, "DELETE", None, None))
+            else:  # may move the fact to another dim (changed dk_ref)
+                fops.append((version, key, "UPDATE", rng.randrange(10), rng.randrange(50)))
+        for _ in range(3):
+            version += 1
+            d = rng.randrange(10)  # touches existing dims + inserts new
+            if rng.random() < 0.2:
+                dops.append((version, d, "DELETE", None, None))
+            else:
+                dops.append((version, d, "UPDATE", f"renamed{version}", rng.randrange(99)))
+
+        fdf = spark.createDataFrame(
+            fops, "__ver long, id long, __op string, dk_ref long, amount long"
+        )
+        ddf = spark.createDataFrame(
+            dops, "__ver long, dk long, __op string, dname string, drank long"
+        )
+        log = dml_records(
+            fdf.filter("__op != 'DELETE'"), "t.fact", ["id"],
+            op=F.col("__op"), version=F.col("__ver"),
+        ).unionByName(dml_records(
+            fdf.filter("__op = 'DELETE'"), "t.fact", ["id"],
+            op=F.col("__op"), version=F.col("__ver"), keys_only=True,
+        )).unionByName(dml_records(
+            ddf.filter("__op != 'DELETE'"), "t.dim", ["dk"],
+            op=F.col("__op"), version=F.col("__ver"),
+        )).unionByName(dml_records(
+            ddf.filter("__op = 'DELETE'"), "t.dim", ["dk"],
+            op=F.col("__op"), version=F.col("__ver"), keys_only=True,
+        ))
+        apply_changelog(spark, log, cat)
+
+        view = maintain_join(
+            spark, cat, "t.fact", "t.dim", "dk_ref",
+            prev=prev, fact_from=fact_from, dim_from=dim_from,
+        )
+        assert _rows(view) == _rows(full())
