@@ -122,3 +122,31 @@ def test_export_snapshot_roundtrip_with_manifest(spark, versioned_cat, tmp_path)
     assert got == want
     with pytest.raises(KeyError):
         cat.export_snapshot(spark, "t.unknown", str(tmp_path / "x"))
+
+
+def test_export_after_evolution_keeps_added_column(spark, versioned_cat, tmp_path):
+    """Export must read through the REGISTERED schema: after an
+    evolution the current version mixes pre-evolution files (hard-
+    linked) with rewritten ones, and the export has to surface the
+    added column (null for old rows) rather than sample-infer it away."""
+    import os
+
+    from change_data_capture_spark.changelog import ddl_record
+    from pyspark.sql.types import LongType, StructField
+
+    cat, nation = versioned_cat
+    old_schema = cat.read(spark, "t.n").schema
+    evolved = old_schema.add(StructField("extra_rank", LongType(), True))
+    upd = dml_records(
+        nation.filter(F.col("n_nationkey") == 0).withColumn("extra_rank", F.lit(7)),
+        "t.n", ["n_nationkey"], op="UPDATE", version=9,
+    )
+    apply_changelog(spark, ddl_record(spark, "t.n", evolved.json()).unionByName(upd), cat)
+
+    dest = str(tmp_path / "export_evolved")
+    manifest = cat.export_snapshot(spark, "t.n", dest)
+    assert "extra_rank" in manifest["columns"]
+    exported = spark.read.parquet(os.path.join(dest, "data"))
+    vals = {r.n_nationkey: r.extra_rank for r in exported.collect()}
+    assert vals[0] == 7
+    assert all(v is None for k, v in vals.items() if k != 0)

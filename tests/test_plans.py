@@ -235,3 +235,12 @@ def test_lww_collapses_are_partial_aggregations_not_windows(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "partial_max_by" in plan, "collapse lost its map-side combine"
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """The flagship composite must stay JVM-side, cartesian-free, and
+    keep its tiny per-group aggregates broadcastable rather than
+    pinning them with hints (AQE decides from measured sizes)."""
+    plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
