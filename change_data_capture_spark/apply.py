@@ -249,7 +249,14 @@ class TableCatalog:
         if meta is None or meta["schema"] is None:
             raise KeyError(f"unknown table {table_id!r}")
         data_dir = os.path.join(dest_dir, "data")
-        df = self.read(spark, table_id)
+        # Pin the version from the ONE meta read above: a plain read()
+        # would re-read _meta.json and could resolve a version published
+        # by a concurrent apply after this meta snapshot, making the
+        # manifest describe different data than the export contains.
+        pinned = (
+            int(meta["current"].rsplit("_v", 1)[1]) if meta.get("current") else None
+        )
+        df = self.read(spark, table_id, version=pinned)
         df.write.mode("overwrite").parquet(data_dir)
         # Count from the written files, not the source plan: cheaper
         # (no merge lineage) and it verifies what actually landed.

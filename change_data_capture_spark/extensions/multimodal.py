@@ -161,11 +161,23 @@ def decode_audio_meta(
     return int(sr), int(ch), int(bits), n, dur
 
 
+def _fit(c: Column, nbytes: int) -> Column:
+    """NULL out values that don't fit the field width: lpad would
+    otherwise truncate the hex keeping the HIGH-order digits and encode
+    an unrelated value silently. A null field nulls the whole
+    synthesized header (concat propagates), which decodes to Nones —
+    visible, never corrupt."""
+    limit = 1 << (8 * nbytes)
+    return F.when(
+        (c >= 0) & (c < F.lit(limit)), c.cast("bigint")
+    ).otherwise(F.lit(None).cast("bigint"))
+
+
 def _le_bytes(c: Column, nbytes: int) -> Column:
     """Little-endian fixed-width bytes from an int column (hex/lpad/
     unhex with the byte pairs reversed — the LE twin of
     png_header_expr's big-endian helper)."""
-    hexs = F.lpad(F.hex(c.cast("bigint")), nbytes * 2, "0")
+    hexs = F.lpad(F.hex(_fit(c, nbytes)), nbytes * 2, "0")
     pairs = [F.substring(hexs, i * 2 + 1, 2) for i in reversed(range(nbytes))]
     return F.unhex(F.concat(*pairs))
 
@@ -205,11 +217,14 @@ def audio_metadata(docs_with_payload: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            meta = [decode_audio_meta(p) for p in payloads]
+            meta = [
+                decode_audio_meta(p) if p is not None else (None,) * 5
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": payloads.map(len).astype("int64"),
+                    "byte_len": payloads.map(lambda p: len(p) if p is not None else 0).astype("int64"),
                     "sample_rate": pd.Series([m[0] for m in meta], dtype="Int32"),
                     "channels": pd.Series([m[1] for m in meta], dtype="Int32"),
                     "bits_per_sample": pd.Series([m[2] for m in meta], dtype="Int32"),
@@ -271,7 +286,7 @@ def decode_video_meta(
 
 def _be_bytes(c: Column, nbytes: int) -> Column:
     """Big-endian fixed-width bytes from an int column."""
-    return F.unhex(F.lpad(F.hex(c.cast("bigint")), nbytes * 2, "0"))
+    return F.unhex(F.lpad(F.hex(_fit(c, nbytes)), nbytes * 2, "0"))
 
 
 def mp4_header_expr(timescale: Column, duration: Column) -> Column:
@@ -306,11 +321,14 @@ def video_metadata(docs_with_payload: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            meta = [decode_video_meta(p) for p in payloads]
+            meta = [
+                decode_video_meta(p) if p is not None else (None,) * 4
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": payloads.map(len).astype("int64"),
+                    "byte_len": payloads.map(lambda p: len(p) if p is not None else 0).astype("int64"),
                     "brand": pd.Series([m[0] for m in meta], dtype="object"),
                     "timescale": pd.Series([m[1] for m in meta], dtype="Int64"),
                     "duration": pd.Series([m[2] for m in meta], dtype="Int64"),
@@ -336,13 +354,16 @@ def image_metadata(docs_with_payload: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            meta = [decode_image_meta(p) for p in payloads]
+            meta = [
+                decode_image_meta(p) if p is not None else (None, None, None)
+                for p in payloads
+            ]
             # nullable Int32: unrecognized containers surface as NULL
             # dims, never fake numbers
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": payloads.map(len).astype("int64"),
+                    "byte_len": payloads.map(lambda p: len(p) if p is not None else 0).astype("int64"),
                     "width": pd.Series([m[0] for m in meta], dtype="Int32"),
                     "height": pd.Series([m[1] for m in meta], dtype="Int32"),
                     "channels": pd.Series([m[2] for m in meta], dtype="Int32"),

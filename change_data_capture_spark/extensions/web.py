@@ -79,28 +79,44 @@ _TRACKING_PARAM = r"(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*"
 def canonical_url(col: F.Column) -> F.Column:
     """One canonical spelling per page: lowercase scheme and host, drop
     the scheme-default port, drop the fragment, strip tracking params
-    (utm_*, fbclid, gclid, ref), collapse a trailing slash. Park-level
-    heuristics (param reordering, mirror hosts) are out of scope — this
-    is the deterministic normalization layer crawl dedup keys on."""
+    (utm_*, fbclid, gclid, ref), collapse a trailing slash. A string
+    with no ``scheme://`` passes through VERBATIM — collapsing every
+    malformed row to one synthetic key would dedup unrelated documents
+    against each other, which is worse than not deduping them. Park-
+    level heuristics (param reordering, mirror hosts) are out of scope
+    — this is the deterministic normalization layer crawl dedup keys
+    on."""
     scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    host = (
-        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
-        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .otherwise(hostport)
-    )
+    host = _canonical_hostport(col, scheme)
     path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    # query = text between the FIRST '?' before any '#' and the
+    # fragment; an unanchored \? would also match a '?' inside the
+    # fragment and resurrect fragment content as a query
+    query = F.regexp_extract(col, r"^[^#]*?\?([^#]*)", 1)
     query = F.regexp_replace(query, _TRACKING_PARAM, "")
     query = F.regexp_replace(query, r"^&", "")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    return F.when(scheme == "", col).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+    )
+
+
+def _canonical_hostport(col: F.Column, scheme: F.Column) -> F.Column:
+    """Lowercased host[:port] with only the scheme-DEFAULT port
+    dropped — a non-default port is part of the origin and must
+    survive both canonicalization and link resolution."""
+    hostport = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    return (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
     )
 
 
@@ -150,24 +166,30 @@ def link_extract(
 
     Per link: the raw href, the anchor text (inner tags stripped), the
     href resolved against the page's own URL and canonicalized
-    (absolute http(s) links and absolute paths; other schemes pass
-    through verbatim), and whether it leaves the page's domain
-    (null when not resolvable to a domain, e.g. mailto:)."""
+    (absolute http(s) links, protocol-relative ``//host/...`` links
+    taking the page's scheme, and root-relative paths resolved against
+    the page's ORIGIN — scheme + host INCLUDING a non-default port;
+    other schemes pass through verbatim), and whether it leaves the
+    page's domain (null when not resolvable to a domain, e.g.
+    mailto:)."""
     pat = r'(?si)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
     hrefs = F.regexp_extract_all(F.col(html_col), F.lit(pat), 1)
     texts = F.regexp_extract_all(F.col(html_col), F.lit(pat), 2)
     base_scheme = F.lower(
         F.regexp_extract(F.col(base_url_col), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
+    base_netloc = _canonical_hostport(F.col(base_url_col), base_scheme)
     base_domain = url_domain(F.col(base_url_col))
     lk = docs.select(
         F.col(id_col),
         base_scheme.alias("__scheme"),
+        base_netloc.alias("__base_netloc"),
         base_domain.alias("__base_dom"),
         F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))).alias("lk"),
     ).select(
         id_col,
         "__scheme",
+        "__base_netloc",
         "__base_dom",
         F.col("lk.href").alias("href"),
         F.trim(
@@ -177,9 +199,17 @@ def link_extract(
         ).alias("anchor_text"),
     )
     abs_url = (
+        # protocol-relative FIRST: '//host/path' takes the page scheme
+        # (a bare startswith('/') test would misread it as a path)
         F.when(
+            F.substring("href", 1, 2) == "//",
+            F.concat(F.col("__scheme"), F.lit(":"), F.col("href")),
+        )
+        .when(
             F.substring("href", 1, 1) == "/",
-            F.concat(F.col("__scheme"), F.lit("://"), F.col("__base_dom"), F.col("href")),
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__base_netloc"), F.col("href")
+            ),
         )
         .when(F.col("href").rlike(r"(?i)^https?://"), F.col("href"))
         .otherwise(F.lit(None).cast("string"))

@@ -4985,32 +4985,66 @@ _WEB_URL_SYNTH_SQL = """
       || '&utm_campaign=x#frag'
 """
 
-_WEB_URL_CANON_SQL = """
-      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
-      || CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+def _web_netloc_sql(col: str) -> str:
+    """SQL twin of web._canonical_hostport: lowercased host[:port] with
+    only the scheme-default port dropped."""
+    return f"""CASE lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
            WHEN 'https' THEN regexp_replace(
-             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+             lower(regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
            WHEN 'http' THEN regexp_replace(
-             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
-           ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
-         END
+             lower(regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+           ELSE lower(regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+         END"""
+
+
+def _web_url_canon_sql(col: str = "url") -> str:
+    """SQL twin of web.canonical_url over the named column, including
+    the schemeless-passthrough rule and the fragment-safe query
+    extraction (anchored before any '#')."""
+    return f"""
+      CASE WHEN regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+           THEN {col}
+           ELSE
+      lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+      || {_web_netloc_sql(col)}
       || CASE WHEN regexp_replace(
-              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+              regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
               '/+$', '') = ''
            THEN '/'
            ELSE regexp_replace(
-              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+              regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
               '/+$', '')
          END
       || CASE WHEN regexp_replace(regexp_replace(
-               regexp_extract(url, '\\?([^#]*)', 1),
+               regexp_extract({col}, '^[^#]*?\\?([^#]*)', 1),
                '(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&', '') = ''
            THEN ''
            ELSE '?' || regexp_replace(regexp_replace(
-               regexp_extract(url, '\\?([^#]*)', 1),
+               regexp_extract({col}, '^[^#]*?\\?([^#]*)', 1),
                '(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&', '')
          END
+      END
 """
+
+
+_WEB_URL_CANON_SQL = _web_url_canon_sql("url")
+
+
+def _synth_url(path_mod: int) -> F.Column:
+    """Spark twin of _WEB_URL_SYNTH_SQL (path_mod=8) /
+    _PIPE_URL_SYNTH_SQL (path_mod=200): ONE definition per engine side
+    so the URL-shaped queries cannot drift from their shared SQL
+    constants."""
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % path_mod).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
 
 
 @_q(
@@ -5039,16 +5073,7 @@ def web_url_dedup(spark, sf_dir):
     doc_id-mod path/query so distinct pages stay distinct. Docs whose
     URLs canonicalize identically dedup to the smallest doc id: one
     hash-shuffle on the canonical URL."""
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.col("source"),
-        F.lit(".Example.COM:443/Path/"),
-        (F.col("doc_id") % 8).cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&id="),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit("&utm_campaign=x#frag"),
-    )
+    url = _synth_url(8)
     return web.url_duplicates(
         _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     )
@@ -5079,16 +5104,7 @@ def web_domain_stats(spark, sf_dir):
     volume, distinct canonical pages, recrawl ratio — the input to
     per-domain caps and mixture policies. One aggregation keyed by
     domain."""
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.col("source"),
-        F.lit(".Example.COM:443/Path/"),
-        (F.col("doc_id") % 8).cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&id="),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit("&utm_campaign=x#frag"),
-    )
+    url = _synth_url(8)
     return web.domain_stats(
         _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     )
@@ -5121,16 +5137,7 @@ def web_domain_cap(spark, sf_dir):
     k=10 docs per domain, chosen by reshuffle-stable md5(doc_id) order
     — the anti-monoculture step after URL dedup. Both engines rank the
     same lowercase-hex md5, so the kept set is verified exactly."""
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.col("source"),
-        F.lit(".Example.COM:443/Path/"),
-        (F.col("doc_id") % 8).cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&id="),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit("&utm_campaign=x#frag"),
-    )
+    url = _synth_url(8)
     return web.domain_cap(
         _t(spark, sf_dir, "documents").select("doc_id", url.alias("url")), k=10
     )
@@ -5179,6 +5186,8 @@ _WEB_LINK_HTML_SQL = """
       || '">deep  page</a>, <a href="HTTPS://Peer.ORG:443/ref/'
       || CAST(doc_id % 5 AS VARCHAR)
       || '?utm_x=1&q=2">peer <b>site</b></a>, '
+      || '<a href="//CDN.example.net/lib/' || CAST(doc_id % 3 AS VARCHAR)
+      || '">cdn asset</a>, '
       || '<a href="mailto:team@example.com">mail us</a>.</p></body></html>'
 """
 
@@ -5203,21 +5212,24 @@ _WEB_LINK_HTML_SQL = """
              trim(regexp_replace(regexp_replace(lk[2], '<[^>]+>', ' ', 'g'),
                                  '\\s+', ' ', 'g')) AS anchor_text,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             {_web_netloc_sql('url')} AS base_netloc,
              regexp_replace(lower(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS base_dom
       FROM x
     ),
     a AS (
       SELECT doc_id, href, anchor_text, base_dom,
-             CASE WHEN substr(href, 1, 1) = '/'
-                    THEN scheme || '://' || base_dom || href
+             CASE WHEN substr(href, 1, 2) = '//'
+                    THEN scheme || ':' || href
+                  WHEN substr(href, 1, 1) = '/'
+                    THEN scheme || '://' || base_netloc || href
                   WHEN regexp_matches(href, '(?i)^https?://') THEN href
                   ELSE NULL END AS abs_url
       FROM l
     )
     SELECT doc_id, href, anchor_text,
            CASE WHEN abs_url IS NOT NULL
-                THEN {_WEB_URL_CANON_SQL.strip().replace("(url,", "(abs_url,")}
+                THEN {_web_url_canon_sql("abs_url").strip()}
                 ELSE href END AS href_resolved,
            CAST(CASE WHEN abs_url IS NOT NULL
                 THEN regexp_replace(lower(regexp_extract(abs_url,
@@ -5228,28 +5240,23 @@ _WEB_LINK_HTML_SQL = """
     """,
 )
 def web_link_extract(spark, sf_dir):
-    """Web-graph edge extraction (extensions/web.link_extract): three
+    """Web-graph edge extraction (extensions/web.link_extract): four
     anchors are synthesized per doc IN BOTH ENGINES — a root-relative
-    path (resolved against the page's own scheme+domain), an absolute
-    link with canonicalization noise (uppercase host, default port,
-    tracking param), and a mailto: that must pass through verbatim with
-    a null is_external. Narrow map + per-page-bounded explode."""
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.col("source"),
-        F.lit(".Example.COM:443/Path/"),
-        (F.col("doc_id") % 8).cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&id="),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit("&utm_campaign=x#frag"),
-    )
+    path (resolved against the page's own origin), an absolute link
+    with canonicalization noise (uppercase host, default port,
+    tracking param), a protocol-relative //host link taking the page
+    scheme, and a mailto: that must pass through verbatim with a null
+    is_external. Narrow map + per-page-bounded explode."""
+    url = _synth_url(8)
     html = F.concat(
         F.lit('<html><body><p>See <a href="/local/'),
         (F.col("doc_id") % 8).cast("string"),
         F.lit('">deep  page</a>, <a href="HTTPS://Peer.ORG:443/ref/'),
         (F.col("doc_id") % 5).cast("string"),
         F.lit('?utm_x=1&q=2">peer <b>site</b></a>, '),
+        F.lit('<a href="//CDN.example.net/lib/'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('">cdn asset</a>, '),
         F.lit('<a href="mailto:team@example.com">mail us</a>.</p></body></html>'),
     )
     out = web.link_extract(
@@ -5344,16 +5351,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     from .extensions import scale
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.col("source"),
-        F.lit(".Example.COM:443/Path/"),
-        (F.col("doc_id") % 200).cast("string"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&id="),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit("&utm_campaign=x#frag"),
-    )
+    url = _synth_url(200)
     d = docs.withColumn("url", url)
     dups = web.url_duplicates(d.select("doc_id", "url"))
     s1 = d.join(dups.select(F.col("dup_id").alias("doc_id")), "doc_id", "left_anti")
@@ -5374,10 +5372,10 @@ def corpus_curation_pipeline(spark, sf_dir):
         .select("doc_id", "domain")
     )
     s3 = s2.join(cap, "doc_id")
-    w = Window.partitionBy(F.md5("text"))
-    s4 = s3.withColumn("__keeper", F.min("doc_id").over(w)).filter(
-        F.col("doc_id") == F.col("__keeper")
+    content_dups = dedup.exact_duplicates(s3.select("doc_id", "text")).select(
+        F.col("dup_id").alias("doc_id")
     )
+    s4 = s3.join(content_dups, "doc_id", "left_anti")
     return scale.split_assign(
         s4.select("doc_id", "source", "domain", "detected_lang", "quality_score"),
         "doc_id",

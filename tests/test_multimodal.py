@@ -249,3 +249,33 @@ class TestMp4Header:
             "isom", 90000, 450000, 5000,
         )
         assert (rows[2].duration_ms, rows[2].byte_len) == (1000, 132)
+
+
+def test_header_field_overflow_is_null_not_corrupt(spark):
+    """A value too wide for its header field must null the whole
+    synthesized header (decoding to Nones) — lpad would otherwise keep
+    the high-order hex digits and silently encode an unrelated size."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 44100, 2, 4_800_000_000)], "doc_id long, rate long, ch long, n long"
+    ).select(
+        "doc_id",
+        multimodal.wav_header_expr(F.col("rate"), F.col("ch"), F.col("n")).alias(
+            "payload"
+        ),
+    )
+    assert df.filter(F.col("payload").isNull()).count() == 1
+
+
+def test_null_payloads_yield_null_metadata(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long").select(
+        "doc_id", F.lit(None).cast("binary").alias("payload")
+    )
+    for fn in (multimodal.image_metadata, multimodal.audio_metadata,
+               multimodal.video_metadata):
+        rows = fn(df).collect()
+        assert len(rows) == 2
+        assert all(r.byte_len == 0 for r in rows)

@@ -398,3 +398,23 @@ def test_interval_join_watermarks_gate_per_side(spark, sf_dir, tmp_path):
     )
     plan2 = both._jdf.queryExecution().analyzed().toString()
     assert plan2.count("EventTimeWatermark") == 2
+
+
+def test_trending_topk_boundary_and_tiebreak(spark, sf_dir):
+    """q_trending_topk: per hour at most 3 rows, rnk dense from 1, and
+    the (count desc, event_type asc) order is what rnk encodes — pinned
+    against the real events fixture so builder and oracle cannot drift
+    together unnoticed."""
+    from change_data_capture_spark import registry
+
+    rows = registry.queries()["q_trending_topk"](spark, sf_dir).collect()
+    assert rows, "fixture produced no hourly groups"
+    by_hour = {}
+    for r in rows:
+        by_hour.setdefault(r.hour, []).append(r)
+    for hour, group in by_hour.items():
+        group.sort(key=lambda r: r.rnk)
+        assert 1 <= len(group) <= 3
+        assert [r.rnk for r in group] == list(range(1, len(group) + 1))
+        key = [(-r.n, r.event_type) for r in group]
+        assert key == sorted(key), f"rank order broken in {hour}"

@@ -56,6 +56,12 @@ def test_canonical_url_rules(spark):
         # all-tracking query collapses to no query
         ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
         ("https://ex.com/p?ref=rss", "https://ex.com/p"),
+        # a '?' INSIDE the fragment is fragment content, not a query
+        ("https://ex.com/p#sec?x=1", "https://ex.com/p"),
+        # schemeless/malformed rows pass through verbatim — collapsing
+        # them all to one synthetic key would dedup unrelated docs
+        ("example.com/a", "example.com/a"),
+        ("other.org/b", "other.org/b"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(web.canonical_url(F.col("url")).alias("c")).collect()]
@@ -121,6 +127,28 @@ def test_link_extract_resolves_and_classifies(spark):
     ]
     # linkless docs simply contribute no edges
     assert all(r.doc_id == 1 for r in rows)
+
+
+def test_link_extract_protocol_relative_and_port_preserving(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://ex.com:8443/page",
+                '<p><a href="//CDN.other.net/x.js">cdn</a>'
+                '<a href="/api/v1">api</a></p>',
+            ),
+        ],
+        "doc_id long, url string, html string",
+    )
+    rows = {r.href: r for r in web.link_extract(df).collect()}
+    # protocol-relative: page scheme attached, NOT treated as a path
+    assert rows["//CDN.other.net/x.js"].href_resolved == "https://cdn.other.net/x.js"
+    assert rows["//CDN.other.net/x.js"].is_external is True
+    # root-relative: resolved against the page ORIGIN incl. its
+    # non-default port
+    assert rows["/api/v1"].href_resolved == "https://ex.com:8443/api/v1"
+    assert rows["/api/v1"].is_external is False
 
 
 def test_domain_cap_is_deterministic_and_bounded(spark):
