@@ -632,3 +632,47 @@ def span_dedup_signals(
             ),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 64,
+) -> DataFrame:
+    """Term -> postings search-index construction — the corpus-scale
+    retrieval structure behind BM25/keyword search and RAG-style
+    lookups. Per term: document frequency, collection frequency, and a
+    bounded postings prefix (the first ``max_postings`` doc ids
+    ascending, comma-joined) — bounding the prefix is what makes the
+    row width O(1) for stopword-grade terms whose full posting list is
+    O(corpus).
+
+    Plan: token explode -> one (token, doc) partial-aggregated tf
+    shuffle -> one token-keyed exchange shared by the ranking window
+    and the final aggregate (Spark 4 ordered ``listagg`` keeps the
+    prefix deterministic; the CASE feed skips rank > cap, and listagg
+    ignores NULLs in both engines). No driver collects, no Python."""
+    tf = (
+        tokens(docs, id_col=id_col, text_col=text_col)
+        .filter(F.col("token") != "")
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("token").orderBy(F.col(id_col).asc())
+    )
+    return (
+        tf.withColumn("rn", rn)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.expr(
+                f"listagg(CASE WHEN rn <= {int(max_postings)} "
+                f"THEN CAST(`{id_col}` AS STRING) END, ',') "
+                f"WITHIN GROUP (ORDER BY `{id_col}`)"
+            ).alias("postings_head"),
+        )
+    )

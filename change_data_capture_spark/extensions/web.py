@@ -290,3 +290,70 @@ def domain_stats(
             F.count(F.lit(1)) / F.countDistinct("url_canon"), 6
         ).alias("recrawl_ratio"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+    iters: int = 3,
+) -> DataFrame:
+    """Link-graph PageRank — the crawl-prioritization / page-quality
+    signal a web corpus is weighted by (CommonCrawl publishes exactly
+    this over its host graph). Pregel-shaped on DataFrames: each
+    iteration is one join of the rank table onto the edge list keyed
+    by source (both sides hash-partitioned on the node id, so AQE
+    reuses the exchange across iterations) plus one aggregation keyed
+    by destination — O(V+E) per round, 2 shuffles, no broadcast of
+    anything O(V). ``localCheckpoint`` cuts the lineage each round so
+    the plan stays constant-size at any iteration count.
+
+    Engine-exact by construction: ranks live as BIGINT parts-per-
+    trillion and every step is integer arithmetic (floor division for
+    the out-degree split and the damping factor), so a SQL oracle
+    unrolling the same iterations reproduces the hashes bit-for-bit —
+    no float drift, no rounding-mode divergence. Dangling nodes keep
+    the simplified-PageRank convention (their mass is not
+    redistributed), which the oracle mirrors.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    scale = 10**12
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.join(outdeg, ranks.id == outdeg.src).select(
+                "id", F.expr("rank div outdeg").alias("give")), e.src == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum("give").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (F.lit(base) + F.expr(
+                    f"({damping_pct} * coalesce(incoming, 0L)) div 100"
+                )).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("id", F.col("rank").alias("rank_ppt"))

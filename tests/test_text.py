@@ -139,3 +139,20 @@ def test_language_id_keeps_null_and_empty_text_docs(spark):
 
     got = {r["doc_id"]: (r["detected_lang"], r["stopword_hits"]) for r in t.language_id(docs).collect()}
     assert got == {1: ("en", 5), 2: ("unknown", 0), 3: ("unknown", 0)}
+
+
+def test_inverted_index_df_cf_and_postings_cap(spark):
+    docs = spark.createDataFrame(
+        [(3, "b a a"), (1, "a x"), (2, "a  a b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.token: r
+        for r in text.inverted_index(docs, max_postings=2).collect()
+    }
+    assert set(rows) == {"a", "b", "x"}
+    a = rows["a"]
+    # df counts docs, cf counts occurrences, postings ascending
+    assert (a.df, a.cf, a.postings_head) == (3, 5, "1,2")  # capped at 2
+    assert (rows["b"].df, rows["b"].cf, rows["b"].postings_head) == (2, 2, "2,3")
+    assert (rows["x"].df, rows["x"].cf, rows["x"].postings_head) == (1, 1, "1")

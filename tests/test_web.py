@@ -219,3 +219,38 @@ def test_web_plans_stay_jvm_side_and_narrow(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pagerank_hand_computed_one_iteration(spark):
+    # A(1)->B(2), A->C(3), B->C, C->A; n=3, outdeg A=2, B=1, C=1.
+    # r0 = 10^12 // 3 = 333333333333 each; base = 15*10^12 // 300.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r.id: r.rank_ppt for r in web.pagerank(edges, iters=1).collect()
+    }
+    base = (10**12 * 15) // (100 * 3)
+    assert got == {
+        1: base + (85 * 333333333333) // 100,          # from C
+        2: base + (85 * (333333333333 // 2)) // 100,   # from A (half)
+        3: base + (85 * (333333333333 // 2 + 333333333333)) // 100,
+    }
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    # ring + chords: every node has out-links, so total mass stays
+    # within n units of floor-division loss of the full 10^12 per round
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)]
+        + [(i, (i + 3) % 7) for i in range(7)],
+        "src long, dst long",
+    )
+    r1 = web.pagerank(edges, iters=3)
+    r2 = web.pagerank(edges.repartition(13), iters=3)
+    rows1 = sorted((r.id, r.rank_ppt) for r in r1.collect())
+    rows2 = sorted((r.id, r.rank_ppt) for r in r2.collect())
+    assert rows1 == rows2, "pagerank must be partitioning-invariant"
+    total = sum(v for _, v in rows1)
+    # floor losses only: <= (edges + nodes + 1) units per iteration
+    assert 10**12 - 3 * (14 + 7 + 1) <= total <= 10**12
