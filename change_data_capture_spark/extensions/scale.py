@@ -382,3 +382,45 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def key_skew_profile(
+    df: DataFrame, key: str | Column, *, top_n: int = 20
+) -> DataFrame:
+    """Heavy-hitter / skew diagnostic for a join-or-agg key: the
+    top-N keys by row count with each key's share of the table and
+    the running cumulative share — the table you read BEFORE choosing
+    a salting factor or an AQE skew threshold (a key with share >
+    1/shuffle-partitions is a straggler candidate).
+
+    One map-side-combinable count shuffle over the key, a 1-row total
+    aggregated FROM the counts (no second scan of the input), and a
+    parallel TakeOrdered for the top-N; the total joins back as a
+    broadcast of a true 1-row constant. Shares are integer counts with
+    one final rounded division — engine-exact."""
+    from pyspark.sql import Window
+
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.select(k.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("__total"),
+                6,
+            ).alias("cum_share"),
+            "rank",
+        )
+    )

@@ -676,3 +676,105 @@ def inverted_index(
             ).alias("postings_head"),
         )
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """The first BPE tokenizer-training step at corpus scale: rank
+    adjacent character-pair merge candidates by frequency (each pair
+    weighted by its word's corpus frequency — exactly what the
+    classic BPE iteration maximizes over an initial character
+    vocabulary).
+
+    Plan: one map-side-combinable word-frequency count (collapses the
+    corpus to its vocabulary BEFORE any expansion), then a per-word
+    explode bounded by word length over the VOCAB (not the corpus),
+    substr pair extraction in codegen, one pair-keyed aggregation, and
+    a parallel TakeOrdered for the global top-N — never a
+    single-partition sort. Deterministic tiebreak (freq desc, pair
+    asc) so the merge ranking is engine-exact."""
+    freqs = (
+        tokens(docs, id_col=id_col, text_col=text_col)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    tok = F.col("token")
+    pairs = (
+        freqs.select(
+            "token",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("token") - 1)).alias("i"),
+        )
+        .select(
+            tok.substr(F.col("i"), F.lit(1)).alias("left_sym"),
+            tok.substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_freq"))
+    )
+    w = Window.orderBy(
+        F.col("pair_freq").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+    )
+    return (
+        pairs.orderBy(
+            F.col("pair_freq").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+        )
+        .limit(top_n)
+        .withColumn("merge_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def kn_continuation_counts(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Kneser-Ney continuation counts — the LM-smoothing statistic
+    (how many DISTINCT contexts a word follows / precedes) that
+    separates versatile words from ones glued to a single phrase;
+    used for interpolated-KN n-gram models and as a boilerplate
+    signal (high frequency + low continuation = template text).
+
+    Plan: adjacent-bigram explode (slice over the one split array),
+    one distinct on (w1, w2) — the bigram TYPE table, map-side
+    combinable — then two aggregations over that compressed relation
+    keyed by each side, outer-merged per token. Counts are integers
+    end-to-end: engine-exact."""
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    bg = (
+        spread(docs)
+        .select(F.col(id_col), arr.alias("__a"))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
+            ).alias("i"),
+        )
+        .filter(F.col("i") <= F.size("__a") - 1)
+        .select(
+            F.element_at("__a", F.col("i")).alias("w1"),
+            F.element_at("__a", F.col("i") + 1).alias("w2"),
+        )
+    )
+    types = bg.distinct()
+    left = types.groupBy(F.col("w2").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_left")
+    )
+    right = types.groupBy(F.col("w1").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_right")
+    )
+    return (
+        left.join(right, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cont_left", F.lit(0)).cast("long").alias("cont_left"),
+            F.coalesce("cont_right", F.lit(0)).cast("long").alias("cont_right"),
+        )
+    )

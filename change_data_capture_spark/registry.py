@@ -5622,6 +5622,100 @@ def text_inverted_index(spark, sf_dir):
     return text.inverted_index(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "text_bpe_merges",
+    r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    f AS (
+      SELECT token, COUNT(*) AS freq FROM t
+      WHERE token <> '' GROUP BY token
+    ),
+    i AS (
+      SELECT token, freq,
+             unnest(generate_series(1, length(token) - 1)) AS i
+      FROM f WHERE length(token) >= 2
+    ),
+    p AS (
+      SELECT substr(token, i, 1) AS left_sym,
+             substr(token, i + 1, 1) AS right_sym,
+             SUM(freq) AS pair_freq
+      FROM i GROUP BY 1, 2
+    )
+    SELECT left_sym, right_sym, CAST(pair_freq AS BIGINT) AS pair_freq,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY pair_freq DESC, left_sym, right_sym) AS BIGINT) AS merge_rank
+    FROM p ORDER BY merge_rank LIMIT 20
+    """,
+)
+def text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-training first iteration
+    (extensions/text.bpe_merge_candidates): adjacent character-pair
+    merge candidates ranked by corpus frequency. The explode runs over
+    the VOCABULARY (word-frequency table), not the corpus, so the
+    expansion is bounded by vocab size x word length; the global top-20
+    is a parallel TakeOrdered with a deterministic tiebreak."""
+    return text.bpe_merge_candidates(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_kn_continuation",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i FROM t),
+    bg AS (SELECT DISTINCT p1.w AS w1, p2.w AS w2
+           FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+    l AS (SELECT w2 AS token, COUNT(*) AS cont_left FROM bg GROUP BY 1),
+    r AS (SELECT w1 AS token, COUNT(*) AS cont_right FROM bg GROUP BY 1)
+    SELECT COALESCE(l.token, r.token) AS token,
+           CAST(COALESCE(l.cont_left, 0) AS BIGINT) AS cont_left,
+           CAST(COALESCE(r.cont_right, 0) AS BIGINT) AS cont_right
+    FROM l FULL OUTER JOIN r ON l.token = r.token
+    """,
+)
+def text_kn_continuation(spark, sf_dir):
+    """Kneser-Ney continuation counts
+    (extensions/text.kn_continuation_counts): per word, the number of
+    DISTINCT left / right bigram contexts — the KN-smoothing statistic
+    and a template-text signal (high raw frequency with low
+    continuation = boilerplate). Bigram-type distinct then two
+    aggregations over the compressed type table; integers end-to-end."""
+    return text.kn_continuation_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "scale_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM c),
+    top AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank
+      FROM c ORDER BY n DESC, key LIMIT 20
+    )
+    SELECT key, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(SUM(n) OVER (ORDER BY rank) AS DOUBLE) / total, 6) AS cum_share,
+           CAST(rank AS BIGINT) AS rank
+    FROM top CROSS JOIN tot
+    """,
+)
+def scale_key_skew_profile(spark, sf_dir):
+    """Join/agg-key skew diagnostic (extensions/scale.key_skew_profile)
+    over orders.o_custkey: top-20 heavy hitters with per-key and
+    cumulative share — the table a salting factor or AQE skew
+    threshold is chosen from. One count shuffle + a 1-row total
+    broadcast; integer counts with one final rounded division."""
+    from .extensions import scale
+
+    return scale.key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
 _PAGERANK_EDGES_SQL = """
     raw AS (
       SELECT doc_id AS src, doc_id % 97 AS dst FROM documents

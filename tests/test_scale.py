@@ -172,3 +172,14 @@ def test_temperature_mixture_flattens_toward_mean(spark):
     # reshuffle-stable membership
     again = {r.doc_id for r in scale.temperature_mixture(df.repartition(5), by="source").collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_key_skew_profile_shares_and_ranks(spark):
+    from change_data_capture_spark.extensions import scale
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1], "k string"
+    )
+    rows = scale.key_skew_profile(df, "k", top_n=2).collect()
+    got = [(r.key, r.n, r.share, r.cum_share, r.rank) for r in rows]
+    assert got == [("a", 6, 0.6, 0.6, 1), ("b", 3, 0.3, 0.9, 2)]

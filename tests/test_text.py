@@ -156,3 +156,27 @@ def test_inverted_index_df_cf_and_postings_cap(spark):
     assert (a.df, a.cf, a.postings_head) == (3, 5, "1,2")  # capped at 2
     assert (rows["b"].df, rows["b"].cf, rows["b"].postings_head) == (2, 2, "2,3")
     assert (rows["x"].df, rows["x"].cf, rows["x"].postings_head) == (1, 1, "1")
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    # vocab: "aab" x2 docs, "ab" x1 -> freqs: aab:2, ab:1
+    # pairs: (a,a): 2, (a,b): 2 + 1 = 3 -> top pair (a,b)
+    docs = spark.createDataFrame(
+        [(1, "aab ab"), (2, "aab")], "doc_id long, text string"
+    )
+    rows = text.bpe_merge_candidates(docs, top_n=5).collect()
+    got = [(r.left_sym, r.right_sym, r.pair_freq, r.merge_rank) for r in rows]
+    assert got == [("a", "b", 3, 1), ("a", "a", 2, 2)]
+
+
+def test_kn_continuation_counts_hand_computed(spark):
+    # bigram types: (the,cat), (the,dog), (cat,sat), (dog,sat)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "the cat sat")],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in text.kn_continuation_counts(docs).collect()}
+    # 'sat' follows 2 distinct words; 'the' precedes 2 distinct words
+    assert (rows["sat"].cont_left, rows["sat"].cont_right) == (2, 0)
+    assert (rows["the"].cont_left, rows["the"].cont_right) == (0, 2)
+    assert (rows["cat"].cont_left, rows["cat"].cont_right) == (1, 1)
