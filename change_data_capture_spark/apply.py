@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .envelope import rowkey_expr
-from .schema import OP_DELETE, pk_compat_schema, schema_from_json
+from .schema import OP_DELETE, OP_INSERT, OP_UPDATE, pk_compat_schema, schema_from_json
 
 _META = "_meta.json"
 _BUCKET = "__bucket"
@@ -728,3 +728,74 @@ def apply_changelog(
 ) -> list[dict]:
     """Batch convenience: treat an entire change log as one batch."""
     return apply_changes(spark, changelog, catalog)
+
+
+def bootstrap_replica(
+    spark: SparkSession,
+    source: TableCatalog,
+    table_id: str,
+    target: TableCatalog,
+    *,
+    snapshot_version: int | None = None,
+) -> DataFrame:
+    """Consistent initial-load -> change-feed handoff for a NEW
+    downstream consumer — the bootstrap pattern every CDC deployment
+    runs once per subscriber (GoldenGate initial load + handoff;
+    Debezium ``snapshot.mode=initial``; reference replicator setup,
+    CTSQLServer.java snapshot-then-poll): copy a PUBLISHED snapshot
+    version V of the table, then replay the source's own change feed
+    V -> current on top, with no gap and no overlap.
+
+    - No gap: ``table_changes`` diffs exactly from the version the
+      snapshot was read at — every post-V change is in the feed.
+    - No overlap: snapshot rows apply at version V and handoff rows at
+      the current version (> V), so the target's per-key version
+      watermark makes accidental replay of either leg idempotent.
+    - Scale: the snapshot leg is one bucketed write of O(|table|); the
+      handoff leg is O(changed keys) through the same pruned MERGE as
+      any other batch. Nothing is collected driver-side.
+
+    Returns the target's resulting table frame (equal, row-for-row, to
+    the source's current version)."""
+    meta = source.meta(table_id)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {table_id!r}")
+    pks = list(meta["pks"])
+    published = source.versions(table_id)
+    v = int(snapshot_version) if snapshot_version is not None else published[0]
+    if v not in published:
+        raise KeyError(f"table {table_id!r} has no version {v}")
+    from .changelog import dml_records, snapshot_changelog
+
+    snap = source.read(spark, table_id, version=v)
+    apply_changes(
+        spark, snapshot_changelog(snap, table_id, pks, insert_version=v), target
+    )
+    current = published[-1]
+    if current == v:
+        return target.read(spark, table_id)
+    cdf = source.table_changes(spark, table_id, from_version=v, to_version=current)
+    inserts = dml_records(
+        cdf.filter(F.col("_change_type") == "insert").drop("_change_type"),
+        table_id,
+        pks,
+        op=OP_INSERT,
+        version=current,
+    )
+    updates = dml_records(
+        cdf.filter(F.col("_change_type") == "update_postimage").drop("_change_type"),
+        table_id,
+        pks,
+        op=OP_UPDATE,
+        version=current,
+    )
+    deletes = dml_records(
+        cdf.filter(F.col("_change_type") == "delete").drop("_change_type"),
+        table_id,
+        pks,
+        op=OP_DELETE,
+        version=current,
+        keys_only=True,
+    )
+    apply_changes(spark, inserts.unionByName(updates).unionByName(deletes), target)
+    return target.read(spark, table_id)

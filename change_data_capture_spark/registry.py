@@ -5623,6 +5623,43 @@ def text_inverted_index(spark, sf_dir):
 
 
 @_q(
+    "cdc_bootstrap_handoff",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_bootstrap_handoff(spark, sf_dir):
+    """Initial-load -> change-feed handoff (apply.bootstrap_replica):
+    a NEW downstream replica bootstraps from the source table's
+    published snapshot version, then replays the source's own change
+    feed (table_changes) up to current — no gap, no overlap, replay
+    idempotent under the per-key version watermark. The source here is
+    the seeded customer table after the standard mutation batch; the
+    replica's final state must equal the source's current state, which
+    the oracle states directly."""
+    cust = _t(spark, sf_dir, "customer")
+    cat = _seeded_customer_catalog(spark, sf_dir)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    from .apply import bootstrap_replica
+
+    replica = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_boot_"))
+    return bootstrap_replica(spark, cat, "tpch.customer", replica)
+
+
+@_q(
     "text_bpe_merges",
     r"""
     WITH t AS (

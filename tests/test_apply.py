@@ -424,3 +424,36 @@ def test_apply_report_describes_batch_outcomes(spark, tmp_path):
     ]
     r3 = apply_changelog(spark, upd, cat)  # replay
     assert r3 == [{"table": "t.r", "action": "skip_replay"}]
+
+
+def test_bootstrap_replica_handoff_matches_source(spark, tmp_path):
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, bootstrap_replica
+    from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", 10.0 * i) for i in range(1, 21)],
+        "id long, name string, bal double",
+    )
+    src = TableCatalog(str(tmp_path / "src"))
+    apply_changelog(spark, snapshot_changelog(df, "t.acct", ["id"]), src)
+    apply_changelog(
+        spark,
+        mutation_changelog(
+            df, "t.acct", ["id"],
+            update_where=F.col("id") % 3 == 0,
+            update_set={"bal": F.col("bal") + 5},
+            delete_where=F.col("id") % 4 == 0,
+        ),
+        src,
+    )
+
+    replica = TableCatalog(str(tmp_path / "replica"))
+    out = bootstrap_replica(spark, src, "t.acct", replica)
+    want = sorted(tuple(r) for r in src.read(spark, "t.acct").collect())
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == want and len(got) == 15  # 20 - 5 deletes (4,8,12,16,20)
+
+    # replaying the handoff leg is idempotent under the version watermark
+    out2 = bootstrap_replica(spark, src, "t.acct", replica)
+    assert sorted(tuple(r) for r in out2.collect()) == want
