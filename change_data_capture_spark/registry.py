@@ -5622,6 +5622,140 @@ def text_inverted_index(spark, sf_dir):
     return text.inverted_index(_t(spark, sf_dir, "documents"))
 
 
+_ER_CLEAN_SQL = """
+    clean AS (
+      SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS blk_nation,
+             CAST(FLOOR(c_acctbal / 100) AS INT) AS blk_band,
+             substr(c_name, length(c_name) - 1, 2) AS blk_tail,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+      FROM customer
+    ),
+    dirty0 AS (
+      SELECT c_custkey + 1000000 AS rec_id,
+             substr(c_name, 1, CAST(11 + c_custkey % 5 AS INT))
+               || substr(c_name, CAST(13 + c_custkey % 5 AS INT)) AS name,
+             c_nationkey AS blk_nation,
+             CAST(FLOOR(c_acctbal / 100) AS INT) AS blk_band,
+             c_acctbal AS acctbal
+      FROM customer
+    ),
+    dirty AS (
+      SELECT rec_id, name, blk_nation, blk_band,
+             substr(name, length(name) - 1, 2) AS blk_tail, acctbal
+      FROM dirty0
+    ),
+    pa AS (
+      SELECT c.rec_id AS left_id, d.rec_id AS right_id,
+             CAST(levenshtein(c.name, d.name) AS INT) AS distance
+      FROM clean c JOIN dirty d USING (blk_nation, blk_band)
+      WHERE levenshtein(c.name, d.name) <= 1
+    ),
+    pb AS (
+      SELECT c.rec_id AS left_id, d.rec_id AS right_id,
+             CAST(levenshtein(c.name, d.name) AS INT) AS distance
+      FROM clean c JOIN dirty d USING (blk_tail)
+      WHERE levenshtein(c.name, d.name) <= 1
+    ),
+    m AS (SELECT * FROM pa UNION SELECT * FROM pb)
+"""
+
+
+def _er_frames(spark, sf_dir):
+    """Clean master + deterministically-dirtied feed over customer:
+    the feed re-keys every record (+1e6) and deletes one character
+    from the digit tail of the name (position 12..16 by key), while
+    the master NULLs acctbal for every third key so survivorship has
+    real gaps to fill."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    band = F.floor(F.col("c_acctbal") / 100).cast("int")
+    clean = cust.select(
+        key.alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("blk_nation"),
+        band.alias("blk_band"),
+        F.expr("substr(c_name, length(c_name) - 1, 2)").alias("blk_tail"),
+        F.when(key % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+    dirty_name = F.concat(
+        F.expr("substr(c_name, 1, cast(11 + c_custkey % 5 as int))"),
+        F.expr("substr(c_name, cast(13 + c_custkey % 5 as int))"),
+    )
+    dirty = cust.select(
+        (key + 1000000).alias("rec_id"),
+        dirty_name.alias("name"),
+        F.col("c_nationkey").alias("blk_nation"),
+        band.alias("blk_band"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).withColumn("blk_tail", F.expr("substr(name, length(name) - 1, 2)"))
+    return clean, dirty
+
+
+@_q(
+    "er_blocked_match",
+    f"""
+    WITH {_ER_CLEAN_SQL.strip()}
+    SELECT left_id, right_id, distance FROM m
+    """,
+)
+def er_blocked_match(spark, sf_dir):
+    """Record linkage (extensions/er.match_pairs_multi_pass): a dirty
+    feed (re-keyed ids, one character deleted from each name's digit
+    tail) is linked back to the customer master by MULTI-PASS BLOCKING
+    — pass A blocks on (nation, acctbal-band), pass B on a name
+    substring the typo can't touch — unioned, then verified with
+    levenshtein <= 1. Every pass is an equi-join: the N^2 comparison
+    never happens, and recall comes from the pass union (each pass is
+    tolerant to errors the other isn't), exactly the production-linker
+    shape."""
+    from .extensions import er
+
+    clean, dirty = _er_frames(spark, sf_dir)
+    return er.match_pairs_multi_pass(
+        clean,
+        dirty,
+        passes=[("blk_nation", "blk_band"), ("blk_tail",)],
+        max_distance=1,
+    )
+
+
+@_q(
+    "er_golden_records",
+    f"""
+    WITH {_ER_CLEAN_SQL.strip()},
+    j AS (
+      SELECT m.left_id,
+             COALESCE(c.name, d.name) AS name,
+             COALESCE(c.acctbal, d.acctbal) AS acctbal
+      FROM m JOIN clean c ON m.left_id = c.rec_id
+             JOIN dirty d ON m.right_id = d.rec_id
+    )
+    SELECT left_id, MAX(name) AS name, MAX(acctbal) AS acctbal
+    FROM j GROUP BY left_id
+    """,
+)
+def er_golden_records(spark, sf_dir):
+    """Survivorship (extensions/er.golden_records) over the blocked
+    matches: one merged row per master entity — trust the system of
+    record, fill its NULL gaps (every third master has no acctbal)
+    from the matched feed record. One equi-join per side plus a
+    per-entity max-collapse for multi-match safety."""
+    from .extensions import er
+
+    clean, dirty = _er_frames(spark, sf_dir)
+    matches = er.match_pairs_multi_pass(
+        clean,
+        dirty,
+        passes=[("blk_nation", "blk_band"), ("blk_tail",)],
+        max_distance=1,
+    )
+    return er.golden_records(
+        matches, clean, dirty, prefer=["name", "acctbal"]
+    )
+
+
 @_q(
     "cdc_bootstrap_handoff",
     """
@@ -5871,7 +6005,7 @@ DRIVER_WINDOW: list[str] = [
     "q_events_hourly",
     # --- LLM-pipeline flagships: one per area (18)
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "er_blocked_match",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_embedding_bucketed",

@@ -1,0 +1,70 @@
+"""Entity resolution: blocked matching, multi-pass union, survivorship.
+
+Hand-built golden cases pin the match semantics (distance threshold,
+block-key confinement, multi-pass dedup) and the survivorship policy
+(left-preferred with NULL fallback, max-collapse on multi-match); the
+oracle queries (er_blocked_match, er_golden_records) cross-check the
+same operators against DuckDB's levenshtein at corpus shape."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.extensions import er
+
+
+def _pairs(df):
+    return sorted((r.left_id, r.right_id, r.distance) for r in df.collect())
+
+
+def test_blocked_match_confined_to_blocks(spark):
+    left = spark.createDataFrame(
+        [(1, "anna", "b1"), (2, "kurt", "b2")], "rec_id long, name string, blk string"
+    )
+    right = spark.createDataFrame(
+        [(101, "anba", "b1"), (102, "annz", "b2")], "rec_id long, name string, blk string"
+    )
+    # annz is distance 1 from anna but sits in another block: no pair
+    got = _pairs(
+        er.blocked_match(left, right, block_cols=["blk"], max_distance=1)
+    )
+    assert got == [(1, 101, 1)]
+
+
+def test_multi_pass_union_dedups_and_extends_recall(spark):
+    left = spark.createDataFrame(
+        [(1, "anna", "b1", "x"), (2, "kurt", "b2", "y")],
+        "rec_id long, name string, blk string, blk2 string",
+    )
+    right = spark.createDataFrame(
+        # found by BOTH passes (same blk and blk2) -> must dedup;
+        # annz only shares blk2 -> only pass 2 finds it
+        [(101, "anba", "b1", "x"), (102, "annz", "b9", "x")],
+        "rec_id long, name string, blk string, blk2 string",
+    )
+    got = _pairs(
+        er.match_pairs_multi_pass(
+            left, right, passes=[("blk",), ("blk2",)], max_distance=1
+        )
+    )
+    assert got == [(1, 101, 1), (1, 102, 1)]
+
+
+def test_golden_records_left_preferred_with_null_fallback(spark):
+    left = spark.createDataFrame(
+        [(1, "anna", None), (2, "kurt", 50.0)],
+        "rec_id long, name string, bal double",
+    )
+    right = spark.createDataFrame(
+        [(101, "anna", 10.0), (102, "kurt", 99.0)],
+        "rec_id long, name string, bal double",
+    )
+    matches = spark.createDataFrame(
+        [(1, 101, 0), (2, 102, 0)], "left_id long, right_id long, distance int"
+    )
+    rows = {
+        r.left_id: (r.name, r.bal)
+        for r in er.golden_records(
+            matches, left, right, prefer=["name", "bal"]
+        ).collect()
+    }
+    # 1 has no master bal -> feed fills it; 2 keeps the master's 50
+    assert rows == {1: ("anna", 10.0), 2: ("kurt", 50.0)}

@@ -244,3 +244,13 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_er_matching_is_equijoin_only(spark, sf_dir):
+    """Blocked record linkage must plan every candidate pass as an
+    equi-join on the block key — a cartesian or nested-loop shape
+    would mean the blocking failed and the N^2 comparison is back."""
+    for name in ("er_blocked_match", "er_golden_records"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

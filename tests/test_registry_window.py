@@ -55,7 +55,8 @@ def test_window_spans_every_operator_area():
         "dedup_exact",
         "dedup_minhash",
         "dedup_embedding",
-        "dedup_ngram",
+        "er_",
+        "web_",
         "text_decontaminate",
         "text_",
         "ann_",
