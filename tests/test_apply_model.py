@@ -92,3 +92,30 @@ def test_apply_matches_python_model(spark, tmp_path):
             apply_changelog(spark, _batch_changelog(spark, ops), cat)
         got = {r["id"]: r["v"] for r in cat.read(spark, "t.model").collect()}
         assert got == model, f"divergence after batch {i}: {got} != {model}"
+
+
+def test_bootstrap_replica_from_any_version_matches_current(spark, tmp_path):
+    """Property: for a randomized mutation history, a replica
+    bootstrapped from ANY published snapshot version + the source's
+    own change feed always converges to the source's current state —
+    the no-gap / no-overlap contract of the initial-load handoff."""
+    from change_data_capture_spark.apply import bootstrap_replica
+
+    batches = _gen_batches(seed=23)
+    cat = TableCatalog(str(tmp_path / "src"))
+    seed_df = spark.createDataFrame([(999, "seed")], "id long, v string")
+    apply_changelog(
+        spark,
+        dml_records(seed_df, "t.model", ["id"], op="INSERT", version=0),
+        cat,
+    )
+    for ops in batches:
+        apply_changelog(spark, _batch_changelog(spark, ops), cat)
+
+    want = sorted(tuple(r) for r in cat.read(spark, "t.model").collect())
+    published = cat.versions("t.model")
+    assert len(published) >= 3
+    for i, v in enumerate([published[0], published[len(published) // 2], published[-1]]):
+        replica = TableCatalog(str(tmp_path / f"rep{i}"))
+        out = bootstrap_replica(spark, cat, "t.model", replica, snapshot_version=v)
+        assert sorted(tuple(r) for r in out.collect()) == want, f"from v{v}"
