@@ -730,6 +730,41 @@ def apply_changelog(
     return apply_changes(spark, changelog, catalog)
 
 
+def lookup_keys(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    table_id: str,
+    keys: DataFrame,
+) -> DataFrame:
+    """PK point-lookup serving path — the read pattern the reference's
+    keyed sinks (HBase/Bigtable, CDCHBase.java get-by-rowkey) exist
+    for: fetch the current rows for a set of primary-key values
+    WITHOUT scanning the table.
+
+    ``keys`` is a (small) DataFrame holding exactly the PK columns.
+    The requested keys are hashed with the SAME bucket expression the
+    writer uses (one metadata-sized job over the keys frame — never a
+    table scan), the read is pruned to those bucket directories, and
+    the pruned slice is semi-joined against the broadcast key set. At
+    any table size the cost is O(requested buckets), and a k-key
+    lookup touches at most k buckets — the keyed-store serving
+    contract, kept under Spark's scan model."""
+    meta = catalog.meta(table_id)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {table_id!r}")
+    pks = list(meta["pks"])
+    assert sorted(keys.columns) == sorted(pks), (
+        f"keys frame must carry exactly the PK columns {pks}, got {keys.columns}"
+    )
+    n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
+    buckets = sorted(
+        r["b"]
+        for r in keys.select(bucket_expr(pks, n_buckets).alias("b")).distinct().collect()
+    )
+    pruned = catalog.read(spark, table_id, buckets=buckets)
+    return pruned.join(F.broadcast(keys.distinct()), on=pks, how="left_semi")
+
+
 def bootstrap_replica(
     spark: SparkSession,
     source: TableCatalog,

@@ -5794,6 +5794,32 @@ def cdc_bootstrap_handoff(spark, sf_dir):
 
 
 @_q(
+    "cdc_point_lookup",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 97 = 11
+    """,
+)
+def cdc_point_lookup(spark, sf_dir):
+    """Keyed-store point-lookup serving path (apply.lookup_keys,
+    CDCHBase.java get-by-rowkey parity): fetch current rows for a set
+    of PK values WITHOUT a table scan — the requested keys are hashed
+    with the writer's own bucket expression (one metadata-sized job
+    over the keys frame), the read prunes to those bucket directories,
+    and the pruned slice is semi-joined against the broadcast key set.
+    Cost is O(touched buckets) at any table size."""
+    from .apply import lookup_keys
+
+    cat = _seeded_customer_catalog(spark, sf_dir)
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 11)
+        .select("c_custkey")
+    )
+    return lookup_keys(spark, cat, "tpch.customer", keys)
+
+
+@_q(
     "text_bpe_merges",
     r"""
     WITH t AS (
@@ -5990,7 +6016,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_goldengate_apply",
     "cdc_goldengate_binary_e2e",
     "cdc_debezium_apply",
-    "cdc_compact",
+    "cdc_point_lookup",
     "cdc_incremental_agg",
     # --- relational surface: agg/join/window/sets/scalars/semi-structured (11)
     "q1_pricing_summary",

@@ -457,3 +457,38 @@ def test_bootstrap_replica_handoff_matches_source(spark, tmp_path):
     # replaying the handoff leg is idempotent under the version watermark
     out2 = bootstrap_replica(spark, src, "t.acct", replica)
     assert sorted(tuple(r) for r in out2.collect()) == want
+
+
+def test_lookup_keys_prunes_to_requested_buckets(spark, tmp_path):
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, lookup_keys
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(60)], "id long, v string"
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(df, "t.kv", ["id"]), cat)
+
+    seen: dict = {}
+    orig_read = cat.read
+
+    def spy_read(spark_, table_id, buckets=None, version=None):
+        seen["buckets"] = buckets
+        return orig_read(spark_, table_id, buckets=buckets, version=version)
+
+    cat.read = spy_read
+    keys = spark.createDataFrame([(3,), (17,), (42,)], "id long")
+    out = lookup_keys(spark, cat, "t.kv", keys)
+    rows = sorted((r.id, r.v) for r in out.collect())
+    assert rows == [(3, "v3"), (17, "v17"), (42, "v42")]
+    # 3 keys can touch at most 3 of the 16 bucket dirs: the scan is
+    # pruned, never a full read
+    assert seen["buckets"] is not None and 1 <= len(seen["buckets"]) <= 3
+
+    # wrong key columns fail fast
+    bad = spark.createDataFrame([(1, "x")], "id long, extra string")
+    try:
+        lookup_keys(spark, cat, "t.kv", bad)
+        raise SystemExit("expected AssertionError")
+    except AssertionError:
+        pass
