@@ -107,6 +107,20 @@ def main() -> int:
     man = cat.export_snapshot(spark, "tpch.customer", os.path.join(root, "export"))
     print("exported", man["n_rows"], "rows in", man["n_files"], "files + manifest.json")
 
+    section("9. Round-3 additions: point lookup, handoff, linkage, graph")
+    from change_data_capture_spark.apply import bootstrap_replica, lookup_keys
+
+    keys = spark.createDataFrame([(r.c_custkey,) for r in
+                                  cust.limit(3).collect()], "c_custkey long")
+    lookup_keys(spark, cat, "tpch.customer", keys).show(3)
+    replica = TableCatalog(os.path.join(root, "replica"))
+    rep = bootstrap_replica(spark, cat, "tpch.customer", replica)
+    print("replica bootstrapped + handed off:", rep.count(), "rows")
+    print("pagerank over the doc link graph / blocked record linkage:")
+    registry.REGISTRY["web_pagerank"].fn(spark, sf_dir).orderBy(
+        F.col("rank_ppt").desc()).show(3)
+    registry.REGISTRY["er_blocked_match"].fn(spark, sf_dir).show(3)
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
