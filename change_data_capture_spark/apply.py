@@ -301,12 +301,20 @@ class TableCatalog:
         return drop
 
     def compact(
-        self, spark: SparkSession, table_id: str, n_buckets: int | None = None
+        self,
+        spark: SparkSession,
+        table_id: str,
+        n_buckets: int | None = None,
+        sort_by: Sequence[str] | None = None,
     ) -> None:
         """Maintenance rewrite: republish the current snapshot as a
         fresh version, optionally re-hashing into ``n_buckets`` PK
         buckets (grow the bucket count as the table grows so per-bucket
-        merge units stay executor-sized). A full rewrite by design —
+        merge units stay executor-sized) and/or sorting rows WITHIN
+        each bucket by ``sort_by`` (the Delta OPTIMIZE-style zone-map
+        layout: parquet writes row-group min/max stats, so subsequent
+        range-predicate scans skip whole row groups — free pruning on a
+        non-key column, invisible to readers). A full rewrite by design —
         the point is to re-layout — but versioned like any other write,
         so readers never block and time travel still sees the old
         layout."""
@@ -326,6 +334,7 @@ class TableCatalog:
             int(meta.get("applied_version", 0)),
             changed_buckets=None,
             n_buckets=None if n_buckets is None else int(n_buckets),
+            sort_within_buckets=list(sort_by) if sort_by else None,
         )
 
     def table_changes(
@@ -373,6 +382,7 @@ class TableCatalog:
         applied_version: int,
         changed_buckets: Sequence[int] | None = None,
         n_buckets: int | None = None,
+        sort_within_buckets: Sequence[str] | None = None,
     ) -> None:
         """Publish a new table version.
 
@@ -419,6 +429,13 @@ class TableCatalog:
             bucketed = bucketed.hint("rebalance", _BUCKET)
         else:
             bucketed = bucketed.repartition(n_buckets, F.col(_BUCKET))
+        if sort_within_buckets:
+            # Zone-map layout: a per-partition (not global) sort keeps
+            # the exchange above untouched while parquet's row-group
+            # min/max stats become selective for the sorted columns.
+            bucketed = bucketed.sortWithinPartitions(
+                _BUCKET, *[F.col(c) for c in sort_within_buckets]
+            )
         bucketed.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
         if changed_buckets is not None and old is not None:
             changed = {int(b) for b in changed_buckets}

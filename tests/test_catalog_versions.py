@@ -150,3 +150,33 @@ def test_export_after_evolution_keeps_added_column(spark, versioned_cat, tmp_pat
     vals = {r.n_nationkey: r.extra_rank for r in exported.collect()}
     assert vals[0] == 7
     assert all(v is None for k, v in vals.items() if k != 0)
+
+
+def test_compact_sort_by_lays_out_zone_maps_invisibly(spark, tmp_path):
+    """compact(sort_by=...) must be reader-invisible (same rows) while
+    physically ordering each bucket's file by the sort column — the
+    zone-map layout parquet row-group stats make prunable."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(200)], "id long, score double"
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(df, "t.scores", ["id"]), cat)
+    before = sorted(tuple(r) for r in cat.read(spark, "t.scores").collect())
+
+    cat.compact(spark, "t.scores", sort_by=["score"])
+    after = sorted(tuple(r) for r in cat.read(spark, "t.scores").collect())
+    assert after == before, "re-layout must be invisible to readers"
+
+    meta = cat.meta("t.scores")
+    cur = tmp_path / "cat" / "t.scores" / meta["current"]
+    files = glob.glob(str(cur / "__bucket=*" / "*.parquet"))
+    assert files
+    for f in files:
+        scores = pq.read_table(f, columns=["score"])["score"].to_pylist()
+        assert scores == sorted(scores), f"bucket file not sorted: {f}"
