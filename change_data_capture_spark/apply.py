@@ -770,8 +770,22 @@ def lookup_keys(
     if meta is None or meta["schema"] is None:
         raise KeyError(f"unknown table {table_id!r}")
     pks = list(meta["pks"])
-    assert sorted(keys.columns) == sorted(pks), (
-        f"keys frame must carry exactly the PK columns {pks}, got {keys.columns}"
+    if sorted(keys.columns) != sorted(pks):
+        raise ValueError(
+            f"keys frame must carry exactly the PK columns {pks}, got {keys.columns}"
+        )
+    # Normalize the caller's key typing through the REGISTERED column
+    # types before hashing: the write path buckets on typed values
+    # (pk_value_of), so a keys frame typed differently from the schema
+    # (string '007' for a long PK) would hash into the wrong bucket and
+    # the pruned read would silently miss the row.
+    schema = schema_from_json(meta["schema"])
+    pk_types = {f.name: f.dataType for f in schema.fields}
+    keys = keys.select(
+        *[
+            (F.col(c).cast(pk_types[c]) if c in pk_types else F.col(c)).alias(c)
+            for c in pks
+        ]
     )
     n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
     buckets = sorted(
@@ -825,6 +839,7 @@ def bootstrap_replica(
     )
     current = published[-1]
     if current == v:
+        _stamp_tracking_watermark(source, target, table_id)
         return target.read(spark, table_id)
     cdf = source.table_changes(spark, table_id, from_version=v, to_version=current)
     inserts = dml_records(
@@ -850,4 +865,31 @@ def bootstrap_replica(
         keys_only=True,
     )
     apply_changes(spark, inserts.unionByName(updates).unionByName(deletes), target)
+    _stamp_tracking_watermark(source, target, table_id)
     return target.read(spark, table_id)
+
+
+def _stamp_tracking_watermark(
+    source: TableCatalog, target: TableCatalog, table_id: str
+) -> None:
+    """Re-home the replica's applied-version watermark into the SOURCE
+    FEED's tracking domain after a bootstrap.
+
+    The snapshot and handoff legs stamp their change records with the
+    source catalog's data-directory sequence numbers (the only versions
+    a published snapshot carries), so after ``apply_changes`` the
+    replica's ``applied_version`` lives in the dir-seq domain. The
+    whole point of snapshot-then-stream bootstrap is that the replica
+    then SUBSCRIBES to the live change feed — whose versions are in
+    the source's tracking domain (``CTSQLServer.java`` snapshot-then-
+    poll semantics). When tracking versions lag dir seqs, the first
+    real feed batch would be silently skipped as a replay (lost
+    updates). The replica's content equals the source's current
+    version, i.e. everything up to the source's tracking watermark —
+    so that watermark is exactly the right resume point."""
+    src_meta = source.meta(table_id)
+    dst_meta = target.meta(table_id)
+    if src_meta is None or dst_meta is None:
+        return
+    dst_meta["applied_version"] = int(src_meta.get("applied_version", 0))
+    target.put_meta(table_id, dst_meta)

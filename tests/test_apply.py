@@ -485,10 +485,49 @@ def test_lookup_keys_prunes_to_requested_buckets(spark, tmp_path):
     # pruned, never a full read
     assert seen["buckets"] is not None and 1 <= len(seen["buckets"]) <= 3
 
-    # wrong key columns fail fast
+    # wrong key columns fail fast (ValueError, active under python -O)
     bad = spark.createDataFrame([(1, "x")], "id long, extra string")
     try:
         lookup_keys(spark, cat, "t.kv", bad)
-        raise SystemExit("expected AssertionError")
-    except AssertionError:
+        raise SystemExit("expected ValueError")
+    except ValueError:
         pass
+
+    # a keys frame typed differently from the registered schema still
+    # hashes into the writer's bucket: '007' as a string for a long PK
+    # must find the row, not silently return nothing
+    str_keys = spark.createDataFrame([("007",), ("17",)], "id string")
+    out2 = lookup_keys(spark, cat, "t.kv", str_keys)
+    assert sorted((r.id, r.v) for r in out2.collect()) == [(7, "v7"), (17, "v17")]
+
+
+def test_bootstrap_replica_resumes_live_feed_without_skip(spark, tmp_path):
+    """The replica's post-bootstrap watermark must live in the SOURCE
+    FEED's tracking domain, not the catalog's dir-seq domain: when
+    tracking versions lag dir seqs, the next real feed batch must not
+    be skipped as a replay (lost updates on the replica)."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, bootstrap_replica
+    from change_data_capture_spark.changelog import dml_records
+
+    src = TableCatalog(str(tmp_path / "src"))
+    # Feed versions START AT 0 — after two applies the source has dir
+    # seqs {1, 2} but tracking watermark 1 (lagging the dir seq).
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    apply_changelog(spark, dml_records(df0, "t.f", ["id"], op="INSERT", version=0), src)
+    df1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    apply_changelog(spark, dml_records(df1, "t.f", ["id"], op="INSERT", version=1), src)
+    assert int(src.meta("t.f")["applied_version"]) == 1
+
+    replica = TableCatalog(str(tmp_path / "replica"))
+    bootstrap_replica(spark, src, "t.f", replica)
+    # watermark re-homed to the tracking domain
+    assert int(replica.meta("t.f")["applied_version"]) == 1
+
+    # the NEXT live feed batch (tracking version 2 == source dir seq)
+    # must apply, not be skipped as a replay
+    df2 = spark.createDataFrame([(4, "d")], "id long, v string")
+    feed = dml_records(df2, "t.f", ["id"], op="INSERT", version=2)
+    report = apply_changelog(spark, feed, replica)
+    assert report[0]["action"] == "merge", report
+    got = sorted((r.id, r.v) for r in replica.read(spark, "t.f").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
