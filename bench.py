@@ -30,6 +30,14 @@ streaming-throughput figure mirroring the reference's perf test
 (N insert change events through source -> normalize -> apply;
 records/second, CDCPipelinePerfTest.java:195-199) is reported
 alongside.
+
+ROUND-4 CHANGE (then FROZEN): the streaming leg is now also min-of-3
+(fresh catalog + checkpoint per run; the changelog is written once).
+Round 3's single-run streaming figure could not distinguish the
+apparent 15% rec/s regression from one scheduler noise burst — this
+closes that hole. The round-4 protocol (min-of-3 queries, min-of-3
+streaming, pre-seeded mutation bases) is the frozen baseline for all
+future rounds; `--ledger` appends each run to PERF.md.
 """
 
 from __future__ import annotations
@@ -72,21 +80,34 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def streaming_throughput(spark, sf_dir: str, n_records: int = 5000) -> tuple[float, float]:
+def streaming_throughput(
+    spark, sf_dir: str, n_records: int = 5000, runs: int = 3
+) -> tuple[float, float]:
     """Reference perf-test shape: N insert change events streamed
-    through dedup + apply; returns (elapsed_sec, records_per_sec)."""
+    through dedup + apply; returns (elapsed_sec, records_per_sec) of
+    the BEST of ``runs`` full executions — the same min-of-N
+    steady-state filter as the query legs (round-3 protocol note: the
+    single-run figure could not distinguish a real regression from a
+    scheduler noise burst on a shared 32-core box). The changelog is
+    written once; each run streams it into a FRESH catalog + checkpoint
+    (full work every time, nothing resumes)."""
     from pyspark.sql import functions as F
 
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(n_records)
     root = tempfile.mkdtemp(prefix="bench_stream_")
     log = snapshot_changelog(cust, "perf.stream", ["c_custkey"], insert_version=F.col("c_custkey") + 1)
     write_changelog(log, os.path.join(root, "log"))
-    cat = TableCatalog(os.path.join(root, "cat"))
-    t0 = time.time()
-    run_apply_stream(spark, os.path.join(root, "log"), cat, os.path.join(root, "ckpt"))
-    elapsed = time.time() - t0
-    n = cat.read(spark, "perf.stream").count()
-    return elapsed, n / elapsed
+    best = float("inf")
+    n = None
+    for i in range(runs):
+        cat = TableCatalog(os.path.join(root, f"cat{i}"))
+        t0 = time.time()
+        run_apply_stream(spark, os.path.join(root, "log"), cat, os.path.join(root, f"ckpt{i}"))
+        elapsed = time.time() - t0
+        best = min(best, elapsed)
+        if n is None:
+            n = cat.read(spark, "perf.stream").count()
+    return best, n / best
 
 
 def _warmup(spark, sf_dir: str, qs) -> None:
@@ -131,24 +152,56 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    streaming_throughput(spark, sf_dir, n_records=100)  # plan/state warmup
+    streaming_throughput(spark, sf_dir, n_records=100, runs=1)  # plan/state warmup
     stream_sec, stream_rps = streaming_throughput(spark, sf_dir)
     timings["streaming_apply_5k"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming_records_per_sec": round(stream_rps, 1),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming_records_per_sec": round(stream_rps, 1),
+    }
+    print(json.dumps(result))
+    if "--ledger" in sys.argv:
+        _append_ledger(result)
     spark.stop()
+
+
+def _append_ledger(result: dict) -> None:
+    """Append this run to PERF.md — the round-over-round perf ledger
+    (one row per query per run, protocol column) so protocol changes
+    and regressions are caught by diff, not archaeology."""
+    import datetime
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
+    protocol = "min3-q/min3-s"  # frozen as of round 4
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M")
+    new_file = not os.path.exists(path)
+    with open(path, "a") as f:
+        if new_file:
+            f.write(
+                "# PERF ledger\n\nAppended by `python bench.py --ledger`. "
+                "Protocol `min3-q/min3-s` = min-of-3 query legs, min-of-3 "
+                "streaming leg (frozen round 4; rounds 1-2 were min-of-2 "
+                "queries + single-run streaming, round 3 min-of-3 queries + "
+                "single-run streaming — see bench.py docstring).\n\n"
+                "| when (UTC) | protocol | sf | headline | stream rec/s | "
+                + " | ".join(HEADLINE + ["streaming_apply_5k"])
+                + " |\n|"
+                + "---|" * (5 + len(HEADLINE) + 1)
+                + "\n"
+            )
+        q = result["queries"]
+        f.write(
+            f"| {stamp} | {protocol} | {result['sf']} | {result['value']} | "
+            f"{result['streaming_records_per_sec']} | "
+            + " | ".join(str(q.get(n, "")) for n in HEADLINE + ["streaming_apply_5k"])
+            + " |\n"
+        )
 
 
 if __name__ == "__main__":

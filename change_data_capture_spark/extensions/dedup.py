@@ -82,58 +82,10 @@ def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
     )
 
 
-def _jaccard_on(sh: DataFrame, pairs: DataFrame | None, threshold: float, id_col: str) -> DataFrame:
-    """Exact Jaccard over shingle sets; optionally restricted to
-    candidate ``pairs`` (a_id, b_id).
-
-    With candidates the verification never touches non-candidate
-    docs and never materializes a shingle self-join: the shingle table
-    is semi-joined down to candidate docs (a vanishing fraction of the
-    corpus at scale), folded to one shingle-SET ARRAY per doc
-    (collect_set — per-doc bounded, ~doc_len rows in, 1 row out), and
-    the pair list joins two set arrays whose exact intersection is one
-    native ``array_intersect`` per pair. Three narrow shuffles total
-    (semi-join, per-doc fold, pair join) instead of the full-corpus
-    distinct + 3-way shingle join of the brute-force path."""
-    if pairs is not None:
-        # The candidate list is consumed twice (id semi-join + the pair
-        # join); persist it so the generation subtree (signatures,
-        # buckets) runs once, not per reference. No eager count needed:
-        # the sets materialization below scans pairs exactly ONCE (via
-        # ids), so its cache registers race-free inside that job and
-        # the final pair join reads it back.
-        pairs = pairs.persist()
-        ids = (
-            pairs.select(F.col("a_id").alias(id_col))
-            .unionByName(pairs.select(F.col("b_id").alias(id_col)))
-            .distinct()
-        )
-        # Persisted + materialized: both pair-join sides read `sets`,
-        # and each racing scan would otherwise redo the expensive part
-        # (full shingle explode + semi-join). The relation itself is
-        # one row per candidate doc. No broadcast hint on the semi-join:
-        # candidate-doc count is O(near-dup collisions), which a
-        # template-heavy 100 TB corpus can blow past any driver memory
-        # bound — AQE broadcasts it when it measures small, shuffles
-        # when it doesn't.
-        sets = (
-            sh.join(ids, id_col, "left_semi")
-            .groupBy(id_col)
-            .agg(F.collect_set("sh").alias("shset"))
-            .persist()
-        )
-        sets.count()
-        a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("shset").alias("sa"))
-        b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("shset").alias("sb"))
-        k = F.size(F.array_intersect("sa", "sb"))
-        jac = k / (F.size("sa") + F.size("sb") - k)
-        return (
-            pairs.join(a_sets, "a_id")
-            .join(b_sets, "b_id")
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
-        )
+def _jaccard_on(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Exact Jaccard over the full shingle self-join — the quadratic
+    brute-force baseline. Candidate-restricted verification lives in
+    ``_verify_pairs`` (which prunes docs BEFORE the shingle explode)."""
     # sh feeds three consumers (counts + both join sides): persist AND
     # materialize eagerly — within a single downstream action the
     # three scan stages race before any cache block registers and
@@ -167,7 +119,56 @@ def jaccard_duplicates(
     """Brute-force n-gram Jaccard near-dup pairs (the quadratic
     correctness baseline)."""
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    return _jaccard_on(sh, None, threshold, id_col)
+    return _jaccard_on(sh, threshold, id_col)
+
+
+def _verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    n: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``pairs``, shingling
+    ONLY the candidate documents.
+
+    The id semi-join runs against the narrow ``docs`` table BEFORE the
+    shingle explode — Catalyst cannot push a semi-join below a
+    Generate node, so handing the verifier a pre-exploded full-corpus
+    shingle frame (the old shape) re-paid the whole O(corpus)
+    explode+scan for a verify stage that touches O(collisions) docs.
+    At 100 TB the difference is a second full-corpus pass vs a
+    semi-join whose probe side is near-dup collisions only."""
+    pairs = pairs.persist()
+    ids = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .unionByName(pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    # No broadcast hint: candidate-doc count is O(collisions), which a
+    # template-heavy corpus can blow past driver memory — AQE
+    # broadcasts it when it measures small (see _jaccard_on notes).
+    cand_docs = docs.join(ids, id_col, "left_semi")
+    sh = shingles(cand_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    # Persisted + materialized: both pair-join sides read `sets`, and
+    # each racing scan would otherwise redo the explode+fold. The
+    # relation itself is one row per candidate doc. This one job also
+    # materializes the pairs cache (ids derive from it).
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shset")).persist()
+    sets.count()
+    a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("shset").alias("sa"))
+    b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("shset").alias("sb"))
+    k = F.size(F.array_intersect("sa", "sb"))
+    jac = k / (F.size("sa") + F.size("sb") - k)
+    return (
+        pairs.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def minhash_signatures(sh: DataFrame, *, k: int = 128, id_col: str = "doc_id") -> DataFrame:
@@ -244,10 +245,15 @@ def minhash_lsh_duplicates(
         .select("a_id", "b_id")
     )
     screened = _screen_candidates(sig, candidates, k=k, threshold=threshold, id_col=id_col)
-    # _jaccard_on persists and eagerly materializes the candidate pair
-    # list itself, so by the time it returns the sig cache is no
-    # longer referenced by anything lazy.
-    out = _jaccard_on(sh, screened, threshold, id_col)
+    # _verify_pairs persists and eagerly materializes the candidate
+    # pair list itself, so by the time it returns the sig cache is no
+    # longer referenced by anything lazy. It re-shingles from `docs`
+    # (candidate docs only) rather than reusing `sh` — the semi-join
+    # lands BELOW the explode that way, so the verify never re-pays
+    # the full-corpus shingle scan the signature agg already did.
+    out = _verify_pairs(
+        docs, screened, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    )
     sig.unpersist()
     return out
 
@@ -326,7 +332,12 @@ def minhash_lsh_against(
     screened = _screen_candidates(
         sig_new.unionByName(sig_old), candidates, k=k, threshold=threshold, id_col=id_col
     )
-    out = _jaccard_on(sh_new.unionByName(sh_old), screened, threshold, id_col)
+    all_docs = new_docs.select(id_col, text_col).unionByName(
+        corpus_docs.select(id_col, text_col)
+    )
+    out = _verify_pairs(
+        all_docs, screened, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    )
     sig_new.unpersist()
     sig_old.unpersist()
     return out
@@ -489,8 +500,9 @@ def simhash_duplicates(
         .select("a_id", "b_id")
         .distinct()
     )
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
-    out = _jaccard_on(sh, candidates, threshold, id_col)
+    out = _verify_pairs(
+        docs, candidates, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    )
     sig.unpersist()
     return out
 

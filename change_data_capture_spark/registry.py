@@ -5996,7 +5996,24 @@ def web_pagerank(spark, sf_dir):
 # named here follows in registration order and stays covered by the
 # local 139-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
-    # --- CDC core: scan pushdown, normalize, apply, streaming (21)
+    # Round-4 rotation (VERDICT r03 directive #3): long-stable slots
+    # (relational suite green 3x, several flagships green r03) rotate
+    # out to the local bare gate; 18 entries rotate in, 15 of which
+    # have NEVER had a driver row (table management: bootstrap/
+    # incremental-join/time-travel/export; TPC-H remainder q7/q9/q13/
+    # q21; web curation; ER survivorship; SCD2; PQ encode; tf-idf;
+    # batch packing) plus cdc_table_changes/cdc_compact/q5 (absent
+    # since r02). ann_ivf from the verdict's list is deliberately NOT
+    # here: recall<1 by design means no hash oracle, and every window
+    # slot must be hash-checkable (tests/test_registry_window.py).
+    # Rotated out r4: q3_shipping_priority, q_events_hourly,
+    # q_window_suite, q_grouping_sets, q_set_ops_all,
+    # q_scalar_functions, q_json_props, q_array_ops, q_type_compat,
+    # dedup_exact, dedup_clusters, text_quality, text_span_dedup,
+    # embedding_quantize_int8, embedding_kmeans_lloyd,
+    # text_decontaminate_pairs, corpus_split_assign, stream_sessionize.
+    # --- CDC core: scan pushdown, normalize, apply, streaming,
+    #     table management (27)
     "p_ct_change_scan",
     "p_batch_clamp",
     "cdc_ct_scan_normalize",
@@ -6018,35 +6035,35 @@ DRIVER_WINDOW: list[str] = [
     "cdc_debezium_apply",
     "cdc_point_lookup",
     "cdc_incremental_agg",
-    # --- relational surface: agg/join/window/sets/scalars/semi-structured (11)
+    "cdc_bootstrap_handoff",
+    "cdc_incremental_join",
+    "cdc_table_changes",
+    "cdc_time_travel",
+    "cdc_compact",
+    "cdc_export_snapshot",
+    # --- relational surface (6)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q_window_suite",
-    "q_grouping_sets",
-    "q_set_ops_all",
-    "q_scalar_functions",
-    "q_json_props",
-    "q_array_ops",
-    "q_type_compat",
-    "q_events_hourly",
-    # --- LLM-pipeline flagships: one per area (18)
-    "dedup_exact",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q21_sole_returned_supplier",
+    # --- LLM-pipeline flagships: one per area (17)
     "er_blocked_match",
+    "er_golden_records",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_embedding_bucketed",
-    "dedup_clusters",
-    "text_decontaminate_pairs",
-    "text_quality",
     "text_langid",
+    "text_tfidf_topterms",
     "web_pagerank",
-    "text_span_dedup",
+    "web_url_dedup",
+    "web_link_extract",
     "ann_topk_bruteforce",
-    "embedding_quantize_int8",
-    "embedding_kmeans_lloyd",
+    "embedding_pq_encode",
     "temporal_asof_attribution",
-    "stream_sessionize",
-    "corpus_split_assign",
+    "temporal_scd2_lookup",
+    "corpus_pack_batches",
     "corpus_curation_pipeline",
     "multimodal_image_meta",
 ]

@@ -166,21 +166,27 @@ def test_jaccard_verify_never_broadcast_hints(spark, sf_dir):
     from change_data_capture_spark.extensions import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
-    sh = dedup.shingles(docs, n=5, distinct=False)
     pairs = (
         docs.select("doc_id")
         .limit(6)
         .select(F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id"))
     )
-    verified = dedup._jaccard_on(sh, pairs, 0.8, "doc_id")
+    verified = dedup._verify_pairs(
+        docs, pairs, n=5, threshold=0.8, id_col="doc_id", text_col="text"
+    )
     try:
         qe = verified._jdf.queryExecution()
         assert "ResolvedHint" not in qe.analyzed().toString()
         physical = qe.executedPlan().toString()
         assert "CartesianProduct" not in physical
         assert "BroadcastNestedLoopJoin" not in physical
+        # the verify's shingle explode must sit ABOVE the candidate-id
+        # semi-join (only candidate docs are exploded): the Generate
+        # node's subtree has to contain the semi-join, not vice versa
+        analyzed = qe.optimizedPlan().toString()
+        assert analyzed.index("Generate") < analyzed.index("LeftSemi")
     finally:
-        spark.catalog.clearCache()  # _jaccard_on persists pairs/sets
+        spark.catalog.clearCache()  # _verify_pairs persists pairs/sets
 
 
 def test_embedding_bucketed_dedup_is_equijoin(spark, sf_dir):
