@@ -438,3 +438,139 @@ def frame_sample_plan(docs_with_payload: DataFrame, every_nth: int = 10) -> Data
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_nth))).alias("frame_idx"),
     )
+
+
+def payload_exact_duplicates(
+    docs_with_payload: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact binary-payload dedup — the image/audio dedup step every
+    multimodal pipeline runs BEFORE training, and the one that needs
+    no codec at all: two files with identical bytes are the same
+    sample regardless of what they decode to. (dup_id, keeper_id)
+    pairs with keeper = smallest id sharing md5(payload) — the same
+    drop-list contract as ``dedup.exact_duplicates``, so downstream
+    ``duplicate_clusters`` / keeper filters compose unchanged.
+
+    Scale: one hash-shuffle on the 32-hex-char digest (the window
+    partitions by the hash, never moves payload bytes beyond the local
+    md5 pass) — identical shape to text exact dedup, so the 100 TB
+    story is the same: O(corpus) scan + one shuffle of (id, digest)."""
+    from pyspark.sql import Window
+
+    keeper = F.min(id_col).over(Window.partitionBy(F.md5(F.col(payload_col))))
+    return (
+        docs_with_payload.select(F.col(id_col), keeper.alias("keeper_id"))
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(F.col(id_col).alias("dup_id"), "keeper_id")
+    )
+
+
+def payload_simhash_duplicates(
+    docs_with_payload: DataFrame,
+    *,
+    n: int = 8,
+    stride: int = 4,
+    hamming_max: int = 3,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Near-duplicate binary payloads via byte-shingle SimHash — the
+    codec-free near-dup pass for multimodal corpora (re-encoded or
+    metadata-patched files share almost all byte n-grams even when a
+    few bytes differ; true for PNG chunks, JPEG segments, WAV data
+    blocks alike).
+
+    Pipeline mirrors ``dedup.simhash_duplicates``, over BYTES instead
+    of tokens: overlapping ``n``-byte shingles every ``stride`` bytes
+    (substring on the binary column — JVM codegen, no Python),
+    xxhash64 per shingle, 64-bit majority-vote SimHash, four 16-bit
+    band buckets for candidates (Hamming<=3 guarantees at least one
+    exact band match), Hamming filter, then EXACT byte-shingle Jaccard
+    verification of survivors (collect_set of shingle hashes +
+    array_intersect — candidate docs only). Output: (a_id, b_id,
+    jaccard). Candidate recall < 1 by design (banded SimHash), hence
+    rows-only at the oracle gate, same as ``dedup_simhash``.
+
+    Scale: shingle explode is O(bytes/stride) narrow rows; the only
+    shuffles are the per-doc signature aggregation and the band-bucket
+    equi-join — no all-pairs path, no broadcast hints."""
+    shingle_pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(payload_col) - (n - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    )
+    sh = docs_with_payload.select(F.col(id_col), F.col(payload_col), shingle_pos.alias("i")).select(
+        F.col(id_col),
+        F.xxhash64(F.expr(f"substring({payload_col}, i, {n})")).alias("h"),
+    )
+    votes = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = sh.groupBy(id_col).agg(*votes)
+    sig_expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
+    sig = agg.select(F.col(id_col), sig_expr.alias("simhash")).persist()
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        )
+        for i in range(4)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.bh")
+    a = buckets.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sa"), "band", "bh")
+    b = buckets.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sb"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= hamming_max)
+        .select("a_id", "b_id")
+        .distinct()
+        .persist()
+    )
+    ids = (
+        candidates.select(F.col("a_id").alias(id_col))
+        .unionByName(candidates.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    # Exact verify over candidate docs only: semi-join BEFORE the
+    # shingle explode (same Generate-above-LeftSemi rule as
+    # dedup._verify_pairs), sets of shingle HASHES (longs) so the
+    # array_intersect compares 8-byte values, not binary blobs.
+    cand_sh = (
+        docs_with_payload.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), F.col(payload_col), shingle_pos.alias("i"))
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.expr(f"substring({payload_col}, i, {n})")).alias("h"),
+        )
+    )
+    sets = cand_sh.groupBy(id_col).agg(F.collect_set("h").alias("hs")).persist()
+    sets.count()
+    a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("hs").alias("ha"))
+    b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("hs").alias("hb"))
+    k = F.size(F.array_intersect("ha", "hb"))
+    jac = k / (F.size("ha") + F.size("hb") - k)
+    out = (
+        candidates.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    sig.unpersist()
+    return out

@@ -732,6 +732,97 @@ def bpe_merge_candidates(
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    *,
+    iters: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-iteration BPE tokenizer training over the corpus
+    vocabulary: repeat (count adjacent symbol pairs weighted by word
+    frequency -> merge the argmax pair everywhere -> recount) ``iters``
+    times — the real training loop (Sennrich et al. 2016), not just
+    the first merge ranking (``bpe_merge_candidates``).
+
+    Returns one row per iteration: (iteration, left_sym, right_sym,
+    pair_freq) — the learned merge table in order.
+
+    Representation: each vocab word's symbol sequence is a
+    space-joined, space-delimited string (`` h e l l o ``). Applying a
+    merge (a, b) is then a DOUBLE literal ``replace`` of ``' a b '``
+    with ``' ab '``: one leftmost non-overlapping replace pass misses
+    exactly the occurrences that immediately follow a match (the
+    shared delimiter space is consumed), and those skips are provably
+    isolated — each sits between two matched segments — so a second
+    identical pass merges exactly them and nothing else. The result
+    equals the greedy left-to-right BPE merge pass, in ANY engine with
+    standard replace semantics — which is what lets a DuckDB oracle
+    reproduce the whole training run bit-for-bit (same trick family as
+    web.pagerank's BIGINT unrolling: no floats, no UDFs, engine-exact
+    strings and integers).
+
+    Scale: every per-iteration relation is O(vocabulary), not
+    O(corpus) — the corpus collapses to (token, freq) once, up front.
+    Each iteration is one pair-count aggregation (map-side combinable)
+    + a 1-row argmax joined back via broadcast; ``localCheckpoint``
+    cuts the lineage per iteration exactly as the PageRank loop does.
+    Nothing row-sized ever reaches the driver."""
+    vocab = (
+        tokens(docs, id_col=id_col, text_col=text_col)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v = vocab.select(
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
+    ).localCheckpoint()
+    merges = []
+    for it in range(1, iters + 1):
+        with_syms = v.select("freq", F.split(F.trim(F.col("s")), " ").alias("a"))
+        pairs = (
+            with_syms.filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                "a",
+                F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("i"),
+            )
+            .select(
+                F.element_at("a", F.col("i")).alias("left_sym"),
+                F.element_at("a", F.col("i") + 1).alias("right_sym"),
+                "freq",
+            )
+            .groupBy("left_sym", "right_sym")
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_freq").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+            )
+            .limit(1)
+            .withColumn("iteration", F.lit(it).cast("long"))
+            .localCheckpoint()
+        )
+        merges.append(best.select("iteration", "left_sym", "right_sym", "pair_freq"))
+        pat = F.concat(
+            F.lit(" "), F.col("left_sym"), F.lit(" "), F.col("right_sym"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" "))
+        v = (
+            v.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
+            .select(
+                "freq",
+                F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 def kn_continuation_counts(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

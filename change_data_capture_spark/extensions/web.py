@@ -357,3 +357,98 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks.select("id", F.col("rank").alias("rank_ppt"))
+
+
+def pagerank_full(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+    max_iters: int = 6,
+    eps_ppt: int = 1_000_000,
+) -> DataFrame:
+    """PageRank with the two standard-convention knobs ``pagerank``
+    deliberately simplifies away:
+
+    - **Dangling-mass redistribution**: each round, the rank mass
+      sitting on nodes with no out-edges is split uniformly across ALL
+      nodes (the Brin/Page convention) instead of leaking out of the
+      system — a real web graph is full of crawl-frontier leaves, and
+      without this the total mass (and therefore every rank) decays.
+    - **L1-delta early stop**: the loop ends once one round moves less
+      than ``eps_ppt`` total rank (parts-per-trillion), so a
+      fast-mixing graph doesn't pay for ``max_iters`` rounds.
+
+    Integer-exact like ``pagerank`` (BIGINT parts-per-trillion, floor
+    division everywhere) so the unrolled SQL oracle reproduces it
+    bit-for-bit. The early stop is oracle-safe because a FIXED
+    ``max_iters`` unrolling with a per-round freeze flag (once any
+    round's delta <= eps, later rounds copy ranks through unchanged)
+    computes exactly what the broken-out loop computes.
+
+    Scale: per round, one extra O(dangling) semi-join + 1-row
+    aggregate folded into the rank update plan (broadcast of a single
+    row), and the convergence check is an aggregate over the
+    already-materialized (localCheckpoint) rank table — the only
+    driver-side value is that one delta per round, same contract as
+    ``dedup.duplicate_clusters``."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    dangling = nodes.join(outdeg, nodes.id == outdeg.src, "left_anti")
+    scale = 10**12
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(max_iters):
+        dsum = dangling.join(ranks, "id").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dsum")
+        )
+        contribs = (
+            e.join(
+                ranks.join(outdeg, ranks.id == outdeg.src).select(
+                    "id", F.expr("rank div outdeg").alias("give")
+                ),
+                e.src == F.col("id"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("give").alias("incoming"))
+        )
+        prev = ranks.select(F.col("id").alias("__pid"), F.col("rank").alias("prev"))
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .join(prev, nodes.id == F.col("__pid"))
+            .crossJoin(F.broadcast(dsum))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(incoming, 0L) + dsum div {n})) div 100"
+                    )
+                ).cast("long").alias("rank"),
+                "prev",
+            )
+            .localCheckpoint()
+        )
+        delta = ranks.select(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d")).first()["d"]
+        ranks = ranks.drop("prev")
+        if delta is not None and int(delta) <= eps_ppt:
+            break
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    return ranks.select("id", F.col("rank").alias("rank_ppt"))

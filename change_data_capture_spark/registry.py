@@ -3004,6 +3004,70 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample_plan(multimodal.attach_payload(docs), every_nth=10)
 
 
+def _png_payloads(docs):
+    """Binary image-like payloads: REAL synthesized PNG IHDR header
+    (dimensions derived from the content length) + the document bytes.
+    Byte equality of two payloads is then exactly text equality — the
+    header is a deterministic function of the text — which is what
+    lets an arithmetic oracle verify the binary dedup path."""
+    w = (F.length("text") % 640 + 1).cast("int")
+    h = (F.length("text") % 480 + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            multimodal.png_header_expr(w, h), F.encode(F.col("text"), "UTF-8")
+        ).alias("payload"),
+    )
+
+
+@_q(
+    "multimodal_payload_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id FROM corpus)
+    SELECT doc_id AS dup_id, keeper_id FROM g WHERE doc_id <> keeper_id
+    """,
+)
+def multimodal_payload_dedup(spark, sf_dir):
+    """Exact binary-payload dedup (multimodal.payload_exact_duplicates)
+    — the pre-training image/audio dedup step that needs NO codec:
+    md5 over the raw bytes, one hash-shuffle, the dedup.py drop-list
+    contract (dup_id, keeper_id). The Spark side hashes real binary
+    payloads (PNG header + content bytes, _png_payloads); the oracle
+    proves the same pair set arithmetically because the header is a
+    function of the text — a corrupted byte path cannot hash-match
+    (same oracle style as multimodal_image_meta)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return multimodal.payload_exact_duplicates(_png_payloads(corpus))
+
+
+@_q("multimodal_payload_neardup", None)  # banded-SimHash recall < 1 -> rows-only
+def multimodal_payload_neardup(spark, sf_dir):
+    """Near-dup binary payloads (multimodal.payload_simhash_duplicates):
+    byte-shingle SimHash candidates + exact byte-shingle Jaccard
+    verify, codec-free. Fixture injects 'metadata-patched re-encodes':
+    every 5th payload reappears under a new id with 8 extra trailing
+    bytes — byte-level near-identical, exactly what a re-exported
+    image with a different tool tag looks like. Deterministic
+    (xxhash64 + fixed corpus), recall floor pinned by unit test."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _png_payloads(docs)
+    patched = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("payload"), F.lit(b"XTOOLTAG")).alias("payload"),
+    )
+    return multimodal.payload_simhash_duplicates(base.unionByName(patched))
+
+
 # =====================================================================
 # [relational] — TPC-H remainder, adapted to the fixture schema
 # (no partsupp table; no commit/receipt dates, phones, or comments —
@@ -5857,6 +5921,58 @@ def text_bpe_merges(spark, sf_dir):
     return text.bpe_merge_candidates(_t(spark, sf_dir, "documents"))
 
 
+def _bpe_train_oracle(iters: int = 4) -> str:
+    """Unrolled DuckDB replay of the full BPE training loop — one CTE
+    chain per iteration (pair count -> 1-row argmax -> double-replace
+    merge), exactly mirroring extensions/text.bpe_train. All integers
+    and exact strings: engine-exact by construction."""
+    merge = (
+        "replace(replace(s, ' '||left_sym||' '||right_sym||' ', "
+        "' '||left_sym||right_sym||' '), ' '||left_sym||' '||right_sym||' ', "
+        "' '||left_sym||right_sym||' ')"
+    )
+    ctes = [
+        r"t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)",
+        "f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE token <> '' GROUP BY token)",
+        r"v0 AS (SELECT freq, ' ' || regexp_replace(token, '(.)', '\1 ', 'g') AS s FROM f)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"v{k - 1}"
+        ctes.append(
+            f"i{k} AS (SELECT freq, a, unnest(generate_series(1, len(a) - 1)) AS i "
+            f"FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM {prev}) "
+            f"WHERE len(a) >= 2)"
+        )
+        ctes.append(
+            f"p{k} AS (SELECT a[i] AS left_sym, a[i + 1] AS right_sym, "
+            f"CAST(SUM(freq) AS BIGINT) AS pair_freq FROM i{k} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT CAST({k} AS BIGINT) AS iteration, left_sym, right_sym, "
+            f"pair_freq FROM p{k} ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 1)"
+        )
+        if k < iters:
+            ctes.append(
+                f"v{k} AS (SELECT freq, {merge} AS s FROM {prev} CROSS JOIN b{k})"
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT iteration, left_sym, right_sym, pair_freq FROM b{k}"
+        for k in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@_q("text_bpe_train", _bpe_train_oracle(4))
+def text_bpe_train(spark, sf_dir):
+    """Full BPE tokenizer-training loop (extensions/text.bpe_train): 4
+    iterations of pair-count -> argmax merge -> re-segment, all
+    O(vocabulary) per round. The merge application is a double literal
+    replace over space-joined symbol strings — provably equal to the
+    greedy left-to-right BPE pass and reproducible bit-for-bit by the
+    unrolled DuckDB oracle (see bpe_train docstring)."""
+    return text.bpe_train(_t(spark, sf_dir, "documents"), iters=4)
+
+
 @_q(
     "text_kn_continuation",
     r"""
@@ -5945,6 +6061,62 @@ def _pagerank_iter_sql(i: int) -> str:
     )"""
 
 
+_PAGERANK_FULL_EDGES_SQL = """
+    raw AS (
+      SELECT doc_id AS src, doc_id % 97 AS dst FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL SELECT doc_id, (doc_id * 31 + 7) % 89 FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL SELECT doc_id, doc_id % 10 FROM documents WHERE doc_id % 3 <> 0
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)
+"""
+
+
+def _pagerank_full_iter_sql(i: int, eps_ppt: int = 1_000_000) -> str:
+    """One unrolled full-PageRank round: dangling-mass 1-row aggregate,
+    contributions, conditional (freeze-flag) rank update, L1 delta,
+    stop flag. Mirrors extensions/web.pagerank_full exactly — the
+    freeze flag makes the fixed unrolling equal to the broken-out
+    early-stop loop (see its docstring)."""
+    return f"""
+    ds{i} AS (
+      SELECT COALESCE(SUM(r.rank), 0) AS dsum
+      FROM r{i - 1} r LEFT JOIN outdeg o ON r.id = o.src
+      WHERE o.src IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst, SUM(r.rank // o.outdeg) AS incoming
+      FROM e JOIN r{i - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    -- MATERIALIZED: each round references the previous rank table ~4x
+    -- (update, delta, dangling sum, contributions); inlining would
+    -- re-expand the whole chain exponentially (4^rounds parquet scans)
+    r{i} AS MATERIALIZED (
+      SELECT nodes.id,
+             CAST(CASE WHEN s{i - 1}.stopped THEN p.rank ELSE
+               (1000000000000 * 15) // (100 * nn.n)
+               + (85 * (COALESCE(c{i}.incoming, 0) + ds{i}.dsum // nn.n)) // 100
+             END AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN ds{i} CROSS JOIN s{i - 1}
+      LEFT JOIN c{i} ON nodes.id = c{i}.dst
+      JOIN r{i - 1} p ON nodes.id = p.id
+    ),
+    d{i} AS (
+      SELECT SUM(ABS(a.rank - b.rank)) AS delta
+      FROM r{i} a JOIN r{i - 1} b ON a.id = b.id
+    ),
+    s{i} AS (
+      SELECT (s{i - 1}.stopped OR d{i}.delta <= {eps_ppt}) AS stopped
+      FROM s{i - 1} CROSS JOIN d{i}
+    )"""
+
+
 @_q(
     "web_pagerank",
     f"""
@@ -5981,6 +6153,51 @@ def web_pagerank(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
     )
     return web.pagerank(edges, iters=3)
+
+
+@_q(
+    "web_pagerank_full",
+    f"""
+    WITH {_PAGERANK_FULL_EDGES_SQL.strip()},
+    r0 AS (
+      SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+    ),
+    s0 AS (SELECT FALSE AS stopped),{_pagerank_full_iter_sql(1)},{_pagerank_full_iter_sql(2)},{_pagerank_full_iter_sql(3)},{_pagerank_full_iter_sql(4)},{_pagerank_full_iter_sql(5)},{_pagerank_full_iter_sql(6)}
+    SELECT id, rank AS rank_ppt FROM r6
+    """,
+)
+def web_pagerank_full(spark, sf_dir):
+    """Standard-convention PageRank (extensions/web.pagerank_full):
+    dangling-mass redistribution + L1-delta early stop, 6 rounds max.
+    The link graph restricts SOURCES to doc_id % 3 <> 0, so hub pages
+    divisible by 3 receive links but emit none — real dangling nodes
+    whose mass must be redistributed each round (without it, ~1/3 of
+    hub-bound mass would leak and every rank would decay). Still
+    BIGINT parts-per-trillion integer arithmetic end-to-end; the
+    fixed-depth oracle carries a per-round freeze flag that makes its
+    unrolling equal to the engine's broken-out early-stop loop.
+    ``web_pagerank`` (the simplified convention) is kept unchanged for
+    round-over-round comparability."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .filter(F.col("doc_id") % 3 != 0)
+    )
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 97).alias("dst"))
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 31 + 7) % 89).alias("dst"),
+            )
+        )
+        .unionByName(
+            docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return web.pagerank_full(edges, max_iters=6)
 
 
 # The external correctness driver checks only the FIRST 50 entries of

@@ -279,3 +279,53 @@ def test_null_payloads_yield_null_metadata(spark):
         rows = fn(df).collect()
         assert len(rows) == 2
         assert all(r.byte_len == 0 for r in rows)
+
+
+def test_payload_exact_duplicates_drop_list(spark):
+    from change_data_capture_spark.extensions import multimodal
+
+    rows = [
+        (1, bytearray(b"\x89PNG-ish-bytes-A")),
+        (2, bytearray(b"\x89PNG-ish-bytes-B")),
+        (3, bytearray(b"\x89PNG-ish-bytes-A")),  # dup of 1
+        (4, bytearray(b"\x89PNG-ish-bytes-A")),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sorted(
+        (r.dup_id, r.keeper_id)
+        for r in multimodal.payload_exact_duplicates(df).collect()
+    )
+    assert out == [(3, 1), (4, 1)]
+
+
+def test_payload_simhash_finds_patched_reencodes(spark):
+    from change_data_capture_spark.extensions import multimodal
+    from pyspark.sql import functions as F
+
+    # 40 distinct pseudo-binary payloads; every 4th reappears with a
+    # trailing 8-byte "tool tag" -> byte-level near-dup. Recall floor:
+    # all patched pairs found, no cross-payload false positives.
+    base = spark.range(1, 41).select(
+        F.col("id").alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.lit("payload-"),
+                F.col("id").cast("string"),
+                F.repeat(F.concat(F.lit("-block-"), F.sha2(F.col("id").cast("string"), 256)), 8),
+            ),
+            "UTF-8",
+        ).cast("binary").alias("payload"),
+    )
+    patched = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("payload"), F.lit(b"XTOOLTAG")).alias("payload"),
+    )
+    out = multimodal.payload_simhash_duplicates(base.unionByName(patched)).collect()
+    pairs = {(r.a_id, r.b_id) for r in out}
+    want = {(i, i + 1000) for i in range(4, 41, 4)}
+    assert want <= pairs, f"missed true near-dups: {want - pairs}"
+    for r in out:
+        # every verified pair is genuinely near-identical
+        assert r.jaccard >= 0.5
+    # no pair of two distinct base payloads sneaks through
+    assert not any(a <= 40 and b <= 40 for a, b in pairs)

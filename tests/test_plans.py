@@ -252,6 +252,15 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_payload_dedup_is_one_hash_shuffle(spark, sf_dir):
+    """Exact binary-payload dedup must cost exactly ONE exchange (hash
+    partition on the md5 digest for the keeper window) with zero
+    Python in the plan — the same scale shape as text exact dedup."""
+    plan = plan_of(spark, sf_dir, "multimodal_payload_dedup")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_er_matching_is_equijoin_only(spark, sf_dir):
     """Blocked record linkage must plan every candidate pass as an
     equi-join on the block key — a cartesian or nested-loop shape

@@ -180,3 +180,64 @@ def test_kn_continuation_counts_hand_computed(spark):
     assert (rows["sat"].cont_left, rows["sat"].cont_right) == (2, 0)
     assert (rows["the"].cont_left, rows["the"].cont_right) == (0, 2)
     assert (rows["cat"].cont_left, rows["cat"].cont_right) == (1, 1)
+
+
+def _bpe_reference(word_freqs, iters):
+    """Pure-Python greedy BPE (Sennrich): the semantics bpe_train must
+    reproduce, including consecutive-pair fenceposts like a,b,a,b."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for it in range(1, iters + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, a, b, freq))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_greedy_reference(spark):
+    # 'abab' forces the consecutive-pair fencepost: merging (a,b) must
+    # yield [ab, ab], which a single string replace gets wrong.
+    rows = [("d1", "abab abab low"), ("d2", "abab banana low low"), ("d3", "banana aba")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    word_freqs = {}
+    for _, t in rows:
+        for w in t.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    want = _bpe_reference(word_freqs, iters=4)
+    got = [
+        (r["iteration"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in text.bpe_train(docs, iters=4).orderBy("iteration").collect()
+    ]
+    assert got == want, f"{got} != {want}"
+
+
+def test_bpe_train_runs_of_same_symbol(spark):
+    # 'aaaa' with merge (a,a): greedy gives [aa, aa]; [aaa] would mean
+    # overlapping merges, [aa, a, a] a missed second pass.
+    docs = spark.createDataFrame(
+        [("d1", "aaaa aaaa aa"), ("d2", "aaa ab")], "doc_id string, text string"
+    )
+    word_freqs = {"aaaa": 2, "aa": 1, "aaa": 1, "ab": 1}
+    want = _bpe_reference(word_freqs, iters=3)
+    got = [
+        (r["iteration"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in text.bpe_train(docs, iters=3).orderBy("iteration").collect()
+    ]
+    assert got == want, f"{got} != {want}"

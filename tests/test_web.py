@@ -254,3 +254,61 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
     total = sum(v for _, v in rows1)
     # floor losses only: <= (edges + nodes + 1) units per iteration
     assert 10**12 - 3 * (14 + 7 + 1) <= total <= 10**12
+
+
+def _pagerank_full_reference(edge_list, damping_pct=85, max_iters=6, eps_ppt=1_000_000):
+    """Integer-exact Python replay of web.pagerank_full."""
+    e = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    scale = 10**12
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    ranks = {i: scale // n for i in nodes}
+    for _ in range(max_iters):
+        dsum = sum(r for i, r in ranks.items() if i not in outdeg)
+        incoming = {i: 0 for i in nodes}
+        for u, v in e:
+            incoming[v] += ranks[u] // outdeg[u]
+        new = {
+            i: base + (damping_pct * (incoming[i] + dsum // n)) // 100 for i in nodes
+        }
+        delta = sum(abs(new[i] - ranks[i]) for i in nodes)
+        ranks = new
+        if delta <= eps_ppt:
+            break
+    return ranks
+
+
+def test_pagerank_full_redistributes_dangling_mass(spark):
+    # 1 -> 2 -> 3; node 3 is dangling. Without redistribution its mass
+    # leaks; with it, totals stay near 1.0 and match the int reference.
+    edge_list = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.id: r.rank_ppt
+        for r in web.pagerank_full(edges, max_iters=4, eps_ppt=0).collect()
+    }
+    want = _pagerank_full_reference(edge_list, max_iters=4, eps_ppt=0)
+    assert got == want, f"{got} != {want}"
+    # mass conservation (up to floor-division dust): 3 nodes, ~1e12
+    assert sum(got.values()) > 10**12 - 100
+
+    # the simplified convention leaks the dangling mass instead
+    leaky = {r.id: r.rank_ppt for r in web.pagerank(edges, iters=4).collect()}
+    assert sum(leaky.values()) < sum(got.values())
+
+
+def test_pagerank_full_early_stop_matches_fixed_depth(spark):
+    # A 4-cycle is at its fixpoint immediately (uniform ranks, outdeg 1
+    # everywhere): round 1 moves ~nothing, so the loop must stop early
+    # and STILL equal the frozen fixed-depth unrolling (i.e. running
+    # with max_iters=1 gives the same answer as max_iters=6).
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    deep = {r.id: r.rank_ppt for r in web.pagerank_full(edges, max_iters=6).collect()}
+    shallow = {r.id: r.rank_ppt for r in web.pagerank_full(edges, max_iters=1).collect()}
+    want = _pagerank_full_reference(edge_list, max_iters=6)
+    assert deep == want == shallow
