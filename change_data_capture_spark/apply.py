@@ -412,23 +412,21 @@ class TableCatalog:
         out = os.path.join(self.table_dir(table_id), new_dir)
         old = None if meta["current"] is None else os.path.join(self.table_dir(table_id), meta["current"])
         pks = meta["pks"]
-        # One file per bucket partition: pre-shuffle on the bucket id so
-        # each write task owns whole buckets. REBALANCE lets AQE split
-        # skewed buckets, but it exists only under AQE — inside a
-        # stateful streaming query AQE is force-disabled and the hint
-        # is silently DROPPED (HintErrorLogger warning), leaving no
-        # exchange at all: every input partition then writes a file
-        # into every bucket dir it touches (small-file blowup + task
-        # overhead). Fall back to an explicit hash repartition there.
-        bucketed = df.withColumn(_BUCKET, bucket_expr(pks, n_buckets))
-        aqe_on = (
-            str(df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")).lower()
-            == "true"
+        # One task (and therefore one file) per bucket: an explicit
+        # hash repartition on the bucket id. This replaced an AQE
+        # REBALANCE hint (round 4): rebalance coalesces a small batch
+        # into ONE writer task that opens every touched bucket's
+        # parquet writer serially — and small batches are the COMMON
+        # case for CDC merges — measured 0.55 s vs 0.31 s for the same
+        # sf0.1 write. At 100 TB the bucket count is the skew control
+        # (compact() grows it as the table grows, like Kudu re-hashing;
+        # buckets stay executor-sized by design), so task-per-bucket is
+        # exactly the keyed-store write model; it also behaves
+        # identically under streaming, where AQE is force-disabled and
+        # the hint used to be silently dropped.
+        bucketed = df.withColumn(_BUCKET, bucket_expr(pks, n_buckets)).repartition(
+            n_buckets, F.col(_BUCKET)
         )
-        if aqe_on:
-            bucketed = bucketed.hint("rebalance", _BUCKET)
-        else:
-            bucketed = bucketed.repartition(n_buckets, F.col(_BUCKET))
         if sort_within_buckets:
             # Zone-map layout: a per-partition (not global) sort keeps
             # the exchange above untouched while parquet's row-group
