@@ -768,6 +768,19 @@ def bpe_train(
     + a 1-row argmax joined back via broadcast; ``localCheckpoint``
     cuts the lineage per iteration exactly as the PageRank loop does.
     Nothing row-sized ever reaches the driver."""
+    merges, _ = _bpe_train_state(docs, iters=iters, id_col=id_col, text_col=text_col)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_train_state(
+    docs: DataFrame, *, iters: int, id_col: str, text_col: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training loop: returns (per-iteration 1-row merge
+    frames, final vocabulary with each token's post-merge segmented
+    symbol string ``s``)."""
     vocab = (
         tokens(docs, id_col=id_col, text_col=text_col)
         .filter(F.col("token") != "")
@@ -775,6 +788,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     v = vocab.select(
+        "token",
         "freq",
         F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
     ).localCheckpoint()
@@ -812,15 +826,54 @@ def bpe_train(
         v = (
             v.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
             .select(
+                "token",
                 "freq",
                 F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, v
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    *,
+    iters: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus — the step
+    after ``bpe_train`` in every tokenizer pipeline, and the statistic
+    a training-data pipeline actually budgets on: per document, how
+    many BPE tokens does it cost to encode?
+
+    Returns (id, n_ws_tokens, n_bpe_tokens, n_chars_compact): raw
+    whitespace tokens, BPE symbols after ``iters`` merges, and
+    whitespace-free character count (= BPE symbol count at 0 merges,
+    so ``n_chars_compact - n_bpe_tokens`` is exactly the merge
+    savings).
+
+    Scale: the merges are applied to the VOCABULARY (O(vocab) rows,
+    the same loop as training — at scale the trained vocab is the
+    persisted artifact this reads), and the corpus is encoded by one
+    token->vocab equi-join (AQE broadcasts the vocab side) + one
+    per-doc sum. The corpus-sized work is exactly one token explode,
+    one join probe, one aggregation — no per-row merge application
+    ever touches corpus rows."""
+    _, vocab = _bpe_train_state(docs, iters=iters, id_col=id_col, text_col=text_col)
+    seg = vocab.select(
+        "token", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_syms")
+    )
+    t = tokens(docs, id_col=id_col, text_col=text_col).filter(F.col("token") != "")
+    return (
+        t.join(seg, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ws_tokens"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("token")).cast("long").alias("n_chars_compact"),
+        )
+    )
 
 
 def kn_continuation_counts(

@@ -5959,11 +5959,13 @@ def text_bpe_merges(spark, sf_dir):
     return text.bpe_merge_candidates(_t(spark, sf_dir, "documents"))
 
 
-def _bpe_train_oracle(iters: int = 4) -> str:
+def _bpe_train_ctes(iters: int = 4) -> list[str]:
     """Unrolled DuckDB replay of the full BPE training loop — one CTE
     chain per iteration (pair count -> 1-row argmax -> double-replace
-    merge), exactly mirroring extensions/text.bpe_train. All integers
-    and exact strings: engine-exact by construction."""
+    merge), exactly mirroring extensions/text._bpe_train_state. All
+    integers and exact strings: engine-exact by construction. Builds
+    every v0..v{iters} vocab stage (token carried through) so both the
+    merge-table query and the encode query share the chain."""
     merge = (
         "replace(replace(s, ' '||left_sym||' '||right_sym||' ', "
         "' '||left_sym||right_sym||' '), ' '||left_sym||' '||right_sym||' ', "
@@ -5972,7 +5974,7 @@ def _bpe_train_oracle(iters: int = 4) -> str:
     ctes = [
         r"t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)",
         "f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE token <> '' GROUP BY token)",
-        r"v0 AS (SELECT freq, ' ' || regexp_replace(token, '(.)', '\1 ', 'g') AS s FROM f)",
+        r"v0 AS (SELECT token, freq, ' ' || regexp_replace(token, '(.)', '\1 ', 'g') AS s FROM f)",
     ]
     for k in range(1, iters + 1):
         prev = f"v{k - 1}"
@@ -5989,15 +5991,36 @@ def _bpe_train_oracle(iters: int = 4) -> str:
             f"b{k} AS (SELECT CAST({k} AS BIGINT) AS iteration, left_sym, right_sym, "
             f"pair_freq FROM p{k} ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 1)"
         )
-        if k < iters:
-            ctes.append(
-                f"v{k} AS (SELECT freq, {merge} AS s FROM {prev} CROSS JOIN b{k})"
-            )
+        ctes.append(
+            f"v{k} AS (SELECT token, freq, {merge} AS s FROM {prev} CROSS JOIN b{k})"
+        )
+    return ctes
+
+
+def _bpe_train_oracle(iters: int = 4) -> str:
     union = "\nUNION ALL ".join(
         f"SELECT iteration, left_sym, right_sym, pair_freq FROM b{k}"
         for k in range(1, iters + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_train_ctes(iters)) + "\n" + union
+
+
+def _bpe_encode_oracle(iters: int = 4) -> str:
+    ctes = _bpe_train_ctes(iters) + [
+        r"tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)",
+        f"enc AS (SELECT t.doc_id, len(string_split(trim(v.s), ' ')) AS n_syms, "
+        f"length(t.token) AS n_chars "
+        f"FROM (SELECT doc_id, token FROM tok WHERE token <> '') t "
+        f"JOIN v{iters} v ON t.token = v.token)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens, "
+        "CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens, "
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars_compact "
+        "FROM enc GROUP BY doc_id"
+    )
 
 
 @_q("text_bpe_train", _bpe_train_oracle(4))
@@ -6009,6 +6032,16 @@ def text_bpe_train(spark, sf_dir):
     greedy left-to-right BPE pass and reproducible bit-for-bit by the
     unrolled DuckDB oracle (see bpe_train docstring)."""
     return text.bpe_train(_t(spark, sf_dir, "documents"), iters=4)
+
+
+@_q("text_bpe_encode", _bpe_encode_oracle(4))
+def text_bpe_encode(spark, sf_dir):
+    """Apply the trained BPE merge table to the corpus
+    (extensions/text.bpe_encode_counts): per-doc BPE token counts —
+    the token-budget statistic a pretraining pipeline plans against.
+    Merges apply to the VOCABULARY only; the corpus pays one token
+    explode + one broadcast-ready vocab join + one per-doc sum."""
+    return text.bpe_encode_counts(_t(spark, sf_dir, "documents"), iters=4)
 
 
 @_q(

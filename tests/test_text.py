@@ -241,3 +241,20 @@ def test_bpe_train_runs_of_same_symbol(spark):
         for r in text.bpe_train(docs, iters=3).orderBy("iteration").collect()
     ]
     assert got == want, f"{got} != {want}"
+
+
+def test_bpe_encode_counts_invariants(spark):
+    docs = spark.createDataFrame(
+        [("d1", "abab abab low"), ("d2", "abab banana low low")],
+        "doc_id string, text string",
+    )
+    # zero merges: every token encodes to its character count
+    zero = {r["doc_id"]: r for r in text.bpe_encode_counts(docs, iters=0).collect()}
+    assert zero["d1"]["n_bpe_tokens"] == zero["d1"]["n_chars_compact"] == 11
+    assert zero["d1"]["n_ws_tokens"] == 3
+    # after merges: strictly fewer symbols, never below one per token
+    four = {r["doc_id"]: r for r in text.bpe_encode_counts(docs, iters=4).collect()}
+    for d in ("d1", "d2"):
+        assert four[d]["n_bpe_tokens"] < zero[d]["n_bpe_tokens"]
+        assert four[d]["n_bpe_tokens"] >= four[d]["n_ws_tokens"]
+        assert four[d]["n_ws_tokens"] == zero[d]["n_ws_tokens"]
