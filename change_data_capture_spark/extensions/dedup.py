@@ -141,7 +141,18 @@ def _verify_pairs(
     explode+scan for a verify stage that touches O(collisions) docs.
     At 100 TB the difference is a second full-corpus pass vs a
     semi-join whose probe side is near-dup collisions only."""
+    # Persist + materialize the PAIR LIST (small: one row per surviving
+    # candidate pair), not the shingle-set table: the count job runs the
+    # expensive candidate generation (band join + screen, over the
+    # caller's cached signatures) exactly once, and the final action
+    # then computes everything downstream — id union, semi-join, the
+    # candidate-doc explode+fold — in ONE job. The two set-fold scans
+    # below are identical subplans, so Spark reuses the exchange rather
+    # than recomputing (and the subtree is O(candidate docs) anyway).
+    # Measured ~20% faster end-to-end than eagerly materializing the
+    # set table as a separate job at sf0.1.
     pairs = pairs.persist()
+    pairs.count()
     ids = (
         pairs.select(F.col("a_id").alias(id_col))
         .unionByName(pairs.select(F.col("b_id").alias(id_col)))
@@ -152,12 +163,7 @@ def _verify_pairs(
     # broadcasts it when it measures small (see _jaccard_on notes).
     cand_docs = docs.join(ids, id_col, "left_semi")
     sh = shingles(cand_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
-    # Persisted + materialized: both pair-join sides read `sets`, and
-    # each racing scan would otherwise redo the explode+fold. The
-    # relation itself is one row per candidate doc. This one job also
-    # materializes the pairs cache (ids derive from it).
-    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shset")).persist()
-    sets.count()
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shset"))
     a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("shset").alias("sa"))
     b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("shset").alias("sb"))
     k = F.size(F.array_intersect("sa", "sb"))

@@ -542,6 +542,10 @@ def payload_simhash_duplicates(
         .distinct()
         .persist()
     )
+    # Materialize the pair list; the set folds below stay lazy in the
+    # final action (identical subplans -> exchange reuse; O(candidate
+    # docs) work) — same job structure as dedup._verify_pairs.
+    candidates.count()
     ids = (
         candidates.select(F.col("a_id").alias(id_col))
         .unionByName(candidates.select(F.col("b_id").alias(id_col)))
@@ -559,8 +563,7 @@ def payload_simhash_duplicates(
             F.xxhash64(F.expr(f"substring({payload_col}, i, {n})")).alias("h"),
         )
     )
-    sets = cand_sh.groupBy(id_col).agg(F.collect_set("h").alias("hs")).persist()
-    sets.count()
+    sets = cand_sh.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
     a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("hs").alias("ha"))
     b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("hs").alias("hb"))
     k = F.size(F.array_intersect("ha", "hb"))
