@@ -210,8 +210,13 @@ def minhash_lsh_duplicates(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
+
+    ``max_bucket_size`` enables the production-scale quadratic-blowup
+    guard (see ``_cap_buckets``); default None keeps recall 1 so the
+    output stays equal to the brute-force oracle.
 
     Output (a_id, b_id, jaccard) equals the brute-force
     ``jaccard_duplicates`` w.h.p. (see module docstring) — the LSH only
@@ -231,7 +236,9 @@ def minhash_lsh_duplicates(
     sig = minhash_signatures(sh, k=k, id_col=id_col).persist()
     sig.count()
 
-    buckets = _band_buckets(sig, bands=bands, rows=rows, id_col=id_col)
+    buckets = _cap_buckets(
+        _band_buckets(sig, bands=bands, rows=rows, id_col=id_col), max_bucket_size
+    )
 
     a = buckets.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), "band", "bh")
@@ -279,6 +286,34 @@ def _band_buckets(sig: DataFrame, *, bands: int, rows: int, id_col: str) -> Data
     ).select(id_col, "bk.band", "bk.bh")
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket_size`` docs —
+    the quadratic-blowup guard every production LSH dedup runs at
+    corpus scale. A boilerplate template family of M near-identical
+    docs lands its members in the SAME band bucket, turning the bucket
+    self-join into M^2 candidate pairs; at 100 TB one viral template
+    (M ~ 10^6) would emit 10^12 pairs from a single bucket. Oversized
+    buckets are near-exact families that exact dedup (md5) catches
+    far cheaper, so dropping them trades recall only on pairs another
+    operator already finds.
+
+    Implemented as a count window over the bucket key — the shuffle it
+    introduces hash-partitions on exactly the (band, bh) key the
+    candidate self-join needs next, so the exchange is reused, not
+    added. Deterministic (exact counts), default OFF (None) so the
+    oracle-exact operators keep recall 1."""
+    if max_bucket_size is None:
+        return buckets
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+    return (
+        buckets.withColumn("__bn", n)
+        .filter(F.col("__bn") <= int(max_bucket_size))
+        .drop("__bn")
+    )
+
+
 def minhash_lsh_against(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -289,6 +324,7 @@ def minhash_lsh_against(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs (a_id = NEW doc,
     b_id = CORPUS doc) of an incoming batch against an existing corpus
@@ -322,12 +358,12 @@ def minhash_lsh_against(
     sig_old = minhash_signatures(sh_old, k=k, id_col=id_col).persist()
     sig_new.count()
     sig_old.count()
-    a = _band_buckets(sig_new, bands=bands, rows=rows, id_col=id_col).select(
-        F.col(id_col).alias("a_id"), "band", "bh"
-    )
-    b = _band_buckets(sig_old, bands=bands, rows=rows, id_col=id_col).select(
-        F.col(id_col).alias("b_id"), "band", "bh"
-    )
+    a = _cap_buckets(
+        _band_buckets(sig_new, bands=bands, rows=rows, id_col=id_col), max_bucket_size
+    ).select(F.col(id_col).alias("a_id"), "band", "bh")
+    b = _cap_buckets(
+        _band_buckets(sig_old, bands=bands, rows=rows, id_col=id_col), max_bucket_size
+    ).select(F.col(id_col).alias("b_id"), "band", "bh")
     candidates = (
         a.join(b, ["band", "bh"])
         .groupBy("a_id", "b_id")
@@ -481,6 +517,7 @@ def simhash_duplicates(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash-bucketed candidates (four 16-bit bands; Hamming<=k must
     match at least one band exactly), Hamming-filtered, then exact
@@ -494,9 +531,12 @@ def simhash_duplicates(
         )
         for i in range(4)
     ]
-    buckets = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, "simhash", "bk.band", "bk.bh")
+    buckets = _cap_buckets(
+        sig.select(
+            F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
+        ).select(id_col, "simhash", "bk.band", "bk.bh"),
+        max_bucket_size,
+    )
     a = buckets.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sa"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sb"), "band", "bh")
     candidates = (

@@ -83,3 +83,30 @@ def test_minhash_incremental_finds_cross_set_pairs(spark, sf_dir):
         assert pairs.get((d + 900000, d)) == 1.0, d
     # direction is new -> corpus only
     assert all(a >= 900000 and b < 900000 for a, b in pairs)
+
+
+def test_lsh_bucket_cap_drops_template_family(spark):
+    """max_bucket_size: a family of identical template docs must emit
+    ZERO candidate pairs when capped (the M^2 blowup guard), while
+    ordinary near-dup pairs outside the mega-bucket survive."""
+    from change_data_capture_spark.extensions import dedup
+    from pyspark.sql import functions as F
+
+    template = "the same boilerplate navigation header appears on every page of this site "
+    body = "a genuinely unique long document body with plenty of distinct shingle text number "
+    rows = [(i, template * 4) for i in range(100, 130)]  # 30-doc template family
+    rows += [(1, body * 6 + "tail one"), (2, body * 6 + "tail two")]  # true near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_duplicates(
+        docs, n=5, k=32, bands=8, threshold=0.8, max_bucket_size=10
+    )
+    pairs = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert (1, 2) in pairs, "near-dup outside the mega-bucket must survive the cap"
+    assert not any(a >= 100 for a, _ in pairs), "capped template family must emit no pairs"
+
+    # uncapped: the template family floods the candidate set
+    full = dedup.minhash_lsh_duplicates(docs, n=5, k=32, bands=8, threshold=0.8)
+    full_pairs = {(r.a_id, r.b_id) for r in full.collect()}
+    assert sum(1 for a, _ in full_pairs if a >= 100) == 30 * 29 // 2
+    assert (1, 2) in full_pairs
