@@ -33,6 +33,7 @@ def blocked_match(
     id_col: str = "rec_id",
     cmp_col: str = "name",
     max_distance: int = 1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from an equi-join on ``block_cols`` (present,
     same-named, in BOTH frames), verified by
@@ -41,7 +42,18 @@ def blocked_match(
     Returns (left_id, right_id, distance), distinct. Multi-pass
     blocking = union the outputs of several calls with different
     ``block_cols``; the distinct collapses pairs found by more than
-    one pass."""
+    one pass.
+
+    ``max_block_size`` is the degenerate-block guard (same role as
+    ``dedup._cap_buckets``): a block key that turns out non-selective
+    — a NULL-heavy column, a default value like zip '00000', a
+    mega-city — makes that one block's join fan-out L x R. When set,
+    blocks where EITHER side exceeds the cap are dropped before the
+    join (a production linker relies on its other passes to cover
+    them; recall lost only where the block key carried no information
+    anyway). Each side's count window partitions on the block key the
+    join shuffles on next, so the exchange is reused. Default None =
+    exact (oracle) semantics."""
     lb = left.select(
         F.col(id_col).alias("left_id"),
         F.col(cmp_col).alias("__l_cmp"),
@@ -52,6 +64,21 @@ def blocked_match(
         F.col(cmp_col).alias("__r_cmp"),
         *block_cols,
     )
+    if max_block_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in block_cols])
+        cap = int(max_block_size)
+        lb = (
+            lb.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= cap)
+            .drop("__bn")
+        )
+        rb = (
+            rb.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= cap)
+            .drop("__bn")
+        )
     dist = F.levenshtein(F.col("__l_cmp"), F.col("__r_cmp"))
     return (
         lb.join(rb, list(block_cols))
@@ -106,6 +133,7 @@ def match_pairs_multi_pass(
     id_col: str = "rec_id",
     cmp_col: str = "name",
     max_distance: int = 1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Multi-pass blocking: union the candidate pairs of several
     blocking keys (each pass tolerant to errors the others aren't —
@@ -122,6 +150,7 @@ def match_pairs_multi_pass(
             id_col=id_col,
             cmp_col=cmp_col,
             max_distance=max_distance,
+            max_block_size=max_block_size,
         )
         out = part if out is None else out.unionByName(part)
     assert out is not None, "at least one blocking pass required"

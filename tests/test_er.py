@@ -68,3 +68,32 @@ def test_golden_records_left_preferred_with_null_fallback(spark):
     }
     # 1 has no master bal -> feed fills it; 2 keeps the master's 50
     assert rows == {1: ("anna", 10.0), 2: ("kurt", 50.0)}
+
+
+def test_blocked_match_degenerate_block_cap(spark):
+    """max_block_size drops non-selective blocks (default-value zip)
+    before the join; selective blocks still match."""
+    from change_data_capture_spark.extensions import er
+
+    left = spark.createDataFrame(
+        [(i, f"alice-{i}", "00000") for i in range(50)]  # degenerate block
+        + [(90, "bob smith", "12345")],
+        "rec_id long, name string, zip string",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, f"alice-{i}", "00000") for i in range(50)]
+        + [(1090, "bob smyth", "12345")],
+        "rec_id long, name string, zip string",
+    )
+    capped = er.blocked_match(
+        left, right, block_cols=["zip"], max_distance=1, max_block_size=10
+    )
+    pairs = {(r.left_id, r.right_id) for r in capped.collect()}
+    assert pairs == {(90, 1090)}, pairs
+
+    # uncapped: the degenerate block floods the candidate set (every
+    # alice-i matches alice-j at distance <= 1 for single-digit i, j)
+    full = er.blocked_match(left, right, block_cols=["zip"], max_distance=1)
+    full_pairs = {(r.left_id, r.right_id) for r in full.collect()}
+    assert (90, 1090) in full_pairs
+    assert len(full_pairs) > 51
