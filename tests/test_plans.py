@@ -252,6 +252,19 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """The corpus-side encode join must broadcast the (small) segmented
+    vocabulary — the corpus pays one token explode + probe + per-doc
+    sum; a shuffle of the token stream onto the vocab would be an
+    O(corpus) exchange the operator exists to avoid. No Python, no
+    cartesian anywhere (the training loop is pre-executed via
+    localCheckpoint, so the final plan is exactly the encode side)."""
+    plan = plan_of(spark, sf_dir, "text_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_payload_dedup_is_one_hash_shuffle(spark, sf_dir):
     """Exact binary-payload dedup must cost exactly ONE exchange (hash
     partition on the md5 digest for the keeper window) with zero
