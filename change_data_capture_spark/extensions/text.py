@@ -748,19 +748,25 @@ def bpe_train(
     Returns one row per iteration: (iteration, left_sym, right_sym,
     pair_freq) — the learned merge table in order.
 
-    Representation: each vocab word's symbol sequence is a
-    space-joined, space-delimited string (`` h e l l o ``). Applying a
-    merge (a, b) is then a DOUBLE literal ``replace`` of ``' a b '``
-    with ``' ab '``: one leftmost non-overlapping replace pass misses
-    exactly the occurrences that immediately follow a match (the
-    shared delimiter space is consumed), and those skips are provably
-    isolated — each sits between two matched segments — so a second
-    identical pass merges exactly them and nothing else. The result
-    equals the greedy left-to-right BPE merge pass, in ANY engine with
-    standard replace semantics — which is what lets a DuckDB oracle
-    reproduce the whole training run bit-for-bit (same trick family as
-    web.pagerank's BIGINT unrolling: no floats, no UDFs, engine-exact
-    strings and integers).
+    Representation: each vocab word's symbol sequence is a string
+    with TWO spaces between symbols and one boundary space at each end
+    (`` h  e  l  l  o ``). Applying a merge (a, b) is then ONE literal
+    ``replace`` of ``' a  b '`` with ``' ab '``: with double-space
+    separators, two pattern occurrences overlap in the string IF AND
+    ONLY IF they share a symbol (each occurrence consumes one space of
+    each neighboring separator, leaving the other space for the next
+    occurrence), so leftmost-non-overlapping replace selects exactly
+    the pairs the greedy left-to-right BPE pass merges — including
+    same-symbol runs like ``bbbbbb``, where a single-space encoding
+    provably diverges (the shared delimiter makes skips cascade:
+    [bb, b, bb, b] instead of [bb, bb, bb]; caught by
+    tests/test_text.py::test_bpe_train_property_random_corpora). The
+    replacement ``' ab '`` restores one space on each side, so the
+    separator invariant is maintained and the result holds in ANY
+    engine with standard replace semantics — which is what lets a
+    DuckDB oracle reproduce the whole training run bit-for-bit (same
+    trick family as web.pagerank's BIGINT unrolling: no floats, no
+    UDFs, engine-exact strings and integers).
 
     Scale: every per-iteration relation is O(vocabulary), not
     O(corpus) — the corpus collapses to (token, freq) once, up front.
@@ -790,11 +796,11 @@ def _bpe_train_state(
     v = vocab.select(
         "token",
         "freq",
-        F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
+        F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1  ")).alias("s"),
     ).localCheckpoint()
     merges = []
     for it in range(1, iters + 1):
-        with_syms = v.select("freq", F.split(F.trim(F.col("s")), " ").alias("a"))
+        with_syms = v.select("freq", F.split(F.trim(F.col("s")), "  ").alias("a"))
         pairs = (
             with_syms.filter(F.size("a") >= 2)
             .select(
@@ -820,7 +826,7 @@ def _bpe_train_state(
         )
         merges.append(best.select("iteration", "left_sym", "right_sym", "pair_freq"))
         pat = F.concat(
-            F.lit(" "), F.col("left_sym"), F.lit(" "), F.col("right_sym"), F.lit(" ")
+            F.lit(" "), F.col("left_sym"), F.lit("  "), F.col("right_sym"), F.lit(" ")
         )
         rep = F.concat(F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" "))
         v = (
@@ -828,7 +834,7 @@ def _bpe_train_state(
             .select(
                 "token",
                 "freq",
-                F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+                F.replace(F.col("s"), pat, rep).alias("s"),
             )
             .localCheckpoint()
         )
@@ -862,7 +868,7 @@ def bpe_encode_counts(
     ever touches corpus rows."""
     _, vocab = _bpe_train_state(docs, iters=iters, id_col=id_col, text_col=text_col)
     seg = vocab.select(
-        "token", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_syms")
+        "token", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_syms")
     )
     t = tokens(docs, id_col=id_col, text_col=text_col).filter(F.col("token") != "")
     return (

@@ -5967,20 +5967,19 @@ def _bpe_train_ctes(iters: int = 4) -> list[str]:
     every v0..v{iters} vocab stage (token carried through) so both the
     merge-table query and the encode query share the chain."""
     merge = (
-        "replace(replace(s, ' '||left_sym||' '||right_sym||' ', "
-        "' '||left_sym||right_sym||' '), ' '||left_sym||' '||right_sym||' ', "
+        "replace(s, ' '||left_sym||'  '||right_sym||' ', "
         "' '||left_sym||right_sym||' ')"
     )
     ctes = [
         r"t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)",
         "f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE token <> '' GROUP BY token)",
-        r"v0 AS (SELECT token, freq, ' ' || regexp_replace(token, '(.)', '\1 ', 'g') AS s FROM f)",
+        r"v0 AS (SELECT token, freq, ' ' || regexp_replace(token, '(.)', '\1  ', 'g') AS s FROM f)",
     ]
     for k in range(1, iters + 1):
         prev = f"v{k - 1}"
         ctes.append(
             f"i{k} AS (SELECT freq, a, unnest(generate_series(1, len(a) - 1)) AS i "
-            f"FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM {prev}) "
+            f"FROM (SELECT freq, string_split(trim(s), '  ') AS a FROM {prev}) "
             f"WHERE len(a) >= 2)"
         )
         ctes.append(
@@ -6008,7 +6007,7 @@ def _bpe_train_oracle(iters: int = 4) -> str:
 def _bpe_encode_oracle(iters: int = 4) -> str:
     ctes = _bpe_train_ctes(iters) + [
         r"tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)",
-        f"enc AS (SELECT t.doc_id, len(string_split(trim(v.s), ' ')) AS n_syms, "
+        f"enc AS (SELECT t.doc_id, len(string_split(trim(v.s), '  ')) AS n_syms, "
         f"length(t.token) AS n_chars "
         f"FROM (SELECT doc_id, token FROM tok WHERE token <> '') t "
         f"JOIN v{iters} v ON t.token = v.token)",
@@ -6027,10 +6026,11 @@ def _bpe_encode_oracle(iters: int = 4) -> str:
 def text_bpe_train(spark, sf_dir):
     """Full BPE tokenizer-training loop (extensions/text.bpe_train): 4
     iterations of pair-count -> argmax merge -> re-segment, all
-    O(vocabulary) per round. The merge application is a double literal
-    replace over space-joined symbol strings — provably equal to the
-    greedy left-to-right BPE pass and reproducible bit-for-bit by the
-    unrolled DuckDB oracle (see bpe_train docstring)."""
+    O(vocabulary) per round. The merge application is one literal
+    replace over double-space-separated symbol strings — provably
+    equal to the greedy left-to-right BPE pass and reproducible
+    bit-for-bit by the unrolled DuckDB oracle (see bpe_train
+    docstring)."""
     return text.bpe_train(_t(spark, sf_dir, "documents"), iters=4)
 
 

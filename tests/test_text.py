@@ -258,3 +258,35 @@ def test_bpe_encode_counts_invariants(spark):
         assert four[d]["n_bpe_tokens"] < zero[d]["n_bpe_tokens"]
         assert four[d]["n_bpe_tokens"] >= four[d]["n_ws_tokens"]
         assert four[d]["n_ws_tokens"] == zero[d]["n_ws_tokens"]
+
+
+def test_bpe_train_property_random_corpora(spark):
+    """Property check of the double-replace merge trick against the
+    pure-Python greedy reference over adversarial mini-corpora: words
+    drawn from a 2-letter alphabet maximize consecutive-pair and
+    same-symbol-run fenceposts (abab, aaaa, aabb...)."""
+    import random
+
+    rng = random.Random(417)
+    alphabet = "ab"
+    for case in range(6):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        # distribute words over a few docs
+        docs_rows = []
+        for d in range(3):
+            body = " ".join(rng.choice(words) for _ in range(rng.randint(2, 8)))
+            docs_rows.append((f"d{d}", body))
+        word_freqs = {}
+        for _, t in docs_rows:
+            for w in t.split():
+                word_freqs[w] = word_freqs.get(w, 0) + 1
+        docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+        want = _bpe_reference(word_freqs, iters=3)
+        got = [
+            (r["iteration"], r["left_sym"], r["right_sym"], r["pair_freq"])
+            for r in text.bpe_train(docs, iters=3).orderBy("iteration").collect()
+        ]
+        assert got == want, f"case {case}: {docs_rows}\n{got} != {want}"
