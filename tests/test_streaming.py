@@ -418,3 +418,51 @@ def test_trending_topk_boundary_and_tiebreak(spark, sf_dir):
         assert [r.rnk for r in group] == list(range(1, len(group) + 1))
         key = [(-r.n, r.event_type) for r in group]
         assert key == sorted(key), f"rank order broken in {hour}"
+
+
+def test_stream_neardup_against_corpus_foreachbatch(spark, tmp_path):
+    """Streaming NEAR-dup gate: each micro-batch of incoming docs is
+    LSH-checked against the persisted corpus via minhash_lsh_against
+    inside foreachBatch — the daily-ingest composition (per-batch cost
+    O(new + collisions), the corpus side is the persisted index). A
+    batch doc near-identical to a corpus doc is flagged; novel docs
+    pass."""
+    from change_data_capture_spark.extensions import dedup
+
+    body = "the quick brown fox jumps over the lazy dog again and again in autumn "
+    corpus = spark.createDataFrame(
+        [(100, body * 4), (101, "completely different corpus material here " * 5)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, body * 4 + "tail"), (2, "novel content one " * 6)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "novel content two " * 6), (4, body * 4 + "coda")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    flagged: list[tuple] = []
+
+    def gate(batch_df, epoch_id):
+        hits = dedup.minhash_lsh_against(
+            batch_df, corpus, n=5, k=32, bands=8, threshold=0.8
+        )
+        flagged.extend((r.a_id, r.b_id) for r in hits.collect())
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (1, 100) in flagged and (4, 100) in flagged, flagged
+    assert not any(a in (2, 3) for a, _ in flagged), flagged

@@ -312,3 +312,31 @@ def test_pagerank_full_early_stop_matches_fixed_depth(spark):
     shallow = {r.id: r.rank_ppt for r in web.pagerank_full(edges, max_iters=1).collect()}
     want = _pagerank_full_reference(edge_list, max_iters=6)
     assert deep == want == shallow
+
+
+def test_pagerank_matches_python_int_reference(spark):
+    """Independent check (not the SQL oracle, which shares the
+    formula): replay the simplified-convention integer PageRank in
+    plain Python over a random-ish graph and require bit equality."""
+    edge_list = [(i, (i * 7 + 3) % 23) for i in range(40)] + [
+        (i, (i * 13 + 5) % 17) for i in range(40)
+    ]
+    edge_list = [(u, v) for u, v in edge_list if u != v]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank_ppt for r in web.pagerank(edges, iters=3).collect()}
+
+    e = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    scale = 10**12
+    base = (scale * 15) // (100 * n)
+    ranks = {i: scale // n for i in nodes}
+    for _ in range(3):
+        incoming = {i: 0 for i in nodes}
+        for u, v in e:
+            incoming[v] += ranks[u] // outdeg[u]
+        ranks = {i: base + (85 * incoming[i]) // 100 for i in nodes}
+    assert got == ranks
