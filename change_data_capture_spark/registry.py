@@ -282,14 +282,22 @@ def q5_local_supplier_volume(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # Two-level unscaled-integer revenue sum (see q1): n_name groups
+    # are few but UNBOUNDED in size at scale, so the long partial is
+    # bounded per (group, input partition) and the tiny second level
+    # combines exactly in decimal. Bit-identical to the decimal sum.
+    micro = (disc.cast("decimal(28,6)") * 1000000).cast("long")
+    part = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(_dsum_expr(disc).alias("revenue"))
+        .groupBy("n_name", F.spark_partition_id().alias("__p"))
+        .agg(F.sum(micro).alias("d"))
+    )
+    return part.groupBy("n_name").agg(
+        (F.sum(F.col("d").cast("decimal(38,0)")) / 1000000).cast("double").alias("revenue")
     )
 
 
