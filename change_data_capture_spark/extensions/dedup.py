@@ -553,6 +553,56 @@ def simhash_duplicates(
     return out
 
 
+def cluster_weighted_sample(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "cws",
+) -> DataFrame:
+    """Soft dedup by cluster-weighted sampling (the SemDeDup/D4-family
+    alternative to hard keep-one-per-cluster): every document keeps
+    with probability 1 / |its near-dup cluster|, so each duplicate
+    family contributes ~one document IN EXPECTATION while unique
+    documents always survive — the sampling view of dedup used when a
+    pipeline wants to down-weight rather than eliminate duplication.
+
+    Deterministic and engine-exact: the keep decision is an INTEGER
+    comparison ``md5_hash32(salt:doc_id) * cluster_size < 2^32``
+    (P = 1/size exactly; the md5-derived 32-bit hash is the
+    engine-portable content hash from ``scale._md5_hash32``, so a SQL
+    oracle reproduces every decision bit-for-bit, and the decision is
+    reshuffle-stable — no partition-local RNG). Clusters come from
+    ``duplicate_clusters`` over the given near-dup ``pairs``; docs in
+    no cluster form singletons (size 1, always kept).
+
+    Output: (id, cluster_id, cluster_size, keep). Scale: one cluster
+    aggregation + two equi-joins keyed by doc/cluster id; the integer
+    product stays in range for cluster sizes < 2^31 (a single
+    2-billion-doc duplicate family is already a data-quality incident,
+    not a sampling problem)."""
+    from .scale import _md5_hash32
+
+    clusters = duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    j = (
+        docs.select(F.col(id_col))
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .join(sizes, "cluster_id", "left")
+    )
+    size = F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+    u32 = _md5_hash32([F.lit(salt), F.col(id_col).cast("string")])
+    return j.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        size.alias("cluster_size"),
+        ((u32 * size) < F.lit(2**32).cast("bigint")).alias("keep"),
+    )
+
+
 def cluster_representatives(
     clusters: DataFrame,
     scores: DataFrame,

@@ -2197,6 +2197,47 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+@_q(
+    "dedup_cluster_sample",
+    f"""
+    WITH RECURSIVE
+    p AS ({_JACCARD_ORACLE}),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+          UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u
+    ),
+    cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM cl GROUP BY 1),
+    j AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+             COALESCE(sz.cluster_size, 1) AS cluster_size
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN cl ON d.doc_id = cl.doc_id
+      LEFT JOIN sz ON cl.cluster_id = sz.cluster_id
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           (('0x' || substr(md5('cws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             * cluster_size < 4294967296) AS keep
+    FROM j
+    """,
+)
+def dedup_cluster_sample(spark, sf_dir):
+    """Cluster-weighted soft dedup (extensions/dedup.
+    cluster_weighted_sample): P(keep) = 1/|near-dup cluster| via an
+    engine-portable md5 integer comparison — each duplicate family
+    survives ~once in expectation, uniques always survive. Clusters
+    from the exact-verified MinHash pairs; every keep decision is
+    bit-reproduced by the recursive-closure + md5 oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    return dedup.cluster_weighted_sample(docs, pairs)
+
+
 @_q("dedup_simhash", None)  # candidate recall < 1 by design -> rows-only
 def dedup_simhash(spark, sf_dir):
     """SimHash measures token-level similarity, not shingle Jaccard —

@@ -110,3 +110,32 @@ def test_lsh_bucket_cap_drops_template_family(spark):
     full_pairs = {(r.a_id, r.b_id) for r in full.collect()}
     assert sum(1 for a, _ in full_pairs if a >= 100) == 30 * 29 // 2
     assert (1, 2) in full_pairs
+
+
+def test_cluster_weighted_sample_semantics(spark):
+    """Uniques always kept; cluster members kept with P=1/size via the
+    deterministic integer rule (verified against a direct Python
+    recomputation of the same md5 decision)."""
+    import hashlib
+
+    from change_data_capture_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], "doc_id long, text string"
+    )
+    # one 4-cluster {1,2,3,4} and one 2-cluster {7,8}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "a_id long, b_id long"
+    )
+    out = {r.doc_id: r for r in dedup.cluster_weighted_sample(docs, pairs).collect()}
+    assert len(out) == 10
+    for d in (5, 6, 9, 10):
+        assert out[d].cluster_size == 1 and out[d].keep is True
+        assert out[d].cluster_id == d
+    for d in (1, 2, 3, 4):
+        assert out[d].cluster_size == 4 and out[d].cluster_id == 1
+    for d in (7, 8):
+        assert out[d].cluster_size == 2 and out[d].cluster_id == 7
+    for d, r in out.items():
+        u32 = int(hashlib.md5(f"cws:{d}".encode()).hexdigest()[:8], 16)
+        assert r.keep == (u32 * r.cluster_size < 2**32), d
