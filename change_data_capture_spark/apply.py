@@ -50,6 +50,15 @@ from .schema import OP_DELETE, OP_INSERT, OP_UPDATE, pk_compat_schema, schema_fr
 _META = "_meta.json"
 _BUCKET = "__bucket"
 _DEFAULT_BUCKETS = int(os.environ.get("SPARK_GRAFT_APPLY_BUCKETS", "16"))
+_NO_CAS = object()  # sentinel: CAS against the entry-time snapshot
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a version after this write's merge was
+    computed: committing would silently drop that writer's rows (the
+    merge was based on a stale table state). The batch is safe to
+    retry — nothing was published (data files without a meta pointer
+    are invisible to readers and are cleaned up)."""
 
 
 def bucket_expr(pks: Sequence[str], n_buckets: int, value_of=None) -> F.Column:
@@ -383,8 +392,22 @@ class TableCatalog:
         changed_buckets: Sequence[int] | None = None,
         n_buckets: int | None = None,
         sort_within_buckets: Sequence[str] | None = None,
+        expected_current: object = _NO_CAS,
     ) -> None:
         """Publish a new table version.
+
+        ``expected_current`` is the optimistic-concurrency check
+        (Delta/Iceberg commit semantics on a filesystem catalog): the
+        data-dir name the caller's merge was computed FROM (None for
+        'table was empty'). The publish re-reads the meta pointer
+        right before the atomic swap and raises ConcurrentWriteError
+        if any other writer moved it — a merge based on a stale base
+        must never commit, because the anti-join would resurrect/drop
+        the other writer's rows. Default: CAS against this call's own
+        entry-time snapshot (protects the write window itself).
+        Best-effort on a plain filesystem (no lock between check and
+        swap); a production deployment backs the same check with a
+        conditional PUT / commit service.
 
         ``n_buckets`` re-hashes this version into a new bucket count
         (compaction); the count is published atomically with the data
@@ -403,6 +426,13 @@ class TableCatalog:
         local filesystem expresses the same file-reuse semantics.)"""
         meta = self.meta(table_id)
         assert meta is not None and meta["schema"] is not None
+        if expected_current is _NO_CAS:
+            expected_current = meta["current"]
+        elif meta["current"] != expected_current:
+            raise ConcurrentWriteError(
+                f"{table_id}: base version {expected_current!r} is stale "
+                f"(current is {meta['current']!r})"
+            )
         if n_buckets is not None:
             assert changed_buckets is None, "re-bucketing requires a full rewrite"
         else:
@@ -452,10 +482,25 @@ class TableCatalog:
                         os.link(src, dst)
                     except OSError:
                         shutil.copy2(src, dst)
-        meta["current"] = new_dir
-        meta["buckets"] = n_buckets
-        meta["applied_version"] = max(meta.get("applied_version", 0), applied_version)
-        self.put_meta(table_id, meta)
+        # Commit-time CAS: re-read the pointer and refuse to swap if a
+        # concurrent writer published while this version was being
+        # written. The new data dir is removed — without a meta pointer
+        # it was never visible to any reader.
+        latest = self.meta(table_id)
+        if latest is None or latest.get("current") != expected_current:
+            shutil.rmtree(out, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table_id}: version {expected_current!r} was superseded by "
+                f"{latest.get('current') if latest else None!r} during the write"
+            )
+        # Merge into the LATEST meta, not this call's entry snapshot: a
+        # concurrent DDL may have evolved the schema (schema changes
+        # don't move the data pointer, so they pass the CAS — and must
+        # not be lost here).
+        latest["current"] = new_dir
+        latest["buckets"] = n_buckets
+        latest["applied_version"] = max(latest.get("applied_version", 0), applied_version)
+        self.put_meta(table_id, latest)
 
 
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
@@ -660,7 +705,11 @@ def apply_changes(
                     *[f.name for f in schema.fields]
                 )
                 catalog.write_new_version(
-                    table_id, upserts, int(batch_max_version), changed_buckets=None
+                    table_id,
+                    upserts,
+                    int(batch_max_version),
+                    changed_buckets=None,
+                    expected_current=None,  # create path: table must still be empty
                 )
                 report.append(
                     {
@@ -720,6 +769,8 @@ def apply_changes(
                     merged,
                     int(batch_max_version),
                     changed_buckets=changed_buckets,
+                    # OCC: the merge base is this meta snapshot's data dir
+                    expected_current=meta["current"],
                 )
                 report.append(
                     {

@@ -531,3 +531,43 @@ def test_bootstrap_replica_resumes_live_feed_without_skip(spark, tmp_path):
     assert report[0]["action"] == "merge", report
     got = sorted((r.id, r.v) for r in replica.read(spark, "t.f").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_concurrent_publish_raises_and_leaves_no_partial_state(spark, tmp_path):
+    """Optimistic concurrency: a publish whose merge base was
+    superseded by another writer must raise ConcurrentWriteError and
+    publish nothing — readers keep seeing the interfering writer's
+    version, and the loser's data dir is cleaned up."""
+    from change_data_capture_spark.apply import (
+        ConcurrentWriteError,
+        TableCatalog,
+        apply_changelog,
+    )
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(df, "t.occ", ["id"]), cat)
+    base = cat.meta("t.occ")["current"]
+
+    # writer B publishes first (same root, separate handle)
+    other = TableCatalog(str(tmp_path / "cat"))
+    other.write_new_version(
+        "t.occ",
+        spark.createDataFrame([(1, "B"), (2, "B"), (3, "B")], "id long, v string"),
+        applied_version=5,
+        expected_current=base,
+    )
+
+    # writer A, whose merge was computed against the old base, must fail
+    stale = spark.createDataFrame([(1, "A"), (2, "A")], "id long, v string")
+    try:
+        cat.write_new_version("t.occ", stale, applied_version=6, expected_current=base)
+        raise SystemExit("expected ConcurrentWriteError")
+    except ConcurrentWriteError:
+        pass
+
+    got = sorted((r.id, r.v) for r in cat.read(spark, "t.occ").collect())
+    assert got == [(1, "B"), (2, "B"), (3, "B")]
+    # loser's data dir was removed; only seed + B's versions remain
+    assert len(cat.versions("t.occ")) == 2
