@@ -6331,7 +6331,7 @@ def web_pagerank_full(spark, sf_dir):
 # text / ANN / clustering / temporal / streaming / scale / multimodal)
 # — so a single driver round exercises the whole engine. Everything not
 # named here follows in registration order and stays covered by the
-# local 139-query bare gate (tools/check_oracle.py --bare).
+# local all-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
     # Round-4 rotation (VERDICT r03 directive #3): long-stable slots
     # (relational suite green 3x, several flagships green r03) rotate
