@@ -4945,6 +4945,114 @@ def cdc_debezium_apply(spark, sf_dir):
     return cat.read(spark, "tpch.customer")
 
 
+def _maxwell_customer_feed(spark, sf_dir):
+    """Deterministic Maxwell JSON feed over customer: bootstrap-insert
+    snapshot (ts 1), c_acctbal updates with `old` carrying only the
+    changed column (ts 2, custkey%7==3), deletes (ts 3, custkey%7==5)
+    — the shared CT-path mutation pattern, replayable in SQL."""
+    from .sources import wire_formats as wf
+
+    cust = _t(spark, sf_dir, "customer")
+    full = F.struct(*[F.col(c) for c in cust.columns])
+    upd_data = F.struct(
+        *[
+            ((F.col(c) + 100.0).alias(c) if c == "c_acctbal" else F.col(c))
+            for c in cust.columns
+        ]
+    )
+    snap = wf.encode_maxwell_json(
+        cust, table="tpch.customer", typ="bootstrap-insert", data=full,
+        ts=1, xid=F.col("c_custkey"),
+    )
+    upd = wf.encode_maxwell_json(
+        cust.filter(F.col("c_custkey") % 7 == 3), table="tpch.customer",
+        typ="update", data=upd_data, old=F.struct(F.col("c_acctbal")),
+        ts=2, xid=F.col("c_custkey"),
+    )
+    dele = wf.encode_maxwell_json(
+        cust.filter(F.col("c_custkey") % 7 == 5), table="tpch.customer",
+        typ="delete", data=full, ts=3, xid=F.col("c_custkey"),
+    )
+    return snap.unionByName(upd).unionByName(dele)
+
+
+@_q(
+    "cdc_maxwell_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_maxwell_apply(spark, sf_dir):
+    """Maxwell (MySQL binlog daemon) feed decoded, normalized, and
+    MERGEd end-to-end (sources/wire_formats.maxwell_raw_ops): the
+    third wire format through the one shared normalize -> apply
+    engine. `old` carries only changed columns; the decoder
+    reconstructs the full preimage so PK-update splits keep working."""
+    from .sources import wire_formats as wf
+
+    cust = _t(spark, sf_dir, "customer")
+    raw = wf.maxwell_raw_ops(
+        _maxwell_customer_feed(spark, sf_dir),
+        {"tpch.customer": ["c_custkey"]},
+        rows_schemas={"tpch.customer": cust.schema.json()},
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_mxw_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return cat.read(spark, "tpch.customer")
+
+
+@_q(
+    "cdc_dms_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_dms_apply(spark, sf_dir):
+    """AWS DMS (Kinesis/Kafka target) feed decoded, normalized, and
+    MERGEd end-to-end (sources/wire_formats.dms_raw_ops): full-load
+    'load' records create the table, updates upsert (with the optional
+    before-image honored), deletes remove, control records dropped —
+    the fourth wire format over the same engine."""
+    from .sources import wire_formats as wf
+
+    cust = _t(spark, sf_dir, "customer")
+    full = F.struct(*[F.col(c) for c in cust.columns])
+    upd_data = F.struct(
+        *[
+            ((F.col(c) + 100.0).alias(c) if c == "c_acctbal" else F.col(c))
+            for c in cust.columns
+        ]
+    )
+    snap = wf.encode_dms_json(
+        cust, table="tpch.customer", operation="load", data=full,
+        timestamp="1970-01-01T00:00:00.001Z",
+    )
+    upd = wf.encode_dms_json(
+        cust.filter(F.col("c_custkey") % 7 == 3), table="tpch.customer",
+        operation="update", data=upd_data, before_image=full,
+        timestamp="1970-01-01T00:00:00.002Z",
+    )
+    dele = wf.encode_dms_json(
+        cust.filter(F.col("c_custkey") % 7 == 5), table="tpch.customer",
+        operation="delete", data=upd_data,
+        timestamp="1970-01-01T00:00:00.003Z",
+    )
+    raw = wf.dms_raw_ops(
+        snap.unionByName(upd).unionByName(dele),
+        {"tpch.customer": ["c_custkey"]},
+        rows_schemas={"tpch.customer": cust.schema.json()},
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_dms_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return cat.read(spark, "tpch.customer")
+
+
 @_q(
     "cdc_debezium_outbound",
     """

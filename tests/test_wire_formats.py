@@ -1,0 +1,164 @@
+"""Maxwell + AWS DMS wire-format decode tests: envelope parse, op
+mapping, before-image reconstruction (incl. PK-update split through
+normalize_raw_ops), dead letters, and end-to-end apply through the
+shared engine."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.normalize import normalize_raw_ops
+from change_data_capture_spark.sources import wire_formats as wf
+
+KEYS = {"shop.orders": ["id"]}
+
+
+def _decoded(spark, messages, fn=None):
+    fn = fn or wf.maxwell_raw_ops
+    return {
+        (r["op_type"], r["change_tracking_version"]): r
+        for r in fn(spark.createDataFrame(messages, "message string"), KEYS).collect()
+    }
+
+
+def test_maxwell_insert_update_delete_decode(spark):
+    msgs = [
+        ('{"database":"shop","table":"orders","type":"insert","ts":1,"xid":7,'
+         '"commit":true,"data":{"id":1,"amount":10.5}}',),
+        ('{"database":"shop","table":"orders","type":"update","ts":2,"xid":8,'
+         '"data":{"id":1,"amount":99.0},"old":{"amount":10.5}}',),
+        ('{"database":"shop","table":"orders","type":"delete","ts":3,"xid":9,'
+         '"data":{"id":1,"amount":99.0}}',),
+    ]
+    out = _decoded(spark, msgs)
+    ins = out[("I", 1_000_007)]
+    assert ins["after"] == {"id": "1", "amount": "10.5"} and ins["before"] is None
+    upd = out[("U", 2_000_008)]
+    assert upd["after"] == {"id": "1", "amount": "99.0"}
+    # before = data overridden by old -> full preimage
+    assert upd["before"] == {"id": "1", "amount": "10.5"}
+    dele = out[("D", 3_000_009)]
+    assert dele["before"] == {"id": "1", "amount": "99.0"} and dele["after"] is None
+
+
+def test_maxwell_pk_move_splits_via_normalizer(spark):
+    # Maxwell puts a moved PK's previous value in `old`; the
+    # reconstructed preimage lets normalize_raw_ops split the update.
+    msgs = [
+        ('{"database":"shop","table":"orders","type":"update","ts":5,"xid":1,'
+         '"data":{"id":2,"amount":7.0},"old":{"id":1}}',),
+    ]
+    raw = wf.maxwell_raw_ops(spark.createDataFrame(msgs, "message string"), KEYS)
+    recs = normalize_raw_ops(raw).select("dml.op_type", "dml.rows_values").collect()
+    ops = {r["op_type"]: r["rows_values"] for r in recs}
+    assert set(ops) == {"DELETE", "INSERT"}
+    assert ops["DELETE"]["id"] == "1" and ops["INSERT"]["id"] == "2"
+
+
+def test_maxwell_dead_letters(spark):
+    msgs = [
+        ('{"database":"shop","table":"orders","type":"bootstrap-start","ts":1,'
+         '"data":{}}',),
+        ('{"database":"shop","table":"orders","type":"table-create","ts":1}',),
+        ('{"database":"other","table":"t","type":"insert","ts":1,"data":{"id":1}}',),
+        ("not json at all",),
+    ]
+    dl = wf.maxwell_dead_letters(
+        spark.createDataFrame(msgs, "message string"), KEYS
+    ).collect()
+    reasons = sorted(r["reason"] for r in dl)
+    assert reasons == ["unknown_table", "unparseable", "unsupported_op", "unsupported_op"]
+
+
+def test_dms_decode_and_control_drop(spark):
+    msgs = [
+        ('{"data":{"id":1,"amount":10.5},"metadata":{"timestamp":'
+         '"1970-01-01T00:00:00.001Z","record-type":"data","operation":"load",'
+         '"schema-name":"shop","table-name":"orders","transaction-id":1}}',),
+        ('{"data":{"id":1,"amount":99.0},"before-image":{"id":1,"amount":10.5},'
+         '"metadata":{"timestamp":"1970-01-01T00:00:00.002Z","record-type":"data",'
+         '"operation":"update","schema-name":"shop","table-name":"orders"}}',),
+        ('{"data":{"id":1,"amount":99.0},"metadata":{"timestamp":'
+         '"1970-01-01T00:00:00.003Z","record-type":"data","operation":"delete",'
+         '"schema-name":"shop","table-name":"orders"}}',),
+        ('{"metadata":{"timestamp":"1970-01-01T00:00:00.004Z","record-type":'
+         '"control","operation":"create-table","schema-name":"shop",'
+         '"table-name":"orders"}}',),
+    ]
+    out = _decoded(spark, msgs, fn=wf.dms_raw_ops)
+    assert set(out) == {("I", 1000), ("U", 2000), ("D", 3000)}
+    upd = out[("U", 2000)]
+    assert upd["before"] == {"id": "1", "amount": "10.5"}
+    assert upd["after"] == {"id": "1", "amount": "99.0"}
+    assert out[("D", 3000)]["before"]["amount"] == "99.0"
+
+
+def _apply_feed(spark, raw, tmp_path, sub):
+    cat = TableCatalog(str(tmp_path / sub))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return {r["id"]: r["amount"] for r in cat.read(spark, "shop.orders").collect()}
+
+
+def test_maxwell_end_to_end_apply(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(1, 8)], "id long, amount double"
+    )
+    full = F.struct(F.col("id"), F.col("amount"))
+    snap = wf.encode_maxwell_json(
+        base, table="shop.orders", typ="bootstrap-insert", data=full, ts=1,
+        xid=F.col("id"),
+    )
+    upd = wf.encode_maxwell_json(
+        base.filter(F.col("id") % 3 == 0),
+        table="shop.orders", typ="update",
+        data=F.struct(F.col("id"), (F.col("amount") + 5).alias("amount")),
+        old=F.struct(F.col("amount")), ts=2, xid=F.col("id"),
+    )
+    dele = wf.encode_maxwell_json(
+        base.filter(F.col("id") % 3 == 1),
+        table="shop.orders", typ="delete", data=full, ts=3, xid=F.col("id"),
+    )
+    schema_json = base.schema.json()
+    raw = wf.maxwell_raw_ops(
+        snap.unionByName(upd).unionByName(dele), KEYS,
+        rows_schemas={"shop.orders": schema_json},
+    )
+    got = _apply_feed(spark, raw, tmp_path, "mx")
+    want = {
+        i: (10.0 * i + 5 if i % 3 == 0 else 10.0 * i)
+        for i in range(1, 8)
+        if i % 3 != 1
+    }
+    assert got == want
+
+
+def test_dms_end_to_end_apply(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(1, 8)], "id long, amount double"
+    )
+    full = F.struct(F.col("id"), F.col("amount"))
+    snap = wf.encode_dms_json(
+        base, table="shop.orders", operation="load", data=full,
+        timestamp="1970-01-01T00:00:00.001Z",
+    )
+    upd = wf.encode_dms_json(
+        base.filter(F.col("id") % 3 == 0),
+        table="shop.orders", operation="update",
+        data=F.struct(F.col("id"), (F.col("amount") + 5).alias("amount")),
+        timestamp="1970-01-01T00:00:00.002Z",
+    )
+    dele = wf.encode_dms_json(
+        base.filter(F.col("id") % 3 == 1),
+        table="shop.orders", operation="delete", data=full,
+        timestamp="1970-01-01T00:00:00.003Z",
+    )
+    raw = wf.dms_raw_ops(
+        snap.unionByName(upd).unionByName(dele), KEYS,
+        rows_schemas={"shop.orders": base.schema.json()},
+    )
+    got = _apply_feed(spark, raw, tmp_path, "dms")
+    want = {
+        i: (10.0 * i + 5 if i % 3 == 0 else 10.0 * i)
+        for i in range(1, 8)
+        if i % 3 != 1
+    }
+    assert got == want
