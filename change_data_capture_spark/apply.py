@@ -503,6 +503,71 @@ class TableCatalog:
         self.put_meta(table_id, latest)
 
 
+def maintenance_report(
+    catalog: TableCatalog,
+    *,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    keep_last: int = 2,
+) -> list[dict]:
+    """Per-table maintenance advisor — the metadata-only scan a
+    scheduled OPTIMIZE job runs to decide what needs attention:
+
+    - ``recommended_buckets``: next power of two that brings the
+      average bucket under ``target_bucket_bytes`` (the Kudu-style
+      'grow hash partitions as the table grows' rule; compact() with
+      this value re-layouts invisibly). 256 MB default keeps a
+      bucket's merge unit executor-sized at 100 TB.
+    - ``small_files``: files under 1/8 of the target in the current
+      version — write amplification from many tiny batches; high
+      counts mean compact() is due even without re-bucketing.
+    - ``reclaimable_versions``: versions vacuum(keep_last) would drop.
+
+    Everything comes from directory listings and _meta.json —
+    O(#tables + #files) driver work, zero Spark jobs, safe to run on
+    a schedule against a live catalog."""
+    report = []
+    for table_id in catalog.tables():
+        meta = catalog.meta(table_id)
+        if meta is None or meta.get("current") is None:
+            continue
+        cur_dir = os.path.join(catalog.table_dir(table_id), meta["current"])
+        n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
+        total = 0
+        n_files = 0
+        small = 0
+        for root, _dirs, files in os.walk(cur_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                sz = os.path.getsize(os.path.join(root, f))
+                total += sz
+                n_files += 1
+                if sz < target_bucket_bytes // 8:
+                    small += 1
+        rec = n_buckets
+        while total // max(rec, 1) > target_bucket_bytes:
+            rec *= 2
+        versions = catalog.versions(table_id)
+        current_seq = int(meta["current"].rsplit("_v", 1)[1])
+        reclaimable = [
+            v for v in versions[:-keep_last] if v != current_seq
+        ] if keep_last else []
+        report.append(
+            {
+                "table": table_id,
+                "bytes": total,
+                "files": n_files,
+                "small_files": small,
+                "buckets": n_buckets,
+                "recommended_buckets": rec,
+                "needs_rebucket": rec != n_buckets,
+                "versions": len(versions),
+                "reclaimable_versions": reclaimable,
+            }
+        )
+    return report
+
+
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
     cols = set(df.columns)
     return df.select(

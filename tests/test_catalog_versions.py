@@ -180,3 +180,42 @@ def test_compact_sort_by_lays_out_zone_maps_invisibly(spark, tmp_path):
     for f in files:
         scores = pq.read_table(f, columns=["score"])["score"].to_pylist()
         assert scores == sorted(scores), f"bucket file not sorted: {f}"
+
+
+def test_maintenance_report_recommends_rebucket_and_vacuum(spark, tmp_path):
+    """The advisor flags growth past the per-bucket target and counts
+    reclaimable versions — all from metadata, zero Spark jobs."""
+    from change_data_capture_spark.apply import (
+        TableCatalog,
+        apply_changelog,
+        maintenance_report,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    df = spark.createDataFrame(
+        [(i, "x" * 50) for i in range(200)], "id long, v string"
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(df, "t.m", ["id"]), cat)
+    for ver in (2, 3):
+        upd = dml_records(
+            df.limit(3), "t.m", ["id"], op="UPDATE", version=ver
+        )
+        apply_changelog(spark, upd, cat)
+
+    (r,) = maintenance_report(cat, target_bucket_bytes=1024, keep_last=2)
+    assert r["table"] == "t.m" and r["files"] > 0 and r["bytes"] > 0
+    # tiny target forces a rebucket recommendation, power-of-two growth
+    assert r["needs_rebucket"] and r["recommended_buckets"] > r["buckets"]
+    assert r["recommended_buckets"] % r["buckets"] == 0
+    # 3 versions, keep 2 -> exactly one reclaimable
+    assert r["versions"] == 3 and r["reclaimable_versions"] == [1]
+
+    # generous target: healthy table, nothing to do
+    (r2,) = maintenance_report(cat, target_bucket_bytes=256 * 1024 * 1024)
+    assert not r2["needs_rebucket"]
+
+    # acting on the advice keeps the table identical
+    cat.compact(spark, "t.m", n_buckets=r["recommended_buckets"])
+    assert cat.read(spark, "t.m").count() == 200
+    assert cat.meta("t.m")["buckets"] == r["recommended_buckets"]
