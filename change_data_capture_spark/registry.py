@@ -6456,7 +6456,9 @@ DRIVER_WINDOW: list[str] = [
     # q_scalar_functions, q_json_props, q_array_ops, q_type_compat,
     # dedup_exact, dedup_clusters, text_quality, text_span_dedup,
     # embedding_quantize_int8, embedding_kmeans_lloyd,
-    # text_decontaminate_pairs, corpus_split_assign, stream_sessionize.
+    # text_decontaminate_pairs, corpus_split_assign, stream_sessionize,
+    # and (late-r4, both green r01+r03, for the two NEW wire-format
+    # sources) cdc_rowkey, cdc_ddl_dedup.
     # --- CDC core: scan pushdown, normalize, apply, streaming,
     #     table management (27)
     "p_ct_change_scan",
@@ -6472,8 +6474,8 @@ DRIVER_WINDOW: list[str] = [
     "cdc_pk_type_coerce",
     "cdc_pk_update_split",
     "cdc_net_change_collapse",
-    "cdc_ddl_dedup",
-    "cdc_rowkey",
+    "cdc_maxwell_apply",
+    "cdc_dms_apply",
     "cdc_goldengate_decode",
     "cdc_goldengate_apply",
     "cdc_goldengate_binary_e2e",
