@@ -330,7 +330,16 @@ class TableCatalog:
         meta = self.meta(table_id)
         if meta is None or meta["schema"] is None:
             raise KeyError(f"unknown table {table_id!r}")
-        current = self.read(spark, table_id)
+        # Pin the version this rewrite READS so the publish CAS checks
+        # against it: write_new_version's default entry-snapshot CAS
+        # re-reads meta AFTER a concurrent apply could have published,
+        # and a compact based on the older data would then silently
+        # revert that batch. With the pin, such a race raises
+        # ConcurrentWriteError and the compact is simply retried.
+        pinned = (
+            int(meta["current"].rsplit("_v", 1)[1]) if meta.get("current") else None
+        )
+        current = self.read(spark, table_id, version=pinned)
         # The new bucket count is published in the SAME atomic meta
         # swap as the new data pointer (inside write_new_version) — a
         # crash mid-compact must never leave meta['buckets']
@@ -344,6 +353,7 @@ class TableCatalog:
             changed_buckets=None,
             n_buckets=None if n_buckets is None else int(n_buckets),
             sort_within_buckets=list(sort_by) if sort_by else None,
+            expected_current=meta["current"],
         )
 
     def table_changes(

@@ -219,3 +219,39 @@ def test_maintenance_report_recommends_rebucket_and_vacuum(spark, tmp_path):
     cat.compact(spark, "t.m", n_buckets=r["recommended_buckets"])
     assert cat.read(spark, "t.m").count() == 200
     assert cat.meta("t.m")["buckets"] == r["recommended_buckets"]
+
+
+def test_compact_race_with_concurrent_apply_refuses(spark, tmp_path):
+    """A compact whose source snapshot was superseded by a concurrent
+    apply must refuse to publish (it would silently revert the batch);
+    the applied batch survives."""
+    from change_data_capture_spark.apply import (
+        ConcurrentWriteError,
+        TableCatalog,
+        apply_changelog,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, v string")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(df, "t.race", ["id"]), cat)
+
+    # simulate the race: capture compact's inputs, publish in between
+    meta = cat.meta("t.race")
+    pinned = int(meta["current"].rsplit("_v", 1)[1])
+    current = cat.read(spark, "t.race", version=pinned)
+    upd = dml_records(
+        df.limit(1), "t.race", ["id"], op="UPDATE", version=2,
+        value_overrides={"v": __import__("pyspark").sql.functions.lit("LIVE")},
+    )
+    apply_changelog(spark, upd, cat)  # concurrent writer lands
+    try:
+        cat.write_new_version(
+            "t.race", current, int(meta.get("applied_version", 0)),
+            changed_buckets=None, n_buckets=32,
+            expected_current=meta["current"],
+        )
+        raise SystemExit("expected ConcurrentWriteError")
+    except ConcurrentWriteError:
+        pass
+    assert "LIVE" in {r.v for r in cat.read(spark, "t.race").collect()}
