@@ -162,3 +162,39 @@ def test_dms_end_to_end_apply(spark, tmp_path):
         if i % 3 != 1
     }
     assert got == want
+
+
+def test_maxwell_schema_drift_evolves_mid_stream(spark, tmp_path):
+    """A column appearing mid-feed (MySQL ALTER; Maxwell just starts
+    including it in `data`) evolves the table via the SHARED drift
+    helper — evolve_from_observed_columns works on any raw-op frame,
+    not just Debezium's."""
+    from change_data_capture_spark.sources.debezium import evolve_from_observed_columns
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amount double")
+    full = F.struct(F.col("id"), F.col("amount"))
+    snap = wf.encode_maxwell_json(
+        base, table="shop.orders", typ="insert", data=full, ts=1, xid=F.col("id")
+    )
+    raw1 = wf.maxwell_raw_ops(
+        snap, KEYS, rows_schemas={"shop.orders": base.schema.json()}
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, normalize_raw_ops(raw1), cat)
+
+    drifted = spark.createDataFrame(
+        [(3, 30.0, "express")], "id long, amount double, ship_mode string"
+    )
+    raw2 = wf.maxwell_raw_ops(
+        wf.encode_maxwell_json(
+            drifted, table="shop.orders", typ="insert",
+            data=F.struct(F.col("id"), F.col("amount"), F.col("ship_mode")),
+            ts=2, xid=F.col("id"),
+        ),
+        KEYS,
+    )
+    added = evolve_from_observed_columns(raw2, cat)
+    assert added == {"shop.orders": ["ship_mode"]}
+    apply_changelog(spark, normalize_raw_ops(raw2), cat)
+    got = {r["id"]: (r["amount"], r["ship_mode"]) for r in cat.read(spark, "shop.orders").collect()}
+    assert got == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "express")}
