@@ -121,6 +121,31 @@ def main() -> int:
         F.col("rank_ppt").desc()).show(3)
     registry.REGISTRY["er_blocked_match"].fn(spark, sf_dir).show(3)
 
+    section("10. Round-4 additions: wire formats, BPE, payload dedup, OCC")
+    from change_data_capture_spark.apply import maintenance_report
+    from change_data_capture_spark.extensions import multimodal
+    from change_data_capture_spark.sources import wire_formats as wfmt
+
+    mx = wfmt.encode_maxwell_json(
+        cust.limit(5), table="tpch.customer", typ="insert",
+        data=F.struct(*[F.col(c) for c in cust.columns]), ts=9,
+    )
+    print("maxwell decode ->", wfmt.maxwell_raw_ops(
+        mx, {"tpch.customer": ["c_custkey"]}).count(), "raw ops")
+    merges = text.bpe_train(docs, iters=3)
+    print("BPE merges learned:")
+    merges.show(3, truncate=False)
+    enc = text.bpe_encode_counts(docs, iters=3)
+    enc.agg(F.sum("n_chars_compact").alias("chars"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens")).show()
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"))
+    print("binary payload exact dups:",
+          multimodal.payload_exact_duplicates(payloads).count())
+    print("full-convention pagerank (dangling mass + early stop):")
+    registry.REGISTRY["web_pagerank_full"].fn(spark, sf_dir).orderBy(
+        F.col("rank_ppt").desc()).show(3)
+    print("maintenance advisor:", maintenance_report(cat)[:1])
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
