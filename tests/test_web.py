@@ -340,3 +340,34 @@ def test_pagerank_matches_python_int_reference(spark):
             incoming[v] += ranks[u] // outdeg[u]
         ranks = {i: base + (85 * incoming[i]) // 100 for i in nodes}
     assert got == ranks
+
+
+def test_url_domain_matches_urllib_reference(spark):
+    """Independent fuzz check: for well-formed URLs, url_domain must
+    agree with Python's urllib hostname (+ the parsing conventions the
+    docstring claims: lowercase, port dropped). Userinfo URLs are out
+    of the operator's documented scope (crawl corpora don't carry
+    credentials) and are excluded."""
+    import random
+    from urllib.parse import urlsplit
+
+    rng = random.Random(99)
+    schemes = ["http", "https", "HTTP", "ftp"]
+    hosts = ["Example.COM", "sub.domain.org", "xn--bcher-kva.ch", "192.168.0.1", "a.b.c.d.e.museum"]
+    ports = ["", ":80", ":443", ":8080", ":65535"]
+    paths = ["", "/", "/a/b", "/a%20b/c", "/index.html"]
+    queries = ["", "?x=1", "?utm_source=t&x=2", "?a=b#frag", "#only-frag"]
+    urls = []
+    for _ in range(60):
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["d"]
+        for r in df.select("url", web.url_domain(F.col("url")).alias("d")).collect()
+    }
+    for u in urls:
+        want = (urlsplit(u).hostname or "").lower()
+        assert got[u] == want, f"{u}: {got[u]!r} != {want!r}"
