@@ -76,3 +76,79 @@ def test_range_join_is_hash_join(spark, sf_dir):
     df = registry.queries()["temporal_range_error_clicks"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_randomized_vs_python_reference(spark):
+    """Property check of the union+window as-of join against a
+    brute-force Python reference over randomized keys/timestamps with
+    deliberate ties (right rows AT the left timestamp must match —
+    inclusive backward semantics; right-side ties resolve to the
+    greatest value_cols[0])."""
+    import random
+
+    from change_data_capture_spark.extensions.temporal import asof_join
+
+    rng = random.Random(1234)
+    keys = ["a", "b", "c"]
+    lrows = [
+        (rng.choice(keys), rng.randint(0, 20), i) for i in range(40)
+    ]
+    rrows = [
+        (rng.choice(keys), rng.randint(0, 20), 100 + i) for i in range(25)
+    ]
+    left = spark.createDataFrame(lrows, "k string, ts long, lid long")
+    right = spark.createDataFrame(rrows, "k string, ts long, rid long")
+
+    out = asof_join(left, right, ["k"], "ts", "ts", ["rid"])
+    got = {(r["k"], r["ts"], r["lid"]): r["right_rid"] for r in out.collect()}
+    assert len(got) == len(lrows)
+
+    for k, ts, lid in lrows:
+        cands = [rid for (rk, rts, rid) in rrows if rk == k and rts <= ts]
+        want = max(cands) if cands else None  # engine tiebreak: last by rid
+        # reference: latest ts wins; ties by greatest rid (window order
+        # is ts asc, rid asc with last() carrying forward)
+        if cands:
+            best_ts = max(rts for (rk, rts, rid) in rrows if rk == k and rts <= ts)
+            want = max(
+                rid for (rk, rts, rid) in rrows if rk == k and rts == best_ts
+            )
+        assert got[(k, ts, lid)] == want, (k, ts, lid)
+
+
+def test_range_join_randomized_vs_python_reference(spark):
+    """Property check of the bucketed range join against brute force:
+    interval containment [start, end) with randomized intervals
+    spanning 0-3 buckets."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.extensions.temporal import range_join
+
+    rng = random.Random(77)
+    base = dt.datetime(2020, 1, 1)
+    keys = ["x", "y"]
+    lrows = []
+    for i in range(20):
+        s = rng.randint(0, 600)
+        lrows.append((rng.choice(keys), base + dt.timedelta(seconds=s),
+                      base + dt.timedelta(seconds=s + rng.randint(1, 240)), i))
+    rrows = [
+        (rng.choice(keys), base + dt.timedelta(seconds=rng.randint(0, 900)), 100 + i)
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(lrows, "k string, s timestamp, e timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k string, ts timestamp, rid long")
+    out = range_join(
+        left, right, ["k"], F.col("s"), F.col("e"), "ts", bucket_seconds=120
+    )
+    got = {(r["lid"], r["right_rid"]) for r in out.collect()}
+    want = {
+        (lid, rid)
+        for (lk, s, e, lid) in lrows
+        for (rk, ts, rid) in rrows
+        if lk == rk and s <= ts < e
+    }
+    assert got == want
