@@ -230,6 +230,69 @@ def dms_raw_ops(
     )
 
 
+def table_changes_to_maxwell(
+    changes: DataFrame, *, table: str, ts: Column | int = 0
+) -> DataFrame:
+    """Outbound Maxwell: render a change-data-feed frame
+    (``TableCatalog.table_changes`` output) as Maxwell JSON messages —
+    insert -> type 'insert' (data = row), update_postimage -> 'update'
+    (data = post row; the CDF carries no preimage so ``old`` is
+    omitted, which Maxwell consumers accept — an empty old means
+    'treat data as the row'), delete -> 'delete' (data = old row,
+    exactly the daemon's convention). Pure projection, no shuffle."""
+    db, _, tbl = table.partition(".")
+    cols = [c for c in changes.columns if c != "_change_type"]
+    full = F.struct(*[F.col(c) for c in cols])
+    typ = (
+        F.when(F.col("_change_type") == "insert", F.lit("insert"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("update"))
+        .when(F.col("_change_type") == "delete", F.lit("delete"))
+    )
+    body = F.struct(
+        F.lit(db).alias("database"),
+        F.lit(tbl).alias("table"),
+        typ.alias("type"),
+        (F.lit(ts) if isinstance(ts, int) else ts).cast("long").alias("ts"),
+        F.lit(0).cast("long").alias("xid"),
+        F.lit(True).alias("commit"),
+        full.alias("data"),
+        F.lit(None).cast("string").alias("old"),
+    )
+    return changes.select(F.to_json(body, {"ignoreNullFields": "false"}).alias("message"))
+
+
+def table_changes_to_dms(
+    changes: DataFrame, *, table: str, timestamp: str = "1970-01-01T00:00:00.001Z"
+) -> DataFrame:
+    """Outbound AWS DMS: render a change-data-feed frame as DMS target
+    records — insert/update_postimage/delete map to operation
+    insert/update/delete with ``data`` carrying the appropriate image
+    (post for upserts, old row for deletes, per the DMS record
+    layout). Pure projection, no shuffle."""
+    schema_name, _, tbl = table.partition(".")
+    cols = [c for c in changes.columns if c != "_change_type"]
+    full = F.struct(*[F.col(c) for c in cols])
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("insert"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("update"))
+        .when(F.col("_change_type") == "delete", F.lit("delete"))
+    )
+    md = F.struct(
+        F.lit(timestamp).alias("timestamp"),
+        F.lit("data").alias("record-type"),
+        op.alias("operation"),
+        F.lit(schema_name).alias("schema-name"),
+        F.lit(tbl).alias("table-name"),
+        F.lit(0).cast("long").alias("transaction-id"),
+    )
+    body = F.struct(
+        full.alias("data"),
+        F.lit(None).cast("string").alias("before-image"),
+        md.alias("metadata"),
+    )
+    return changes.select(F.to_json(body, {"ignoreNullFields": "false"}).alias("message"))
+
+
 def encode_maxwell_json(
     rows: DataFrame,
     *,

@@ -198,3 +198,44 @@ def test_maxwell_schema_drift_evolves_mid_stream(spark, tmp_path):
     apply_changelog(spark, normalize_raw_ops(raw2), cat)
     got = {r["id"]: (r["amount"], r["ship_mode"]) for r in cat.read(spark, "shop.orders").collect()}
     assert got == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "express")}
+
+
+def test_outbound_roundtrip_maxwell_and_dms(spark, tmp_path):
+    """CDC chain symmetry: apply a mutation batch, diff versions into
+    a change feed, render it as OUTBOUND Maxwell and DMS messages,
+    decode each through its own inbound path, and apply onto a replica
+    seeded at the old version — both replicas converge to the source."""
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    base = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(1, 10)], "id long, amount double"
+    )
+    src = TableCatalog(str(tmp_path / "src"))
+    apply_changelog(spark, snapshot_changelog(base, "shop.orders", ["id"]), src)
+    upd = dml_records(
+        base.filter(F.col("id") % 2 == 0), "shop.orders", ["id"], op="UPDATE",
+        version=2, value_overrides={"amount": F.col("amount") + 1},
+    )
+    dele = dml_records(
+        base.filter(F.col("id") == 9), "shop.orders", ["id"], op="DELETE",
+        version=2, keys_only=True,
+    )
+    apply_changelog(spark, upd.unionByName(dele), src)
+    feed = src.table_changes(spark, "shop.orders", 1, 2)
+    want = {r["id"]: r["amount"] for r in src.read(spark, "shop.orders").collect()}
+
+    for name, render, decode in (
+        ("mx", lambda f: wf.table_changes_to_maxwell(f, table="shop.orders", ts=2),
+         wf.maxwell_raw_ops),
+        ("dms", lambda f: wf.table_changes_to_dms(
+            f, table="shop.orders", timestamp="1970-01-01T00:00:00.002Z"),
+         wf.dms_raw_ops),
+    ):
+        replica = TableCatalog(str(tmp_path / f"rep_{name}"))
+        apply_changelog(
+            spark, snapshot_changelog(base, "shop.orders", ["id"]), replica
+        )
+        raw = decode(render(feed), KEYS)
+        apply_changelog(spark, normalize_raw_ops(raw), replica)
+        got = {r["id"]: r["amount"] for r in replica.read(spark, "shop.orders").collect()}
+        assert got == want, name
