@@ -207,9 +207,11 @@ def dms_raw_ops(
         .otherwise(F.lit(None).cast("map<string,string>"))
     )
     after = F.when(op == "D", F.lit(None).cast("map<string,string>")).otherwise(data)
-    ts_micros = F.unix_micros(
-        F.to_timestamp(md["timestamp"], "yyyy-MM-dd'T'HH:mm:ss.SSSX")
-    )
+    # Pattern-less parse: Spark's ISO-8601 reader accepts DMS
+    # timestamps at any fractional precision (none/millis/micros all
+    # occur across DMS target versions); a fixed SSS pattern would
+    # fail the job on the micros form.
+    ts_micros = F.unix_micros(F.to_timestamp(md["timestamp"]))
     version = version_expr if version_expr is not None else ts_micros
     keys, schemas = _keys_and_schemas(table_id, table_keys, rows_schemas)
     return (
