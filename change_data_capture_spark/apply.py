@@ -452,18 +452,22 @@ class TableCatalog:
         out = os.path.join(self.table_dir(table_id), new_dir)
         old = None if meta["current"] is None else os.path.join(self.table_dir(table_id), meta["current"])
         pks = meta["pks"]
-        # One task (and therefore one file) per bucket: an explicit
-        # hash repartition on the bucket id. This replaced an AQE
-        # REBALANCE hint (round 4): rebalance coalesces a small batch
-        # into ONE writer task that opens every touched bucket's
+        # Explicit hash repartition on the bucket id. This replaced an
+        # AQE REBALANCE hint (round 4): rebalance coalesces a small
+        # batch into ONE writer task that opens every touched bucket's
         # parquet writer serially — and small batches are the COMMON
         # case for CDC merges — measured 0.55 s vs 0.31 s for the same
-        # sf0.1 write. At 100 TB the bucket count is the skew control
-        # (compact() grows it as the table grows, like Kudu re-hashing;
-        # buckets stay executor-sized by design), so task-per-bucket is
-        # exactly the keyed-store write model; it also behaves
-        # identically under streaming, where AQE is force-disabled and
-        # the hint used to be silently dropped.
+        # sf0.1 write. Precision note: repartition(n, col) routes by
+        # murmur3(bucket_id) % n, so distinct buckets can collide onto
+        # one task (~1/e of tasks idle, a few own 2-3 buckets) —
+        # writer parallelism is ~0.63*n_buckets, not exactly n, but
+        # still n-fold better than the coalesced single writer, and
+        # partitionBy keeps one FILE per bucket dir regardless. At
+        # 100 TB the bucket count is the primary skew control
+        # (compact() grows it as the table grows, like Kudu
+        # re-hashing); the write also behaves identically under
+        # streaming, where AQE is force-disabled and the hint used to
+        # be silently dropped.
         bucketed = df.withColumn(_BUCKET, bucket_expr(pks, n_buckets)).repartition(
             n_buckets, F.col(_BUCKET)
         )
@@ -951,6 +955,12 @@ def bootstrap_replica(
     if meta is None or meta["schema"] is None:
         raise KeyError(f"unknown table {table_id!r}")
     pks = list(meta["pks"])
+    # Capture the tracking watermark NOW, with the same meta read that
+    # pins the snapshot/handoff versions: re-reading it at stamp time
+    # would race a concurrent source apply — the replica would take a
+    # watermark covering data its (already-computed) CDF never carried
+    # and silently skip that batch on the live feed.
+    src_watermark = int(meta.get("applied_version", 0))
     published = source.versions(table_id)
     v = int(snapshot_version) if snapshot_version is not None else published[0]
     if v not in published:
@@ -963,7 +973,7 @@ def bootstrap_replica(
     )
     current = published[-1]
     if current == v:
-        _stamp_tracking_watermark(source, target, table_id)
+        _stamp_tracking_watermark(target, table_id, src_watermark)
         return target.read(spark, table_id)
     cdf = source.table_changes(spark, table_id, from_version=v, to_version=current)
     inserts = dml_records(
@@ -989,12 +999,12 @@ def bootstrap_replica(
         keys_only=True,
     )
     apply_changes(spark, inserts.unionByName(updates).unionByName(deletes), target)
-    _stamp_tracking_watermark(source, target, table_id)
+    _stamp_tracking_watermark(target, table_id, src_watermark)
     return target.read(spark, table_id)
 
 
 def _stamp_tracking_watermark(
-    source: TableCatalog, target: TableCatalog, table_id: str
+    target: TableCatalog, table_id: str, src_watermark: int
 ) -> None:
     """Re-home the replica's applied-version watermark into the SOURCE
     FEED's tracking domain after a bootstrap.
@@ -1010,10 +1020,16 @@ def _stamp_tracking_watermark(
     real feed batch would be silently skipped as a replay (lost
     updates). The replica's content equals the source's current
     version, i.e. everything up to the source's tracking watermark —
-    so that watermark is exactly the right resume point."""
-    src_meta = source.meta(table_id)
+    so that watermark is exactly the right resume point.
+
+    ``src_watermark`` is the value CAPTURED WITH the bootstrap's
+    version-pinning meta read: a fresh source read here would race a
+    concurrent source apply and stamp a watermark the replica's
+    content doesn't cover (the first live batch would then be skipped
+    as a replay — lost updates). A lagging watermark only causes
+    idempotent replays; a leading one loses data."""
     dst_meta = target.meta(table_id)
-    if src_meta is None or dst_meta is None:
+    if dst_meta is None:
         return
-    dst_meta["applied_version"] = int(src_meta.get("applied_version", 0))
+    dst_meta["applied_version"] = int(src_watermark)
     target.put_meta(table_id, dst_meta)

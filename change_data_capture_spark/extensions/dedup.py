@@ -104,13 +104,18 @@ def _jaccard_on(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
     )
     ca = counts.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
     cb = counts.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(ca, "a_id")
         .join(cb, "b_id")
         .withColumn("jaccard", F.col("k") / (F.col("na") + F.col("nb") - F.col("k")))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    # materialize + release (same cache-lifetime contract as
+    # _verify_pairs): the returned frame must not pin the shingle cache
+    out = out.localCheckpoint()
+    sh.unpersist()
+    return out
 
 
 def jaccard_duplicates(
@@ -168,13 +173,22 @@ def _verify_pairs(
     b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("shset").alias("sb"))
     k = F.size(F.array_intersect("sa", "sb"))
     jac = k / (F.size("sa") + F.size("sb") - k)
-    return (
+    out = (
         pairs.join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    # Materialize the (small) verified result and RELEASE the pair
+    # cache before returning: a lazily-returned frame would pin the
+    # cache entry forever — in a foreachBatch near-dup gate that's one
+    # leaked cache per micro-batch for the stream's lifetime
+    # (CLAUDE.md: builders that persist must unpersist once
+    # materialized).
+    out = out.localCheckpoint()
+    pairs.unpersist()
+    return out
 
 
 def minhash_signatures(sh: DataFrame, *, k: int = 128, id_col: str = "doc_id") -> DataFrame:
@@ -593,7 +607,11 @@ def cluster_weighted_sample(
         .join(sizes, "cluster_id", "left")
     )
     size = F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
-    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+    # Singleton fallback uses the doc's OWN id as its cluster id — no
+    # cast: cluster ids inherit the id column's type (duplicate_clusters
+    # labels are min doc ids), and a hard cast("long") crashes under
+    # ANSI for the string ids every other dedup operator supports.
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     u32 = _md5_hash32([F.lit(salt), F.col(id_col).cast("string")])
     return j.select(
         F.col(id_col),

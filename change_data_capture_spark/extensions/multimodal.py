@@ -477,6 +477,7 @@ def payload_simhash_duplicates(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate binary payloads via byte-shingle SimHash — the
     codec-free near-dup pass for multimodal corpora (re-encoded or
@@ -529,9 +530,18 @@ def payload_simhash_duplicates(
         )
         for i in range(4)
     ]
-    buckets = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, "simhash", "bk.band", "bk.bh")
+    from .dedup import _cap_buckets
+
+    # Same quadratic-blowup guard as every text LSH path: one template
+    # image re-uploaded M times lands all M payloads in one band
+    # bucket -> M^2 candidate pairs without the cap (exact payload
+    # dedup catches those families far cheaper). Default off.
+    buckets = _cap_buckets(
+        sig.select(
+            F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bk")
+        ).select(id_col, "simhash", "bk.band", "bk.bh"),
+        max_bucket_size,
+    )
     a = buckets.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sa"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sb"), "band", "bh")
     candidates = (
@@ -575,5 +585,9 @@ def payload_simhash_duplicates(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
+    # Materialize + release caches (see dedup._verify_pairs): the
+    # returned frame must not pin per-call cache entries.
+    out = out.localCheckpoint()
+    candidates.unpersist()
     sig.unpersist()
     return out

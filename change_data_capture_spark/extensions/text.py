@@ -775,6 +775,12 @@ def bpe_train(
     cuts the lineage per iteration exactly as the PageRank loop does.
     Nothing row-sized ever reaches the driver."""
     merges, _ = _bpe_train_state(docs, iters=iters, id_col=id_col, text_col=text_col)
+    if not merges:
+        # iters=0 or nothing mergeable in round 1: empty merge table
+        # with the contract schema, not an error.
+        return docs.sparkSession.createDataFrame(
+            [], "iteration long, left_sym string, right_sym string, pair_freq long"
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -824,17 +830,27 @@ def _bpe_train_state(
             .withColumn("iteration", F.lit(it).cast("long"))
             .localCheckpoint()
         )
+        # Vocabulary exhausted (every word is one symbol): no pair to
+        # merge, and a crossJoin with the EMPTY argmax frame would wipe
+        # the whole vocabulary — stop training instead. All later
+        # rounds would be empty too (pairs only shrink), which is also
+        # why the oracle's fixed unrolling stays consistent: its
+        # LEFT JOIN keeps v unchanged and contributes no merge row.
+        if not best.take(1):
+            break
         merges.append(best.select("iteration", "left_sym", "right_sym", "pair_freq"))
         pat = F.concat(
             F.lit(" "), F.col("left_sym"), F.lit("  "), F.col("right_sym"), F.lit(" ")
         )
         rep = F.concat(F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" "))
         v = (
-            v.crossJoin(F.broadcast(best.select("left_sym", "right_sym")))
+            v.join(F.broadcast(best.select("left_sym", "right_sym")), F.lit(True), "left")
             .select(
                 "token",
                 "freq",
-                F.replace(F.col("s"), pat, rep).alias("s"),
+                F.when(
+                    F.col("left_sym").isNull(), F.col("s")
+                ).otherwise(F.replace(F.col("s"), pat, rep)).alias("s"),
             )
             .localCheckpoint()
         )

@@ -6123,9 +6123,9 @@ def _bpe_train_ctes(iters: int = 4) -> list[str]:
     integers and exact strings: engine-exact by construction. Builds
     every v0..v{iters} vocab stage (token carried through) so both the
     merge-table query and the encode query share the chain."""
-    merge = (
-        "replace(s, ' '||left_sym||'  '||right_sym||' ', "
-        "' '||left_sym||right_sym||' ')"
+    merge_v = (
+        "replace(v.s, ' '||b.left_sym||'  '||b.right_sym||' ', "
+        "' '||b.left_sym||b.right_sym||' ')"
     )
     ctes = [
         r"t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents)",
@@ -6147,8 +6147,13 @@ def _bpe_train_ctes(iters: int = 4) -> list[str]:
             f"b{k} AS (SELECT CAST({k} AS BIGINT) AS iteration, left_sym, right_sym, "
             f"pair_freq FROM p{k} ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when b{k} is empty (vocab
+        # exhausted), the vocabulary must pass through unchanged, not
+        # be wiped — mirrors the engine's stop-when-no-merge rule.
         ctes.append(
-            f"v{k} AS (SELECT token, freq, {merge} AS s FROM {prev} CROSS JOIN b{k})"
+            f"v{k} AS (SELECT v.token, v.freq, "
+            f"CASE WHEN b.left_sym IS NULL THEN v.s ELSE {merge_v} END AS s "
+            f"FROM {prev} v LEFT JOIN b{k} b ON TRUE)"
         )
     return ctes
 

@@ -177,9 +177,43 @@ def maxwell_dead_letters(
         F.when(typ.isNull() | F.col("__m.database").isNull(), F.lit("unparseable"))
         .when(~typ.isin(*_MAXWELL_OPS), F.lit("unsupported_op"))
         .when(~known, F.lit("unknown_table"))
+        # a supported op with no row image is also dropped by the
+        # decoder (data.isNotNull() filter) — it must land here, not
+        # vanish from both outputs
+        .when(F.col("__m.data").isNull(), F.lit("missing_data"))
     )
     return m.select(
         "message", reason.alias("reason"), typ.alias("op"), table_id.alias("table")
+    ).filter(F.col("reason").isNotNull())
+
+
+def dms_dead_letters(
+    messages: DataFrame,
+    table_keys: Mapping[str, Sequence[str]],
+    *,
+    message_col: str = "message",
+) -> DataFrame:
+    """Rows ``dms_raw_ops`` drops, with a reason — the complement
+    quarantine frame: 'unparseable' (no metadata at all), 'control'
+    (DDL notification records), 'unsupported_op', 'unknown_table',
+    'missing_data' (data-typed record with no row image)."""
+    m = messages.select(
+        F.col(message_col).alias("message"),
+        F.from_json(F.col(message_col), _DMS_SCHEMA).alias("__m"),
+    )
+    md = F.col("__m.metadata")
+    table_id = F.concat_ws(".", md["schema-name"], md["table-name"])
+    op_raw = md["operation"]
+    known = table_id.isin(*table_keys) if table_keys else F.lit(False)
+    reason = (
+        F.when(md.isNull() | md["record-type"].isNull(), F.lit("unparseable"))
+        .when(md["record-type"] != "data", F.lit("control"))
+        .when(~op_raw.isin(*_DMS_OPS), F.lit("unsupported_op"))
+        .when(~known, F.lit("unknown_table"))
+        .when(F.col("__m.data").isNull(), F.lit("missing_data"))
+    )
+    return m.select(
+        "message", reason.alias("reason"), op_raw.alias("op"), table_id.alias("table")
     ).filter(F.col("reason").isNotNull())
 
 

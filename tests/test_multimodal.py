@@ -329,3 +329,27 @@ def test_payload_simhash_finds_patched_reencodes(spark):
         assert r.jaccard >= 0.5
     # no pair of two distinct base payloads sneaks through
     assert not any(a <= 40 and b <= 40 for a, b in pairs)
+
+
+def test_payload_simhash_bucket_cap(spark):
+    from change_data_capture_spark.extensions import multimodal
+    from pyspark.sql import functions as F
+
+    # 25 identical template payloads + one patched near-dup pair
+    template = spark.range(1, 26).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.repeat(F.lit("same-template-bytes-"), 16), "UTF-8").cast("binary").alias("payload"),
+    )
+    uniq = spark.range(100, 101).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.repeat(F.lit("unique-payload-body-"), 16), "UTF-8").cast("binary").alias("payload"),
+    )
+    patched = uniq.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("payload"), F.lit(b"TAG")).alias("payload"),
+    )
+    docs = template.unionByName(uniq).unionByName(patched)
+    capped = multimodal.payload_simhash_duplicates(docs, max_bucket_size=5)
+    pairs = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert (100, 1100) in pairs
+    assert not any(a <= 25 for a, _ in pairs), "capped template family leaked pairs"

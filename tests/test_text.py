@@ -290,3 +290,23 @@ def test_bpe_train_property_random_corpora(spark):
             for r in text.bpe_train(docs, iters=3).orderBy("iteration").collect()
         ]
         assert got == want, f"case {case}: {docs_rows}\n{got} != {want}"
+
+
+def test_bpe_train_exhausted_vocab_and_zero_iters(spark):
+    """A corpus of single-char words has nothing to merge: training
+    must stop with an empty merge table (never wipe the vocabulary),
+    and encoding must still count every token. iters=0 returns the
+    empty table, not an error."""
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "b a")], "doc_id string, text string"
+    )
+    assert text.bpe_train(docs, iters=2).count() == 0
+    assert text.bpe_train(docs, iters=0).count() == 0
+    enc = {r["doc_id"]: r for r in text.bpe_encode_counts(docs, iters=2).collect()}
+    assert enc["d1"]["n_ws_tokens"] == 4 and enc["d1"]["n_bpe_tokens"] == 4
+    assert enc["d2"]["n_ws_tokens"] == 2 and enc["d2"]["n_bpe_tokens"] == 2
+
+    # partially exhausted: one merge possible, iters asks for 3
+    docs2 = spark.createDataFrame([("d1", "ab ab c")], "doc_id string, text string")
+    merges = text.bpe_train(docs2, iters=3).collect()
+    assert [(r["left_sym"], r["right_sym"]) for r in merges] == [("a", "b")]

@@ -239,3 +239,31 @@ def test_outbound_roundtrip_maxwell_and_dms(spark, tmp_path):
         apply_changelog(spark, normalize_raw_ops(raw), replica)
         got = {r["id"]: r["amount"] for r in replica.read(spark, "shop.orders").collect()}
         assert got == want, name
+
+
+def test_dead_letters_cover_missing_data_and_dms(spark):
+    """Decoder/dead-letter complement: a supported-op row with no row
+    image must appear in the quarantine (missing_data), for both
+    formats; dms_dead_letters also tags control records."""
+    mx = [
+        ('{"database":"shop","table":"orders","type":"insert","ts":1,"xid":2}',),
+    ]
+    mdf = spark.createDataFrame(mx, "message string")
+    assert wf.maxwell_raw_ops(mdf, KEYS).count() == 0
+    (dl,) = wf.maxwell_dead_letters(mdf, KEYS).collect()
+    assert dl["reason"] == "missing_data"
+
+    dms = [
+        ('{"metadata":{"timestamp":"1970-01-01T00:00:00.001Z","record-type":"data",'
+         '"operation":"insert","schema-name":"shop","table-name":"orders"}}',),
+        ('{"metadata":{"timestamp":"1970-01-01T00:00:00.002Z","record-type":"control",'
+         '"operation":"create-table","schema-name":"shop","table-name":"orders"}}',),
+        ('{"data":{"id":1},"metadata":{"timestamp":"1970-01-01T00:00:00.003Z",'
+         '"record-type":"data","operation":"insert","schema-name":"other",'
+         '"table-name":"t"}}',),
+        ("garbage",),
+    ]
+    ddf = spark.createDataFrame(dms, "message string")
+    assert wf.dms_raw_ops(ddf, KEYS).count() == 0
+    reasons = sorted(r["reason"] for r in wf.dms_dead_letters(ddf, KEYS).collect())
+    assert reasons == ["control", "missing_data", "unknown_table", "unparseable"]
