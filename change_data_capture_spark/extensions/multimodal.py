@@ -586,8 +586,10 @@ def payload_simhash_duplicates(
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
     # Materialize + release caches (see dedup._verify_pairs): the
-    # returned frame must not pin per-call cache entries.
-    out = out.localCheckpoint()
+    # returned frame must not pin per-call cache entries beyond the
+    # few verified rows themselves.
+    out = out.persist()
+    out.count()
     candidates.unpersist()
     sig.unpersist()
     return out
