@@ -5054,6 +5054,58 @@ def cdc_dms_apply(spark, sf_dir):
 
 
 @_q(
+    "cdc_canal_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_canal_apply(spark, sf_dir):
+    """Alibaba Canal flatMessage feed decoded, normalized, and MERGEd
+    end-to-end (sources/canal.canal_raw_ops): the fifth wire format
+    through the one shared normalize -> apply engine. Canal batches
+    multi-row statements as an ARRAY of row images with an
+    index-aligned `old`; the decoder posexplodes and pairs them, and
+    the `old`-override preimage reconstruction keeps PK-update splits
+    working (reference parity: the same T1/T7 semantics as
+    CTSQLServer.java:271-320 rows over any feed)."""
+    from .sources import canal as cn
+
+    cust = _t(spark, sf_dir, "customer")
+    full = F.struct(*[F.col(c) for c in cust.columns])
+    upd_data = F.struct(
+        *[
+            ((F.col(c) + 100.0).alias(c) if c == "c_acctbal" else F.col(c))
+            for c in cust.columns
+        ]
+    )
+    snap = cn.encode_canal_json(
+        cust, table="tpch.customer", typ="INSERT", data=full,
+        es=1, batch_id=F.col("c_custkey"), pk_names=["c_custkey"],
+    )
+    upd = cn.encode_canal_json(
+        cust.filter(F.col("c_custkey") % 7 == 3), table="tpch.customer",
+        typ="UPDATE", data=upd_data, old=F.struct(F.col("c_acctbal")),
+        es=2, batch_id=F.col("c_custkey"), pk_names=["c_custkey"],
+    )
+    dele = cn.encode_canal_json(
+        cust.filter(F.col("c_custkey") % 7 == 5), table="tpch.customer",
+        typ="DELETE", data=full, es=3, batch_id=F.col("c_custkey"),
+        pk_names=["c_custkey"],
+    )
+    raw = cn.canal_raw_ops(
+        snap.unionByName(upd).unionByName(dele),
+        {"tpch.customer": ["c_custkey"]},
+        rows_schemas={"tpch.customer": cust.schema.json()},
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_canal_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return cat.read(spark, "tpch.customer")
+
+
+@_q(
     "cdc_debezium_outbound",
     """
     SELECT 'UPDATE' AS op_type, CAST(c_custkey AS BIGINT) AS c_custkey,

@@ -11,4 +11,4 @@
   tests and the bench harness (S6).
 """
 
-from . import jdbc_ct, kafka  # noqa: F401
+from . import canal, jdbc_ct, kafka  # noqa: F401
