@@ -5106,6 +5106,72 @@ def cdc_canal_apply(spark, sf_dir):
 
 
 @_q(
+    "cdc_chunked_bootstrap",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 5 = 2 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 5 <> 4
+    """,
+)
+def cdc_chunked_bootstrap(spark, sf_dir):
+    """DBLog-style watermark-based chunked snapshot (dblog.py;
+    Andreakis & Papapanagiotou, arXiv:2010.12597; Debezium incremental
+    snapshots): bootstrap a LIVE mutating table in three PK-range
+    chunks interleaved with two change-feed batches — including a
+    chunk whose select RACED the first feed commit (built from the
+    stale pre-update image) and is healed by the paper's
+    watermark-window key-drop, and a post-delete chunk that must not
+    resurrect deleted keys. Final state must equal the live source's.
+    The two chunk bounds are approximate custkey terciles (one bounded
+    percentile collect — chunk coordination is driver-side metadata by
+    design, as in the paper's chunk scheduler)."""
+    from .dblog import ChunkedSnapshot, select_chunk
+
+    cust = _t(spark, sf_dir, "customer")
+    b1, b2 = cust.select(
+        F.percentile_approx("c_custkey", F.array(F.lit(0.33), F.lit(0.66)))
+    ).first()[0]
+    cs = ChunkedSnapshot(
+        spark, TableCatalog(tempfile.mkdtemp(prefix="cdc_q_dblog_")),
+        "tpch.customer", ["c_custkey"], cust.schema.json(),
+    )
+    cs.begin()
+    # chunk 1 from the pristine source
+    cs.apply_chunk(select_chunk(cust, "c_custkey", 0, b1))
+    # feed batch 1: acctbal += 50 on custkey%5==2 (full post images)
+    feed1 = dml_records(
+        cust.filter(F.col("c_custkey") % 5 == 2), "tpch.customer",
+        ["c_custkey"], op="UPDATE", version=1000,
+        value_overrides={"c_acctbal": F.col("c_acctbal") + 50.0},
+    )
+    cs.apply_feed(feed1)
+    # chunk 2 RACED the commit: selected from the STALE pre-update
+    # image; the window drop removes feed1's keys (their truth is
+    # already applied below this chunk's version)
+    cs.apply_chunk(
+        select_chunk(cust, "c_custkey", b1, b2), window_events=feed1
+    )
+    # feed batch 2: delete custkey%5==4
+    feed2 = dml_records(
+        cust.filter(F.col("c_custkey") % 5 == 4), "tpch.customer",
+        ["c_custkey"], op="DELETE", version=2000, keys_only=True,
+    )
+    cs.apply_feed(feed2)
+    # chunk 3 read AFTER the delete: source no longer contains those
+    # keys (and carries feed1's update for its %5==2 members)
+    live_tail = select_chunk(cust, "c_custkey", b2, None).filter(
+        F.col("c_custkey") % 5 != 4
+    ).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 2, F.col("c_acctbal") + 50.0)
+        .otherwise(F.col("c_acctbal")),
+    )
+    cs.apply_chunk(live_tail)
+    return cs.result()
+
+
+@_q(
     "cdc_debezium_outbound",
     """
     SELECT 'UPDATE' AS op_type, CAST(c_custkey AS BIGINT) AS c_custkey,
