@@ -1,0 +1,177 @@
+"""Data profiling and distribution-drift detection over tables and
+corpus snapshots — the pipeline-health checks a training-data estate
+runs between ingests (Great-Expectations/Deequ-style column profiles;
+PSI / total-variation drift monitors between yesterday's and today's
+corpus, or between a source and its replica).
+
+Beyond the reference (its only data-quality surface is schema
+validation at apply time, CDCTableUtil.java type checks); these are
+the operations that decide whether a new crawl/feed batch is safe to
+train on.
+
+Engine-exact oracle discipline (registry docstring rules):
+- All counts are exact BIGINTs in one hash-shuffle aggregation.
+- min/max are stringified through a per-type canonical form that
+  renders identically in Spark and DuckDB (integrals: plain cast;
+  floating: DECIMAL(38,6) then cast; timestamps: plain cast — both
+  engines print 'yyyy-MM-dd HH:mm:ss'; strings: as-is).
+- Drift magnitude is an INTEGER-exact total-variation numerator:
+  |c_base * T_cur - c_cur * T_base| per bucket (BIGINT — no float
+  division in the hashed path; TVD itself = sum / (2*T_base*T_cur)).
+- PSI, which needs ln(), stays a driver-side helper over the exact
+  binned counts (`psi_from_bins`, hand-verified in unit tests) so no
+  cross-engine libm difference can touch a value hash.
+
+Scale: `column_profile` is ONE pass over the table (multiple exact
+COUNT DISTINCTs compile to a single Expand + hash aggregate — a
+deliberate N+1x row expansion of one scan, still one shuffle, vs N
+separate jobs); the drift frames are one union + one hash-shuffle
+groupBy on the bucket/category key; grand totals ride a window over
+the already-aggregated (n_buckets)-row frame, never the raw data.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canon_str(expr: Column, dtype: str) -> Column:
+    """Cross-engine canonical string form (see module docstring);
+    keeps value hashes stable between Spark and DuckDB. Applied to the
+    TYPED aggregate result — min/max must compare in the column's own
+    type, never lexicographically on the rendered strings."""
+    if dtype in ("double", "float"):
+        return expr.cast("decimal(38,6)").cast("string")
+    return expr.cast("string")
+
+
+def column_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str) — one row per column, exact counts, one pass."""
+    cols = list(cols or df.columns)
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(_canon_str(F.min(F.col(c)), dtypes[c]).alias(f"__min_{c}"))
+        aggs.append(_canon_str(F.max(F.col(c)), dtypes[c]).alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"__nn_{c}"),
+            F.col(f"__nd_{c}"),
+            F.col(f"__min_{c}"),
+            F.col(f"__max_{c}"),
+        ]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "column", "n_non_null", "n_distinct", "min_str", "max_str"
+        ),
+    ).select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_nulls"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+def _drift_frame(tagged: DataFrame, bucket: Column) -> DataFrame:
+    """Shared drift shape: one groupBy on the bucket key with
+    conditional exact counts per side, then the BIGINT total-variation
+    numerator |c_base*T_cur - c_cur*T_base| per bucket."""
+    agg = tagged.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_base"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_cur"),
+    )
+    w = Window.partitionBy()  # over the n_buckets-row agg only
+    t_base = F.sum("c_base").over(w)
+    t_cur = F.sum("c_cur").over(w)
+    return agg.select(
+        "bucket",
+        "c_base",
+        "c_cur",
+        F.abs(F.col("c_base") * t_cur - F.col("c_cur") * t_base).alias("tv_num"),
+    )
+
+
+def numeric_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram drift between two snapshots of a numeric
+    column: per bin, exact counts on each side and the BIGINT
+    total-variation numerator. ``lo``/``hi``/``n_bins`` are caller
+    literals (embed the SAME literals in any oracle) so the bin edge
+    arithmetic is bit-identical across engines; values outside the
+    range clamp into the edge bins."""
+    width = (hi - lo) / n_bins
+    tagged = base.select(F.col(col).alias("__x"), F.lit(0).alias("__side")).unionByName(
+        current.select(F.col(col).alias("__x"), F.lit(1).alias("__side"))
+    )
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("__x") - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return _drift_frame(tagged.filter(F.col("__x").isNotNull()), b.cast("bigint"))
+
+
+def categorical_drift(
+    base: DataFrame, current: DataFrame, col: str
+) -> DataFrame:
+    """Category-share drift between two snapshots: per category, exact
+    counts on each side and the BIGINT total-variation numerator
+    (nulls bucketed as the sentinel '<null>')."""
+    tagged = base.select(F.col(col).alias("__x"), F.lit(0).alias("__side")).unionByName(
+        current.select(F.col(col).alias("__x"), F.lit(1).alias("__side"))
+    )
+    cat = F.coalesce(F.col("__x").cast("string"), F.lit("<null>"))
+    return _drift_frame(tagged, cat)
+
+
+def tvd(drift: DataFrame) -> float:
+    """Total-variation distance from a drift frame: sum(tv_num) /
+    (2 * T_base * T_cur). One collect of three scalars."""
+    r = drift.agg(
+        F.sum("tv_num").alias("s"),
+        F.sum("c_base").alias("tb"),
+        F.sum("c_cur").alias("tc"),
+    ).first()
+    if not r["tb"] or not r["tc"]:
+        return 0.0
+    return float(r["s"]) / (2.0 * r["tb"] * r["tc"])
+
+
+def psi_from_bins(drift_rows, *, eps: float = 1e-6) -> float:
+    """Population Stability Index from collected drift rows
+    [(c_base, c_cur), ...]: sum((p-q) * ln(p/q)) with epsilon-floored
+    shares. Driver-side math over the exact binned counts — ln() never
+    enters a hashed query result (cross-engine libm differences)."""
+    tb = sum(c for c, _ in drift_rows) or 1
+    tc = sum(c for _, c in drift_rows) or 1
+    out = 0.0
+    for cb, cc in drift_rows:
+        p = max(cb / tb, eps)
+        q = max(cc / tc, eps)
+        out += (q - p) * math.log(q / p)
+    return out

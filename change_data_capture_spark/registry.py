@@ -6551,6 +6551,135 @@ def web_pagerank_full(spark, sf_dir):
     return web.pagerank_full(edges, max_iters=6)
 
 
+@_q(
+    "profile_table_stats",
+    """
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """Deequ/Great-Expectations-style per-column table profile in ONE
+    pass (extensions/profile.column_profile): exact row/null/distinct
+    counts plus typed min/max rendered through the cross-engine
+    canonical string forms. The multi-column exact COUNT DISTINCTs
+    compile to a single Expand + hash aggregate — one scan, one
+    shuffle, regardless of column count."""
+    from .extensions import profile as pr
+
+    return pr.column_profile(_t(spark, sf_dir, "orders")).withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+@_q(
+    "profile_numeric_drift",
+    """
+    WITH tagged AS (
+      SELECT o_totalprice AS x, o_orderkey % 2 AS side
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), b AS (
+      SELECT CAST(LEAST(19, GREATEST(0,
+               CAST(FLOOR((x - 0.0) / 30000.0) AS INT))) AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM tagged GROUP BY 1
+    )
+    SELECT bucket, c_base, c_cur,
+           CAST(ABS(c_base * SUM(c_cur) OVER () - c_cur * SUM(c_base) OVER ())
+                AS BIGINT) AS tv_num
+    FROM b
+    """,
+)
+def profile_numeric_drift(spark, sf_dir):
+    """Histogram drift monitor between two corpus snapshots
+    (extensions/profile.numeric_drift): even-orderkey orders as the
+    'yesterday' base, odd as 'today', o_totalprice binned over the
+    fixed literal range [0, 600000) x 20 (the SAME literals in the
+    oracle so bin-edge IEEE arithmetic is bit-identical). Output is
+    exact BIGINT counts per side plus the integer total-variation
+    numerator |c_base*T_cur - c_cur*T_base| — no float division in the
+    hashed path; PSI/TVD derive from these driver-side."""
+    from .extensions import profile as pr
+
+    o = _t(spark, sf_dir, "orders")
+    return pr.numeric_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        n_bins=20,
+    )
+
+
+@_q(
+    "profile_categorical_drift",
+    """
+    WITH tagged AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS cat,
+             doc_id % 2 AS side
+      FROM documents
+    ), b AS (
+      SELECT cat AS bucket,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM tagged GROUP BY 1
+    )
+    SELECT bucket, c_base, c_cur,
+           CAST(ABS(c_base * SUM(c_cur) OVER () - c_cur * SUM(c_base) OVER ())
+                AS BIGINT) AS tv_num
+    FROM b
+    """,
+)
+def profile_categorical_drift(spark, sf_dir):
+    """Language-mix drift between two corpus snapshots
+    (extensions/profile.categorical_drift): per-language exact counts
+    on each side and the integer total-variation numerator — the
+    check that catches a crawl batch whose language distribution
+    shifted before it contaminates a training mix. One union + one
+    hash-shuffle groupBy; grand totals ride a window over the
+    category-count frame, never the raw rows."""
+    from .extensions import profile as pr
+
+    d = _t(spark, sf_dir, "documents")
+    return pr.categorical_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
 # The external correctness driver checks only the FIRST 50 entries of
 # ``queries()`` in iteration order (proven empirically: CORRECTNESS_r01/
 # r02 each contain exactly the first 50 registered names). Registration

@@ -1,0 +1,76 @@
+"""Profiling/drift tests: hand-computed column profile, exact
+integer TVD numerators, bin-edge clamping, and PSI over exact bins."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.extensions import profile as pr
+
+
+def test_column_profile_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 10.5, "a"), (2, None, "b"), (2, 99.25, None), (None, 10.5, "a")],
+        "k long, x double, s string",
+    )
+    rows = {r["column"]: r for r in pr.column_profile(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_str"] == "1" and rows["k"]["max_str"] == "2"
+    assert rows["x"]["min_str"] == "10.500000" and rows["x"]["max_str"] == "99.250000"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["max_str"] == "b"
+
+
+def test_column_profile_min_max_typed_not_lexicographic(spark):
+    # 9.0 > 10.5 lexicographically as strings — the aggregate must
+    # compare in the column's own type
+    df = spark.createDataFrame([(9.0,), (10.5,)], "x double")
+    (r,) = pr.column_profile(df).collect()
+    assert r["min_str"] == "9.000000" and r["max_str"] == "10.500000"
+
+
+def test_numeric_drift_exact_and_clamped(spark):
+    base = spark.createDataFrame([(v,) for v in [0.0, 5.0, 15.0, -3.0]], "x double")
+    cur = spark.createDataFrame([(v,) for v in [5.0, 5.0, 25.0, 99.0]], "x double")
+    # bins over [0,20) width 10, n=2 -> clamp: -3 -> bin 0, 25/99 -> bin 1
+    d = {r["bucket"]: r for r in pr.numeric_drift(
+        base, cur, "x", lo=0.0, hi=20.0, n_bins=2).collect()}
+    assert (d[0]["c_base"], d[0]["c_cur"]) == (3, 2)
+    assert (d[1]["c_base"], d[1]["c_cur"]) == (1, 2)
+    # tv_num = |c_base*T_cur - c_cur*T_base|, T_base=T_cur=4
+    assert d[0]["tv_num"] == abs(3 * 4 - 2 * 4) == 4
+    assert d[1]["tv_num"] == 4
+    # TVD = (4+4)/(2*4*4) = 0.25
+    assert pr.tvd(pr.numeric_drift(base, cur, "x", lo=0.0, hi=20.0, n_bins=2)) == 0.25
+
+
+def test_categorical_drift_with_null_sentinel(spark):
+    base = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "c string")
+    cur = spark.createDataFrame([("a",), ("b",), ("b",), ("b",)], "c string")
+    d = {r["bucket"]: (r["c_base"], r["c_cur"], r["tv_num"])
+         for r in pr.categorical_drift(base, cur, "c").collect()}
+    assert d["a"] == (2, 1, abs(2 * 4 - 1 * 4))
+    assert d["b"] == (1, 3, 8)
+    assert d["<null>"] == (1, 0, 4)
+
+
+def test_psi_zero_on_identical_and_positive_on_shift(spark):
+    same = [(10, 10), (5, 5)]
+    assert pr.psi_from_bins(same) == 0.0
+    shifted = [(10, 2), (5, 13)]
+    got = pr.psi_from_bins(shifted)
+    p0, q0 = 10 / 15, 2 / 15
+    p1, q1 = 5 / 15, 13 / 15
+    want = (q0 - p0) * math.log(q0 / p0) + (q1 - p1) * math.log(q1 / p1)
+    assert abs(got - want) < 1e-12 and got > 0
+
+
+def test_profile_single_pass_plan(spark):
+    """The N-column profile must stay ONE aggregation job (Expand +
+    hash aggregate), not N separate scans."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m"), (F.col("id") % 3).alias("t")
+    )
+    plan = pr.column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1, plan
+    assert "Expand" in plan, plan
