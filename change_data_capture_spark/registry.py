@@ -6716,7 +6716,7 @@ DRIVER_WINDOW: list[str] = [
     "p_ct_change_scan",
     "p_batch_clamp",
     "cdc_ct_scan_normalize",
-    "cdc_flatten_snapshot",
+    "cdc_chunked_bootstrap",
     "cdc_apply_snapshot",
     "cdc_apply_mutations",
     "cdc_apply_events",
@@ -6728,7 +6728,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_net_change_collapse",
     "cdc_maxwell_apply",
     "cdc_dms_apply",
-    "cdc_goldengate_decode",
+    "cdc_canal_apply",
     "cdc_goldengate_apply",
     "cdc_goldengate_binary_e2e",
     "cdc_debezium_apply",
@@ -6751,16 +6751,16 @@ DRIVER_WINDOW: list[str] = [
     "er_blocked_match",
     "er_golden_records",
     "dedup_minhash_lsh",
-    "dedup_minhash_incremental",
+    "profile_categorical_drift",
     "dedup_embedding_bucketed",
-    "text_langid",
+    "profile_table_stats",
     "text_tfidf_topterms",
     "web_pagerank",
     "web_url_dedup",
     "web_link_extract",
     "ann_topk_bruteforce",
     "embedding_pq_encode",
-    "temporal_asof_attribution",
+    "profile_numeric_drift",
     "temporal_scd2_lookup",
     "corpus_pack_batches",
     "corpus_curation_pipeline",
