@@ -424,3 +424,106 @@ def key_skew_profile(
             "rank",
         )
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    n_ranges: int = 32,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Scalable EXACT running total over a global numeric order — the
+    primitive behind transaction-boundary clamping and any "take in
+    order until a budget" cut. A bare ``SUM() OVER (ORDER BY ...)``
+    collapses the whole table into ONE window partition (Spark's
+    global-window bottleneck); this is the classic two-phase form:
+
+      1. bucket rows into ``n_ranges`` fixed-width ranges of
+         ``order_col`` (bounds from one tiny min/max agg — a
+         DETERMINISTIC partitioning, unlike repartitionByRange's
+         sampled boundaries, so the two passes can never disagree);
+      2. one map-side-combinable agg of per-bucket sums, collected
+         (``n_ranges`` rows) and turned into exclusive driver-side
+         offsets;
+      3. the running sum within each bucket (window partitioned BY
+         bucket) plus the bucket's offset.
+
+    Two shuffles + an O(n_ranges) collect, no global sort. Skewed
+    ``order_col`` ranges only unbalance bucket sizes, never
+    correctness. Ties on ``order_col`` break by the column's own
+    value order within the window — pass ``tie_cols`` to break them
+    deterministically (ties always share a bucket, so only the window
+    order needs them)."""
+    from pyspark.sql import Window
+
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    width = max((hi - lo) / n_ranges, 1e-12)
+    bucket = F.least(
+        F.lit(n_ranges - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(order_col).cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    b = df.withColumn("__psb", bucket)
+    partials = {
+        r["__psb"]: r["s"]
+        for r in b.groupBy("__psb").agg(F.sum(value_col).alias("s")).collect()
+    }
+    running, offsets = 0, {}
+    for i in range(n_ranges):
+        offsets[i] = running
+        running += int(partials.get(i, 0) or 0)
+    off = F.lit(0).cast("bigint")
+    for i, v in offsets.items():
+        if v:
+            off = F.when(F.col("__psb") == i, F.lit(v)).otherwise(off)
+    w = (
+        Window.partitionBy("__psb")
+        .orderBy(F.col(order_col).asc(), *[F.col(c).asc() for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.withColumn(
+        out_col, (F.sum(value_col).over(w) + off).cast("bigint")
+    ).drop("__psb")
+
+
+def clamp_to_txn_boundary(
+    feed: DataFrame,
+    *,
+    txn_col: str,
+    max_rows: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """P5 extension: cut a change batch at a TRANSACTION boundary —
+    include whole transactions in commit order until the cumulative
+    row count would pass ``max_rows``, never splitting one. SQL Server
+    CT gets this for free (SYS_CHANGE_VERSION is per-commit,
+    CTInputDStream.java:114-115 clamps on it); the binlog wire feeds
+    (Maxwell ``xid``, Canal ``id``, DMS ``transaction-id``) interleave
+    many rows per transaction, and replaying half a transaction breaks
+    the atomicity every consumer assumes.
+
+    The first transaction is always kept even if it alone exceeds
+    ``max_rows`` (guaranteed progress — the same rule as the
+    reference's min-one-version pull). Cost: one groupBy(txn), the
+    two-phase ``prefix_sum`` over O(#txns) rows, and a semi-join back
+    to the feed — never a global sort of the rows."""
+    order_col = order_col or txn_col
+    per_txn = feed.groupBy(F.col(txn_col).alias("__txn")).agg(
+        F.count(F.lit(1)).alias("__n"), F.min(order_col).alias("__ord")
+    )
+    cum = prefix_sum(per_txn, "__ord", "__n", out_col="__cum", tie_cols=["__txn"])
+    kept = cum.filter(
+        (F.col("__cum") <= max_rows) | (F.col("__cum") == F.col("__n"))
+    ).select(F.col("__txn").alias(txn_col))
+    return feed.join(kept, on=txn_col, how="left_semi")

@@ -1165,6 +1165,39 @@ def p_batch_clamp(spark, sf_dir):
     )
 
 
+@_q(
+    "p_txn_clamp",
+    """
+    WITH per AS (
+      SELECT l_orderkey AS txn, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT txn, n, SUM(n) OVER (ORDER BY txn) AS cum FROM per
+    ), kept AS (
+      SELECT txn FROM c WHERE cum <= 1000 OR cum = n
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem JOIN kept ON l_orderkey = txn
+    """,
+)
+def p_txn_clamp(spark, sf_dir):
+    """P5 extension: transaction-boundary batch clamp
+    (extensions/scale.clamp_to_txn_boundary) — whole transactions in
+    commit order until the row budget, never splitting one (SQL Server
+    CT's per-commit SYS_CHANGE_VERSION gives this for free,
+    CTInputDStream.java:114-115; the binlog feeds — Maxwell xid, Canal
+    id, DMS transaction-id — need it explicitly). lineitem rows as the
+    pseudo-feed, l_orderkey as the transaction id, budget 1000 rows.
+    The running total is the two-phase deterministic-range
+    ``prefix_sum`` (per-bucket window + driver offsets over O(#txns)),
+    NOT a single-partition global window."""
+    from .extensions import scale
+
+    li = _t(spark, sf_dir, "lineitem")
+    return scale.clamp_to_txn_boundary(
+        li, txn_col="l_orderkey", max_rows=1000
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 # =====================================================================
 # [cdc] — envelope / normalize / apply, end-to-end
 # =====================================================================
