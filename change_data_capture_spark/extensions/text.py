@@ -944,3 +944,61 @@ def kn_continuation_counts(
             F.coalesce("cont_right", F.lit(0)).cast("long").alias("cont_right"),
         )
     )
+
+
+def c4_rules(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4-style heuristic page filter (Raffel et al. 2020, §2.2 "Colossal
+    Clean Crawled Corpus" rules), the most-replicated public web-text
+    curation recipe:
+
+    - a LINE is retained only if it ends in terminal punctuation
+      (``[.!?"]``), has >= 5 words, and does not mention javascript;
+    - a DOC is kept only if it has no "lorem ipsum", no ``{`` (code
+      page signal), and >= 3 sentences across its RETAINED lines
+      (sentences counted as terminal-punctuation marks).
+
+    Output per doc: (id, n_lines, n_kept_lines, n_sentences,
+    has_lorem_ipsum, has_brace, kept) — the audit columns a curation
+    run reports, not just the verdict.
+
+    One explode on the newline split + one hash-shuffle groupBy on the
+    doc id; every rule is a JVM regexp/length expression (zero
+    Python). Doc-level flags are computed on the full text BEFORE the
+    explode and ride the groupBy keys (constant per doc)."""
+    line = F.col("__line")
+    trimmed = F.trim(line)
+    words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    keep_line = (
+        F.rtrim(line).rlike(r'[.!?"]$')
+        & (words >= 5)
+        & ~F.lower(line).contains("javascript")
+    )
+    sent = F.when(
+        keep_line, F.regexp_count(line, F.lit(r"[.!?]"))
+    ).otherwise(F.lit(0))
+    lines = docs.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    )
+    agg = lines.groupBy(id_col, "has_lorem_ipsum", "has_brace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(keep_line.cast("int")).cast("long").alias("n_kept_lines"),
+        F.sum(sent).cast("long").alias("n_sentences"),
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        (
+            ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & (F.col("n_sentences") >= 3)
+        ).alias("kept"),
+    )

@@ -6585,6 +6585,46 @@ def web_pagerank_full(spark, sf_dir):
 
 
 @_q(
+    "text_c4_rules",
+    """
+    WITH lines AS (
+      SELECT doc_id,
+             contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+             contains(text, '{') AS has_brace,
+             unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), f AS (
+      SELECT doc_id, has_lorem_ipsum, has_brace,
+             CASE WHEN regexp_matches(rtrim(line), '[.!?"]$')
+                       AND (CASE WHEN length(trim(line)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(line), '\\s+')) END) >= 5
+                       AND NOT contains(lower(line), 'javascript')
+                  THEN 1 ELSE 0 END AS keep_line,
+             len(regexp_extract_all(line, '[.!?]')) AS marks
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(keep_line) AS BIGINT) AS n_kept_lines,
+           CAST(SUM(CASE WHEN keep_line = 1 THEN marks ELSE 0 END) AS BIGINT)
+             AS n_sentences,
+           has_lorem_ipsum, has_brace,
+           (NOT has_lorem_ipsum AND NOT has_brace
+            AND SUM(CASE WHEN keep_line = 1 THEN marks ELSE 0 END) >= 3) AS kept
+    FROM f GROUP BY doc_id, has_lorem_ipsum, has_brace
+    """,
+)
+def text_c4_rules(spark, sf_dir):
+    """C4 heuristic page filter (Raffel et al. 2020 §2.2;
+    extensions/text.c4_rules): line retention (terminal punctuation,
+    >= 5 words, no javascript) + page gates (no lorem ipsum, no brace,
+    >= 3 sentences over retained lines), with the audit columns a
+    curation run reports. One explode + one hash-shuffle groupBy, all
+    JVM regexp/length codegen."""
+    return text.c4_rules(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "profile_table_stats",
     """
     SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
