@@ -314,7 +314,7 @@ class TableCatalog:
         spark: SparkSession,
         table_id: str,
         n_buckets: int | None = None,
-        sort_by: Sequence[str] | None = None,
+        sort_by: Sequence[str | F.Column] | None = None,
     ) -> None:
         """Maintenance rewrite: republish the current snapshot as a
         fresh version, optionally re-hashing into ``n_buckets`` PK
@@ -401,7 +401,7 @@ class TableCatalog:
         applied_version: int,
         changed_buckets: Sequence[int] | None = None,
         n_buckets: int | None = None,
-        sort_within_buckets: Sequence[str] | None = None,
+        sort_within_buckets: Sequence[str | F.Column] | None = None,
         expected_current: object = _NO_CAS,
     ) -> None:
         """Publish a new table version.
@@ -475,8 +475,12 @@ class TableCatalog:
             # Zone-map layout: a per-partition (not global) sort keeps
             # the exchange above untouched while parquet's row-group
             # min/max stats become selective for the sorted columns.
+            # Entries may be plain column names OR Column expressions
+            # (e.g. extensions.scale.zorder_expr for multi-dimensional
+            # zone maps).
             bucketed = bucketed.sortWithinPartitions(
-                _BUCKET, *[F.col(c) for c in sort_within_buckets]
+                _BUCKET,
+                *[F.expr(c) if isinstance(c, str) else c for c in sort_within_buckets],
             )
         bucketed.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
         if changed_buckets is not None and old is not None:

@@ -527,3 +527,43 @@ def clamp_to_txn_boundary(
         (F.col("__cum") <= max_rows) | (F.col("__cum") == F.col("__n"))
     ).select(F.col("__txn").alias(txn_col))
     return feed.join(kept, on=txn_col, how="left_semi")
+
+
+def zorder_expr(
+    *specs: tuple[str, float, float], bits: int = 16
+) -> Column:
+    """Z-order (Morton) interleave key over 2+ numeric columns — the
+    multi-dimensional zone-map layout (Delta OPTIMIZE ZORDER BY;
+    Morton 1966): pass the result to ``TableCatalog.compact(
+    sort_by=[zorder_expr(...)])`` and parquet row-group min/max stats
+    become selective for range predicates on EVERY spec'd column at
+    once, where a lexicographic sort only prunes its leading column.
+
+    ``specs`` are ``(column, lo, hi)`` triples: each column is scaled
+    to a ``bits``-bit integer over its caller-known [lo, hi) range
+    (values outside clamp into the edge cells — same rule as
+    ``profile.numeric_drift`` bins), then bit-interleaved
+    least-significant-first. Pure bigint shift/mask codegen — ~
+    ``bits * n_cols`` JVM ops, no shuffle, no UDF."""
+    n = len(specs)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns; sort plain columns instead")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed bigint")
+    cells = F.lit((1 << bits) - 1)
+    qs = []
+    for name, lo, hi in specs:
+        scaled = (
+            (F.col(name).cast("double") - F.lit(float(lo)))
+            / F.lit((float(hi) - float(lo)) / (1 << bits))
+        )
+        qs.append(
+            F.least(cells, F.greatest(F.lit(0), F.floor(scaled).cast("bigint")))
+        )
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return key

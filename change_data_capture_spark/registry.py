@@ -6585,6 +6585,48 @@ def web_pagerank_full(spark, sf_dir):
 
 
 @_q(
+    "q_zorder_key",
+    """
+    WITH q AS (
+      SELECT p_partkey,
+        LEAST(63, GREATEST(0,
+          CAST(FLOOR((CAST(p_size AS DOUBLE) - 0.0) / 1.0) AS BIGINT))) AS qx,
+        LEAST(63, GREATEST(0,
+          CAST(FLOOR((CAST(p_retailprice AS DOUBLE) - 896.0) / 2.0) AS BIGINT))) AS qy
+      FROM part
+    )
+    SELECT p_partkey, CAST(
+        (((qx >> 0) & 1) << 0)  | (((qy >> 0) & 1) << 1)  |
+        (((qx >> 1) & 1) << 2)  | (((qy >> 1) & 1) << 3)  |
+        (((qx >> 2) & 1) << 4)  | (((qy >> 2) & 1) << 5)  |
+        (((qx >> 3) & 1) << 6)  | (((qy >> 3) & 1) << 7)  |
+        (((qx >> 4) & 1) << 8)  | (((qy >> 4) & 1) << 9)  |
+        (((qx >> 5) & 1) << 10) | (((qy >> 5) & 1) << 11)
+      AS BIGINT) AS zkey
+    FROM q
+    """,
+)
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key (extensions/scale.zorder_expr; the
+    Delta OPTIMIZE ZORDER BY clustering key) over part (p_size,
+    p_retailprice), 6 bits per dimension with exact power-of-two cell
+    widths so the bin arithmetic is bit-identical in the oracle.
+    compact(sort_by=[zorder_expr(...)]) lays tables out along this
+    curve — row-group min/max stats then prune range predicates on
+    EITHER column (physically proven in tests/test_zorder.py); this
+    query pins the key arithmetic itself. Pure bigint shift/mask
+    codegen, zero shuffles."""
+    part = _t(spark, sf_dir, "part")
+    from .extensions.scale import zorder_expr
+
+    return part.select(
+        "p_partkey",
+        zorder_expr(("p_size", 0.0, 64.0), ("p_retailprice", 896.0, 1024.0), bits=6)
+        .alias("zkey"),
+    )
+
+
+@_q(
     "text_c4_rules",
     """
     WITH lines AS (
