@@ -957,7 +957,7 @@ def c4_rules(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
       page signal), and >= 3 sentences across its RETAINED lines
       (sentences counted as terminal-punctuation marks).
 
-    Output per doc: (id, n_lines, n_kept_lines, n_sentences,
+    Output per doc: (id, n_lines, n_words, n_kept_lines, n_sentences,
     has_lorem_ipsum, has_brace, kept) — the audit columns a curation
     run reports, not just the verdict.
 
@@ -986,12 +986,14 @@ def c4_rules(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
     )
     agg = lines.groupBy(id_col, "has_lorem_ipsum", "has_brace").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(words).cast("long").alias("n_words"),
         F.sum(keep_line.cast("int")).cast("long").alias("n_kept_lines"),
         F.sum(sent).cast("long").alias("n_sentences"),
     )
     return agg.select(
         id_col,
         "n_lines",
+        "n_words",
         "n_kept_lines",
         "n_sentences",
         "has_lorem_ipsum",
@@ -1001,4 +1003,70 @@ def c4_rules(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
             & ~F.col("has_brace")
             & (F.col("n_sentences") >= 3)
         ).alias("kept"),
+    )
+
+
+def gopher_rules(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style heuristic quality filter (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition-free rules — the
+    other canonical public web-text recipe next to C4):
+
+    - 50 <= word count <= 100,000;
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (#, ellipsis) <= 0.1;
+    - <= 10% of lines start with a bullet, <= 30% end with an
+      ellipsis;
+    - >= 80% of words contain an alphabetic character;
+    - >= 2 of the 8 canonical stop words present (the, be, to, of,
+      and, that, have, with).
+
+    Every ratio rule is evaluated in INTEGER arithmetic
+    (``3*n <= total <= 10*n`` instead of a float mean, etc.) so the
+    verdict and all audit columns are engine-exact under the DuckDB
+    oracle. One word-explode + one hash-shuffle groupBy on the doc id;
+    the line/symbol/stop-word signals are zero-shuffle ``(?m)``
+    multiline-regexp counts over the full text carried through
+    ``first()`` aggregates."""
+    word = F.col("__w")
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = sum(
+        (F.lower(F.col(text_col)).rlike(rf"\b{s}\b")).cast("int") for s in stops
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(r"#|…|\.\.\.")).alias("__sym"),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("__lines"),
+        F.regexp_count(F.col(text_col), F.lit(r"(?m)^[-*•]")).alias("__bullet"),
+        F.regexp_count(F.col(text_col), F.lit(r"(?m)(\.\.\.|…)$")).alias("__ellip"),
+        n_stop.alias("__stops"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    )
+    agg = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length(word)).cast("long").alias("n_word_chars"),
+        F.sum(word.rlike("[a-zA-Z]").cast("int")).cast("long").alias("n_alpha_words"),
+        F.first("__sym").cast("long").alias("n_symbols"),
+        F.first("__lines").cast("long").alias("n_lines"),
+        F.first("__bullet").cast("long").alias("n_bullet_lines"),
+        F.first("__ellip").cast("long").alias("n_ellipsis_lines"),
+        F.first("__stops").cast("long").alias("n_stop_words"),
+    )
+    n, chars = F.col("n_words"), F.col("n_word_chars")
+    kept = (
+        (n >= 50)
+        & (n <= 100_000)
+        & (chars >= 3 * n)
+        & (chars <= 10 * n)
+        & (10 * F.col("n_symbols") <= n)
+        & (10 * F.col("n_bullet_lines") <= F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("n_alpha_words") >= 4 * n)
+        & (F.col("n_stop_words") >= 2)
+    )
+    return agg.select(
+        id_col, "n_words", "n_word_chars", "n_alpha_words", "n_symbols",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_stop_words",
+        kept.alias("kept"),
     )

@@ -6642,11 +6642,14 @@ def q_zorder_key(spark, sf_dir):
                             ELSE len(string_split_regex(trim(line), '\\s+')) END) >= 5
                        AND NOT contains(lower(line), 'javascript')
                   THEN 1 ELSE 0 END AS keep_line,
+             (CASE WHEN length(trim(line)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(line), '\\s+')) END) AS n_words,
              len(regexp_extract_all(line, '[.!?]')) AS marks
       FROM lines
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
            CAST(SUM(keep_line) AS BIGINT) AS n_kept_lines,
            CAST(SUM(CASE WHEN keep_line = 1 THEN marks ELSE 0 END) AS BIGINT)
              AS n_sentences,
@@ -6664,6 +6667,63 @@ def text_c4_rules(spark, sf_dir):
     curation run reports. One explode + one hash-shuffle groupBy, all
     JVM regexp/length codegen."""
     return text.c4_rules(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ), wa AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(word)) AS BIGINT) AS n_word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(word, '[a-zA-Z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words
+      FROM w GROUP BY 1
+    ), d AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT)
+               AS n_symbols,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS BIGINT)
+               AS n_ellipsis_lines,
+             CAST((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END)
+                + (CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop_words
+      FROM documents
+    )
+    SELECT wa.doc_id, n_words, n_word_chars, n_alpha_words, n_symbols,
+           n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_words,
+           (n_words >= 50 AND n_words <= 100000
+            AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_words >= 2) AS kept
+    FROM wa JOIN d ON wa.doc_id = d.doc_id
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher heuristic quality filter (Rae et al. 2021 Table A1;
+    extensions/text.gopher_rules): word-count/mean-word-length bounds,
+    symbol and bullet/ellipsis line ratios, alphabetic-word fraction,
+    stop-word presence — every ratio in INTEGER arithmetic so verdict
+    and audit columns are engine-exact. One word explode + one
+    doc-key shuffle; line/symbol/stop signals are zero-shuffle (?m)
+    regexp counts."""
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -146,6 +146,45 @@ def main() -> int:
         F.col("rank_ppt").desc()).show(3)
     print("maintenance advisor:", maintenance_report(cat)[:1])
 
+    section("11. Chunked bootstrap, drift monitors, C4 gate, Z-order")
+    from change_data_capture_spark.compat import check_compat
+    from change_data_capture_spark.dblog import ChunkedSnapshot, select_chunk
+    from change_data_capture_spark.extensions import profile as prof
+    from change_data_capture_spark.extensions.scale import zorder_expr
+    from change_data_capture_spark.changelog import dml_records
+
+    # DBLog-style no-lock bootstrap: chunk, live feed batch, raced chunk
+    tgt = TableCatalog(os.path.join(root, "dblog"))
+    cs = ChunkedSnapshot(spark, tgt, "tpch.customer", ["c_custkey"], cust.schema.json())
+    cs.begin()
+    cs.apply_chunk(select_chunk(cust, "c_custkey", 0, 50))
+    feed = dml_records(cust.filter(F.col("c_custkey") % 9 == 1), "tpch.customer",
+                       ["c_custkey"], op="UPDATE", version=1000,
+                       value_overrides={"c_acctbal": F.lit(0.0)})
+    cs.apply_feed(feed)
+    cs.apply_chunk(select_chunk(cust, "c_custkey", 50, None), window_events=feed)
+    print("chunked-bootstrap replica rows:", cs.result().count())
+
+    print("column profile (one pass):")
+    prof.column_profile(cust, ["c_custkey", "c_acctbal"]).show(truncate=False)
+    drift = prof.numeric_drift(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        "c_acctbal", lo=-1000.0, hi=10000.0, n_bins=8,
+    )
+    print("acctbal drift TVD:", prof.tvd(drift))
+    print("C4 page gate kept:",
+          text.c4_rules(docs).filter("kept").count(), "/", docs.count())
+    print("schema-compat gate (drop required id, FORWARD):",
+          check_compat("""{"type":"struct","fields":[
+            {"name":"id","type":"long","nullable":false,"metadata":{}},
+            {"name":"v","type":"double","nullable":true,"metadata":{}}]}""",
+            '{"type":"struct","fields":[{"name":"v","type":"double","nullable":true,"metadata":{}}]}',
+            "FORWARD"))
+    cat.compact(spark, "tpch.customer",
+                sort_by=[zorder_expr(("c_nationkey", 0, 32), ("c_acctbal", -1024.0, 10240.0), bits=5)])
+    print("z-order compacted; rows unchanged:", cat.read(spark, "tpch.customer").count())
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
