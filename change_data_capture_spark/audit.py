@@ -1,0 +1,148 @@
+"""Replica consistency audit + targeted repair — the
+pt-table-checksum / pt-table-sync analog for this engine's managed
+tables (Percona Toolkit's public design: checksum source and replica
+in chunks, then re-sync only the chunks that differ).
+
+A CDC replica drifts in practice: a skipped batch, an out-of-band
+write, a bug during a migration window. Re-copying 100 TB to be safe
+is not a plan; the audit computes an order-insensitive content
+checksum PER BUCKET on each side (one scan each, map-side-combinable
+``bit_xor`` — no sort, no collect of row data), diffs the two O(#
+buckets) frames, and repairs ONLY the differing buckets through the
+same versioned bucket-granular write path the apply engine uses
+(reader-invisible, CAS-protected, time-travel preserved).
+
+Engine-portable hashing (the ``scale._md5_hash32`` convention): each
+row renders to a canonical string (doubles through DECIMAL(38,6),
+null sentinel before concat — ``concat_ws`` SKIPS nulls in both
+engines, which would alias (a,NULL,b) with (a,b)) and hashes
+``md5 -> 60-bit bigint``; the per-bucket aggregate is ``bit_xor`` —
+commutative (order/partitioning-insensitive) and overflow-free where
+a SUM of 60-bit values would overflow BIGINT long before 100 TB row
+counts. DuckDB computes the identical md5/bit_xor arithmetic, which
+is what lets the table-level checksum sit under the oracle gate
+(``cdc_table_checksum``).
+
+Bucket ids reuse the writer's own ``bucket_expr`` over the
+schema-normalized key values, so audit buckets are exactly the
+storage buckets the repair rewrites.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .apply import TableCatalog, bucket_expr, _DEFAULT_BUCKETS
+from .schema import schema_from_json
+
+_SEP = "\x01"
+_NULL = "\x00<null>"
+
+
+def _canon(col: Column, dtype: str) -> Column:
+    if dtype in ("double", "float"):
+        col = col.cast("decimal(38,6)")
+    return F.coalesce(col.cast("string"), F.lit(_NULL))
+
+
+def row_hash_expr(dtypes: Sequence[tuple[str, str]]) -> Column:
+    """60-bit engine-portable content hash of a row: md5 over the
+    canonical column renderings, first 15 hex digits as bigint
+    (DuckDB twin: ``('0x' || substr(md5(...), 1, 15))::BIGINT``)."""
+    parts = [_canon(F.col(c), t) for c, t in dtypes]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def table_checksum(
+    spark: SparkSession, catalog: TableCatalog, table_id: str
+) -> DataFrame:
+    """Per-bucket (bucket, n_rows, checksum) for a managed table —
+    one pruned-nothing scan, one map-side-combinable aggregate."""
+    meta = catalog.meta(table_id)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {table_id!r}")
+    schema = schema_from_json(meta["schema"])
+    pks = list(meta["pks"])
+    nb = int(meta.get("buckets") or _DEFAULT_BUCKETS)
+    df = catalog.read(spark, table_id)
+    dtypes = [(f.name, dict(df.dtypes)[f.name]) for f in schema.fields]
+    # Typed frame -> the default rowkey stringification, the same form
+    # the apply engine's own merge path buckets typed rows with.
+    rows = df.select(
+        bucket_expr(pks, nb).alias("bucket"),
+        row_hash_expr(dtypes).alias("__h"),
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(__h)").cast("long").alias("checksum"),
+    )
+
+
+def checksum_diff(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Buckets whose (n_rows, checksum) disagree — a full-outer join
+    of two O(#buckets) frames; a bucket present on one side only is a
+    mismatch too."""
+    a = src.select(
+        "bucket",
+        F.col("n_rows").alias("src_rows"),
+        F.col("checksum").alias("src_checksum"),
+    )
+    b = dst.select(
+        "bucket",
+        F.col("n_rows").alias("dst_rows"),
+        F.col("checksum").alias("dst_checksum"),
+    )
+    j = a.join(b, "bucket", "full_outer")
+    return j.filter(
+        ~(
+            F.col("src_rows").eqNullSafe(F.col("dst_rows"))
+            & F.col("src_checksum").eqNullSafe(F.col("dst_checksum"))
+        )
+    )
+
+
+def repair_buckets(
+    spark: SparkSession,
+    source: TableCatalog,
+    target: TableCatalog,
+    table_id: str,
+    buckets: Sequence[int],
+) -> None:
+    """pt-table-sync: replace ONLY the named target buckets with the
+    source's rows for those buckets, as a new version through the
+    bucket-granular write path (untouched buckets file-reuse; readers
+    never block; CAS raises on a concurrent publish). Requires both
+    sides on the same bucket count — re-``compact`` the replica first
+    otherwise."""
+    sm, tm = source.meta(table_id), target.meta(table_id)
+    if sm is None or tm is None:
+        raise KeyError(f"unknown table {table_id!r}")
+    snb = int(sm.get("buckets") or _DEFAULT_BUCKETS)
+    tnb = int(tm.get("buckets") or _DEFAULT_BUCKETS)
+    if snb != tnb:
+        raise ValueError(
+            f"bucket counts differ (source {snb}, target {tnb}); "
+            "compact the target to the source's count first"
+        )
+    buckets = sorted(int(b) for b in buckets)
+    pks = list(sm["pks"])
+    schema = schema_from_json(tm["schema"])
+    src_rows = (
+        source.read(spark, table_id)
+        .withColumn("__rb", bucket_expr(pks, snb))
+        .filter(F.col("__rb").isin(*[F.lit(b) for b in buckets]))
+        .drop("__rb")
+        .select(*[f.name for f in schema.fields])
+    )
+    target.write_new_version(
+        table_id,
+        src_rows,
+        int(tm.get("applied_version", 0)),
+        changed_buckets=buckets,
+        expected_current=tm["current"],
+    )

@@ -6670,6 +6670,62 @@ def text_c4_rules(spark, sf_dir):
 
 
 @_q(
+    "cdc_table_checksum",
+    """
+    WITH final AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 <> 5
+    ), h AS (
+      SELECT ('0x' || substr(md5(concat_ws(chr(1),
+          coalesce(CAST(c_custkey AS VARCHAR), chr(0) || '<null>'),
+          coalesce(c_name, chr(0) || '<null>'),
+          coalesce(CAST(c_nationkey AS VARCHAR), chr(0) || '<null>'),
+          coalesce(CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS VARCHAR),
+                   chr(0) || '<null>'),
+          coalesce(c_mktsegment, chr(0) || '<null>'))), 1, 15))::BIGINT AS h
+      FROM final
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def cdc_table_checksum(spark, sf_dir):
+    """Replica consistency audit (audit.table_checksum — the
+    pt-table-checksum analog): apply the standard mutation fixture,
+    then checksum the MANAGED TABLE's content with the
+    engine-portable md5 60-bit row hash and an order-insensitive
+    ``bit_xor`` aggregate; the oracle computes the identical
+    arithmetic over the SQL-simulated final state, so any content
+    drift anywhere in the snapshot -> envelope -> normalize -> MERGE
+    -> storage -> read chain breaks the hash. Per-bucket granularity
+    (the repair unit) is pinned by tests/test_audit.py."""
+    from . import audit
+
+    cust = _t(spark, sf_dir, "customer")
+    cat = _seeded_customer_catalog(spark, sf_dir)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    per_bucket = audit.table_checksum(spark, cat, "tpch.customer")
+    return per_bucket.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.expr("bit_xor(checksum)").cast("long").alias("checksum"),
+    )
+
+
+@_q(
     "text_gopher_rules",
     """
     WITH w AS (

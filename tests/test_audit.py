@@ -1,0 +1,86 @@
+"""Consistency audit + repair tests: identical replicas checksum
+equal, a corrupted bucket is localized exactly, repair converges only
+the touched buckets (file reuse intact), and bucket-count mismatch is
+refused."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.audit import (
+    checksum_diff,
+    repair_buckets,
+    table_checksum,
+)
+from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+T = "shop.orders"
+
+
+def _pair(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, 10.0 * i, f"n{i}") for i in range(200)],
+        "id long, amount double, name string",
+    )
+    src = TableCatalog(str(tmp_path / "src"))
+    dst = TableCatalog(str(tmp_path / "dst"))
+    for cat in (src, dst):
+        apply_changelog(spark, snapshot_changelog(base, T, ["id"]), cat)
+    return base, src, dst
+
+
+def test_identical_replicas_checksum_clean(spark, tmp_path):
+    _, src, dst = _pair(spark, tmp_path)
+    assert checksum_diff(
+        table_checksum(spark, src, T), table_checksum(spark, dst, T)
+    ).count() == 0
+
+
+def test_corruption_localized_and_repaired(spark, tmp_path):
+    base, src, dst = _pair(spark, tmp_path)
+    # corrupt the replica out-of-band: one row's value drifts
+    rogue = dml_records(
+        base.filter(F.col("id") == 42), T, ["id"], op="UPDATE",
+        version=99, value_overrides={"amount": F.lit(-1.0)},
+    )
+    apply_changelog(spark, rogue, dst)
+
+    diff = checksum_diff(
+        table_checksum(spark, src, T), table_checksum(spark, dst, T)
+    ).collect()
+    assert len(diff) == 1, diff
+    bad = diff[0]
+    assert bad["src_rows"] == bad["dst_rows"]  # same count, drifted content
+    assert bad["src_checksum"] != bad["dst_checksum"]
+
+    before_version = dst.meta(T)["current"]
+    repair_buckets(spark, src, dst, T, [bad["bucket"]])
+    assert dst.meta(T)["current"] != before_version  # versioned like any write
+    assert checksum_diff(
+        table_checksum(spark, src, T), table_checksum(spark, dst, T)
+    ).count() == 0
+    got = {r["id"]: r["amount"] for r in dst.read(spark, T).collect()}
+    assert got[42] == 420.0
+
+
+def test_missing_rows_detected(spark, tmp_path):
+    base, src, dst = _pair(spark, tmp_path)
+    dele = dml_records(
+        base.filter(F.col("id").isin(7, 8)), T, ["id"], op="DELETE",
+        version=99, keys_only=True,
+    )
+    apply_changelog(spark, dele, dst)
+    diff = checksum_diff(
+        table_checksum(spark, src, T), table_checksum(spark, dst, T)
+    ).collect()
+    assert 1 <= len(diff) <= 2
+    assert all(r["src_rows"] > r["dst_rows"] for r in diff)
+    repair_buckets(spark, src, dst, T, [r["bucket"] for r in diff])
+    assert dst.read(spark, T).count() == src.read(spark, T).count()
+
+
+def test_bucket_count_mismatch_refused(spark, tmp_path):
+    _, src, dst = _pair(spark, tmp_path)
+    dst.compact(spark, T, n_buckets=4)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        repair_buckets(spark, src, dst, T, [0])
