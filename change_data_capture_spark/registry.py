@@ -6956,7 +6956,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_schema_evolution",
     "cdc_pk_type_coerce",
     "cdc_pk_update_split",
-    "cdc_net_change_collapse",
+    "cdc_table_checksum",
     "cdc_maxwell_apply",
     "cdc_dms_apply",
     "cdc_canal_apply",
@@ -6986,7 +6986,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_bucketed",
     "profile_table_stats",
     "text_tfidf_topterms",
-    "web_pagerank",
+    "web_pagerank_full",
     "web_url_dedup",
     "web_link_extract",
     "ann_topk_bruteforce",
@@ -6995,7 +6995,7 @@ DRIVER_WINDOW: list[str] = [
     "temporal_scd2_lookup",
     "corpus_pack_batches",
     "corpus_curation_pipeline",
-    "multimodal_image_meta",
+    "multimodal_payload_dedup",
 ]
 
 
