@@ -9,9 +9,16 @@ schema evolution — expressed Spark-first on DataFrames / Structured
 Streaming, not as a port of the reference's DStream/Java design.
 
 Layer (b) adds the analytic query surface over materialized tables
-(`queries.py`) and large-scale training-data-pipeline extensions
+(`registry.py`) and large-scale training-data-pipeline extensions
 (`extensions/`): deduplication, similarity search, text analysis and
 multimodal-column plumbing.
+
+Operational/governance layer: `dblog` (watermark-based chunked
+snapshots of live tables), `audit` (replica consistency checksums +
+bucket-targeted repair), `compat` (Confluent-semantics schema
+compatibility gating), `derive` (incrementally-maintained
+aggregates/joins/SCD2), and per-column profiling + drift monitors
+(`extensions/profile`).
 """
 
 __version__ = "0.1.0"

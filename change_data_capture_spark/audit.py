@@ -146,3 +146,33 @@ def repair_buckets(
         changed_buckets=buckets,
         expected_current=tm["current"],
     )
+
+
+def replication_lag_report(source: TableCatalog, target: TableCatalog) -> list[dict]:
+    """Freshness/lag dashboard row per source table — all from the
+    two catalogs' metadata, zero Spark jobs (the monitoring companion
+    to ``apply.maintenance_report``): the replica's applied tracking
+    watermark vs the source's, how far behind it is in the tracking
+    domain, and whether the table is missing entirely. A replica that
+    is BEHIND needs no action (the feed will catch it up); a replica
+    that is AHEAD is mis-homed in the version domain (the
+    bootstrap-watermark bug class ``apply._stamp_tracking_watermark``
+    exists to prevent) and is flagged loudly."""
+    out: list[dict] = []
+    for t in source.tables():
+        sm = source.meta(t) or {}
+        tm = target.meta(t)
+        src_v = int(sm.get("applied_version", 0))
+        if tm is None:
+            out.append(
+                {"table": t, "source_version": src_v, "target_version": None,
+                 "versions_behind": None, "status": "missing"}
+            )
+            continue
+        dst_v = int(tm.get("applied_version", 0))
+        status = "ok" if dst_v == src_v else ("behind" if dst_v < src_v else "AHEAD")
+        out.append(
+            {"table": t, "source_version": src_v, "target_version": dst_v,
+             "versions_behind": src_v - dst_v, "status": status}
+        )
+    return out

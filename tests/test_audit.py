@@ -84,3 +84,23 @@ def test_bucket_count_mismatch_refused(spark, tmp_path):
     dst.compact(spark, T, n_buckets=4)
     with pytest.raises(ValueError, match="bucket counts differ"):
         repair_buckets(spark, src, dst, T, [0])
+
+
+def test_replication_lag_report(spark, tmp_path):
+    from change_data_capture_spark.audit import replication_lag_report
+
+    base, src, dst = _pair(spark, tmp_path)
+    upd = dml_records(
+        base.filter(F.col("id") % 5 == 0), T, ["id"], op="UPDATE",
+        version=7, value_overrides={"amount": F.col("amount") + 1},
+    )
+    apply_changelog(spark, upd, src)  # source moves ahead
+    (r,) = replication_lag_report(src, dst)
+    assert r["status"] == "behind" and r["versions_behind"] == 6
+    apply_changelog(spark, upd, dst)  # replica catches up
+    (r2,) = replication_lag_report(src, dst)
+    assert r2["status"] == "ok" and r2["versions_behind"] == 0
+    # a table missing on the replica is flagged
+    other = TableCatalog(str(tmp_path / "empty"))
+    (r3,) = replication_lag_report(src, other)
+    assert r3["status"] == "missing"
