@@ -282,3 +282,31 @@ def test_er_matching_is_equijoin_only(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_text_filters_single_shuffle_no_python(spark, sf_dir):
+    """C4/Gopher page filters: one explode + ONE doc-key exchange,
+    all-JVM regexp codegen — the shape that keeps a 100 TB curation
+    pass to a single shuffle."""
+    for name in ("text_c4_rules", "text_gopher_rules"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+
+
+def test_zorder_key_is_narrow(spark, sf_dir):
+    """The Morton key is pure projection: zero exchanges, zero Python
+    — compact can compute it for free inside its existing write."""
+    plan = plan_of(spark, sf_dir, "q_zorder_key")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_drift_single_pass(spark, sf_dir):
+    """Drift frames: ONE hash exchange on the bucket/category key;
+    the grand-total window runs over the aggregated frame only (its
+    single partition holds n_buckets rows, never raw data)."""
+    for name in ("profile_numeric_drift", "profile_categorical_drift"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+        assert "BatchEvalPython" not in plan, name
