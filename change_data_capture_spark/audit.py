@@ -44,7 +44,18 @@ _NULL = "\x00<null>"
 
 def _canon(col: Column, dtype: str) -> Column:
     if dtype in ("double", "float"):
-        col = col.cast("decimal(38,6)")
+        # NaN / Infinity / |x| >= 1e32 would TRAP the DECIMAL(38,6)
+        # rendering under ANSI — and a checksum that dies on dirty
+        # data can't audit the drift it exists to find. Sentinel
+        # branches keep the hash total and engine-portable for all
+        # finite |x| < 1e32 (the DuckDB twin uses the same literals).
+        col = (
+            F.when(F.isnan(col), F.lit("<nan>"))
+            .when(col == float("inf"), F.lit("<inf>"))
+            .when(col == float("-inf"), F.lit("<-inf>"))
+            .when(F.abs(col) >= 1e32, F.concat(F.lit("<big>"), col.cast("string")))
+            .otherwise(col.cast("decimal(38,6)").cast("string"))
+        )
     return F.coalesce(col.cast("string"), F.lit(_NULL))
 
 

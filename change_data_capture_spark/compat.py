@@ -105,28 +105,40 @@ def check_compat(
     nf = {f.name: f for f in new.fields}
     if mode in (BACKWARD, FULL):
         # new reader reads old data: additions need null default,
-        # types must promote old -> new
+        # types must promote old -> new, and an existing nullable
+        # column cannot become required (old rows may hold nulls the
+        # new schema cannot represent — Avro union[null,T] -> T is
+        # backward-incompatible)
         for name, f in nf.items():
             if name not in of:
                 if not f.nullable:
                     out.append(f"backward:added_required:{name}")
-            elif not _promotes(of[name].dataType, f.dataType):
+                continue
+            if not _promotes(of[name].dataType, f.dataType):
                 out.append(
                     f"backward:type:{name}:{of[name].dataType.simpleString()}"
                     f"->{f.dataType.simpleString()}"
                 )
+            if of[name].nullable and not f.nullable:
+                out.append(f"backward:nullability:{name}")
     if mode in (FORWARD, FULL):
         # old reader reads new data: removals need the old column to
-        # have been nullable, types must promote new -> old
+        # have been nullable, types must promote new -> old, and a
+        # required column cannot become nullable (new data may hold
+        # nulls the old reader's required field rejects — T ->
+        # union[null,T] is forward-incompatible)
         for name, f in of.items():
             if name not in nf:
                 if not f.nullable:
                     out.append(f"forward:removed_required:{name}")
-            elif not _promotes(nf[name].dataType, f.dataType):
+                continue
+            if not _promotes(nf[name].dataType, f.dataType):
                 out.append(
                     f"forward:type:{name}:{f.dataType.simpleString()}"
                     f"<-{nf[name].dataType.simpleString()}"
                 )
+            if nf[name].nullable and not f.nullable:
+                out.append(f"forward:nullability:{name}")
     return out
 
 

@@ -28,10 +28,15 @@ the catalog's idempotence watermark is per TABLE (skip
 `change_tracking_version <= applied`), so a chunk cannot be emitted
 at a version under the already-applied feed — late low-version
 batches are skipped as replays. ``ChunkedSnapshot.apply_chunk``
-therefore stamps each chunk at ``applied_version + 1`` (strictly
-above everything applied, strictly below the next feed batch — live
-CT/binlog versions are sparse timestamps, leaving room) and performs
-step 2's key-drop as an anti-join against the window's changed keys.
+therefore stamps each chunk at ``applied_version + 1`` — strictly
+above everything applied, and strictly below the next feed batch
+PROVIDED the feed's version domain leaves room (the wire decoders
+default to timestamp-micros versions, which do; raw dense domains
+like SQL Server CT's ``SYS_CHANGE_VERSION`` integers do NOT, and
+``apply_feed`` detects the resulting swallowed-batch collision and
+raises ``VersionCollisionError`` instead of losing data) — and
+performs step 2's key-drop as an anti-join against the window's
+changed keys.
 The drop is load-bearing exactly here: the raced events sit BELOW the
 chunk's version, so without it a stale chunk image would clobber an
 already-applied newer value. `tests/test_dblog.py` pins that failure
@@ -56,6 +61,20 @@ from pyspark.sql import functions as F
 from .apply import TableCatalog, apply_changes
 from .changelog import ddl_record, dml_records
 from .schema import OP_INSERT
+
+
+class VersionCollisionError(RuntimeError):
+    """A NEW feed batch was swallowed by the engine's replay filter
+    because a chunk stamp had already advanced the table watermark to
+    (or past) the batch's version. This happens when the feed's
+    version domain is DENSE (e.g. raw SQL Server CT
+    ``SYS_CHANGE_VERSION`` integers): ``apply_chunk`` stamps at
+    ``applied + 1``, which collides with the very next feed version
+    and would silently lose those source events. Re-run the bootstrap
+    with the feed's versions mapped into a sparse domain (e.g.
+    ``version_expr = version * 1000`` on the decoder, or
+    timestamp-micros versions as the wire decoders default to) so
+    chunk stamps fit between feed versions."""
 
 
 def select_chunk(source: DataFrame, pk: str, lo, hi) -> DataFrame:
@@ -104,6 +123,9 @@ class ChunkedSnapshot:
         self.table_id = table_id
         self.pks = list(pks)
         self.schema_json = schema_json
+        # feed-progress tracking for the dense-version collision guard
+        # (VersionCollisionError): highest feed version seen so far.
+        self._last_feed_version = 0
 
     def begin(self) -> None:
         """Announce the table's schema (DDL-before-DML, T3) so the
@@ -119,8 +141,39 @@ class ChunkedSnapshot:
     def apply_feed(self, changelog_df: DataFrame) -> None:
         """Apply one live change-feed batch (envelope frame carrying
         its own monotone versions, e.g. from any of the five wire
-        decoders through ``normalize_raw_ops``)."""
+        decoders through ``normalize_raw_ops``).
+
+        Guards the chunk-stamping scheme against DENSE feed version
+        domains: a batch that is NEW in feed order (max version above
+        every feed version seen) but at-or-below the table's applied
+        watermark was swallowed by a CHUNK stamp — that is silent data
+        loss, so it raises ``VersionCollisionError``. Genuine
+        at-least-once redeliveries (max version <= a feed version
+        already seen) still skip silently as designed. Costs one
+        O(metadata) max aggregate per batch."""
+        applied_before = self.applied_version()
+        v = F.col("dml.change_tracking_version")
+        stats = changelog_df.agg(
+            F.max(v).alias("mx"),
+            # records NEW in feed order (above every feed version seen)
+            # yet at-or-below the applied watermark: the replay filter
+            # swallows exactly these — and only a chunk stamp can have
+            # put the watermark above a never-seen feed version
+            F.sum(
+                ((v > self._last_feed_version) & (v <= applied_before)).cast("int")
+            ).alias("swallowed"),
+        ).first()
+        if stats["swallowed"]:
+            raise VersionCollisionError(
+                f"{self.table_id}: {stats['swallowed']} new feed record(s) at "
+                f"versions <= the applied watermark {applied_before}, which a "
+                "chunk stamp advanced past them — the feed's version domain "
+                "is too dense for chunk interleaving; map it into a sparse "
+                "domain (see VersionCollisionError docstring)"
+            )
         apply_changes(self.spark, changelog_df, self.target)
+        if stats["mx"] is not None and int(stats["mx"]) > self._last_feed_version:
+            self._last_feed_version = int(stats["mx"])
 
     def apply_chunk(
         self,

@@ -43,9 +43,21 @@ def _canon_str(expr: Column, dtype: str) -> Column:
     """Cross-engine canonical string form (see module docstring);
     keeps value hashes stable between Spark and DuckDB. Applied to the
     TYPED aggregate result — min/max must compare in the column's own
-    type, never lexicographically on the rendered strings."""
+    type, never lexicographically on the rendered strings.
+
+    NaN / Infinity / |x| >= 1e32 cannot go through the DECIMAL(38,6)
+    rendering (ANSI cast traps); they render as sentinel markers so a
+    profile over dirty data reports it instead of dying on it.
+    Cross-engine hash parity holds for finite |x| < 1e32; the
+    sentinels are engine-portable too (same literal strings)."""
     if dtype in ("double", "float"):
-        return expr.cast("decimal(38,6)").cast("string")
+        return (
+            F.when(F.isnan(expr), F.lit("<nan>"))
+            .when(expr == float("inf"), F.lit("<inf>"))
+            .when(expr == float("-inf"), F.lit("<-inf>"))
+            .when(F.abs(expr) >= 1e32, F.concat(F.lit("<big>"), expr.cast("string")))
+            .otherwise(expr.cast("decimal(38,6)").cast("string"))
+        )
     return expr.cast("string")
 
 
@@ -54,21 +66,25 @@ def column_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
     min_str, max_str) — one row per column, exact counts, one pass."""
     cols = list(cols or df.columns)
     dtypes = dict(df.dtypes)
+    # index-based internal aliases + backtick-quoted column refs: a
+    # column name containing a dot must not be re-parsed as a
+    # field-access path on the way through the aggregate
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(_canon_str(F.min(F.col(c)), dtypes[c]).alias(f"__min_{c}"))
-        aggs.append(_canon_str(F.max(F.col(c)), dtypes[c]).alias(f"__max_{c}"))
+    for i, c in enumerate(cols):
+        ref = F.col(f"`{c}`")
+        aggs.append(F.count(ref).alias(f"__nn_{i}"))
+        aggs.append(F.count_distinct(ref).alias(f"__nd_{i}"))
+        aggs.append(_canon_str(F.min(ref), dtypes[c]).alias(f"__min_{i}"))
+        aggs.append(_canon_str(F.max(ref), dtypes[c]).alias(f"__max_{i}"))
     one = df.agg(*aggs)
     stack_args: list[Column] = []
-    for c in cols:
+    for i, c in enumerate(cols):
         stack_args += [
             F.lit(c),
-            F.col(f"__nn_{c}"),
-            F.col(f"__nd_{c}"),
-            F.col(f"__min_{c}"),
-            F.col(f"__max_{c}"),
+            F.col(f"__nn_{i}"),
+            F.col(f"__nd_{i}"),
+            F.col(f"__min_{i}"),
+            F.col(f"__max_{i}"),
         ]
     return one.select(
         F.col("__n").alias("n_rows"),
@@ -100,11 +116,25 @@ def _drift_frame(tagged: DataFrame, bucket: Column) -> DataFrame:
     w = Window.partitionBy()  # over the n_buckets-row agg only
     t_base = F.sum("c_base").over(w)
     t_cur = F.sum("c_cur").over(w)
+    # count x total products go through DECIMAL so the intermediate
+    # multiply cannot trap under ANSI at multi-billion-row snapshots;
+    # the final value casts back to BIGINT (engine-portable rendering
+    # — DuckDB hands wide decimals to the comparator as floats).
+    # Headroom: tv_num <= max(c_base*T_cur, c_cur*T_base) <
+    # T_base*T_cur, so the BIGINT result is exact while
+    # T_base * T_cur < 2^63 (~both snapshots under ~3e9 rows);
+    # beyond that, drift-sample the snapshots first.
+    d = "decimal(19,0)"
     return agg.select(
         "bucket",
         "c_base",
         "c_cur",
-        F.abs(F.col("c_base") * t_cur - F.col("c_cur") * t_base).alias("tv_num"),
+        F.abs(
+            F.col("c_base").cast(d) * t_cur.cast(d)
+            - F.col("c_cur").cast(d) * t_base.cast(d)
+        )
+        .cast("bigint")
+        .alias("tv_num"),
     )
 
 
@@ -127,13 +157,18 @@ def numeric_drift(
     tagged = base.select(F.col(col).alias("__x"), F.lit(0).alias("__side")).unionByName(
         current.select(F.col(col).alias("__x"), F.lit(1).alias("__side"))
     )
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((F.col("__x") - F.lit(lo)) / F.lit(width)).cast("int")
-        ),
+    # clamp in the DOUBLE domain BEFORE floor: a far-out-of-range
+    # value (or inf) would overflow floor's long under ANSI mode;
+    # clamped first, the floor is always in [0, n_bins-1]. NaNs join
+    # nulls in the dropped set (they have no bin).
+    scaled = (F.col("__x") - F.lit(lo)) / F.lit(width)
+    b = F.floor(
+        F.least(F.lit(float(n_bins - 1)), F.greatest(F.lit(0.0), scaled))
     )
-    return _drift_frame(tagged.filter(F.col("__x").isNotNull()), b.cast("bigint"))
+    return _drift_frame(
+        tagged.filter(F.col("__x").isNotNull() & ~F.isnan(F.col("__x"))),
+        b.cast("bigint"),
+    )
 
 
 def categorical_drift(

@@ -6838,10 +6838,10 @@ def profile_table_stats(spark, sf_dir):
     """
     WITH tagged AS (
       SELECT o_totalprice AS x, o_orderkey % 2 AS side
-      FROM orders WHERE o_totalprice IS NOT NULL
+      FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
     ), b AS (
-      SELECT CAST(LEAST(19, GREATEST(0,
-               CAST(FLOOR((x - 0.0) / 30000.0) AS INT))) AS BIGINT) AS bucket,
+      SELECT CAST(FLOOR(LEAST(19.0, GREATEST(0.0, (x - 0.0) / 30000.0)))
+                  AS BIGINT) AS bucket,
              CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
              CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
       FROM tagged GROUP BY 1

@@ -89,13 +89,20 @@ def canal_raw_ops(
         F.from_json(F.col(message_col), _CANAL_SCHEMA).alias("__m")
     )
     typ = F.col("__m.type")
-    flat = m.filter(
-        typ.isin(*_CANAL_OPS)
-        & ~F.coalesce(F.col("__m.isDdl"), F.lit(False))
-        & F.col("__m.data").isNotNull()
-    ).select(
-        F.col("__m"),
-        F.posexplode(F.col("__m.data")).alias("__pos", "__row"),
+    flat = (
+        m.filter(
+            typ.isin(*_CANAL_OPS)
+            & ~F.coalesce(F.col("__m.isDdl"), F.lit(False))
+            & F.col("__m.data").isNotNull()
+        )
+        .select(
+            F.col("__m"),
+            F.posexplode(F.col("__m.data")).alias("__pos", "__row"),
+        )
+        # a null ELEMENT inside the data array must not become a
+        # keyless op row — it drops here and surfaces in
+        # canal_dead_letters as 'null_row'
+        .filter(F.col("__row").isNotNull())
     )
     table_id = F.concat_ws(".", F.col("__m.database"), F.col("__m.table"))
     op = F.lit(None).cast("string")
@@ -167,6 +174,12 @@ def canal_dead_letters(
         .when(
             F.col("__m.data").isNull() | (F.size(F.col("__m.data")) == 0),
             F.lit("missing_data"),
+        )
+        # a null element inside a non-empty data array: the decoder
+        # drops that row image (it has no key values) — quarantine the
+        # message rather than letting the drop be silent
+        .when(
+            F.exists(F.col("__m.data"), lambda r: r.isNull()), F.lit("null_row")
         )
     )
     return m.select(

@@ -104,3 +104,14 @@ def test_replication_lag_report(spark, tmp_path):
     other = TableCatalog(str(tmp_path / "empty"))
     (r3,) = replication_lag_report(src, other)
     assert r3["status"] == "missing"
+
+
+def test_checksum_survives_nan_and_inf(spark, tmp_path):
+    dirty = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 1e33), (4, 2.0)],
+        "id long, amount double",
+    )
+    cat = TableCatalog(str(tmp_path / "dirty"))
+    apply_changelog(spark, snapshot_changelog(dirty, T, ["id"]), cat)
+    out = table_checksum(spark, cat, T).collect()
+    assert sum(r["n_rows"] for r in out) == 4  # no ANSI trap, all hashed

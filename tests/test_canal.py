@@ -144,3 +144,16 @@ def test_canal_outbound_roundtrip(spark, tmp_path):
     apply_changelog(spark, normalize_raw_ops(raw), replica)
     got = {r["id"]: r["amount"] for r in replica.read(spark, "shop.orders").collect()}
     assert got == want
+
+
+def test_canal_null_row_element_quarantined(spark):
+    msgs = [
+        ('{"data":[null,{"id":"1","amount":"5.0"}],"database":"shop",'
+         '"table":"orders","type":"INSERT","isDdl":false,"es":1}',),
+    ]
+    mdf = spark.createDataFrame(msgs, "message string")
+    rows = canal.canal_raw_ops(mdf, KEYS).collect()
+    # the real row decodes; the null element never becomes a keyless op
+    assert len(rows) == 1 and rows[0]["after"]["id"] == "1"
+    (dl,) = canal.canal_dead_letters(mdf, KEYS).collect()
+    assert dl["reason"] == "null_row"

@@ -85,12 +85,13 @@ def test_pk_change_and_mode_validation():
 def test_transitive_history():
     v0 = _s(("id", LongType(), False), ("old_col", StringType(), True))
     v1 = _s(("id", LongType(), False))
-    # new adds old_col back as REQUIRED: fine vs v1, breaks vs v0?
-    # backward vs v0: old_col exists in v0 -> type same -> ok;
-    # vs v1: added required -> violation tagged with version index
+    # new adds old_col back as REQUIRED: vs v0 it tightens a nullable
+    # column (nullability violation), vs v1 it is an added-required
+    # column — each tagged with the version index it arose against
     new = _s(("id", LongType(), False), ("old_col", StringType(), False))
     got = cp.check_history([v0, v1], new, cp.BACKWARD)
-    assert got == ["v1:backward:added_required:old_col"]
+    assert got == ["v0:backward:nullability:old_col",
+                   "v1:backward:added_required:old_col"]
 
 
 def test_gate_announce_enforces(spark, tmp_path):
@@ -103,3 +104,19 @@ def test_gate_announce_enforces(spark, tmp_path):
     with pytest.raises(cp.IncompatibleSchemaError) as ei:
         cp.gate_announce(cat, "shop.orders", bad.json())
     assert any(v.startswith("backward:type:amount") for v in ei.value.violations)
+
+
+def test_nullability_tightening_is_breaking():
+    nullable = _s(("id", LongType(), False), ("amount", DoubleType(), True))
+    required = _s(("id", LongType(), False), ("amount", DoubleType(), False))
+    # old rows may hold nulls the new required column can't represent
+    assert cp.check_compat(nullable, required, cp.BACKWARD) == [
+        "backward:nullability:amount"
+    ]
+    # new data may hold nulls the old required field rejects
+    assert cp.check_compat(required, nullable, cp.FORWARD) == [
+        "forward:nullability:amount"
+    ]
+    # loosening is fine backward; tightening is fine forward
+    assert cp.check_compat(required, nullable, cp.BACKWARD) == []
+    assert cp.check_compat(nullable, required, cp.FORWARD) == []

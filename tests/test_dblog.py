@@ -106,3 +106,31 @@ def test_chunk_range_pushes_down(spark, tmp_path):
     plan = chunk._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(id,10)" in plan, plan
     assert chunk.count() == 10
+
+
+def test_dense_version_feed_collision_raises(spark, tmp_path):
+    """Dense feed versions (e.g. raw SYS_CHANGE_VERSION ints): a chunk
+    stamp at applied+1 collides with the next feed version; the guard
+    must raise instead of silently losing those events."""
+    import pytest
+
+    from change_data_capture_spark.dblog import VersionCollisionError
+
+    base, cs = _snapshotter(spark, tmp_path, "dense")
+    cs.apply_feed(dml_records(base.filter(F.col("id") <= 2), "shop.orders",
+                              ["id"], op="UPDATE", version=5))
+    cs.apply_chunk(base.filter(F.col("id") <= 6))  # stamps version 6
+    nxt = dml_records(base.filter(F.col("id") == 3), "shop.orders", ["id"],
+                      op="UPDATE", version=6,
+                      value_overrides={"amount": F.lit(777.0)})
+    with pytest.raises(VersionCollisionError):
+        cs.apply_feed(nxt)
+    # sparse domains never trigger it; redeliveries still skip silently
+    base2, cs2 = _snapshotter(spark, tmp_path, "sparse")
+    feed = dml_records(base2.filter(F.col("id") <= 2), "shop.orders", ["id"],
+                       op="UPDATE", version=5_000_000)
+    cs2.apply_feed(feed)
+    cs2.apply_chunk(base2)
+    cs2.apply_feed(feed)  # at-least-once redelivery: no raise
+    cs2.apply_feed(dml_records(base2.filter(F.col("id") == 3), "shop.orders",
+                               ["id"], op="UPDATE", version=6_000_000))

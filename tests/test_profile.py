@@ -74,3 +74,26 @@ def test_profile_single_pass_plan(spark):
     plan = pr.column_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1, plan
     assert "Expand" in plan, plan
+
+
+def test_profile_and_drift_survive_nan_inf_and_outliers(spark):
+    dirty = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (1e33,), (2.5,)], "x double"
+    )
+    (r,) = pr.column_profile(dirty).collect()
+    assert r["max_str"] == "<nan>"  # NaN sorts greatest in Spark
+    clean = spark.createDataFrame([(2.5,), (3.5,)], "x double")
+    (r2,) = pr.column_profile(clean).collect()
+    assert r2["min_str"] == "2.500000"
+    # drift: NaN dropped with nulls, inf/outliers clamp to edge bins
+    d = {row["bucket"]: row for row in pr.numeric_drift(
+        dirty, clean, "x", lo=0.0, hi=4.0, n_bins=4).collect()}
+    assert d[3]["c_base"] == 2  # inf + 1e33 clamped into top bin
+    assert d[2]["c_base"] == 1 and d[2]["c_cur"] == 1  # the 2.5s
+    assert sum(row["c_base"] for row in d.values()) == 3  # NaN dropped
+
+
+def test_profile_handles_dotted_column_names(spark):
+    df = spark.range(3).toDF("id").withColumnRenamed("id", "price.usd")
+    (r,) = pr.column_profile(df).collect()
+    assert r["column"] == "price.usd" and r["n_distinct"] == 3
