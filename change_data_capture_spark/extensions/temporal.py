@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "resample_gapfill"]
 
 
 def asof_join(
@@ -145,4 +145,82 @@ def range_join(
     keep_right = [F.col(f"__r_{c}").alias(f"right_{c}") for c in right.columns]
     return refined.select(*keep_left, "__start", "__end", *keep_right).drop(
         "__start", "__end"
+    )
+
+
+def resample_gapfill(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    start: str,
+    end: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resampling with gap fill — the time-series
+    alignment step (pandas ``resample``/``asfreq`` + ``ffill``,
+    TimescaleDB ``time_bucket_gapfill``) every metric/feature pipeline
+    runs before joining series of different densities: per key, a
+    dense bucket grid over [start, end), exact per-bucket aggregates,
+    and empty buckets carried forward from the last observed value.
+
+    Output per (key, bucket_ts): ``n_events`` (0 on gaps),
+    ``sum_value`` (NULL on gaps; DECIMAL-exact sum cast back to
+    double), ``sum_value_filled`` (previous non-gap sum carried
+    forward — NULL until the key's first observation).
+
+    ``start``/``end``/``interval`` are caller literals (embed the SAME
+    literals in any oracle). Scale shape: one (key, bucket) aggregate
+    shuffle over the events; the grid is distinct-keys x sequence
+    explode (|keys| * |buckets| rows — grid-sized, not event-sized); a
+    left join aligns them and ONE per-key ordered window does the
+    fill. No Python, no collect."""
+    # interval-agnostic bucketing: floor the epoch difference from
+    # `start` in whole steps (step length measured once, in seconds)
+    step = F.expr(f"INTERVAL {interval}")
+    start_ts = F.lit(start).cast("timestamp")
+    end_ts = F.lit(end).cast("timestamp")
+    step_sec = F.unix_timestamp(start_ts + step) - F.unix_timestamp(start_ts)
+    off = F.floor(
+        (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(start_ts)) / step_sec
+    )
+    agg = (
+        events.filter((F.col(ts_col) >= start_ts) & (F.col(ts_col) < end_ts))
+        .groupBy(
+            F.col(key_col).alias("key"),
+            (start_ts + off.cast("int") * step).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    grid = (
+        events.select(F.col(key_col).alias("key"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                events.sparkSession.range(1)
+                .select(
+                    F.explode(F.sequence(start_ts, end_ts, step)).alias("bucket_ts")
+                )
+                .filter(F.col("bucket_ts") < end_ts)
+            )
+        )
+    )
+    joined = grid.join(agg, ["key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_filled"),
     )

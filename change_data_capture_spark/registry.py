@@ -6670,6 +6670,58 @@ def text_c4_rules(spark, sf_dir):
 
 
 @_q(
+    "timeseries_gapfill",
+    """
+    WITH agg AS (
+      SELECT event_type AS key,
+             TIMESTAMP '2024-01-01' + INTERVAL 6 HOUR *
+               CAST(FLOOR(epoch(ts - TIMESTAMP '2024-01-01') / 21600.0) AS INT)
+               AS bucket_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT k.key, g.bucket_ts
+      FROM (SELECT DISTINCT event_type AS key FROM events) k,
+           (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                    TIMESTAMP '2024-01-31', INTERVAL 6 HOUR)) AS bucket_ts) g
+      WHERE g.bucket_ts < TIMESTAMP '2024-01-31'
+    )
+    SELECT grid.key AS event_type, grid.bucket_ts,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events, sum_value,
+           LAST_VALUE(sum_value IGNORE NULLS) OVER (
+             PARTITION BY grid.key ORDER BY grid.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_filled
+    FROM grid LEFT JOIN agg
+      ON grid.key = agg.key AND grid.bucket_ts = agg.bucket_ts
+    """,
+)
+def timeseries_gapfill(spark, sf_dir):
+    """Regular-grid resampling + gap fill
+    (extensions/temporal.resample_gapfill; the pandas resample/ffill
+    and TimescaleDB time_bucket_gapfill shape): per event type, a
+    dense 6-hour grid over January 2024 with exact per-bucket
+    counts/DECIMAL sums, empty buckets at n=0, and the last observed
+    sum carried forward. One (key,bucket) aggregate shuffle over the
+    events; the grid is |keys| x |buckets| (broadcast), the fill one
+    per-key ordered window."""
+    from .extensions.temporal import resample_gapfill
+
+    return resample_gapfill(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        start="2024-01-01 00:00:00",
+        end="2024-01-31 00:00:00",
+        interval="6 hour",
+    )
+
+
+@_q(
     "cdc_table_checksum",
     """
     WITH final AS (

@@ -152,3 +152,36 @@ def test_range_join_randomized_vs_python_reference(spark):
         if lk == rk and s <= ts < e
     }
     assert got == want
+
+
+def test_resample_gapfill_hand_computed(spark):
+    from change_data_capture_spark.extensions.temporal import resample_gapfill
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 00:40:00", 2.0),
+            ("a", "2024-01-01 02:05:00", 5.0),   # hour 1 is a gap
+            ("b", "2024-01-01 03:59:00", 7.0),   # b: gaps before + after
+            ("b", "2024-01-01 09:00:00", 9.0),   # outside [start,end) -> dropped
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_gapfill(
+        ev, key_col="k", ts_col="ts", value_col="v",
+        start="2024-01-01 00:00:00", end="2024-01-01 04:00:00",
+        interval="1 hour",
+    )
+    rows = {(r["k"], str(r["bucket_ts"])): r for r in out.collect()}
+    assert len(rows) == 8  # 2 keys x 4 buckets, dense
+    a0 = rows[("a", "2024-01-01 00:00:00")]
+    assert a0["n_events"] == 2 and a0["sum_value"] == 3.0
+    a1 = rows[("a", "2024-01-01 01:00:00")]
+    assert a1["n_events"] == 0 and a1["sum_value"] is None
+    assert a1["sum_value_filled"] == 3.0  # carried forward
+    a2 = rows[("a", "2024-01-01 02:00:00")]
+    assert a2["sum_value"] == 5.0 and a2["sum_value_filled"] == 5.0
+    b0 = rows[("b", "2024-01-01 00:00:00")]
+    assert b0["n_events"] == 0 and b0["sum_value_filled"] is None  # before first obs
+    b3 = rows[("b", "2024-01-01 03:00:00")]
+    assert b3["sum_value"] == 7.0 and b3["sum_value_filled"] == 7.0
