@@ -239,6 +239,26 @@ class TableCatalog:
         # Align drops the internal bucket column and fixes nullability.
         return _align(df, schema)
 
+    def register_views(
+        self, spark: SparkSession, *, prefix: str = ""
+    ) -> list[str]:
+        """Expose every managed table to ``spark.sql`` as a temp view
+        (dots in table ids become underscores: ``tpch.customer`` ->
+        ``tpch_customer``). Views are lazy DataFrames over the CURRENT
+        version pointer — re-register after applies for snapshot
+        freshness, or keep a view for a stable read of the version it
+        was registered against (time travel by registration). Returns
+        the view names."""
+        names: list[str] = []
+        for t in self.tables():
+            meta = self.meta(t)
+            if not meta or meta.get("schema") is None:
+                continue
+            name = prefix + t.replace(".", "_")
+            self.read(spark, t).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     def export_snapshot(
         self, spark: SparkSession, table_id: str, dest_dir: str
     ) -> dict:

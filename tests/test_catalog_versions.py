@@ -255,3 +255,17 @@ def test_compact_race_with_concurrent_apply_refuses(spark, tmp_path):
     except ConcurrentWriteError:
         pass
     assert "LIVE" in {r.v for r in cat.read(spark, "t.race").collect()}
+
+
+def test_register_views_exposes_sql_surface(spark, tmp_path):
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(df, "tpch.scores", ["id"]), cat)
+    names = cat.register_views(spark)
+    assert names == ["tpch_scores"]
+    got = spark.sql("SELECT SUM(v) AS s FROM tpch_scores WHERE id = 2").first()["s"]
+    assert got == 7.0
+    spark.catalog.dropTempView("tpch_scores")
