@@ -210,3 +210,73 @@ def psi_from_bins(drift_rows, *, eps: float = 1e-6) -> float:
         q = max(cc / tc, eps)
         out += (q - p) * math.log(q / p)
     return out
+
+
+def ks_drift(base: DataFrame, current: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between snapshots of a
+    numeric column, computed EXACTLY in integers: the KS distance is
+    ``max_x |F_base(x) - F_cur(x)|``; over empirical CDFs that is
+    ``ks_num / (T_base * T_cur)`` with
+
+        ks_num = max over distinct values of
+                 |cum_base(x) * T_cur - cum_cur(x) * T_base|
+
+    — all BIGINT/DECIMAL, no float CDFs, so the one-row result
+    (ks_num, t_base, t_cur) hashes engine-exact and the caller divides
+    driver-side. Complements the binned TVD: KS needs no bin choice
+    and catches shifts TVD's fixed bins can smear.
+
+    Scale shape: one (value) groupBy shuffle to per-value pair counts,
+    then the two-phase deterministic-range ``prefix_sum`` (never a
+    single-partition global window) over the O(distinct) frame, and a
+    final 1-row max aggregate. NaNs join nulls in the dropped set."""
+    from .scale import prefix_sum
+
+    tagged = base.select(F.col(col).alias("__x"), F.lit(0).alias("__side")).unionByName(
+        current.select(F.col(col).alias("__x"), F.lit(1).alias("__side"))
+    )
+    per_value = (
+        tagged.filter(F.col("__x").isNotNull() & ~F.isnan(F.col("__x")))
+        .groupBy("__x")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_base"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_cur"),
+        )
+    )
+    cum = prefix_sum(
+        prefix_sum(per_value, "__x", "c_base", out_col="cum_base"),
+        "__x",
+        "c_cur",
+        out_col="cum_cur",
+    )
+    d = "decimal(19,0)"
+    # totals as a broadcast 1-row constant (a global window here would
+    # collapse the O(distinct) frame into one partition)
+    totals = per_value.agg(
+        F.sum("c_base").cast("bigint").alias("t_base"),
+        F.sum("c_cur").cast("bigint").alias("t_cur"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals))
+    return scored.agg(
+        F.max(
+            F.abs(
+                F.col("cum_base").cast(d) * F.col("t_cur").cast(d)
+                - F.col("cum_cur").cast(d) * F.col("t_base").cast(d)
+            )
+        )
+        .cast("bigint")
+        .alias("ks_num"),
+        F.first("t_base").alias("t_base"),
+        F.first("t_cur").alias("t_cur"),
+    )
+
+
+def ks_stat(ks_row) -> float:
+    """KS distance from a collected ``ks_drift`` row."""
+    if not ks_row["t_base"] or not ks_row["t_cur"]:
+        return 0.0
+    return float(ks_row["ks_num"]) / (ks_row["t_base"] * ks_row["t_cur"])

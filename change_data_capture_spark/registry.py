@@ -6670,6 +6670,49 @@ def text_c4_rules(spark, sf_dir):
 
 
 @_q(
+    "profile_ks_drift",
+    """
+    WITH v AS (
+      SELECT o_totalprice AS x, o_orderkey % 2 AS side
+      FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    ), c AS (
+      SELECT x,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_base,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_cur
+      FROM v GROUP BY 1
+    ), cc AS (
+      SELECT SUM(c_base) OVER (ORDER BY x) AS cum_base,
+             SUM(c_cur) OVER (ORDER BY x) AS cum_cur,
+             SUM(c_base) OVER () AS t_base,
+             SUM(c_cur) OVER () AS t_cur
+      FROM c
+    )
+    SELECT CAST(MAX(ABS(cum_base * t_cur - cum_cur * t_base)) AS BIGINT)
+             AS ks_num,
+           CAST(MAX(t_base) AS BIGINT) AS t_base,
+           CAST(MAX(t_cur) AS BIGINT) AS t_cur
+    FROM cc
+    """,
+)
+def profile_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between the even/odd
+    o_totalprice snapshots (extensions/profile.ks_drift): the exact
+    integer numerator max|cum_base*T_cur - cum_cur*T_base| over the
+    empirical CDFs — bin-free, so it catches shifts the fixed-bin TVD
+    smears. Cumulative counts run through the two-phase deterministic
+    ``prefix_sum`` (never a single-partition global window); the
+    oracle's plain window form computes the same integers."""
+    from .extensions import profile as pr
+
+    o = _t(spark, sf_dir, "orders")
+    return pr.ks_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+    )
+
+
+@_q(
     "timeseries_gapfill",
     """
     WITH agg AS (

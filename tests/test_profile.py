@@ -97,3 +97,17 @@ def test_profile_handles_dotted_column_names(spark):
     df = spark.range(3).toDF("id").withColumnRenamed("id", "price.usd")
     (r,) = pr.column_profile(df).collect()
     assert r["column"] == "price.usd" and r["n_distinct"] == 3
+
+
+def test_ks_drift_hand_computed(spark):
+    from change_data_capture_spark.extensions.profile import ks_drift, ks_stat
+
+    base = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "x double")
+    cur = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]], "x double")
+    (r,) = ks_drift(base, cur, "x").collect()
+    # CDFs: at x=2, F_base=2/4, F_cur=0 -> |2*4 - 0*4| = 8 is the max
+    assert r["ks_num"] == 8 and r["t_base"] == 4 and r["t_cur"] == 4
+    assert ks_stat(r) == 0.5
+    # identical snapshots -> 0
+    (r2,) = ks_drift(base, base, "x").collect()
+    assert r2["ks_num"] == 0 and ks_stat(r2) == 0.0
