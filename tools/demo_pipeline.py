@@ -185,6 +185,31 @@ def main() -> int:
                 sort_by=[zorder_expr(("c_nationkey", 0, 32), ("c_acctbal", -1024.0, 10240.0), bits=5)])
     print("z-order compacted; rows unchanged:", cat.read(spark, "tpch.customer").count())
 
+    section("12. Consistency audit, KS drift, gap fill, SQL views")
+    from change_data_capture_spark.audit import (
+        checksum_diff, replication_lag_report, table_checksum,
+    )
+    from change_data_capture_spark.extensions.temporal import resample_gapfill
+
+    print("replica vs chunked-bootstrap replica checksums:")
+    d = checksum_diff(
+        table_checksum(spark, cat, "tpch.customer"),
+        table_checksum(spark, tgt, "tpch.customer"),
+    )
+    print("  differing buckets:", d.count(), "(chunked replica missed the demo mutations)")
+    print("  lag report:", replication_lag_report(cat, tgt))
+    (ks,) = prof.ks_drift(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        cust.filter(F.col("c_custkey") % 2 == 1), "c_acctbal",
+    ).collect()
+    print("acctbal KS numerator:", ks["ks_num"], "/", ks["t_base"], "x", ks["t_cur"])
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    resample_gapfill(ev, key_col="event_type", ts_col="ts", value_col="value",
+                     start="2024-01-01 00:00:00", end="2024-01-03 00:00:00",
+                     interval="12 hour").show(4)
+    print("spark.sql over managed tables:", cat.register_views(spark))
+    print(spark.sql("SELECT COUNT(*) AS n FROM tpch_customer").first())
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
