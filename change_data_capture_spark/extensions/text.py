@@ -1070,3 +1070,44 @@ def gopher_rules(
         "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_stop_words",
         kept.alias("kept"),
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    *,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/embedding prep
+    step (LangChain/LlamaIndex text splitters, retrieval corpora):
+    whitespace tokens windowed as [i*stride, i*stride+size) with
+    ``size - stride`` tokens of overlap so no boundary sentence is
+    lost to a hard cut. Complements ``chunk_tokens``'s DISJOINT
+    chunks (built for dedup, where overlap would self-collide).
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text); every doc
+    yields at least one chunk (short docs -> one partial window).
+    Zero shuffles: split + one sequence explode + slice/array_join,
+    all JVM codegen — chunking 100 TB is a narrow map stage."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # chunks = 1 + ceil(max(n - size, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(size), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    ex = docs.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    window = F.slice(F.col("__t"), F.col("chunk_id") * stride + 1, size)
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

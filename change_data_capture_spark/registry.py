@@ -6670,6 +6670,41 @@ def text_c4_rules(spark, sf_dir):
 
 
 @_q(
+    "text_sliding_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             1 + CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS INT)
+               AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                      chunk_id * 48 + 64), ' ') AS chunk_text
+    FROM e
+    """,
+)
+def text_sliding_chunks(spark, sf_dir):
+    """Overlapping sliding-window chunking for RAG/embedding corpora
+    (extensions/text.sliding_chunks): 64-token windows at stride 48
+    (16-token overlap), at least one chunk per doc. Zero shuffles —
+    split + sequence explode + slice, all JVM codegen; chunking
+    100 TB is a narrow map stage."""
+    return text.sliding_chunks(
+        _t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
+@_q(
     "profile_ks_drift",
     """
     WITH v AS (

@@ -310,3 +310,29 @@ def test_bpe_train_exhausted_vocab_and_zero_iters(spark):
     docs2 = spark.createDataFrame([("d1", "ab ab c")], "doc_id string, text string")
     merges = text.bpe_train(docs2, iters=3).collect()
     assert [(r["left_sym"], r["right_sym"]) for r in merges] == [("a", "b")]
+
+
+def test_sliding_chunks_hand_computed(spark):
+    from change_data_capture_spark.extensions.text import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    out = sliding_chunks(docs, size=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, size 4 stride 3 -> chunks at 0,3,6,9 -> 1+ceil(6/3)=3? no:
+    # 1 + ceil((10-4)/3) = 1 + 2 = 3 chunks at offsets 0,3,6
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert rows[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert rows[(1, 2)]["n_chunk_tokens"] == 4
+    # short doc: one partial window
+    assert rows[(2, 0)]["chunk_text"] == "short doc"
+    assert rows[(2, 0)]["n_chunk_tokens"] == 2
+    # overlap: last token of each window is the next window's first
+    import pytest
+
+    with pytest.raises(ValueError):
+        sliding_chunks(docs, size=4, stride=5)
