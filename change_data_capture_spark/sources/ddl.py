@@ -1,0 +1,229 @@
+"""Binlog DDL -> engine schema evolution: the control-plane half of
+the Maxwell and Canal feeds.
+
+The data-plane decoders (``wire_formats.maxwell_raw_ops``,
+``canal.canal_raw_ops``) deliberately drop DDL events into the
+dead-letter frames; this module CONSUMES those events and turns them
+into the engine's native schema announcements (T2/K3,
+``TableCatalog.announce_schema``), optionally through the
+compatibility gate (``compat.gate_announce``):
+
+- Maxwell ships STRUCTURED DDL: ``table-create`` / ``table-alter``
+  events carry a ``def`` object with the full column list and
+  primary key (maxwells-daemon.io dataformat docs) — no SQL parsing
+  needed, just the MySQL -> Spark type map.
+- Canal ships the RAW SQL statement in the ``sql`` field; a bounded
+  parser handles the overwhelmingly-common online-evolution form
+  ``ALTER TABLE [db.]t ADD [COLUMN] name TYPE [...]`` (multiple
+  comma-separated ADDs included). Anything else — renames, drops,
+  type changes — is returned as unhandled for the operator to review
+  (renames/drops are exactly what a compatibility policy should stop
+  anyway).
+
+DDL events are metadata-scale (a handful per deploy, never per-row),
+so both entry points collect them driver-side — O(#DDL events), the
+same budget as the reference's DDL handling (CTInputDStream.java
+DDL-before-DML path) — and apply them in message order.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+# MySQL column type -> Spark SQL type (public MySQL reference types).
+_MYSQL_TYPES = {
+    "tinyint": "int",
+    "smallint": "int",
+    "mediumint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "real": "double",
+    "char": "string",
+    "varchar": "string",
+    "tinytext": "string",
+    "text": "string",
+    "mediumtext": "string",
+    "longtext": "string",
+    "enum": "string",
+    "set": "string",
+    "json": "string",
+    "date": "date",
+    "datetime": "timestamp",
+    "timestamp": "timestamp",
+    "time": "string",
+    "year": "int",
+    "binary": "binary",
+    "varbinary": "binary",
+    "tinyblob": "binary",
+    "blob": "binary",
+    "mediumblob": "binary",
+    "longblob": "binary",
+    "bit": "long",
+    "boolean": "boolean",
+    "bool": "boolean",
+}
+
+_DECIMAL_RE = re.compile(r"^(?:decimal|numeric)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$", re.I)
+
+
+def mysql_type_to_spark(t: str) -> str:
+    """One MySQL column type -> Spark SQL type string. ``tinyint(1)``
+    follows the MySQL convention of being a boolean; decimals keep
+    their precision/scale."""
+    t = t.strip().lower()
+    if t in ("tinyint(1)", "bool", "boolean"):
+        return "boolean"
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2) or 0})"
+    base = re.split(r"[(\s]", t, 1)[0]
+    mapped = _MYSQL_TYPES.get(base)
+    if mapped is None:
+        raise ValueError(f"unmapped MySQL type {t!r}")
+    return mapped
+
+
+def maxwell_def_to_schema(defn: dict) -> tuple[StructType, list[str]]:
+    """Maxwell ``def`` object -> (Spark schema, primary key list)."""
+    fields = []
+    for c in defn.get("columns", []):
+        spark_t = mysql_type_to_spark(c["type"])
+        fields.append(
+            StructField(c["name"], _parse_datatype_string(spark_t), nullable=True)
+        )
+    return StructType(fields), list(defn.get("primary-key", []))
+
+
+def apply_maxwell_ddl(
+    messages: DataFrame,
+    catalog,
+    *,
+    message_col: str = "message",
+    compat_mode: str | None = None,
+) -> list[dict]:
+    """Consume Maxwell ``table-create`` / ``table-alter`` events and
+    announce the carried schema to the catalog (through
+    ``compat.gate_announce`` when ``compat_mode`` is set). Returns one
+    report dict per applied event: table, event type, columns, pks."""
+    from ..compat import gate_announce
+
+    rows = (
+        messages.selectExpr(f"{message_col} as message")
+        .collect()
+    )
+    out: list[dict] = []
+    for r in rows:
+        try:
+            m = json.loads(r["message"])
+        except (TypeError, ValueError):
+            continue
+        if m.get("type") not in ("table-create", "table-alter") or "def" not in m:
+            continue
+        table_id = f"{m['database']}.{m['table']}"
+        schema, pks = maxwell_def_to_schema(m["def"])
+        if compat_mode:
+            gate_announce(catalog, table_id, schema.json(), compat_mode)
+        else:
+            catalog.announce_schema(table_id, schema.json())
+        out.append(
+            {
+                "table": table_id,
+                "event": m["type"],
+                "columns": [f.name for f in schema.fields],
+                "pks": pks,
+            }
+        )
+    return out
+
+
+_ALTER_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<table>[`\"\w.]+)\s+(?P<body>.*)$",
+    re.I | re.S,
+)
+_ADD_COL_RE = re.compile(
+    r"^add\s+(?:column\s+)?[`\"]?(?P<name>\w+)[`\"]?\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)",
+    re.I,
+)
+
+
+def parse_canal_alter(sql: str) -> tuple[str, list[tuple[str, str]], list[str]]:
+    """Bounded MySQL ALTER parser: returns (table, added columns as
+    (name, spark_type), unhandled clause texts). Only ``ADD [COLUMN]``
+    clauses are translated; everything else is surfaced, not guessed."""
+    m = _ALTER_RE.match(sql or "")
+    if not m:
+        return "", [], [sql] if sql else []
+    table = m.group("table").strip('`" ')
+    added: list[tuple[str, str]] = []
+    unhandled: list[str] = []
+    for clause in re.split(r",(?![^()]*\))", m.group("body")):
+        clause = clause.strip().rstrip(";").strip()
+        if not clause:
+            continue
+        am = _ADD_COL_RE.match(clause)
+        if am:
+            try:
+                added.append((am.group("name"), mysql_type_to_spark(am.group("type"))))
+                continue
+            except ValueError:
+                pass
+        unhandled.append(clause)
+    return table, added, unhandled
+
+
+def apply_canal_ddl(
+    messages: DataFrame,
+    catalog,
+    *,
+    message_col: str = "message",
+    compat_mode: str | None = None,
+) -> list[dict]:
+    """Consume Canal ``isDdl`` events: parse each ``sql`` statement,
+    evolve the named table by its ADD COLUMN clauses (merged onto the
+    catalog's current schema so evolution is add-nullable, matching
+    ``announce_schema`` semantics), and report unhandled clauses for
+    operator review. Unknown tables are skipped (whitelist semantics:
+    nothing to evolve before the data plane creates them)."""
+    from ..compat import gate_announce
+    from ..schema import schema_from_json
+
+    rows = messages.selectExpr(f"{message_col} as message").collect()
+    out: list[dict] = []
+    for r in rows:
+        try:
+            m = json.loads(r["message"])
+        except (TypeError, ValueError):
+            continue
+        if not m.get("isDdl") or not m.get("sql"):
+            continue
+        table, added, unhandled = parse_canal_alter(m["sql"])
+        if "." not in table and m.get("database"):
+            table = f"{m['database']}.{table}" if table else ""
+        rec = {"table": table, "added": added, "unhandled": unhandled}
+        meta = catalog.meta(table) if table else None
+        current = (meta or {}).get("schema") or (meta or {}).get("pending_schema")
+        if added and current:
+            schema = schema_from_json(current)
+            have = {f.name for f in schema.fields}
+            new_fields = list(schema.fields) + [
+                StructField(n, _parse_datatype_string(t), nullable=True)
+                for n, t in added
+                if n not in have
+            ]
+            evolved = StructType(new_fields)
+            if compat_mode:
+                gate_announce(catalog, table, evolved.json(), compat_mode)
+            else:
+                catalog.announce_schema(table, evolved.json())
+            rec["applied"] = True
+        else:
+            rec["applied"] = False
+        out.append(rec)
+    return out

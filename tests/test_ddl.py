@@ -1,0 +1,109 @@
+"""Binlog DDL -> schema evolution tests: MySQL type map, Maxwell
+structured defs (create + alter e2e with data), Canal ALTER parsing
+(multi-clause, unhandled surfaced), and the compat gate wired in."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.compat import IncompatibleSchemaError
+from change_data_capture_spark.normalize import normalize_raw_ops
+from change_data_capture_spark.sources import ddl
+from change_data_capture_spark.sources import wire_formats as wf
+
+KEYS = {"shop.orders": ["id"]}
+
+
+def test_mysql_type_map():
+    assert ddl.mysql_type_to_spark("INT") == "int"
+    assert ddl.mysql_type_to_spark("bigint") == "bigint"
+    assert ddl.mysql_type_to_spark("varchar(255)") == "string"
+    assert ddl.mysql_type_to_spark("tinyint(1)") == "boolean"
+    assert ddl.mysql_type_to_spark("tinyint(4)") == "int"
+    assert ddl.mysql_type_to_spark("DECIMAL(12, 3)") == "decimal(12,3)"
+    assert ddl.mysql_type_to_spark("numeric(8)") == "decimal(8,0)"
+    assert ddl.mysql_type_to_spark("datetime") == "timestamp"
+    assert ddl.mysql_type_to_spark("mediumblob") == "binary"
+    with pytest.raises(ValueError):
+        ddl.mysql_type_to_spark("geometry")
+
+
+def test_parse_canal_alter():
+    t, added, un = ddl.parse_canal_alter(
+        "ALTER TABLE shop.orders ADD COLUMN ship_mode varchar(32), "
+        "ADD priority int, DROP COLUMN legacy, ADD amount decimal(10,2)"
+    )
+    assert t == "shop.orders"
+    assert added == [("ship_mode", "string"), ("priority", "int"),
+                     ("amount", "decimal(10,2)")]
+    assert un == ["DROP COLUMN legacy"]
+    # non-alter statements are surfaced whole
+    t2, a2, u2 = ddl.parse_canal_alter("TRUNCATE TABLE shop.orders")
+    assert t2 == "" and a2 == [] and u2 == ["TRUNCATE TABLE shop.orders"]
+
+
+def test_maxwell_ddl_create_then_alter_end_to_end(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "cat"))
+    create = (
+        '{"type":"table-create","database":"shop","table":"orders","ts":1,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"},{"type":"double","name":"amount"}],'
+        '"primary-key":["id"]}}'
+    )
+    alter = (
+        '{"type":"table-alter","database":"shop","table":"orders","ts":2,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"},{"type":"double","name":"amount"},'
+        '{"type":"varchar(16)","name":"ship_mode"}],"primary-key":["id"]}}'
+    )
+    rep = ddl.apply_maxwell_ddl(
+        spark.createDataFrame([(create,)], "message string"), cat
+    )
+    assert rep[0]["event"] == "table-create" and rep[0]["pks"] == ["id"]
+
+    # data plane: insert through the normal decoder; table created from
+    # the announced (pending) schema
+    base = spark.createDataFrame([(1, 10.0)], "id long, amount double")
+    raw = wf.maxwell_raw_ops(
+        wf.encode_maxwell_json(
+            base, table="shop.orders", typ="insert",
+            data=F.struct(F.col("id"), F.col("amount")), ts=1, xid=1,
+        ),
+        KEYS,
+    )
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+
+    rep2 = ddl.apply_maxwell_ddl(
+        spark.createDataFrame([(alter,)], "message string"), cat
+    )
+    assert rep2[0]["columns"] == ["id", "amount", "ship_mode"]
+    got = cat.read(spark, "shop.orders")
+    assert "ship_mode" in got.columns
+    assert got.count() == 1
+
+
+def test_canal_ddl_alter_applies_and_gate_blocks(spark, tmp_path):
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame([(1, 10.0)], "id long, amount double")
+    apply_changelog(spark, snapshot_changelog(base, "shop.orders", ["id"]), cat)
+
+    msg = (
+        '{"isDdl":true,"database":"shop","table":"orders","type":"ALTER",'
+        '"sql":"ALTER TABLE orders ADD COLUMN note text, DROP COLUMN junk"}'
+    )
+    rep = ddl.apply_canal_ddl(
+        spark.createDataFrame([(msg,)], "message string"), cat,
+        compat_mode="FULL",
+    )
+    assert rep[0]["applied"] and rep[0]["added"] == [("note", "string")]
+    assert rep[0]["unhandled"] == ["DROP COLUMN junk"]
+    assert "note" in cat.read(spark, "shop.orders").columns
+
+    # unknown table: nothing to evolve, reported not applied
+    other = '{"isDdl":true,"database":"x","table":"y","type":"ALTER","sql":"ALTER TABLE y ADD c int"}'
+    rep2 = ddl.apply_canal_ddl(
+        spark.createDataFrame([(other,)], "message string"), cat
+    )
+    assert not rep2[0]["applied"]
