@@ -14,6 +14,8 @@
 - ``wire_formats``: Maxwell and AWS DMS decode/encode + dead letters.
 - ``canal``: Alibaba Canal flatMessage decode/encode + dead letters
   (multi-row ``data`` arrays with index-aligned ``old``).
+- ``ddl``: binlog DDL control plane — Maxwell structured defs and
+  a bounded Canal ALTER parser feeding schema evolution (gated).
 - ``config``: deploy-time config validation (reference parity).
 - ``changelog`` (package root): file/memory changelog streams used by
   tests and the bench harness (S6).
