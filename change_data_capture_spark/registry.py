@@ -6748,6 +6748,63 @@ def profile_ks_drift(spark, sf_dir):
 
 
 @_q(
+    "cdc_version_drift",
+    """
+    WITH v1 AS (SELECT c_acctbal AS x, 0 AS side FROM customer),
+    v2 AS (
+      SELECT CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS x, 1 AS side
+      FROM customer WHERE c_custkey % 7 <> 5
+    ), tagged AS (
+      SELECT x, side FROM v1 UNION ALL SELECT x, side FROM v2
+    ), b AS (
+      SELECT CAST(FLOOR(LEAST(9.0, GREATEST(0.0, (x - (-1000.0)) / 1100.0)))
+                  AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM tagged WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1
+    )
+    SELECT bucket, c_base, c_cur,
+           CAST(ABS(c_base * SUM(c_cur) OVER () - c_cur * SUM(c_base) OVER ())
+                AS BIGINT) AS tv_num
+    FROM b
+    """,
+)
+def cdc_version_drift(spark, sf_dir):
+    """CDC x profiling composition: apply the standard mutation batch,
+    then measure the c_acctbal distribution drift between the
+    replica's TIME-TRAVEL version 1 (the snapshot) and its current
+    version — the 'did this batch shift my value distribution?' check
+    a replica health monitor runs after every apply, entirely from the
+    catalog's own versioned reads (profile.numeric_drift over
+    TableCatalog.read(version=...))."""
+    from .extensions import profile as pr
+
+    cust = _t(spark, sf_dir, "customer")
+    cat = _seeded_customer_catalog(spark, sf_dir)
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    versions = cat.versions("tpch.customer")
+    return pr.numeric_drift(
+        cat.read(spark, "tpch.customer", version=versions[0]),
+        cat.read(spark, "tpch.customer"),
+        "c_acctbal",
+        lo=-1000.0,
+        hi=10000.0,
+        n_bins=10,
+    )
+
+
+@_q(
     "timeseries_gapfill",
     """
     WITH agg AS (
