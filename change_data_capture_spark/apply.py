@@ -1057,3 +1057,74 @@ def _stamp_tracking_watermark(
         return
     dst_meta["applied_version"] = int(src_watermark)
     target.put_meta(table_id, dst_meta)
+
+
+def forget_keys(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    table_id: str,
+    keys: DataFrame,
+    *,
+    keep_last: int = 1,
+) -> dict:
+    """Right-to-be-forgotten erasure (GDPR Art. 17 / CCPA delete): rows
+    for ``keys`` are deleted AND purged from history, then PROVEN gone.
+
+    A plain DELETE is not erasure in a versioned store — prior
+    versions still hold the rows, and the change feed can replay them.
+    This runs the full sequence:
+
+      1. bucket-pruned presence count (``lookup_keys``) — O(touched
+         buckets);
+      2. a DELETE batch through the normal merge (touched buckets are
+         REWRITTEN as fresh files; untouched buckets keep their
+         hard-linked files, which never contained these keys);
+      3. ``vacuum(keep_last=...)`` — dropping the old version dirs
+         releases the last links to the pre-delete files of the
+         touched buckets, so the bytes are actually unreferenced (on
+         an object store: actually deleted);
+      4. verification: EVERY remaining readable version is semi-joined
+         against the keys and must come back empty — the erasure
+         report states what was checked, not just what was attempted.
+
+    Returns {rows_deleted, versions_purged, versions_verified}. The
+    DELETE stamps ``applied_version + 1``; on a live feed, quiesce the
+    table's apply loop around the erasure (the same operational rule
+    as any maintenance write). Change-feed note: with ``keep_last=1``
+    no version pair remains for ``table_changes`` to diff, so the
+    erased rows cannot resurface through the CDF either."""
+    meta = catalog.meta(table_id)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {table_id!r}")
+    pks = list(meta["pks"])
+    from .changelog import dml_records
+
+    present = lookup_keys(spark, catalog, table_id, keys).count()
+    if present:
+        dele = dml_records(
+            keys.select(*pks),
+            table_id,
+            pks,
+            op=OP_DELETE,
+            version=int(meta.get("applied_version", 0)) + 1,
+            keys_only=True,
+        )
+        apply_changes(spark, dele, catalog)
+    purged = catalog.vacuum(table_id, keep_last=keep_last)
+    remaining = catalog.versions(table_id)
+    for v in remaining:
+        n = (
+            catalog.read(spark, table_id, version=v)
+            .join(keys.select(*pks), on=pks, how="left_semi")
+            .count()
+        )
+        if n:
+            raise RuntimeError(
+                f"erasure verification failed: {n} row(s) for the "
+                f"requested keys still readable at version {v} of {table_id!r}"
+            )
+    return {
+        "rows_deleted": int(present),
+        "versions_purged": purged,
+        "versions_verified": [int(v) for v in remaining],
+    }
