@@ -146,3 +146,30 @@ def jdbc_compat_cast(col: Column, jdbc_type: str, precision: int = 0, scale: int
     if t in ("TIMESTAMP", "DATETIME"):
         return timestamp_to_epoch_micros(col)
     return col.cast(jdbc_compat_type(jdbc_type, precision, scale))
+
+
+def pseudonym(col: Column | str, *, salt: str, length: int = 16) -> Column:
+    """Deterministic pseudonymization token: salted SHA-256 prefix.
+    The same input always maps to the same token (joins, sessionization
+    and dedup keep working across tables) while the identity is not
+    recoverable without the salt — the standard PII-safe key transform
+    for training-data exports (distinct from ``forget_keys``' erasure
+    and from ``pii_scan``'s free-text redaction). Identical in DuckDB:
+    ``substr(sha256(salt || ':' || x), 1, length)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.sha2(F.concat(F.lit(salt), F.lit(":"), c.cast("string")), 256), 1, length
+    )
+
+
+def mask_email(col: Column | str, *, salt: str) -> Column:
+    """Email-shaped pseudonymization: the local part becomes a salted
+    token, the domain is preserved (domain-level corpus statistics —
+    provider mix, spam domains — survive masking). Non-email strings
+    (no '@') are fully tokenized."""
+    c = F.col(col) if isinstance(col, str) else col
+    at = F.instr(c, "@")
+    local_token = pseudonym(c, salt=salt, length=12)
+    return F.when(
+        at > 0, F.concat(local_token, F.lit("@"), F.substring_index(c, "@", -1))
+    ).otherwise(local_token)

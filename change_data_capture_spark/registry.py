@@ -6748,6 +6748,41 @@ def profile_ks_drift(spark, sf_dir):
 
 
 @_q(
+    "q_pseudonymize",
+    """
+    SELECT c_custkey,
+           substr(sha256('corpus-v1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+             AS cust_token,
+           substr(sha256('corpus-v1:' || c_name), 1, 12) || '@' ||
+             lower(c_mktsegment) || '.example' AS masked_contact,
+           c_acctbal
+    FROM customer
+    """,
+)
+def q_pseudonymize(spark, sf_dir):
+    """Deterministic PII pseudonymization for training-data exports
+    (functions.pseudonym / mask_email): salted SHA-256 tokens — the
+    same identity maps to the same token so joins, sessionization and
+    dedup keep working, while the identity is unrecoverable without
+    the salt. The synthetic customer table has no real emails, so the
+    email-shaped form is demonstrated by tokenizing c_name onto a
+    segment-derived domain; `tests/test_functions.py` pins mask_email
+    on real addresses. Pure narrow projection, zero shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        cf.pseudonym("c_custkey", salt="corpus-v1").alias("cust_token"),
+        F.concat(
+            cf.pseudonym("c_name", salt="corpus-v1", length=12),
+            F.lit("@"),
+            F.lower(F.col("c_mktsegment")),
+            F.lit(".example"),
+        ).alias("masked_contact"),
+        "c_acctbal",
+    )
+
+
+@_q(
     "cdc_version_drift",
     """
     WITH v1 AS (SELECT c_acctbal AS x, 0 AS side FROM customer),

@@ -71,3 +71,33 @@ class TestJdbcTypeMap:
                 cf.jdbc_compat_type(t)
         with pytest.raises(cf.UnsupportedTypeException):
             cf.jdbc_compat_type("GEOMETRY")
+
+
+def test_pseudonym_and_mask_email(spark):
+    from change_data_capture_spark import functions as cf
+
+    df = spark.createDataFrame(
+        [("alice@mail.test",), ("no-at-sign",), ("bob@corp.example",)],
+        "email string",
+    )
+    out = df.select(
+        "email",
+        cf.pseudonym("email", salt="k").alias("tok"),
+        cf.mask_email("email", salt="k").alias("masked"),
+    ).collect()
+    rows = {r["email"]: r for r in out}
+    import hashlib
+
+    want = hashlib.sha256(b"k:alice@mail.test").hexdigest()[:16]
+    assert rows["alice@mail.test"]["tok"] == want
+    # email shape: token local part, domain preserved
+    assert rows["alice@mail.test"]["masked"].endswith("@mail.test")
+    assert not rows["alice@mail.test"]["masked"].startswith("alice")
+    assert rows["bob@corp.example"]["masked"].endswith("@corp.example")
+    # deterministic: same input -> same token
+    (again,) = df.filter("email = 'alice@mail.test'").select(
+        cf.pseudonym("email", salt="k").alias("t")
+    ).collect()
+    assert again["t"] == want
+    # non-email: fully tokenized, no '@'
+    assert "@" not in rows["no-at-sign"]["masked"]
