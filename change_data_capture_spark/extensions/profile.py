@@ -280,3 +280,79 @@ def ks_stat(ks_row) -> float:
     if not ks_row["t_base"] or not ks_row["t_cur"]:
         return 0.0
     return float(ks_row["ks_num"]) / (ks_row["t_base"] * ks_row["t_cur"])
+
+
+def expect(df: DataFrame, rules: Sequence[tuple[str, str]]) -> DataFrame:
+    """Deequ/Great-Expectations-style constraint suite in ONE pass:
+    ``rules`` are (name, boolean SQL expression) pairs evaluated
+    per-row; the report has one row per rule with exact violation
+    counts — the ingest gate that blocks a batch, where
+    ``column_profile`` merely describes it.
+
+    Output: (rule, n_rows, n_violations, passed). A NULL predicate
+    result counts as a violation (unknown is not compliance). All
+    rules share a single scan + single aggregate (no per-rule jobs);
+    cross-row rules (uniqueness, referential integrity) have their
+    own helpers below because they need a shuffle by nature."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, expr) in enumerate(rules):
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        aggs.append(F.sum((~ok).cast("long")).alias(f"__v_{i}"))
+    one = df.agg(*aggs)
+    stack = []
+    for i, (name, _) in enumerate(rules):
+        stack += [F.lit(name), F.col(f"__v_{i}")]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(F.lit(len(rules)), *stack).alias("rule", "n_violations"),
+    ).select(
+        "rule",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def expect_unique(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Uniqueness constraint: rows whose key occurs more than once.
+    Output matches ``expect``'s report shape (one row). One hash
+    shuffle on the key."""
+    dup = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    return dup.select(
+        F.lit("unique(" + ",".join(cols) + ")").alias("rule"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def expect_references(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Referential-integrity constraint: child keys with no parent
+    (orphans). NULL child keys are exempt (SQL FK convention). One
+    anti-join; broadcast-eligible when the parent key set is small."""
+    n_rows = child.count()
+    orphans = (
+        child.filter(F.col(child_col).isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias(child_col)).distinct(),
+            on=child_col,
+            how="left_anti",
+        )
+        .count()
+    )
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(f"references({child_col}->{parent_col})", n_rows, orphans, orphans == 0)],
+        "rule string, n_rows bigint, n_violations bigint, passed boolean",
+    )

@@ -6748,6 +6748,70 @@ def profile_ks_drift(spark, sf_dir):
 
 
 @_q(
+    "profile_expectations",
+    """
+    WITH o AS (SELECT * FROM orders)
+    SELECT 'orderkey_not_null' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+                    THEN 1 ELSE 0 END) = 0 AS passed
+    FROM o
+    UNION ALL
+    SELECT 'totalprice_positive', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                    THEN 1 ELSE 0 END) = 0
+    FROM o
+    UNION ALL
+    SELECT 'status_in_domain', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                    THEN 1 ELSE 0 END) = 0
+    FROM o
+    UNION ALL
+    SELECT 'unique(o_orderkey)', CAST(SUM(c) AS BIGINT),
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN c > 1 THEN c ELSE 0 END) = 0
+    FROM (SELECT COUNT(*) AS c FROM o GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'references(o_custkey->c_custkey)', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) = 0
+    FROM o LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def profile_expectations(spark, sf_dir):
+    """Deequ/Great-Expectations-style constraint gate
+    (extensions/profile.expect / expect_unique / expect_references):
+    per-row rules share ONE scan + ONE aggregate (NULL predicate =
+    violation — unknown is not compliance); uniqueness is one key
+    shuffle; referential integrity one anti-join against the parent
+    key set. The report — exact violation counts per rule — is what
+    an ingest pipeline gates a batch on."""
+    from .extensions import profile as pr
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rowwise = pr.expect(
+        o,
+        [
+            ("orderkey_not_null", "o_orderkey IS NOT NULL"),
+            ("totalprice_positive", "o_totalprice > 0"),
+            ("status_in_domain", "o_orderstatus IN ('O','F','P')"),
+        ],
+    )
+    return rowwise.unionByName(pr.expect_unique(o, ["o_orderkey"])).unionByName(
+        pr.expect_references(o, "o_custkey", c, "c_custkey")
+    )
+
+
+@_q(
     "q_pseudonymize",
     """
     SELECT c_custkey,

@@ -111,3 +111,32 @@ def test_ks_drift_hand_computed(spark):
     # identical snapshots -> 0
     (r2,) = ks_drift(base, base, "x").collect()
     assert r2["ks_num"] == 0 and ks_stat(r2) == 0.0
+
+
+def test_expectations_hand_computed(spark):
+    from change_data_capture_spark.extensions.profile import (
+        expect,
+        expect_references,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 7.0), (None, None)],
+        "k long, v double",
+    )
+    rep = {r["rule"]: r for r in expect(
+        df, [("k_not_null", "k IS NOT NULL"), ("v_positive", "v > 0")]
+    ).collect()}
+    assert rep["k_not_null"]["n_violations"] == 1
+    # NULL predicate counts as violation: v>0 is NULL for the null row
+    assert rep["v_positive"]["n_violations"] == 2
+    assert not rep["v_positive"]["passed"] and rep["k_not_null"]["n_rows"] == 4
+
+    (u,) = expect_unique(df, ["k"]).collect()
+    assert u["n_violations"] == 2 and not u["passed"]  # both k=2 rows
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame([(1,), (3,), (None,)], "k long")
+    (fk,) = expect_references(child, "k", parent, "pk").collect()
+    assert fk["n_violations"] == 1  # 3 is an orphan; NULL exempt
+    assert fk["n_rows"] == 3 and not fk["passed"]
