@@ -335,6 +335,7 @@ class TableCatalog:
         table_id: str,
         n_buckets: int | None = None,
         sort_by: Sequence[str | F.Column] | None = None,
+        bloom_filter_cols: Sequence[str] | None = None,
     ) -> None:
         """Maintenance rewrite: republish the current snapshot as a
         fresh version, optionally re-hashing into ``n_buckets`` PK
@@ -374,6 +375,7 @@ class TableCatalog:
             n_buckets=None if n_buckets is None else int(n_buckets),
             sort_within_buckets=list(sort_by) if sort_by else None,
             expected_current=meta["current"],
+            bloom_filter_cols=bloom_filter_cols,
         )
 
     def table_changes(
@@ -423,8 +425,17 @@ class TableCatalog:
         n_buckets: int | None = None,
         sort_within_buckets: Sequence[str | F.Column] | None = None,
         expected_current: object = _NO_CAS,
+        bloom_filter_cols: Sequence[str] | None = None,
     ) -> None:
         """Publish a new table version.
+
+        ``bloom_filter_cols`` (usually set once via ``compact``)
+        persists in the table meta and every SUBSEQUENT write keeps
+        emitting parquet bloom filters for those columns — point
+        lookups then skip files inside a bucket dir, the layer below
+        bucket pruning (Delta/Iceberg write.parquet.bloom-filter
+        parity). Pass a list to set, [] to clear, None to keep the
+        current setting.
 
         ``expected_current`` is the optimistic-concurrency check
         (Delta/Iceberg commit semantics on a filesystem catalog): the
@@ -502,7 +513,14 @@ class TableCatalog:
                 _BUCKET,
                 *[F.expr(c) if isinstance(c, str) else c for c in sort_within_buckets],
             )
-        bucketed.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
+        if bloom_filter_cols is None:
+            bloom_cols = list(meta.get("bloom_filter_cols") or [])
+        else:
+            bloom_cols = list(bloom_filter_cols)
+        writer = bucketed.write.mode("overwrite")
+        for c in bloom_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.partitionBy(_BUCKET).parquet(out)
         if changed_buckets is not None and old is not None:
             changed = {int(b) for b in changed_buckets}
             for entry in os.listdir(old):
@@ -537,6 +555,7 @@ class TableCatalog:
         # not be lost here).
         latest["current"] = new_dir
         latest["buckets"] = n_buckets
+        latest["bloom_filter_cols"] = bloom_cols
         latest["applied_version"] = max(latest.get("applied_version", 0), applied_version)
         self.put_meta(table_id, latest)
 

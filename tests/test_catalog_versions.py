@@ -269,3 +269,49 @@ def test_register_views_exposes_sql_surface(spark, tmp_path):
     got = spark.sql("SELECT SUM(v) AS s FROM tpch_scores WHERE id = 2").first()["s"]
     assert got == 7.0
     spark.catalog.dropTempView("tpch_scores")
+
+
+def test_compact_sets_persistent_bloom_filters(spark, tmp_path):
+    """compact(bloom_filter_cols=[pk]) writes parquet bloom filters AND
+    persists the setting so subsequent MERGE writes keep emitting them
+    — the file-skipping layer below bucket pruning for point lookups.
+    pyarrow 16 can't read bloom metadata, so the physical check is the
+    deterministic size delta the filters add to every bucket file."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(2000)],
+                               "id long, v double")
+
+    def total_bytes(cat):
+        root = cat.root + "/t.pts/" + cat.meta("t.pts")["current"]
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(root + "/__bucket=*/*.parquet")
+        )
+
+    plain = TableCatalog(str(tmp_path / "plain"))
+    apply_changelog(spark, snapshot_changelog(df, "t.pts", ["id"]), plain)
+    plain.compact(spark, "t.pts")
+    assert plain.meta("t.pts")["bloom_filter_cols"] == []
+
+    bloomed = TableCatalog(str(tmp_path / "bloomed"))
+    apply_changelog(spark, snapshot_changelog(df, "t.pts", ["id"]), bloomed)
+    bloomed.compact(spark, "t.pts", bloom_filter_cols=["id"])
+    assert bloomed.meta("t.pts")["bloom_filter_cols"] == ["id"]
+    base, with_bloom = total_bytes(plain), total_bytes(bloomed)
+    assert with_bloom > base + 1000, (base, with_bloom)
+
+    # a later merge keeps the setting without being told again, and
+    # the rewritten bucket files still carry the size overhead
+    upd = dml_records(df.filter(F.col("id") % 50 == 0), "t.pts", ["id"],
+                      op="UPDATE", version=2,
+                      value_overrides={"v": F.col("v") + 1})
+    apply_changelog(spark, upd, bloomed)
+    assert bloomed.meta("t.pts")["bloom_filter_cols"] == ["id"]
+    assert total_bytes(bloomed) > base + 1000
