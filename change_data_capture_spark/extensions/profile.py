@@ -61,9 +61,23 @@ def _canon_str(expr: Column, dtype: str) -> Column:
     return expr.cast("string")
 
 
-def column_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct,
-    min_str, max_str) — one row per column, exact counts, one pass."""
+    min_str, max_str) — one row per column, one pass.
+
+    ``exact_distinct=False`` is the 100 TB path: HyperLogLog++
+    ``approx_count_distinct`` (relative error ``rsd``) replaces the
+    exact distincts, which removes the Expand N+1x row amplification
+    AND the exact-distinct hash state — the profile becomes a plain
+    single-pass aggregate whose memory is O(columns), not
+    O(distinct values). Keep the default for oracle-checked runs
+    (the hash gate needs exact integers)."""
     cols = list(cols or df.columns)
     dtypes = dict(df.dtypes)
     # index-based internal aliases + backtick-quoted column refs: a
@@ -73,7 +87,13 @@ def column_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
     for i, c in enumerate(cols):
         ref = F.col(f"`{c}`")
         aggs.append(F.count(ref).alias(f"__nn_{i}"))
-        aggs.append(F.count_distinct(ref).alias(f"__nd_{i}"))
+        aggs.append(
+            (
+                F.count_distinct(ref)
+                if exact_distinct
+                else F.approx_count_distinct(ref, rsd)
+            ).alias(f"__nd_{i}")
+        )
         aggs.append(_canon_str(F.min(ref), dtypes[c]).alias(f"__min_{i}"))
         aggs.append(_canon_str(F.max(ref), dtypes[c]).alias(f"__max_{i}"))
     one = df.agg(*aggs)

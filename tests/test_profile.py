@@ -140,3 +140,18 @@ def test_expectations_hand_computed(spark):
     (fk,) = expect_references(child, "k", parent, "pk").collect()
     assert fk["n_violations"] == 1  # 3 is an orphan; NULL exempt
     assert fk["n_rows"] == 3 and not fk["passed"]
+
+
+def test_column_profile_approx_distinct_path(spark):
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 500).alias("m")
+    )
+    exact = {r["column"]: r["n_distinct"]
+             for r in pr.column_profile(df).collect()}
+    approx_df = pr.column_profile(df, exact_distinct=False, rsd=0.02)
+    approx = {r["column"]: r["n_distinct"] for r in approx_df.collect()}
+    for c in ("id", "m"):
+        assert abs(approx[c] - exact[c]) <= 0.1 * exact[c], (c, approx[c], exact[c])
+    # the scale payoff: no Expand row amplification in the approx plan
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
