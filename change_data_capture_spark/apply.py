@@ -716,7 +716,15 @@ def apply_changes(
     apply already holds (no extra Spark actions), so it is free to log
     or ship to a metrics sink per micro-batch."""
     report: list[dict] = []
-    batch_df = batch_df.persist()
+    # Explicit intra-batch ordinal BEFORE any aggregation: DDL order
+    # within a batch is the UNION order the caller built (T3), and a
+    # bare collect_list would return shuffle-fetch order — two DDLs
+    # for one table could apply reversed, registering the older
+    # schema. monotonically_increasing_id here encodes (partition
+    # index, row-in-partition), which is exactly plan/union order for
+    # the un-shuffled envelope frames this function receives; the
+    # frame is persisted, so the ids are not recomputed per consumer.
+    batch_df = batch_df.withColumn("__seq", F.monotonically_increasing_id()).persist()
     try:
         # For tables that already have data, the touched-bucket set is
         # computable in the SAME batch scan as the metadata (pks and
@@ -759,11 +767,21 @@ def apply_changes(
                 F.coalesce(F.col("ddl.table"), F.col("dml.table")).alias("table"),
             )
             .agg(
-                # collect_list keeps every DDL record (a batch can
-                # evolve one table several times) in row order — the
-                # same ordering guarantee the previous per-record
-                # collect had.
-                F.collect_list("ddl.schema").alias("ddl_schemas"),
+                # every DDL record survives (a batch can evolve one
+                # table several times), explicitly ordered by the
+                # intra-batch ordinal — never by collect_list's
+                # nondeterministic merge order
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("ddl").isNotNull(),
+                            F.struct(
+                                F.col("__seq").alias("s"),
+                                F.col("ddl.schema").alias("schema"),
+                            ),
+                        )
+                    )
+                ).alias("ddl_schemas"),
                 F.first("dml.primary_keys").alias("primary_keys"),
                 F.first("dml.rows_schema").alias("rows_schema"),
                 # Batch high-watermark rides the same scan: for the
@@ -778,8 +796,8 @@ def apply_changes(
         # DDL first (explicit ordering; see module docstring).
         for r in meta_rows:
             if r["is_ddl"]:
-                for schema_json in r["ddl_schemas"]:
-                    catalog.announce_schema(r["table"], schema_json)
+                for entry in r["ddl_schemas"]:
+                    catalog.announce_schema(r["table"], entry["schema"])
 
         dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")
         tables = [

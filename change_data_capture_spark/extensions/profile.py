@@ -314,6 +314,8 @@ def expect(df: DataFrame, rules: Sequence[tuple[str, str]]) -> DataFrame:
     rules share a single scan + single aggregate (no per-rule jobs);
     cross-row rules (uniqueness, referential integrity) have their
     own helpers below because they need a shuffle by nature."""
+    if not rules:
+        raise ValueError("expect() needs at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, expr) in enumerate(rules):
         ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))

@@ -44,8 +44,17 @@ def deterministic_sample(
     uniform."""
     parts = [*[F.col(s).cast("string") for s in strata], F.col(key_col).cast("string")]
     bucket = F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8)
-    threshold = format(int(fraction * 0x100000000), "08x")
-    return df.filter(bucket < F.lit(threshold))
+    return df.filter(bucket < F.lit(_hex_threshold(fraction)))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-char threshold for 'md5-prefix < threshold' keep rules.
+    fraction >= 1.0 must keep EVERYTHING: format(0x100000000) would be
+    a 9-char string whose lexicographic compare breaks the same-length
+    invariant (only hashes starting '0' would pass) — the sentinel 'g'
+    sorts above every hex string instead."""
+    n = int(fraction * 0x100000000)
+    return "g" if n >= 0x100000000 else format(n, "08x")
 
 
 def histogram(
@@ -85,7 +94,13 @@ def salted_agg(
     should pass an already-decimal-cast column.
     """
     keys = list(keys)
-    salt_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
+    # Salt from the FULL ROW CONTENT, never from
+    # monotonically_increasing_id: a nondeterministic grouping key is
+    # the SPARK-23207 retry-correctness class (a recomputed map task
+    # can re-salt rows differently and partials double-count).
+    # Identical duplicate rows share a salt — acceptable: skew relief
+    # only needs the hot key's DISTINCT rows spread out.
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     partial_exprs = []
     merge_exprs = []
     for out, (src, fn) in aggs.items():
@@ -128,10 +143,17 @@ def salted_join(
     single hot key overflows one reducer and AQE's split (which needs
     sorted-shuffle stats) is unavailable — e.g., under a custom
     partitioner or inside a pinned-plan pipeline."""
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how={how!r} unsupported: the right side is replicated "
+            "salt-fold, so right/full outer joins would emit each "
+            "unmatched right row salt times"
+        )
     on = list(on)
+    # deterministic content-hash salt (see salted_agg note)
     lefts = left.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),
     )
     rights = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -374,8 +396,8 @@ def split_assign(
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8
     )
-    t_hi = format(int(train * 0x100000000), "08x")
-    v_hi = format(int((train + val) * 0x100000000), "08x")
+    t_hi = _hex_threshold(train)
+    v_hi = _hex_threshold(train + val)
     split = (
         F.when(bucket < F.lit(t_hi), F.lit("train"))
         .when(bucket < F.lit(v_hi), F.lit("val"))
@@ -459,6 +481,13 @@ def prefix_sum(
     order needs them)."""
     from pyspark.sql import Window
 
+    vt = dict(df.dtypes)[value_col]
+    if vt not in ("int", "bigint", "smallint", "tinyint", "long"):
+        raise ValueError(
+            f"prefix_sum is integer-exact only; {value_col!r} is {vt} "
+            "(the driver-side bucket offsets are integers — cast "
+            "fractional values to a scaled integer first)"
+        )
     lo, hi = df.agg(
         F.min(order_col).cast("double"), F.max(order_col).cast("double")
     ).first()

@@ -26,6 +26,7 @@ shuffle, not the driver:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -57,25 +58,32 @@ def asof_join(
     value_cols = list(value_cols)
 
     # Common event-time axis + side tag (right=0 sorts before left=1 on
-    # ties, making the match inclusive).
+    # ties, making the match inclusive). The right values travel as ONE
+    # struct so the carry is ROW-ATOMIC: a matched right row whose
+    # value column is NULL yields NULL (per-column ignorenulls would
+    # backfill it from an OLDER right row, stitching together a row
+    # that never existed).
+    r_struct_t = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r")
+    ).schema["__r"].dataType
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_t).alias("__r"),
         F.struct(*[c for c in left.columns]).alias("__l"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
         F.lit(None)
         .cast(l_tagged.schema["__l"].dataType)
         .alias("__l"),
     )
 
-    tiebreak = [F.col(f"__r_{value_cols[0]}").asc_nulls_first()]
+    tiebreak = [F.col("__r").getField(value_cols[0]).asc_nulls_first()]
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts"), F.col("__side"), *tiebreak)
@@ -83,16 +91,13 @@ def asof_join(
     )
     carried = l_tagged.unionByName(r_tagged).select(
         "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
     )
     return (
         carried.filter(F.col("__side") == 1)
         .select(
             F.col("__l.*"),
-            *[F.col(f"__m_{c}").alias(f"right_{c}") for c in value_cols],
+            *[F.col("__m").getField(c).alias(f"right_{c}") for c in value_cols],
         )
     )
 
@@ -176,8 +181,20 @@ def resample_gapfill(
     explode (|keys| * |buckets| rows — grid-sized, not event-sized); a
     left join aligns them and ONE per-key ordered window does the
     fill. No Python, no collect."""
-    # interval-agnostic bucketing: floor the epoch difference from
-    # `start` in whole steps (step length measured once, in seconds)
+    # Fixed-width intervals only: the bucket id is floor(epoch-delta /
+    # step-seconds), which is only correct when every step has the
+    # same length — calendar units ('1 month') and DST-varying local
+    # days would assign events to buckets the calendar-built grid
+    # doesn't have. The engine pins sessions to UTC, where day/week
+    # are fixed-width.
+    if not re.fullmatch(
+        r"\s*\d+\s+(second|minute|hour|day|week)s?\s*", interval, re.I
+    ):
+        raise ValueError(
+            f"interval {interval!r} is not fixed-width; use N "
+            "second/minute/hour/day/week (calendar months/years cannot "
+            "be bucketed by epoch arithmetic)"
+        )
     step = F.expr(f"INTERVAL {interval}")
     start_ts = F.lit(start).cast("timestamp")
     end_ts = F.lit(end).cast("timestamp")

@@ -70,7 +70,9 @@ _MYSQL_TYPES = {
     "bool": "boolean",
 }
 
-_DECIMAL_RE = re.compile(r"^(?:decimal|numeric)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$", re.I)
+_DECIMAL_RE = re.compile(
+    r"^(?:decimal|numeric)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$", re.I
+)
 
 
 def mysql_type_to_spark(t: str) -> str:
@@ -82,7 +84,8 @@ def mysql_type_to_spark(t: str) -> str:
         return "boolean"
     m = _DECIMAL_RE.match(t)
     if m:
-        return f"decimal({m.group(1)},{m.group(2) or 0})"
+        # bare DECIMAL/NUMERIC defaults to (10,0) per MySQL
+        return f"decimal({m.group(1) or 10},{m.group(2) or 0})"
     base = re.split(r"[(\s]", t, 1)[0]
     mapped = _MYSQL_TYPES.get(base)
     if mapped is None:
@@ -127,7 +130,14 @@ def apply_maxwell_ddl(
         if m.get("type") not in ("table-create", "table-alter") or "def" not in m:
             continue
         table_id = f"{m['database']}.{m['table']}"
-        schema, pks = maxwell_def_to_schema(m["def"])
+        # per-event guard: one unmapped column type (e.g. geometry)
+        # must not abort the whole DDL batch — it becomes an error
+        # report row the operator reviews, and later events still apply
+        try:
+            schema, pks = maxwell_def_to_schema(m["def"])
+        except ValueError as e:
+            out.append({"table": table_id, "event": m["type"], "error": str(e)})
+            continue
         if compat_mode:
             gate_announce(catalog, table_id, schema.json(), compat_mode)
         else:
@@ -160,7 +170,10 @@ def parse_canal_alter(sql: str) -> tuple[str, list[tuple[str, str]], list[str]]:
     m = _ALTER_RE.match(sql or "")
     if not m:
         return "", [], [sql] if sql else []
-    table = m.group("table").strip('`" ')
+    # strip ALL backtick/quote characters: the standard MySQL form
+    # `db`.`t` keeps interior quoting after an end-strip and would
+    # silently never match the catalog
+    table = re.sub(r'[`"]', "", m.group("table")).strip()
     added: list[tuple[str, str]] = []
     unhandled: list[str] = []
     for clause in re.split(r",(?![^()]*\))", m.group("body")):

@@ -571,3 +571,24 @@ def test_concurrent_publish_raises_and_leaves_no_partial_state(spark, tmp_path):
     assert got == [(1, "B"), (2, "B"), (3, "B")]
     # loser's data dir was removed; only seed + B's versions remain
     assert len(cat.versions("t.occ")) == 2
+
+
+def test_multiple_same_batch_ddls_apply_in_union_order(spark, tmp_path):
+    """Two DDLs for one table in ONE batch, deliberately spread across
+    partitions: the SECOND (wider) announcement must win — pinned
+    against collect_list's nondeterministic merge order."""
+    from change_data_capture_spark.apply import apply_changes
+    from change_data_capture_spark.changelog import ddl_record
+    from change_data_capture_spark.schema import schema_from_json
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    v1 = spark.createDataFrame([], "id long, a double").schema.json()
+    v2 = spark.createDataFrame([], "id long, a double, b string").schema.json()
+    batch = ddl_record(spark, "shop.orders", v1).unionByName(
+        ddl_record(spark, "shop.orders", v2)
+    )
+    assert batch.rdd.getNumPartitions() >= 2
+    apply_changes(spark, batch, cat)
+    pending = cat.meta("shop.orders")["pending_schema"]
+    names = [f.name for f in schema_from_json(pending).fields]
+    assert names == ["id", "a", "b"], names

@@ -107,3 +107,31 @@ def test_canal_ddl_alter_applies_and_gate_blocks(spark, tmp_path):
         spark.createDataFrame([(other,)], "message string"), cat
     )
     assert not rep2[0]["applied"]
+
+
+def test_backtick_qualified_table_and_bare_decimal():
+    t, added, un = ddl.parse_canal_alter(
+        "ALTER TABLE `mydb`.`users` ADD COLUMN bal decimal"
+    )
+    assert t == "mydb.users"
+    assert added == [("bal", "decimal(10,0)")]
+    assert un == []
+    assert ddl.mysql_type_to_spark("NUMERIC") == "decimal(10,0)"
+
+
+def test_maxwell_unmapped_type_reports_not_aborts(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "cat"))
+    bad = (
+        '{"type":"table-create","database":"shop","table":"geo","ts":1,'
+        '"def":{"columns":[{"type":"geometry","name":"shape"}],"primary-key":[]}}'
+    )
+    good = (
+        '{"type":"table-create","database":"shop","table":"ok","ts":2,'
+        '"def":{"columns":[{"type":"bigint","name":"id"}],"primary-key":["id"]}}'
+    )
+    rep = ddl.apply_maxwell_ddl(
+        spark.createDataFrame([(bad,), (good,)], "message string"), cat
+    )
+    assert "error" in rep[0] and "geometry" in rep[0]["error"]
+    assert rep[1]["columns"] == ["id"]  # later event still applied
+    assert cat.meta("shop.ok") is not None

@@ -183,3 +183,40 @@ def test_key_skew_profile_shares_and_ranks(spark):
     rows = scale.key_skew_profile(df, "k", top_n=2).collect()
     got = [(r.key, r.n, r.share, r.cum_share, r.rank) for r in rows]
     assert got == [("a", 6, 0.6, 0.6, 1), ("b", 3, 0.3, 0.9, 2)]
+
+
+def test_hex_threshold_boundary_keeps_everything(spark):
+    from change_data_capture_spark.extensions.scale import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    assert deterministic_sample(df, "k", 1.0).count() == 500
+    # train+val == 1.0: no row may silently become 'test'
+    out = split_assign(df, "k", train=0.95, val=0.05)
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert "test" not in counts, counts
+    assert sum(counts.values()) == 500
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    from change_data_capture_spark.extensions.scale import salted_join
+
+    l = spark.range(5).select(F.col("id").alias("k"))
+    r = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(l, r, ["k"], how="full")
+
+
+def test_prefix_sum_rejects_fractional_values(spark):
+    import pytest
+
+    from change_data_capture_spark.extensions.scale import prefix_sum
+
+    df = spark.range(10).select(F.col("id").alias("o"), F.lit(1.5).alias("v"))
+    with pytest.raises(ValueError, match="integer-exact"):
+        prefix_sum(df, "o", "v")

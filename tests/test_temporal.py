@@ -185,3 +185,34 @@ def test_resample_gapfill_hand_computed(spark):
     assert b0["n_events"] == 0 and b0["sum_value_filled"] is None  # before first obs
     b3 = rows[("b", "2024-01-01 03:00:00")]
     assert b3["sum_value"] == 7.0 and b3["sum_value_filled"] == 7.0
+
+
+def test_asof_join_carry_is_row_atomic(spark):
+    """A matched right row whose value column is NULL must yield NULL —
+    not a backfill from an older right row (the per-column ignorenulls
+    stitching bug)."""
+    from change_data_capture_spark.extensions.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "x"), (1, 20, None, "y")],
+        "k long, rts long, v double, tag string",
+    )
+    left = spark.createDataFrame([(1, 30)], "k long, lts long")
+    (r,) = asof_join(left, right, ["k"], "lts", "rts", ["tag", "v"]).collect()
+    # latest right row at ts=20 has v=NULL, tag='y' — both must come
+    # from THAT row
+    assert r["right_tag"] == "y" and r["right_v"] is None
+
+
+def test_resample_gapfill_rejects_calendar_intervals(spark):
+    import pytest
+
+    from change_data_capture_spark.extensions.temporal import resample_gapfill
+
+    ev = spark.createDataFrame([("a", "2024-01-05 00:00:00", 1.0)],
+                               "k string, ts string, v double")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="fixed-width"):
+        resample_gapfill(ev, key_col="k", ts_col="ts", value_col="v",
+                         start="2024-01-01 00:00:00", end="2024-06-01 00:00:00",
+                         interval="1 month")
