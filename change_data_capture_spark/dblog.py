@@ -215,3 +215,35 @@ class ChunkedSnapshot:
 
     def result(self) -> DataFrame:
         return self.target.read(self.spark, self.table_id)
+
+
+def sparse_versions(raw_ops: DataFrame, *, factor: int = 1000) -> DataFrame:
+    """Remap a DENSE version domain (e.g. raw SQL Server CT
+    ``SYS_CHANGE_VERSION`` integers from the jdbc_ct source) into a
+    sparse one by scaling: version * factor. Order is preserved and
+    the map is injective, so replay semantics are unchanged — but now
+    ``ChunkedSnapshot.apply_chunk``'s ``applied + 1`` stamps land in
+    the gaps between feed versions instead of colliding with the next
+    one (``VersionCollisionError``). Apply ONCE at the feed boundary,
+    before the first batch ever reaches the target catalog (mixing
+    scaled and unscaled versions on one table breaks the watermark).
+    """
+    if factor < 2:
+        raise ValueError("factor must leave gaps (>= 2)")
+    if "change_tracking_version" in raw_ops.columns:
+        v = F.col("change_tracking_version")
+        return raw_ops.withColumn(
+            "change_tracking_version", (v.cast("bigint") * factor).cast("bigint")
+        )
+    if "dml" in raw_ops.columns:
+        # CHANGE_SCHEMA envelope: rescale inside the dml struct (DDL
+        # rows pass through untouched — their dml is null and
+        # withField on null yields null)
+        scaled = F.col("dml").withField(
+            "change_tracking_version",
+            (F.col("dml.change_tracking_version").cast("bigint") * factor).cast(
+                "bigint"
+            ),
+        )
+        return raw_ops.withColumn("dml", scaled)
+    raise ValueError("expected a raw-ops or CHANGE_SCHEMA envelope frame")

@@ -134,3 +134,19 @@ def test_dense_version_feed_collision_raises(spark, tmp_path):
     cs2.apply_feed(feed)  # at-least-once redelivery: no raise
     cs2.apply_feed(dml_records(base2.filter(F.col("id") == 3), "shop.orders",
                                ["id"], op="UPDATE", version=6_000_000))
+
+
+def test_sparse_versions_unblocks_dense_feeds(spark, tmp_path):
+    from change_data_capture_spark.dblog import sparse_versions
+
+    base, cs = _snapshotter(spark, tmp_path, "remap")
+    feed1 = sparse_versions(dml_records(
+        base.filter(F.col("id") <= 2), "shop.orders", ["id"],
+        op="UPDATE", version=5))
+    cs.apply_feed(feed1)
+    cs.apply_chunk(base)  # stamps 5001 — in the gap
+    nxt = sparse_versions(dml_records(
+        base.filter(F.col("id") == 3), "shop.orders", ["id"], op="UPDATE",
+        version=6, value_overrides={"amount": F.lit(777.0)}))
+    cs.apply_feed(nxt)  # 6000 > 5001: no collision
+    assert _rows(cs.result())[3] == 777.0
