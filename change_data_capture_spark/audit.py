@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as PSWindow
 from pyspark.sql import functions as F
 
 from .apply import TableCatalog, bucket_expr, _DEFAULT_BUCKETS
@@ -186,4 +186,57 @@ def replication_lag_report(source: TableCatalog, target: TableCatalog) -> list[d
             {"table": t, "source_version": src_v, "target_version": dst_v,
              "versions_behind": src_v - dst_v, "status": status}
         )
+    return out
+
+
+def feed_gap_report(
+    changes: DataFrame,
+    *,
+    table_col: str = "table",
+    version_col: str = "version",
+) -> DataFrame:
+    """Change-feed integrity monitor: per table, find GAPS (tracking
+    versions missing from the feed — the CT retention-cleanup hazard
+    the reference's ``validateChangeTracking``/retry window exists to
+    surface: a consumer whose watermark falls behind
+    CHANGE_RETENTION loses versions silently) and DUPLICATE versions
+    (a replayed producer batch that net-change semantics would mask
+    but an at-most-once sink must not see twice).
+
+    One report frame at the anomaly grain, ``kind`` in
+    {'gap', 'dup'}: a gap row carries the missing closed range
+    [v_from, v_to] between two observed versions; a dup row carries
+    the replayed version and its occurrence count. Plan: one
+    per-(table, version) pre-aggregation (map-side combinable) feeding
+    BOTH legs — the dup leg filters it, the gap leg runs one lag()
+    window over the same table-keyed shuffle, so the whole audit is a
+    single exchange at any feed size."""
+    per_v = changes.groupBy(
+        F.col(table_col).alias("table"), F.col(version_col).alias("version")
+    ).agg(F.count("*").cast("long").alias("n_records"))
+    per_v = per_v.persist()
+
+    dups = per_v.filter(F.col("n_records") > 1).select(
+        "table",
+        F.lit("dup").alias("kind"),
+        F.col("version").alias("v_from"),
+        F.col("version").alias("v_to"),
+        F.col("n_records").alias("n"),
+    )
+
+    w = PSWindow.partitionBy("table").orderBy("version")
+    gaps = (
+        per_v.withColumn("__prev", F.lag("version").over(w))
+        .filter(F.col("version") > F.col("__prev") + 1)
+        .select(
+            "table",
+            F.lit("gap").alias("kind"),
+            (F.col("__prev") + 1).alias("v_from"),
+            (F.col("version") - 1).alias("v_to"),
+            (F.col("version") - F.col("__prev") - 1).cast("long").alias("n"),
+        )
+    )
+    out = dups.unionByName(gaps).persist()
+    out.count()
+    per_v.unpersist()
     return out

@@ -1111,3 +1111,96 @@ def sliding_chunks(
         F.size(window).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def hashed_ngram_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style linear quality classifier over HASHED word
+    bigrams (Joulin et al. 2016, public; the quality-classifier step in
+    CCNet/LLaMA-style curation): features are bigrams hashed into
+    ``n_buckets`` buckets (the hashing trick — fixed model width at
+    any vocabulary size), the model is a weight per bucket, and the
+    doc score is the INTEGER sum of its bigram-bucket weights.
+
+    ``weights`` is a (bucket BIGINT, weight BIGINT) model table —
+    dimension-sized (n_buckets rows), joined broadcast-small against
+    the compressed per-(doc,bucket) relation. When None, weights are
+    derived deterministically from md5 of the bucket id (an
+    engine-portable stand-in in [-1000, 1000] — the scoring plumbing
+    is identical, only the training that produces real weights is
+    external). Integer score, one final keep verdict (score > 0):
+    bit-identical across engines and partitionings.
+
+    Plan: bigram explode (zero-shuffle narrow map) -> per-(doc,bucket)
+    count pre-agg (map-side combinable) -> broadcast-sized weight join
+    -> per-doc roll-up. One doc-keyed shuffle chain, no Python."""
+    text = F.trim(F.lower(F.col(text_col)))
+    arr = F.split(text, r"\s+")
+    bg = (
+        spread(docs)
+        .select(F.col(id_col), arr.alias("__a"))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
+            ).alias("i"),
+        )
+        .filter(F.col("i") <= F.size("__a") - 1)
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.element_at("__a", F.col("i")),
+                F.lit(" "),
+                F.element_at("__a", F.col("i") + 1),
+            ).alias("bigram"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hb:"), F.col("bigram"))), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    per_bucket = (
+        bg.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    if weights is None:
+        w = (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("bucket").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        weighted = per_bucket.withColumn("weight", w)
+    else:
+        weighted = per_bucket.join(weights, on="bucket", how="left").withColumn(
+            "weight", F.coalesce(F.col("weight"), F.lit(0)).cast("long")
+        )
+    scored = weighted.groupBy(id_col).agg(
+        F.sum(F.col("n") * F.col("weight")).cast("long").alias("score"),
+        F.sum("n").cast("long").alias("n_bigrams"),
+    )
+    return docs.select(F.col(id_col)).join(scored, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        (F.coalesce(F.col("score"), F.lit(0)) > 0).alias("keep"),
+    )

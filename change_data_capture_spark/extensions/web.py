@@ -452,3 +452,79 @@ def pagerank_full(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks.select("id", F.col("rank").alias("rank_ppt"))
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    rules: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL/domain blocklist gate — the UT1-style exclusion step C4 and
+    RefinedWeb run before any content filtering (and the reference's
+    table-whitelist filter inverted to a denylist, CDC.java allow-list
+    semantics): every doc gets a keep/drop verdict plus the rule that
+    fired.
+
+    ``rules`` carries (pattern, kind): kind='domain' blocks the exact
+    registrable host AND every subdomain of it (suffix match on label
+    boundaries); kind='url_prefix' blocks canonical URLs starting with
+    the pattern. Both legs stay equi-joins at any rule-list size:
+
+    - the domain leg explodes each doc's host into its dotted suffixes
+      (bounded by label count, <= ~6 on real hosts) and equi-joins
+      suffix == pattern — never a LIKE/endswith theta-join;
+    - the prefix leg equi-joins on the RULE's own domain first, so the
+      residual ``startswith`` runs on a candidate set already confined
+      to that domain's docs.
+
+    Matched rules collapse to a deterministic min() per doc; one
+    doc-keyed shuffle total on top of the joins. The rule table is
+    dimension-sized, so AQE broadcasts it without an explicit hint."""
+    canon = docs.select(
+        F.col(id_col),
+        canonical_url(F.col(url_col)).alias("url_canon"),
+    ).withColumn("domain", url_domain(F.col("url_canon")))
+
+    dom_rules = rules.filter(F.col("kind") == "domain").select(
+        F.col("pattern").alias("__pat")
+    )
+    pre_rules = rules.filter(F.col("kind") == "url_prefix").select(
+        F.col("pattern").alias("__pat"),
+        url_domain(F.col("pattern")).alias("__pat_dom"),
+    )
+
+    # dotted-suffix explode: 'a.b.example.com' -> that + 'b.example.com'
+    # + 'example.com' + 'com' (substring_index from the right keeps
+    # label alignment for free)
+    n_labels = F.size(F.split(F.col("domain"), r"\."))
+    suffixes = canon.select(
+        F.col(id_col),
+        "domain",
+        F.explode(F.sequence(F.lit(1), n_labels)).alias("__k"),
+    ).select(
+        F.col(id_col),
+        F.expr("substring_index(domain, '.', -__k)").alias("__suffix"),
+    )
+    dom_hits = suffixes.join(
+        dom_rules, suffixes["__suffix"] == dom_rules["__pat"]
+    ).select(F.col(id_col), F.col("__pat").alias("rule"))
+
+    pre_hits = (
+        canon.join(pre_rules, canon["domain"] == pre_rules["__pat_dom"])
+        .filter(F.col("url_canon").startswith(F.col("__pat")))
+        .select(F.col(id_col), F.col("__pat").alias("rule"))
+    )
+
+    matches = (
+        dom_hits.unionByName(pre_hits)
+        .groupBy(id_col)
+        .agg(F.min("rule").alias("matched_rule"))
+    )
+    return canon.join(matches, on=id_col, how="left").select(
+        F.col(id_col),
+        "domain",
+        F.col("matched_rule").isNotNull().alias("blocked"),
+        "matched_rule",
+    )

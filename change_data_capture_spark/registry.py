@@ -4577,6 +4577,48 @@ def text_lm_fluency(spark, sf_dir):
 
 
 @_q(
+    "text_hashed_ngram_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i FROM t),
+    bg AS (SELECT p1.doc_id, p1.w || ' ' || p2.w AS bigram
+           FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+    pb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('hb:' || bigram), 1, 8))::BIGINT % 4096 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT doc_id, n,
+             (('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 8))::BIGINT
+               % 2001) - 1000 AS weight
+      FROM pb
+    ),
+    s AS (SELECT doc_id, CAST(sum(n * weight) AS BIGINT) AS score,
+                 CAST(sum(n) AS BIGINT) AS n_bigrams
+          FROM w GROUP BY 1)
+    SELECT documents.doc_id,
+           CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(s.score, 0) > 0 AS keep
+    FROM documents LEFT JOIN s USING (doc_id)
+    """,
+)
+def text_hashed_ngram_score(spark, sf_dir):
+    """fastText-style hashed-bigram linear classifier (extensions/
+    text.hashed_ngram_score): the hashing-trick scoring path of the
+    CCNet/LLaMA quality classifier, with deterministic md5-derived
+    stand-in weights so the INTEGER doc score is bit-identical across
+    engines. Bucket ids and weights use the engine-portable
+    conv(substr(md5(..))) hash, so the DuckDB oracle replays the
+    whole model exactly."""
+    return text.hashed_ngram_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "embedding_quantize_int8",
     r"""
     WITH ex AS (
@@ -5680,6 +5722,89 @@ def web_link_extract(spark, sf_dir):
     return out.withColumn("is_external", F.col("is_external").cast("string"))
 
 
+_BLOCKLIST_URL_SYNTH_SQL = """
+      'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      || source || '.Example.COM:443/Path/'
+      || CAST(doc_id % 8 AS VARCHAR)
+      || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+"""
+
+
+@_q(
+    "web_blocklist_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_BLOCKLIST_URL_SYNTH_SQL.strip()} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, {_WEB_URL_CANON_SQL.strip()} AS url_canon FROM d
+    ),
+    cd AS (
+      SELECT doc_id, url_canon,
+             regexp_replace(lower(regexp_extract(url_canon,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS domain
+      FROM c
+    ),
+    rules(pattern, kind) AS (
+      VALUES ('src3.example.com', 'domain'),
+             ('src7.example.com', 'domain'),
+             ('https://src5.example.com/Path/2', 'url_prefix'),
+             ('blocked.net', 'domain')
+    ),
+    px AS (
+      SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS k
+      FROM (SELECT doc_id, string_split(domain, '.') AS parts FROM cd)
+    ),
+    sfx AS (
+      SELECT doc_id, array_to_string(parts[k:], '.') AS suffix FROM px
+    ),
+    hits AS (
+      SELECT doc_id, pattern AS rule
+      FROM sfx JOIN rules ON kind = 'domain' AND suffix = pattern
+      UNION ALL
+      SELECT cd.doc_id, pattern AS rule
+      FROM cd JOIN rules ON kind = 'url_prefix'
+        AND regexp_replace(lower(regexp_extract(pattern,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') = cd.domain
+        AND starts_with(url_canon, pattern)
+    ),
+    m AS (SELECT doc_id, min(rule) AS matched_rule FROM hits GROUP BY 1)
+    SELECT cd.doc_id, cd.domain,
+           m.matched_rule IS NOT NULL AS blocked, m.matched_rule
+    FROM cd LEFT JOIN m USING (doc_id)
+    """,
+)
+def web_blocklist_filter(spark, sf_dir):
+    """UT1-style domain/URL blocklist gate (extensions/web.
+    blocklist_filter): URLs synthesized IN BOTH ENGINES with a www.
+    subdomain on every third doc so the domain rules must match on
+    label-boundary SUFFIXES (src3 rule blocks www.src3.example.com
+    too), plus a url_prefix rule confined by an equi-join on the
+    rule's own domain. All equi-joins — no LIKE theta-join — so the
+    gate holds at any crawl or blocklist size."""
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM:443/Path/"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("src3.example.com", "domain"),
+            ("src7.example.com", "domain"),
+            ("https://src5.example.com/Path/2", "url_prefix"),
+            ("blocked.net", "domain"),
+        ],
+        "pattern string, kind string",
+    )
+    return web.blocklist_filter(
+        _t(spark, sf_dir, "documents").select("doc_id", url.alias("url")), rules
+    )
+
+
 _PIPE_URL_SYNTH_SQL = """
       'HTTPS://' || source || '.Example.COM:443/Path/'
       || CAST(doc_id % 200 AS VARCHAR)
@@ -5806,6 +5931,60 @@ def cdc_export_snapshot(spark, sf_dir):
     manifest = cat.export_snapshot(spark, "tpch.customer", dest)
     assert manifest["n_rows"] > 0 and manifest["primary_keys"] == ["c_custkey"]
     return spark.read.parquet(os.path.join(dest, "data")).select(*manifest["columns"])
+
+
+@_q(
+    "cdc_feed_gaps",
+    """
+    WITH f AS (
+      SELECT 't' || CAST(c_custkey % 3 AS VARCHAR) AS tbl,
+             c_custkey // 3 AS version
+      FROM customer WHERE c_custkey % 7 <> 3
+      UNION ALL
+      SELECT 't' || CAST(c_custkey % 3 AS VARCHAR), c_custkey // 3
+      FROM customer WHERE c_custkey % 7 <> 3 AND c_custkey % 11 = 0
+    ),
+    pv AS (SELECT tbl, version, CAST(count(*) AS BIGINT) AS n_records
+           FROM f GROUP BY 1, 2),
+    dups AS (
+      SELECT tbl AS "table", 'dup' AS kind, version AS v_from,
+             version AS v_to, n_records AS n
+      FROM pv WHERE n_records > 1
+    ),
+    g AS (SELECT tbl, version,
+                 lag(version) OVER (PARTITION BY tbl ORDER BY version) AS prev
+          FROM pv),
+    gaps AS (
+      SELECT tbl AS "table", 'gap' AS kind, prev + 1 AS v_from,
+             version - 1 AS v_to, version - prev - 1 AS n
+      FROM g WHERE version > prev + 1
+    )
+    SELECT * FROM dups UNION ALL SELECT * FROM gaps
+    """,
+)
+def cdc_feed_gaps(spark, sf_dir):
+    """Change-feed integrity audit (audit.feed_gap_report): a feed is
+    synthesized IN BOTH ENGINES from the dense customer key space —
+    every 7th version dropped (the CT retention-cleanup data-loss
+    hazard validateChangeTracking guards, CTSQLServer.java) and every
+    11th replayed (producer retry) — and the report pins each missing
+    closed range and each duplicated version with its count. One
+    (table, version) pre-agg feeds both legs: a single exchange at
+    any feed size."""
+    from . import audit
+
+    k = F.col("c_custkey")
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(k % 7 != 3)
+        .select(
+            F.concat(F.lit("t"), (k % 3).cast("string")).alias("table"),
+            F.expr("c_custkey div 3").alias("version"),
+            k.alias("__k"),
+        )
+    )
+    feed = base.unionByName(base.filter(F.col("__k") % 11 == 0)).drop("__k")
+    return audit.feed_gap_report(feed)
 
 
 @_q(

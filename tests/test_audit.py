@@ -115,3 +115,27 @@ def test_checksum_survives_nan_and_inf(spark, tmp_path):
     apply_changelog(spark, snapshot_changelog(dirty, T, ["id"]), cat)
     out = table_checksum(spark, cat, T).collect()
     assert sum(r["n_rows"] for r in out) == 4  # no ANSI trap, all hashed
+
+
+def test_feed_gap_report_pins_gaps_and_dups(spark):
+    from change_data_capture_spark.audit import feed_gap_report
+
+    feed = spark.createDataFrame(
+        # t1: versions 1,2,5 (gap [3,4]), version 2 delivered twice (dup)
+        # t2: dense 1..3 -> clean
+        [("t1", 1), ("t1", 2), ("t1", 2), ("t1", 5), ("t2", 1), ("t2", 2), ("t2", 3)],
+        "table string, version long",
+    )
+    rows = {(r.table, r.kind, r.v_from): r for r in feed_gap_report(feed).collect()}
+    assert rows[("t1", "gap", 3)].v_to == 4 and rows[("t1", "gap", 3)].n == 2
+    assert rows[("t1", "dup", 2)].v_to == 2 and rows[("t1", "dup", 2)].n == 2
+    assert len(rows) == 2  # t2 clean: no rows at all
+
+
+def test_feed_gap_report_clean_feed_is_empty(spark):
+    from change_data_capture_spark.audit import feed_gap_report
+
+    feed = spark.createDataFrame(
+        [("t", v) for v in range(1, 6)], "table string, version long"
+    )
+    assert feed_gap_report(feed).count() == 0

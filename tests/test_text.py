@@ -336,3 +336,36 @@ def test_sliding_chunks_hand_computed(spark):
 
     with pytest.raises(ValueError):
         sliding_chunks(docs, size=4, stride=5)
+
+
+def test_hashed_ngram_score_with_explicit_weights(spark):
+    from change_data_capture_spark.extensions.text import hashed_ngram_score
+    import hashlib
+
+    # doc 1: bigrams "a b", "b a", "a b"; doc 2 single token -> no bigrams
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "solo")], "doc_id long, text string"
+    )
+
+    def bucket(bigram, n=4096):
+        return int(hashlib.md5(f"hb:{bigram}".encode()).hexdigest()[:8], 16) % n
+
+    b_ab, b_ba = bucket("a b"), bucket("b a")
+    weights = spark.createDataFrame(
+        [(b_ab, 10), (b_ba, -3)], "bucket long, weight long"
+    )
+    out = {r.doc_id: r for r in hashed_ngram_score(docs, weights).collect()}
+    assert out[1].score == 2 * 10 + 1 * (-3) and out[1].n_bigrams == 3
+    assert out[1].keep is True
+    assert out[2].score == 0 and out[2].n_bigrams == 0 and out[2].keep is False
+
+
+def test_hashed_ngram_score_derived_weights_match_python_md5(spark):
+    from change_data_capture_spark.extensions.text import hashed_ngram_score
+    import hashlib
+
+    docs = spark.createDataFrame([(7, "x y")], "doc_id long, text string")
+    b = int(hashlib.md5(b"hb:x y").hexdigest()[:8], 16) % 4096
+    w = (int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % 2001) - 1000
+    r = hashed_ngram_score(docs).collect()[0]
+    assert r.score == w and r.n_bigrams == 1 and r.keep == (w > 0)

@@ -371,3 +371,54 @@ def test_url_domain_matches_urllib_reference(spark):
     for u in urls:
         want = (urlsplit(u).hostname or "").lower()
         assert got[u] == want, f"{u}: {got[u]!r} != {want!r}"
+
+
+def test_blocklist_domain_rule_matches_label_suffixes_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://bad.example.com/a"),
+            (2, "https://www.deep.bad.example.com/b"),
+            (3, "https://notbad.example.com/c"),  # substring, NOT a label suffix
+            (4, "https://bad.example.com.evil.org/d"),  # suffix is evil.org
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("bad.example.com", "domain")], "pattern string, kind string"
+    )
+    out = {r.doc_id: r for r in web.blocklist_filter(docs, rules).collect()}
+    assert out[1].blocked and out[1].matched_rule == "bad.example.com"
+    assert out[2].blocked  # any-depth subdomain
+    assert not out[3].blocked  # 'notbad.example.com' must not suffix-match
+    assert not out[4].blocked  # label alignment, not substring containment
+
+
+def test_blocklist_url_prefix_confined_to_rule_domain(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTPS://Site.ORG:443/ads/banner?utm_x=1"),  # canonicalizes into the prefix
+            (2, "https://site.org/adstext"),  # prefix '/ads' rule: startswith DOES match
+            (3, "https://other.org/ads/banner"),  # same path, wrong domain
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("https://site.org/ads", "url_prefix")], "pattern string, kind string"
+    )
+    out = {r.doc_id: r for r in web.blocklist_filter(docs, rules).collect()}
+    assert out[1].blocked  # noise (case, :443, utm) erased before the prefix test
+    assert out[2].blocked  # documented plain-prefix semantics (use '/ads/' to bound)
+    assert not out[3].blocked
+
+
+def test_blocklist_min_rule_deterministic_and_unmatched_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.b.com/x"), (2, "https://clean.net/y")],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("b.com", "domain"), ("a.b.com", "domain")], "pattern string, kind string"
+    )
+    out = {r.doc_id: r for r in web.blocklist_filter(docs, rules).collect()}
+    assert out[1].matched_rule == "a.b.com"  # min() of the two matches
+    assert out[2].matched_rule is None and not out[2].blocked
