@@ -117,6 +117,9 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         "text_oov_rate",
         "text_clean_normalize",
         "corpus_percentile_filter",
+        "web_blocklist_filter",
+        "text_hashed_ngram_score",
+        "cdc_feed_gaps",
     ],
 )
 def test_tpch_remainder_stays_jvm_side(spark, sf_dir, name):
@@ -310,3 +313,14 @@ def test_profile_drift_single_pass(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_blocklist_joins_stay_equi(spark, sf_dir):
+    """The blocklist gate must never plan a cartesian/nested-loop
+    against the rule table: domain rules join on the exploded dotted
+    suffix, prefix rules on the rule's own domain — both equi-joins,
+    so a million-rule blocklist still hash-partitions instead of
+    replicating the crawl."""
+    plan = plan_of(spark, sf_dir, "web_blocklist_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
