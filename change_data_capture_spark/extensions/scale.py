@@ -596,3 +596,62 @@ def zorder_expr(
                 F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
             )
     return key
+
+
+def context_windows(
+    docs: DataFrame,
+    *,
+    size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style pretraining sequence packing: concatenate the corpus
+    in deterministic ``id_col`` order and cut it into fixed-``size``
+    token context windows, emitting the (window, doc-span) manifest a
+    tokenize-and-pack export job materializes — every window is full
+    (except the last), documents crossing a boundary are SPLIT with
+    exact in-doc token offsets, nothing is padded or dropped (the
+    standard causal-LM packing; Brown et al. 2020 describe the
+    concat-then-chunk form publicly).
+
+    Built on the two-phase exact ``prefix_sum`` (no global window
+    bottleneck): each doc's exclusive start offset in the corpus token
+    stream places it in windows ``start div size`` through
+    ``(start + n_tokens - 1) div size``; the per-doc explode is
+    bounded by ``n_tokens/size + 1`` spans. Output grain is
+    (window_id, doc span): ``tok_start``/``tok_end`` are the 0-based
+    half-open token range OF THE DOC that lands in that window, and
+    ``pos_in_window`` is where it starts inside the window. Integer
+    arithmetic end to end — bit-identical across engines and
+    partitionings."""
+    if size <= 0:
+        raise ValueError(f"window size must be positive, got {size}")
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    t = docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    c = prefix_sum(t, id_col, "n_tokens", out_col="__cum")
+    c = c.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("__cum") - F.col("n_tokens")).alias("__start"),
+    )
+    first_w = F.expr(f"__start div {size}")
+    last_w = F.expr(f"(__start + n_tokens - 1) div {size}")
+    spans = c.select(
+        F.col(id_col),
+        "n_tokens",
+        "__start",
+        F.explode(F.sequence(first_w, last_w)).alias("window_id"),
+    )
+    tok_start = F.greatest(F.col("window_id") * size - F.col("__start"), F.lit(0))
+    tok_end = F.least(
+        (F.col("window_id") + 1) * size - F.col("__start"), F.col("n_tokens")
+    )
+    return spans.select(
+        F.col("window_id").cast("long"),
+        F.col(id_col),
+        tok_start.cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        F.greatest(
+            F.col("__start") - F.col("window_id") * size, F.lit(0)
+        ).cast("long").alias("pos_in_window"),
+    )

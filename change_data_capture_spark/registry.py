@@ -4446,6 +4446,46 @@ def corpus_pack_batches(spark, sf_dir):
 
 
 @_q(
+    "corpus_context_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS st
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, st,
+             unnest(generate_series(st // 128, (st + n_tokens - 1) // 128))
+               AS window_id
+      FROM c
+    )
+    SELECT window_id, doc_id,
+           greatest(window_id * 128 - st, 0) AS tok_start,
+           least((window_id + 1) * 128 - st, n_tokens) AS tok_end,
+           greatest(st - window_id * 128, 0) AS pos_in_window
+    FROM s
+    """,
+)
+def corpus_context_windows(spark, sf_dir):
+    """Causal-LM sequence packing (extensions/scale.context_windows):
+    the corpus token stream in doc_id order, cut into 128-token
+    context windows — boundary-crossing docs split with exact in-doc
+    offsets. Spark runs the two-phase exact prefix_sum (no global
+    window partition); the oracle's single ORDER BY window is the
+    small-scale spec of the same running total."""
+    from .extensions import scale
+
+    return scale.context_windows(_t(spark, sf_dir, "documents"), size=128)
+
+
+@_q(
     "text_chunk_dedup",
     r"""
     WITH t AS (

@@ -220,3 +220,66 @@ def test_prefix_sum_rejects_fractional_values(spark):
     df = spark.range(10).select(F.col("id").alias("o"), F.lit(1.5).alias("v"))
     with pytest.raises(ValueError, match="integer-exact"):
         prefix_sum(df, "o", "v")
+
+
+def test_context_windows_hand_computed_boundary_split(spark):
+    from change_data_capture_spark.extensions.scale import context_windows
+
+    # doc 1: 3 tokens [0,3), doc 2: 4 tokens [3,7), doc 3: 2 tokens [7,9)
+    # size=4 -> w0=[0,4) holds d1 full + d2[0,1); w1=[4,8) holds d2[1,4)
+    # + d3[0,1); w2=[8,9) holds d3[1,2)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")], "doc_id long, text string"
+    )
+    rows = {
+        (r.window_id, r.doc_id): r
+        for r in context_windows(docs, size=4).collect()
+    }
+    assert rows[(0, 1)].tok_start == 0 and rows[(0, 1)].tok_end == 3
+    assert rows[(0, 1)].pos_in_window == 0
+    assert rows[(0, 2)].tok_start == 0 and rows[(0, 2)].tok_end == 1
+    assert rows[(0, 2)].pos_in_window == 3
+    assert rows[(1, 2)].tok_start == 1 and rows[(1, 2)].tok_end == 4
+    assert rows[(1, 2)].pos_in_window == 0
+    assert rows[(1, 3)].tok_start == 0 and rows[(1, 3)].tok_end == 1
+    assert rows[(1, 3)].pos_in_window == 3
+    assert rows[(2, 3)].tok_start == 1 and rows[(2, 3)].tok_end == 2
+    assert len(rows) == 5
+
+
+def test_context_windows_invariants_cover_and_fill(spark):
+    from change_data_capture_spark.extensions.scale import context_windows
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(1 + (i * 7) % 23))) for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(8)
+    out = context_windows(docs, size=16)
+    # every doc's spans concatenate to exactly its token range
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tok_end") - F.col("tok_start")).alias("covered"),
+            F.min("tok_start").alias("lo"),
+        )
+        .collect()
+    )
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    for r in per_doc:
+        assert r.covered == n_by_doc[r.doc_id] and r.lo == 0
+    # every window except the last is exactly full
+    per_w = (
+        out.groupBy("window_id")
+        .agg(F.sum(F.col("tok_end") - F.col("tok_start")).alias("filled"))
+        .collect()
+    )
+    last = max(r.window_id for r in per_w)
+    for r in per_w:
+        if r.window_id != last:
+            assert r.filled == 16, (r.window_id, r.filled)
