@@ -7439,6 +7439,14 @@ DRIVER_WINDOW: list[str] = [
     # since r02). ann_ivf from the verdict's list is deliberately NOT
     # here: recall<1 by design means no hash oracle, and every window
     # slot must be hash-checkable (tests/test_registry_window.py).
+    # Late-r4 second swap: four multi-round-green slots
+    # (q1_pricing_summary r01-r03, q5_local_supplier_volume r01-r02,
+    # er_blocked_match r03, corpus_curation_pipeline r03) retire to the
+    # bare gate in favor of the four operators built this round, none
+    # of which has ever had a driver row: cdc_feed_gaps,
+    # corpus_context_windows, web_blocklist_filter,
+    # text_hashed_ngram_score. Family prefixes stay covered (q1 via
+    # q13, er_ via er_golden_records, corpus_ via pack/context).
     # Rotated out r4: q3_shipping_priority, q_events_hourly,
     # q_window_suite, q_grouping_sets, q_set_ops_all,
     # q_scalar_functions, q_json_props, q_array_ops, q_type_compat,
@@ -7476,15 +7484,13 @@ DRIVER_WINDOW: list[str] = [
     "cdc_time_travel",
     "cdc_compact",
     "cdc_export_snapshot",
-    # --- relational surface (6)
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
+    "cdc_feed_gaps",
+    # --- relational surface (4; q1-family coverage rides on q13)
     "q7_nation_trade_volume",
     "q9_product_profit",
     "q13_customer_order_distribution",
     "q21_sole_returned_supplier",
     # --- LLM-pipeline flagships: one per area (17)
-    "er_blocked_match",
     "er_golden_records",
     "dedup_minhash_lsh",
     "profile_categorical_drift",
@@ -7499,7 +7505,9 @@ DRIVER_WINDOW: list[str] = [
     "profile_numeric_drift",
     "temporal_scd2_lookup",
     "corpus_pack_batches",
-    "corpus_curation_pipeline",
+    "corpus_context_windows",
+    "web_blocklist_filter",
+    "text_hashed_ngram_score",
     "multimodal_payload_dedup",
 ]
 
