@@ -37,7 +37,7 @@ registry is rebuilt from the retained schema topic/compacted log.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..normalize import normalize_raw_ops
@@ -160,3 +160,78 @@ def goldengate_changelog(raw: DataFrame) -> DataFrame:
         F.col("ts_micros").alias("cdc_current_timestamp"),
     )
     return normalize_raw_ops(rawops)
+
+
+def _string_image(cols: list[str]) -> F.Column:
+    """Row columns -> the wire's ``map<string,string>`` image (values
+    stringified; the inbound decoder casts back through the announced
+    rows_schema, so typed values roundtrip)."""
+    pairs: list[F.Column] = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    return F.create_map(*pairs)
+
+
+def goldengate_schema_message(
+    spark, *, table: str, fingerprint: int, schema_json: str, version: int = 0
+) -> DataFrame:
+    """The outbound schema announcement (ST2's producer half,
+    ``GoldenGateKafka.java:211-227`` consumer side): one wrapper-wire
+    message binding ``fingerprint`` to the Spark schema JSON that DML
+    messages reference. Emit it once per (re)start or schema change —
+    the registry rebuild is last-version-wins, so repeats are safe."""
+    return spark.range(1).select(
+        F.to_json(
+            F.struct(
+                F.lit("schema").alias("kind"),
+                F.lit(fingerprint).cast("bigint").alias("fingerprint"),
+                F.lit(table).alias("table"),
+                F.lit(schema_json).alias("schema"),
+                F.lit(version).cast("bigint").alias("version"),
+            )
+        ).alias("message")
+    )
+
+
+def table_changes_to_goldengate(
+    changes: DataFrame,
+    *,
+    table: str,
+    fingerprint: int,
+    pk_names: list[str],
+    version: Column | int = 1,
+    ts_micros: Column | int = 0,
+) -> DataFrame:
+    """Outbound GoldenGate wrapper wire: render a change-data-feed
+    frame (``TableCatalog.table_changes`` output — row columns plus
+    ``_change_type``) as the wrapper-wire dml messages this module's
+    own ``goldengate_changelog`` decodes, completing the renderer
+    matrix (Maxwell/DMS/Canal/Debezium/GoldenGate — every inbound
+    format also renders outbound). insert -> op I (after image),
+    update_postimage -> U (after only; the CDF carries no preimage,
+    which the normalizer accepts), delete -> D (before image). Pair
+    with ``goldengate_schema_message`` for the fingerprint the
+    consumer's registry resolves. Pure projection, no shuffle. PKs
+    travel in-band per message, as on the real wire."""
+    cols = [c for c in changes.columns if c != "_change_type"]
+    img = _string_image(cols)
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("I"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("U"))
+        .when(F.col("_change_type") == "delete", F.lit("D"))
+    )
+    v = (F.lit(version) if isinstance(version, int) else version).cast("bigint")
+    ts = (F.lit(ts_micros) if isinstance(ts_micros, int) else ts_micros).cast("bigint")
+    body = F.struct(
+        F.lit("dml").alias("kind"),
+        F.lit(table).alias("table"),
+        F.lit(fingerprint).cast("bigint").alias("fingerprint"),
+        op.alias("op_type"),
+        F.array(*[F.lit(p) for p in pk_names]).alias("primary_keys"),
+        F.when(op == "D", img).alias("before"),
+        F.when(op != "D", img).alias("after"),
+        v.alias("version"),
+        ts.alias("ts_micros"),
+    )
+    return changes.select(F.to_json(body).alias("message"))

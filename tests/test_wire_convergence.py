@@ -1,5 +1,6 @@
 """Cross-format convergence: the SAME logical change stream rendered
-in each JSON wire format (Debezium, Maxwell, DMS, Canal), decoded by
+in each JSON wire format (Debezium, Maxwell, DMS, Canal, GoldenGate
+wrapper wire), decoded by
 its own inbound path, and applied through the one shared engine must
 produce BYTE-IDENTICAL table content — proven with the audit module's
 order-insensitive content checksums against a directly-applied
@@ -11,7 +12,7 @@ from change_data_capture_spark.apply import TableCatalog, apply_changelog
 from change_data_capture_spark.audit import checksum_diff, table_checksum
 from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
 from change_data_capture_spark.normalize import normalize_raw_ops
-from change_data_capture_spark.sources import canal, debezium
+from change_data_capture_spark.sources import canal, debezium, kafka
 from change_data_capture_spark.sources import wire_formats as wf
 
 T = "shop.orders"
@@ -99,6 +100,31 @@ def test_all_wire_formats_converge_to_identical_checksums(spark, tmp_path):
             rows_schemas={T: schema_json},
         )
 
+    def gg_feed():
+        tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+        render = lambda df, v: kafka.table_changes_to_goldengate(  # noqa: E731
+            df, table=T, fingerprint=99, pk_names=["id"], version=v, ts_micros=v
+        )
+        msgs = (
+            kafka.goldengate_schema_message(
+                spark, table=T, fingerprint=99, schema_json=schema_json
+            )
+            .unionByName(render(tag(base, "insert"), 1))
+            .unionByName(
+                render(
+                    tag(
+                        base.filter(upd_where).withColumn(
+                            "amount", F.col("amount") + 5
+                        ),
+                        "update_postimage",
+                    ),
+                    2,
+                )
+            )
+            .unionByName(render(tag(base.filter(del_where), "delete"), 3))
+        )
+        return kafka.goldengate_changelog(msgs)
+
     for name, feed in (
         ("maxwell", mx_feed), ("dms", dms_feed),
         ("canal", canal_feed), ("debezium", dbz_feed),
@@ -107,3 +133,10 @@ def test_all_wire_formats_converge_to_identical_checksums(spark, tmp_path):
         apply_changelog(spark, normalize_raw_ops(feed()), cat)
         diff = checksum_diff(ref_sum, table_checksum(spark, cat, T)).collect()
         assert diff == [], (name, diff)
+
+    # fifth format: the engine's OWN outbound GoldenGate wrapper wire,
+    # decoded by its own inbound path — renderer matrix closed 5/5
+    cat = TableCatalog(str(tmp_path / "goldengate"))
+    apply_changelog(spark, gg_feed(), cat)
+    diff = checksum_diff(ref_sum, table_checksum(spark, cat, T)).collect()
+    assert diff == [], ("goldengate", diff)
