@@ -812,3 +812,111 @@ def ivfpq_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "score")
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    threshold: float = 0.4,
+    n_lists: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) decontamination: every (train,
+    benchmark) pair with cosine >= threshold — the embedding-level
+    complement of the n-gram benchmark-overlap sweep
+    (``text.decontaminate_pairs``): paraphrased or reformatted eval
+    items that share no 8-gram with a training doc still collide in
+    embedding space. Output grain is the qualifying pair
+    (train_id, bench_id, score); dropping every train_id present in
+    the output is the decontamination step.
+
+    Same metric ball partitioning as
+    ``embedding_near_duplicates_bucketed`` (see there for why
+    sign-LSH loses at loose thresholds), two-set form: both sides are
+    assigned to the SAME seed centroids (the n_lists smallest train
+    ids), radii are tracked PER SIDE, and a (train list, bench list)
+    pair survives only if ``theta(c_a, c_b) - r_a - r_b <=
+    acos(threshold)`` — an equi-join on list ids, never a cartesian
+    product, every surviving pair exact-cosine verified (pruning
+    changes WORK, not the answer; the all-pairs oracle verifies
+    output equality). Benchmarks are small (thousands of rows), so
+    the bench side is the natural broadcast side at scale and the
+    train corpus never self-joins at all."""
+    import math
+
+    t = train.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+    b = bench.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+    cent_rows = t.orderBy(F.col("id").asc()).limit(n_lists).collect()
+    cents = [(int(r["id"]), list(r["v"])) for r in cent_rows]
+
+    def py_cos(x, y):
+        d = sum(p * q for p, q in zip(x, y))
+        nx = math.sqrt(sum(p * p for p in x))
+        ny = math.sqrt(sum(q * q for q in y))
+        return max(-1.0, min(1.0, d / (nx * ny)))
+
+    sims = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('sim', {_cosine_sql('v', _array_sql(cv))}, "
+            f"'list_id', {int(cid)}L)"
+            for cid, cv in cents
+        )
+        + ")"
+    )
+    best = F.array_max(sims)
+
+    def assign(df):
+        return df.select(
+            "id",
+            "v",
+            best["list_id"].alias("list_id"),
+            F.acos(
+                F.least(F.greatest(best["sim"], F.lit(-1.0)), F.lit(1.0))
+            ).alias("theta"),
+        ).persist()
+
+    ta, ba = assign(t), assign(b)
+    radii_t = {
+        int(r["list_id"]): float(r["r"])
+        for r in ta.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
+    }
+    radii_b = {
+        int(r["list_id"]): float(r["r"])
+        for r in ba.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
+    }
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    survivors = []
+    for la, va in cents:
+        for lb, vb in cents:
+            if la not in radii_t or lb not in radii_b:
+                continue
+            theta_cc = math.acos(py_cos(va, vb))
+            if theta_cc - radii_t[la] - radii_b[lb] <= theta_t + 1e-6:
+                survivors.append((la, lb))
+    spark = train.sparkSession
+    cand = spark.createDataFrame(survivors or [(-1, -1)], "list_t long, list_b long")
+
+    lt = ta.select(
+        F.col("id").alias("train_id"), F.col("v").alias("vt"),
+        F.col("list_id").alias("list_t"),
+    )
+    lb_ = ba.select(
+        F.col("id").alias("bench_id"), F.col("v").alias("vb"),
+        F.col("list_id").alias("list_b"),
+    )
+    out = (
+        lt.join(F.broadcast(cand), "list_t")
+        .join(lb_, "list_b")
+        .withColumn("score", cosine(F.col("vt"), F.col("vb"), dim))
+        .filter(F.col("score") >= threshold)
+        .select("train_id", "bench_id", F.round("score", 6).alias("score"))
+    )
+    out = out.persist()
+    out.count()
+    ta.unpersist()
+    ba.unpersist()
+    return out

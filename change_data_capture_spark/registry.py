@@ -2332,6 +2332,31 @@ def dedup_embedding_bucketed(spark, sf_dir):
     return similarity.embedding_near_duplicates_bucketed(emb, threshold=0.4, n_lists=16, dim=64)
 
 
+@_q(
+    "embedding_decontaminate",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS train_id, b.vec_id AS bench_id,
+           round({_COSINE.format(a='a.v', b='b.v')}, 6) AS score
+    FROM e a JOIN e b ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+    WHERE {_COSINE.format(a='a.v', b='b.v')} >= 0.4
+    """,
+)
+def embedding_decontaminate(spark, sf_dir):
+    """Semantic decontamination (similarity.embedding_decontaminate):
+    train-vs-benchmark embedding near-matches through the two-set
+    ball-partitioned equi-join (benchmark = every 10th vector); the
+    all-pairs oracle proves the metric pruning changes WORK, not the
+    answer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    return similarity.embedding_decontaminate(train, bench, threshold=0.4, dim=64)
+
+
 def _kmeans_oracle(k: int, iters: int) -> str:
     """DuckDB replay of similarity.kmeans_lloyd: seeded centroids,
     per-iteration rank-1 assignment on the 6dp-rounded cosine (ties to

@@ -120,3 +120,36 @@ def test_pq_encode_plan_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_decontaminate_matches_brute_force(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    train = df.filter(F.col("vec_id") % 4 != 0)
+    bench = df.filter(F.col("vec_id") % 4 == 0)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {
+        (i, j)
+        for i, a in vecs
+        if i % 4 != 0
+        for j, b in vecs
+        if j % 4 == 0 and cos(a, b) >= 0.4
+    }
+    out = similarity.embedding_decontaminate(
+        train, bench, threshold=0.4, n_lists=4, dim=dim
+    )
+    got = {(r.train_id, r.bench_id) for r in out.collect()}
+    assert got == expected and len(expected) > 0
+    # set confinement: never a train-train or bench-bench pair
+    assert all(i % 4 != 0 and j % 4 == 0 for i, j in got)
