@@ -604,6 +604,7 @@ def context_windows(
     size: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_offset: int = 0,
 ) -> DataFrame:
     """GPT-style pretraining sequence packing: concatenate the corpus
     in deterministic ``id_col`` order and cut it into fixed-``size``
@@ -623,16 +624,25 @@ def context_windows(
     half-open token range OF THE DOC that lands in that window, and
     ``pos_in_window`` is where it starts inside the window. Integer
     arithmetic end to end — bit-identical across engines and
-    partitionings."""
+    partitionings.
+
+    ``base_offset`` makes the packing INCREMENTAL for append-only
+    ingest: pass the previous run's total token count and the new
+    batch's windows continue exactly where the packed corpus ended —
+    no repacking of 100 TB because a day's worth of documents
+    arrived (the final partial window is re-emitted with its
+    remainder filled first)."""
     if size <= 0:
         raise ValueError(f"window size must be positive, got {size}")
+    if base_offset < 0:
+        raise ValueError(f"base_offset must be >= 0, got {base_offset}")
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     t = docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
     c = prefix_sum(t, id_col, "n_tokens", out_col="__cum")
     c = c.select(
         F.col(id_col),
         "n_tokens",
-        (F.col("__cum") - F.col("n_tokens")).alias("__start"),
+        (F.col("__cum") - F.col("n_tokens") + F.lit(base_offset)).alias("__start"),
     )
     first_w = F.expr(f"__start div {size}")
     last_w = F.expr(f"(__start + n_tokens - 1) div {size}")

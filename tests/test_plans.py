@@ -202,6 +202,15 @@ def test_embedding_bucketed_dedup_is_equijoin(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_embedding_decontaminate_is_equijoin(spark, sf_dir):
+    """Two-set semantic decontamination keeps the same contract: list-id
+    equi-joins only, JVM-side end to end."""
+    plan = plan_of(spark, sf_dir, "embedding_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ct_scan_normalize_is_narrow(spark, sf_dir):
     """The envelope normalization of a CT scan must not shuffle — it is
     a map-only stage over the source scan."""

@@ -283,3 +283,20 @@ def test_context_windows_invariants_cover_and_fill(spark):
     for r in per_w:
         if r.window_id != last:
             assert r.filled == 16, (r.window_id, r.filled)
+
+
+def test_context_windows_incremental_base_offset_continues_packing(spark):
+    from change_data_capture_spark.extensions.scale import context_windows
+    from pyspark.sql import functions as F
+
+    day1 = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h")], "doc_id long, text string"
+    )  # 8 tokens
+    day2 = spark.createDataFrame(
+        [(3, "i j k"), (4, "l m")], "doc_id long, text string"
+    )
+    full = context_windows(day1.unionByName(day2), size=4)
+    incr = context_windows(day1, size=4).unionByName(
+        context_windows(day2, size=4, base_offset=8)
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect()))
