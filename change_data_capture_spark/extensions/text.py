@@ -1204,3 +1204,33 @@ def hashed_ngram_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         (F.coalesce(F.col("score"), F.lit(0)) > 0).alias("keep"),
     )
+
+
+def regex_token_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """GPT-2-style pre-tokenizer counts (Radford et al. 2019 describe
+    the regex pre-split publicly): tokens are letter runs, digit runs,
+    or single punctuation marks — the engine-portable core of the BPE
+    pre-tokenization split ([A-Za-z]+|[0-9]+|single non-alnum), which
+    tracks real BPE token counts far better than char/4 on code,
+    numbers, and punctuation-heavy text. Per doc: the regex token
+    count, its word/number/punct composition, and mean compact chars
+    per token (the compression-ratio signal LM budget planning uses).
+    Zero-shuffle narrow map, pure JVM regexp codegen; identical RE2/
+    Java semantics for this pattern, so the DuckDB oracle replays it
+    verbatim."""
+    text = F.col(text_col)
+    n_all = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), F.lit(0)))
+    n_numbers = F.size(F.regexp_extract_all(text, F.lit("[0-9]+"), F.lit(0)))
+    compact = F.length(F.regexp_replace(text, r"\s", ""))
+    n_all_nz = F.greatest(n_all, F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        n_all.cast("long").alias("n_regex_tokens"),
+        n_words.cast("long").alias("n_word_tokens"),
+        n_numbers.cast("long").alias("n_number_tokens"),
+        (n_all - n_words - n_numbers).cast("long").alias("n_punct_tokens"),
+        F.round(compact / n_all_nz, 6).alias("chars_per_token"),
+    )

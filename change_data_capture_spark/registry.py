@@ -4672,6 +4672,9 @@ def text_lm_fluency(spark, sf_dir):
     FROM documents LEFT JOIN s USING (doc_id)
     """,
 )
+
+
+
 def text_hashed_ngram_score(spark, sf_dir):
     """fastText-style hashed-bigram linear classifier (extensions/
     text.hashed_ngram_score): the hashing-trick scoring path of the
@@ -4681,6 +4684,37 @@ def text_hashed_ngram_score(spark, sf_dir):
     conv(substr(md5(..))) hash, so the DuckDB oracle replays the
     whole model exactly."""
     return text.hashed_ngram_score(_t(spark, sf_dir, "documents"))
+
+
+def text_regex_tokens(spark, sf_dir):
+    """GPT-2-style regex pre-tokenizer counts (extensions/text.
+    regex_token_stats): letter runs | digit runs | single punctuation
+    — the BPE pre-split, counted per doc with composition and
+    chars-per-token. Zero-shuffle narrow map."""
+    return text.regex_token_stats(_t(spark, sf_dir, "documents"))
+
+
+_q(
+    "text_regex_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_regex_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                AS n_number_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                - len(regexp_extract_all(text, '[A-Za-z]+'))
+                - len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                AS n_punct_tokens,
+           round(length(regexp_replace(text, '\s', '', 'g'))
+                 / greatest(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1), 6)
+                AS chars_per_token
+    FROM documents
+    """,
+)(text_regex_tokens)
 
 
 @_q(

@@ -369,3 +369,16 @@ def test_hashed_ngram_score_derived_weights_match_python_md5(spark):
     w = (int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % 2001) - 1000
     r = hashed_ngram_score(docs).collect()[0]
     assert r.score == w and r.n_bigrams == 1 and r.keep == (w > 0)
+
+
+def test_regex_token_stats_hand_computed(spark):
+    from change_data_capture_spark.extensions.text import regex_token_stats
+
+    # "ab 12.5, x!" -> tokens: ab | 12 | . | 5 | , | x | !  = 7
+    # words: ab, x = 2; numbers: 12, 5 = 2; punct: . , ! = 3
+    # compact chars = len("ab12.5,x!") = 9 -> 9/7
+    docs = spark.createDataFrame([(1, "ab 12.5, x!")], "doc_id long, text string")
+    r = regex_token_stats(docs).collect()[0]
+    assert r.n_regex_tokens == 7
+    assert r.n_word_tokens == 2 and r.n_number_tokens == 2 and r.n_punct_tokens == 3
+    assert r.chars_per_token == round(9 / 7, 6)
