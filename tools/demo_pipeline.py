@@ -210,6 +210,36 @@ def main() -> int:
     print("spark.sql over managed tables:", cat.register_views(spark))
     print(spark.sql("SELECT COUNT(*) AS n FROM tpch_customer").first())
 
+    section("13. Late-r4: blocklist, classifier, packing, decontamination")
+    from change_data_capture_spark.audit import feed_gap_report
+    from change_data_capture_spark.extensions import scale, web
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+                   (F.col("doc_id") % 7).cast("string"))
+    rules = spark.createDataFrame(
+        [("src1.example.com", "domain"), ("https://src2.example.com/p/3", "url_prefix")],
+        "pattern string, kind string")
+    bl = web.blocklist_filter(docs.select("doc_id", url.alias("url")), rules)
+    print("blocklist: blocked", bl.filter("blocked").count(), "of", bl.count())
+    sc = text.hashed_ngram_score(docs)
+    print("hashed-ngram classifier keeps:",
+          sc.filter("keep").count(), "of", sc.count())
+    cw = scale.context_windows(docs, size=512)
+    print("context windows (512 tok):", cw.select("window_id").distinct().count(),
+          "windows,", cw.count(), "doc spans")
+    print("regex tokens sample:",
+          text.regex_token_stats(docs).select("n_regex_tokens").agg(F.sum("n_regex_tokens")).first()[0],
+          "corpus regex tokens")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dec = similarity.embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 10 != 0), emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.4, dim=64)
+    print("semantic contamination pairs:", dec.count())
+    feed = docs.select(F.lit("docs").alias("table"), F.col("doc_id").alias("version")) \
+               .filter(F.col("version") % 9 != 4)
+    print("feed-gap audit rows:", feed_gap_report(feed).count())
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
