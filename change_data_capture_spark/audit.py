@@ -194,49 +194,92 @@ def feed_gap_report(
     *,
     table_col: str = "table",
     version_col: str = "version",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Change-feed integrity monitor: per table, find GAPS (tracking
     versions missing from the feed — the CT retention-cleanup hazard
     the reference's ``validateChangeTracking``/retry window exists to
     surface: a consumer whose watermark falls behind
-    CHANGE_RETENTION loses versions silently) and DUPLICATE versions
-    (a replayed producer batch that net-change semantics would mask
-    but an at-most-once sink must not see twice).
+    CHANGE_RETENTION loses versions silently) and DUPLICATE
+    deliveries (a replayed producer batch that net-change semantics
+    would mask but an at-most-once sink must not see twice).
 
-    One report frame at the anomaly grain, ``kind`` in
-    {'gap', 'dup'}: a gap row carries the missing closed range
-    [v_from, v_to] between two observed versions; a dup row carries
-    the replayed version and its occurrence count. Plan: one
-    per-(table, version) pre-aggregation (map-side combinable) feeding
-    BOTH legs — the dup leg filters it, the gap leg runs one lag()
-    window over the same table-keyed shuffle, so the whole audit is a
-    single exchange at any feed size."""
-    per_v = changes.groupBy(
-        F.col(table_col).alias("table"), F.col(version_col).alias("version")
-    ).agg(F.count("*").cast("long").alias("n_records"))
-    per_v = per_v.persist()
+    Input-grain contract — what counts as a duplicate:
 
-    dups = per_v.filter(F.col("n_records") > 1).select(
-        "table",
-        F.lit("dup").alias("kind"),
-        F.col("version").alias("v_from"),
-        F.col("version").alias("v_to"),
-        F.col("n_records").alias("n"),
-    )
+    * ``key_cols=None`` (default): the feed must be ONE record per
+      (table, version) — transaction/version grain, like the
+      synthesized version streams the registry audits. A version seen
+      with n records is reported as a dup with ``n`` = that count.
+      Feeding a ROW-grain changelog here (many rows per transaction
+      version — the engine's own ``dml_records`` output, or SQL
+      Server CT where one SYS_CHANGE_VERSION spans all rows a
+      transaction touched) would flag every multi-row transaction;
+      pass ``key_cols`` for those feeds.
+    * ``key_cols=[pk, ...]``: row grain. A version is a dup when some
+      key tuple within it was delivered more than once (a replay re-
+      delivers every row; one repeated key is already an anomaly);
+      ``n`` = the max per-key delivery count for that version.
+
+    Gap detection assumes a DENSE per-table version domain (SQL
+    Server CT semantics). Timestamp- or LSN-versioned feeds are
+    sparse by nature — remap through ``normalize.sparse_versions``
+    first, or every adjacent pair reads as a gap.
+
+    One report frame at the anomaly grain, ``kind`` in {'gap','dup'}:
+    a gap row carries the missing closed range [v_from, v_to] between
+    two observed versions; a dup row the replayed version and its
+    count. Plan: single pass — a per-(table, version) pre-aggregation
+    (map-side combinable before the (table, version) exchange; the
+    row-grain form adds one keyed pre-agg level below it), then one
+    lag() window whose (table)-keyed exchange moves only the
+    PER-VERSION frame (≪ feed size at any scale), with both anomaly
+    kinds emitted from the same row via a conditional explode — no
+    union, no second scan of the feed, no persist, fully lazy."""
+    t = F.col(table_col).alias("table")
+    v = F.col(version_col).alias("version")
+    if key_cols:
+        per_v = (
+            changes.groupBy(t, v, *[F.col(k) for k in key_cols])
+            .agg(F.count("*").alias("__c"))
+            .groupBy("table", "version")
+            .agg(F.max("__c").cast("long").alias("n_records"))
+        )
+    else:
+        per_v = changes.groupBy(t, v).agg(
+            F.count("*").cast("long").alias("n_records")
+        )
 
     w = PSWindow.partitionBy("table").orderBy("version")
-    gaps = (
-        per_v.withColumn("__prev", F.lag("version").over(w))
-        .filter(F.col("version") > F.col("__prev") + 1)
-        .select(
-            "table",
-            F.lit("gap").alias("kind"),
-            (F.col("__prev") + 1).alias("v_from"),
-            (F.col("version") - 1).alias("v_to"),
-            (F.col("version") - F.col("__prev") - 1).cast("long").alias("n"),
+    # conditional two-slot array; null slots are exploded then dropped
+    # by a relational filter (stays in whole-stage codegen — an
+    # array-HOF filter would be interpreted per row)
+    anomaly = F.explode(
+        F.array(
+            F.when(
+                F.col("n_records") > 1,
+                F.struct(
+                    F.lit("dup").alias("kind"),
+                    F.col("version").alias("v_from"),
+                    F.col("version").alias("v_to"),
+                    F.col("n_records").alias("n"),
+                ),
+            ),
+            F.when(
+                F.col("version") > F.col("__prev") + 1,
+                F.struct(
+                    F.lit("gap").alias("kind"),
+                    (F.col("__prev") + 1).alias("v_from"),
+                    (F.col("version") - 1).alias("v_to"),
+                    (F.col("version") - F.col("__prev") - 1)
+                    .cast("long")
+                    .alias("n"),
+                ),
+            ),
         )
     )
-    out = dups.unionByName(gaps).persist()
-    out.count()
-    per_v.unpersist()
-    return out
+    return (
+        per_v.withColumn("__prev", F.lag("version").over(w))
+        .select("table", anomaly.alias("__a"))
+        .filter(F.col("__a").isNotNull())
+        .select("table", "__a.kind", "__a.v_from", "__a.v_to", "__a.n")
+    )

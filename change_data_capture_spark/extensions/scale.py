@@ -630,8 +630,12 @@ def context_windows(
     ingest: pass the previous run's total token count and the new
     batch's windows continue exactly where the packed corpus ended —
     no repacking of 100 TB because a day's worth of documents
-    arrived (the final partial window is re-emitted with its
-    remainder filled first)."""
+    arrived. Only the NEW batch's spans are emitted: when
+    ``base_offset`` lands mid-window, the new docs' first spans carry
+    that window's id with ``pos_in_window`` pointing past the prior
+    run's remainder, and the caller unions them with the previous
+    output to complete the shared window (prior-run spans are never
+    re-emitted)."""
     if size <= 0:
         raise ValueError(f"window size must be positive, got {size}")
     if base_offset < 0:

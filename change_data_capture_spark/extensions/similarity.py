@@ -475,6 +475,88 @@ def quantize_int8(
     )
 
 
+def _py_cos(a, b) -> float:
+    """Driver-side exact cosine for centroid-pair pruning — bounded to
+    n_lists^2 evaluations of config-sized vectors, never corpus data."""
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return max(-1.0, min(1.0, d / (na * nb)))
+
+
+def _ball_centroids(df: DataFrame, n_lists: int) -> list[tuple[int, list]]:
+    """Deterministic seed centroids for metric ball partitioning: the
+    ``n_lists`` smallest ids (the ``ivf_ann_topk`` seeding rule).
+    Bounded collect — n_lists config-sized vectors."""
+    rows = df.orderBy(F.col("id").asc()).limit(n_lists).collect()
+    return [(int(r["id"]), list(r["v"])) for r in rows]
+
+
+def _ball_assign(df: DataFrame, cents: list[tuple[int, list]]) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection: array_max over
+    (cosine, list_id) structs — ties to the larger list id,
+    deterministic; adds ``theta`` = angular distance to the assigned
+    centroid. The WHOLE sims array — centroid literals and all — is one
+    SQL string / one Py4J call (the per-Column form spent ~1.4 s per
+    build in socket round trips at n_lists=16 x dim=64, see _dot_sql);
+    the HOF folds on purpose — n_lists unrolled cosines in one array
+    overflow the codegen method limit (see dot()). Returned PERSISTED:
+    the caller's radii action materializes it and the pair-join sides
+    then read the cache instead of re-running the assignment."""
+    sims = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('sim', {_cosine_sql('v', _array_sql(cv))}, "
+            f"'list_id', {int(cid)}L)"
+            for cid, cv in cents
+        )
+        + ")"
+    )
+    best = F.array_max(sims)
+    return df.select(
+        "id",
+        "v",
+        best["list_id"].alias("list_id"),
+        F.acos(F.least(F.greatest(best["sim"], F.lit(-1.0)), F.lit(1.0))).alias("theta"),
+    ).persist()
+
+
+def _ball_radii(assigned: DataFrame) -> dict[int, float]:
+    """Per-list angular radius — one tiny action (n_lists rows)."""
+    return {
+        int(r["list_id"]): float(r["r"])
+        for r in assigned.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
+    }
+
+
+def _ball_survivors(
+    cents_a: list[tuple[int, list]],
+    cents_b: list[tuple[int, list]],
+    radii_a: dict[int, float],
+    radii_b: dict[int, float],
+    theta_t: float,
+) -> list[tuple[int, int]]:
+    """Triangle-inequality list-pair pruning against the centroid angle
+    matrix (pure Python over <= n_lists^2 pairs): (A, B) can contain a
+    qualifying pair only if theta(c_A, c_B) - r_A - r_B <= theta_t.
+    Conservative bound + fp slack — over-keeping is only extra work,
+    under-keeping would change the answer. Lists absent from a radii
+    dict are empty: nothing to join."""
+    import math
+
+    out = []
+    for la, va in cents_a:
+        for lb, vb in cents_b:
+            if la not in radii_a or lb not in radii_b:
+                continue
+            theta_cc = math.acos(_py_cos(va, vb))
+            if theta_cc - radii_a[la] - radii_b[lb] <= theta_t + 1e-6:
+                out.append((la, lb))
+    return out
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     *,
@@ -548,62 +630,11 @@ def embedding_near_duplicates_bucketed(
     import math
 
     e = vectors.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
-    cent_rows = (
-        e.orderBy(F.col("id").asc()).limit(n_lists).collect()
-    )  # bounded: n_lists centroid vectors (config-sized metadata)
-    cents = [(int(r["id"]), list(r["v"])) for r in cent_rows]
-
-    def py_cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return max(-1.0, min(1.0, d / (na * nb)))
-
-    # nearest-centroid assignment as a projection: array_max over
-    # (cosine, list_id) structs — ties to the larger list id,
-    # deterministic. Stays in whole-stage codegen. HOF folds on
-    # purpose (n_lists unrolled cosines in one array overflow the
-    # codegen method limit, see dot()); the WHOLE array — centroid
-    # literals and all — is one SQL string / one Py4J call (see
-    # _dot_sql: the per-element Column form spent ~1.4 s per build in
-    # socket round trips at n_lists=16 x dim=64).
-    sims = F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('sim', {_cosine_sql('v', _array_sql(cv))}, "
-            f"'list_id', {int(cid)}L)"
-            for cid, cv in cents
-        )
-        + ")"
-    )
-    best = F.array_max(sims)
-    # Persisted: the radii action below materializes it, and both pair
-    # join sides then read the cache instead of re-running the
-    # 16-cosine assignment projection (one narrow row per vector).
-    assigned = e.select(
-        "id",
-        "v",
-        best["list_id"].alias("list_id"),
-        F.acos(F.least(F.greatest(best["sim"], F.lit(-1.0)), F.lit(1.0))).alias("theta"),
-    ).persist()
-
-    # list radii: one tiny action (n_lists rows), then pure-Python
-    # list-pair pruning against the centroid angle matrix.
-    radii = {
-        int(r["list_id"]): float(r["r"])
-        for r in assigned.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
-    }
+    cents = _ball_centroids(e, n_lists)
+    assigned = _ball_assign(e, cents)
+    radii = _ball_radii(assigned)
     theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    survivors = []
-    for la, va in cents:
-        for lb, vb in cents:
-            if la not in radii or lb not in radii:
-                continue  # empty list: nothing to join
-            theta_cc = math.acos(py_cos(va, vb))
-            # conservative bound + fp slack: over-keeping is only extra
-            # work, under-keeping would change the answer
-            if theta_cc - radii[la] - radii[lb] <= theta_t + 1e-6:
-                survivors.append((la, lb))
+    survivors = _ball_survivors(cents, cents, radii, radii, theta_t)
     spark = vectors.sparkSession
     cand = spark.createDataFrame(survivors or [(-1, -1)], "list_a long, list_b long")
 
@@ -849,54 +880,11 @@ def embedding_decontaminate(
 
     t = train.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
     b = bench.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
-    cent_rows = t.orderBy(F.col("id").asc()).limit(n_lists).collect()
-    cents = [(int(r["id"]), list(r["v"])) for r in cent_rows]
-
-    def py_cos(x, y):
-        d = sum(p * q for p, q in zip(x, y))
-        nx = math.sqrt(sum(p * p for p in x))
-        ny = math.sqrt(sum(q * q for q in y))
-        return max(-1.0, min(1.0, d / (nx * ny)))
-
-    sims = F.expr(
-        "array("
-        + ", ".join(
-            f"named_struct('sim', {_cosine_sql('v', _array_sql(cv))}, "
-            f"'list_id', {int(cid)}L)"
-            for cid, cv in cents
-        )
-        + ")"
-    )
-    best = F.array_max(sims)
-
-    def assign(df):
-        return df.select(
-            "id",
-            "v",
-            best["list_id"].alias("list_id"),
-            F.acos(
-                F.least(F.greatest(best["sim"], F.lit(-1.0)), F.lit(1.0))
-            ).alias("theta"),
-        ).persist()
-
-    ta, ba = assign(t), assign(b)
-    radii_t = {
-        int(r["list_id"]): float(r["r"])
-        for r in ta.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
-    }
-    radii_b = {
-        int(r["list_id"]): float(r["r"])
-        for r in ba.groupBy("list_id").agg(F.max("theta").alias("r")).collect()
-    }
+    cents = _ball_centroids(t, n_lists)
+    ta, ba = _ball_assign(t, cents), _ball_assign(b, cents)
+    radii_t, radii_b = _ball_radii(ta), _ball_radii(ba)
     theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    survivors = []
-    for la, va in cents:
-        for lb, vb in cents:
-            if la not in radii_t or lb not in radii_b:
-                continue
-            theta_cc = math.acos(py_cos(va, vb))
-            if theta_cc - radii_t[la] - radii_b[lb] <= theta_t + 1e-6:
-                survivors.append((la, lb))
+    survivors = _ball_survivors(cents, cents, radii_t, radii_b, theta_t)
     spark = train.sparkSession
     cand = spark.createDataFrame(survivors or [(-1, -1)], "list_t long, list_b long")
 
@@ -915,8 +903,11 @@ def embedding_decontaminate(
         .filter(F.col("score") >= threshold)
         .select("train_id", "bench_id", F.round("score", 6).alias("score"))
     )
-    out = out.persist()
-    out.count()
+    # Materialize ONCE (localCheckpoint cuts lineage to the two cached
+    # assignments), then release both caches — nothing persisted is
+    # handed back (the repo persist rule); the checkpoint blocks are
+    # reclaimed by the ContextCleaner when the frame is GC'd.
+    out = out.localCheckpoint()
     ta.unpersist()
     ba.unpersist()
     return out

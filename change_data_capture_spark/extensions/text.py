@@ -163,6 +163,34 @@ def fingerprints(
     )
 
 
+def _bigram_rows(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent-token bigram relation ``(id, w1, w2)``: lowercase,
+    whitespace-split, explode positions 1..n-1. The ONE shared
+    tokenization for ``repetition_scores`` / ``lm_fluency`` /
+    ``hashed_ngram_score`` — a tokenizer fix lands in all three at
+    once. Zero-shuffle narrow map; explode+element_at stays in
+    whole-stage codegen (a transform() array build would be
+    interpreted per element — measured ~9x slower at sf0.1)."""
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        spread(docs)
+        .select(F.col(id_col), arr.alias("__a"))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
+            ).alias("i"),
+        )
+        .filter(F.col("i") <= F.size("__a") - 1)
+        .select(
+            F.col(id_col),
+            F.element_at("__a", F.col("i")).alias("w1"),
+            F.element_at("__a", F.col("i") + 1).alias("w2"),
+        )
+    )
+
+
 def repetition_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
     public report): the fraction of duplicate tokens, the fraction of
@@ -188,24 +216,8 @@ def repetition_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str 
         .groupBy(id_col)
         .agg(F.countDistinct("token").alias("n_distinct_tokens"))
     )
-    # bigram rows: i in [1, n_tokens-1], bigram = a[i] + ' ' + a[i+1]
-    bg = (
-        spread(docs)
-        .select(F.col(id_col), arr.alias("__a"))
-        .select(
-            F.col(id_col),
-            F.col("__a"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
-            ).alias("i"),
-        )
-        .filter(F.col("i") <= F.size("__a") - 1)
-        .select(
-            F.col(id_col),
-            F.concat_ws(
-                " ", F.element_at("__a", F.col("i")), F.element_at("__a", F.col("i") + 1)
-            ).alias("bigram"),
-        )
+    bg = _bigram_rows(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.concat_ws(" ", "w1", "w2").alias("bigram")
     )
     bstats = (
         bg.groupBy(id_col, "bigram")
@@ -506,25 +518,7 @@ def lm_fluency(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     corpus count tables join against the compressed relation, then one
     per-doc roll-up — the tf-idf shape, no self-joins, skew bounded by
     genuine head bigrams which AQE splits."""
-    text = F.trim(F.lower(F.col(text_col)))
-    arr = F.split(text, r"\s+")
-    bg = (
-        spread(docs)
-        .select(F.col(id_col), arr.alias("__a"))
-        .select(
-            F.col(id_col),
-            F.col("__a"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
-            ).alias("i"),
-        )
-        .filter(F.col("i") <= F.size("__a") - 1)
-        .select(
-            F.col(id_col),
-            F.element_at("__a", F.col("i")).alias("w1"),
-            F.element_at("__a", F.col("i") + 1).alias("w2"),
-        )
-    )
+    bg = _bigram_rows(docs, id_col=id_col, text_col=text_col)
     d = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
     pair_c = d.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     ctx_c = d.groupBy("w1").agg(F.sum("m").alias("c1"))
@@ -1140,27 +1134,8 @@ def hashed_ngram_score(
     Plan: bigram explode (zero-shuffle narrow map) -> per-(doc,bucket)
     count pre-agg (map-side combinable) -> broadcast-sized weight join
     -> per-doc roll-up. One doc-keyed shuffle chain, no Python."""
-    text = F.trim(F.lower(F.col(text_col)))
-    arr = F.split(text, r"\s+")
-    bg = (
-        spread(docs)
-        .select(F.col(id_col), arr.alias("__a"))
-        .select(
-            F.col(id_col),
-            F.col("__a"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("__a") - 1, F.lit(1)))
-            ).alias("i"),
-        )
-        .filter(F.col("i") <= F.size("__a") - 1)
-        .select(
-            F.col(id_col),
-            F.concat(
-                F.element_at("__a", F.col("i")),
-                F.lit(" "),
-                F.element_at("__a", F.col("i") + 1),
-            ).alias("bigram"),
-        )
+    bg = _bigram_rows(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.concat_ws(" ", "w1", "w2").alias("bigram")
     )
     bucket = F.pmod(
         F.conv(

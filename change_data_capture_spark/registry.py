@@ -6068,8 +6068,10 @@ def cdc_feed_gaps(spark, sf_dir):
     hazard validateChangeTracking guards, CTSQLServer.java) and every
     11th replayed (producer retry) — and the report pins each missing
     closed range and each duplicated version with its count. One
-    (table, version) pre-agg feeds both legs: a single exchange at
-    any feed size."""
+    (table, version) pre-agg (map-side combined before the only
+    feed-sized exchange) feeds both anomaly kinds from the same row
+    via a conditional explode; the lag() window then shuffles only
+    the per-version frame."""
     from . import audit
 
     k = F.col("c_custkey")

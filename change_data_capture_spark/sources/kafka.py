@@ -209,17 +209,35 @@ def table_changes_to_goldengate(
     own ``goldengate_changelog`` decodes, completing the renderer
     matrix (Maxwell/DMS/Canal/Debezium/GoldenGate — every inbound
     format also renders outbound). insert -> op I (after image),
-    update_postimage -> U (after only; the CDF carries no preimage,
-    which the normalizer accepts), delete -> D (before image). Pair
-    with ``goldengate_schema_message`` for the fingerprint the
-    consumer's registry resolves. Pure projection, no shuffle. PKs
-    travel in-band per message, as on the real wire."""
+    update_postimage -> U (after only; the normalizer accepts a
+    missing preimage), delete -> D (before image);
+    ``update_preimage`` rows (Delta-style CDF frames carry them) are
+    dropped at render time — the wrapper wire has no preimage slot.
+    Any OTHER ``_change_type`` raises IN THE RENDER (producer side),
+    never silently publishing ``op_type: null`` junk the consumer's
+    ``normalize_raw_ops`` would only reject after it is already on
+    the wire. Pair with ``goldengate_schema_message`` for the
+    fingerprint the consumer's registry resolves. Pure projection, no
+    shuffle. PKs travel in-band per message, as on the real wire."""
+    # keep NULL _change_type rows (they must reach the raise below,
+    # not vanish in a null-comparison filter)
+    changes = changes.filter(
+        F.coalesce(F.col("_change_type") != "update_preimage", F.lit(True))
+    )
     cols = [c for c in changes.columns if c != "_change_type"]
     img = _string_image(cols)
     op = (
         F.when(F.col("_change_type") == "insert", F.lit("I"))
         .when(F.col("_change_type") == "update_postimage", F.lit("U"))
         .when(F.col("_change_type") == "delete", F.lit("D"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("table_changes_to_goldengate: unknown _change_type: "),
+                    F.coalesce(F.col("_change_type"), F.lit("NULL")),
+                )
+            )
+        )
     )
     v = (F.lit(version) if isinstance(version, int) else version).cast("bigint")
     ts = (F.lit(ts_micros) if isinstance(ts_micros, int) else ts_micros).cast("bigint")

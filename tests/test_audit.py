@@ -139,3 +139,21 @@ def test_feed_gap_report_clean_feed_is_empty(spark):
         [("t", v) for v in range(1, 6)], "table string, version long"
     )
     assert feed_gap_report(feed).count() == 0
+
+
+def test_feed_gap_report_row_grain_with_key_cols(spark):
+    """Row-grain feeds (many rows per transaction version) need
+    key_cols: a 3-row transaction at one version is NOT a dup; the
+    same (version, key) delivered twice IS."""
+    from change_data_capture_spark.audit import feed_gap_report
+
+    feed = spark.createDataFrame(
+        # v1: 3-row transaction (clean); v2: replayed twice per key (dup)
+        [("t", 1, 10), ("t", 1, 11), ("t", 1, 12), ("t", 2, 10), ("t", 2, 10)],
+        "table string, version long, k long",
+    )
+    # without keys: both versions misread as dups (documented grain contract)
+    naive = feed_gap_report(feed).collect()
+    assert {(r.kind, r.v_from) for r in naive} == {("dup", 1), ("dup", 2)}
+    rows = feed_gap_report(feed, key_cols=["k"]).collect()
+    assert [(r.kind, r.v_from, r.n) for r in rows] == [("dup", 2, 2)]

@@ -300,3 +300,28 @@ def test_context_windows_incremental_base_offset_continues_packing(spark):
         context_windows(day2, size=4, base_offset=8)
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect()))
+
+
+def test_context_windows_incremental_mid_window_base_offset(spark):
+    """base_offset landing INSIDE a window (7 tokens into size=4 windows:
+    window 1 is half-filled) — the new batch's first span must continue
+    window 1 at pos_in_window=3, split across the boundary, and the
+    union with day 1's output must equal the full repack."""
+    from change_data_capture_spark.extensions.scale import context_windows
+
+    day1 = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g")], "doc_id long, text string"
+    )  # 7 tokens -> window 1 has one remainder slot filled
+    day2 = spark.createDataFrame(
+        [(3, "i j k"), (4, "l m n o p q")], "doc_id long, text string"
+    )
+    full = context_windows(day1.unionByName(day2), size=4)
+    d2 = context_windows(day2, size=4, base_offset=7)
+    incr = context_windows(day1, size=4).unionByName(d2)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect()))
+    # the continuation span itself: doc 3 starts in window 1 at slot 3,
+    # contributes 1 token there, and splits into window 2
+    spans3 = {r.window_id: r for r in d2.filter(F.col("doc_id") == 3).collect()}
+    assert spans3[1].pos_in_window == 3
+    assert (spans3[1].tok_start, spans3[1].tok_end) == (0, 1)
+    assert (spans3[2].tok_start, spans3[2].tok_end) == (1, 3)

@@ -140,3 +140,37 @@ def test_all_wire_formats_converge_to_identical_checksums(spark, tmp_path):
     apply_changelog(spark, gg_feed(), cat)
     diff = checksum_diff(ref_sum, table_checksum(spark, cat, T)).collect()
     assert diff == [], ("goldengate", diff)
+
+
+def test_goldengate_render_drops_preimage_and_raises_on_unknown(spark):
+    """Producer-side contract: update_preimage rows (Delta-style CDF)
+    render to NOTHING (the wrapper wire has no preimage slot); any
+    other unknown _change_type fails AT RENDER, before junk reaches
+    the wire."""
+    import pytest
+    from change_data_capture_spark.sources import kafka
+
+    cdf = spark.createDataFrame(
+        [(1, 10.0, "update_preimage"), (1, 15.0, "update_postimage")],
+        "id long, amount double, _change_type string",
+    )
+    out = kafka.table_changes_to_goldengate(
+        cdf, table="t.x", fingerprint=1, pk_names=["id"]
+    ).collect()
+    assert len(out) == 1 and '"op_type":"U"' in out[0]["message"]
+
+    bad = spark.createDataFrame(
+        [(1, 10.0, "truncate")], "id long, amount double, _change_type string"
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        kafka.table_changes_to_goldengate(
+            bad, table="t.x", fingerprint=1, pk_names=["id"]
+        ).collect()
+
+    null_t = spark.createDataFrame(
+        [(1, 10.0, None)], "id long, amount double, _change_type string"
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        kafka.table_changes_to_goldengate(
+            null_t, table="t.x", fingerprint=1, pk_names=["id"]
+        ).collect()
