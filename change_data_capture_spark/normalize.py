@@ -208,3 +208,74 @@ def collapse_net_changes(dml: DataFrame, pks: Sequence[str]) -> DataFrame:
         .when(F.col("__ins") == 1, F.lit("INSERT"))
         .otherwise(F.lit("UPDATE")),
     ).drop("__ins")
+
+
+def patch_updates(
+    base: DataFrame,
+    patches: DataFrame,
+    pks: Sequence[str],
+    *,
+    version_col: str = "version",
+    patch_col: str = "patch",
+) -> DataFrame:
+    """Apply PARTIAL after-images — a map of only the changed columns —
+    to a typed base relation: GoldenGate "compressed update" semantics
+    for the case no full before-image exists to merge against.
+    ``normalize_raw_ops`` covers the image-vs-image merge the
+    reference's Normalizer does (``Normalizer.java:176-186``); this is
+    the stored-row merge its keyed SINK performs implicitly when a
+    partial row lands on an existing HBase cell — re-expressed as a
+    relational operator so a columnar store gets the same semantics
+    instead of nulling out every unpatched column.
+
+    Column-wise last-writer-wins: for each (key, column) the patch cell
+    with the highest ``version_col`` wins (ties break on value —
+    deterministic); a patch value of NULL SETS the column to NULL
+    (explicit null, distinct from absence); columns never patched keep
+    the stored value. Patches for keys absent from ``base`` cannot be
+    completed into full rows and are dropped — the orphan
+    compressed-update case: upserting a partial row would invent NULLs
+    for columns the source never sent.
+
+    Plan: patches explode to (key, column, version, value) cells ->
+    per-(key, column) max-by-version -> ``map_from_entries`` per key
+    (two map-side-combinable shuffles over CHANGED CELLS only, never
+    the base) -> ONE pk equi-join against base (patch side is
+    dim-sized in steady state, AQE broadcasts it) -> per-column
+    conditional projection, all whole-stage codegen. O(changed cells)
+    plus one base join at any base size; inside the managed catalog,
+    compose with bucket-pruned reads (``apply.lookup_keys``) so the
+    base side scans only touched buckets."""
+    pks = list(pks)
+    value_cols = [c for c in base.columns if c not in pks]
+    types = {f.name: f.dataType for f in base.schema.fields}
+
+    cells = patches.select(
+        *pks,
+        F.col(version_col).alias("__v"),
+        F.explode(F.col(patch_col)).alias("__c", "__val"),
+    )
+    winners = (
+        cells.groupBy(*pks, "__c")
+        .agg(F.max(F.struct(F.col("__v"), F.col("__val"))).alias("__w"))
+        .groupBy(*pks)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__c"), F.col("__w.__val")))
+            ).alias("__patch")
+        )
+    )
+    joined = base.join(winners, on=pks, how="left")
+    out = [F.col(c) for c in pks] + [
+        # null __patch (unpatched key) makes map_contains_key null ->
+        # falsy -> stored value; an explicit NULL patch value takes the
+        # TRUE branch (key present) and lands as NULL
+        F.when(
+            F.map_contains_key(F.col("__patch"), F.lit(c)),
+            F.element_at(F.col("__patch"), F.lit(c)).cast(types[c]),
+        )
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*out)

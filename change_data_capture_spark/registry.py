@@ -6089,6 +6089,58 @@ def cdc_feed_gaps(spark, sf_dir):
 
 
 @_q(
+    "cdc_patch_updates",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 = 0 THEN 'acct-' || CAST(c_custkey AS VARCHAR)
+                ELSE c_name END AS c_name,
+           c_nationkey,
+           CASE WHEN c_custkey % 14 = 0 THEN CAST(c_custkey % 900 AS DOUBLE)
+                WHEN c_custkey % 7 = 0 THEN CAST(c_custkey % 500 AS DOUBLE)
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def cdc_patch_updates(spark, sf_dir):
+    """GoldenGate compressed-update apply (normalize.patch_updates):
+    partial after-images — maps holding ONLY the changed columns — are
+    merged column-wise into the stored rows. Exercises every semantic
+    branch: last-writer-wins per (key, column) across versions (the
+    %14 acctbal patch at v3 overrides the %7 one at v1), an explicit
+    NULL patch (mktsegment set to NULL, distinct from absence), keys
+    overlapping several patches, and orphan patches for absent keys
+    (dropped — a partial row cannot be upserted without inventing
+    NULLs). Oracle recomputes the outcome as per-column CASE logic."""
+    from . import normalize
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def patch(where, version, col, val):
+        return cust.filter(where).select(
+            k.alias("c_custkey"),
+            F.lit(version).alias("version"),
+            F.create_map(F.lit(col), val).alias("patch"),
+        )
+
+    patches = (
+        patch(k % 7 == 0, 1, "c_acctbal", (k % 500).cast("string"))
+        .unionByName(
+            patch(k % 11 == 0, 2, "c_name", F.concat(F.lit("acct-"), k.cast("string")))
+        )
+        .unionByName(patch(k % 14 == 0, 3, "c_acctbal", (k % 900).cast("string")))
+        .unionByName(patch(k % 13 == 0, 1, "c_mktsegment", F.lit(None).cast("string")))
+        .unionByName(
+            patch(k % 17 == 0, 9, "c_name", F.lit("ghost")).withColumn(
+                "c_custkey", F.col("c_custkey") + 10_000_000
+            )
+        )
+    )
+    return normalize.patch_updates(cust, patches, ["c_custkey"])
+
+
+@_q(
     "multimodal_audio_meta",
     """
     SELECT doc_id,

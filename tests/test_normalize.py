@@ -171,3 +171,30 @@ def test_net_change_collapse_survives_null_versions(spark):
     assert by_key["1"]["op_type"] == "INSERT"  # key was inserted in-window
     assert by_key["1"]["rows_values"]["v"] in ("a", "b")  # a REAL row
     assert by_key["2"]["rows_values"]["v"] == "c"
+
+
+def test_patch_updates_partial_images(spark):
+    """Compressed-update semantics: last-writer per (key, column),
+    explicit NULL set, unpatched columns kept, orphan patches dropped."""
+    from change_data_capture_spark.normalize import patch_updates
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amount double",
+    )
+    patches = spark.createDataFrame(
+        [
+            (1, 1, {"amount": "11.5"}),
+            (1, 3, {"amount": "99.5"}),        # later version wins
+            (1, 2, {"name": None}),            # explicit NULL set
+            (2, 1, {"name": "B2", "amount": "21.0"}),  # multi-column patch
+            (9, 5, {"name": "ghost"}),         # orphan: no base row
+        ],
+        "id long, version int, patch map<string,string>",
+    )
+    rows = {r.id: r for r in patch_updates(base, patches, ["id"]).collect()}
+    assert len(rows) == 3  # orphan dropped, no row invented
+    assert rows[1].amount == 99.5 and rows[1].name is None
+    assert rows[2].name == "B2" and rows[2].amount == 21.0
+    assert rows[3].name == "c" and rows[3].amount == 30.0  # untouched
