@@ -646,6 +646,52 @@ def decode_rows(dml: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def _undecodable_columns(schema: StructType) -> F.Column:
+    """Array of column names whose raw string value would FAIL the
+    typed cast: non-null input, null ``try_cast`` output. Absent/null
+    values are fine (they decode to NULL); string columns never fail.
+    array_compact keeps this a plain codegen projection (no HOF)."""
+    return F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col("rows_values")[f.name].isNotNull()
+                    & F.col("rows_values")[f.name].try_cast(f.dataType).isNull(),
+                    F.lit(f.name),
+                )
+                for f in schema.fields
+            ]
+        )
+    )
+
+
+def undecodable_rows(dml: DataFrame, schema: StructType) -> DataFrame:
+    """Dead-letter leg of the typed decode — the quarantine contract
+    the wire decoders already honor (``wire_formats.maxwell_rejects``),
+    extended to the decode stage: rows carrying a value the registered
+    schema cannot cast ('N/A' in a double column after an upstream
+    type change, locale-formatted numbers, truncated exports). Under
+    ANSI mode a plain ``decode_rows`` THROWS on the first such value —
+    one malformed row killing a 100 TB apply; the production contract
+    is route-and-continue. Returns the original envelope-grain rows
+    plus ``bad_columns`` (offending column names, schema order) for
+    the dead-letter sink. Pure narrow projection, no shuffle."""
+    return dml.withColumn("bad_columns", _undecodable_columns(schema)).filter(
+        F.size("bad_columns") > 0
+    )
+
+
+def decode_rows_safe(dml: DataFrame, schema: StructType) -> DataFrame:
+    """``decode_rows`` that never throws: rows with any undecodable
+    value (see ``undecodable_rows``) are filtered OUT before the typed
+    cast, so the ANSI cast below can no longer fail. Pair the two —
+    ``decode_rows_safe`` into the apply, ``undecodable_rows`` into the
+    quarantine sink — for the at-least-once DLQ pattern; both are
+    narrow maps over the same scan."""
+    clean = dml.filter(F.size(_undecodable_columns(schema)) == 0)
+    return decode_rows(clean, schema)
+
+
 def pk_value_of(schema: StructType, rows_col: str = "rows_values"):
     """``value_of`` for PK expressions over the string-typed
     ``rows_values`` map that normalizes each value through its

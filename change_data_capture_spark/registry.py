@@ -6141,6 +6141,63 @@ def cdc_patch_updates(spark, sf_dir):
 
 
 @_q(
+    "cdc_decode_dlq",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 9 = 0 THEN 'dlq' ELSE 'ok' END AS status,
+           CASE WHEN c_custkey % 18 = 0 THEN 'c_nationkey,c_acctbal'
+                WHEN c_custkey % 9 = 0 THEN 'c_acctbal'
+                ELSE NULL END AS bad_columns
+    FROM customer
+    """,
+)
+def cdc_decode_dlq(spark, sf_dir):
+    """Typed-decode dead-letter routing (apply.decode_rows_safe +
+    undecodable_rows): a synthesized envelope feed carries 'N/A' in
+    the double column for every 9th key and '??' in the int column
+    for every 18th — under ANSI mode a plain decode_rows would throw
+    on the first one; here the clean rows decode and the poisoned
+    rows land in the quarantine leg with their offending column
+    names (schema order). One report frame pins BOTH legs; the
+    oracle recomputes the routing as CASE logic."""
+    from .apply import decode_rows_safe, undecodable_rows
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    corrupt_bal = F.when(k % 9 == 0, F.lit("N/A")).otherwise(
+        F.col("c_acctbal").cast("string")
+    )
+    corrupt_nat = F.when(k % 18 == 0, F.lit("??")).otherwise(
+        F.col("c_nationkey").cast("string")
+    )
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    vals = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(
+            k.cast("string"), F.col("c_name"), corrupt_nat, corrupt_bal,
+            F.col("c_mktsegment"),
+        ),
+    )
+    dml = cust.select(
+        F.lit("INSERT").alias("op_type"),
+        vals.alias("rows_values"),
+        k.alias("change_tracking_version"),
+    )
+    schema = cust.schema
+    ok = decode_rows_safe(dml, schema).select(
+        F.col("c_custkey"),
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("bad_columns"),
+    )
+    dlq = undecodable_rows(dml, schema).select(
+        F.col("rows_values")["c_custkey"].cast("bigint").alias("c_custkey"),
+        F.lit("dlq").alias("status"),
+        F.array_join("bad_columns", ",").alias("bad_columns"),
+    )
+    return ok.unionByName(dlq)
+
+
+@_q(
     "multimodal_audio_meta",
     """
     SELECT doc_id,

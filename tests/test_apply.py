@@ -592,3 +592,27 @@ def test_multiple_same_batch_ddls_apply_in_union_order(spark, tmp_path):
     pending = cat.meta("shop.orders")["pending_schema"]
     names = [f.name for f in schema_from_json(pending).fields]
     assert names == ["id", "a", "b"], names
+
+
+def test_decode_dlq_routes_poisoned_rows(spark):
+    """decode_rows_safe never throws on undecodable values; the poisoned
+    rows land in undecodable_rows with the offending columns, and the
+    two legs partition the feed exactly."""
+    from pyspark.sql import functions as F
+    from change_data_capture_spark.apply import decode_rows_safe, undecodable_rows
+
+    schema = spark.createDataFrame([], "id long, amount double, note string").schema
+    dml = spark.createDataFrame(
+        [
+            ("INSERT", {"id": "1", "amount": "1.5", "note": "ok"}, 1),
+            ("INSERT", {"id": "2", "amount": "N/A", "note": "bad-double"}, 2),
+            ("INSERT", {"id": "x", "amount": "oops", "note": None}, 3),
+            ("INSERT", {"id": "4", "amount": None, "note": None}, 4),  # nulls fine
+        ],
+        "op_type string, rows_values map<string,string>, change_tracking_version long",
+    )
+    good = decode_rows_safe(dml, schema).collect()
+    assert sorted(r.id for r in good) == [1, 4]
+    assert {r.id: r.amount for r in good} == {1: 1.5, 4: None}
+    bad = {r.change_tracking_version: r.bad_columns for r in undecodable_rows(dml, schema).collect()}
+    assert bad == {2: ["amount"], 3: ["id", "amount"]}
