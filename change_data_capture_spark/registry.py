@@ -7625,10 +7625,16 @@ DRIVER_WINDOW: list[str] = [
     # text_decontaminate_pairs, corpus_split_assign, stream_sessionize,
     # and (late-r4, both green r01+r03, for the two NEW wire-format
     # sources) cdc_rowkey, cdc_ddl_dedup.
+    # Third r4 swap: p_batch_clamp (green 3x; scan family stays via
+    # p_ct_change_scan) and cdc_goldengate_apply (green 2x; subsumed by
+    # cdc_goldengate_binary_e2e's decode->normalize->apply) retire for
+    # the two operators built post-review, neither with a driver row:
+    # cdc_patch_updates (compressed-update apply), cdc_decode_dlq
+    # (typed-decode dead-letter routing).
     # --- CDC core: scan pushdown, normalize, apply, streaming,
     #     table management (27)
     "p_ct_change_scan",
-    "p_batch_clamp",
+    "cdc_patch_updates",
     "cdc_ct_scan_normalize",
     "cdc_chunked_bootstrap",
     "cdc_apply_snapshot",
@@ -7643,7 +7649,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_maxwell_apply",
     "cdc_dms_apply",
     "cdc_canal_apply",
-    "cdc_goldengate_apply",
+    "cdc_decode_dlq",
     "cdc_goldengate_binary_e2e",
     "cdc_debezium_apply",
     "cdc_point_lookup",
