@@ -1209,3 +1209,77 @@ def regex_token_stats(
         (n_all - n_words - n_numbers).cast("long").alias("n_punct_tokens"),
         F.round(compact / n_all_nz, 6).alias("chars_per_token"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus — the scoring side
+    of ``inverted_index`` (Robertson & Zaragoza 2009, public; the
+    Lucene default formula): per query term,
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` times the saturated
+    tf ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``; the doc score
+    is the sum over matched terms. The keyword-mining half of a RAG /
+    hard-negative curation pipeline (the ANN operators are the dense
+    half).
+
+    Determinism: per-term contributions are computed as one fixed
+    expression tree over exact integer inputs (tf, df, dl, N, sum_dl)
+    and rounded to 8dp BEFORE the exact DECIMAL sum; the final score
+    rounds to 6dp before the (score desc, id) tiebreak. ``ln`` is the
+    one non-correctly-rounded IEEE op in the tree (unlike the ANN
+    operators' sqrt), so cross-engine hash equality is
+    probabilistic-but-overwhelming rather than guaranteed — this
+    operator stays on the local bare gate by design.
+
+    Plan: token explode -> filter to the query's terms BEFORE any
+    shuffle (work is O(matching tokens), not O(corpus tokens)) ->
+    per-(doc, term) tf and per-term df aggregations (df broadcast
+    back) -> per-doc sum -> global top-k via TakeOrderedAndProject
+    (O(k) per partition, no single-partition sort of the corpus)."""
+    terms = sorted({t.lower() for t in query_terms})
+    tok = tokens(docs, id_col=id_col, text_col=text_col)
+    dl = tok.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = F.expr(
+        f"round(ln(1.0d + (cast(n_docs as double) - cast(df as double) + 0.5d)"
+        f" / (cast(df as double) + 0.5d))"
+        f" * (cast(tf as double) * ({k1}d + 1.0d))"
+        f" / (cast(tf as double) + {k1}d * (1.0d - {b}d"
+        f" + {b}d * cast(dl as double)"
+        f" / (cast(sum_dl as double) / cast(n_docs as double)))), 8)"
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(28,8)")).cast("double"), 6
+            ).alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "rank", "score", "n_terms_matched"
+    )

@@ -6141,6 +6141,60 @@ def cdc_patch_updates(spark, sf_dir):
 
 
 @_q(
+    "text_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE token IN ('hash', 'join', 'stream', 'vector')
+           GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT tf.doc_id,
+             ROUND(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                      + 0.75 * CAST(dl AS DOUBLE)
+                        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+                   8) AS contrib
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(contrib AS DECIMAL(28,8))) AS DOUBLE), 6) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM per GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+           score, n_terms_matched
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (extensions/text.bm25_topk): top-20
+    docs for a 4-term keyword query, Lucene-default k1=1.2 b=0.75.
+    Per-term contributions round to 8dp before the exact DECIMAL sum;
+    final score rounds to 6dp before the (score desc, id) tiebreak.
+    Stays OUT of the driver window by design: ln is the one
+    non-correctly-rounded IEEE op in the tree (see the builder
+    docstring), so cross-engine hash equality is overwhelming-odds
+    rather than guaranteed."""
+    from .extensions import text
+
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "stream", "vector"], k=20
+    )
+
+
+@_q(
     "cdc_decode_dlq",
     """
     SELECT c_custkey,

@@ -333,3 +333,17 @@ def test_blocklist_joins_stay_equi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "web_blocklist_filter")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_plan_shape(spark, sf_dir):
+    """BM25 keeps its scale properties: the query-term filter lands
+    BEFORE the tf shuffle (work is O(matching tokens)), df comes back
+    as a broadcast join, the global top-k is TakeOrderedAndProject
+    (O(k) per partition — never a single-partition corpus sort), and
+    the whole plan is Python-free."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the isin filter is evaluated pre-aggregation on the exploded tokens
+    assert "Filter token" in plan and "IN (hash,join,stream,vector)" in plan

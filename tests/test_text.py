@@ -382,3 +382,28 @@ def test_regex_token_stats_hand_computed(spark):
     assert r.n_regex_tokens == 7
     assert r.n_word_tokens == 2 and r.n_number_tokens == 2 and r.n_punct_tokens == 3
     assert r.chars_per_token == round(9 / 7, 6)
+
+
+def test_bm25_topk_ranks_by_saturated_tf_idf(spark):
+    """Hand-checkable BM25: rarer terms outweigh common ones, tf
+    saturates, longer docs are penalized, non-matching docs absent."""
+    from change_data_capture_spark.extensions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),       # high tf common term
+            (2, "apple cherry"),                    # rare term, short doc
+            (3, "apple banana banana banana"),
+            (4, "plum plum plum plum"),             # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["apple", "CHERRY"], k=10).collect()
+    assert [r.doc_id for r in out if r.rank == 1] == [2]  # cherry df=1 dominates
+    ids = {r.doc_id for r in out}
+    assert 4 not in ids and ids == {1, 2, 3}
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].n_terms_matched == 2
+    # tf saturation: doc 1 (tf=3) scores above doc 3 (tf=1, longer... same len)
+    assert by_id[1].score > by_id[3].score
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
