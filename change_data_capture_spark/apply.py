@@ -312,6 +312,48 @@ class TableCatalog:
         os.replace(tmp, os.path.join(dest_dir, "manifest.json"))
         return manifest
 
+    def version_at_watermark(self, table_id: str, watermark: int) -> int | None:
+        """Newest published version whose recorded feed watermark
+        (tracking domain) is <= ``watermark`` — the per-table cut point
+        of a multi-table consistent read. ``None`` when no published
+        version is at or below the watermark (table created later than
+        the cut). Only versions written since watermark history existed
+        are indexed; a catalog without history raises rather than
+        guessing a cut."""
+        meta = self.meta(table_id)
+        if meta is None:
+            raise KeyError(f"unknown table {table_id!r}")
+        hist = meta.get("version_watermarks")
+        if not hist:
+            if meta.get("current") is None:
+                return None
+            raise ValueError(
+                f"{table_id}: no version-watermark history — catalog "
+                "written before AS-OF-WATERMARK support; compact/rewrite "
+                "to index it"
+            )
+        eligible = [int(s) for s, w in hist.items() if int(w) <= int(watermark)]
+        return max(eligible) if eligible else None
+
+    def read_asof_watermark(
+        self, spark: SparkSession, table_id: str, watermark: int
+    ) -> DataFrame:
+        """Cross-table snapshot-isolation read in the FEED's tracking
+        domain: the table's state as of source watermark ``watermark``.
+        Reading every table of a subscription at the SAME watermark
+        yields a transactionally consistent multi-table cut — provided
+        the watermark is a batch boundary (a batch spanning the
+        watermark publishes atomically above it and is excluded whole;
+        changes are never split). The consistent-group analog of
+        Delta/Iceberg single-table time travel, keyed by the SOURCE's
+        version domain instead of the sink's publish sequence."""
+        v = self.version_at_watermark(table_id, watermark)
+        if v is None:
+            raise KeyError(
+                f"{table_id}: no published version at or below watermark {watermark}"
+            )
+        return self.read(spark, table_id, version=v)
+
     def vacuum(self, table_id: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` versions. Safe under
         file reuse: hard links mean a shared file's data survives until
@@ -327,6 +369,16 @@ class TableCatalog:
         drop = [v for v in vs[:-keep_last] if v != current_seq] if keep_last else []
         for v in drop:
             shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
+        if drop and meta and meta.get("version_watermarks"):
+            # keep the watermark index consistent with the readable set:
+            # an AS-OF cut must never select a vacuumed version
+            dropped = {int(v) for v in drop}
+            meta["version_watermarks"] = {
+                s: w
+                for s, w in meta["version_watermarks"].items()
+                if int(s) not in dropped
+            }
+            self.put_meta(table_id, meta)
         return drop
 
     def compact(
@@ -557,6 +609,14 @@ class TableCatalog:
         latest["buckets"] = n_buckets
         latest["bloom_filter_cols"] = bloom_cols
         latest["applied_version"] = max(latest.get("applied_version", 0), applied_version)
+        # Per-version watermark history: which feed (tracking-domain)
+        # watermark each published version reflects — the index that
+        # makes cross-table AS-OF-WATERMARK cuts possible
+        # (version_at_watermark / read_asof_watermark). O(#versions)
+        # metadata, trimmed by vacuum alongside the data dirs.
+        hist = dict(latest.get("version_watermarks") or {})
+        hist[str(int(new_dir.rsplit("_v", 1)[1]))] = int(latest["applied_version"])
+        latest["version_watermarks"] = hist
         self.put_meta(table_id, latest)
 
 

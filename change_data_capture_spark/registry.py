@@ -1683,6 +1683,67 @@ def cdc_time_travel(spark, sf_dir):
 
 
 @_q(
+    "cdc_group_asof",
+    """
+    SELECT 'nation' AS tbl, CAST(n_nationkey AS BIGINT) AS key,
+           CASE WHEN n_nationkey % 2 = 0 THEN n_name || '_b' ELSE n_name END AS name
+    FROM nation
+    UNION ALL
+    SELECT 'region', CAST(r_regionkey AS BIGINT), r_name FROM region
+    """,
+)
+def cdc_group_asof(spark, sf_dir):
+    """Cross-table snapshot-isolation read in the SOURCE's tracking
+    domain (TableCatalog.read_asof_watermark): three interleaved
+    multi-table batches publish nation at watermarks 1/3/6 and region
+    at 2/5; the cut at watermark 4 must include nation's second batch
+    (the '_b' updates, wm 3) while excluding its third (wm 6) AND
+    region's second (wm 5) — each table independently resolves to its
+    newest version at-or-below the shared watermark, which is what
+    makes the group read transactionally consistent at batch
+    boundaries. Oracle states both expected table states directly."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_gasof_"))
+    a = snapshot_changelog(nation, "t.n", ["n_nationkey"]).unionByName(
+        snapshot_changelog(region, "t.r", ["r_regionkey"], insert_version=2)
+    )
+    apply_changelog(spark, a, cat)
+    b = mutation_changelog(
+        nation, "t.n", ["n_nationkey"],
+        update_where=F.col("n_nationkey") % 2 == 0,
+        update_set={"n_name": F.concat(F.col("n_name"), F.lit("_b"))},
+        update_version=3,
+    ).unionByName(
+        mutation_changelog(
+            region, "t.r", ["r_regionkey"],
+            update_where=F.col("r_regionkey") % 2 == 0,
+            update_set={"r_name": F.concat(F.col("r_name"), F.lit("_b"))},
+            update_version=5,
+        )
+    )
+    apply_changelog(spark, b, cat)
+    c = mutation_changelog(
+        nation, "t.n", ["n_nationkey"],
+        update_where=F.col("n_nationkey") % 3 == 0,
+        update_set={"n_name": F.concat(F.col("n_name"), F.lit("_c"))},
+        update_version=6,
+    )
+    apply_changelog(spark, c, cat)
+    n = cat.read_asof_watermark(spark, "t.n", 4).select(
+        F.lit("nation").alias("tbl"),
+        F.col("n_nationkey").cast("bigint").alias("key"),
+        F.col("n_name").alias("name"),
+    )
+    r = cat.read_asof_watermark(spark, "t.r", 4).select(
+        F.lit("region").alias("tbl"),
+        F.col("r_regionkey").cast("bigint").alias("key"),
+        F.col("r_name").alias("name"),
+    )
+    return n.unionByName(r)
+
+
+@_q(
     "cdc_vacuum_safety",
     """
     SELECT n_nationkey,

@@ -315,3 +315,63 @@ def test_compact_sets_persistent_bloom_filters(spark, tmp_path):
     apply_changelog(spark, upd, bloomed)
     assert bloomed.meta("t.pts")["bloom_filter_cols"] == ["id"]
     assert total_bytes(bloomed) > base + 1000
+
+
+def test_asof_watermark_cross_table_consistent_cut(spark, sf_dir, tmp_path):
+    """Cross-table AS-OF in the feed's tracking domain: each table cuts
+    at its newest published version whose watermark <= W; batches that
+    span W publish above it and are excluded whole."""
+    from change_data_capture_spark.changelog import mutation_changelog
+
+    nation, region = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    cat = TableCatalog(str(tmp_path / "gcat"))
+    # batch A: nation snapshot @1, region snapshot @2
+    a = snapshot_changelog(nation, "t.n", ["n_nationkey"]).unionByName(
+        snapshot_changelog(region, "t.r", ["r_regionkey"], insert_version=2)
+    )
+    apply_changelog(spark, a, cat)
+    # batch B: nation updates @3, region updates @5
+    b = mutation_changelog(
+        nation, "t.n", ["n_nationkey"],
+        update_where=F.col("n_nationkey") % 2 == 0,
+        update_set={"n_name": F.concat(F.col("n_name"), F.lit("_b"))},
+        update_version=3,
+    ).unionByName(
+        mutation_changelog(
+            region, "t.r", ["r_regionkey"],
+            update_where=F.col("r_regionkey") % 2 == 0,
+            update_set={"r_name": F.concat(F.col("r_name"), F.lit("_b"))},
+            update_version=5,
+        )
+    )
+    apply_changelog(spark, b, cat)
+    # batch C: nation only @6
+    c = mutation_changelog(
+        nation, "t.n", ["n_nationkey"],
+        update_where=F.col("n_nationkey") % 3 == 0,
+        update_set={"n_name": F.concat(F.col("n_name"), F.lit("_c"))},
+        update_version=6,
+    )
+    apply_changelog(spark, c, cat)
+
+    # cut at W=4: nation includes batch B (wm 3) but not C (wm 6);
+    # region excludes batch B (wm 5) -> original snapshot
+    assert cat.version_at_watermark("t.n", 4) == 2
+    assert cat.version_at_watermark("t.r", 4) == 1
+    n = {r.n_nationkey: r.n_name for r in cat.read_asof_watermark(spark, "t.n", 4).collect()}
+    r_ = {r.r_regionkey: r.r_name for r in cat.read_asof_watermark(spark, "t.r", 4).collect()}
+    base_n = {r.n_nationkey: r.n_name for r in nation.collect()}
+    base_r = {r.r_regionkey: r.r_name for r in region.collect()}
+    assert all(n[k] == (v + "_b" if k % 2 == 0 else v) for k, v in base_n.items())
+    assert r_ == base_r
+    # below the first publish: no cut exists
+    assert cat.version_at_watermark("t.r", 1) is None
+    with pytest.raises(KeyError):
+        cat.read_asof_watermark(spark, "t.r", 1)
+    # current watermark reads current state
+    assert cat.version_at_watermark("t.n", 10**9) == 3
+    # vacuum prunes the index with the data dirs
+    cat.vacuum("t.n", keep_last=1)
+    assert set(cat.meta("t.n")["version_watermarks"]) == {"3"}
+    with pytest.raises(KeyError):
+        cat.read_asof_watermark(spark, "t.n", 4)  # cut version vacuumed
