@@ -260,10 +260,12 @@ class TableCatalog:
         return names
 
     def export_snapshot(
-        self, spark: SparkSession, table_id: str, dest_dir: str
+        self, spark: SparkSession, table_id: str, dest_dir: str,
+        version: int | None = None,
     ) -> dict:
-        """One-shot consistent export of the CURRENT version as plain
-        parquet (under ``dest_dir/data/``) plus a ``dest_dir/
+        """One-shot consistent export of the CURRENT version (or a
+        pinned time-travel ``version``) as plain parquet (under
+        ``dest_dir/data/``) plus a ``dest_dir/
         manifest.json`` sidecar — the handoff from the
         CDC-applied table to downstream consumers (training jobs, other
         engines) that must not depend on this catalog's layout. The
@@ -273,7 +275,11 @@ class TableCatalog:
         version, row count, file list with sizes, schema, PKs) is
         written LAST, so its presence marks a complete export — the
         same publish-after-data discipline as the catalog's _meta.json
-        swap. Returns the manifest dict."""
+        swap. Returns the manifest dict.
+
+        Pass ``version=version_at_watermark(t, W)`` per table (or use
+        ``export_group_snapshot``) to export a transactionally
+        consistent multi-table cut at source watermark W."""
         meta = self.meta(table_id)
         if meta is None or meta["schema"] is None:
             raise KeyError(f"unknown table {table_id!r}")
@@ -283,7 +289,11 @@ class TableCatalog:
         # by a concurrent apply after this meta snapshot, making the
         # manifest describe different data than the export contains.
         pinned = (
-            int(meta["current"].rsplit("_v", 1)[1]) if meta.get("current") else None
+            int(version)
+            if version is not None
+            else int(meta["current"].rsplit("_v", 1)[1])
+            if meta.get("current")
+            else None
         )
         df = self.read(spark, table_id, version=pinned)
         df.write.mode("overwrite").parquet(data_dir)
@@ -293,10 +303,20 @@ class TableCatalog:
         files = sorted(
             f for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
+        # manifest watermark/dir describe the EXPORTED version, which
+        # for a pinned time-travel export is not the current one
+        hist = meta.get("version_watermarks") or {}
+        exported_wm = (
+            int(hist[str(pinned)])
+            if pinned is not None and str(pinned) in hist
+            else int(meta.get("applied_version", 0))
+        )
         manifest = {
             "table": table_id,
-            "applied_version": int(meta.get("applied_version", 0)),
-            "source_version_dir": meta.get("current"),
+            "applied_version": exported_wm,
+            "source_version_dir": (
+                f"data_v{pinned:06d}" if pinned is not None else meta.get("current")
+            ),
             "n_rows": int(n_rows),
             "n_files": len(files),
             "files": [
@@ -353,6 +373,47 @@ class TableCatalog:
                 f"{table_id}: no published version at or below watermark {watermark}"
             )
         return self.read(spark, table_id, version=v)
+
+    def export_group_snapshot(
+        self,
+        spark: SparkSession,
+        table_ids: Sequence[str],
+        watermark: int,
+        dest_dir: str,
+    ) -> dict:
+        """Transactionally consistent MULTI-TABLE export: every table
+        exported at its ``version_at_watermark`` cut for the one shared
+        source watermark (see ``read_asof_watermark`` for the
+        batch-boundary consistency contract). Per-table exports land
+        under ``dest_dir/<table with dots as underscores>/`` with their
+        own manifests; a group ``manifest.json`` (watermark, per-table
+        cut versions and row counts) is written LAST as the
+        completeness marker. Tables with no version at or below the
+        watermark fail the whole export up front — a partial group
+        snapshot is not a consistent one."""
+        cuts = {t: self.version_at_watermark(t, watermark) for t in table_ids}
+        missing = sorted(t for t, v in cuts.items() if v is None)
+        if missing:
+            raise KeyError(
+                f"no published version at or below watermark {watermark} "
+                f"for: {missing}"
+            )
+        tables = {}
+        for t in table_ids:
+            sub = os.path.join(dest_dir, t.replace(".", "_"))
+            m = self.export_snapshot(spark, t, sub, version=cuts[t])
+            tables[t] = {
+                "cut_version": int(cuts[t]),
+                "applied_version": m["applied_version"],
+                "n_rows": m["n_rows"],
+                "dir": os.path.basename(sub),
+            }
+        group = {"watermark": int(watermark), "tables": tables}
+        tmp = os.path.join(dest_dir, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(group, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(dest_dir, "manifest.json"))
+        return group
 
     def vacuum(self, table_id: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` versions. Safe under

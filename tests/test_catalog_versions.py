@@ -375,3 +375,45 @@ def test_asof_watermark_cross_table_consistent_cut(spark, sf_dir, tmp_path):
     assert set(cat.meta("t.n")["version_watermarks"]) == {"3"}
     with pytest.raises(KeyError):
         cat.read_asof_watermark(spark, "t.n", 4)  # cut version vacuumed
+
+
+def test_export_group_snapshot_consistent_cut(spark, sf_dir, tmp_path):
+    """Group export at a shared watermark: per-table manifests pin the
+    cut versions, the group manifest lands last, and the exported data
+    equals the AS-OF reads. A table with no cut fails the export."""
+    import json
+    from change_data_capture_spark.changelog import mutation_changelog
+
+    nation, region = load(spark, sf_dir, "nation"), load(spark, sf_dir, "region")
+    cat = TableCatalog(str(tmp_path / "gexp"))
+    apply_changelog(
+        spark,
+        snapshot_changelog(nation, "t.n", ["n_nationkey"]).unionByName(
+            snapshot_changelog(region, "t.r", ["r_regionkey"], insert_version=2)
+        ),
+        cat,
+    )
+    apply_changelog(
+        spark,
+        mutation_changelog(
+            nation, "t.n", ["n_nationkey"],
+            update_where=F.col("n_nationkey") % 2 == 0,
+            update_set={"n_name": F.concat(F.col("n_name"), F.lit("_b"))},
+            update_version=5,
+        ),
+        cat,
+    )
+    dest = str(tmp_path / "out")
+    group = cat.export_group_snapshot(spark, ["t.n", "t.r"], 4, dest)
+    assert group["tables"]["t.n"]["cut_version"] == 1  # wm 5 excluded
+    assert group["tables"]["t.r"]["cut_version"] == 1
+    assert group["tables"]["t.n"]["applied_version"] == 1
+    on_disk = json.load(open(f"{dest}/manifest.json"))
+    assert on_disk == group
+    exported = spark.read.parquet(f"{dest}/t_n/data")
+    asof = cat.read_asof_watermark(spark, "t.n", 4)
+    assert sorted(map(tuple, exported.select(*asof.columns).collect())) == sorted(
+        map(tuple, asof.collect())
+    )
+    with pytest.raises(KeyError, match="t.r"):
+        cat.export_group_snapshot(spark, ["t.n", "t.r"], 1, str(tmp_path / "bad"))
