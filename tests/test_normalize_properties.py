@@ -130,3 +130,44 @@ def test_update_merge_after_wins_per_column(spark, ops):
             }
         group = updates.get((version, expect["id"]), [])
         assert expect in group, f"v{version}: {expect} not in {group}"
+
+
+_patch_val = st.one_of(st.none(), st.sampled_from(["1", "2.5", "x", ""]))
+
+
+@st.composite
+def patch_row(draw):
+    key = draw(st.integers(min_value=1, max_value=4))
+    version = draw(st.integers(min_value=1, max_value=8))
+    cols = draw(st.sets(st.sampled_from(["name", "amount"]), min_size=1, max_size=2))
+    patch = {c: draw(_patch_val) for c in cols}
+    # keep castability: amount patches stay numeric-or-null so the
+    # typed merge is the thing under test, not DLQ routing
+    if "amount" in patch and patch["amount"] in ("x", ""):
+        patch["amount"] = None
+    return (key, version, patch)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(patch_row(), min_size=0, max_size=10))
+def test_patch_updates_composes_over_version_splits(spark, patches):
+    """Algebra of compressed updates: splitting a patch stream at any
+    version boundary and applying the halves in order equals applying
+    the whole stream at once — the property that makes per-batch patch
+    application equivalent to a full-history replay. (Split at a
+    VERSION boundary: last-writer-wins is defined per version, so only
+    version-ordered splits preserve the winner.)"""
+    from change_data_capture_spark.normalize import patch_updates
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, amount double",
+    )
+    pdf = spark.createDataFrame(patches, "id long, version int, patch map<string,string>") \
+        if patches else spark.createDataFrame([], "id long, version int, patch map<string,string>")
+    whole = sorted(map(tuple, patch_updates(base, pdf, ["id"]).collect()))
+    lo, hi = pdf.filter("version <= 4"), pdf.filter("version > 4")
+    stepped = sorted(
+        map(tuple, patch_updates(patch_updates(base, lo, ["id"]), hi, ["id"]).collect())
+    )
+    assert whole == stepped

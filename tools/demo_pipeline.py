@@ -240,6 +240,43 @@ def main() -> int:
                .filter(F.col("version") % 9 != 4)
     print("feed-gap audit rows:", feed_gap_report(feed).count())
 
+    section("14. Patch apply, decode DLQ, BM25, group AS-OF cut")
+    from change_data_capture_spark.apply import decode_rows_safe, undecodable_rows
+    from change_data_capture_spark.normalize import patch_updates
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ck = F.col("c_custkey")
+    patched = patch_updates(
+        cust,
+        cust.filter(ck % 5 == 0).select(
+            ck.alias("c_custkey"), F.lit(1).alias("version"),
+            F.create_map(F.lit("c_acctbal"), (ck % 100).cast("string")).alias("patch"),
+        ),
+        ["c_custkey"],
+    )
+    print("compressed-update patch: rows", patched.count(),
+          "patched", patched.join(cust.select(ck.alias("c_custkey"),
+          F.col("c_acctbal").alias("b")), "c_custkey")
+          .filter("c_acctbal <> b").count())
+    feed2 = cust.select(
+        F.lit("INSERT").alias("op_type"),
+        F.map_from_arrays(
+            F.array(F.lit("c_custkey"), F.lit("c_acctbal")),
+            F.array(ck.cast("string"),
+                    F.when(ck % 11 == 0, F.lit("N/A")).otherwise(F.col("c_acctbal").cast("string"))),
+        ).alias("rows_values"),
+        ck.alias("change_tracking_version"),
+    )
+    slim = cust.select("c_custkey", "c_acctbal").schema
+    print("decode DLQ: clean", decode_rows_safe(feed2, slim).count(),
+          "quarantined", undecodable_rows(feed2, slim).count())
+    print("BM25 top-3:",
+          [(r.doc_id, r.score) for r in text.bm25_topk(docs, ["hash", "join"], k=3).collect()])
+    wm = cat.meta("tpch.customer")["applied_version"]
+    print("group AS-OF cut at current watermark:",
+          cat.read_asof_watermark(spark, "tpch.customer", wm).count(), "rows;",
+          "cut version", cat.version_at_watermark("tpch.customer", wm))
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
