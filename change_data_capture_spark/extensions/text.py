@@ -1283,3 +1283,45 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "rank", "score", "n_terms_matched"
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    max_rank: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative token-coverage curve by vocabulary rank — the
+    tokenizer-sizing signal ("what vocab size covers 99% of corpus
+    tokens"): for each of the top ``max_rank`` tokens by frequency
+    (ties to the lexicographically smaller token, matching
+    ``corpus_vocab_build``), the running total of corpus tokens the
+    vocabulary prefix up to that rank covers, as an exact BIGINT and
+    as a fraction of all tokens.
+
+    Plan: one map-side-combinable token count shuffle; the top-N is a
+    parallel TakeOrdered; the cumulative window then runs over the
+    ALREADY-LIMITED max_rank rows (dimension-sized — the one place a
+    single-partition window is fine), with the corpus total riding in
+    as a broadcast scalar. Exact integers until the one final
+    division."""
+    tok = tokens(docs, id_col=id_col, text_col=text_col).filter(F.col("token") != "")
+    c = tok.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    total = c.agg(F.sum("freq").cast("long").alias("total_tokens"))
+    top = c.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(max_rank)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_freq", F.sum("freq").over(
+            Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "token", "freq", "cum_freq",
+            F.round(
+                F.col("cum_freq").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -2795,6 +2795,37 @@ def corpus_vocab_build(spark, sf_dir):
 
 
 @_q(
+    "text_vocab_coverage",
+    r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM t WHERE token <> '' GROUP BY token),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM c),
+    top AS (SELECT token, freq FROM c ORDER BY freq DESC, token ASC LIMIT 100),
+    r AS (
+      SELECT token, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank,
+             CAST(SUM(freq) OVER (ORDER BY freq DESC, token ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+      FROM top
+    )
+    SELECT rank, token, freq, cum_freq,
+           ROUND(CAST(cum_freq AS DOUBLE) / total_tokens, 6) AS coverage
+    FROM r CROSS JOIN tot ORDER BY rank
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Cumulative token-coverage curve (extensions/text.vocab_coverage):
+    exact BIGINT running totals over the top-100 vocabulary prefix, one
+    final division — the "what vocab size covers X% of tokens"
+    tokenizer-sizing answer beside corpus_vocab_build / text_oov_rate."""
+    return text.vocab_coverage(_t(spark, sf_dir, "documents"), max_rank=100)
+
+
+@_q(
     "text_oov_rate",
     r"""
     WITH t AS (

@@ -407,3 +407,17 @@ def test_bm25_topk_ranks_by_saturated_tf_idf(spark):
     # tf saturation: doc 1 (tf=3) scores above doc 3 (tf=1, longer... same len)
     assert by_id[1].score > by_id[3].score
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from change_data_capture_spark.extensions.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )  # freqs: a=4 b=3 c=1 d=1 (ties c<d), total 9
+    rows = sorted(vocab_coverage(docs, max_rank=3).collect(), key=lambda r: r.rank)
+    assert [(r.token, r.freq, r.cum_freq) for r in rows] == [
+        ("a", 4, 4), ("b", 3, 7), ("c", 1, 8),
+    ]
+    assert rows[-1].coverage == round(8 / 9, 6)
+    assert all(rows[i].cum_freq < rows[i + 1].cum_freq for i in range(2))
