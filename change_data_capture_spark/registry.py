@@ -2578,6 +2578,87 @@ _QUALITY_CTE = r"""
 
 
 @_q(
+    "cdc_corpus_to_training",
+    f"""
+    WITH
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_QUALITY_CTE.strip().replace("FROM documents", "FROM corpus")},
+    gated AS (
+      SELECT c.doc_id, c.text FROM corpus c JOIN q USING (doc_id)
+      WHERE q.quality_score >= 1.05
+    ),
+    surv AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM gated
+      ) WHERE doc_id = keeper
+    ),
+    tl AS (
+      SELECT doc_id,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM surv
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                  AS BIGINT) AS start
+      FROM tl
+    ),
+    sp AS (
+      SELECT doc_id, n, start,
+             unnest(generate_series(start // 128, (start + n - 1) // 128)) AS window_id
+      FROM cum
+    )
+    SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+           CAST(greatest(window_id * 128 - start, 0) AS BIGINT) AS tok_start,
+           CAST(least((window_id + 1) * 128 - start, n) AS BIGINT) AS tok_end,
+           CAST(greatest(start - window_id * 128, 0) AS BIGINT) AS pos_in_window
+    FROM sp
+    """,
+)
+def cdc_corpus_to_training(spark, sf_dir):
+    """The CDC-to-training-set flagship: the two halves of the engine
+    in ONE verified dataflow. A document corpus (with re-crawled exact
+    copies under fresh ids) is ingested THROUGH THE CDC APPLY PATH
+    into a managed table, read back, quality-gated
+    (quality_score >= 1.05), exact-deduped (keep the smallest id per
+    md5), and packed into 128-token causal-LM context windows on the
+    exact prefix sum — the manifest a tokenize-and-pack export job
+    materializes. The oracle replays ingest as identity (the apply
+    roundtrip is separately hash-checked by the cdc_apply_* family)
+    and recomputes gate, dedup, and packing arithmetic exactly."""
+    from .extensions import scale
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_c2t_"))
+    apply_changelog(spark, snapshot_changelog(corpus, "ml.documents", ["doc_id"]), cat)
+    managed = cat.read(spark, "ml.documents")
+
+    gated = (
+        managed.join(
+            text.quality_scores(managed).select("doc_id", "quality_score"), "doc_id"
+        )
+        .filter(F.col("quality_score") >= 1.05)
+        .select("doc_id", "text")
+    )
+    dups = dedup.exact_duplicates(gated)
+    surv = gated.join(
+        dups.select(F.col("dup_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return scale.context_windows(surv, size=128)
+
+
+@_q(
     "corpus_percentile_filter",
     f"""
     WITH
