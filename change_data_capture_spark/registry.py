@@ -7858,6 +7858,11 @@ DRIVER_WINDOW: list[str] = [
     # the two operators built post-review, neither with a driver row:
     # cdc_patch_updates (compressed-update apply), cdc_decode_dlq
     # (typed-decode dead-letter routing).
+    # Fourth r4 swap: cdc_apply_events (green r01+r03; apply family
+    # keeps snapshot/mutations/stream/multi_table slots and the new
+    # flagship itself ingests through apply) retires for
+    # cdc_corpus_to_training — the CDC-to-training composite
+    # (apply -> quality gate -> exact dedup -> context-window packing).
     # --- CDC core: scan pushdown, normalize, apply, streaming,
     #     table management (27)
     "p_ct_change_scan",
@@ -7866,7 +7871,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_chunked_bootstrap",
     "cdc_apply_snapshot",
     "cdc_apply_mutations",
-    "cdc_apply_events",
+    "cdc_corpus_to_training",
     "cdc_apply_stream",
     "cdc_apply_multi_table",
     "cdc_schema_evolution",
