@@ -466,3 +466,32 @@ def test_stream_neardup_against_corpus_foreachbatch(spark, tmp_path):
     q.awaitTermination()
     assert (1, 100) in flagged and (4, 100) in flagged, flagged
     assert not any(a in (2, 3) for a, _ in flagged), flagged
+
+
+def test_stream_apply_records_watermark_history_for_asof(spark, sf_dir, tmp_path):
+    """Streaming applies record the same per-version watermark history
+    as batch applies, so a consistent cross-table AS-OF cut works on a
+    table maintained by run_apply_stream: the second run (restart on
+    the same checkpoint) publishes at watermark 5, and the cut at 3
+    still reads the first run's snapshot state."""
+    region = load(spark, sf_dir, "region")
+    logdir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = TableCatalog(str(tmp_path / "cat"))
+
+    write_changelog(snapshot_changelog(region, "tpch.region", ["r_regionkey"]), logdir)
+    run_apply_stream(spark, logdir, cat, ckpt)
+    mut = mutation_changelog(
+        region, "tpch.region", ["r_regionkey"],
+        update_where=F.col("r_regionkey") % 2 == 0,
+        update_set={"r_name": F.concat(F.col("r_name"), F.lit("_s"))},
+        update_version=5,
+    )
+    write_changelog(mut, logdir)
+    run_apply_stream(spark, logdir, cat, ckpt)
+
+    assert cat.version_at_watermark("tpch.region", 3) == 1
+    old = cat.read_asof_watermark(spark, "tpch.region", 3)
+    assert old.filter(F.col("r_name").endswith("_s")).count() == 0
+    cur = cat.read_asof_watermark(spark, "tpch.region", 5)
+    assert cur.filter(F.col("r_name").endswith("_s")).count() == 3  # keys 0,2,4
