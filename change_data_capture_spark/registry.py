@@ -2906,6 +2906,16 @@ def text_vocab_coverage(spark, sf_dir):
     return text.vocab_coverage(_t(spark, sf_dir, "documents"), max_rank=100)
 
 
+@_q("text_compression_ratio", None)  # rows-only BY DESIGN: compressed
+# length depends on the zlib build — no engine-exact oracle exists;
+# ordering properties are pinned by tests/test_text.py instead.
+def text_compression_ratio(spark, sf_dir):
+    """zlib redundancy signal (extensions/text.compression_ratio):
+    Arrow-batched mapInPandas — one of the repo's few deliberately-
+    Python operators, same plan shape as the multimodal decoders."""
+    return text.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 @_q(
     "text_oov_rate",
     r"""

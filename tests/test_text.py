@@ -421,3 +421,32 @@ def test_vocab_coverage_monotone_and_exact(spark):
     ]
     assert rows[-1].coverage == round(8 / 9, 6)
     assert all(rows[i].cum_freq < rows[i + 1].cum_freq for i in range(2))
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Ordering properties, not byte counts (zlib-build-dependent):
+    repetitive text compresses best, natural-ish prose in the middle,
+    high-entropy text worst; empty and null texts get ratio 1.0."""
+    import hashlib
+
+    noise = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 300),
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "discusses parquet row groups at considerable length " * 8),
+            (3, noise),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    from change_data_capture_spark.extensions.text import compression_ratio
+
+    r = {x.doc_id: x for x in compression_ratio(docs).collect()}
+    assert r[1].compression_ratio < r[2].compression_ratio < r[3].compression_ratio
+    assert r[4].compression_ratio == 1.0 and r[5].compression_ratio == 1.0
+    assert r[4].utf8_len == 0 and r[5].compressed_len == 0
+    assert r[1].utf8_len == len("spam ham " * 300)
