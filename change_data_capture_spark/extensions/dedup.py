@@ -654,3 +654,97 @@ def cluster_representatives(
             (F.col("__rn") == 1).alias("keep"),
         )
     )
+
+
+def signature_changelog(
+    docs: DataFrame,
+    table_id: str,
+    *,
+    n: int = 5,
+    k: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    version: int = 1,
+) -> DataFrame:
+    """Changelog that maintains a PERSISTED MinHash signature index as
+    a catalog-managed table beside the corpus: apply it through the
+    same engine as any CDC feed and the index inherits versioning,
+    time travel, idempotent replay, and bucket-pruned reads for free.
+    Emit one per ingested batch (after the batch passed dedup) with a
+    fresh ``version``; rows are (id, mh0..mh{k-1}) BIGINTs — exact
+    through the envelope's string round-trip."""
+    from ..changelog import snapshot_changelog
+
+    sigs = minhash_signatures(
+        shingles(docs, n=n, id_col=id_col, text_col=text_col, distinct=False),
+        k=k,
+        id_col=id_col,
+    )
+    return snapshot_changelog(sigs, table_id, [id_col], insert_version=version)
+
+
+def minhash_lsh_against_index(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The persisted-index realization of ``minhash_lsh_against``'s
+    scale contract: corpus signatures come from a MAINTAINED table
+    (``signature_changelog`` applied into the catalog), so the corpus
+    is never re-shingled or re-signed per batch, and its TEXT is
+    touched only for docs that actually collide (the verify's
+    semi-join lands below the shingle explode). Per-batch cost is
+    O(new batch + collisions) against a standing corpus of any size —
+    at 100 TB the difference between a daily job and a full re-scan.
+    Output contract identical to ``minhash_lsh_against`` (a_id = new
+    doc, b_id = corpus doc, exact-Jaccard verified), which is what
+    lets the same cross-set brute-force oracle check it."""
+    assert k % bands == 0
+    rows = k // bands
+    need = [f"mh{i}" for i in range(k)]
+    missing = [c for c in need if c not in corpus_sigs.columns]
+    if missing:
+        raise ValueError(
+            f"corpus_sigs lacks signature columns for k={k} "
+            f"(first missing: {missing[0]}) — index built with a different k?"
+        )
+    corpus_sigs = corpus_sigs.select(id_col, *need).join(
+        new_docs.select(id_col).distinct(), id_col, "left_anti"
+    )
+    sh_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
+    sig_new = minhash_signatures(sh_new, k=k, id_col=id_col).persist()
+    sig_new.count()
+    a = _cap_buckets(
+        _band_buckets(sig_new, bands=bands, rows=rows, id_col=id_col), max_bucket_size
+    ).select(F.col(id_col).alias("a_id"), "band", "bh")
+    b = _cap_buckets(
+        _band_buckets(corpus_sigs, bands=bands, rows=rows, id_col=id_col),
+        max_bucket_size,
+    ).select(F.col(id_col).alias("b_id"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("__nb"))
+        .filter(F.col("__nb") >= 2)
+        .select("a_id", "b_id")
+    )
+    screened = _screen_candidates(
+        sig_new.unionByName(corpus_sigs), candidates, k=k,
+        threshold=threshold, id_col=id_col,
+    )
+    all_docs = new_docs.select(id_col, text_col).unionByName(
+        corpus_docs.select(id_col, text_col)
+    )
+    out = _verify_pairs(
+        all_docs, screened, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    sig_new.unpersist()
+    return out

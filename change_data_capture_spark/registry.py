@@ -4974,6 +4974,57 @@ def dedup_minhash_incremental(spark, sf_dir):
 
 
 @_q(
+    "dedup_minhash_index",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(k * 1.0 / (ca.n + cb.n - k), 6) AS jaccard
+    FROM inter
+    JOIN c ca ON ca.doc_id = a_id
+    JOIN c cb ON cb.doc_id = b_id
+    WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.8
+    """,
+)
+def dedup_minhash_index(spark, sf_dir):
+    """Incremental dedup against a PERSISTED signature index
+    (dedup.signature_changelog -> CDC apply -> managed table ->
+    dedup.minhash_lsh_against_index): the corpus is signed ONCE into
+    the catalog — inheriting versioning/idempotent replay — and each
+    incoming batch signs only itself, colliding corpus docs alone are
+    re-read for exact verification. Same cross-set brute-force oracle
+    as dedup_minhash_incremental, which recomputes from raw text —
+    proving the table round-trip preserved every signature bit."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_sigidx_"))
+    apply_changelog(
+        spark, snapshot_changelog(corpus.select("doc_id", "text"), "ml.docs", ["doc_id"]), cat
+    )
+    apply_changelog(
+        spark, dedup.signature_changelog(corpus, "ml.minhash_sigs", n=5, k=96), cat
+    )
+    return dedup.minhash_lsh_against_index(
+        new,
+        cat.read(spark, "ml.minhash_sigs"),
+        cat.read(spark, "ml.docs"),
+        n=5, k=96, bands=24, threshold=0.8,
+    )
+
+
+@_q(
     "q_retention_cohorts",
     """
     WITH f AS (

@@ -139,3 +139,31 @@ def test_cluster_weighted_sample_semantics(spark):
     for d, r in out.items():
         u32 = int(hashlib.md5(f"cws:{d}".encode()).hexdigest()[:8], 16)
         assert r.keep == (u32 * r.cluster_size < 2**32), d
+
+
+def test_signature_index_roundtrip_matches_direct_incremental(spark, sf_dir, tmp_path):
+    """Signing the corpus once into a managed table and deduping a new
+    batch against the INDEX yields exactly the pairs the direct
+    (re-sign-everything) operator finds — the table round-trip loses
+    no signature bits, and a wrong-k index fails fast."""
+    import pytest
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.limit(6).select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    cat = TableCatalog(str(tmp_path / "sigcat"))
+    apply_changelog(spark, snapshot_changelog(docs, "ml.docs", ["doc_id"]), cat)
+    apply_changelog(spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=96), cat)
+
+    via_index = dedup.minhash_lsh_against_index(
+        new, cat.read(spark, "ml.sigs"), cat.read(spark, "ml.docs"),
+        n=5, k=96, bands=24, threshold=0.8,
+    )
+    direct = dedup.minhash_lsh_against(new, docs, n=5, k=96, bands=24, threshold=0.8)
+    assert sorted(map(tuple, via_index.collect())) == sorted(map(tuple, direct.collect()))
+
+    with pytest.raises(ValueError, match="different k"):
+        dedup.minhash_lsh_against_index(
+            new, cat.read(spark, "ml.sigs"), cat.read(spark, "ml.docs"), k=128
+        )
