@@ -3199,6 +3199,51 @@ def text_langid(spark, sf_dir):
 
 
 @_q(
+    "text_langid_confusion",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    v(lang, token) AS (VALUES {_stopword_values()}),
+    h AS (SELECT doc_id, lang, count(*) AS hits FROM t JOIN v USING (token) GROUP BY 1, 2),
+    b AS (SELECT doc_id, lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+          FROM h),
+    pred AS (
+      SELECT d.doc_id, d.lang AS labeled_lang,
+             coalesce(b.lang, 'unknown') AS detected_lang
+      FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id)
+    )
+    SELECT labeled_lang, detected_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(count(*) AS DOUBLE)
+                 / SUM(count(*)) OVER (PARTITION BY labeled_lang), 6) AS frac_of_label
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier evaluation against ground truth: confusion matrix of
+    the heuristic language id vs the documents table's labeled ``lang``
+    column — per (labeled, detected) pair the exact count and its share
+    of the label's rows (recall on the diagonal). One extra grouping on
+    top of the langid plan; the evaluation every heuristic gate needs
+    before it filters a corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.language_id(docs).select("doc_id", "detected_lang")
+    j = docs.select("doc_id", F.col("lang").alias("labeled_lang")).join(pred, "doc_id")
+    w = Window.partitionBy("labeled_lang")
+    return (
+        j.groupBy("labeled_lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "frac_of_label",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w), 6),
+        )
+    )
+
+
+@_q(
     "text_fingerprint",
     """
     WITH idx AS (
