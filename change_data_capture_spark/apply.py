@@ -756,12 +756,30 @@ def _align(df: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def _decode_value(raw: F.Column, dtype) -> F.Column:
+    """Typed decode of one envelope value: complex types (array/struct/
+    map — embedding vectors, nested payloads) arrive as JSON strings
+    (``changelog.dml_records`` to_json's them, the Debezium convention
+    for nested data) and from_json back through the registered type;
+    scalars keep the canonical string cast. Complex types are NOT
+    valid primary keys (row identity / bucket hashing stays on the
+    scalar canonical-string form)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType as _ST
+
+    if isinstance(dtype, (ArrayType, MapType, _ST)):
+        return F.from_json(raw, dtype)
+    return raw.cast(dtype)
+
+
 def decode_rows(dml: DataFrame, schema: StructType) -> DataFrame:
     """rows_values map<string,string> -> typed columns per the table
     schema (schema-as-data decode; the DMLFlattener's per-schema cache
     ``DMLFlattener.java:86`` becomes a single Catalyst projection)."""
     return dml.select(
-        *[F.col("rows_values")[f.name].cast(f.dataType).alias(f.name) for f in schema.fields],
+        *[
+            _decode_value(F.col("rows_values")[f.name], f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
         F.col("op_type"),
         F.col("change_tracking_version"),
     )
@@ -772,18 +790,19 @@ def _undecodable_columns(schema: StructType) -> F.Column:
     typed cast: non-null input, null ``try_cast`` output. Absent/null
     values are fine (they decode to NULL); string columns never fail.
     array_compact keeps this a plain codegen projection (no HOF)."""
-    return F.array_compact(
-        F.array(
-            *[
-                F.when(
-                    F.col("rows_values")[f.name].isNotNull()
-                    & F.col("rows_values")[f.name].try_cast(f.dataType).isNull(),
-                    F.lit(f.name),
-                )
-                for f in schema.fields
-            ]
-        )
-    )
+    from pyspark.sql.types import ArrayType, MapType, StructType as _ST
+
+    def bad(f):
+        raw = F.col("rows_values")[f.name]
+        if isinstance(f.dataType, (ArrayType, MapType, _ST)):
+            # complex values travel as JSON; malformed JSON (or a
+            # non-JSON scalar in an array column) from_json's to null
+            decoded = F.from_json(raw, f.dataType)
+        else:
+            decoded = raw.try_cast(f.dataType)
+        return F.when(raw.isNotNull() & decoded.isNull(), F.lit(f.name))
+
+    return F.array_compact(F.array(*[bad(f) for f in schema.fields]))
 
 
 def undecodable_rows(dml: DataFrame, schema: StructType) -> DataFrame:

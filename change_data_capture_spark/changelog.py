@@ -21,6 +21,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from .envelope import wrap_ddl, wrap_dml
 from .schema import OP_DELETE, OP_INSERT, OP_UPDATE
@@ -69,10 +70,22 @@ def dml_records(
     overrides = dict(value_overrides or {})
 
     cols = list(pks) if keys_only else df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
     kv: list[Column] = []
     for c in cols:
-        kv.append(F.lit(c))
-        kv.append(overrides.get(c, F.col(c)).cast("string"))
+        v = overrides.get(c, F.col(c))
+        # Complex-typed columns (array/struct/map — embedding vectors,
+        # nested payloads) travel as JSON strings in the envelope's
+        # map<string,string>, exactly as Debezium carries nested data;
+        # decode_rows from_json's them back through the registered
+        # schema. Scalars keep the canonical cast-to-string form the
+        # rowkey/bucket machinery depends on.
+        if isinstance(types.get(c), (ArrayType, MapType, StructType)):
+            kv.append(F.lit(c))
+            kv.append(F.to_json(v))
+        else:
+            kv.append(F.lit(c))
+            kv.append(v.cast("string"))
 
     rows_schema_json = df.select(*cols).schema.json()
 

@@ -1660,6 +1660,43 @@ def cdc_scd2_history(spark, sf_dir):
     return scd2_history(flat, ["c_custkey"])
 
 
+@_q(
+    "cdc_apply_vectors",
+    """
+    WITH x AS (SELECT vec_id, unnest(embedding) AS e FROM embeddings)
+    SELECT vec_id, CAST(count(*) AS INTEGER) AS n_dims,
+           ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS vec_sum
+    FROM x GROUP BY vec_id
+    """,
+)
+def cdc_apply_vectors(spark, sf_dir):
+    """Vector columns as first-class CDC citizens: the embeddings table
+    (array<float>) snapshot-applied THROUGH the envelope — complex
+    values travel as JSON strings (changelog.dml_records to_json, the
+    Debezium nested-data convention) and from_json back bit-exactly
+    through the registered schema (apply._decode_value). The managed
+    table's vectors are then checksummed per row with an exact DECIMAL
+    element sum (order-independent — see the registry determinism
+    notes), which the oracle recomputes from the raw parquet: equality
+    proves the wire round-trip lost nothing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_vec_"))
+    apply_changelog(spark, snapshot_changelog(emb, "ml.emb", ["vec_id"]), cat)
+    m = cat.read(spark, "ml.emb")
+    return (
+        m.select("vec_id", F.explode("embedding").alias("x"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("int").alias("n_dims"),
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("vec_sum"),
+        )
+    )
+
+
 @_q("cdc_time_travel", "SELECT * FROM nation")
 def cdc_time_travel(spark, sf_dir):
     """Catalog time travel through the driver gate: after a mutating

@@ -119,11 +119,22 @@ def pk_compat_schema(schema: StructType, pks) -> StructType:
     sink, and the coercion is observable (it changes the stored value
     form and therefore row identity for float-keyed tables). Non-key
     columns keep their type."""
-    from pyspark.sql.types import BooleanType, FloatType
+    from pyspark.sql.types import ArrayType, BooleanType, FloatType, MapType
 
     pk_set = set(pks or [])
     fields = []
     for f in schema.fields:
+        if f.name in pk_set and isinstance(
+            f.dataType, (ArrayType, MapType, StructType)
+        ):
+            # complex-typed columns travel as JSON in the envelope and
+            # have no canonical scalar form for row identity / bucket
+            # hashing — fail at registration, not as silent misroutes
+            raise ValueError(
+                f"primary-key column {f.name!r} has complex type "
+                f"{f.dataType.simpleString()}; complex types cannot be "
+                "key columns (store a scalar surrogate or a hash)"
+            )
         if f.name in pk_set and isinstance(
             f.dataType, (BooleanType, FloatType, DoubleType)
         ):

@@ -616,3 +616,51 @@ def test_decode_dlq_routes_poisoned_rows(spark):
     assert {r.id: r.amount for r in good} == {1: 1.5, 4: None}
     bad = {r.change_tracking_version: r.bad_columns for r in undecodable_rows(dml, schema).collect()}
     assert bad == {2: ["amount"], 3: ["id", "amount"]}
+
+
+def test_complex_typed_columns_roundtrip_envelope(spark, sf_dir, tmp_path):
+    """Vector columns as first-class CDC citizens: array<float>
+    embeddings travel the envelope as JSON strings and decode back
+    bit-exactly through the registered schema; updates merge arrays;
+    complex PKs are rejected at registration; malformed JSON routes to
+    the decode DLQ instead of nulling silently."""
+    import pytest
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, decode_rows_safe, undecodable_rows,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from conftest import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cat = TableCatalog(str(tmp_path / "veccat"))
+    apply_changelog(spark, snapshot_changelog(emb, "ml.emb", ["vec_id"]), cat)
+    got = cat.read(spark, "ml.emb")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, emb.collect()))
+
+    # update one vector through the feed: the merged row carries the new array
+    upd = dml_records(
+        emb.filter(F.col("vec_id") == 1), "ml.emb", ["vec_id"],
+        op="UPDATE", version=2,
+        value_overrides={"embedding": F.expr("array(1.5f, -2.25f)")},
+    )
+    apply_changelog(spark, upd, cat)
+    row = cat.read(spark, "ml.emb").filter(F.col("vec_id") == 1).first()
+    assert list(row.embedding) == [1.5, -2.25]
+
+    # complex PK rejected at registration
+    with pytest.raises(ValueError, match="complex type"):
+        cat2 = TableCatalog(str(tmp_path / "bad"))
+        apply_changelog(
+            spark, snapshot_changelog(emb, "ml.bad", ["embedding"]), cat2
+        )
+
+    # malformed JSON in an array column -> quarantine, not silent null
+    schema = emb.schema
+    dml = spark.createDataFrame(
+        [("INSERT", {"vec_id": "7", "embedding": "not-json"}, 5),
+         ("INSERT", {"vec_id": "8", "embedding": "[0.5,1.0]"}, 5)],
+        "op_type string, rows_values map<string,string>, change_tracking_version long",
+    )
+    assert [r.bad_columns for r in undecodable_rows(dml, schema).collect()] == [["embedding"]]
+    ok = decode_rows_safe(dml, schema).collect()
+    assert len(ok) == 1 and list(ok[0].embedding) == [0.5, 1.0]
