@@ -8006,6 +8006,10 @@ DRIVER_WINDOW: list[str] = [
     # flagship itself ingests through apply) retires for
     # cdc_corpus_to_training — the CDC-to-training composite
     # (apply -> quality gate -> exact dedup -> context-window packing).
+    # Fifth r4 swap: cdc_pk_type_coerce (green r01+r03; the coercion
+    # rule stays pinned by schema/pk_compat unit tests and
+    # cdc_pk_update_split) retires for cdc_apply_vectors — the
+    # complex-typed-envelope capability built late in the round.
     # --- CDC core: scan pushdown, normalize, apply, streaming,
     #     table management (27)
     "p_ct_change_scan",
@@ -8018,7 +8022,7 @@ DRIVER_WINDOW: list[str] = [
     "cdc_apply_stream",
     "cdc_apply_multi_table",
     "cdc_schema_evolution",
-    "cdc_pk_type_coerce",
+    "cdc_apply_vectors",
     "cdc_pk_update_split",
     "cdc_table_checksum",
     "cdc_maxwell_apply",
