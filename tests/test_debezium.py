@@ -278,3 +278,29 @@ def test_schema_drift_evolves_table_mid_stream(spark, tmp_path):
 
     # idempotent: re-observing the same columns adds nothing
     assert evolve_from_observed_columns(batch2, cat) == {}
+
+
+def test_debezium_vector_payload_applies_typed(spark, sf_dir, tmp_path):
+    """A Debezium feed carrying an array column lands as TYPED vectors
+    in the managed table: Catalyst's from_json into map<string,string>
+    preserves nested values as their raw JSON text (probed behavior),
+    and the apply's schema-driven decode from_json's them back — no
+    wire-format change needed for complex columns."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.normalize import normalize_raw_ops
+    from change_data_capture_spark.sources import debezium
+    from tests.conftest import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(20)
+    full = F.struct(*[F.col(c) for c in emb.columns])
+    msgs = debezium.encode_debezium_json(
+        emb, table="ml.emb", op="r", before=None, after=full, ts_ms=1
+    )
+    raw = debezium.debezium_raw_ops(
+        msgs, {"ml.emb": ["vec_id"]}, rows_schemas={"ml.emb": emb.schema.json()}
+    )
+    cat = TableCatalog(str(tmp_path / "vec"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    got = cat.read(spark, "ml.emb")
+    assert dict(got.dtypes)["embedding"].startswith("array<")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, emb.collect()))
