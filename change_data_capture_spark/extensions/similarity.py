@@ -243,6 +243,35 @@ def lsh_ann_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    *,
+    n_lists: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-flat inverted-list index RELATION — one row per
+    corpus vector with its assigned list: (id, list_id, vector). The
+    FAISS build/query split: persist this (e.g. as a catalog-managed
+    table — complex-typed columns ride the envelope since
+    ``cdc_apply_vectors``) and each query batch pays only its OWN
+    centroid assignment plus the probed lists, never a corpus-wide
+    assignment per batch. Feed it back via ``ivf_ann_topk(...,
+    index=...)``; same seeding/rounding rules, so results equal the
+    build-per-query form exactly."""
+    idx = ivf_ann_topk(
+        corpus,
+        corpus.limit(0),
+        n_lists=n_lists,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        _emit_index=True,
+    )
+    return idx
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -253,6 +282,8 @@ def ivf_ann_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    _emit_index: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are assigned to
     inverted lists by nearest centroid; a query scores only the
@@ -265,18 +296,32 @@ def ivf_ann_topk(
     doubles in partition order, which would make the index —
     and therefore recall — nondeterministic across runs. Seeded
     IVF keeps the exact inverted-list/probe machinery with a
-    reproducible layout."""
+    reproducible layout.
+
+    ``index``: a prebuilt ``ivf_index`` relation (id, list_id, vector)
+    — the corpus-side assignment is read from it instead of
+    recomputed, and ``corpus`` may then be the same frame the index
+    was built from or its catalog round-trip. Centroids re-derive
+    from the index's smallest ids (the seeds travel IN the index), so
+    a persisted index needs no side-channel centroid file."""
+    cent_src = index if index is not None else spread(corpus)
     cent = (
-        spread(corpus)
-        .orderBy(F.col(id_col).asc())
+        cent_src.orderBy(F.col(id_col).asc())
         .limit(n_lists)
         .select(
             F.col(id_col).alias("list_id"), as_double_vec(F.col(vec_col)).alias("centroid")
         )
     )
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
-    )
+    if index is not None:
+        c = index.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("list_id").alias("__asg"),
+            as_double_vec(F.col(vec_col)).alias("cv"),
+        )
+    else:
+        c = spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
@@ -306,7 +351,18 @@ def ivf_ann_topk(
             .select(*out_cols, "list_id")
         )
 
-    lists = assign(c, "cv", 1, ["neighbor_id"]).join(c, "neighbor_id")
+    if _emit_index:
+        # index-build mode: corpus assignment only, original vectors
+        # carried through (float-exact for the catalog round-trip)
+        asg = assign(c.drop("__asg") if "__asg" in c.columns else c, "cv", 1, ["neighbor_id"])
+        return asg.join(
+            corpus.select(F.col(id_col), F.col(vec_col)),
+            asg["neighbor_id"] == F.col(id_col),
+        ).select(F.col(id_col), "list_id", F.col(vec_col))
+    if index is not None:
+        lists = c.withColumnRenamed("__asg", "list_id")
+    else:
+        lists = assign(c, "cv", 1, ["neighbor_id"]).join(c, "neighbor_id")
     probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
     pair_score = (
         F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)

@@ -153,3 +153,32 @@ def test_embedding_decontaminate_matches_brute_force(spark):
     assert got == expected and len(expected) > 0
     # set confinement: never a train-train or bench-bench pair
     assert all(i % 4 != 0 and j % 4 == 0 for i, j in got)
+
+
+def test_ivf_index_catalog_roundtrip_matches_direct(spark, sf_dir, tmp_path):
+    """FAISS-style build/query split: the persisted IVF index (id,
+    list_id, vector) round-trips the CDC envelope into a managed table
+    and querying against it returns exactly the build-per-query
+    results — centroids re-derive from the index's own smallest ids,
+    no side-channel files."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.extensions.similarity import ivf_ann_topk, ivf_index
+    from tests.conftest import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    direct = ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=64)
+
+    idx = ivf_index(emb, n_lists=16, dim=64)
+    assert set(idx.columns) == {"vec_id", "list_id", "embedding"}
+    cat = TableCatalog(str(tmp_path / "ivf"))
+    apply_changelog(spark, snapshot_changelog(idx, "ml.ivf", ["vec_id"]), cat)
+    stored = cat.read(spark, "ml.ivf")
+
+    via_index = ivf_ann_topk(
+        emb, queries, k=5, n_lists=16, n_probe=2, dim=64, index=stored
+    )
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
