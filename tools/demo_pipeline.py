@@ -277,6 +277,32 @@ def main() -> int:
           cat.read_asof_watermark(spark, "tpch.customer", wm).count(), "rows;",
           "cut version", cat.version_at_watermark("tpch.customer", wm))
 
+    section("15. Index persistence: vectors as CDC citizens")
+    emb2 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from change_data_capture_spark.changelog import snapshot_changelog as snap
+    from change_data_capture_spark.extensions.similarity import ivf_ann_topk, ivf_index
+
+    vcat = TableCatalog(os.path.join(root, "vectors"))
+    apply_changelog(spark, snap(emb2, "ml.emb", ["vec_id"]), vcat)
+    print("embeddings CDC-applied as typed arrays:",
+          vcat.read(spark, "ml.emb").count(), "rows,",
+          dict(vcat.read(spark, "ml.emb").dtypes)["embedding"])
+    apply_changelog(spark, snap(ivf_index(emb2, dim=64), "ml.ivf", ["vec_id"]), vcat)
+    hits = ivf_ann_topk(emb2, emb2.filter("vec_id < 2"), k=3, dim=64,
+                        index=vcat.read(spark, "ml.ivf"))
+    print("IVF top-3 from the PERSISTED index:",
+          [(r.query_id, r.neighbor_id, r.score) for r in hits.collect()])
+    apply_changelog(spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=96), vcat)
+    idx_pairs = dedup.minhash_lsh_against_index(
+        docs.limit(4).select((F.col("doc_id") + 900000).alias("doc_id"), "text"),
+        vcat.read(spark, "ml.sigs"), docs, n=5, k=96, bands=24)
+    print("new batch vs persisted MinHash index:", idx_pairs.count(), "dup pairs")
+    wm2 = vcat.meta("ml.emb")["applied_version"]
+    g = vcat.export_group_snapshot(spark, ["ml.emb", "ml.ivf"], wm2,
+                                   os.path.join(root, "group_export"))
+    print("consistent group export at watermark", g["watermark"], "->",
+          {t: v["n_rows"] for t, v in g["tables"].items()})
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
