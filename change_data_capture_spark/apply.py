@@ -306,11 +306,23 @@ class TableCatalog:
         # manifest watermark/dir describe the EXPORTED version, which
         # for a pinned time-travel export is not the current one
         hist = meta.get("version_watermarks") or {}
-        exported_wm = (
-            int(hist[str(pinned)])
-            if pinned is not None and str(pinned) in hist
-            else int(meta.get("applied_version", 0))
+        cur_seq = (
+            int(meta["current"].rsplit("_v", 1)[1]) if meta.get("current") else None
         )
+        if pinned is not None and str(pinned) in hist:
+            exported_wm = int(hist[str(pinned)])
+        elif version is None or pinned == cur_seq:
+            exported_wm = int(meta.get("applied_version", 0))
+        else:
+            # an explicitly pinned OLD version with no watermark entry
+            # (catalog predates AS-OF indexing): labeling it with the
+            # CURRENT watermark would hand a downstream consumer the
+            # wrong resume point — refuse instead
+            raise ValueError(
+                f"{table_id}: version {pinned} has no watermark history; "
+                "cannot label the export's applied_version (compact/"
+                "rewrite to index the catalog)"
+            )
         manifest = {
             "table": table_id,
             "applied_version": exported_wm,
@@ -430,16 +442,23 @@ class TableCatalog:
         drop = [v for v in vs[:-keep_last] if v != current_seq] if keep_last else []
         for v in drop:
             shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
-        if drop and meta and meta.get("version_watermarks"):
-            # keep the watermark index consistent with the readable set:
-            # an AS-OF cut must never select a vacuumed version
-            dropped = {int(v) for v in drop}
-            meta["version_watermarks"] = {
-                s: w
-                for s, w in meta["version_watermarks"].items()
-                if int(s) not in dropped
-            }
-            self.put_meta(table_id, meta)
+        if drop:
+            # keep the watermark index consistent with the readable set
+            # (an AS-OF cut must never select a vacuumed version) —
+            # mutating a FRESH meta snapshot read AFTER the deletes, so
+            # a version published concurrently during the rmtree loop is
+            # not un-published by writing back this call's stale entry
+            # view (same best-effort caveat as write_new_version's CAS
+            # on a plain filesystem).
+            latest = self.meta(table_id)
+            if latest and latest.get("version_watermarks"):
+                dropped = {int(v) for v in drop}
+                latest["version_watermarks"] = {
+                    s: w
+                    for s, w in latest["version_watermarks"].items()
+                    if int(s) not in dropped
+                }
+                self.put_meta(table_id, latest)
         return drop
 
     def compact(
@@ -794,13 +813,27 @@ def _undecodable_columns(schema: StructType) -> F.Column:
 
     def bad(f):
         raw = F.col("rows_values")[f.name]
-        if isinstance(f.dataType, (ArrayType, MapType, _ST)):
-            # complex values travel as JSON; malformed JSON (or a
-            # non-JSON scalar in an array column) from_json's to null
-            decoded = F.from_json(raw, f.dataType)
+        if isinstance(f.dataType, _ST):
+            # PERMISSIVE from_json returns a non-null ALL-NULL struct
+            # for malformed input (never a null struct), so the
+            # decoded-null test below can't fire — detect JSON
+            # malformedness itself instead. A VALID-JSON object with
+            # unknown/missing fields decodes to nulls by design
+            # (schema evolution tolerance), and '{}' is
+            # indistinguishable from it: only unparseable text
+            # quarantines here.
+            is_bad = raw.isNotNull() & F.try_parse_json(raw).isNull()
+        elif isinstance(f.dataType, (ArrayType, MapType)):
+            # arrays/maps: malformed JSON from_json's to null, and a
+            # valid-JSON WRONG-SHAPE value ('"x"' in an array column)
+            # also parses but decodes null — check both
+            is_bad = raw.isNotNull() & (
+                F.try_parse_json(raw).isNull()
+                | F.from_json(raw, f.dataType).isNull()
+            )
         else:
-            decoded = raw.try_cast(f.dataType)
-        return F.when(raw.isNotNull() & decoded.isNull(), F.lit(f.name))
+            is_bad = raw.isNotNull() & raw.try_cast(f.dataType).isNull()
+        return F.when(is_bad, F.lit(f.name))
 
     return F.array_compact(F.array(*[bad(f) for f in schema.fields]))
 

@@ -716,9 +716,14 @@ def minhash_lsh_against_index(
             f"corpus_sigs lacks signature columns for k={k} "
             f"(first missing: {missing[0]}) — index built with a different k?"
         )
-    corpus_sigs = corpus_sigs.select(id_col, *need).join(
-        new_docs.select(id_col).distinct(), id_col, "left_anti"
-    )
+    # Disjoint-id contract on BOTH corpus sides (same reasoning as
+    # minhash_lsh_against): an id present in both sets would union two
+    # documents' shingle sets inside the exact-Jaccard verify and
+    # corrupt every pair it touches — drop the corpus twin of any
+    # new-batch id from the signatures AND the text side.
+    new_ids = new_docs.select(id_col).distinct()
+    corpus_sigs = corpus_sigs.select(id_col, *need).join(new_ids, id_col, "left_anti")
+    corpus_docs = corpus_docs.join(new_ids, id_col, "left_anti")
     sh_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col, distinct=False)
     sig_new = minhash_signatures(sh_new, k=k, id_col=id_col).persist()
     sig_new.count()

@@ -259,7 +259,11 @@ def ivf_index(
     centroid assignment plus the probed lists, never a corpus-wide
     assignment per batch. Feed it back via ``ivf_ann_topk(...,
     index=...)``; same seeding/rounding rules, so results equal the
-    build-per-query form exactly."""
+    build-per-query form exactly. (Edge: if two SEED vectors are
+    bit-identical, the tie sends one seed into the other's list and
+    its own list is empty; the index path then probes only lists that
+    exist, where the direct path would spend a probe on the empty one
+    — recall can only improve.)"""
     idx = ivf_ann_topk(
         corpus,
         corpus.limit(0),
@@ -302,16 +306,27 @@ def ivf_ann_topk(
     — the corpus-side assignment is read from it instead of
     recomputed, and ``corpus`` may then be the same frame the index
     was built from or its catalog round-trip. Centroids re-derive
-    from the index's smallest ids (the seeds travel IN the index), so
-    a persisted index needs no side-channel centroid file."""
-    cent_src = index if index is not None else spread(corpus)
-    cent = (
-        cent_src.orderBy(F.col(id_col).asc())
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("list_id"), as_double_vec(F.col(vec_col)).alias("centroid")
+    from the index's OWN distinct list ids (list ids ARE the seed vec
+    ids, and the seed vectors travel in the index) — no side-channel
+    centroid file, and ``n_lists`` is IGNORED for the index path so a
+    build/query parameter mismatch cannot silently orphan lists."""
+    if index is not None:
+        cent = index.join(
+            index.select(F.col("list_id").alias(id_col)).distinct(), id_col
+        ).select(
+            F.col(id_col).alias("list_id"),
+            as_double_vec(F.col(vec_col)).alias("centroid"),
         )
-    )
+    else:
+        cent = (
+            spread(corpus)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(
+                F.col(id_col).alias("list_id"),
+                as_double_vec(F.col(vec_col)).alias("centroid"),
+            )
+        )
     if index is not None:
         c = index.select(
             F.col(id_col).alias("neighbor_id"),

@@ -1239,24 +1239,50 @@ def bm25_topk(
     probabilistic-but-overwhelming rather than guaranteed — this
     operator stays on the local bare gate by design.
 
-    Plan: token explode -> filter to the query's terms BEFORE any
-    shuffle (work is O(matching tokens), not O(corpus tokens)) ->
-    per-(doc, term) tf and per-term df aggregations (df broadcast
-    back) -> per-doc sum -> global top-k via TakeOrderedAndProject
-    (O(k) per partition, no single-partition sort of the corpus)."""
+    Plan: TWO passes over the raw text, only one of them exploded.
+    Pass A is a narrow no-explode aggregation to ONE row — doc count,
+    total token count, and per-term document frequencies via
+    ``array_contains`` on the split array (no shuffle beyond the
+    single-row agg). Pass B explodes tokens, filters to the query's
+    terms BEFORE the only corpus shuffle (O(matching tokens)) and
+    carries the doc length alongside. The df row broadcasts into the
+    scoring join; the global top-k is TakeOrderedAndProject (O(k) per
+    partition, no single-partition sort of the corpus). (The review
+    caught the first version paying a second full explode for doc
+    lengths; a melt variant re-paid it 3x through Catalyst's
+    no-subplan-sharing — this shape is the one that scales.)"""
     terms = sorted({t.lower() for t in query_terms})
-    tok = tokens(docs, id_col=id_col, text_col=text_col)
-    dl = tok.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    stats = docs.agg(
+        # count(size(arr)) skips null-text docs, matching the
+        # token-derived doc count the oracle computes
+        F.count(F.size(arr)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(arr)).cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.array_contains(arr, t).cast("bigint")).alias(f"__df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    base = spread(docs).select(
+        F.col(id_col),
+        F.size(arr).cast("bigint").alias("dl"),
+        F.explode(arr).alias("token"),
     )
     tf = (
-        tok.filter(F.col("token").isin(terms))
+        base.filter(F.col("token").isin(terms))
         .groupBy(id_col, "token")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
     )
-    df = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    df_of_term = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(t) for t in terms]),
+            F.array(*[F.col(f"__df{i}") for i in range(len(terms))]),
+        ),
+        F.col("token"),
+    )
     contrib = F.expr(
         f"round(ln(1.0d + (cast(n_docs as double) - cast(df as double) + 0.5d)"
         f" / (cast(df as double) + 0.5d))"
@@ -1266,9 +1292,8 @@ def bm25_topk(
         f" / (cast(sum_dl as double) / cast(n_docs as double)))), 8)"
     )
     scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("df", df_of_term)
         .withColumn("contrib", contrib)
         .groupBy(id_col)
         .agg(

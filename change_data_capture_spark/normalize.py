@@ -266,16 +266,83 @@ def patch_updates(
         )
     )
     joined = base.join(winners, on=pks, how="left")
-    out = [F.col(c) for c in pks] + [
+
+    def merged(c):
         # null __patch (unpatched key) makes map_contains_key null ->
         # falsy -> stored value; an explicit NULL patch value takes the
-        # TRUE branch (key present) and lands as NULL
-        F.when(
-            F.map_contains_key(F.col("__patch"), F.lit(c)),
-            F.element_at(F.col("__patch"), F.lit(c)).cast(types[c]),
+        # TRUE branch (key present) and lands as NULL; an UNDECODABLE
+        # value (try_cast/from_json null on non-null input — 'N/A' in a
+        # double column) keeps the STORED value instead of throwing
+        # under ANSI mode or silently nulling — route
+        # undecodable_patch_cells to a dead-letter sink so the skipped
+        # intent stays visible.
+        pv = F.element_at(F.col("__patch"), F.lit(c))
+        decoded = _try_decode(pv, types[c])
+        return (
+            F.when(
+                F.map_contains_key(F.col("__patch"), F.lit(c)),
+                F.when(pv.isNull(), F.lit(None).cast(types[c]))
+                .when(decoded.isNotNull(), decoded)
+                .otherwise(F.col(c)),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
         )
-        .otherwise(F.col(c))
-        .alias(c)
-        for c in value_cols
-    ]
-    return joined.select(*out)
+
+    return joined.select(*[F.col(c) for c in pks], *[merged(c) for c in value_cols])
+
+
+def _try_decode(raw: F.Column, dtype) -> F.Column:
+    """Never-throwing typed decode of one patch/envelope value: scalars
+    via ``try_cast``, complex types via ``from_json`` (they travel as
+    JSON strings — the envelope convention). Malformed JSON in a
+    STRUCT column decodes to a non-null all-null struct (PERMISSIVE
+    semantics — same caveat as ``apply._undecodable_columns``)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType as _ST
+
+    if isinstance(dtype, (ArrayType, MapType, _ST)):
+        return F.from_json(raw, dtype)
+    return raw.try_cast(dtype)
+
+
+def undecodable_patch_cells(
+    patches: DataFrame,
+    schema: StructType,
+    *,
+    patch_col: str = "patch",
+) -> DataFrame:
+    """Dead-letter leg of ``patch_updates``: the individual patch CELLS
+    it will skip — values that cannot decode to the registered column
+    type ('N/A' in a double column; reason ``uncastable``) and patches
+    naming columns the schema does not have (reason
+    ``unknown_column`` — they would silently no-op). ``patch_updates``
+    keeps the STORED value for skipped cells (at-least-once safe);
+    routing this frame to a quarantine sink keeps the skipped intent
+    visible, the same contract as ``apply.undecodable_rows``. One
+    narrow explode, no shuffle."""
+    types = {f.name: f.dataType for f in schema.fields}
+    cells = patches.select(
+        "*", F.explode(F.col(patch_col)).alias("__c", "__val")
+    ).drop(patch_col)
+    uncastable = F.coalesce(
+        *[
+            F.when(
+                (F.col("__c") == c)
+                & F.col("__val").isNotNull()
+                & _try_decode(F.col("__val"), t).isNull(),
+                F.lit("uncastable"),
+            )
+            for c, t in types.items()
+        ],
+        F.lit(None).cast("string"),
+    )
+    unknown = F.when(
+        ~F.col("__c").isin(*types.keys()), F.lit("unknown_column")
+    )
+    reason = F.coalesce(unknown, uncastable)
+    return (
+        cells.filter(reason.isNotNull())
+        .withColumn("reason", reason)
+        .withColumnRenamed("__c", "column")
+        .withColumnRenamed("__val", "value")
+    )

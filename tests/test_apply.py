@@ -664,3 +664,28 @@ def test_complex_typed_columns_roundtrip_envelope(spark, sf_dir, tmp_path):
     assert [r.bad_columns for r in undecodable_rows(dml, schema).collect()] == [["embedding"]]
     ok = decode_rows_safe(dml, schema).collect()
     assert len(ok) == 1 and list(ok[0].embedding) == [0.5, 1.0]
+
+
+def test_decode_dlq_catches_malformed_struct_json(spark):
+    """PERMISSIVE from_json yields a non-null all-null struct for
+    malformed input, so struct columns need the JSON-validity check —
+    unparseable text quarantines; a valid empty object does not (schema
+    evolution tolerance)."""
+    from change_data_capture_spark.apply import decode_rows_safe, undecodable_rows
+
+    schema = spark.createDataFrame(
+        [], "id long, payload struct<x:long,y:string>"
+    ).schema
+    dml = spark.createDataFrame(
+        [
+            ("INSERT", {"id": "1", "payload": '{"x": 5, "y": "ok"}'}, 1),
+            ("INSERT", {"id": "2", "payload": '{"x": 1'}, 2),     # truncated
+            ("INSERT", {"id": "3", "payload": "{}"}, 3),            # valid, empty
+        ],
+        "op_type string, rows_values map<string,string>, change_tracking_version long",
+    )
+    bad = undecodable_rows(dml, schema).collect()
+    assert [(r.change_tracking_version, r.bad_columns) for r in bad] == [(2, ["payload"])]
+    ok = {r.id: r for r in decode_rows_safe(dml, schema).collect()}
+    assert set(ok) == {1, 3}
+    assert ok[1].payload.x == 5 and ok[3].payload.x is None

@@ -167,3 +167,26 @@ def test_signature_index_roundtrip_matches_direct_incremental(spark, sf_dir, tmp
         dedup.minhash_lsh_against_index(
             new, cat.read(spark, "ml.sigs"), cat.read(spark, "ml.docs"), k=128
         )
+
+
+def test_minhash_index_enforces_disjoint_ids_on_docs_side(spark, sf_dir, tmp_path):
+    """A corpus doc re-ingested under its OLD id must not union two
+    texts' shingle sets in the verify: the corpus twin is dropped on
+    BOTH the signature and the text side (same contract as the direct
+    operator)."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = TableCatalog(str(tmp_path / "sig2"))
+    apply_changelog(spark, snapshot_changelog(docs, "ml.docs", ["doc_id"]), cat)
+    apply_changelog(spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=96), cat)
+    # new batch REUSES existing corpus ids (a revision re-ingest)
+    new = docs.limit(6)
+    out = dedup.minhash_lsh_against_index(
+        new, cat.read(spark, "ml.sigs"), cat.read(spark, "ml.docs"),
+        n=5, k=96, bands=24, threshold=0.8,
+    )
+    # overlapping ids dropped from the corpus side -> a self-pair
+    # (a_id == b_id) can never appear
+    assert out.filter(F.col("a_id") == F.col("b_id")).count() == 0

@@ -198,3 +198,33 @@ def test_patch_updates_partial_images(spark):
     assert rows[1].amount == 99.5 and rows[1].name is None
     assert rows[2].name == "B2" and rows[2].amount == 21.0
     assert rows[3].name == "c" and rows[3].amount == 30.0  # untouched
+
+
+def test_patch_updates_skips_uncastable_cells_and_quarantines(spark):
+    """An uncastable patch value no longer throws under ANSI (nor
+    silently nulls): the stored value is kept, and the skipped cell is
+    visible in undecodable_patch_cells with its reason — same DLQ
+    contract as the decode path."""
+    from change_data_capture_spark.normalize import (
+        patch_updates, undecodable_patch_cells,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, amount double"
+    )
+    patches = spark.createDataFrame(
+        [
+            (1, 1, {"amount": "N/A"}),        # uncastable -> skipped
+            (1, 2, {"name": "A2"}),            # fine
+            (2, 1, {"ghost_col": "x"}),        # unknown column -> no-op
+            (2, 2, {"amount": None}),          # explicit NULL still works
+        ],
+        "id long, version int, patch map<string,string>",
+    )
+    rows = {r.id: r for r in patch_updates(base, patches, ["id"]).collect()}
+    assert rows[1].amount == 10.0 and rows[1].name == "A2"
+    assert rows[2].amount is None and rows[2].name == "b"
+    q = undecodable_patch_cells(patches, base.schema)
+    got = {(r.id, r.column, r.reason) for r in q.collect()}
+    assert got == {(1, "amount", "uncastable"), (2, "ghost_col", "unknown_column")}

@@ -336,14 +336,16 @@ def test_blocklist_joins_stay_equi(spark, sf_dir):
 
 
 def test_bm25_topk_plan_shape(spark, sf_dir):
-    """BM25 keeps its scale properties: the query-term filter lands
-    BEFORE the tf shuffle (work is O(matching tokens)), df comes back
-    as a broadcast join, the global top-k is TakeOrderedAndProject
-    (O(k) per partition — never a single-partition corpus sort), and
-    the whole plan is Python-free."""
+    """BM25 keeps its scale properties: exactly ONE corpus
+    token-explode scan (the stats pass computes doc count / total
+    tokens / per-term df narrowly via array_contains, no explode),
+    the query-term filter lands before the only corpus shuffle, the
+    single-row stats frame broadcasts, the global top-k is
+    TakeOrderedAndProject (O(k) per partition — never a
+    single-partition corpus sort), and the plan is Python-free."""
     plan = plan_of(spark, sf_dir, "text_bm25_topk")
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the isin filter is evaluated pre-aggregation on the exploded tokens
+    assert plan.count("explode(split(") == 1
     assert "Filter token" in plan and "IN (hash,join,stream,vector)" in plan
