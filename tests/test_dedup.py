@@ -190,3 +190,45 @@ def test_minhash_index_enforces_disjoint_ids_on_docs_side(spark, sf_dir, tmp_pat
     # overlapping ids dropped from the corpus side -> a self-pair
     # (a_id == b_id) can never appear
     assert out.filter(F.col("a_id") == F.col("b_id")).count() == 0
+
+
+def test_signature_index_two_day_ingest_loop(spark, sf_dir, tmp_path):
+    """The full production loop: day-1 batch dedupes against the index,
+    its survivors' signatures APPEND (same CDC apply, version 2), and
+    day 2 collides with both the original corpus and day 1 — the index
+    grows incrementally, never re-signing the corpus."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = TableCatalog(str(tmp_path / "loop"))
+    apply_changelog(spark, snapshot_changelog(docs, "ml.docs", ["doc_id"]), cat)
+    apply_changelog(spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=96), cat)
+
+    day1 = docs.limit(3).select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    p1 = dedup.minhash_lsh_against_index(
+        day1, cat.read(spark, "ml.sigs"), cat.read(spark, "ml.docs"),
+        n=5, k=96, bands=24, threshold=0.8,
+    )
+    assert p1.count() >= 3  # exact copies collide with their originals
+    # append day 1 to BOTH managed tables (it would be kept-or-dropped
+    # by policy; here keep all to exercise the growth path)
+    apply_changelog(
+        spark, snapshot_changelog(day1, "ml.docs", ["doc_id"], insert_version=2), cat
+    )
+    apply_changelog(
+        spark,
+        dedup.signature_changelog(day1, "ml.sigs", n=5, k=96, version=2),
+        cat,
+    )
+    assert cat.read(spark, "ml.sigs").count() == docs.count() + 3
+
+    # day 2 copies a DAY-1 doc: the collision must come from the
+    # incrementally-appended index rows
+    day2 = day1.limit(1).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    p2 = dedup.minhash_lsh_against_index(
+        day2, cat.read(spark, "ml.sigs"), cat.read(spark, "ml.docs"),
+        n=5, k=96, bands=24, threshold=0.8,
+    )
+    b_ids = {r.b_id for r in p2.collect()}
+    assert any(b >= 900000 for b in b_ids)  # matched the day-1 doc via the index
