@@ -807,6 +807,38 @@ def pq_encode(
     )
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    *,
+    n_lists: int = 16,
+    m: int = 8,
+    kc: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the persisted IVF-PQ index relation — one row per corpus
+    vector: (id, list_id, code0..code{m-1}), every column an integer
+    scalar, so it rides the CDC envelope with no complex-type support
+    needed at all. The compressed twin of ``ivf_index``: 32x less
+    index bandwidth at query time. Query via ``ivfpq_ann_topk(...,
+    index=...)`` with the SAME corpus frame (or its catalog
+    round-trip) — centroids, PQ codebook, and the exact-rerank
+    vectors all re-derive from the corpus by the deterministic
+    smallest-id seeding, so nothing else needs persisting."""
+    return ivfpq_ann_topk(
+        corpus,
+        corpus.limit(0),
+        n_lists=n_lists,
+        m=m,
+        kc=kc,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        _emit_index=True,
+    )
+
+
 def ivfpq_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -820,6 +852,8 @@ def ivfpq_ann_topk(
     rerank: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    _emit_index: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the full FAISS index shape: IVF
     restricts WHICH corpus vectors a query scores (probe the n_probe
@@ -867,10 +901,32 @@ def ivfpq_ann_topk(
             .select(*out_cols, "list_id")
         )
 
-    codes = pq_encode(corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), *[f"code{s}" for s in range(m)]
-    )
-    lists = assign(c, "cv", 1, ["neighbor_id"]).join(codes, "neighbor_id")
+    code_cols = [f"code{s}" for s in range(m)]
+    if _emit_index:
+        codes = pq_encode(
+            corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("neighbor_id"), *code_cols)
+        return (
+            assign(c, "cv", 1, ["neighbor_id"])
+            .join(codes, "neighbor_id")
+            .select(F.col("neighbor_id").alias(id_col), "list_id", *code_cols)
+        )
+    if index is not None:
+        missing = [x for x in code_cols if x not in index.columns]
+        if missing:
+            raise ValueError(
+                f"index lacks PQ code columns for m={m} (first missing: "
+                f"{missing[0]}) — index built with a different m? (kc must "
+                "also match the build; it is not schema-detectable)"
+            )
+        lists = index.select(
+            F.col(id_col).alias("neighbor_id"), "list_id", *code_cols
+        )
+    else:
+        codes = pq_encode(
+            corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("neighbor_id"), *code_cols)
+        lists = assign(c, "cv", 1, ["neighbor_id"]).join(codes, "neighbor_id")
     probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
 
     # Query-side element columns once; ADC per subspace is CASE(code).

@@ -182,3 +182,31 @@ def test_ivf_index_catalog_roundtrip_matches_direct(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, via_index.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_ivfpq_index_catalog_roundtrip_matches_direct(spark, sf_dir, tmp_path):
+    """The compressed (PQ) index also persists and queries identically:
+    all-integer code columns ride the envelope, centroids/codebook/
+    rerank vectors re-derive from the corpus, and a wrong-m index
+    fails fast."""
+    import pytest
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.extensions.similarity import (
+        ivfpq_ann_topk, ivfpq_index,
+    )
+    from tests.conftest import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    direct = ivfpq_ann_topk(emb, queries, k=5, dim=64)
+
+    idx = ivfpq_index(emb, dim=64)
+    assert set(idx.columns) == {"vec_id", "list_id"} | {f"code{s}" for s in range(8)}
+    cat = TableCatalog(str(tmp_path / "pq"))
+    apply_changelog(spark, snapshot_changelog(idx, "ml.pq", ["vec_id"]), cat)
+    via = ivfpq_ann_topk(emb, queries, k=5, dim=64, index=cat.read(spark, "ml.pq"))
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+    with pytest.raises(ValueError, match="different m"):
+        ivfpq_ann_topk(emb, queries, k=5, dim=64, m=16, index=cat.read(spark, "ml.pq"))
