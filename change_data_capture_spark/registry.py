@@ -5596,6 +5596,57 @@ def cdc_canal_apply(spark, sf_dir):
 
 
 @_q(
+    "cdc_wal2json_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_wal2json_apply(spark, sf_dir):
+    """Postgres wal2json (logical decoding) feed decoded, normalized,
+    and MERGEd end-to-end (sources/wal2json.wal2json_raw_ops): the
+    sixth wire format through the one shared normalize -> apply
+    engine. Exercises the format's real shapes — format-version=2
+    action-per-message layout, LSN-domain change versions ("0/1" <
+    "0/2" < "0/3" in WAL order), default-REPLICA-IDENTITY updates
+    (full post row + key-only identity), and deletes carrying ONLY the
+    identity image (the keys-only DELETE contract the reference's
+    golden test pins, CTSQLServerPluginIntegrationTest.java:308-317)."""
+    from .sources import wal2json as wj
+
+    cust = _t(spark, sf_dir, "customer")
+    pg_types = {"bigint": "bigint", "double": "numeric", "string": "text"}
+    cols = {
+        f.name: (pg_types.get(f.dataType.simpleString(), "text"), F.col(f.name))
+        for f in cust.schema.fields
+    }
+    upd_cols = dict(cols)
+    upd_cols["c_acctbal"] = ("numeric", F.col("c_acctbal") + 100.0)
+    ident = {"c_custkey": ("bigint", F.col("c_custkey"))}
+    snap = wj.encode_wal2json(cust, table="public.customer", action="I",
+                              columns=cols, lsn="0/1")
+    upd = wj.encode_wal2json(
+        cust.filter(F.col("c_custkey") % 7 == 3), table="public.customer",
+        action="U", columns=upd_cols, identity=ident, lsn="0/2",
+    )
+    dele = wj.encode_wal2json(
+        cust.filter(F.col("c_custkey") % 7 == 5).select("c_custkey"),
+        table="public.customer", action="D", columns={}, identity=ident,
+        lsn="0/3",
+    )
+    raw = wj.wal2json_raw_ops(
+        snap.unionByName(upd).unionByName(dele),
+        {"public.customer": ["c_custkey"]},
+        rows_schemas={"public.customer": cust.schema.json()},
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_wal_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return cat.read(spark, "public.customer")
+
+
+@_q(
     "cdc_chunked_bootstrap",
     """
     SELECT c_custkey, c_name, c_nationkey,
@@ -8023,14 +8074,20 @@ DRIVER_WINDOW: list[str] = [
     "cdc_apply_multi_table",
     "cdc_schema_evolution",
     "cdc_apply_vectors",
-    "cdc_pk_update_split",
     "cdc_table_checksum",
     "cdc_maxwell_apply",
     "cdc_dms_apply",
     "cdc_canal_apply",
+    # Sixth r4 swap: cdc_pk_update_split (green r01+r02+r03; the
+    # PK-move split rule stays pinned by normalize unit tests and by
+    # every wire format's own PK-move test) retires for
+    # cdc_wal2json_apply — the Postgres logical-decoding wire format,
+    # never driver-checked (and itself exercising the split path's
+    # identity-override preimage rule).
     "cdc_decode_dlq",
     "cdc_goldengate_binary_e2e",
     "cdc_debezium_apply",
+    "cdc_wal2json_apply",
     "cdc_point_lookup",
     "cdc_incremental_agg",
     "cdc_bootstrap_handoff",

@@ -1,6 +1,6 @@
 """Cross-format convergence: the SAME logical change stream rendered
-in each JSON wire format (Debezium, Maxwell, DMS, Canal, GoldenGate
-wrapper wire), decoded by
+in each JSON wire format (Debezium, Maxwell, DMS, Canal, wal2json,
+GoldenGate wrapper wire), decoded by
 its own inbound path, and applied through the one shared engine must
 produce BYTE-IDENTICAL table content — proven with the audit module's
 order-insensitive content checksums against a directly-applied
@@ -13,6 +13,7 @@ from change_data_capture_spark.audit import checksum_diff, table_checksum
 from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
 from change_data_capture_spark.normalize import normalize_raw_ops
 from change_data_capture_spark.sources import canal, debezium, kafka
+from change_data_capture_spark.sources import wal2json as wj
 from change_data_capture_spark.sources import wire_formats as wf
 
 T = "shop.orders"
@@ -125,9 +126,29 @@ def test_all_wire_formats_converge_to_identical_checksums(spark, tmp_path):
         )
         return kafka.goldengate_changelog(msgs)
 
+    def wal_feed():
+        cols = {"id": ("bigint", F.col("id")),
+                "amount": ("numeric", F.col("amount")),
+                "tag": ("text", F.col("tag"))}
+        upd_cols = dict(cols, amount=("numeric", F.col("amount") + 5))
+        ident = {"id": ("bigint", F.col("id"))}
+        snap = wj.encode_wal2json(base, table=T, action="I", columns=cols,
+                                  lsn="0/1")
+        upd = wj.encode_wal2json(base.filter(upd_where), table=T, action="U",
+                                 columns=upd_cols, identity=ident, lsn="0/2")
+        # deletes carry ONLY the identity image, as Postgres emits them
+        dele = wj.encode_wal2json(base.filter(del_where).select("id"), table=T,
+                                  action="D", columns={}, identity=ident,
+                                  lsn="0/3")
+        return wj.wal2json_raw_ops(
+            snap.unionByName(upd).unionByName(dele), KEYS,
+            rows_schemas={T: schema_json},
+        )
+
     for name, feed in (
         ("maxwell", mx_feed), ("dms", dms_feed),
         ("canal", canal_feed), ("debezium", dbz_feed),
+        ("wal2json", wal_feed),
     ):
         cat = TableCatalog(str(tmp_path / name))
         apply_changelog(spark, normalize_raw_ops(feed()), cat)

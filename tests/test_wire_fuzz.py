@@ -1,4 +1,4 @@
-"""Randomized encode->decode roundtrip across all four JSON wire
+"""Randomized encode->decode roundtrip across the JSON wire
 formats: adversarial string values (quotes, backslashes, unicode,
 control chars, JSON-lookalikes) and numeric edge values must survive
 the to_json/from_json trip byte-for-byte into the decoded row maps —
@@ -9,6 +9,7 @@ import random
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.sources import canal, debezium
+from change_data_capture_spark.sources import wal2json as wj
 from change_data_capture_spark.sources import wire_formats as wf
 
 T = "shop.orders"
@@ -69,6 +70,16 @@ def test_fuzz_roundtrip_all_formats(spark):
                                                   before=None, after=full,
                                                   ts_ms=1),
             debezium.debezium_raw_ops,
+        ),
+        "wal2json": (
+            lambda: wj.encode_wal2json(
+                base, table=T, action="I",
+                columns={"id": ("bigint", F.col("id")),
+                         "note": ("text", F.col("note")),
+                         "amount": ("numeric", F.col("amount"))},
+                lsn="0/1",
+            ),
+            wj.wal2json_raw_ops,
         ),
     }
     for name, (enc, dec) in encoders.items():
