@@ -5647,6 +5647,51 @@ def cdc_wal2json_apply(spark, sf_dir):
 
 
 @_q(
+    "cdc_mssql_cdc_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_mssql_cdc_apply(spark, sf_dir):
+    """SQL Server Change Data Capture (cdc.fn_cdc_get_all_changes_*)
+    feed normalized and MERGEd end-to-end
+    (sources/mssql_cdc.mssql_cdc_raw_ops): the reference's OTHER
+    native SQL Server protocol — CT keeps net changes
+    (CTInputDStream.java:149-162, mirrored by sources/jdbc_ct.py), CDC
+    keeps full history with before images. Exercises the protocol's
+    real shape: 3/4 update-image pairs folded on their shared
+    __$seqval into single UPDATEs (one hash-shuffle keyed per change
+    record), dense transaction versions from the batch's distinct
+    commit LSNs, per-row seqvals ordering changes within the
+    transaction."""
+    from .sources import mssql_cdc as ms
+
+    cust = _t(spark, sf_dir, "customer")
+    seq = F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+    snap = ms.encode_mssql_cdc(cust, operation=2, lsn="0A", seqval=seq)
+    upd_rows = cust.filter(F.col("c_custkey") % 7 == 3)
+    upd3 = ms.encode_mssql_cdc(upd_rows, operation=3, lsn="0B", seqval=seq)
+    upd4 = ms.encode_mssql_cdc(
+        upd_rows.withColumn("c_acctbal", F.col("c_acctbal") + 100.0),
+        operation=4, lsn="0B", seqval=seq,
+    )
+    dele = ms.encode_mssql_cdc(
+        cust.filter(F.col("c_custkey") % 7 == 5), operation=1, lsn="0C",
+        seqval=seq,
+    )
+    feed = snap.unionByName(upd3).unionByName(upd4).unionByName(dele)
+    raw = ms.mssql_cdc_raw_ops(
+        feed, "dbo.customer", ["c_custkey"], rows_schema=cust.schema.json()
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_mscdc_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    return cat.read(spark, "dbo.customer")
+
+
+@_q(
     "cdc_chunked_bootstrap",
     """
     SELECT c_custkey, c_name, c_nationkey,
@@ -8061,13 +8106,19 @@ DRIVER_WINDOW: list[str] = [
     # rule stays pinned by schema/pk_compat unit tests and
     # cdc_pk_update_split) retires for cdc_apply_vectors — the
     # complex-typed-envelope capability built late in the round.
+    # Seventh r4 swap: cdc_apply_snapshot (green r01+r02+r03; the
+    # apply family keeps mutations/stream/multi_table/
+    # corpus_to_training plus every wire-format apply, all of which
+    # exercise the same snapshot-create path) retires for
+    # cdc_mssql_cdc_apply — the SQL Server CDC-tables protocol (3/4
+    # update-image pairing, dense LSN versions), never driver-checked.
     # --- CDC core: scan pushdown, normalize, apply, streaming,
     #     table management (27)
     "p_ct_change_scan",
     "cdc_patch_updates",
     "cdc_ct_scan_normalize",
     "cdc_chunked_bootstrap",
-    "cdc_apply_snapshot",
+    "cdc_mssql_cdc_apply",
     "cdc_apply_mutations",
     "cdc_corpus_to_training",
     "cdc_apply_stream",

@@ -1,0 +1,189 @@
+"""SQL Server Change Data Capture (cdc.fn_cdc_get_all_changes_*)
+normalize: the sibling protocol to the reference's Change Tracking
+path, decoded into the engine's canonical raw-op frame.
+
+The reference polls CHANGETABLE(CHANGES ...) — SQL Server's Change
+Tracking, which keeps only the NET latest version per row and a
+bigint SYS_CHANGE_VERSION (sources/jdbc_ct.py mirrors it,
+CTSQLServer.java:149-162 parity). SQL Server's OTHER capture
+mechanism, Change Data Capture, is the one real estates use when they
+need full change HISTORY with before images: an agent job copies every
+transaction-log operation into a change table read back via
+cdc.fn_cdc_get_all_changes_<capture_instance>. Its public row shape
+(Microsoft docs, "cdc.fn_cdc_get_all_changes"):
+
+  __$start_lsn  binary(10)   commit LSN of the enclosing transaction
+  __$seqval     binary(10)   change order WITHIN the transaction
+  __$operation  int          1=delete, 2=insert,
+                             3=update before image (row_filter_option
+                               'all update old' only),
+                             4=update after image
+  __$update_mask varbinary   changed-column bitmap
+  <captured columns...>      the row image itself
+
+A JDBC read of that function (or an export of the change table) is
+therefore a DataFrame, and this module is the T1/T7 normalize step
+over it — reference parity: ResultSetToDMLRecord
+(CTSQLServer.java:271-320) turns CT rows into DMLRecords; here the
+CDC row pairs (operations 3+4 share ONE __$seqval per the docs) fold
+into single UPDATE raw-ops with both images, so the shared
+``normalize_raw_ops`` PK-update split and apply engine run unchanged.
+
+Plan shape (100 TB honest): ONE hash-shuffle keyed by
+(start_lsn, seqval) does the 3/4 pairing — each change is its own
+key, so the aggregation is per-change-record and skew-free. The
+version domain is built from the batch's DISTINCT commit LSNs
+(transaction-count sized, orders of magnitude below row count): a
+dense index over that bounded frame joined back by LSN, micro-stepped
+by the intra-transaction change order (2^20 changes per transaction
+before wrap, same convention as the wal2json v1 decoder). LSNs are
+binary(10) — 80 bits, too wide for the envelope's bigint version —
+so the dense-index mapping is exact where a bit-packing would silently
+overflow; ``base_version`` carries the caller's watermark so versions
+stay monotone ACROSS polls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: metadata columns of the cdc.fn_cdc_get_all_changes_* row shape
+META_COLS = ("__$start_lsn", "__$end_lsn", "__$seqval", "__$operation",
+             "__$update_mask", "__$command_id")
+
+
+def _hex(df: DataFrame, name: str) -> Column:
+    """binary(10) or hex-string LSN/seqval column -> canonical upper
+    hex text (lexicographic order == LSN order for fixed-width hex).
+    The branch is chosen from the STATIC column type, not per row."""
+    col = F.col(f"`{name}`")
+    dtype = dict(df.dtypes).get(name, "string")
+    return F.hex(col) if dtype == "binary" else F.upper(col.cast("string"))
+
+
+def mssql_cdc_raw_ops(
+    changes: DataFrame,
+    table: str,
+    primary_keys: Sequence[str],
+    *,
+    rows_schema: str | None = None,
+    base_version: int = 0,
+    version_expr: Column | None = None,
+) -> DataFrame:
+    """cdc.fn_cdc_get_all_changes_* rows -> raw-op rows
+    (normalize.RAW_OP_DDL contract).
+
+    Operation codes 1/2 map straight to DELETE/INSERT with the row as
+    the before/after image; 3 (update before) and 4 (update after)
+    share one ``__$seqval`` and fold into a single UPDATE carrying
+    both images — so a captured-instance configured WITHOUT
+    'all update old' (no 3-rows) still yields correct UPDATEs, just
+    with the after image standing in for the preimage (key columns are
+    present either way, which is all the PK-update split needs).
+
+    ``base_version`` is the caller's watermark (e.g. the dense version
+    reached by the previous poll); ``version_expr`` overrides the
+    version entirely (evaluated against the paired frame's
+    ``__lsn``/``__seq`` hex columns) for feeds that already carry a
+    bigint order.
+    """
+    data_cols = [c for c in changes.columns if c not in META_COLS]
+    missing = [k for k in primary_keys if k not in data_cols]
+    if missing:
+        raise ValueError(f"primary keys {missing} not in captured columns")
+
+    op = F.col("`__$operation`")
+    kv: list[Column] = []
+    for c in data_cols:
+        kv.append(F.lit(c))
+        kv.append(F.col(f"`{c}`").cast("string"))
+    row_map = F.create_map(*kv)
+
+    tagged = changes.select(
+        _hex(changes, "__$start_lsn").alias("__lsn"),
+        _hex(changes, "__$seqval").alias("__seq"),
+        op.alias("__op"),
+        row_map.alias("__row"),
+    ).filter(F.col("__op").isin(1, 2, 3, 4))
+
+    # ONE shuffle: (lsn, seqval) is one logical change; ops 3+4 meet
+    # here. first(ignorenulls) is deterministic — at most one image of
+    # each kind exists per change record.
+    paired = tagged.groupBy("__lsn", "__seq").agg(
+        F.max("__op").alias("__kind"),
+        F.first(F.when(F.col("__op").isin(1, 3), F.col("__row")), ignorenulls=True)
+        .alias("__before_img"),
+        F.first(F.when(F.col("__op").isin(2, 4), F.col("__row")), ignorenulls=True)
+        .alias("__after_img"),
+    )
+
+    op_type = (
+        F.when(F.col("__kind") == 1, F.lit("D"))
+        .when(F.col("__kind") == 2, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    # UPDATE without the 'all update old' 3-row: after image stands in
+    before = F.when(
+        op_type == "U", F.coalesce(F.col("__before_img"), F.col("__after_img"))
+    ).when(op_type == "D", F.col("__before_img"))
+    after = F.when(op_type.isin("I", "U"), F.col("__after_img"))
+
+    if version_expr is not None:
+        version = version_expr
+    else:
+        # dense transaction index over the batch's DISTINCT commit
+        # LSNs: a transaction-count-sized frame (bounded metadata, the
+        # same O(#txns) discipline as the batch-apply planner), joined
+        # back by LSN; intra-txn order from seqval rides the low bits.
+        lsn_index = (
+            paired.select("__lsn")
+            .distinct()
+            .withColumn(
+                "__txn",
+                F.row_number().over(Window.orderBy("__lsn")).cast("bigint"),
+            )
+        )
+        paired = paired.join(lsn_index, "__lsn")
+        intra = F.row_number().over(
+            Window.partitionBy("__lsn").orderBy("__seq")
+        ).cast("bigint") - F.lit(1).cast("bigint")
+        version = (
+            (F.lit(base_version).cast("bigint") + F.col("__txn"))
+            * F.lit(1048576).cast("bigint")
+            + intra
+        )
+
+    return paired.select(
+        F.lit(table).alias("table"),
+        op_type.alias("op_type"),
+        F.array(*[F.lit(p) for p in primary_keys]).alias("primary_keys"),
+        before.alias("before"),
+        after.alias("after"),
+        F.lit(rows_schema).alias("rows_schema"),
+        version.cast("bigint").alias("change_tracking_version"),
+        version.cast("bigint").alias("cdc_current_timestamp"),
+    )
+
+
+def encode_mssql_cdc(
+    rows: DataFrame,
+    *,
+    operation: int,
+    lsn: Column | str,
+    seqval: Column | str,
+) -> DataFrame:
+    """Render rows as the cdc.fn_cdc_get_all_changes_* shape
+    (test/replay utility): the row's own columns plus the __$ metadata
+    columns, LSN/seqval as fixed-width hex text exactly as ``_hex``
+    canonicalizes real binary(10) values."""
+    return rows.select(
+        (F.lit(lsn) if isinstance(lsn, str) else lsn).alias("__$start_lsn"),
+        F.lit(None).cast("string").alias("__$end_lsn"),
+        (F.lit(seqval) if isinstance(seqval, str) else seqval).alias("__$seqval"),
+        F.lit(operation).alias("__$operation"),
+        F.lit(None).cast("string").alias("__$update_mask"),
+        *[F.col(c) for c in rows.columns],
+    )

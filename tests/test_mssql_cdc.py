@@ -1,0 +1,114 @@
+"""SQL Server CDC-table normalize tests: 3/4 update-image pairing on
+the shared __$seqval, operation mapping, missing-preimage degradation,
+binary-LSN canonicalization, dense cross-batch versioning, PK-update
+split through normalize_raw_ops, and end-to-end apply."""
+
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.normalize import normalize_raw_ops
+from change_data_capture_spark.sources import mssql_cdc as ms
+
+SHAPE = ("`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+         "`__$update_mask` string, id long, amount double")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        [(lsn, seq, op, None, i, a) for lsn, seq, op, i, a in rows], SHAPE
+    )
+
+
+def test_update_pair_folds_into_one_raw_op(spark):
+    ch = _changes(spark, [
+        ("0A", "01", 3, 1, 10.0),   # update before
+        ("0A", "01", 4, 1, 99.0),   # update after, SAME seqval
+        ("0A", "02", 2, 2, 20.0),   # insert, same txn, later seqval
+        ("0B", "01", 1, 3, 30.0),   # delete, next txn
+    ])
+    out = ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["id"])
+    rows = {r["op_type"]: r for r in out.collect()}
+    assert set(rows) == {"U", "I", "D"}
+    upd = rows["U"]
+    assert upd["before"] == {"id": "1", "amount": "10.0"}
+    assert upd["after"] == {"id": "1", "amount": "99.0"}
+    ins = rows["I"]
+    assert ins["before"] is None and ins["after"]["amount"] == "20.0"
+    dele = rows["D"]
+    assert dele["after"] is None and dele["before"]["amount"] == "30.0"
+    # dense versions: txn 0A -> 1, 0B -> 2; intra-txn order in low bits
+    assert upd["change_tracking_version"] == 1 * 1048576
+    assert ins["change_tracking_version"] == 1 * 1048576 + 1
+    assert dele["change_tracking_version"] == 2 * 1048576
+    # base_version shifts the whole batch (cross-poll monotonicity)
+    shifted = ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["id"], base_version=7)
+    v = {r["op_type"]: r["change_tracking_version"] for r in shifted.collect()}
+    assert v["U"] == 8 * 1048576 and v["D"] == 9 * 1048576
+
+
+def test_update_without_before_row_degrades_to_after_image(spark):
+    # capture instance without 'all update old': only 4-rows arrive
+    ch = _changes(spark, [("0A", "01", 4, 1, 55.0)])
+    out = ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["op_type"] == "U"
+    assert r["before"] == r["after"] == {"id": "1", "amount": "55.0"}
+
+
+def test_binary_lsn_canonicalizes_to_hex_order(spark):
+    ch = spark.createDataFrame(
+        [(bytes([0, 0, 0, 0, 0, 0, 0, 0, 0, n]), b"\x00\x01", 2, None, n, 1.0)
+         for n in (2, 1)],
+        ("`__$start_lsn` binary, `__$seqval` binary, `__$operation` int, "
+         "`__$update_mask` binary, id long, amount double"),
+    )
+    out = ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["id"])
+    got = {r["after"]["id"]: r["change_tracking_version"] for r in out.collect()}
+    assert got["1"] < got["2"]  # LSN order preserved through hex text
+
+
+def test_pk_move_splits_via_normalizer(spark):
+    ch = _changes(spark, [
+        ("0A", "01", 3, 1, 5.0),
+        ("0A", "01", 4, 2, 5.0),   # key moved 1 -> 2
+    ])
+    raw = ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["id"])
+    recs = normalize_raw_ops(raw).select("dml.op_type", "dml.rows_values").collect()
+    ops = {r["op_type"]: r["rows_values"] for r in recs}
+    assert set(ops) == {"DELETE", "INSERT"}
+    assert ops["DELETE"]["id"] == "1" and ops["INSERT"]["id"] == "2"
+
+
+def test_missing_pk_column_raises(spark):
+    ch = _changes(spark, [("0A", "01", 2, 1, 1.0)])
+    try:
+        ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["nope"])
+    except ValueError as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_end_to_end_apply_via_encoder(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(1, 8)], "id long, amount double"
+    )
+    snap = ms.encode_mssql_cdc(base, operation=2, lsn="0A",
+                               seqval=F.lpad(F.col("id").cast("string"), 4, "0"))
+    upd_rows = base.filter(F.col("id") % 2 == 0)
+    upd3 = ms.encode_mssql_cdc(upd_rows, operation=3, lsn="0B",
+                               seqval=F.lpad(F.col("id").cast("string"), 4, "0"))
+    upd4 = ms.encode_mssql_cdc(
+        upd_rows.withColumn("amount", F.col("amount") + 5), operation=4, lsn="0B",
+        seqval=F.lpad(F.col("id").cast("string"), 4, "0"))
+    dele = ms.encode_mssql_cdc(base.filter(F.col("id") == 7), operation=1,
+                               lsn="0C", seqval="0001")
+    feed = snap.unionByName(upd3).unionByName(upd4).unionByName(dele)
+    raw = ms.mssql_cdc_raw_ops(feed, "dbo.orders", ["id"],
+                               rows_schema=base.schema.json())
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    got = {r["id"]: r["amount"] for r in cat.read(spark, "dbo.orders").collect()}
+    want = {i: 10.0 * i + (5 if i % 2 == 0 else 0) for i in range(1, 7)}
+    assert got == want
