@@ -291,6 +291,51 @@ def wal2json_dead_letters(
     ).filter(F.col("reason").isNotNull())
 
 
+_PG_TYPES = {
+    "tinyint": "smallint", "smallint": "smallint", "int": "integer",
+    "bigint": "bigint", "float": "real", "double": "double precision",
+    "string": "text", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp with time zone", "binary": "bytea",
+}
+
+
+def table_changes_to_wal2json(
+    changes: DataFrame,
+    *,
+    table: str,
+    pk_names: Sequence[str],
+    lsn: Column | str = "0/0",
+    xid: Column | int = 0,
+) -> DataFrame:
+    """Outbound wal2json: render a change-data-feed frame
+    (``TableCatalog.table_changes`` output) as format-version=2
+    messages — insert -> I (columns = full row), update_postimage ->
+    U (columns = post row, identity = PK values, the default-REPLICA-
+    IDENTITY shape), delete -> D (identity only, exactly what Postgres
+    emits); update_preimage rows render to nothing (the v2 wire's
+    identity slot carries the key, not a full preimage). Column pg
+    types derive from the frame's Spark types. One row per message;
+    pure projection, no shuffle."""
+    row_cols = [c for c in changes.columns if c != "_change_type"]
+    dtypes = dict(changes.dtypes)
+    cols = {c: (_PG_TYPES.get(dtypes[c], "text"), F.col(c)) for c in row_cols}
+    ident = {p: (_PG_TYPES.get(dtypes[p], "text"), F.col(p)) for p in pk_names}
+    ct = F.col("_change_type")
+    ins = encode_wal2json(
+        changes.filter(ct == "insert"), table=table, action="I",
+        columns=cols, lsn=lsn, xid=xid,
+    )
+    upd = encode_wal2json(
+        changes.filter(ct == "update_postimage"), table=table, action="U",
+        columns=cols, identity=ident, lsn=lsn, xid=xid,
+    )
+    dele = encode_wal2json(
+        changes.filter(ct == "delete"), table=table, action="D",
+        columns={}, identity=ident, lsn=lsn, xid=xid,
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
 def _entries_json(cols: Mapping[str, tuple[str, Column]]) -> Column:
     """name -> (pg type, value Column) rendered as the wire's
     [{"name":...,"type":...,"value":...}, ...] array — each entry its
