@@ -22,6 +22,7 @@ pipeline needs all three constantly:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -669,3 +670,117 @@ def context_windows(
             F.col("__start") - F.col("window_id") * size, F.lit(0)
         ).cast("long").alias("pos_in_window"),
     )
+
+
+def kth_order_statistic(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    *,
+    n_ranges: int = 1024,
+    collect_limit: int = 10_000,
+) -> float | int | None:
+    """EXACT k-th smallest value (0-indexed) by iterative histogram
+    refinement — the distributed-selection primitive behind
+    ``exact_quantiles``.
+
+    Spark's exact ``percentile`` aggregate materializes a per-group
+    value->count map in one executor's memory (OOM territory for a
+    high-cardinality column at 100 TB); a global ``orderBy`` shuffles
+    the whole table. This is the classic selection-by-counting
+    alternative: each round computes one min/max/count aggregate and
+    one ``n_ranges``-bucket count histogram (both map-side combinable,
+    O(n_ranges) driver data, NO row shuffle), narrows to the one
+    bucket containing index ``k``, and recurses. The candidate range
+    shrinks ~n_ranges x per round, so doubles converge in <=6 rounds;
+    value plateaus short-circuit on lo == hi, and once the candidate
+    set fits ``collect_limit`` the exact element comes from a bounded
+    ``orderBy().limit()`` TakeOrdered (never a full sort).
+
+    Each round re-scans the (filtered) input — callers selecting many
+    quantiles should ``.persist()`` the frame (``exact_quantiles``
+    does). Returns None on an empty frame; raises on k out of range.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    sub = df.select(F.col(value_col).alias("__v"))
+    for _ in range(64):  # floats collapse in ~6 rounds; hard stop
+        lo, hi, cnt = sub.agg(
+            F.min("__v"), F.max("__v"), F.count("__v")
+        ).first()
+        if cnt == 0 or lo is None:
+            if k > 0:
+                raise ValueError(f"k={k} out of range (no non-null values)")
+            return None
+        if k >= cnt:
+            raise ValueError(f"k={k} out of range for {cnt} values")
+        if lo == hi:
+            return lo
+        if cnt <= collect_limit:
+            return sub.orderBy("__v").limit(k + 1).tail(1)[0]["__v"]
+        width = max((float(hi) - float(lo)) / n_ranges, 1e-300)
+        bucket = F.least(
+            F.lit(n_ranges - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("__v").cast("double") - F.lit(float(lo))) / F.lit(width)
+                ).cast("int"),
+            ),
+        )
+        counts = dict(
+            sub.groupBy(bucket.alias("__b")).count().collect()
+        )
+        running = 0
+        for b in range(n_ranges):
+            c = counts.get(b, 0)
+            if k < running + c:
+                sub = sub.filter(bucket == b)
+                k -= running
+                break
+            running += c
+        else:  # pragma: no cover - counts always sum to cnt
+            raise AssertionError("histogram counts lost rows")
+    raise AssertionError("selection did not converge")  # pragma: no cover
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    n_ranges: int = 1024,
+    collect_limit: int = 10_000,
+) -> DataFrame:
+    """EXACT quantiles of ``value_col`` at any table size: each
+    quantile q maps to the order statistic k = floor(q * (n-1))
+    (0-indexed; the lower-element convention, so the result is always
+    an ACTUAL element of the column — engine-portable, no
+    interpolation arithmetic to disagree over) and is selected by
+    ``kth_order_statistic``'s histogram refinement. Returns a
+    (q, value) frame.
+
+    The scale story versus the two built-ins: ``percentile`` (exact)
+    concentrates a value->count map in one executor; a global sort
+    shuffles everything. This touches only count histograms — the
+    data rows never move. The input is persisted for the shared
+    refinement scans and unpersisted once the scalars are out."""
+    nn = df.select(F.col(value_col).alias("__v")).filter(F.col("__v").isNotNull())
+    nn = nn.persist()
+    try:
+        n = nn.count()
+        out = []
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile {q} outside [0, 1]")
+            k = int(math.floor(q * (n - 1))) if n else 0
+            out.append(
+                (float(q), kth_order_statistic(
+                    nn, "__v", k, n_ranges=n_ranges, collect_limit=collect_limit
+                ))
+            )
+    finally:
+        nn.unpersist()
+    spark = df.sparkSession
+    vtype = dict(df.dtypes)[value_col]
+    return spark.createDataFrame(out, f"q double, value {vtype}")

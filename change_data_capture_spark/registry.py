@@ -1071,6 +1071,37 @@ def q_percentiles(spark, sf_dir):
 
 
 @_q(
+    "q_exact_quantiles",
+    """
+    WITH ord AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ), qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99))
+    SELECT CAST(q AS DOUBLE) AS q, v AS value
+    FROM qs JOIN ord ON ord.rn = CAST(floor(q * (ord.n - 1)) AS BIGINT)
+    """,
+)
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT quantiles by distributed histogram selection
+    (extensions/scale.kth_order_statistic): each quantile maps to the
+    floor(q*(n-1)) order statistic and is found by iterative
+    n_ranges-bucket count refinement — per round one min/max/count agg
+    + one histogram agg (both map-side combinable, O(buckets) driver
+    data), NO row shuffle and NO global sort, converging ~1024x per
+    round. The 100 TB answer to Spark's exact `percentile` aggregate
+    (whole value->count map in one executor) and to orderBy-based
+    selection (full-table shuffle); results are actual elements, so
+    the oracle is the engine-independent row_number order statistic,
+    bit-exact."""
+    from .extensions import scale as sc
+
+    orders = _t(spark, sf_dir, "orders")
+    return sc.exact_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.9, 0.99])
+
+
+@_q(
     "q_first_last_window",
     """
     SELECT o_custkey, o_orderkey,

