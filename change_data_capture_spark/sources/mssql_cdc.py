@@ -130,6 +130,11 @@ def mssql_cdc_raw_ops(
         op_type == "U", F.coalesce(F.col("__before_img"), F.col("__after_img"))
     ).when(op_type == "D", F.col("__before_img"))
     after = F.when(op_type.isin("I", "U"), F.col("__after_img"))
+    # a 3-row whose 4-row never arrived (torn export) must not become
+    # an UPDATE with no post image — drop it rather than upsert nulls
+    paired = paired.filter(
+        ~((F.col("__kind") == 3) & F.col("__after_img").isNull())
+    )
 
     if version_expr is not None:
         version = version_expr

@@ -236,10 +236,14 @@ def wal2json_v1_raw_ops(
             lsn_version(F.col("__m.nextlsn")), _ts_micros(F.col("__m.timestamp"))
         )
     )
-    # micro-step the intra-transaction change order into the version's
-    # low bits so normalize's last-writer-wins is deterministic inside
-    # one commit; 2^20 changes per txn before wrap (documented bound)
-    version = txn_version * F.lit(1048576).cast("bigint") + F.col("__pos")
+    # micro-step the intra-transaction change order ADDITIVELY so
+    # normalize's last-writer-wins is deterministic inside one commit.
+    # Addition (not bit-packing) keeps the version in the LSN domain
+    # with no overflow for the WAL's whole 64-bit life, and can never
+    # collide across transactions: every change writes >= ~24 bytes of
+    # WAL, so the change count of a transaction is always smaller than
+    # the LSN gap to the next transaction's nextlsn.
+    version = txn_version + F.col("__pos")
     keys, schemas = _keys_and_schemas(table_id, table_keys, rows_schemas)
     return (
         flat.select(

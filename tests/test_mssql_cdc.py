@@ -56,6 +56,14 @@ def test_update_without_before_row_degrades_to_after_image(spark):
     assert r["before"] == r["after"] == {"id": "1", "amount": "55.0"}
 
 
+def test_orphan_before_row_is_dropped_not_upserted(spark):
+    # a 3-row whose 4-row never arrived (torn export) must not become
+    # an UPDATE carrying no post image
+    ch = _changes(spark, [("0A", "01", 3, 1, 10.0), ("0A", "02", 2, 2, 20.0)])
+    out = ms.mssql_cdc_raw_ops(ch, "dbo.orders", ["id"]).collect()
+    assert [r["op_type"] for r in out] == ["I"]
+
+
 def test_binary_lsn_canonicalizes_to_hex_order(spark):
     ch = spark.createDataFrame(
         [(bytes([0, 0, 0, 0, 0, 0, 0, 0, 0, n]), b"\x00\x01", 2, None, n, 1.0)

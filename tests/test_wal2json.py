@@ -80,7 +80,10 @@ def test_wal2json_v1_txn_decode_microsteps_order(spark):
     out = wj.wal2json_v1_raw_ops(spark.createDataFrame(msgs, "message string"), KEYS)
     rows = sorted(out.collect(), key=lambda r: r["change_tracking_version"])
     assert [r["op_type"] for r in rows] == ["I", "U", "D"]
-    base = 0x20 * 1048576
+    # intra-txn order rides ADDITIVELY on the LSN (change count is
+    # always below the WAL-byte gap to the next txn, and addition
+    # never overflows late-life LSNs the way bit-packing would)
+    base = 0x20
     assert [r["change_tracking_version"] for r in rows] == [base, base + 1, base + 2]
     assert rows[1]["after"] == {"id": "1", "amount": "3.5"}
     assert rows[2]["before"] == {"id": "9"}
