@@ -784,3 +784,150 @@ def exact_quantiles(
     spark = df.sparkSession
     vtype = dict(df.dtypes)[value_col]
     return spark.createDataFrame(out, f"q double, value {vtype}")
+
+
+def exact_quantiles_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    *,
+    n_ranges: int = 256,
+    collect_limit: int = 10_000,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Per-group EXACT quantiles with every group refined
+    SIMULTANEOUSLY — the grouped form of ``exact_quantiles``.
+
+    Each (group, q) pair is a SELECTOR carrying driver-side state
+    (current candidate range [lo, lo + n_ranges*width), remaining
+    index k). One round = one equi-join of the rows onto the
+    selector table by group key (a row fans out only to its own
+    group's unresolved selectors — at most len(qs) copies) + ONE
+    (selector, bucket) count aggregate for ALL groups together; the
+    driver then narrows every selector's range at once. Selectors
+    resolve on value plateaus (lo == hi) or via a bounded per-selector
+    TakeOrdered once their candidate count fits ``collect_limit``.
+
+    Scale contract: driver state and the selector table are
+    O(#groups * len(qs)) — groups must be metadata-sized (sources,
+    languages, shards...; same discipline as the profile/maintenance
+    ops). For unbounded group domains use a percent_rank window
+    instead (one shuffle, `corpus_percentile_filter` shape). Rounds
+    are O(log_{n_ranges} spread) — doubles resolve in <= ~6. The
+    input is persisted across rounds and unpersisted at the end.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    gcols = list(group_cols)
+    rows = df.select(
+        *[F.col(g) for g in gcols], F.col(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull()).persist()
+    try:
+        spark = df.sparkSession
+        base = {
+            tuple(r[g] for g in gcols): (r["__lo"], r["__hi"], r["__n"])
+            for r in rows.groupBy(*gcols)
+            .agg(
+                F.min("__v").alias("__lo"),
+                F.max("__v").alias("__hi"),
+                F.count("__v").alias("__n"),
+            )
+            .collect()
+        }
+        # selector state: sid -> [group_key, q, k, lo, hi, resolved_value]
+        sels: dict[int, list] = {}
+        sid = 0
+        for gkey, (lo, hi, n) in base.items():
+            for q in qs:
+                k = int(math.floor(q * (n - 1)))
+                sels[sid] = [gkey, q, k, lo, hi, lo if lo == hi else None]
+                sid += 1
+
+        def unresolved():
+            return {s: st for s, st in sels.items() if st[5] is None}
+
+        sel_schema = ", ".join(
+            [f"`__g{i}` {dict(df.dtypes)[g]}" for i, g in enumerate(gcols)]
+            + ["__sid int", "__lo double", "__w double"]
+        )
+        for _ in range(max_rounds):
+            live = unresolved()
+            if not live:
+                break
+            sel_rows = []
+            for s, (gkey, _q, _k, lo, hi, _) in live.items():
+                w = max((float(hi) - float(lo)) / n_ranges, 1e-300)
+                sel_rows.append((*gkey, s, float(lo), w))
+            sel_df = spark.createDataFrame(sel_rows, sel_schema)
+            joined = rows.join(
+                sel_df,
+                [F.col(g) == F.col(f"__g{i}") for i, g in enumerate(gcols)],
+            )
+            # clamp the VALUE into the selector's range before the
+            # divide: rows far above a narrowed range would otherwise
+            # produce huge (ANSI int-overflowing, even inf) ordinals —
+            # they belong in the last bucket regardless
+            v_clamped = F.least(
+                F.col("__v").cast("double"),
+                F.col("__lo") + F.lit(float(n_ranges)) * F.col("__w"),
+            )
+            bucket = F.least(
+                F.lit(n_ranges - 1).cast("bigint"),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.floor((v_clamped - F.col("__lo")) / F.col("__w")),
+                ),
+            ).cast("int")
+            # a selector's range only ever NARROWS, so rows outside it
+            # were already excluded from k in an earlier round
+            in_range = F.col("__v").cast("double") >= F.col("__lo")
+            counts: dict[tuple[int, int], int] = {
+                (r["__sid"], r["__b"]): r["count"]
+                for r in joined.filter(in_range)
+                .groupBy(F.col("__sid"), bucket.alias("__b"))
+                .count()
+                .collect()
+            }
+            for s, st in live.items():
+                gkey, q, k, lo, hi, _ = st
+                w = max((float(hi) - float(lo)) / n_ranges, 1e-300)
+                running = 0
+                for b in range(n_ranges):
+                    c = counts.get((s, b), 0)
+                    if k < running + c:
+                        st[2] = k - running
+                        st[3] = float(lo) + b * w
+                        st[4] = min(float(hi), float(lo) + (b + 1) * w)
+                        if c <= collect_limit:
+                            # bounded finish: exact candidates of this
+                            # one bucket, TakeOrdered k+1
+                            cond = (bucket == b) & in_range & (
+                                F.col("__sid") == s
+                            )
+                            vals = (
+                                joined.filter(cond)
+                                .orderBy("__v")
+                                .limit(st[2] + 1)
+                                .tail(1)
+                            )
+                            st[5] = vals[0]["__v"]
+                        elif st[3] == st[4] or w <= 1e-299:
+                            st[5] = st[3]
+                        break
+                    running += c
+                else:  # pragma: no cover
+                    raise AssertionError("selector counts lost rows")
+        still = unresolved()
+        if still:  # pragma: no cover
+            raise AssertionError(f"{len(still)} selectors did not converge")
+        out_rows = [(*st[0], st[1], st[5]) for st in sels.values()]
+        vtype = dict(df.dtypes)[value_col]
+        out_schema = ", ".join(
+            [f"`{g}` {dict(df.dtypes)[g]}" for g in gcols]
+            + ["q double", f"value {vtype}"]
+        )
+        return spark.createDataFrame(out_rows, out_schema)
+    finally:
+        rows.unpersist()

@@ -1102,6 +1102,43 @@ def q_exact_quantiles(spark, sf_dir):
 
 
 @_q(
+    "q_exact_quantiles_by_group",
+    """
+    WITH ord AS (
+      SELECT o_orderstatus, o_totalprice AS v,
+             row_number() OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice
+             ) - 1 AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    ), qs(q) AS (VALUES (0.25), (0.5), (0.9))
+    SELECT o_orderstatus, CAST(q AS DOUBLE) AS q, v AS value
+    FROM qs JOIN ord ON ord.rn = CAST(floor(q * (ord.n - 1)) AS BIGINT)
+    """,
+)
+def q_exact_quantiles_by_group(spark, sf_dir):
+    """Per-group EXACT quantiles with ALL groups refined together
+    (extensions/scale.exact_quantiles_by_group): one selector row per
+    (group, q) carries its candidate range; each round is ONE equi-join
+    of the rows onto the tiny selector table plus ONE
+    (selector, bucket) count aggregate for every group at once — no
+    per-group jobs, no row shuffle, no global sort. Versus Spark's
+    exact ``percentile`` grouped aggregate (whole per-group value map
+    in one task — the skewed-group OOM at 100 TB) this moves only
+    O(selectors x buckets) counts to the driver; group count must be
+    metadata-sized (statuses, languages, shards). Results are actual
+    column elements (k = floor(q*(n-1))), so the oracle is the
+    engine-independent partitioned row_number order statistic,
+    bit-exact."""
+    from .extensions import scale as sc
+
+    orders = _t(spark, sf_dir, "orders")
+    return sc.exact_quantiles_by_group(
+        orders, ["o_orderstatus"], "o_totalprice", [0.25, 0.5, 0.9]
+    )
+
+
+@_q(
     "q_first_last_window",
     """
     SELECT o_custkey, o_orderkey,

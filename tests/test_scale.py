@@ -382,3 +382,58 @@ class TestExactQuantiles:
         import math
         vals = sorted([(i % 977) for i in range(200_000)])
         assert got == float(vals[100_000])
+
+
+class TestExactQuantilesByGroup:
+    def test_all_groups_match_sorted_oracle(self, spark):
+        """Skewed group sizes + a plateau group + a constant group,
+        tiny buckets/collect_limit to force several refinement rounds;
+        every (group, q) must equal the per-group sorted order
+        statistic floor(q*(n-1))."""
+        import math, random
+
+        rng = random.Random(11)
+        data = []
+        groups = {
+            "big": [rng.uniform(-1000, 1000) for _ in range(3000)],
+            "plateau": [rng.uniform(0, 10) for _ in range(400)] + [5.0] * 800,
+            "tiny": [3.0, 1.0, 2.0],
+            "const": [7.0] * 50,
+        }
+        for g, vals in groups.items():
+            data += [(g, v) for v in vals]
+        rng.shuffle(data)
+        df = spark.createDataFrame(data, "g string, x double")
+        qs = [0.0, 0.25, 0.5, 0.99, 1.0]
+        out = scale.exact_quantiles_by_group(
+            df, ["g"], "x", qs, n_ranges=8, collect_limit=40
+        )
+        got = {(r["g"], r["q"]): r["value"] for r in out.collect()}
+        assert len(got) == len(groups) * len(qs)
+        for g, vals in groups.items():
+            sv = sorted(vals)
+            for q in qs:
+                want = sv[int(math.floor(q * (len(vals) - 1)))]
+                assert got[(g, q)] == want, (g, q)
+
+    def test_nulls_excluded_typed_result_multi_key(self, spark):
+        """Two-column group key, bigint values, null values excluded
+        from the count (a group of only nulls disappears)."""
+        rows = (
+            [("a", 1, i) for i in range(1, 11)]
+            + [("a", 1, None)] * 3
+            + [("a", 2, 100)]
+            + [("b", 1, None)] * 2
+        )
+        df = spark.createDataFrame(rows, "k1 string, k2 int, x bigint")
+        out = scale.exact_quantiles_by_group(df, ["k1", "k2"], "x", [0.5])
+        assert dict(out.dtypes)["value"] == "bigint"
+        got = {(r["k1"], r["k2"]): r["value"] for r in out.collect()}
+        assert got == {("a", 1): 5, ("a", 2): 100}
+
+    def test_rejects_bad_quantile(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(ValueError):
+            scale.exact_quantiles_by_group(df, ["g"], "x", [1.5])
