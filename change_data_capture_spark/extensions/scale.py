@@ -786,6 +786,18 @@ def exact_quantiles(
     return spark.createDataFrame(out, f"q double, value {vtype}")
 
 
+def _selector_join(rows: DataFrame, sel_df: DataFrame, gcols: Sequence[str]) -> DataFrame:
+    """Fan the data rows onto their group's live selectors. The
+    selector table is driver-bounded metadata (O(#groups x #quantiles)
+    rows) — broadcast it so the data rows NEVER shuffle; a sort-merge
+    join here would move the whole input once per refinement round.
+    Plan guard: tests/test_plans.py asserts BroadcastHashJoin."""
+    return rows.join(
+        F.broadcast(sel_df),
+        [F.col(g) == F.col(f"__g{i}") for i, g in enumerate(gcols)],
+    )
+
+
 def exact_quantiles_by_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -861,10 +873,7 @@ def exact_quantiles_by_group(
                 w = max((float(hi) - float(lo)) / n_ranges, 1e-300)
                 sel_rows.append((*gkey, s, float(lo), w))
             sel_df = spark.createDataFrame(sel_rows, sel_schema)
-            joined = rows.join(
-                sel_df,
-                [F.col(g) == F.col(f"__g{i}") for i, g in enumerate(gcols)],
-            )
+            joined = _selector_join(rows, sel_df, gcols)
             # clamp the VALUE into the selector's range before the
             # divide: rows far above a narrowed range would otherwise
             # produce huge (ANSI int-overflowing, even inf) ordinals —
@@ -931,3 +940,61 @@ def exact_quantiles_by_group(
         return spark.createDataFrame(out_rows, out_schema)
     finally:
         rows.unpersist()
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    k: int = 3,
+    n_ranges: int = 256,
+    collect_limit: int = 10_000,
+) -> DataFrame:
+    """Per-group ROBUST outlier summary by exact median + MAD (median
+    absolute deviation): returns (group..., median, mad, n,
+    n_outliers) where n_outliers counts rows with
+    |value - median| > k * MAD. Mean/stddev z-scores move with the
+    outliers they hunt; the median/MAD pair is the standard robust
+    alternative (corpus hygiene: flagging length-freak documents per
+    language before training).
+
+    Both medians come from ``exact_quantiles_by_group`` — all groups
+    refined simultaneously, counts-only driver traffic, data rows
+    never shuffled (the two medians-frame joins broadcast the
+    metadata-sized side). With an integer ``value_col`` and integer
+    ``k`` every derived quantity (deviation, k*MAD, the comparison)
+    stays in exact integer arithmetic, so the DuckDB oracle hashes
+    bit-exact; doubles are IEEE-identical too (subtract/multiply/
+    compare only — no accumulation order)."""
+    gcols = list(group_cols)
+    med = exact_quantiles_by_group(
+        df, gcols, value_col, [0.5],
+        n_ranges=n_ranges, collect_limit=collect_limit,
+    ).select(*gcols, F.col("value").alias("__med"))
+    dev = (
+        df.join(F.broadcast(med), on=gcols)
+        .select(
+            *gcols,
+            F.col(value_col).alias("__x"),
+            F.col("__med"),
+            F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+        )
+        .filter(F.col("__x").isNotNull())
+    )
+    mad = exact_quantiles_by_group(
+        dev, gcols, "__dev", [0.5],
+        n_ranges=n_ranges, collect_limit=collect_limit,
+    ).select(*gcols, F.col("value").alias("__mad"))
+    return (
+        dev.join(F.broadcast(mad), on=gcols)
+        .groupBy(*gcols)
+        .agg(
+            F.max("__med").alias("median"),
+            F.max("__mad").alias("mad"),
+            F.count("__x").alias("n"),
+            F.count_if(F.col("__dev") > F.lit(k) * F.col("__mad")).alias(
+                "n_outliers"
+            ),
+        )
+    )

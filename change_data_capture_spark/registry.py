@@ -1139,6 +1139,57 @@ def q_exact_quantiles_by_group(spark, sf_dir):
 
 
 @_q(
+    "text_length_mad_outliers",
+    """
+    WITH base AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x
+      FROM documents WHERE n_chars IS NOT NULL
+    ), med AS (
+      SELECT lang, x AS med FROM (
+        SELECT lang, x,
+               row_number() OVER (PARTITION BY lang ORDER BY x) - 1 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM base)
+      WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+    ), dev AS (
+      SELECT base.lang, base.x, med.med, abs(base.x - med.med) AS dv
+      FROM base JOIN med USING (lang)
+    ), mad AS (
+      SELECT lang, dv AS mad FROM (
+        SELECT lang, dv,
+               row_number() OVER (PARTITION BY lang ORDER BY dv) - 1 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM dev)
+      WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+    )
+    SELECT dev.lang, max(dev.med) AS median, max(mad.mad) AS mad,
+           count(*) AS n,
+           count(*) FILTER (WHERE dev.dv > 3 * mad.mad) AS n_outliers
+    FROM dev JOIN mad USING (lang)
+    GROUP BY dev.lang
+    """,
+)
+def text_length_mad_outliers(spark, sf_dir):
+    """Per-language robust length-outlier summary
+    (extensions/scale.mad_outliers): exact median + MAD via the
+    simultaneous grouped-quantile refinement, then one aggregate
+    counting docs with |len - median| > 3*MAD — the corpus-hygiene
+    screen for length freaks (truncated crawls, concatenation
+    accidents) that mean/stddev z-scores miss because extreme
+    outliers drag the mean toward themselves. Entirely integer
+    arithmetic (BIGINT lengths, integer k), so the nested-median
+    oracle hashes bit-exact; data rows never shuffle — the medians
+    frames broadcast and the histogram rounds move counts only."""
+    from .extensions import scale as sc
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("n_chars").isNotNull()).select(
+        "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    return sc.mad_outliers(base, ["lang"], "x")
+
+
+@_q(
     "q_first_last_window",
     """
     SELECT o_custkey, o_orderkey,

@@ -349,3 +349,30 @@ def test_bm25_topk_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("explode(split(") == 1
     assert "Filter token" in plan and "IN (hash,join,stream,vector)" in plan
+
+
+def test_grouped_quantile_selector_join_broadcasts(spark):
+    """exact_quantiles_by_group's per-round fan-out must broadcast the
+    driver-bounded selector table — a sort-merge join would shuffle the
+    ENTIRE input once per refinement round."""
+    import pyspark.sql.functions as F
+    from change_data_capture_spark.extensions import scale
+
+    rows = (
+        spark.range(0, 10_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("double").alias("__v"),
+        )
+    )
+    sel = spark.createDataFrame(
+        [("0", 0, 0.0, 1.0), ("1", 1, 0.0, 1.0)],
+        "`__g0` string, __sid int, __lo double, __w double",
+    )
+    plan = (
+        scale._selector_join(rows, sel, ["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

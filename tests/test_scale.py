@@ -437,3 +437,33 @@ class TestExactQuantilesByGroup:
         df = spark.createDataFrame([("a", 1.0)], "g string, x double")
         with pytest.raises(ValueError):
             scale.exact_quantiles_by_group(df, ["g"], "x", [1.5])
+
+
+class TestMadOutliers:
+    def test_known_outliers_and_zero_mad_group(self, spark):
+        """Group 'a': symmetric bulk around 100 plus two far points ->
+        median/MAD from sorted lists, outliers = |x-med| > 3*MAD.
+        Group 'b': constant values (MAD=0) -> every deviating row is an
+        outlier, the rest are not."""
+        import statistics
+
+        a_vals = list(range(90, 111)) + [1000, -500]  # 23 values
+        b_vals = [7] * 10 + [8, 9]
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, x long")
+        got = {
+            r["g"]: (r["median"], r["mad"], r["n"], r["n_outliers"])
+            for r in scale.mad_outliers(df, ["g"], "x").collect()
+        }
+
+        def lower_median(vs):
+            sv = sorted(vs)
+            return sv[(len(sv) - 1) // 2]
+
+        for g, vals in (("a", a_vals), ("b", b_vals)):
+            med = lower_median(vals)
+            mad = lower_median([abs(v - med) for v in vals])
+            out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+            assert got[g] == (med, mad, len(vals), out), g
+        assert got["b"][1] == 0  # constant bulk -> MAD 0
+        assert got["b"][3] == 2  # the two deviants flagged
