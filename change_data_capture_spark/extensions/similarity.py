@@ -643,10 +643,25 @@ def embedding_near_duplicates(
     equi-join plan."""
     a = spread(vectors).select(F.col(id_col).alias("a_id"), as_double_vec(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("b_id"), as_double_vec(F.col(vec_col)).alias("vb"))
+    # Norms hoisted to one per SIDE row (see cosine()/dot()): a fused
+    # 3-dot unrolled cosine inside the join consume overflows the JVM
+    # 64 KB method limit and silently drops the whole pair-scoring
+    # stage to interpreted execution. The norms use the HOF fold form
+    # (dim=None) on purpose: BroadcastNestedLoopJoin inlines the
+    # streamed side's projection into the same processNext() as the
+    # pair scoring, so an unrolled norm + unrolled dot still overflows
+    # — the fold is a small CodegenFallback island per ROW while the
+    # O(N^2) per-PAIR dot stays unrolled and compiled. Same fold
+    # order, so values are bit-identical to the fused form.
+    a = a.withColumn("na", norm(F.col("va"), None))
+    b = b.withColumn("nb", norm(F.col("vb"), None))
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb"), dim))
+        .withColumn(
+            "score",
+            dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("score") >= threshold)
         .select("a_id", "b_id", F.round("score", 6).alias("score"))
     )
@@ -709,17 +724,23 @@ def embedding_near_duplicates_bucketed(
     spark = vectors.sparkSession
     cand = spark.createDataFrame(survivors or [(-1, -1)], "list_a long, list_b long")
 
+    # norms hoisted per side, HOF-fold form — see
+    # embedding_near_duplicates (codegen 64 KB method limit: per-row
+    # fold islands, per-pair dot stays unrolled); bit-identical values
     a = assigned.select(
         F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("list_id").alias("list_a")
-    )
+    ).withColumn("na", norm(F.col("va"), None))
     b = assigned.select(
         F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("list_id").alias("list_b")
-    )
+    ).withColumn("nb", norm(F.col("vb"), None))
     return (
         a.join(F.broadcast(cand), "list_a")
         .join(b, "list_b")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb"), dim))
+        .withColumn(
+            "score",
+            dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("score") >= threshold)
         .select("a_id", "b_id", F.round("score", 6).alias("score"))
     )
@@ -1015,18 +1036,24 @@ def embedding_decontaminate(
     spark = train.sparkSession
     cand = spark.createDataFrame(survivors or [(-1, -1)], "list_t long, list_b long")
 
+    # norms hoisted per side, HOF-fold form — see
+    # embedding_near_duplicates (codegen 64 KB method limit: per-row
+    # fold islands, per-pair dot stays unrolled); bit-identical values
     lt = ta.select(
         F.col("id").alias("train_id"), F.col("v").alias("vt"),
         F.col("list_id").alias("list_t"),
-    )
+    ).withColumn("nt", norm(F.col("vt"), None))
     lb_ = ba.select(
         F.col("id").alias("bench_id"), F.col("v").alias("vb"),
         F.col("list_id").alias("list_b"),
-    )
+    ).withColumn("nb", norm(F.col("vb"), None))
     out = (
         lt.join(F.broadcast(cand), "list_t")
         .join(lb_, "list_b")
-        .withColumn("score", cosine(F.col("vt"), F.col("vb"), dim))
+        .withColumn(
+            "score",
+            dot(F.col("vt"), F.col("vb"), dim) / (F.col("nt") * F.col("nb")),
+        )
         .filter(F.col("score") >= threshold)
         .select("train_id", "bench_id", F.round("score", 6).alias("score"))
     )
