@@ -544,6 +544,58 @@ def lm_fluency(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail corpus partition (Wenzek et al. 2020
+    §4.3, public): split the corpus into equal-mass thirds by LM
+    score, so downstream training can keep the 'head' (most fluent
+    third), sample the 'middle', and drop the 'tail' — the standard
+    perplexity-bucketing step between LM scoring and corpus selection.
+
+    The score is this engine's integer-exact ``lm_fluency`` (higher =
+    better-supported transitions, so 'head' is the TOP third — CCNet's
+    lowest-perplexity third). The two cut points are EXACT order
+    statistics of the score (k = floor(q*(n-1)), the lower-element
+    convention shared with ``scale.exact_quantiles``), found by the
+    histogram-refinement selector: per round one min/max/count + one
+    bucket-count aggregate over the cached score frame — no global
+    sort, no row shuffle, O(buckets) driver state. Bucket assignment
+    is then a narrow map against two literal thresholds:
+    ``fluency <= t1`` -> tail, ``<= t2`` -> middle, else head; docs
+    with no bigram at all can't be scored and land in 'unscored'.
+
+    At 100 TB the score frame is one row per doc (already reduced);
+    selecting 2 order statistics over it touches only count
+    histograms, and the assignment adds zero shuffles on top of the
+    fluency computation itself."""
+    from . import scale as sc
+
+    flu = lm_fluency(docs, id_col=id_col, text_col=text_col)
+    # The quantile refinement re-scans its input a few times;
+    # exact_quantiles persists its own projected copy, so the bigram
+    # joins behind `flu` run once to fill that cache, not per round.
+    t = sc.exact_quantiles(flu.filter(F.col("n_bigrams") > 0), "fluency", list(cuts))
+    by_q = {float(r["q"]): r["value"] for r in t.collect()}
+    t1, t2 = by_q[float(cuts[0])], by_q[float(cuts[1])]
+    bucket = (
+        F.when(F.col("n_bigrams") == 0, F.lit("unscored"))
+        .when(F.col("fluency") <= F.lit(t1), F.lit("tail"))
+        .when(F.col("fluency") <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return flu.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("fluency"),
+        bucket.alias("ppl_bucket"),
+    )
+
+
 def rarity_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Corpus-relative rarity/commonness proxy (the CCNet-style signal
     for keeping rare, information-dense documents): per doc, the mean

@@ -5026,6 +5026,54 @@ def text_lm_fluency(spark, sf_dir):
 
 
 @_q(
+    "text_perplexity_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i FROM t),
+    bg AS (SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+           FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1),
+    d AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY 1, 2, 3),
+    pc AS (SELECT w1, w2, SUM(m) AS c2 FROM d GROUP BY 1, 2),
+    cc AS (SELECT w1, SUM(m) AS c1 FROM d GROUP BY 1),
+    per AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(m * c2) AS DOUBLE) / SUM(m * c1), 6) AS fluency
+            FROM d JOIN pc USING (w1, w2) JOIN cc USING (w1) GROUP BY doc_id),
+    flu AS (SELECT documents.doc_id,
+                   CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   per.fluency
+            FROM documents LEFT JOIN per USING (doc_id)),
+    ord AS (SELECT fluency AS v,
+                   row_number() OVER (ORDER BY fluency) - 1 AS rn,
+                   count(*) OVER () AS n
+            FROM flu WHERE n_bigrams > 0),
+    cut AS (SELECT
+              max(CASE WHEN rn = CAST(floor((CAST(1 AS DOUBLE)/3) * (n-1)) AS BIGINT)
+                       THEN v END) AS t1,
+              max(CASE WHEN rn = CAST(floor((CAST(2 AS DOUBLE)/3) * (n-1)) AS BIGINT)
+                       THEN v END) AS t2
+            FROM ord)
+    SELECT flu.doc_id, flu.n_bigrams, flu.fluency,
+           CASE WHEN flu.n_bigrams = 0 THEN 'unscored'
+                WHEN flu.fluency <= cut.t1 THEN 'tail'
+                WHEN flu.fluency <= cut.t2 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM flu, cut
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing
+    (extensions/text.perplexity_buckets): per-doc integer-exact LM
+    fluency, EXACT tertile cut points via the histogram-refinement
+    order-statistic selector (k = floor(q*(n-1)) — actual elements, no
+    interpolation, no global sort), then a zero-extra-shuffle narrow
+    bucket assignment. The corpus-selection step between LM scoring
+    and sampling (Wenzek et al. 2020)."""
+    return text.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_hashed_ngram_score",
     r"""
     WITH t AS (
@@ -5712,6 +5760,62 @@ def cdc_canal_apply(spark, sf_dir):
     cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_canal_"))
     apply_changelog(spark, normalize_raw_ops(raw), cat)
     return cat.read(spark, "tpch.customer")
+
+
+@_q(
+    "cdc_mongodb_apply",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_mongodb_apply(spark, sf_dir):
+    """Debezium-MongoDB (document-store change stream) feed decoded,
+    normalized, and MERGEd end-to-end (sources/mongodb.py): the
+    seventh wire format over the one shared engine, and the one whose
+    images arrive as JSON STRINGS (documents are schemaless) with
+    partial updates carrying only updateDescription. Snapshot c's and
+    key-only d's flow through the raw-op -> normalize -> apply path;
+    the post-image-less update stream ($set bal+100 on %7=3, $unset
+    mktsegment on %13=0) merges column-wise via
+    normalize.patch_updates — $unset landing as an EXPLICIT NULL.
+    Oracle recomputes both legs as per-column CASE logic."""
+    from .normalize import patch_updates
+    from .sources import mongodb as mg
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    keys = {"appdb.customer": "c_custkey"}
+    full = F.struct(*[F.col(c) for c in cust.columns])
+    snap = mg.encode_mongodb_json(
+        cust, table="appdb.customer", op="c", after=full, doc_id=k,
+        ts_ms=1, ord_=(k % 1000).cast("int"),
+    )
+    dele = mg.encode_mongodb_json(
+        cust.filter(k % 7 == 5), table="appdb.customer", op="d", doc_id=k,
+        ts_ms=2, ord_=(k % 1000).cast("int"),
+    )
+    raw = mg.mongodb_raw_ops(
+        snap.unionByName(dele), keys,
+        rows_schemas={"appdb.customer": cust.schema.json()},
+    )
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_mongo_"))
+    apply_changelog(spark, normalize_raw_ops(raw), cat)
+    part1 = mg.encode_mongodb_json(
+        cust.filter(k % 7 == 3), table="appdb.customer", op="u",
+        updated_fields=F.struct((F.col("c_acctbal") + 100.0).alias("c_acctbal")),
+        doc_id=k, ts_ms=3,
+    )
+    part2 = mg.encode_mongodb_json(
+        cust.filter(k % 13 == 0), table="appdb.customer", op="u",
+        removed_fields=F.array(F.lit("c_mktsegment")), doc_id=k, ts_ms=4,
+    )
+    patches = mg.mongodb_patch_ops(part1.unionByName(part2), keys).select(
+        F.col("id").cast("long").alias("c_custkey"), "version", "patch"
+    )
+    return patch_updates(cat.read(spark, "appdb.customer"), patches, ["c_custkey"])
 
 
 @_q(
@@ -8233,12 +8337,22 @@ DRIVER_WINDOW: list[str] = [
     # update-image pairing, dense LSN versions), never driver-checked.
     # --- CDC core: scan pushdown, normalize, apply, streaming,
     #     table management (27)
+    # Eighth r4 swap: cdc_ct_scan_normalize (green r01+r03; the scan
+    # family keeps p_ct_change_scan and T1's ResultSet->DMLRecord rule
+    # stays pinned by tests/test_sources.py) and cdc_apply_mutations
+    # (green r01-r03; the apply family keeps stream/multi_table/
+    # corpus_to_training plus every wire-format apply) retire for the
+    # two operators built post-third-review, neither with a driver
+    # row: cdc_mongodb_apply (the document-store wire format — JSON-
+    # string images, updateDescription partial updates merged via
+    # patch_updates) and text_perplexity_buckets (CCNet head/middle/
+    # tail bucketing on exact order-statistic cuts).
     "p_ct_change_scan",
     "cdc_patch_updates",
-    "cdc_ct_scan_normalize",
+    "cdc_mongodb_apply",
     "cdc_chunked_bootstrap",
     "cdc_mssql_cdc_apply",
-    "cdc_apply_mutations",
+    "text_perplexity_buckets",
     "cdc_corpus_to_training",
     "cdc_apply_stream",
     "cdc_apply_multi_table",

@@ -110,6 +110,45 @@ def test_lm_fluency_hand_computed(spark):
     assert d3["n_bigrams"] == 0 and d3["fluency"] is None
 
 
+def test_perplexity_buckets_tertiles(spark):
+    import math
+
+    # 6 scorable docs spanning a range of bigram support + 1 unscorable.
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b a b a b"),        # repeats the dominant bigram
+            ("d2", "a b c d"),
+            ("d3", "c d e f"),
+            ("d4", "e f a b"),
+            ("d5", "q r s t u"),          # unique transitions
+            ("d6", "a b e f c d"),
+            ("d7", "solo"),               # no bigrams -> unscored
+        ],
+        "doc_id string, text string",
+    )
+    flu = {
+        r["doc_id"]: r["fluency"]
+        for r in text.lm_fluency(docs).collect()
+        if r["n_bigrams"] > 0
+    }
+    vals = sorted(flu.values())
+    n = len(vals)
+    t1 = vals[math.floor((1.0 / 3.0) * (n - 1))]
+    t2 = vals[math.floor((2.0 / 3.0) * (n - 1))]
+    expected = {
+        d: ("tail" if v <= t1 else "middle" if v <= t2 else "head")
+        for d, v in flu.items()
+    }
+    expected["d7"] = "unscored"
+    out = {r["doc_id"]: r["ppl_bucket"] for r in text.perplexity_buckets(docs).collect()}
+    assert out == expected
+    # the cuts partition the scored docs into non-empty thirds
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert c["tail"] >= 1 and c["middle"] >= 1 and c["head"] >= 1
+
+
 def test_span_dedup_hand_computed(spark):
     # doc 1 and 2 share one exact 8-token span; doc 3 shares nothing.
     shared = "a b c d e f g h"
