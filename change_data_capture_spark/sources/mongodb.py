@@ -287,6 +287,43 @@ def mongodb_dead_letters(
     ).filter(F.col("reason").isNotNull())
 
 
+def table_changes_to_mongodb(
+    changes: DataFrame,
+    *,
+    table: str,
+    id_col: str,
+    ts_ms: Column | int = 0,
+) -> DataFrame:
+    """Outbound Debezium-MongoDB: render a change-data-feed frame
+    (``TableCatalog.table_changes`` output) as the connector's wire —
+    insert -> op c (after = full document JSON string),
+    update_postimage -> op u WITH after (the post-image capture-mode
+    shape, so consumers need no patch merge), delete -> op d (key
+    only, no body — exactly what change streams emit);
+    update_preimage rows render to nothing (Mongo has no before
+    image without pre-image capture). The message key carries the id
+    as text. One row per message; pure projection, no shuffle —
+    the renderer half that closes the inbound/outbound matrix for
+    the document-store format."""
+    row_cols = [c for c in changes.columns if c != "_change_type"]
+    full = F.struct(*[F.col(c) for c in row_cols])
+    doc_id = F.col(id_col)
+    ct = F.col("_change_type")
+    ins = encode_mongodb_json(
+        changes.filter(ct == "insert"), table=table, op="c",
+        after=full, doc_id=doc_id, ts_ms=ts_ms,
+    )
+    upd = encode_mongodb_json(
+        changes.filter(ct == "update_postimage"), table=table, op="u",
+        after=full, doc_id=doc_id, ts_ms=ts_ms,
+    )
+    dele = encode_mongodb_json(
+        changes.filter(ct == "delete"), table=table, op="d",
+        doc_id=doc_id, ts_ms=ts_ms,
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
 def encode_mongodb_json(
     rows: DataFrame,
     *,

@@ -109,6 +109,43 @@ def test_mongodb_dead_letters(spark):
     ]
 
 
+def test_mongodb_outbound_roundtrip(spark, tmp_path):
+    """Render a change feed as outbound Debezium-MongoDB messages,
+    decode them through the inbound path, apply onto a replica seeded
+    at the old version — replica converges to the source (the same
+    symmetry proof as the other six formats' outbound renderers)."""
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    base = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(1, 10)], "_id long, bal double"
+    )
+    src = TableCatalog(str(tmp_path / "src"))
+    apply_changelog(spark, snapshot_changelog(base, "appdb.customers", ["_id"]), src)
+    upd = dml_records(
+        base.filter(F.col("_id") % 2 == 0), "appdb.customers", ["_id"], op="UPDATE",
+        version=2, value_overrides={"bal": F.col("bal") + 1},
+    )
+    dele = dml_records(
+        base.filter(F.col("_id") == 9), "appdb.customers", ["_id"], op="DELETE",
+        version=2, keys_only=True,
+    )
+    apply_changelog(spark, upd.unionByName(dele), src)
+    feed = src.table_changes(spark, "appdb.customers", 1, 2)
+    want = {r["_id"]: r["bal"] for r in src.read(spark, "appdb.customers").collect()}
+
+    replica = TableCatalog(str(tmp_path / "rep"))
+    apply_changelog(
+        spark, snapshot_changelog(base, "appdb.customers", ["_id"]), replica
+    )
+    msgs = mongodb.table_changes_to_mongodb(
+        feed, table="appdb.customers", id_col="_id", ts_ms=2
+    )
+    raw = mongodb.mongodb_raw_ops(msgs, KEYS)
+    apply_changelog(spark, normalize_raw_ops(raw), replica)
+    got = {r["_id"]: r["bal"] for r in replica.read(spark, "appdb.customers").collect()}
+    assert got == want
+
+
 def test_mongodb_end_to_end_apply_with_patches(spark, tmp_path):
     """Insert snapshot through the raw-op path, then merge a partial
     (updateDescription) stream via normalize.patch_updates: the

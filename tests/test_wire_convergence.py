@@ -13,6 +13,7 @@ from change_data_capture_spark.audit import checksum_diff, table_checksum
 from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
 from change_data_capture_spark.normalize import normalize_raw_ops
 from change_data_capture_spark.sources import canal, debezium, kafka
+from change_data_capture_spark.sources import mongodb as mg
 from change_data_capture_spark.sources import wal2json as wj
 from change_data_capture_spark.sources import wire_formats as wf
 
@@ -145,10 +146,24 @@ def test_all_wire_formats_converge_to_identical_checksums(spark, tmp_path):
             rows_schemas={T: schema_json},
         )
 
+    def mongo_feed():
+        mkeys = {T: "id"}
+        snap = mg.encode_mongodb_json(base, table=T, op="c", after=full,
+                                      doc_id=F.col("id"), ts_ms=1)
+        upd = mg.encode_mongodb_json(base.filter(upd_where), table=T, op="u",
+                                     after=upd_data, doc_id=F.col("id"), ts_ms=2)
+        # deletes carry NO body at all, keyed by the message key
+        dele = mg.encode_mongodb_json(base.filter(del_where), table=T, op="d",
+                                      doc_id=F.col("id"), ts_ms=3)
+        return mg.mongodb_raw_ops(
+            snap.unionByName(upd).unionByName(dele), mkeys,
+            rows_schemas={T: schema_json},
+        )
+
     for name, feed in (
         ("maxwell", mx_feed), ("dms", dms_feed),
         ("canal", canal_feed), ("debezium", dbz_feed),
-        ("wal2json", wal_feed),
+        ("wal2json", wal_feed), ("mongodb", mongo_feed),
     ):
         cat = TableCatalog(str(tmp_path / name))
         apply_changelog(spark, normalize_raw_ops(feed()), cat)

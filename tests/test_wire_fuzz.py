@@ -9,6 +9,7 @@ import random
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.sources import canal, debezium
+from change_data_capture_spark.sources import mongodb as mg
 from change_data_capture_spark.sources import wal2json as wj
 from change_data_capture_spark.sources import wire_formats as wf
 
@@ -80,6 +81,14 @@ def test_fuzz_roundtrip_all_formats(spark):
                 lsn="0/1",
             ),
             wj.wal2json_raw_ops,
+        ),
+        "mongodb": (
+            # double JSON encoding: the document rides the wire as a
+            # JSON STRING inside the envelope — escaping stress x2
+            lambda: mg.encode_mongodb_json(base, table=T, op="c",
+                                           after=full, doc_id=F.col("id"),
+                                           ts_ms=1),
+            lambda msgs, _keys: mg.mongodb_raw_ops(msgs, {T: "id"}),
         ),
     }
     for name, (enc, dec) in encoders.items():
