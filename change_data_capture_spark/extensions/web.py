@@ -454,6 +454,104 @@ def pagerank_full(
     return ranks.select("id", F.col("rank").alias("rank_ppt"))
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Kleinberg's HITS hubs-and-authorities (JACM 1999, public) — the
+    directory-page / content-page decomposition PageRank can't see: a
+    page that LINKS to many high-authority pages is a good hub (a
+    curated index), a page linked FROM many good hubs is a good
+    authority. The web-curation use beside ``pagerank``: keep
+    authorities as content, treat extreme hub-only pages as link farms
+    / boilerplate candidates.
+
+    Run in the UNNORMALIZED integer form: HITS's per-step
+    normalization is a positive scalar that never changes the RANKING
+    (only the display scale), so the loop stays in pure BIGINT —
+    hub_0 = 1 everywhere; each round
+    ``auth(p) = sum(hub(q) : q->p)`` then
+    ``hub(p) = sum(auth(r) : p->r)``. After k rounds the counts equal
+    the number of alternating paths into/out of each node — exact
+    integers the unrolled SQL oracle reproduces bit-for-bit, no float
+    drift, no normalization-order ambiguity. Display scores divide by
+    the corpus max at the END (two exact BIGINTs, one double
+    division) so thresholds see the conventional [0, 1] scale.
+
+    Overflow headroom: counts grow by ~(max in-degree x max
+    out-degree) per round; with the default 2 rounds BIGINT holds up
+    to degree products of ~3e4 per round (9e18 total). For deeper
+    runs or degree-skewed 100 TB graphs, cap degrees upstream
+    (``domain_cap``) or lower ``iters`` — documented knob, same
+    contract as ``pagerank``'s fixed-round integer arithmetic.
+
+    Scale: per round two hash-shuffled join+agg pairs keyed by src/dst
+    (the exact Pregel shape of ``pagerank``), lineage cut per round by
+    ``localCheckpoint``; nothing driver-side but the two final max
+    scalars (broadcast single-row join)."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("id", F.lit(1).cast("long").alias("hub"))
+    auth = nodes.select("id", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iters):
+        a = (
+            e.join(hub.withColumnRenamed("id", "__hid"), e.src == F.col("__hid"))
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth = nodes.join(a, nodes.id == a.dst, "left").select(
+            "id", F.coalesce("__a", F.lit(0)).cast("long").alias("auth")
+        )
+        h = (
+            e.join(auth.withColumnRenamed("id", "__aid"), e.dst == F.col("__aid"))
+            .groupBy("src")
+            .agg(F.sum("auth").alias("__h"))
+        )
+        hub = (
+            nodes.join(h, nodes.id == h.src, "left")
+            .select("id", F.coalesce("__h", F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint()
+        )
+    maxima = auth.join(hub, "id").agg(
+        F.max("auth").alias("__am"), F.max("hub").alias("__hm")
+    )
+    out = (
+        auth.join(hub, "id")
+        .crossJoin(F.broadcast(maxima))
+        .select(
+            "id",
+            F.col("auth").alias("auth_paths"),
+            F.col("hub").alias("hub_paths"),
+            F.when(
+                F.col("__am") > 0,
+                F.round(F.col("auth").cast("double") / F.col("__am"), 9),
+            ).alias("auth_score"),
+            F.when(
+                F.col("__hm") > 0,
+                F.round(F.col("hub").cast("double") / F.col("__hm"), 9),
+            ).alias("hub_score"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def blocklist_filter(
     docs: DataFrame,
     rules: DataFrame,

@@ -7617,6 +7617,67 @@ def web_pagerank(spark, sf_dir):
     return web.pagerank(edges, iters=3)
 
 
+def _hits_iter_sql(i: int) -> str:
+    """One unrolled integer-HITS round: authorities then hubs."""
+    return f"""
+    a{i}r AS (
+      SELECT e.dst AS id, SUM(h.hub) AS a
+      FROM e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst
+    ),
+    a{i} AS (
+      SELECT nodes.id, CAST(coalesce(a{i}r.a, 0) AS BIGINT) AS auth
+      FROM nodes LEFT JOIN a{i}r USING (id)
+    ),
+    h{i}r AS (
+      SELECT e.src AS id, SUM(a.auth) AS h
+      FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+    ),
+    h{i} AS (
+      SELECT nodes.id, CAST(coalesce(h{i}r.h, 0) AS BIGINT) AS hub
+      FROM nodes LEFT JOIN h{i}r USING (id)
+    )"""
+
+
+@_q(
+    "web_hits",
+    f"""
+    WITH {_PAGERANK_EDGES_SQL.strip()},
+    h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM nodes),{_hits_iter_sql(1)},{_hits_iter_sql(2)},
+    mx AS (SELECT MAX(auth) AS am, MAX(hub) AS hm FROM a2 JOIN h2 USING (id))
+    SELECT a2.id, a2.auth AS auth_paths, h2.hub AS hub_paths,
+           CASE WHEN mx.am > 0
+                THEN round(CAST(a2.auth AS DOUBLE) / mx.am, 9) END AS auth_score,
+           CASE WHEN mx.hm > 0
+                THEN round(CAST(h2.hub AS DOUBLE) / mx.hm, 9) END AS hub_score
+    FROM a2 JOIN h2 USING (id) CROSS JOIN mx
+    """,
+)
+def web_hits(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities (extensions/web.hits) over the
+    same synthetic link graph as ``web_pagerank`` — the hub/authority
+    decomposition that separates curated index pages from content
+    pages (link-farm signal in web curation). UNNORMALIZED integer
+    form: per-step normalization never changes the ranking, so the
+    loop is pure-BIGINT alternating path counts the unrolled oracle
+    reproduces bit-for-bit; [0,1] display scores divide by the corpus
+    max once at the end (two exact BIGINTs, one double division)."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 97).alias("dst"))
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 31 + 7) % 89).alias("dst"),
+            )
+        )
+        .unionByName(
+            docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return web.hits(edges, iters=2)
+
+
 @_q(
     "web_pagerank_full",
     f"""

@@ -301,6 +301,34 @@ def test_pagerank_full_redistributes_dangling_mass(spark):
     assert sum(leaky.values()) < sum(got.values())
 
 
+def test_hits_hand_computed_two_rounds(spark):
+    # A(1)->B(2), A->C(3), B->C, C->A; hub_0 = 1 everywhere.
+    # round 1: auth = in-degree (A:1 B:1 C:2); hub A:3 B:2 C:1
+    # round 2: auth A:1 B:3 C:5; hub A:8 B:5 C:1; maxima am=5 hm=8
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["id"]: r for r in web.hits(edges, iters=2).collect()}
+    assert {i: got[i]["auth_paths"] for i in (1, 2, 3)} == {1: 1, 2: 3, 3: 5}
+    assert {i: got[i]["hub_paths"] for i in (1, 2, 3)} == {1: 8, 2: 5, 3: 1}
+    assert got[3]["auth_score"] == 1.0 and got[1]["hub_score"] == 1.0
+    assert got[2]["auth_score"] == round(3 / 5, 9)
+    assert got[2]["hub_score"] == round(5 / 8, 9)
+    assert got[1]["auth_score"] == round(1 / 5, 9)
+    assert got[3]["hub_score"] == round(1 / 8, 9)
+
+
+def test_hits_deterministic_under_repartition(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 11) for i in range(40)]
+        + [(i, (i + 1) % 13) for i in range(40)],
+        "src long, dst long",
+    )
+    a = sorted(tuple(r) for r in web.hits(edges, iters=2).collect())
+    b = sorted(tuple(r) for r in web.hits(edges.repartition(17), iters=2).collect())
+    assert a == b, "hits must be partitioning-invariant"
+
+
 def test_pagerank_full_early_stop_matches_fixed_depth(spark):
     # A 4-cycle is at its fixpoint immediately (uniform ranks, outdeg 1
     # everywhere): round 1 moves ~nothing, so the loop must stop early
