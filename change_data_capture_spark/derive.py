@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .apply import TableCatalog
+from .apply import TableCatalog, apply_changelog
 from .schema import OP_DELETE
 
 
@@ -213,3 +213,144 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def maintain_value_index(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    base_table: str,
+    value_cols: Sequence[str],
+    index_table: str,
+    *,
+    from_version: int | None = None,
+) -> DataFrame:
+    """GLOBAL SECONDARY INDEX over a non-PK column set, maintained as
+    a derived catalog table — the HBase/Phoenix global-index /
+    DynamoDB-GSI capability the reference's keyed sinks leave to the
+    store (``sink/CDCHBase.java`` serves gets by ROWKEY only; any
+    other predicate is a full scan).
+
+    Index relation: ONE row per distinct live combination of
+    ``value_cols`` whose values are all non-NULL (NULLs are unindexed,
+    the standard secondary-index convention), with payload
+    ``postings`` = the sorted array of base-PK structs carrying that
+    value. The index's own PRIMARY KEY is the value columns, so it
+    buckets, prunes, versions, vacuums, and replays idempotently like
+    any other managed table — and ``apply.lookup_keys`` works on it
+    unchanged, which is what makes ``lookup_by_index`` two pruned
+    point reads instead of a scan.
+
+    Maintenance is O(changed rows): the base's change feed between
+    ``from_version`` (base CATALOG version; self-derived from the
+    index's own applied-version stamp when omitted, so a scheduled
+    refresh needs no external state) and current picks the affected
+    values — the OLD version's values at changed PKs (a value-moving
+    update or a delete must drop its old posting) union the change
+    rows' NEW values — then fresh postings recompute from the base
+    for those values only (one semi-join, value-pruned) and values
+    with no remaining rows DELETE. Change versions stamp
+    ``2*base_version`` (deletes) / ``2*base_version + 1`` (upserts):
+    monotone across refreshes, replay-idempotent within one.
+
+    Selectivity contract (100 TB): postings arrays are per-VALUE, so
+    index selective columns (emails, URLs, names — the point-lookup
+    use case); a low-cardinality column (language, status) would pack
+    a corpus-sized posting into single rows — use a semi-join scan
+    for those instead. Returns the refreshed index frame."""
+    meta = catalog.meta(base_table)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {base_table!r}")
+    pks = list(meta["pks"])
+    vcols = list(value_cols)
+    overlap = set(vcols) & set(pks)
+    if overlap:
+        raise ValueError(f"value_cols overlap base PK: {sorted(overlap)}")
+    from .changelog import dml_records, snapshot_changelog
+
+    base = catalog.read(spark, base_table)
+    cv = int(catalog.versions(base_table)[-1])
+    not_null = None
+    for c in vcols:
+        nn = F.col(c).isNotNull()
+        not_null = nn if not_null is None else (not_null & nn)
+
+    # collect_set infers NON-nullable struct fields, but parquet reads
+    # them back nullable and Spark refuses the nullable->non-null cast
+    # on re-read; register the postings type in its nullable DDL form.
+    base_types = dict(base.dtypes)
+    postings_type = "array<struct<{}>>".format(
+        ", ".join(f"{p}: {base_types[p]}" for p in pks)
+    )
+
+    def postings_of(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(not_null)
+            .groupBy(*vcols)
+            .agg(
+                F.sort_array(F.collect_set(F.struct(*[F.col(p) for p in pks])))
+                .cast(postings_type)
+                .alias("postings")
+            )
+        )
+
+    idx_meta = catalog.meta(index_table)
+    if idx_meta is None or idx_meta["schema"] is None:
+        log = snapshot_changelog(
+            postings_of(base), index_table, vcols, insert_version=2 * cv + 1
+        )
+        apply_changelog(spark, log, catalog)
+        return catalog.read(spark, index_table)
+
+    if from_version is None:
+        # the index's applied_version is always 2*base_version(+1) by
+        # construction, so the base version it last indexed recovers
+        # exactly — no side-channel refresh state
+        from_version = (int(idx_meta.get("applied_version", 1)) - 1) // 2
+    changes = catalog.table_changes(spark, base_table, int(from_version))
+    old = catalog.read(spark, base_table, version=int(from_version))
+    changed_pks = changes.select(*pks).distinct()
+    affected = (
+        old.join(changed_pks, pks, "left_semi")
+        .select(*vcols)
+        .unionByName(changes.select(*vcols))
+        .filter(not_null)
+        .distinct()
+    )
+    fresh = postings_of(base.join(affected, vcols, "left_semi"))
+    gone = affected.join(fresh.select(*vcols), vcols, "left_anti")
+    log = dml_records(
+        gone, index_table, vcols, op=OP_DELETE, version=2 * cv, keys_only=True
+    ).unionByName(
+        dml_records(fresh, index_table, vcols, version=2 * cv + 1)
+    )
+    apply_changelog(spark, log, catalog)
+    return catalog.read(spark, index_table)
+
+
+def lookup_by_index(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    base_table: str,
+    index_table: str,
+    values: DataFrame,
+) -> DataFrame:
+    """Non-PK point lookup through a ``maintain_value_index`` index:
+    fetch the current base rows whose indexed columns match ``values``
+    (a small frame carrying exactly the index's value columns) WITHOUT
+    scanning either table.
+
+    Two pruned point reads: ``lookup_keys`` on the index (bucketed by
+    VALUE) yields the matching postings; the PK structs explode back
+    into a key frame; ``lookup_keys`` on the base (bucketed by PK)
+    fetches the rows. Cost is O(touched buckets) on both tables at any
+    base size — the secondary-index serving contract, kept under
+    Spark's scan model."""
+    from .apply import lookup_keys
+
+    postings = lookup_keys(spark, catalog, index_table, values)
+    pk_rows = (
+        postings.select(F.explode("postings").alias("__p"))
+        .select("__p.*")
+        .distinct()
+    )
+    return lookup_keys(spark, catalog, base_table, pk_rows)

@@ -191,3 +191,81 @@ def test_incremental_join_matches_full_recompute(spark, tmp_path):
             prev=prev, fact_from=fact_from, dim_from=dim_from,
         )
         assert _rows(view) == _rows(full())
+
+
+def test_value_index_incremental_matches_rebuild_and_serves_lookups(spark, tmp_path):
+    """The incrementally-maintained secondary index must equal a
+    from-scratch rebuild after every batch — including value-moving
+    updates (old posting dropped), deletes (value vanishing entirely
+    -> index row deleted), shared values (multi-PK postings) — and
+    lookup_by_index must serve current rows for current values and
+    nothing for vacated ones."""
+    import random
+
+    from change_data_capture_spark.derive import lookup_by_index, maintain_value_index
+
+    rng = random.Random(7)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    emails = [f"u{i}@x.com" for i in range(30)]
+
+    base = [(i, emails[i % 25], (i * 3) % 50) for i in range(40)]  # some shared
+    seed = spark.createDataFrame(base, "id long, email string, amount long")
+    apply_changelog(
+        spark, dml_records(seed, "t.users", ["id"], op="INSERT", version=1), cat
+    )
+    idx = maintain_value_index(spark, cat, "t.users", ["email"], "t.users_by_email")
+
+    def expected_index():
+        return sorted(
+            tuple(r)
+            for r in cat.read(spark, "t.users")
+            .filter(F.col("email").isNotNull())
+            .groupBy("email")
+            .agg(F.sort_array(F.collect_set(F.struct("id"))).alias("postings"))
+            .collect()
+        )
+
+    assert sorted(tuple(r) for r in idx.collect()) == expected_index()
+
+    version = 1
+    for _ in range(3):
+        ops = []
+        for _ in range(12):
+            version += 1
+            key = rng.randrange(50)
+            if rng.random() < 0.3:
+                ops.append((version, key, "DELETE", None, None))
+            else:
+                # value-moving update / insert, occasionally NULL email
+                em = None if rng.random() < 0.1 else rng.choice(emails)
+                ops.append((version, key, "UPDATE", em, rng.randrange(50)))
+        df = spark.createDataFrame(
+            ops, "__ver long, id long, __op string, email string, amount long"
+        )
+        ups = dml_records(
+            df.filter(F.col("__op") != "DELETE"),
+            "t.users", ["id"], op=F.col("__op"), version=F.col("__ver"),
+        )
+        dels = dml_records(
+            df.filter(F.col("__op") == "DELETE"),
+            "t.users", ["id"], op=F.col("__op"), version=F.col("__ver"),
+            keys_only=True,
+        )
+        apply_changelog(spark, ups.unionByName(dels), cat)
+        # from_version self-derives from the index's own stamp
+        idx = maintain_value_index(
+            spark, cat, "t.users", ["email"], "t.users_by_email"
+        )
+        assert sorted(tuple(r) for r in idx.collect()) == expected_index()
+
+    # point lookups: one live value, one vacated value
+    live = cat.read(spark, "t.users").filter(F.col("email").isNotNull())
+    some = live.select("email").first()["email"]
+    got = lookup_by_index(
+        spark, cat, "t.users", "t.users_by_email",
+        spark.createDataFrame([(some,)], "email string"),
+    )
+    want = sorted(tuple(r) for r in live.filter(F.col("email") == some).collect())
+    assert sorted(tuple(r) for r in got.collect()) == want
+    vacated = spark.createDataFrame([("nobody@nowhere",)], "email string")
+    assert lookup_by_index(spark, cat, "t.users", "t.users_by_email", vacated).count() == 0
