@@ -354,3 +354,88 @@ def lookup_by_index(
         .distinct()
     )
     return lookup_keys(spark, catalog, base_table, pk_rows)
+
+
+def maintain_token_stats(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    docs_table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prev: DataFrame | None = None,
+    from_version: int | None = None,
+) -> DataFrame:
+    """Incrementally-maintained corpus token statistics — per token,
+    document frequency ``df`` and collection frequency ``cf``: the
+    statistics table behind BM25 / tf-idf / OOV-rate / rarity scoring
+    (``extensions/text.py``), kept fresh as the corpus changes through
+    the CDC apply path WITHOUT re-tokenizing the corpus.
+
+    Unlike ``maintain_aggregate`` (whose grain is the base row), the
+    aggregation grain here is an EXPLODED derivation (doc x token), so
+    value-pruned recomputation would still re-explode the whole corpus
+    for common tokens. Both statistics are ADDITIVE, so the refresh is
+    pure delta arithmetic instead: per changed doc, the old image's
+    per-token counts subtract and the new image's add —
+    ``cf += n_new - n_old``, ``df += [n_new>0] - [n_old>0]`` — then
+    one full-outer merge against ``prev`` and tokens reaching df <= 0
+    drop. Exact BIGINT arithmetic end-to-end; O(changed docs) tokens
+    ever explode.
+
+    ``prev is None``: full initial build (one corpus tokenization).
+    Otherwise incremental from ``from_version`` (base CATALOG version
+    of the previous refresh). Tokens are whitespace tokens of
+    ``lower(trim(text))``, empty dropped — the same rule as the text
+    operators, so the maintained table plugs into their formulas."""
+    from .extensions.text import tokens as _tokens
+
+    def per_token(df: DataFrame) -> DataFrame:
+        return (
+            _tokens(df, id_col=id_col, text_col=text_col)
+            .filter(F.col("token") != "")
+            .groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    if prev is None:
+        return (
+            per_token(catalog.read(spark, docs_table))
+            .groupBy("token")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("df"),
+                F.sum("n").cast("bigint").alias("cf"),
+            )
+        )
+    assert from_version is not None, "incremental refresh needs from_version"
+    meta = catalog.meta(docs_table)
+    pks = list(meta["pks"])
+    changes = catalog.table_changes(spark, docs_table, int(from_version))
+    changed_pks = changes.select(*pks).distinct()
+    old_slice = catalog.read(spark, docs_table, version=int(from_version)).join(
+        changed_pks, pks, "left_semi"
+    )
+    new_slice = catalog.read(spark, docs_table).join(changed_pks, pks, "left_semi")
+    deltas = (
+        per_token(old_slice)
+        .select("token", F.lit(-1).alias("s"), F.col("n"))
+        .unionByName(per_token(new_slice).select("token", F.lit(1).alias("s"), "n"))
+        .groupBy("token")
+        .agg(
+            F.sum("s").cast("bigint").alias("ddf"),
+            F.sum(F.col("s") * F.col("n")).cast("bigint").alias("dcf"),
+        )
+    )
+    return (
+        prev.join(deltas, "token", "full_outer")
+        .select(
+            "token",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0)))
+            .cast("bigint")
+            .alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )

@@ -7081,6 +7081,57 @@ def cdc_secondary_index(spark, sf_dir):
 
 
 @_q(
+    "cdc_corpus_stats",
+    r"""
+    WITH cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' zzmarker zzmarker'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 5
+    ),
+    t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM cur),
+    tok AS (SELECT doc_id, unnest(a) AS w FROM t),
+    d AS (SELECT doc_id, w, COUNT(*) AS n FROM tok WHERE w <> '' GROUP BY 1, 2)
+    SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(n) AS BIGINT) AS cf
+    FROM d GROUP BY w
+    """,
+)
+def cdc_corpus_stats(spark, sf_dir):
+    """Delta-maintained corpus token statistics
+    (derive.maintain_token_stats): the df/cf table behind BM25 /
+    tf-idf / rarity scoring kept fresh through the CDC apply path —
+    df/cf are ADDITIVE, so a batch that rewrites every 7th document's
+    text and deletes every 7th-mod-5 doc refreshes the table by pure
+    delta arithmetic over the CHANGED docs only (old image subtracts,
+    new image adds, df<=0 rows drop) — O(changed docs) tokens
+    explode, never the corpus. The query returns the INCREMENTAL
+    result; the oracle re-tokenizes the whole mutated corpus, so any
+    leaked/stale/miscounted token hash-mismatches."""
+    from .derive import maintain_token_stats
+
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_tstats_"))
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    apply_changelog(spark, snapshot_changelog(docs, "c.docs", ["doc_id"]), cat)
+    prev = maintain_token_stats(spark, cat, "c.docs").localCheckpoint()
+    from_version = cat.versions("c.docs")[-1]
+    mut = mutation_changelog(
+        docs,
+        "c.docs",
+        ["doc_id"],
+        update_where=k % 7 == 3,
+        update_set={"text": F.concat(F.col("text"), F.lit(" zzmarker zzmarker"))},
+        update_version=2,
+        delete_where=k % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    return maintain_token_stats(
+        spark, cat, "c.docs", prev=prev, from_version=from_version
+    )
+
+
+@_q(
     "corpus_temperature_mixture",
     r"""
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
@@ -8490,7 +8541,13 @@ DRIVER_WINDOW: list[str] = [
     "text_perplexity_buckets",
     "cdc_corpus_to_training",
     "cdc_apply_stream",
-    "cdc_apply_multi_table",
+    # Tenth r4 swap: cdc_apply_multi_table (green r01+r03; the apply
+    # family keeps stream/vectors/corpus_to_training plus every
+    # wire-format apply, and the DDL-before-DML union rule stays
+    # pinned by tests/test_apply.py) retires for cdc_corpus_stats —
+    # the delta-maintained df/cf corpus-statistics table built this
+    # round, never driver-checked.
+    "cdc_corpus_stats",
     "cdc_schema_evolution",
     "cdc_apply_vectors",
     "cdc_table_checksum",

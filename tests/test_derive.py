@@ -269,3 +269,66 @@ def test_value_index_incremental_matches_rebuild_and_serves_lookups(spark, tmp_p
     assert sorted(tuple(r) for r in got.collect()) == want
     vacated = spark.createDataFrame([("nobody@nowhere",)], "email string")
     assert lookup_by_index(spark, cat, "t.users", "t.users_by_email", vacated).count() == 0
+
+
+def test_token_stats_incremental_matches_full_recompute(spark, tmp_path):
+    """The delta-maintained df/cf table must equal a full corpus
+    re-tokenization after every batch — including text rewrites (old
+    counts subtracted), deletes (tokens vanishing entirely -> row
+    dropped), and new docs."""
+    import random
+
+    from change_data_capture_spark.derive import maintain_token_stats
+
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def text():
+        return " ".join(rng.choice(words) for _ in range(rng.randrange(1, 8)))
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    seed = spark.createDataFrame(
+        [(i, text()) for i in range(25)], "doc_id long, text string"
+    )
+    apply_changelog(
+        spark, dml_records(seed, "c.docs", ["doc_id"], op="INSERT", version=1), cat
+    )
+    stats = maintain_token_stats(spark, cat, "c.docs")
+
+    def full():
+        return sorted(
+            tuple(r)
+            for r in maintain_token_stats(spark, cat, "c.docs").collect()
+        )
+
+    assert sorted(tuple(r) for r in stats.collect()) == full()
+
+    version = 1
+    for _ in range(3):
+        from_version = cat.versions("c.docs")[-1]
+        prev = stats.localCheckpoint()
+        ops = []
+        for _ in range(10):
+            version += 1
+            key = rng.randrange(35)
+            if rng.random() < 0.3:
+                ops.append((version, key, "DELETE", None))
+            else:
+                ops.append((version, key, "UPDATE", text()))
+        df = spark.createDataFrame(
+            ops, "__ver long, doc_id long, __op string, text string"
+        )
+        ups = dml_records(
+            df.filter(F.col("__op") != "DELETE"),
+            "c.docs", ["doc_id"], op=F.col("__op"), version=F.col("__ver"),
+        )
+        dels = dml_records(
+            df.filter(F.col("__op") == "DELETE"),
+            "c.docs", ["doc_id"], op=F.col("__op"), version=F.col("__ver"),
+            keys_only=True,
+        )
+        apply_changelog(spark, ups.unionByName(dels), cat)
+        stats = maintain_token_stats(
+            spark, cat, "c.docs", prev=prev, from_version=from_version
+        )
+        assert sorted(tuple(r) for r in stats.collect()) == full()
