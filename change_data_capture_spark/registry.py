@@ -5602,6 +5602,38 @@ def cdc_debezium_apply(spark, sf_dir):
     return cat.read(spark, "tpch.customer")
 
 
+@_q(
+    "cdc_pipeline_run",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_pipeline_run(spark, sf_dir):
+    """The declarative front door (pipeline.run_pipeline): the SAME
+    Debezium feed as ``cdc_debezium_apply`` driven purely by a config
+    dict — format name + table keys + schema — the way the reference's
+    users assemble pipelines (CDAP plugin properties, no code). The
+    config path must land byte-identical table content to the
+    hand-wired decode -> normalize -> apply calls; fail-fast
+    validation and dead-letter surfacing are pinned by
+    tests/test_pipeline.py."""
+    from .pipeline import run_pipeline
+
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_pipe_"))
+    cfg = {
+        "source": {"format": "debezium"},
+        "tables": {
+            "tpch.customer": {"keys": ["c_custkey"], "schema": cust.schema.json()}
+        },
+    }
+    run_pipeline(spark, _debezium_customer_feed(spark, sf_dir), cfg, cat)
+    return cat.read(spark, "tpch.customer")
+
+
 def _maxwell_customer_feed(spark, sf_dir):
     """Deterministic Maxwell JSON feed over customer: bootstrap-insert
     snapshot (ts 1), c_acctbal updates with `old` carrying only the

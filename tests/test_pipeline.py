@@ -1,0 +1,153 @@
+"""Declarative pipeline front door: config-driven runs must equal the
+hand-wired decode->normalize->apply calls, dead letters must surface,
+and bad configs must fail fast BEFORE any job runs — the reference's
+plugin-configuration contract re-expressed for this engine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.normalize import normalize_raw_ops
+from change_data_capture_spark.pipeline import run_pipeline
+from change_data_capture_spark.sources import debezium
+from change_data_capture_spark.sources import mongodb as mg
+from change_data_capture_spark.sources.config import InvalidConfigError
+
+T = "shop.orders"
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, 10.0 * i, f"c{i % 3}") for i in range(1, 20)],
+        "id long, amount double, tag string",
+    )
+
+
+def _dbz_feed(spark, base):
+    full = F.struct(F.col("id"), F.col("amount"), F.col("tag"))
+    upd = F.struct(F.col("id"), (F.col("amount") + 5).alias("amount"), F.col("tag"))
+    snap = debezium.encode_debezium_json(base, table=T, op="r", before=None,
+                                         after=full, ts_ms=1)
+    mut = debezium.encode_debezium_json(base.filter(F.col("id") % 3 == 0), table=T,
+                                        op="u", before=full, after=upd, ts_ms=2)
+    dele = debezium.encode_debezium_json(base.filter(F.col("id") % 7 == 0), table=T,
+                                         op="d", before=full, after=None, ts_ms=3)
+    junk = spark.createDataFrame([("not json",)], "message string")
+    return snap.unionByName(mut).unionByName(dele).unionByName(junk)
+
+
+def test_pipeline_debezium_equals_direct_wiring(spark, tmp_path):
+    base = _base(spark)
+    msgs = _dbz_feed(spark, base)
+    cfg = {
+        "source": {"format": "debezium"},
+        "tables": {T: {"keys": ["id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "cfg"))
+    report = run_pipeline(spark, msgs, cfg, cat)
+    assert report["tables"] == [T]
+    # dead letters surfaced, not dropped
+    reasons = [r["reason"] for r in report["dead_letters"].collect()]
+    assert reasons == ["unparseable"]
+
+    ref = TableCatalog(str(tmp_path / "ref"))
+    raw = debezium.debezium_raw_ops(
+        msgs, {T: ["id"]}, rows_schemas={T: base.schema.json()}
+    )
+    apply_changelog(spark, normalize_raw_ops(raw), ref)
+    got = sorted(tuple(r) for r in cat.read(spark, T).collect())
+    want = sorted(tuple(r) for r in ref.read(spark, T).collect())
+    assert got == want and len(got) > 0
+
+
+def test_pipeline_mongodb_applies_patch_leg(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, f"n{i}", 1.0 * i) for i in range(1, 10)],
+        "_id long, name string, bal double",
+    )
+    keys = {"appdb.users": "_id"}
+    snap = mg.encode_mongodb_json(
+        base, table="appdb.users", op="c",
+        after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=1,
+    )
+    part = mg.encode_mongodb_json(
+        base.filter(F.col("_id") % 2 == 0), table="appdb.users", op="u",
+        updated_fields=F.struct((F.col("bal") + 7).alias("bal")),
+        removed_fields=F.array(F.lit("name")),
+        doc_id=F.col("_id"), ts_ms=2,
+    )
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "mongo"))
+    run_pipeline(spark, snap.unionByName(part), cfg, cat)
+    got = {r["_id"]: (r["name"], r["bal"]) for r in cat.read(spark, "appdb.users").collect()}
+    want = {
+        i: (None if i % 2 == 0 else f"n{i}", 1.0 * i + 7 if i % 2 == 0 else 1.0 * i)
+        for i in range(1, 10)
+    }
+    assert got == want
+    assert keys  # silence unused warning
+
+
+def test_pipeline_config_fails_fast(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "x"))
+    msgs = spark.createDataFrame([("{}",)], "message string")
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(spark, msgs, {"source": {"format": "nope"}, "tables": {"a.b": {"keys": ["k"]}}}, cat)
+    assert e.value.property == "source.format"
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(spark, msgs, {"source": {"format": "debezium"}, "tables": {}}, cat)
+    assert e.value.property == "tables"
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(spark, msgs, {"source": {"format": "debezium"}, "tables": {"a.b": {}}}, cat)
+    assert e.value.property == "tables.a.b.keys"
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(
+            spark, msgs,
+            {"source": {"format": "mongodb"}, "tables": {"a.b": {"keys": ["x", "y"]}}},
+            cat,
+        )
+    assert e.value.property == "tables.a.b.keys"
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(
+            spark, msgs,
+            {"source": {"format": "mssql_cdc"},
+             "tables": {"a.b": {"keys": ["x"]}, "a.c": {"keys": ["x"]}}},
+            cat,
+        )
+    assert e.value.property == "tables"
+
+
+def test_pipeline_goldengate_whitelist(spark, tmp_path):
+    from change_data_capture_spark.sources import kafka
+
+    base = _base(spark)
+    schema_json = base.schema.json()
+    tag = base.withColumn("_change_type", F.lit("insert"))
+    msgs = (
+        kafka.goldengate_schema_message(spark, table=T, fingerprint=5,
+                                        schema_json=schema_json)
+        .unionByName(
+            kafka.table_changes_to_goldengate(
+                tag, table=T, fingerprint=5, pk_names=["id"], version=1, ts_micros=1
+            )
+        )
+        .unionByName(
+            kafka.goldengate_schema_message(spark, table="other.t", fingerprint=6,
+                                            schema_json=schema_json)
+        )
+        .unionByName(
+            kafka.table_changes_to_goldengate(
+                tag, table="other.t", fingerprint=6, pk_names=["id"], version=1,
+                ts_micros=1,
+            )
+        )
+    )
+    cfg = {"source": {"format": "goldengate"}, "tables": {T: {"keys": ["id"]}}}
+    cat = TableCatalog(str(tmp_path / "gg"))
+    run_pipeline(spark, msgs, cfg, cat)
+    assert cat.read(spark, T).count() == base.count()
+    assert cat.meta("other.t") is None  # whitelist enforced
