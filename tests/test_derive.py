@@ -332,3 +332,50 @@ def test_token_stats_incremental_matches_full_recompute(spark, tmp_path):
             spark, cat, "c.docs", prev=prev, from_version=from_version
         )
         assert sorted(tuple(r) for r in stats.collect()) == full()
+
+
+def test_derived_tables_survive_scheduled_ingest_loop(spark, tmp_path):
+    """Three simulated ingest days through the declarative pipeline
+    front door, with the secondary index refreshed after each day on
+    its SELF-DERIVED watermark (no external refresh state) — the
+    scheduled-job shape a production deployment runs. After every day
+    the index must equal a from-scratch rebuild and lookups must see
+    that day's rows."""
+    from change_data_capture_spark.derive import lookup_by_index, maintain_value_index
+    from change_data_capture_spark.pipeline import run_pipeline
+    from change_data_capture_spark.sources import debezium
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    T = "crm.users"
+    cfg = {"source": {"format": "debezium"}, "tables": {T: {"keys": ["id"]}}}
+
+    def day(n, op, rows):
+        df = spark.createDataFrame(rows, "id long, email string, score long")
+        full = F.struct(F.col("id"), F.col("email"), F.col("score"))
+        return debezium.encode_debezium_json(df, table=T, op=op, before=None,
+                                             after=full, ts_ms=n)
+
+    schema = "id long, email string, score long"
+    cfg["tables"][T]["schema"] = spark.createDataFrame([], schema).schema.json()
+    batches = [
+        day(1, "r", [(i, f"u{i}@a", i) for i in range(10)]),
+        day(2, "u", [(i, f"u{i}@b", i * 2) for i in range(0, 10, 2)]),  # emails move
+        day(3, "c", [(i, f"u{i}@a", i) for i in range(10, 15)]),        # new users
+    ]
+    for msgs in batches:
+        run_pipeline(spark, msgs, cfg, cat)
+        idx = maintain_value_index(spark, cat, T, ["email"], "crm.users_by_email")
+        expected = sorted(
+            tuple(r)
+            for r in cat.read(spark, T)
+            .groupBy("email")
+            .agg(F.sort_array(F.collect_set(F.struct("id"))).alias("postings"))
+            .collect()
+        )
+        assert sorted(tuple(r) for r in idx.collect()) == expected
+    # day-2 moved emails resolve to the moved rows; day-1 addresses vacated
+    got = lookup_by_index(
+        spark, cat, T, "crm.users_by_email",
+        spark.createDataFrame([("u2@b",), ("u2@a",)], "email string"),
+    ).collect()
+    assert [(r["id"], r["email"], r["score"]) for r in got] == [(2, "u2@b", 4)]
