@@ -38,7 +38,7 @@ import json
 import os
 import shutil
 import tempfile
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -923,11 +923,25 @@ def collapse_last_writer(dml: DataFrame, pks: Sequence[str], value_of=None) -> D
 
 
 def apply_changes(
-    spark: SparkSession, batch_df: DataFrame, catalog: TableCatalog
+    spark: SparkSession,
+    batch_df: DataFrame,
+    catalog: TableCatalog,
+    *,
+    replay_floor: Mapping[str, int] | None = None,
 ) -> list[dict]:
     """Apply one micro-batch of change records (CHANGE_SCHEMA envelope)
     to the catalog's managed tables. Usable directly as a
     ``foreachBatch`` body: ``lambda df, _: apply_changes(spark, df, catalog)``.
+
+    ``replay_floor`` (per-table version) overrides the stored
+    high-watermark used for at-least-once replay suppression — for
+    callers applying ONE logical batch in multiple legs (the pipeline
+    front door's Mongo patch-merge leg lands AFTER the raw-op leg has
+    already advanced the watermark past some patch versions). The
+    floor MUST be the table's watermark as observed before the first
+    leg; anything lower re-opens the stale-redelivery window the
+    watermark exists to close. Tables absent from the map keep the
+    stored-watermark rule.
 
     Returns a per-table report of what the batch did — action taken
     (create / merge / skip), high-watermark advanced to, and bucket
@@ -1039,6 +1053,8 @@ def apply_changes(
             t = dml.filter(F.col("table") == table_id)
             # Idempotent at-least-once: skip already-applied versions.
             applied = int(meta.get("applied_version", 0))
+            if replay_floor is not None and table_id in replay_floor:
+                applied = int(replay_floor[table_id])
             if applied:
                 t = t.filter(F.col("change_tracking_version") > applied)
 
@@ -1149,10 +1165,14 @@ def apply_changes(
 
 
 def apply_changelog(
-    spark: SparkSession, changelog: DataFrame, catalog: TableCatalog
+    spark: SparkSession,
+    changelog: DataFrame,
+    catalog: TableCatalog,
+    *,
+    replay_floor: Mapping[str, int] | None = None,
 ) -> list[dict]:
     """Batch convenience: treat an entire change log as one batch."""
-    return apply_changes(spark, changelog, catalog)
+    return apply_changes(spark, changelog, catalog, replay_floor=replay_floor)
 
 
 def lookup_keys(

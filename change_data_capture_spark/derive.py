@@ -302,10 +302,11 @@ def maintain_value_index(
         return catalog.read(spark, index_table)
 
     if from_version is None:
-        # the index's applied_version is always 2*base_version(+1) by
-        # construction, so the base version it last indexed recovers
-        # exactly — no side-channel refresh state
-        from_version = (int(idx_meta.get("applied_version", 1)) - 1) // 2
+        # the index's applied_version is 2*base_version (delete-only
+        # refresh) or 2*base_version + 1 (any upserts) by construction,
+        # and BOTH floor-divide back to the base version it last
+        # indexed — no side-channel refresh state
+        from_version = int(idx_meta.get("applied_version", 1)) // 2
     changes = catalog.table_changes(spark, base_table, int(from_version))
     old = catalog.read(spark, base_table, version=int(from_version))
     changed_pks = changes.select(*pks).distinct()

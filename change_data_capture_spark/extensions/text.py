@@ -575,10 +575,12 @@ def perplexity_buckets(
     fluency computation itself."""
     from . import scale as sc
 
-    flu = lm_fluency(docs, id_col=id_col, text_col=text_col)
-    # The quantile refinement re-scans its input a few times;
-    # exact_quantiles persists its own projected copy, so the bigram
-    # joins behind `flu` run once to fill that cache, not per round.
+    # Materialize the score frame ONCE (one row per doc): both the
+    # quantile refinement's scans and the final bucket projection read
+    # the checkpoint instead of re-running the bigram explode + count
+    # joins behind lm_fluency (exact_quantiles' internal cache covers
+    # only its own single-column projection, not the returned frame).
+    flu = lm_fluency(docs, id_col=id_col, text_col=text_col).localCheckpoint()
     t = sc.exact_quantiles(flu.filter(F.col("n_bigrams") > 0), "fluency", list(cuts))
     by_q = {float(r["q"]): r["value"] for r in t.collect()}
     t1, t2 = by_q[float(cuts[0])], by_q[float(cuts[1])]

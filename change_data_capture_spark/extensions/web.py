@@ -527,11 +527,15 @@ def hits(
             .select("id", F.coalesce("__h", F.lit(0)).cast("long").alias("hub"))
             .localCheckpoint()
         )
-    maxima = auth.join(hub, "id").agg(
-        F.max("auth").alias("__am"), F.max("hub").alias("__hm")
-    )
+    # cut the final lineage BEFORE releasing the edge/node caches (the
+    # same contract as pagerank's per-round checkpoints): the joined
+    # scores feed both the maxima aggregate and the projection, so
+    # without this the edge-distinct shuffles would recompute twice
+    # after unpersist
+    scores = auth.join(hub, "id").localCheckpoint()
+    maxima = scores.agg(F.max("auth").alias("__am"), F.max("hub").alias("__hm"))
     out = (
-        auth.join(hub, "id")
+        scores
         .crossJoin(F.broadcast(maxima))
         .select(
             "id",

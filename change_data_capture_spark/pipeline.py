@@ -84,6 +84,12 @@ def _validated(config: Mapping[str, Any]) -> tuple[str, dict, dict[str, dict]]:
     if not isinstance(tables, Mapping) or not tables:
         raise InvalidConfigError("at least one table is required", "tables")
     for t, spec in tables.items():
+        if spec is not None and not isinstance(spec, Mapping):
+            raise InvalidConfigError(
+                f"table {t!r} spec must be a mapping like {{'keys': [...]}}, "
+                f"got {type(spec).__name__}",
+                f"tables.{t}",
+            )
         keys = (spec or {}).get("keys")
         if not keys:
             raise InvalidConfigError(f"table {t!r} needs primary keys", f"tables.{t}.keys")
@@ -143,6 +149,9 @@ def run_pipeline(
         return {"tables": [t], "dead_letters": None}
 
     if fmt == "mongodb":
+        from .normalize import undecodable_patch_cells
+        from .schema import schema_from_json
+
         from .sources import mongodb
 
         id_cols = {t: keys[0] for t, keys in table_keys.items()}
@@ -152,30 +161,98 @@ def run_pipeline(
         }
         raw = mongodb.mongodb_raw_ops(
             messages, id_cols, rows_schemas=rows_schemas or None, **kw
-        )
+        ).persist()
         dead = mongodb.mongodb_dead_letters(messages, id_cols, **kw)
+        # the Mongo batch lands in TWO legs (raw ops, then patch
+        # merges); capture every table's watermark BEFORE the first
+        # leg — it is the correct replay-suppression floor for the
+        # second leg, whose source versions can be older than the raw
+        # leg's maximum (apply_changes replay_floor contract)
+        floors = {
+            t: int((catalog.meta(t) or {}).get("applied_version", 0) or 0)
+            for t in id_cols
+        }
         apply_changelog(spark, normalize_raw_ops(raw), catalog)
         patches = mongodb.mongodb_patch_ops(messages, id_cols, **kw)
+        patch_quarantine: DataFrame | None = None
         for t, idc in id_cols.items():
-            p_t = patches.filter(F.col("table") == t)
-            base = catalog.read(spark, t)
-            pk_type = dict(base.dtypes)[idc]
-            p_t = p_t.select(
-                F.col("id").cast(pk_type).alias(idc), "version", "patch"
-            ).persist()
+            p_t = patches.filter(F.col("table") == t).persist()
             if p_t.count() == 0:
                 p_t.unpersist()
                 continue
-            merged = patch_updates(base, p_t, [idc])
-            changed = merged.join(p_t.select(idc).distinct(), idc, "left_semi")
-            ver = p_t.agg(F.max("version")).first()[0]
+            meta = catalog.meta(t)
+            if meta is None or meta["schema"] is None:
+                # partial updates for a table no full image ever
+                # created: a partial row cannot be upserted without
+                # inventing NULLs — the patch_updates orphan rule,
+                # applied before any read can KeyError
+                p_t.unpersist()
+                continue
+            base = catalog.read(spark, t)
+            # Same-batch interleave: a full image carries EVERY column,
+            # so any patch at a version <= the doc's latest same-batch
+            # full image (incl. a delete) is wholly superseded; the
+            # survivors merge against the post-raw-leg base, which IS
+            # the latest full image (or the pre-batch row).
+            raw_v = (
+                raw.filter(F.col("table") == t)
+                .select(
+                    F.coalesce(
+                        F.element_at("after", F.lit(idc)),
+                        F.element_at("before", F.lit(idc)),
+                    ).alias("__id"),
+                    F.col("change_tracking_version").alias("__rv"),
+                )
+                .groupBy("__id")
+                .agg(F.max("__rv").alias("__rv"))
+            )
+            pk_type = dict(base.dtypes)[idc]
+            live = (
+                p_t.join(raw_v, p_t["id"] == raw_v["__id"], "left")
+                .filter(F.col("__rv").isNull() | (F.col("version") > F.col("__rv")))
+                .select(F.col("id").cast(pk_type).alias(idc), "version", "patch")
+                .persist()
+            )
+            if live.count() == 0:
+                live.unpersist()
+                p_t.unpersist()
+                continue
+            # cells patch_updates will skip (uncastable / unknown
+            # column) — surfaced, not silently no-oped; id re-rendered
+            # as text so the quarantine unions across tables with
+            # different key columns
+            q = undecodable_patch_cells(live, schema_from_json(meta["schema"])).select(
+                F.lit(t).alias("table"),
+                F.col(idc).cast("string").alias("id"),
+                "version",
+                "column",
+                "value",
+                "reason",
+            )
+            patch_quarantine = (
+                q if patch_quarantine is None else patch_quarantine.unionByName(q)
+            )
+            merged = patch_updates(base, live, [idc])
+            changed = merged.join(live.select(idc).distinct(), idc, "left_semi")
+            # one merged record per doc in this leg, so a single stamp
+            # (the leg's max source version) is exact; the pre-leg
+            # floor lets it through even when the raw leg's maximum
+            # already advanced the stored watermark past it
+            ver = int(live.agg(F.max("version")).first()[0])
             apply_changelog(
                 spark,
-                dml_records(changed, t, [idc], op="UPDATE", version=int(ver)),
+                dml_records(changed, t, [idc], op="UPDATE", version=ver),
                 catalog,
+                replay_floor={t: floors[t]},
             )
+            live.unpersist()
             p_t.unpersist()
-        return {"tables": sorted(table_keys), "dead_letters": dead}
+        raw.unpersist()
+        return {
+            "tables": sorted(table_keys),
+            "dead_letters": dead,
+            "undecodable_patch_cells": patch_quarantine,
+        }
 
     if fmt == "debezium":
         from .sources import debezium as mod

@@ -214,6 +214,10 @@ def mongodb_patch_ops(
 
     ud = _pick("updateDescription")
     updated = F.from_json(ud.getField("updatedFields"), "map<string,string>")
+    # an updatedFields string that fails to parse must NOT degrade to
+    # an empty $set (the patch would silently lose its cells) — those
+    # events drop here and land in mongodb_dead_letters instead
+    parse_ok = ud.getField("updatedFields").isNull() | updated.isNotNull()
     removed = F.coalesce(
         ud.getField("removedFields"), F.array().cast("array<string>")
     )
@@ -233,6 +237,7 @@ def mongodb_patch_ops(
         (op == "u")
         & _pick("after").isNull()
         & ud.isNotNull()
+        & parse_ok
         & doc_id.isNotNull()
         & table_id.isin(*table_keys)
     ).select(
@@ -254,7 +259,10 @@ def mongodb_dead_letters(
     contract as the other wire formats: 'unparseable' (no op either
     wrapped or flat), 'unsupported_op', 'unknown_table',
     'missing_image' (c/r/u with neither after nor updateDescription),
-    'missing_key' (d or partial u with no message-key id)."""
+    'missing_key' (d or partial u with no message-key id),
+    'unparseable_image' (an after string that is not a JSON object),
+    'unparseable_patch' (an updatedFields string that is not a JSON
+    object — the decoder refuses to degrade it to an empty $set)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _MONGO_VALUE_SCHEMA).alias("__m"),
@@ -262,6 +270,12 @@ def mongodb_dead_letters(
     )
     table_id, op, doc_id, _v, _ts, _idc = _common(table_keys)
     ud = _pick("updateDescription")
+    after_bad = _pick("after").isNotNull() & F.from_json(
+        _pick("after"), "map<string,string>"
+    ).isNull()
+    patch_bad = ud.getField("updatedFields").isNotNull() & F.from_json(
+        ud.getField("updatedFields"), "map<string,string>"
+    ).isNull()
     known = table_id.isin(*table_keys) if table_keys else F.lit(False)
     reason = (
         F.when(op.isNull(), F.lit("unparseable"))
@@ -280,6 +294,11 @@ def mongodb_dead_letters(
         .when(
             (op == "u") & _pick("after").isNull() & doc_id.isNull(),
             F.lit("missing_key"),
+        )
+        .when(op.isin("c", "r", "u") & after_bad, F.lit("unparseable_image"))
+        .when(
+            (op == "u") & _pick("after").isNull() & patch_bad,
+            F.lit("unparseable_patch"),
         )
     )
     return m.select(

@@ -379,3 +379,42 @@ def test_derived_tables_survive_scheduled_ingest_loop(spark, tmp_path):
         spark.createDataFrame([("u2@b",), ("u2@a",)], "email string"),
     ).collect()
     assert [(r["id"], r["email"], r["score"]) for r in got] == [(2, "u2@b", 4)]
+
+
+def test_value_index_delete_only_refresh_keeps_watermark_exact(spark, tmp_path):
+    """Review regression: a refresh whose only effect is DELETEs stamps
+    the index at 2*base_version (no upsert leg), and the next
+    self-derived from_version must still recover the exact base
+    version — not one too early."""
+    from change_data_capture_spark.derive import maintain_value_index
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    seed = spark.createDataFrame(
+        [(1, "a@x"), (2, "b@x")], "id long, email string"
+    )
+    apply_changelog(
+        spark, dml_records(seed, "t.u", ["id"], op="INSERT", version=1), cat
+    )
+    maintain_value_index(spark, cat, "t.u", ["email"], "t.u_idx")
+    # batch 2: delete id=1 -> value 'a@x' vanishes; NO new/changed values
+    apply_changelog(
+        spark,
+        dml_records(seed.filter(F.col("id") == 1), "t.u", ["id"],
+                    op="DELETE", version=2, keys_only=True),
+        cat,
+    )
+    idx = maintain_value_index(spark, cat, "t.u", ["email"], "t.u_idx")
+    assert [r["email"] for r in idx.collect()] == ["b@x"]
+    base_v2 = cat.versions("t.u")[-1]
+    assert int(cat.meta("t.u_idx")["applied_version"]) // 2 == base_v2
+    # batch 3 refresh self-derives from v2 (not v1) and stays exact
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame([(3, "c@x")], "id long, email string"),
+            "t.u", ["id"], op="INSERT", version=3,
+        ),
+        cat,
+    )
+    idx = maintain_value_index(spark, cat, "t.u", ["email"], "t.u_idx")
+    assert sorted(r["email"] for r in idx.collect()) == ["b@x", "c@x"]

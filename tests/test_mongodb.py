@@ -189,3 +189,25 @@ def test_mongodb_end_to_end_apply_with_patches(spark, tmp_path):
         for i in range(1, 8)
     }
     assert got == want
+
+
+def test_mongodb_unparseable_images_quarantined_not_dropped(spark):
+    """Review regression: a present-but-unparseable after/updatedFields
+    string must land in the dead-letter frame (and the patch decoder
+    must NOT degrade a failed updatedFields parse to an empty $set)."""
+    msgs = [
+        # create whose after string is not a JSON object
+        ('{"payload":{"op":"c","after":"not{json",'
+         '"source":{"db":"appdb","rs":"r","collection":"customers","ts_ms":1,"ord":1}}}',
+         '{"payload":{"id":"1"}}'),
+        # partial update whose updatedFields string is garbage
+        ('{"payload":{"op":"u","after":null,"updateDescription":{'
+         '"updatedFields":"][","removedFields":["x"]},'
+         '"source":{"db":"appdb","rs":"r","collection":"customers","ts_ms":1,"ord":2}}}',
+         '{"payload":{"id":"2"}}'),
+    ]
+    mdf = _mdf(spark, msgs)
+    assert mongodb.mongodb_raw_ops(mdf, KEYS).count() == 0
+    assert mongodb.mongodb_patch_ops(mdf, KEYS).count() == 0
+    reasons = sorted(r["reason"] for r in mongodb.mongodb_dead_letters(mdf, KEYS).collect())
+    assert reasons == ["unparseable_image", "unparseable_patch"]

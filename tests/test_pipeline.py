@@ -151,3 +151,156 @@ def test_pipeline_goldengate_whitelist(spark, tmp_path):
     run_pipeline(spark, msgs, cfg, cat)
     assert cat.read(spark, T).count() == base.count()
     assert cat.meta("other.t") is None  # whitelist enforced
+
+
+def test_pipeline_mongodb_patch_older_than_other_docs_raw_still_applies(spark, tmp_path):
+    """Review regression: a partial update whose source version is
+    OLDER than another doc's same-batch full image must still apply —
+    the raw leg's watermark advance must not suppress it (pre-leg
+    replay floor)."""
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "_id long, name string, bal double"
+    )
+    snap = mg.encode_mongodb_json(
+        base, table="appdb.users", op="c",
+        after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=1,
+    )
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "m"))
+    run_pipeline(spark, snap, cfg, cat)
+    # batch 2: doc 1 gets a PARTIAL update at ts 5; doc 2 a FULL
+    # image at ts 9 (raw leg pushes the watermark to 9xxx)
+    patch = mg.encode_mongodb_json(
+        base.filter(F.col("_id") == 1), table="appdb.users", op="u",
+        updated_fields=F.struct(F.lit(99.0).alias("bal")),
+        doc_id=F.col("_id"), ts_ms=5,
+    )
+    full = mg.encode_mongodb_json(
+        base.filter(F.col("_id") == 2), table="appdb.users", op="u",
+        after=F.struct(F.col("_id"), F.lit("B").alias("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=9,
+    )
+    run_pipeline(spark, full.unionByName(patch), cfg, cat)
+    got = {r["_id"]: (r["name"], r["bal"]) for r in cat.read(spark, "appdb.users").collect()}
+    assert got == {1: ("a", 99.0), 2: ("B", 2.0)}
+
+
+def test_pipeline_mongodb_patch_superseded_by_newer_full_image(spark, tmp_path):
+    """A patch OLDER than the same doc's same-batch full image is
+    wholly superseded (full images carry every column); a patch NEWER
+    than the full image applies on top of it."""
+    base = spark.createDataFrame([(1, "a", 1.0)], "_id long, name string, bal double")
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "m"))
+    run_pipeline(
+        spark,
+        mg.encode_mongodb_json(
+            base, table="appdb.users", op="c",
+            after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+            doc_id=F.col("_id"), ts_ms=1,
+        ),
+        cfg, cat,
+    )
+    stale_patch = mg.encode_mongodb_json(   # ts 3 < full image's ts 5
+        base, table="appdb.users", op="u",
+        updated_fields=F.struct(F.lit(111.0).alias("bal")),
+        doc_id=F.col("_id"), ts_ms=3,
+    )
+    full = mg.encode_mongodb_json(
+        base, table="appdb.users", op="u",
+        after=F.struct(F.col("_id"), F.lit("full").alias("name"),
+                       F.lit(50.0).alias("bal")),
+        doc_id=F.col("_id"), ts_ms=5,
+    )
+    fresh_patch = mg.encode_mongodb_json(   # ts 7 > 5: applies on top
+        base, table="appdb.users", op="u",
+        updated_fields=F.struct(F.lit("fresh").alias("name")),
+        doc_id=F.col("_id"), ts_ms=7,
+    )
+    run_pipeline(
+        spark, stale_patch.unionByName(full).unionByName(fresh_patch), cfg, cat
+    )
+    (row,) = cat.read(spark, "appdb.users").collect()
+    assert (row["name"], row["bal"]) == ("fresh", 50.0)
+
+
+def test_pipeline_mongodb_absent_tables_and_orphan_patches_no_crash(spark, tmp_path):
+    """Whitelisted tables the batch never mentions must not crash the
+    run; patch-only batches for a never-created table drop (the
+    orphan rule) instead of KeyError-ing."""
+    base = spark.createDataFrame([(1, "a", 1.0)], "_id long, name string, bal double")
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {
+            "appdb.a": {"keys": ["_id"], "schema": base.schema.json()},
+            "appdb.b": {"keys": ["_id"], "schema": base.schema.json()},
+        },
+    }
+    cat = TableCatalog(str(tmp_path / "m"))
+    only_a = mg.encode_mongodb_json(
+        base, table="appdb.a", op="c",
+        after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=1,
+    )
+    report = run_pipeline(spark, only_a, cfg, cat)
+    assert cat.meta("appdb.b") is None and report["tables"] == ["appdb.a", "appdb.b"]
+    # patch-only batch for the never-created appdb.b: dropped, no crash
+    orphan = mg.encode_mongodb_json(
+        base, table="appdb.b", op="u",
+        updated_fields=F.struct(F.lit(9.0).alias("bal")),
+        doc_id=F.col("_id"), ts_ms=2,
+    )
+    run_pipeline(spark, orphan, cfg, cat)
+    assert cat.meta("appdb.b") is None
+
+
+def test_pipeline_mongodb_surfaces_undecodable_patch_cells(spark, tmp_path):
+    base = spark.createDataFrame([(1, "a", 1.0)], "_id long, name string, bal double")
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "m"))
+    run_pipeline(
+        spark,
+        mg.encode_mongodb_json(
+            base, table="appdb.users", op="c",
+            after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+            doc_id=F.col("_id"), ts_ms=1,
+        ),
+        cfg, cat,
+    )
+    bad = mg.encode_mongodb_json(
+        base, table="appdb.users", op="u",
+        updated_fields=F.struct(
+            F.lit("N/A").alias("bal"),            # uncastable for double
+            F.lit("x").alias("no_such_column"),   # unknown column
+        ),
+        doc_id=F.col("_id"), ts_ms=2,
+    )
+    report = run_pipeline(spark, bad, cfg, cat)
+    reasons = sorted(
+        (r["column"], r["reason"])
+        for r in report["undecodable_patch_cells"].collect()
+    )
+    assert reasons == [("bal", "uncastable"), ("no_such_column", "unknown_column")]
+    (row,) = cat.read(spark, "appdb.users").collect()
+    assert row["bal"] == 1.0  # stored value kept, skip visible above
+
+
+def test_pipeline_nonmapping_table_spec_fails_fast(spark, tmp_path):
+    cat = TableCatalog(str(tmp_path / "x"))
+    msgs = spark.createDataFrame([("{}",)], "message string")
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(
+            spark, msgs,
+            {"source": {"format": "debezium"}, "tables": {"a.b": ["id"]}}, cat,
+        )
+    assert e.value.property == "tables.a.b"
