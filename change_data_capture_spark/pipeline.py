@@ -289,3 +289,53 @@ def run_pipeline(
 
     apply_changelog(spark, normalize_raw_ops(raw), catalog)
     return {"tables": sorted(table_keys), "dead_letters": dead}
+
+
+def run_pipeline_stream(
+    spark: SparkSession,
+    messages_dir: str,
+    config: Mapping[str, Any],
+    catalog: TableCatalog,
+    checkpoint_dir: str,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming front door: the same declarative config over a
+    Structured Streaming file source of wire messages — each
+    micro-batch runs ``run_pipeline`` (decode -> normalize -> apply,
+    patch legs included) via ``foreachBatch``. The config validates
+    ONCE, fail-fast, BEFORE the query starts (a bad property must
+    never surface as a mid-stream task failure — the reference's
+    deploy-time contract); checkpointing resumes at the right offset
+    on restart, and apply's version watermark makes at-least-once
+    redelivery idempotent, so exactly-once TABLE STATE comes from the
+    same two mechanisms the hand-wired streaming path uses
+    (``streaming.run_apply_stream``).
+
+    The file source schema is ``message string`` — plus a ``key``
+    column for the MongoDB format, whose events are keyed by the
+    Kafka message key. On a live deployment swap the file source for
+    ``sources.kafka.read_kafka_changelog`` (same message column
+    contract); the per-batch body is transport-agnostic."""
+    fmt_name, _src, _tables = _validated(config)
+    schema = "message string, key string" if fmt_name == "mongodb" else "message string"
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.load(messages_dir)
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        run_pipeline(batch_df.sparkSession, batch_df, config, catalog)
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

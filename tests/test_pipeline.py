@@ -304,3 +304,49 @@ def test_pipeline_nonmapping_table_spec_fails_fast(spark, tmp_path):
             {"source": {"format": "debezium"}, "tables": {"a.b": ["id"]}}, cat,
         )
     assert e.value.property == "tables.a.b"
+
+
+def test_pipeline_stream_applies_batches_and_resumes(spark, tmp_path):
+    """Streaming front door: wire-message files stream through
+    run_pipeline per micro-batch; a restart with the same checkpoint
+    picks up only new files; the MongoDB patch leg works per batch."""
+    from change_data_capture_spark.pipeline import run_pipeline_stream
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", 1.0 * i) for i in range(1, 6)],
+        "_id long, name string, bal double",
+    )
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    msgs_dir = str(tmp_path / "msgs")
+    ckpt = str(tmp_path / "ckpt")
+    cat = TableCatalog(str(tmp_path / "cat"))
+
+    snap = mg.encode_mongodb_json(
+        base, table="appdb.users", op="c",
+        after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=1,
+    )
+    snap.write.mode("append").parquet(msgs_dir)
+    run_pipeline_stream(spark, msgs_dir, cfg, cat, ckpt)
+    assert cat.read(spark, "appdb.users").count() == 5
+
+    # second file: a partial-update batch; restartable query resumes
+    # from the checkpoint and applies only the new file
+    part = mg.encode_mongodb_json(
+        base.filter(F.col("_id") % 2 == 1), table="appdb.users", op="u",
+        updated_fields=F.struct((F.col("bal") + 100).alias("bal")),
+        doc_id=F.col("_id"), ts_ms=2,
+    )
+    part.write.mode("append").parquet(msgs_dir)
+    run_pipeline_stream(spark, msgs_dir, cfg, cat, ckpt)
+    got = {r["_id"]: r["bal"] for r in cat.read(spark, "appdb.users").collect()}
+    assert got == {i: (1.0 * i + 100 if i % 2 == 1 else 1.0 * i) for i in range(1, 6)}
+
+    # bad config still fails fast BEFORE any stream starts
+    with pytest.raises(InvalidConfigError):
+        run_pipeline_stream(
+            spark, msgs_dir, {"source": {"format": "nope"}, "tables": {}}, cat, ckpt
+        )
