@@ -3417,6 +3417,49 @@ def text_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "text_winnowing",
+    """
+    WITH idx AS (
+      SELECT doc_id, lower(text) AS t,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i,
+             md5(substr(t, i, 8))
+               || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+      FROM idx
+    ),
+    mk AS (
+      SELECT doc_id, i,
+             min(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM s
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             substr(mk, 1, 32) || ':'
+               || CAST(1000000000 - CAST(substr(mk, 33, 10) AS BIGINT) AS VARCHAR) AS fp
+      FROM mk WHERE i <= greatest(n - 7, 1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+           md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
+    FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing / MOSS fingerprint selection
+    (extensions/text.winnowing_fingerprints): sliding-window minimum
+    over k-gram md5 hashes with the rightmost-min tie rule encoded
+    into the ordering key, so any >= w+k-1-char substring match shares
+    a selected fingerprint. Per doc: selected-set size + an
+    order-canonical digest pinning every (fingerprint, position) pair
+    — both engines fold the identical strings."""
+    return text.winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=8)
+
+
+@_q(
     "multimodal_image_meta",
     """
     SELECT doc_id,

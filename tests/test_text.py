@@ -489,3 +489,37 @@ def test_compression_ratio_orders_redundancy(spark):
     assert r[4].compression_ratio == 1.0 and r[5].compression_ratio == 1.0
     assert r[4].utf8_len == 0 and r[5].compressed_len == 0
     assert r[1].utf8_len == len("spam ham " * 300)
+
+
+def test_winnowing_hand_computed_selection_and_tie_rule(spark):
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    docs = spark.createDataFrame(
+        [("d1", "aaaa"), ("d2", "abab"), ("d3", "abab")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_digest"])
+        for r in text.winnowing_fingerprints(docs, k=2, w=2).collect()
+    }
+    # d1: grams aa@1 aa@2 aa@3 all hash-equal; windows [1,2] and [2,3]
+    # pick the RIGHTMOST min -> positions 2 and 3
+    want_d1 = sorted([f"{h('aa')}:2", f"{h('aa')}:3"])
+    assert out["d1"] == (2, hashlib.md5(",".join(want_d1).encode()).hexdigest())
+    # d2: grams ab@1 ba@2 ab@3; per-window mins are deterministic by
+    # hash order; recompute the reference selection in Python
+    keys = {1: h("ab"), 2: h("ba"), 3: h("ab")}
+    sel = set()
+    for j in (1, 2):  # complete windows only
+        i = min(range(j, j + 2), key=lambda p: (keys[p], -p))
+        sel.add(f"{keys[i]}:{i}")
+    want_d2 = sorted(sel)
+    assert out["d2"] == (
+        len(want_d2),
+        hashlib.md5(",".join(want_d2).encode()).hexdigest(),
+    )
+    # identical docs -> identical fingerprint sets
+    assert out["d2"] == out["d3"]
