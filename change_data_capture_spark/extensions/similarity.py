@@ -1065,3 +1065,87 @@ def embedding_decontaminate(
     ta.unpersist()
     ba.unpersist()
     return out
+
+
+def hybrid_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    *,
+    query_ids,
+    k: int = 10,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval fused by Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher, SIGIR 2009, public) — the
+    standard RAG serving pattern: keyword recall catches what the
+    embedding misses (rare names, codes), dense recall catches
+    paraphrases, and RRF combines the two rankings with no score
+    calibration at all: ``score = sum(1 / (rrf_k + rank))`` over the
+    lists a document appears in.
+
+    Legs, both engine-exact:
+    - dense: ``brute_force_topk`` cosine (rounded 6dp, ties by id);
+    - lexical: shared-DISTINCT-token scoring with LINEAR idf weights
+      ``N - df`` (integer-exact — the same engine-portable idf the
+      tf-idf operator uses; no log), ties by id.
+    RRF contributions round to 8dp before the one addition, so the
+    fused score is two deterministic doubles added once — bit-equal
+    across engines, no order-dependent accumulation.
+
+    Scale: the lexical leg joins the QUERY docs' tokens (tiny side)
+    against the corpus token relation on the token key — one
+    broadcast-eligible equi-join + one (query, candidate) aggregation;
+    the dense leg is the existing broadcast-query scoring stage. No
+    all-pairs anywhere; at 100 TB swap the legs' candidate generators
+    for the inverted-index and IVF operators, same fusion."""
+    from .text import tokens as _tokens
+
+    qids = list(query_ids)
+    tok = (
+        _tokens(docs, id_col=doc_id_col, text_col=text_col)
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("__n"))
+    qt = tok.filter(F.col(doc_id_col).isin(qids)).select(
+        F.col(doc_id_col).alias("query_id"), "token"
+    )
+    cand = tok.select(F.col(doc_id_col).alias("doc_id"), "token")
+    lex = (
+        qt.join(cand, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("__n") - F.col("__df")).cast("bigint").alias("__ls"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("__ls").desc(), F.col("doc_id"))
+    lex_top = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= k)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense_top = brute_force_topk(
+        emb, emb.filter(F.col(vec_id_col).isin(qids)), k=k, dim=None,
+        id_col=vec_id_col, vec_col=vec_col,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("dense_rank")
+    )
+    fused = dense_top.join(lex_top, ["query_id", "doc_id"], "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0).cast("double") / (F.lit(rrf_k) + F.col(r)), 8), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_score", contrib("dense_rank") + contrib("lex_rank"))
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "dense_rank", "lex_rank", "rrf_score", "rnk")
+    )

@@ -2698,6 +2698,75 @@ def ann_topk_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=5, dim=None)
 
 
+@_q(
+    "rag_hybrid_retrieval",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round({{_COSINE_A}}, 6) AS score
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    dt AS (
+      SELECT query_id, doc_id, drnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS drnk
+        FROM scored) WHERE drnk <= 10
+    ),
+    t AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    dfq AS (SELECT w, count(*) AS df FROM t GROUP BY w),
+    nd AS (SELECT count(*) AS n FROM documents),
+    lex AS (
+      SELECT qt.doc_id AS query_id, c.doc_id AS doc_id,
+             CAST(SUM(nd.n - dfq.df) AS BIGINT) AS ls
+      FROM t qt JOIN t c ON qt.w = c.w AND c.doc_id <> qt.doc_id
+      JOIN dfq ON dfq.w = qt.w CROSS JOIN nd
+      WHERE qt.doc_id < 5 GROUP BY 1, 2
+    ),
+    lt AS (
+      SELECT query_id, doc_id, lrnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY ls DESC, doc_id) AS lrnk
+        FROM lex) WHERE lrnk <= 10
+    ),
+    f AS (
+      SELECT coalesce(d.query_id, l.query_id) AS query_id,
+             coalesce(d.doc_id, l.doc_id) AS doc_id,
+             d.drnk AS dense_rank, l.lrnk AS lex_rank,
+             coalesce(round(CAST(1 AS DOUBLE) / (60 + d.drnk), 8), 0)
+               + coalesce(round(CAST(1 AS DOUBLE) / (60 + l.lrnk), 8), 0)
+               AS rrf_score
+      FROM dt d FULL OUTER JOIN lt l
+        ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, dense_rank, lex_rank, rrf_score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM f) WHERE rnk <= 10
+    """.replace("{_COSINE_A}", _COSINE.format(a="q.v", b="c.v")),
+)
+def rag_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
+    (extensions/similarity.hybrid_retrieval): the RAG serving pattern
+    — cosine top-10 and shared-token linear-idf top-10 fused by
+    1/(60+rank), both legs engine-exact (rounded 6dp cosine; integer
+    N-df lexical scores; 8dp-rounded RRF contributions added once).
+    Five query documents retrieve over the documents/embeddings pair
+    (aligned id domains)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hybrid_retrieval(docs, emb, query_ids=range(5), k=10)
+
+
 @_q("ann_lsh_bucketed", None)  # approximate: recall < 1 by design -> rows-only check
 def ann_lsh_bucketed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

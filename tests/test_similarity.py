@@ -210,3 +210,39 @@ def test_ivfpq_index_catalog_roundtrip_matches_direct(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="different m"):
         ivfpq_ann_topk(emb, queries, k=5, dim=64, m=16, index=cat.read(spark, "ml.pq"))
+
+
+def test_hybrid_retrieval_rrf_semantics(spark):
+    """A doc ranked high in BOTH legs must outrank docs carried by one
+    leg alone, absent legs contribute exactly 0, and every fused score
+    equals the closed-form RRF of its own ranks."""
+    from change_data_capture_spark.extensions.similarity import hybrid_retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),          # the query
+            (1, "alpha beta gamma"),          # lexical twin + dense twin
+            (2, "alpha zz yy"),               # weak lexical overlap
+            (3, "qq rr ss"),                  # no shared tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.01]),                # dense #1
+            (2, [0.0, 1.0]),                  # dense last
+            (3, [0.9, 0.2]),                  # dense #2, lexical absent
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["doc_id"]: r for r in
+           hybrid_retrieval(docs, emb, query_ids=[0], k=3).collect()}
+    assert out[1]["rnk"] == 1                      # both legs -> top
+    assert out[3]["lex_rank"] is None              # absent leg is NULL...
+    for r in out.values():                         # ...and contributes 0
+        want = sum(
+            round(1.0 / (60 + r[c]), 8)
+            for c in ("dense_rank", "lex_rank") if r[c] is not None
+        )
+        assert r["rrf_score"] == want, (r, want)
