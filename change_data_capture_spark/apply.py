@@ -1404,3 +1404,71 @@ def forget_keys(
         "versions_purged": purged,
         "versions_verified": [int(v) for v in remaining],
     }
+
+
+def auto_maintain(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    *,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    keep_last: int = 2,
+    small_file_compact_threshold: int = 8,
+    dry_run: bool = False,
+) -> list[dict]:
+    """Advisor-driven maintenance executor — the scheduled OPTIMIZE /
+    VACUUM job, closed-loop: run ``maintenance_report`` and ACT on it.
+    Per table, in this order:
+
+    - ``compact`` when the advisor recommends a bucket-count growth
+      (re-hash to ``recommended_buckets`` — reader-invisible, versioned
+      like any write) OR when the current version carries more than
+      ``small_file_compact_threshold`` small files (write
+      amplification from many tiny batches; compaction at the SAME
+      bucket count coalesces them);
+    - ``vacuum(keep_last)`` when reclaimable versions exist (after the
+      compact, so the pre-compact version becomes reclaimable next
+      run, never mid-flight).
+
+    ``dry_run=True`` returns the planned actions without touching
+    anything — the review mode a production schedule runs first.
+    Returns one dict per table with the actions taken (or planned):
+    ``{"table", "compacted", "new_buckets", "vacuumed_versions"}``;
+    tables needing nothing are omitted. Decisions come from the
+    advisor's metadata-only scan, so a no-op pass costs zero Spark
+    jobs."""
+    actions: list[dict] = []
+    for row in maintenance_report(
+        catalog, target_bucket_bytes=target_bucket_bytes, keep_last=keep_last
+    ):
+        # small-file compaction only helps while there are MORE files
+        # than buckets (a compact can never produce fewer than one file
+        # per bucket, so a genuinely small table would otherwise be
+        # re-compacted on every pass forever)
+        needs_compact = row["needs_rebucket"] or (
+            row["small_files"] > small_file_compact_threshold
+            and row["files"] > row["buckets"]
+        )
+        needs_vacuum = bool(row["reclaimable_versions"])
+        if not (needs_compact or needs_vacuum):
+            continue
+        act = {
+            "table": row["table"],
+            "compacted": needs_compact,
+            "new_buckets": row["recommended_buckets"] if row["needs_rebucket"] else None,
+            "vacuumed_versions": list(row["reclaimable_versions"]),
+        }
+        if not dry_run:
+            if needs_compact:
+                catalog.compact(
+                    spark,
+                    row["table"],
+                    n_buckets=(
+                        row["recommended_buckets"] if row["needs_rebucket"] else None
+                    ),
+                )
+            if needs_vacuum:
+                act["vacuumed_versions"] = catalog.vacuum(
+                    row["table"], keep_last=keep_last
+                )
+        actions.append(act)
+    return actions

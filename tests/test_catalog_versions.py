@@ -417,3 +417,51 @@ def test_export_group_snapshot_consistent_cut(spark, sf_dir, tmp_path):
     )
     with pytest.raises(KeyError, match="t.r"):
         cat.export_group_snapshot(spark, ["t.n", "t.r"], 1, str(tmp_path / "bad"))
+
+
+def test_auto_maintain_executes_advisor_actions(spark, tmp_path):
+    """Closed-loop maintenance: dry_run plans without touching anything;
+    the real run compacts small-file tables and vacuums reclaimable
+    versions; reader-visible content never changes."""
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, auto_maintain,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [(i, 1.0 * i) for i in range(200)], "id long, v double"
+    )
+    apply_changelog(spark, snapshot_changelog(base, "t.a", ["id"]), cat)
+    for ver in (2, 3, 4):  # several tiny batches -> small files + history
+        apply_changelog(
+            spark,
+            dml_records(base.filter(F.col("id") % 5 == ver), "t.a", ["id"],
+                        op="UPDATE", version=ver,
+                        value_overrides={"v": F.col("v") + ver}),
+            cat,
+        )
+    before = sorted(tuple(r) for r in cat.read(spark, "t.a").collect())
+    n_versions = len(cat.versions("t.a"))
+    assert n_versions >= 3
+
+    # a tiny bucket-byte target makes the advisor recommend growth,
+    # driving the rebucket-compact path
+    planned = auto_maintain(spark, cat, keep_last=2, target_bucket_bytes=256,
+                            dry_run=True)
+    assert planned and planned[0]["table"] == "t.a" and planned[0]["compacted"]
+    assert planned[0]["new_buckets"] and planned[0]["new_buckets"] > 16
+    assert len(cat.versions("t.a")) == n_versions  # dry run touched nothing
+
+    acted = auto_maintain(spark, cat, keep_last=2, target_bucket_bytes=256)
+    assert acted and acted[0]["compacted"]
+    assert acted[0]["vacuumed_versions"], "old versions reclaimed"
+    after = sorted(tuple(r) for r in cat.read(spark, "t.a").collect())
+    assert after == before  # reader-invisible
+    # at the realistic default target the catalog is converged: one
+    # pass may vacuum the pre-compact version, after which a second
+    # pass is a full no-op (parquet's per-file byte floor makes toy
+    # tables diverge under toy byte targets — a non-issue at real
+    # bucket sizes, so convergence is asserted at the default)
+    auto_maintain(spark, cat, keep_last=2)
+    assert auto_maintain(spark, cat, keep_last=2) == []
