@@ -2767,6 +2767,108 @@ def rag_hybrid_retrieval(spark, sf_dir):
     return similarity.hybrid_retrieval(docs, emb, query_ids=range(5), k=10)
 
 
+@_q(
+    "cdc_rag_serving",
+    f"""
+    WITH docs_cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' zzrag zzrag'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 5
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 7 <> 5
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round({{_COSINE_A}}, 6) AS score
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    dt AS (
+      SELECT query_id, doc_id, drnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS drnk
+        FROM scored) WHERE drnk <= 10
+    ),
+    t AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM docs_cur) WHERE w <> ''
+    ),
+    dfq AS (SELECT w, count(*) AS df FROM t GROUP BY w),
+    nd AS (SELECT count(*) AS n FROM docs_cur),
+    lex AS (
+      SELECT qt.doc_id AS query_id, c.doc_id AS doc_id,
+             CAST(SUM(nd.n - dfq.df) AS BIGINT) AS ls
+      FROM t qt JOIN t c ON qt.w = c.w AND c.doc_id <> qt.doc_id
+      JOIN dfq ON dfq.w = qt.w CROSS JOIN nd
+      WHERE qt.doc_id < 5 GROUP BY 1, 2
+    ),
+    lt AS (
+      SELECT query_id, doc_id, lrnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY ls DESC, doc_id) AS lrnk
+        FROM lex) WHERE lrnk <= 10
+    ),
+    f AS (
+      SELECT coalesce(d.query_id, l.query_id) AS query_id,
+             coalesce(d.doc_id, l.doc_id) AS doc_id,
+             d.drnk AS dense_rank, l.lrnk AS lex_rank,
+             coalesce(round(CAST(1 AS DOUBLE) / (60 + d.drnk), 8), 0)
+               + coalesce(round(CAST(1 AS DOUBLE) / (60 + l.lrnk), 8), 0)
+               AS rrf_score
+      FROM dt d FULL OUTER JOIN lt l
+        ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, dense_rank, lex_rank, rrf_score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM f) WHERE rnk <= 10
+    """.replace("{_COSINE_A}", _COSINE.format(a="q.v", b="c.v")),
+)
+def cdc_rag_serving(spark, sf_dir):
+    """CDC -> RAG serving, the third composite flagship: the corpus
+    (text) AND its embedding table (vectors riding the complex-typed
+    envelope) are ingested THROUGH the CDC apply path into managed
+    tables, a mutation batch rewrites every 7th-mod-3 document's text
+    and deletes every 7th-mod-5 doc FROM BOTH tables (the
+    delete-everywhere consistency a serving stack needs), and hybrid
+    RRF retrieval then runs over the SERVED tables — deleted docs must
+    vanish from both legs, rewritten text must re-rank the lexical
+    leg, and the fused ranking must equal the oracle's recomputation
+    over the mutated corpus. Proof that ingestion, typed vector
+    round-trip, deletes, and retrieval compose into one dataflow."""
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_rag_"))
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    k_d, k_e = F.col("doc_id"), F.col("vec_id")
+    apply_changelog(spark, snapshot_changelog(docs, "rag.docs", ["doc_id"]), cat)
+    apply_changelog(spark, snapshot_changelog(emb, "rag.vectors", ["vec_id"]), cat)
+    doc_mut = mutation_changelog(
+        docs, "rag.docs", ["doc_id"],
+        update_where=k_d % 7 == 3,
+        update_set={"text": F.concat(F.col("text"), F.lit(" zzrag zzrag"))},
+        update_version=2,
+        delete_where=k_d % 7 == 5,
+        delete_version=3,
+    )
+    emb_mut = mutation_changelog(
+        emb, "rag.vectors", ["vec_id"],
+        delete_where=k_e % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, doc_mut.unionByName(emb_mut), cat)
+    return similarity.hybrid_retrieval(
+        cat.read(spark, "rag.docs").select("doc_id", "text"),
+        cat.read(spark, "rag.vectors").select("vec_id", "embedding"),
+        query_ids=range(5),
+        k=10,
+    )
+
+
 @_q("ann_lsh_bucketed", None)  # approximate: recall < 1 by design -> rows-only check
 def ann_lsh_bucketed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -8692,7 +8794,12 @@ DRIVER_WINDOW: list[str] = [
     # the delta-maintained df/cf corpus-statistics table built this
     # round, never driver-checked.
     "cdc_corpus_stats",
-    "cdc_schema_evolution",
+    # Eleventh r4 swap: cdc_schema_evolution (green r01+r03; K3 stays
+    # pinned by tests/test_apply.py + every wire format's DDL tests)
+    # retires for cdc_rag_serving — the third composite flagship
+    # (CDC ingest of text + typed vectors -> delete-everywhere
+    # mutation -> hybrid RRF retrieval over the served tables).
+    "cdc_rag_serving",
     "cdc_apply_vectors",
     "cdc_table_checksum",
     "cdc_maxwell_apply",
