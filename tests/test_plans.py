@@ -376,3 +376,24 @@ def test_grouped_quantile_selector_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hybrid_retrieval_plan_shape(spark, sf_dir):
+    """Hybrid RRF: the ONLY nested-loop allowed is the dense leg's
+    broadcast of the tiny query-vector side (the documented
+    brute_force_topk shape); the lexical leg must stay an equi-join on
+    the token key, never a cartesian — at 100 TB the query-token side
+    broadcasts and the corpus side streams."""
+    plan = plan_of(spark, sf_dir, "rag_hybrid_retrieval")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_single_doc_shuffle_no_python(spark, sf_dir):
+    """Winnowing: one explode+substr codegen stage, then a single
+    doc-key exchange shared by the sliding-window min, the count
+    filter, and the per-doc fold — no Python, no second shuffle of
+    the shingle volume."""
+    plan = plan_of(spark, sf_dir, "text_winnowing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
