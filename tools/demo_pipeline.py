@@ -303,6 +303,45 @@ def main() -> int:
     print("consistent group export at watermark", g["watermark"], "->",
           {t: v["n_rows"] for t, v in g["tables"].items()})
 
+    section("16. End-of-r4: config front door, secondary index, RAG serving")
+    from change_data_capture_spark.derive import lookup_by_index, maintain_value_index
+    from change_data_capture_spark.extensions.similarity import hybrid_retrieval
+    from change_data_capture_spark.pipeline import run_pipeline
+    from change_data_capture_spark.sources import mongodb as mgo
+
+    # one config dict drives the document-store wire format end-to-end
+    pcat = TableCatalog(os.path.join(root, "pipeline"))
+    full = F.struct(F.col("c_custkey"), F.col("c_name"), F.col("c_acctbal"))
+    msgs = mgo.encode_mongodb_json(
+        cust.select("c_custkey", "c_name", "c_acctbal"), table="crm.customer",
+        op="c", after=full, doc_id=F.col("c_custkey"), ts_ms=1,
+    ).unionByName(
+        mgo.encode_mongodb_json(  # $set/$unset partial updates, no post-image
+            cust.filter(F.col("c_custkey") % 9 == 0), table="crm.customer", op="u",
+            updated_fields=F.struct((F.col("c_acctbal") + 5).alias("c_acctbal")),
+            removed_fields=F.array(F.lit("c_name")), doc_id=F.col("c_custkey"),
+            ts_ms=2,
+        )
+    )
+    cfg = {"source": {"format": "mongodb"},
+           "tables": {"crm.customer": {
+               "keys": ["c_custkey"],
+               "schema": cust.select("c_custkey", "c_name", "c_acctbal").schema.json()}}}
+    rep = run_pipeline(spark, msgs, cfg, pcat)
+    print("config-driven mongodb pipeline:", pcat.read(spark, "crm.customer").count(),
+          "rows; dead letters:", rep["dead_letters"].count())
+    idx = maintain_value_index(spark, pcat, "crm.customer", ["c_name"], "crm.by_name")
+    some = pcat.read(spark, "crm.customer").filter("c_name is not null").first()["c_name"]
+    hit = lookup_by_index(spark, pcat, "crm.customer", "crm.by_name",
+                          spark.createDataFrame([(some,)], "c_name string"))
+    print("secondary index:", idx.count(), "values; point lookup", some, "->",
+          hit.count(), "row (bucket-pruned twice)")
+    rag = hybrid_retrieval(docs, emb2, query_ids=[0], k=5)
+    print("hybrid RRF retrieval (lexical+dense):",
+          [(r.doc_id, r.rnk) for r in rag.orderBy("rnk").collect()])
+    from change_data_capture_spark.apply import auto_maintain
+    print("auto_maintain plan:", auto_maintain(spark, pcat, dry_run=True))
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
