@@ -753,3 +753,38 @@ def minhash_lsh_against_index(
     )
     sig_new.unpersist()
     return out
+
+
+def cluster_size_report(
+    docs: DataFrame, clusters: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup impact report — the summary every dedup pipeline prints
+    before anyone deletes anything: the cluster-SIZE histogram plus,
+    per size, how many documents sit in such clusters and how many a
+    keep-one-per-cluster policy would remove. Singletons (docs in no
+    near-dup pair at all) appear as the size-1 row, so the histogram
+    partitions the whole corpus and the removable column sums to the
+    corpus-level reduction.
+
+    ``clusters`` is ``duplicate_clusters`` output (docs with at least
+    one pair). Two metadata-sized aggregations over the cluster table
+    plus one corpus count — nothing here rescans text."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
+    hist = sizes.groupBy("__sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    multi = hist.select(
+        F.col("__sz").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        (F.col("__sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        ((F.col("__sz") - 1) * F.col("n_clusters")).cast("bigint").alias("n_removable"),
+    )
+    singles = (
+        docs.agg(F.count(F.lit(1)).alias("__total"))
+        .crossJoin(clusters.agg(F.count(F.lit(1)).alias("__clustered")))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("__total") - F.col("__clustered")).cast("bigint").alias("n_clusters"),
+            (F.col("__total") - F.col("__clustered")).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_removable"),
+        )
+    )
+    return singles.unionByName(multi)

@@ -2448,6 +2448,46 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_cluster_stats",
+    f"""
+    WITH RECURSIVE
+    p AS ({_JACCARD_ORACLE}),
+    e AS (SELECT a_id AS u, b_id AS v FROM p
+          UNION SELECT b_id, a_id FROM p),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u
+    ),
+    cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    sz AS (SELECT cluster_id, count(*) AS s FROM cl GROUP BY cluster_id),
+    hist AS (SELECT s, count(*) AS n FROM sz GROUP BY s),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS total,
+                   (SELECT count(*) FROM cl) AS clustered)
+    SELECT CAST(1 AS BIGINT) AS cluster_size,
+           CAST(total - clustered AS BIGINT) AS n_clusters,
+           CAST(total - clustered AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_removable
+    FROM tot
+    UNION ALL
+    SELECT CAST(s AS BIGINT), CAST(n AS BIGINT),
+           CAST(s * n AS BIGINT), CAST((s - 1) * n AS BIGINT)
+    FROM hist
+    """,
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """Dedup impact report (extensions/dedup.cluster_size_report):
+    cluster-size histogram over the exact-verified MinHash near-dup
+    components, with the size-1 singleton row completing the corpus
+    partition — per size, docs covered and docs a keep-one policy
+    removes. Two metadata-sized aggregations over the cluster table;
+    text is never rescanned."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    return dedup.cluster_size_report(docs, dedup.duplicate_clusters(pairs))
+
+
+@_q(
     "dedup_cluster_sample",
     f"""
     WITH RECURSIVE

@@ -232,3 +232,24 @@ def test_signature_index_two_day_ingest_loop(spark, sf_dir, tmp_path):
     )
     b_ids = {r.b_id for r in p2.collect()}
     assert any(b >= 900000 for b in b_ids)  # matched the day-1 doc via the index
+
+
+def test_cluster_size_report_partitions_corpus(spark):
+    from change_data_capture_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chain), {5,6} (pair); 3,4,7,8,9 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.9), (5, 6, 0.85)],
+        "a_id long, b_id long, jaccard double",
+    )
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removable"])
+        for r in dedup.cluster_size_report(
+            docs, dedup.duplicate_clusters(pairs)
+        ).collect()
+    }
+    assert out == {1: (5, 5, 0), 2: (1, 2, 1), 3: (1, 3, 2)}
+    assert sum(d for _, d, _ in out.values()) == 10  # partitions the corpus
