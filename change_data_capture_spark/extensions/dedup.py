@@ -788,3 +788,61 @@ def cluster_size_report(
         )
     )
     return singles.unionByName(multi)
+
+
+def jaccard_score_histogram(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    n: int = 5,
+    buckets_per_unit: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup SCORE DISTRIBUTION over verified pairs — the
+    threshold-tuning signal a dedup rollout reads before choosing its
+    cut: how many pairs sit in each similarity band (a fat band just
+    under the threshold means the knob is load-bearing; an empty one
+    means it isn't). One row per 1/``buckets_per_unit`` band.
+
+    The band index is INTEGER arithmetic on the exact shingle-set
+    counts — ``(buckets_per_unit * k) div (na + nb - k)`` — never a
+    float multiply of the rounded score, whose 1-ulp representation
+    error flips bands at exact boundaries (0.35 * 20 is 6.999... in
+    doubles but 7 in decimals; engines would disagree). Shingle sets
+    are recomputed for PAIR DOCS ONLY (the `_verify_pairs` semi-join
+    shape), so cost is O(near-dup docs), not O(corpus)."""
+    ids = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .unionByName(pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    cand = docs.join(ids, id_col, "left_semi")
+    sh = shingles(cand, n=n, id_col=id_col, text_col=text_col, distinct=True)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("a_id"), "sh")
+    b = sh.select(F.col(id_col).alias("b_id"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .join(pairs.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    ca = counts.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
+    cb = counts.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
+    bucket = F.expr(f"({buckets_per_unit} * __k) div (__na + __nb - __k)")
+    return (
+        pairs.select("a_id", "b_id")
+        .join(inter, ["a_id", "b_id"])
+        .join(ca, "a_id")
+        .join(cb, "b_id")
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / buckets_per_unit).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )

@@ -2448,6 +2448,47 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_score_histogram",
+    f"""
+    WITH p AS ({_JACCARD_ORACLE}),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+      WHERE doc_id IN (SELECT a_id FROM p UNION SELECT b_id FROM p)
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    kb AS (
+      SELECT (20 * k) // (ca.n + cb.n - k) AS bucket
+      FROM p JOIN inter USING (a_id, b_id)
+      JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(bucket AS DOUBLE) / 20 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM kb GROUP BY bucket
+    """,
+)
+def dedup_score_histogram(spark, sf_dir):
+    """Near-dup score distribution (dedup.jaccard_score_histogram):
+    verified pairs banded by INTEGER arithmetic on exact shingle-set
+    counts — (20k) div (na+nb-k) — never a float multiply of the
+    rounded score (0.35*20 is 6.999... in doubles, 7 in decimals;
+    engines would split at band edges). The threshold-tuning signal
+    read before choosing a dedup cut; O(near-dup docs) recompute."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    return dedup.jaccard_score_histogram(docs, pairs, n=5)
+
+
+@_q(
     "dedup_cluster_stats",
     f"""
     WITH RECURSIVE

@@ -253,3 +253,35 @@ def test_cluster_size_report_partitions_corpus(spark):
     }
     assert out == {1: (5, 5, 0), 2: (1, 2, 1), 3: (1, 3, 2)}
     assert sum(d for _, d, _ in out.values()) == 10  # partitions the corpus
+
+
+def test_jaccard_score_histogram_integer_banding(spark):
+    from change_data_capture_spark.extensions import dedup
+
+    # d1/d2 near-identical (high band); d3/d4 moderately similar
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"), (2, "abcdefghix"),
+            (3, "aaaaabbbbb"), (4, "aaaaabbxyz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.0), (3, 4, 0.0)], "a_id long, b_id long, jaccard double"
+    )
+    out = {r["bucket"]: r for r in
+           dedup.jaccard_score_histogram(docs, pairs, n=5).collect()}
+
+    # recompute expected bands in python over distinct 5-gram sets
+    def grams(t):
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    def band(a, b):
+        k = len(grams(a) & grams(b))
+        return (20 * k) // (len(grams(a)) + len(grams(b)) - k)
+
+    b12 = band("abcdefghij", "abcdefghix")
+    b34 = band("aaaaabbbbb", "aaaaabbxyz")
+    assert set(out) == {b12, b34}
+    for b, r in out.items():
+        assert r["n_pairs"] == 1 and r["bucket_lo"] == b / 20
