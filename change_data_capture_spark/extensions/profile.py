@@ -378,3 +378,54 @@ def expect_references(
         [(f"references({child_col}->{parent_col})", n_rows, orphans, orphans == 0)],
         "rule string, n_rows bigint, n_violations bigint, passed boolean",
     )
+
+
+def embedding_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION embedding drift between two corpus snapshots —
+    the ingest-health monitor for the vector column itself (a new
+    encoder version, a normalization bug, or a domain shift moves
+    dimension means long before any scalar column notices): for every
+    dimension, row counts and means of both snapshots plus the mean
+    delta.
+
+    Numerically engine-exact: element sums go through DECIMAL(38,6)
+    (the repo's float->double->decimal idiom, order-independent), and
+    each mean is ONE double division of the exact sum — no
+    order-dependent float accumulation anywhere, so the monitor
+    hash-verifies like the scalar drift profiles.
+
+    Plan: both snapshots union with a side tag, one posexplode, ONE
+    hash aggregation keyed by dimension — O(dims) result rows at any
+    corpus size."""
+    tagged = base.select(
+        F.lit("b").alias("__side"), F.col(vec_col).alias("__v")
+    ).unionByName(cur.select(F.lit("c").alias("__side"), F.col(vec_col).alias("__v")))
+    x = tagged.select(
+        "__side", F.posexplode("__v").alias("__i", "__x")
+    ).select(
+        "__side",
+        (F.col("__i") + 1).alias("dim"),
+        F.col("__x").cast("double").cast("decimal(38,6)").alias("__e"),
+    )
+    is_b = F.col("__side") == "b"
+    agg = x.groupBy("dim").agg(
+        F.count(F.when(is_b, 1)).cast("bigint").alias("n_base"),
+        F.count(F.when(~is_b, 1)).cast("bigint").alias("n_cur"),
+        F.sum(F.when(is_b, F.col("__e"))).alias("__sb"),
+        F.sum(F.when(~is_b, F.col("__e"))).alias("__sc"),
+    )
+    mean_b = F.round(F.col("__sb").cast("double") / F.col("n_base"), 8)
+    mean_c = F.round(F.col("__sc").cast("double") / F.col("n_cur"), 8)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_base",
+        "n_cur",
+        mean_b.alias("mean_base"),
+        mean_c.alias("mean_cur"),
+        F.round(mean_c - mean_b, 8).alias("mean_delta"),
+    )

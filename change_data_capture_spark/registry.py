@@ -1816,6 +1816,60 @@ def cdc_apply_vectors(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_embedding_drift",
+    """
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS e
+      FROM embeddings
+    ),
+    b AS (SELECT dim, CAST(CAST(e AS DOUBLE) AS DECIMAL(38,6)) AS e FROM x),
+    c AS (
+      SELECT dim,
+             CAST(CAST(CASE WHEN vec_id % 3 = 0 AND dim = 1 THEN e * 2
+                            ELSE e END AS DOUBLE) AS DECIMAL(38,6)) AS e
+      FROM x WHERE vec_id % 7 <> 5
+    ),
+    ab AS (SELECT dim, count(*) AS n_base, SUM(e) AS sb FROM b GROUP BY dim),
+    ac AS (SELECT dim, count(*) AS n_cur, SUM(e) AS sc FROM c GROUP BY dim)
+    SELECT CAST(ab.dim AS INT) AS dim,
+           CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(CAST(sb AS DOUBLE) / n_base, 8) AS mean_base,
+           ROUND(CAST(sc AS DOUBLE) / n_cur, 8) AS mean_cur,
+           ROUND(ROUND(CAST(sc AS DOUBLE) / n_cur, 8)
+                 - ROUND(CAST(sb AS DOUBLE) / n_base, 8), 8) AS mean_delta
+    FROM ab JOIN ac USING (dim)
+    """,
+)
+def profile_embedding_drift(spark, sf_dir):
+    """Per-dimension embedding drift (extensions/profile.embedding_drift):
+    the vector-column ingest-health monitor — a re-encoded or
+    normalization-broken snapshot moves dimension means first. The
+    'current' snapshot here doubles dimension 1 on every 3rd vector
+    and drops every 7th-mod-5 row; DECIMAL(38,6) element sums +
+    one double division per mean keep the monitor hash-exact. One
+    posexplode + ONE dimension-keyed aggregation — O(dims) rows out
+    at any corpus size."""
+    from .extensions import profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = F.col("vec_id")
+    cur = emb.filter(k % 7 != 5).select(
+        k,
+        F.when(
+            k % 3 == 0,
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * 2).otherwise(x),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return profile.embedding_drift(emb, cur)
+
+
 @_q("cdc_time_travel", "SELECT * FROM nation")
 def cdc_time_travel(spark, sf_dir):
     """Catalog time travel through the driver gate: after a mutating

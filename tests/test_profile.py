@@ -155,3 +155,23 @@ def test_column_profile_approx_distinct_path(spark):
     # the scale payoff: no Expand row amplification in the approx plan
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan
+
+
+def test_embedding_drift_hand_computed(spark):
+    from change_data_capture_spark.extensions.profile import embedding_drift
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, embedding array<float>"
+    )
+    cur = spark.createDataFrame(
+        [(1, [2.0, 2.0]), (2, [4.0, 4.0]), (3, [6.0, 4.0])],
+        "id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in embedding_drift(base, cur).collect()}
+    d1 = out[1]
+    assert (d1["n_base"], d1["n_cur"]) == (2, 3)
+    assert d1["mean_base"] == 2.0 and d1["mean_cur"] == 4.0
+    assert d1["mean_delta"] == 2.0
+    d2 = out[2]
+    assert d2["mean_base"] == 3.0 and d2["mean_cur"] == round(10 / 3, 8)
+    assert d2["mean_delta"] == round(round(10 / 3, 8) - 3.0, 8)
