@@ -192,3 +192,47 @@ def encode_mssql_cdc(
         F.lit(None).cast("string").alias("__$update_mask"),
         *[F.col(c) for c in rows.columns],
     )
+
+
+def table_changes_to_mssql_cdc(
+    changes: DataFrame,
+    *,
+    pk_names: Sequence[str],
+) -> DataFrame:
+    """Outbound SQL Server CDC: render a change-data-feed frame
+    (``TableCatalog.table_changes`` output) as
+    cdc.fn_cdc_get_all_changes_* rows — insert -> operation 2,
+    delete -> 1 (old row image), update_postimage -> 4
+    (update_preimage rows render to nothing: the inbound decoder's
+    missing-3-row degradation reconstructs the preimage from the after
+    image, keys included, which is all the PK-update split needs).
+    Closes the inbound/outbound symmetry for the row-shaped protocol
+    the way the seven message formats close theirs.
+
+    Each rendered change takes its OWN synthetic ``__$start_lsn`` — the
+    md5 of (row key, change type), fixed-width hex like ``_hex``'s
+    canonical form — so the inbound pairing key (lsn, seqval) can
+    never fold two different keys into one record, and the dense
+    transaction index orders the batch deterministically. One narrow
+    projection, no shuffle."""
+    from ..envelope import rowkey_expr
+
+    row_cols = [c for c in changes.columns if c != "_change_type"]
+    ct = F.col("_change_type")
+    op = (
+        F.when(ct == "insert", F.lit(2))
+        .when(ct == "update_postimage", F.lit(4))
+        .when(ct == "delete", F.lit(1))
+    )
+    lsn = F.md5(F.concat_ws("#", rowkey_expr(pk_names), ct))
+    return (
+        changes.filter(ct.isin("insert", "update_postimage", "delete"))
+        .select(
+            lsn.alias("__$start_lsn"),
+            F.lit(None).cast("string").alias("__$end_lsn"),
+            F.lit("00000000000000000000").alias("__$seqval"),
+            op.alias("__$operation"),
+            F.lit(None).cast("string").alias("__$update_mask"),
+            *[F.col(c) for c in row_cols],
+        )
+    )
