@@ -398,6 +398,69 @@ def q_events_hourly(spark, sf_dir):
 
 
 @_q(
+    "q_event_rate_anomaly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hour, n,
+             CAST(coalesce(SUM(n) OVER tw, 0) AS BIGINT) AS trailing_sum,
+             CAST(COUNT(n) OVER tw AS BIGINT) AS trailing_n
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(n AS BIGINT) AS n, trailing_sum, trailing_n,
+           CASE WHEN trailing_sum > 0
+                THEN round(CAST(n * trailing_n AS DOUBLE) / trailing_sum, 6) END
+             AS rate_ratio,
+           (trailing_n >= 6 AND n * trailing_n > 3 * trailing_sum) AS is_anomaly
+    FROM w
+    """,
+)
+def q_event_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly screen — the on-call burst detector over the
+    hourly event stream: each (type, hour) bucket compares its count
+    against the trailing 24 observed buckets and flags when the rate
+    exceeds 3x the trailing mean, with a 6-bucket warmup. The flag is
+    INTEGER arithmetic (n * trailing_n > 3 * trailing_sum — no float
+    mean to disagree over); the displayed ratio is one double division
+    of exact integers. One hash aggregation + one per-type window —
+    the same two exchanges any per-key rollup pays; empty hours are
+    simply absent (densify with timeseries_gapfill when gaps should
+    count as zero)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    w = h.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("bigint").alias("n"),
+        F.coalesce(F.sum("n").over(tw), F.lit(0)).cast("bigint").alias("trailing_sum"),
+        F.count("n").over(tw).cast("bigint").alias("trailing_n"),
+    )
+    ratio = F.when(
+        F.col("trailing_sum") > 0,
+        F.round(
+            (F.col("n") * F.col("trailing_n")).cast("double") / F.col("trailing_sum"), 6
+        ),
+    )
+    flag = (F.col("trailing_n") >= 6) & (
+        F.col("n") * F.col("trailing_n") > 3 * F.col("trailing_sum")
+    )
+    return w.select(
+        "event_type", "hour", "n", "trailing_sum", "trailing_n",
+        ratio.alias("rate_ratio"), flag.alias("is_anomaly"),
+    )
+
+
+@_q(
     "q_scalar_functions",
     """
     SELECT p_partkey,

@@ -495,3 +495,35 @@ def test_stream_apply_records_watermark_history_for_asof(spark, sf_dir, tmp_path
     assert old.filter(F.col("r_name").endswith("_s")).count() == 0
     cur = cat.read_asof_watermark(spark, "tpch.region", 5)
     assert cur.filter(F.col("r_name").endswith("_s")).count() == 3  # keys 0,2,4
+
+
+def test_event_rate_anomaly_flags_bursts(spark, tmp_path):
+    """Hand-built stream: a flat baseline then one 10x burst hour —
+    only the burst flags, warmup hours never flag."""
+    import datetime as dt
+
+    from change_data_capture_spark import registry
+
+    rows = []
+    eid = 0
+    for hour in range(30):
+        n = 100 if hour == 28 else 10
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(hours=hour, seconds=i),
+                 i % 7, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+    out = {r["hour"].hour + 24 * (r["hour"].day - 1): r
+           for r in registry.REGISTRY["q_event_rate_anomaly"].fn(spark, sf).collect()}
+    flagged = [h for h, r in out.items() if r["is_anomaly"]]
+    assert flagged == [28]
+    assert out[28]["rate_ratio"] == 10.0  # 100 vs trailing mean 10
+    # warmup: first 6 buckets can never flag
+    assert all(not out[h]["is_anomaly"] for h in range(6))
