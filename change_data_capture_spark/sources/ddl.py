@@ -23,7 +23,12 @@ compatibility gate (``compat.gate_announce``):
 DDL events are metadata-scale (a handful per deploy, never per-row),
 so both entry points collect them driver-side — O(#DDL events), the
 same budget as the reference's DDL handling (CTInputDStream.java
-DDL-before-DML path) — and apply them in message order.
+DDL-before-DML path) — and apply them in message order. The
+classification to DDL-only happens IN SPARK (``ddl_candidates``, a
+``get_json_object`` filter below the collect), so a 100k-message
+micro-batch that carries 3 ALTERs ships 3 rows to the driver, not
+100k; ``tests/test_plans.py`` guards the filter's presence in the
+plan.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ import json
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
 # MySQL column type -> Spark SQL type (public MySQL reference types).
@@ -104,6 +110,28 @@ def maxwell_def_to_schema(defn: dict) -> tuple[StructType, list[str]]:
     return StructType(fields), list(defn.get("primary-key", []))
 
 
+def ddl_candidates(
+    messages: DataFrame, dialect: str, message_col: str = "message"
+) -> DataFrame:
+    """Spark-side DDL classification — the filter that keeps the
+    driver collect O(#DDL events). ``dialect`` is ``"maxwell"``
+    (structured ``type`` field) or ``"canal"`` (``isDdl`` flag).
+    Runs as a pushed ``get_json_object`` filter, never a full-frame
+    collect (plan-guarded in tests/test_plans.py)."""
+    msg = F.col(message_col)
+    if dialect == "maxwell":
+        pred = F.get_json_object(msg, "$.type").isin(
+            "table-create", "table-alter"
+        ) & F.get_json_object(msg, "$.def").isNotNull()
+    elif dialect == "canal":
+        pred = (F.get_json_object(msg, "$.isDdl") == "true") & F.get_json_object(
+            msg, "$.sql"
+        ).isNotNull()
+    else:
+        raise ValueError(f"unknown DDL dialect {dialect!r}")
+    return messages.filter(pred).select(msg.alias("message"))
+
+
 def apply_maxwell_ddl(
     messages: DataFrame,
     catalog,
@@ -117,10 +145,7 @@ def apply_maxwell_ddl(
     report dict per applied event: table, event type, columns, pks."""
     from ..compat import gate_announce
 
-    rows = (
-        messages.selectExpr(f"{message_col} as message")
-        .collect()
-    )
+    rows = ddl_candidates(messages, "maxwell", message_col).collect()
     out: list[dict] = []
     for r in rows:
         try:
@@ -207,7 +232,7 @@ def apply_canal_ddl(
     from ..compat import gate_announce
     from ..schema import schema_from_json
 
-    rows = messages.selectExpr(f"{message_col} as message").collect()
+    rows = ddl_candidates(messages, "canal", message_col).collect()
     out: list[dict] = []
     for r in rows:
         try:

@@ -397,3 +397,30 @@ def test_winnowing_single_doc_shuffle_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_winnowing")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_ddl_control_plane_filters_in_spark(spark):
+    """Binlog-DDL control plane (sources/ddl.py): the DDL
+    classification must sit IN SPARK below the driver collect — a
+    100k-message micro-batch with 3 ALTERs ships 3 rows to the
+    driver, never the full frame. Guards the O(#DDL events) contract
+    both entry points document."""
+    from change_data_capture_spark.sources import ddl
+
+    msgs = spark.createDataFrame(
+        [
+            ('{"type":"insert","database":"d","table":"t","data":{"id":1}}',),
+            ('{"type":"table-alter","database":"d","table":"t",'
+             '"def":{"columns":[{"name":"id","type":"bigint"}]}}',),
+            ('{"isDdl":false,"sql":null,"data":[{"id":"1"}]}',),
+            ('{"isDdl":true,"sql":"ALTER TABLE d.t ADD c int","database":"d"}',),
+            ("not json",),
+        ],
+        "message string",
+    )
+    for dialect, want in (("maxwell", 1), ("canal", 1)):
+        cand = ddl.ddl_candidates(msgs, dialect)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "get_json_object" in plan, plan  # filter is Spark-side
+        assert "Filter" in plan, plan
+        assert cand.count() == want  # DML/garbage never reaches collect
