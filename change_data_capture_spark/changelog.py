@@ -54,6 +54,7 @@ def dml_records(
     version: Column | int = 1,
     value_overrides: Mapping[str, Column] | None = None,
     keys_only: bool = False,
+    value_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Rows of ``df`` -> DML change records in the envelope.
 
@@ -64,12 +65,17 @@ def dml_records(
     - ``keys_only`` emits only PK values in rows_values (DELETE
       semantics: non-key columns null, per reference golden test
       CTSQLServerPluginIntegrationTest.java:308-317).
+    - ``value_cols`` restricts rows_values to an explicit column list
+      (so a per-row version/op Column can ride on ``df`` without
+      leaking into the payload); default is every column of ``df``.
     """
     version_col = F.lit(version).cast("long") if isinstance(version, int) else version.cast("long")
     op_col = F.lit(op) if isinstance(op, str) else op
     overrides = dict(value_overrides or {})
 
-    cols = list(pks) if keys_only else df.columns
+    cols = list(pks) if keys_only else (
+        list(value_cols) if value_cols is not None else df.columns
+    )
     types = {f.name: f.dataType for f in df.schema.fields}
     kv: list[Column] = []
     for c in cols:

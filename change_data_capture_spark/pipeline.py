@@ -210,6 +210,12 @@ def run_pipeline(
             live = (
                 p_t.join(raw_v, p_t["id"] == raw_v["__id"], "left")
                 .filter(F.col("__rv").isNull() | (F.col("version") > F.col("__rv")))
+                # Cross-batch staleness: a patch at or below the
+                # pre-batch watermark is a replay of something a prior
+                # batch already superseded — drop it BEFORE the merge,
+                # per row, so a stale doc-A patch cannot ride in on the
+                # strength of a fresh doc-B patch in the same batch.
+                .filter(F.col("version") > F.lit(floors[t]))
                 .select(F.col("id").cast(pk_type).alias(idc), "version", "patch")
                 .persist()
             )
@@ -233,15 +239,25 @@ def run_pipeline(
                 q if patch_quarantine is None else patch_quarantine.unionByName(q)
             )
             merged = patch_updates(base, live, [idc])
-            changed = merged.join(live.select(idc).distinct(), idc, "left_semi")
-            # one merged record per doc in this leg, so a single stamp
-            # (the leg's max source version) is exact; the pre-leg
-            # floor lets it through even when the raw leg's maximum
-            # already advanced the stored watermark past it
-            ver = int(live.agg(F.max("version")).first()[0])
+            # Per-row version stamps: each merged doc carries ITS OWN
+            # max patch version (not a leg-wide max, which would let a
+            # stale doc's merged row pass the replay floor whenever any
+            # other doc in the batch had a fresh patch). The pre-leg
+            # floor still lets genuinely-new patch versions through
+            # even though the raw leg's maximum already advanced the
+            # stored watermark past them.
+            doc_v = live.groupBy(idc).agg(F.max("version").alias("__pv"))
+            changed = merged.join(doc_v, idc, "inner")
             apply_changelog(
                 spark,
-                dml_records(changed, t, [idc], op="UPDATE", version=ver),
+                dml_records(
+                    changed,
+                    t,
+                    [idc],
+                    op="UPDATE",
+                    version=F.col("__pv"),
+                    value_cols=[c for c in changed.columns if c != "__pv"],
+                ),
                 catalog,
                 replay_floor={t: floors[t]},
             )
@@ -291,9 +307,56 @@ def run_pipeline(
     return {"tables": sorted(table_keys), "dead_letters": dead}
 
 
+def stream_source_spec(
+    config: Mapping[str, Any],
+) -> tuple[str, str, str, dict[str, str]]:
+    """Validated streaming-source spec from the declarative config:
+    ``(transport, message_col, key_col, kafka_options)``. Fail-fast at
+    deploy time, before any query starts — the reference's
+    ``GoldenGateKafkaConfig.validate()`` contract
+    (``GoldenGateKafkaConfig.java:103-129``): an unknown transport, a
+    kafka transport missing broker/topic, or a malformed initial
+    offset raises ``InvalidConfigError`` naming the property, never a
+    mid-stream task failure. Pure (no SparkSession), so the kafka
+    option surface is unit-testable without a broker."""
+    _fmt, src, _tables = _validated(config)
+    transport = src.get("transport", "file")
+    message_col = src.get("message_col", "message")
+    key_col = src.get("key_col", "key")
+    if transport == "file":
+        return transport, message_col, key_col, {}
+    if transport != "kafka":
+        raise InvalidConfigError(
+            f"unknown transport {transport!r}; supported: file, kafka",
+            "source.transport",
+        )
+    from .sources.kafka import LATEST, kafka_options
+
+    broker = src.get("broker")
+    topic = src.get("topic")
+    if not broker:
+        raise InvalidConfigError(
+            "kafka transport requires source.broker", "source.broker"
+        )
+    if not topic:
+        raise InvalidConfigError(
+            "kafka transport requires source.topic", "source.topic"
+        )
+    try:
+        opts = kafka_options(
+            str(broker),
+            str(topic),
+            initial_offset=int(src.get("initial_offset", LATEST)),
+            max_rate_per_partition=int(src.get("max_rate_per_partition", 1000)),
+        )
+    except (TypeError, ValueError) as e:
+        raise InvalidConfigError(str(e), "source.initial_offset") from e
+    return transport, message_col, key_col, opts
+
+
 def run_pipeline_stream(
     spark: SparkSession,
-    messages_dir: str,
+    messages_dir: str | None,
     config: Mapping[str, Any],
     catalog: TableCatalog,
     checkpoint_dir: str,
@@ -303,28 +366,53 @@ def run_pipeline_stream(
     available_now: bool = True,
 ):
     """Streaming front door: the same declarative config over a
-    Structured Streaming file source of wire messages — each
-    micro-batch runs ``run_pipeline`` (decode -> normalize -> apply,
-    patch legs included) via ``foreachBatch``. The config validates
-    ONCE, fail-fast, BEFORE the query starts (a bad property must
-    never surface as a mid-stream task failure — the reference's
-    deploy-time contract); checkpointing resumes at the right offset
-    on restart, and apply's version watermark makes at-least-once
-    redelivery idempotent, so exactly-once TABLE STATE comes from the
-    same two mechanisms the hand-wired streaming path uses
+    Structured Streaming source of wire messages — each micro-batch
+    runs ``run_pipeline`` (decode -> normalize -> apply, patch legs
+    included) via ``foreachBatch``. The config validates ONCE,
+    fail-fast, BEFORE the query starts (a bad property must never
+    surface as a mid-stream task failure — the reference's deploy-time
+    contract); checkpointing resumes at the right offset on restart,
+    and apply's version watermark makes at-least-once redelivery
+    idempotent, so exactly-once TABLE STATE comes from the same two
+    mechanisms the hand-wired streaming path uses
     (``streaming.run_apply_stream``).
 
-    The file source schema is ``message string`` — plus a ``key``
-    column for the MongoDB format, whose events are keyed by the
-    Kafka message key. On a live deployment swap the file source for
-    ``sources.kafka.read_kafka_changelog`` (same message column
-    contract); the per-batch body is transport-agnostic."""
+    Transports (``source.transport``, default ``file``):
+
+    - ``file``: reads ``messages_dir`` with schema
+      ``<message_col> string`` — plus ``<key_col> string`` for the
+      MongoDB format, whose events are keyed by the Kafka message key.
+      Column names honor the SAME ``source.message_col`` /
+      ``source.key_col`` config keys as the batch front door.
+    - ``kafka``: builds the reader from
+      ``sources.kafka.kafka_options`` (broker/topic/initial_offset/
+      max_rate_per_partition config keys, validated fail-fast by
+      ``stream_source_spec``); the Kafka value/key columns are cast to
+      string under the same configured column names, so the per-batch
+      body is transport-agnostic. Needs a reachable broker at
+      ``start()`` — the option surface itself is deploy-time
+      validated and unit-tested offline."""
     fmt_name, _src, _tables = _validated(config)
-    schema = "message string, key string" if fmt_name == "mongodb" else "message string"
-    reader = spark.readStream.format(fmt).schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.load(messages_dir)
+    transport, message_col, key_col, kopts = stream_source_spec(config)
+    if transport == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in kopts.items():
+            reader = reader.option(k, v)
+        kstream = reader.load()
+        cols = [F.col("value").cast("string").alias(message_col)]
+        if fmt_name == "mongodb":
+            cols.append(F.col("key").cast("string").alias(key_col))
+        stream = kstream.select(*cols)
+    else:
+        schema = (
+            f"{message_col} string, {key_col} string"
+            if fmt_name == "mongodb"
+            else f"{message_col} string"
+        )
+        reader = spark.readStream.format(fmt).schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        stream = reader.load(messages_dir)
 
     def _batch(batch_df: DataFrame, _epoch: int) -> None:
         run_pipeline(batch_df.sparkSession, batch_df, config, catalog)

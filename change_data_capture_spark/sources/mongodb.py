@@ -172,8 +172,13 @@ def mongodb_raw_ops(
         schemas = F.when(table_id == t, F.lit(sj)).otherwise(schemas)
 
     full_image = op.isin("c", "r", "d") | ((op == "u") & _pick("after").isNotNull())
+    # c/r/u need an id FROM SOMEWHERE — the document body or the
+    # message key; a parseable body with neither would otherwise merge
+    # under a NULL primary key (advisor finding). Those rows land in
+    # mongodb_dead_letters' missing_key branch instead.
     has_identity = F.when(op == "d", doc_id.isNotNull()).otherwise(
         after_doc.isNotNull()
+        & (F.map_contains_key(after_doc, id_col) | doc_id.isNotNull())
     )
     return (
         m.filter(op.isin(*_OPS) & full_image & has_identity)
@@ -259,7 +264,8 @@ def mongodb_dead_letters(
     contract as the other wire formats: 'unparseable' (no op either
     wrapped or flat), 'unsupported_op', 'unknown_table',
     'missing_image' (c/r/u with neither after nor updateDescription),
-    'missing_key' (d or partial u with no message-key id),
+    'missing_key' (d or partial u with no message-key id, or a
+    full-image c/r/u whose body carries no id AND whose key is null),
     'unparseable_image' (an after string that is not a JSON object),
     'unparseable_patch' (an updatedFields string that is not a JSON
     object — the decoder refuses to degrade it to an empty $set)."""
@@ -268,11 +274,10 @@ def mongodb_dead_letters(
         F.from_json(F.col(message_col), _MONGO_VALUE_SCHEMA).alias("__m"),
         F.from_json(F.col(key_col), _MONGO_KEY_SCHEMA).alias("__k"),
     )
-    table_id, op, doc_id, _v, _ts, _idc = _common(table_keys)
+    table_id, op, doc_id, _v, _ts, id_col = _common(table_keys)
     ud = _pick("updateDescription")
-    after_bad = _pick("after").isNotNull() & F.from_json(
-        _pick("after"), "map<string,string>"
-    ).isNull()
+    after_map = F.from_json(_pick("after"), "map<string,string>")
+    after_bad = _pick("after").isNotNull() & after_map.isNull()
     patch_bad = ud.getField("updatedFields").isNotNull() & F.from_json(
         ud.getField("updatedFields"), "map<string,string>"
     ).isNull()
@@ -296,6 +301,15 @@ def mongodb_dead_letters(
             F.lit("missing_key"),
         )
         .when(op.isin("c", "r", "u") & after_bad, F.lit("unparseable_image"))
+        .when(
+            # full-image c/r/u whose parsed body carries no id and
+            # whose message key is null: nothing to merge under
+            op.isin("c", "r", "u")
+            & after_map.isNotNull()
+            & ~F.map_contains_key(after_map, id_col)
+            & doc_id.isNull(),
+            F.lit("missing_key"),
+        )
         .when(
             (op == "u") & _pick("after").isNull() & patch_bad,
             F.lit("unparseable_patch"),

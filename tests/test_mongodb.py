@@ -211,3 +211,26 @@ def test_mongodb_unparseable_images_quarantined_not_dropped(spark):
     assert mongodb.mongodb_patch_ops(mdf, KEYS).count() == 0
     reasons = sorted(r["reason"] for r in mongodb.mongodb_dead_letters(mdf, KEYS).collect())
     assert reasons == ["unparseable_image", "unparseable_patch"]
+
+
+def test_mongodb_idless_full_image_quarantined_not_null_key(spark):
+    """Advisor regression: a c/r/u whose document PARSES but carries
+    no id anywhere (no id field in the body, null message key) must
+    not pass has_identity and merge under a NULL primary key — it is
+    quarantined as missing_key; the same shape WITH a key id still
+    decodes (key injected)."""
+    idless = (
+        '{"payload":{"op":"c","after":"{\\"name\\": \\"ghost\\", \\"bal\\": 1}",'
+        '"source":{"db":"appdb","rs":"r","collection":"customers","ts_ms":1,"ord":1}}}',
+        "{}",
+    )
+    keyed = (
+        '{"payload":{"op":"u","after":"{\\"name\\": \\"ok\\", \\"bal\\": 2}",'
+        '"source":{"db":"appdb","rs":"r","collection":"customers","ts_ms":2,"ord":1}}}',
+        '{"payload":{"id":"7"}}',
+    )
+    mdf = _mdf(spark, [idless, keyed])
+    rows = mongodb.mongodb_raw_ops(mdf, KEYS).collect()
+    assert len(rows) == 1 and rows[0]["after"]["_id"] == "7"
+    dead = mongodb.mongodb_dead_letters(mdf, KEYS).collect()
+    assert [r["reason"] for r in dead] == ["missing_key"]

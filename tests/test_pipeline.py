@@ -350,3 +350,124 @@ def test_pipeline_stream_applies_batches_and_resumes(spark, tmp_path):
         run_pipeline_stream(
             spark, msgs_dir, {"source": {"format": "nope"}, "tables": {}}, cat, ckpt
         )
+
+
+def test_pipeline_mongodb_stale_cross_batch_patch_suppressed(spark, tmp_path):
+    """Advisor regression: a patch OLDER than the pre-batch watermark
+    (a cross-partition late delivery / offset replay of something a
+    prior batch already superseded) must NOT regress its doc, even
+    when the same batch carries a FRESH patch for another doc. Before
+    the per-row version stamps, the leg-wide max stamp let the stale
+    doc ride through the replay floor on the fresh doc's version."""
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "_id long, name string, bal double"
+    )
+    cfg = {
+        "source": {"format": "mongodb"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "m"))
+    # batch 1: snapshot at ts 1, then doc 1 patched to bal=77 at ts 6
+    # (watermark advances to 6xxx)
+    run_pipeline(
+        spark,
+        mg.encode_mongodb_json(
+            base, table="appdb.users", op="c",
+            after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+            doc_id=F.col("_id"), ts_ms=1,
+        ),
+        cfg, cat,
+    )
+    run_pipeline(
+        spark,
+        mg.encode_mongodb_json(
+            base.filter(F.col("_id") == 1), table="appdb.users", op="u",
+            updated_fields=F.struct(F.lit(77.0).alias("bal")),
+            doc_id=F.col("_id"), ts_ms=6,
+        ),
+        cfg, cat,
+    )
+    # batch 2: a REPLAYED stale patch for doc 1 (ts 3 < watermark)
+    # alongside a fresh patch for doc 2 (ts 9)
+    stale = mg.encode_mongodb_json(
+        base.filter(F.col("_id") == 1), table="appdb.users", op="u",
+        updated_fields=F.struct(F.lit(11.0).alias("bal")),
+        doc_id=F.col("_id"), ts_ms=3,
+    )
+    fresh = mg.encode_mongodb_json(
+        base.filter(F.col("_id") == 2), table="appdb.users", op="u",
+        updated_fields=F.struct(F.lit("B2").alias("name")),
+        doc_id=F.col("_id"), ts_ms=9,
+    )
+    run_pipeline(spark, stale.unionByName(fresh), cfg, cat)
+    got = {r["_id"]: (r["name"], r["bal"]) for r in cat.read(spark, "appdb.users").collect()}
+    assert got == {1: ("a", 77.0), 2: ("B2", 2.0)}
+
+
+def test_stream_source_spec_kafka_transport_validates_offline(spark, tmp_path):
+    """Directive #6: the declarative streaming front door's kafka
+    transport builds its reader options from sources.kafka.kafka_options
+    with the same fail-fast validation — asserted OFFLINE (no broker),
+    the reference's deploy-time contract
+    (GoldenGateKafkaConfig.java:103-129)."""
+    from change_data_capture_spark.pipeline import stream_source_spec
+
+    tables = {"db.t": {"keys": ["id"]}}
+    transport, mcol, kcol, opts = stream_source_spec(
+        {
+            "source": {
+                "format": "debezium", "transport": "kafka",
+                "broker": "broker1:9092", "topic": "cdc.db.t",
+                "initial_offset": -2, "max_rate_per_partition": 500,
+            },
+            "tables": tables,
+        }
+    )
+    assert transport == "kafka" and (mcol, kcol) == ("message", "key")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "subscribe": "cdc.db.t",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "500",
+    }
+    # default transport is the file source with empty kafka options
+    t2, m2, k2, o2 = stream_source_spec(
+        {"source": {"format": "mongodb", "message_col": "payload",
+                    "key_col": "k"}, "tables": tables}
+    )
+    assert (t2, m2, k2, o2) == ("file", "payload", "k", {})
+    for bad, prop in (
+        ({"format": "debezium", "transport": "pulsar"}, "source.transport"),
+        ({"format": "debezium", "transport": "kafka", "topic": "t"}, "source.broker"),
+        ({"format": "debezium", "transport": "kafka", "broker": "b"}, "source.topic"),
+        ({"format": "debezium", "transport": "kafka", "broker": "b",
+          "topic": "t", "initial_offset": -7}, "source.initial_offset"),
+    ):
+        with pytest.raises(InvalidConfigError):
+            stream_source_spec({"source": bad, "tables": tables})
+
+
+def test_pipeline_stream_honors_configured_column_names(spark, tmp_path):
+    """Advisor regression: the streaming front door must derive its
+    file-source schema from source.message_col / source.key_col — the
+    same config keys the batch front door honors — not hardcode
+    message/key."""
+    from change_data_capture_spark.pipeline import run_pipeline_stream
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "_id long, name string, bal double"
+    )
+    cfg = {
+        "source": {"format": "mongodb", "message_col": "payload", "key_col": "mk"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    msgs_dir = str(tmp_path / "msgs")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    snap = mg.encode_mongodb_json(
+        base, table="appdb.users", op="c",
+        after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=1,
+    ).withColumnsRenamed({"message": "payload", "key": "mk"})
+    snap.write.mode("append").parquet(msgs_dir)
+    run_pipeline_stream(spark, msgs_dir, cfg, cat, str(tmp_path / "ckpt"))
+    assert cat.read(spark, "appdb.users").count() == 2
