@@ -807,6 +807,7 @@ def exact_quantiles_by_group(
     n_ranges: int = 256,
     collect_limit: int = 10_000,
     max_rounds: int = 64,
+    max_selectors: int = 10_000,
 ) -> DataFrame:
     """Per-group EXACT quantiles with every group refined
     SIMULTANEOUSLY — the grouped form of ``exact_quantiles``.
@@ -824,10 +825,13 @@ def exact_quantiles_by_group(
     Scale contract: driver state and the selector table are
     O(#groups * len(qs)) — groups must be metadata-sized (sources,
     languages, shards...; same discipline as the profile/maintenance
-    ops). For unbounded group domains use a percent_rank window
-    instead (one shuffle, `corpus_percentile_filter` shape). Rounds
-    are O(log_{n_ranges} spread) — doubles resolve in <= ~6. The
-    input is persisted across rounds and unpersisted at the end.
+    ops), and the op FAILS FAST with a ValueError once
+    #groups * len(qs) exceeds ``max_selectors`` (default 10k) rather
+    than melting the driver on a high-cardinality key. For unbounded
+    group domains use a percent_rank window instead (one shuffle,
+    `corpus_percentile_filter` shape). Rounds are
+    O(log_{n_ranges} spread) — doubles resolve in <= ~6. The input is
+    persisted across rounds and unpersisted at the end.
     """
     for q in qs:
         if not 0.0 <= q <= 1.0:
@@ -848,6 +852,16 @@ def exact_quantiles_by_group(
             )
             .collect()
         }
+        if len(base) * len(qs) > max_selectors:
+            raise ValueError(
+                f"exact_quantiles_by_group selector state would be "
+                f"{len(base)} groups x {len(qs)} quantiles = "
+                f"{len(base) * len(qs)} selectors on the driver, over the "
+                f"max_selectors={max_selectors} contract — this op is for "
+                f"metadata-sized group domains; use a percent_rank window "
+                f"for high-cardinality keys (or raise max_selectors "
+                f"deliberately)"
+            )
         # selector state: sid -> [group_key, q, k, lo, hi, resolved_value]
         sels: dict[int, list] = {}
         sid = 0

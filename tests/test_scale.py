@@ -438,6 +438,25 @@ class TestExactQuantilesByGroup:
         with pytest.raises(ValueError):
             scale.exact_quantiles_by_group(df, ["g"], "x", [1.5])
 
+    def test_max_selectors_fail_fast_on_high_cardinality_key(self, spark):
+        """Driver-state contract: #groups x #quantiles over
+        max_selectors fails fast with the contract named, instead of
+        melting the driver; raising the cap deliberately works."""
+        import pytest
+
+        df = spark.range(0, 40).select(
+            F.col("id").cast("string").alias("g"),
+            F.col("id").cast("double").alias("x"),
+        )
+        with pytest.raises(ValueError, match="max_selectors"):
+            scale.exact_quantiles_by_group(
+                df, ["g"], "x", [0.25, 0.5, 0.75], max_selectors=100
+            )
+        out = scale.exact_quantiles_by_group(
+            df, ["g"], "x", [0.5], max_selectors=100
+        )
+        assert out.count() == 40
+
 
 class TestMadOutliers:
     def test_known_outliers_and_zero_mad_group(self, spark):
