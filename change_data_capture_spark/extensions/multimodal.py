@@ -468,6 +468,127 @@ def payload_exact_duplicates(
     )
 
 
+def payload_jaccard_duplicates(
+    docs_with_payload: DataFrame,
+    *,
+    n: int = 8,
+    stride: int = 4,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """EXACT near-duplicate binary payloads: every pair whose
+    byte-shingle Jaccard is >= threshold_num/threshold_den, with
+    integer (intersection, union) shingle counts — no banding, no
+    recall loss, so an independent engine can reproduce the output
+    bit-for-bit (the oracle-checkable sibling of
+    ``payload_simhash_duplicates``; use that one when approximate
+    recall is acceptable and this one when the drop list must be
+    auditable).
+
+    Algorithm is the standard PREFIX-FILTERED set-similarity
+    self-join (AllPairs/PPJoin family): rank each document's distinct
+    ``n``-byte shingles (every ``stride`` bytes) by global document
+    frequency (rarest first, ties on the shingle bytes for a total
+    order), keep each document's prefix of |S| - ceil(t*|S|) + 1
+    shingles, and join on prefix shingles only. Recall is exactly 1:
+    J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (since the union is at
+    least |A|), and the globally-smallest common shingle then sits
+    inside BOTH prefixes — rare shingles generate few candidates, the
+    frequent shingles that would blow up an inverted-index join never
+    enter a prefix. Candidates are verified with exact shingle-set
+    intersection; the threshold comparison is pure integer
+    cross-multiplication (den*inter >= num*union), so the DuckDB
+    oracle hashes bit-exact.
+
+    Scale: shingle explode is O(bytes/stride) narrow rows; one
+    doc-grain shuffle for the distinct + df rank, the prefix equi-join
+    (no broadcast hints, no all-pairs), and a verify bounded to
+    candidate docs. Driver sees nothing but the final pairs."""
+    t_frac = threshold_num / threshold_den
+    if not 0.0 < t_frac <= 1.0:
+        raise ValueError(
+            f"threshold {threshold_num}/{threshold_den} must be in (0, 1]"
+        )
+    from pyspark.sql import Window
+
+    shingle_pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(payload_col) - (n - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    )
+    sh = (
+        docs_with_payload.select(
+            F.col(id_col), F.col(payload_col), shingle_pos.alias("i")
+        )
+        .select(F.col(id_col), F.expr(f"substring({payload_col}, i, {n})").alias("sh"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    # prefix length p = |S| - ceil(t|S|) + 1, all-integer:
+    # ceil(num*|S|/den) = floor((num*|S| + den - 1) / den)
+    need = F.floor(
+        (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
+        / F.lit(threshold_den)
+    )
+    w = Window.partitionBy(id_col).orderBy("__df", "sh")
+    pref = (
+        sh.join(df_tbl, "sh")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(F.col("__rk") <= F.col("__sz") - need + 1)
+        .select(F.col(id_col), "sh")
+    )
+    candidates = (
+        pref.select(F.col(id_col).alias("a_id"), "sh")
+        .join(pref.select(F.col(id_col).alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+    ids = (
+        candidates.select(F.col("a_id").alias(id_col))
+        .unionByName(candidates.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    # exact verify over candidate docs only; shingles are raw n-byte
+    # binaries (same 8-byte footprint as a hash, zero collision risk)
+    sets = (
+        sh.join(ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("hs"))
+    )
+    a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("hs").alias("ha"))
+    b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    out = (
+        candidates.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter_shingles"),
+            (F.size("ha") + F.size("hb") - inter).cast("bigint").alias("union_shingles"),
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("inter_shingles")
+            >= F.lit(threshold_num) * F.col("union_shingles")
+        )
+        .persist()
+    )
+    out.count()
+    candidates.unpersist()
+    sh.unpersist()
+    return out
+
+
 def payload_simhash_duplicates(
     docs_with_payload: DataFrame,
     *,

@@ -3991,22 +3991,56 @@ def multimodal_payload_dedup(spark, sf_dir):
     return multimodal.payload_exact_duplicates(_png_payloads(corpus))
 
 
-@_q("multimodal_payload_neardup", None)  # banded-SimHash recall < 1 -> rows-only
+@_q(
+    "multimodal_payload_neardup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || 'XTOOLTAG' FROM documents WHERE doc_id % 5 = 0
+    ),
+    pos AS (
+      SELECT doc_id, payload,
+             unnest(generate_series(1, greatest(length(payload)-7, 1), 4)) AS gs
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substring(payload, CAST(gs AS INTEGER), 8) AS s FROM pos
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, i AS inter_shingles, sa.n + sb.n - i AS union_shingles
+    FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+    WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+    """,
+)
 def multimodal_payload_neardup(spark, sf_dir):
-    """Near-dup binary payloads (multimodal.payload_simhash_duplicates):
-    byte-shingle SimHash candidates + exact byte-shingle Jaccard
-    verify, codec-free. Fixture injects 'metadata-patched re-encodes':
-    every 5th payload reappears under a new id with 8 extra trailing
-    bytes — byte-level near-identical, exactly what a re-exported
-    image with a different tool tag looks like. Deterministic
-    (xxhash64 + fixed corpus), recall floor pinned by unit test."""
+    """EXACT near-dup binary payloads
+    (multimodal.payload_jaccard_duplicates): prefix-filtered
+    set-similarity self-join over byte shingles, recall 1, integer
+    (intersection, union) counts — promoted from the old rows-only
+    banded-SimHash form to a full hash-green oracle row (the
+    approximate simhash operator remains for recall-tolerant use,
+    unit-tested with a pinned recall floor). Fixture injects
+    'metadata-patched re-encodes': every 5th payload reappears under
+    a new id with 8 extra trailing bytes — byte-level near-identical,
+    exactly what a re-exported image with a different tool tag looks
+    like. The Spark side shingles real BINARY payloads; the oracle
+    shingles the text by characters — identical on this ASCII corpus
+    (octet_length == length for every document, asserted cheap in the
+    unit suite), while the quadratic inverted-index oracle is the
+    BASELINE form only, never the scale path."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = _png_payloads(docs)
+    base = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     patched = base.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("payload"), F.lit(b"XTOOLTAG")).alias("payload"),
     )
-    return multimodal.payload_simhash_duplicates(base.unionByName(patched))
+    return multimodal.payload_jaccard_duplicates(base.unionByName(patched))
 
 
 # =====================================================================

@@ -353,3 +353,57 @@ def test_payload_simhash_bucket_cap(spark):
     pairs = {(r.a_id, r.b_id) for r in capped.collect()}
     assert (100, 1100) in pairs
     assert not any(a <= 25 for a, _ in pairs), "capped template family leaked pairs"
+
+
+def test_payload_jaccard_exact_recall_one_and_integer_counts(spark):
+    """payload_jaccard_duplicates: EXACT prefix-filtered self-join —
+    every pair at or above the threshold is found (recall 1, no
+    banding), counts are exact integers, and a pair just below the
+    threshold is excluded. Hand-checkable fixture: identical payloads
+    except trailing tags of different lengths."""
+    from change_data_capture_spark.extensions import multimodal
+    from pyspark.sql import functions as F
+
+    block = "-".join(f"segment{i:03d}" for i in range(40))  # 479 ASCII bytes
+    df = spark.createDataFrame(
+        [
+            (1, block),
+            (2, block + "X" * 8),        # near-identical: high jaccard
+            (3, block[: len(block) // 3]),  # prefix third: low jaccard vs 1
+            (4, "totally unrelated content " * 16),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = {
+        (r.a_id, r.b_id): (r.inter_shingles, r.union_shingles)
+        for r in multimodal.payload_jaccard_duplicates(
+            df, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert (1, 2) in out
+    i, u = out[(1, 2)]
+    assert isinstance(i, int) and isinstance(u, int) and 5 * i >= 4 * u
+    assert (1, 3) not in out and (1, 4) not in out
+    # recall check against brute force at a LOW threshold: every pair
+    # the quadratic truth finds, the prefix join finds too
+    import itertools
+
+    def shingles(payload: bytes):
+        top = max(len(payload) - 7, 1)
+        return {payload[p : p + 8] for p in range(0, top, 4)}
+
+    rows = {r.doc_id: bytes(r.payload) for r in df.collect()}
+    truth = set()
+    for a, b in itertools.combinations(sorted(rows), 2):
+        sa, sb = shingles(rows[a]), shingles(rows[b])
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if 5 * inter >= 1 * uni:  # t = 1/5
+            truth.add((a, b))
+    got = {
+        (r.a_id, r.b_id)
+        for r in multimodal.payload_jaccard_duplicates(
+            df, threshold_num=1, threshold_den=5
+        ).collect()
+    }
+    assert got == truth
