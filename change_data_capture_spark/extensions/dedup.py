@@ -147,18 +147,18 @@ def _verify_pairs(
     explode+scan for a verify stage that touches O(collisions) docs.
     At 100 TB the difference is a second full-corpus pass vs a
     semi-join whose probe side is near-dup collisions only."""
-    # Persist + materialize the PAIR LIST (small: one row per surviving
-    # candidate pair), not the shingle-set table: the count job runs the
-    # expensive candidate generation (band join + screen, over the
-    # caller's cached signatures) exactly once, and the final action
-    # then computes everything downstream — id union, semi-join, the
-    # candidate-doc explode+fold — in ONE job. The two set-fold scans
-    # below are identical subplans, so Spark reuses the exchange rather
-    # than recomputing (and the subtree is O(candidate docs) anyway).
-    # Measured ~20% faster end-to-end than eagerly materializing the
-    # set table as a separate job at sf0.1.
+    # Persist the PAIR LIST (small: one row per surviving candidate
+    # pair) but do NOT materialize it eagerly: the single final action
+    # drives candidate generation (band join + screen, over the
+    # caller's cached signatures), the id union, the semi-join, and
+    # the candidate-doc explode+fold in ONE job — identical subplans
+    # (the two set-fold scans, the three pair scans) go through
+    # Spark's exchange reuse instead of recomputing. Measured at
+    # sf0.1: one fused job is ~30% faster end-to-end than the old
+    # eager pairs.count() two-job shape (r5 A/B, warm-JIT controlled,
+    # min-of-4 both orders); the earlier measurement that favored the
+    # eager count predates the screen stage and no longer holds.
     pairs = pairs.persist()
-    pairs.count()
     ids = (
         pairs.select(F.col("a_id").alias(id_col))
         .unionByName(pairs.select(F.col("b_id").alias(id_col)))
@@ -277,9 +277,9 @@ def minhash_lsh_duplicates(
         .select("a_id", "b_id")
     )
     screened = _screen_candidates(sig, candidates, k=k, threshold=threshold, id_col=id_col)
-    # _verify_pairs persists and eagerly materializes the candidate
-    # pair list itself, so by the time it returns the sig cache is no
-    # longer referenced by anything lazy. It re-shingles from `docs`
+    # _verify_pairs materializes its verified output before returning,
+    # so by the time it returns the sig cache is no longer referenced
+    # by anything lazy. It re-shingles from `docs`
     # (candidate docs only) rather than reusing `sh` — the semi-join
     # lands BELOW the explode that way, so the verify never re-pays
     # the full-corpus shingle scan the signature agg already did.

@@ -2533,11 +2533,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """LSH changes the WORK (bucketed candidates instead of all-pairs),
     not the ANSWER: verified output matches the brute-force oracle.
-    k=96/24 bands x 4 rows: P(miss a Jaccard-0.8 pair) = (1-0.8^4)^24
-    ~= 3e-6, and the 96-hash signature agg is ~2x faster than 128
-    (whole-stage codegen method-split threshold)."""
+    k=72 / 24 bands x 3 rows (narrowed from 96x4 in r5, measured -17%
+    end-to-end at sf0.1): under the >=2-matching-bands prescreen the
+    miss probability for a true J>=0.8 pair is P(0)+P(1) =
+    0.488^24 + 24*0.512*0.488^23 ~= 9e-7 — 60x BETTER than 96x4's
+    5.5e-5, because 3-row bands fire more often — at the price of
+    ~16x more mid-similarity candidates reaching the O(k)-per-pair
+    signature screen, which absorbs them (same 256 survivors at
+    sf0.1); band-bucket join volume rises only by a bounded 2-8x
+    factor per mid-J pair, and the _cap_buckets guard covers template
+    families, so the 100 TB shape is unchanged. Recall floor asserted
+    against brute force for BOTH configurations in
+    tests/test_dedup.py::test_minhash_matches_bruteforce."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    return dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
 
 
 @_q(

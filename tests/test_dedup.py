@@ -20,6 +20,15 @@ def test_minhash_matches_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert bf == lsh and len(bf) > 0
+    # recall floor for the narrowed r5 bench configuration (72/24x3,
+    # >=2-band miss ~9e-7): the LSH answer must STILL equal brute force
+    lsh72 = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dedup.minhash_lsh_duplicates(
+            docs, n=5, k=72, bands=24, threshold=0.8
+        ).collect()
+    }
+    assert bf == lsh72
 
 
 def test_simhash_is_subset_of_bruteforce(spark, sf_dir):
