@@ -700,6 +700,42 @@ class TableCatalog:
         self.put_meta(table_id, latest)
 
 
+def register_derived_index(
+    catalog: TableCatalog,
+    index_table: str,
+    *,
+    base_table: str,
+    kind: str,
+    params: dict | None = None,
+    refreshed_to: int | None = None,
+) -> None:
+    """Record that ``index_table`` is DERIVED from ``base_table`` so
+    the maintenance loop can keep it fresh: ``maintenance_report``
+    reports staleness (base catalog version ahead of the index's
+    ``refreshed_to`` watermark) and ``auto_maintain`` dispatches the
+    kind's INCREMENTAL refresh — never a rebuild. Kinds:
+    ``minhash_sigs`` (``dedup.refresh_signature_index``, params
+    ``n``/``k``/``text_col``) and ``value_index``
+    (``derive.maintain_value_index``, params ``value_cols``).
+    ``refreshed_to`` defaults to the base's CURRENT catalog version —
+    register right after building the index from the same snapshot."""
+    meta = catalog.meta(index_table)
+    if meta is None:
+        raise KeyError(f"unknown index table {index_table!r}")
+    if catalog.meta(base_table) is None:
+        raise KeyError(f"unknown base table {base_table!r}")
+    if refreshed_to is None:
+        versions = catalog.versions(base_table)
+        refreshed_to = int(versions[-1]) if versions else 0
+    meta["derived"] = {
+        "base": base_table,
+        "kind": kind,
+        "params": dict(params or {}),
+        "refreshed_to": int(refreshed_to),
+    }
+    catalog.put_meta(index_table, meta)
+
+
 def maintenance_report(
     catalog: TableCatalog,
     *,
@@ -718,6 +754,10 @@ def maintenance_report(
       version — write amplification from many tiny batches; high
       counts mean compact() is due even without re-bucketing.
     - ``reclaimable_versions``: versions vacuum(keep_last) would drop.
+    - ``index_stale`` (derived indexes registered via
+      ``register_derived_index``): the base table's catalog version
+      moved past the index's ``refreshed_to`` watermark, so
+      ``auto_maintain`` owes it an incremental refresh.
 
     Everything comes from directory listings and _meta.json —
     O(#tables + #files) driver work, zero Spark jobs, safe to run on
@@ -749,6 +789,13 @@ def maintenance_report(
         reclaimable = [
             v for v in versions[:-keep_last] if v != current_seq
         ] if keep_last else []
+        derived = meta.get("derived") or None
+        index_stale = False
+        base_version = None
+        if derived:
+            base_versions = catalog.versions(derived["base"])
+            base_version = int(base_versions[-1]) if base_versions else 0
+            index_stale = base_version > int(derived.get("refreshed_to", 0) or 0)
         report.append(
             {
                 "table": table_id,
@@ -760,6 +807,9 @@ def maintenance_report(
                 "needs_rebucket": rec != n_buckets,
                 "versions": len(versions),
                 "reclaimable_versions": reclaimable,
+                "derived": derived,
+                "base_version": base_version,
+                "index_stale": index_stale,
             }
         )
     return report
@@ -1427,7 +1477,13 @@ def auto_maintain(
       bucket count coalesces them);
     - ``vacuum(keep_last)`` when reclaimable versions exist (after the
       compact, so the pre-compact version becomes reclaimable next
-      run, never mid-flight).
+      run, never mid-flight);
+    - ``refresh`` when the table is a registered DERIVED INDEX
+      (``register_derived_index``) whose base moved past its
+      ``refreshed_to`` watermark — dispatches the kind's INCREMENTAL
+      refresh (``dedup.refresh_signature_index`` /
+      ``derive.maintain_value_index``), never a rebuild, and advances
+      the watermark.
 
     ``dry_run=True`` returns the planned actions without touching
     anything — the review mode a production schedule runs first.
@@ -1449,15 +1505,21 @@ def auto_maintain(
             and row["files"] > row["buckets"]
         )
         needs_vacuum = bool(row["reclaimable_versions"])
-        if not (needs_compact or needs_vacuum):
+        needs_refresh = bool(row["index_stale"])
+        if not (needs_compact or needs_vacuum or needs_refresh):
             continue
         act = {
             "table": row["table"],
             "compacted": needs_compact,
             "new_buckets": row["recommended_buckets"] if row["needs_rebucket"] else None,
             "vacuumed_versions": list(row["reclaimable_versions"]),
+            "refreshed": needs_refresh,
         }
         if not dry_run:
+            if needs_refresh:
+                act["refresh"] = _refresh_derived_index(
+                    spark, catalog, row["table"], row["derived"]
+                )
             if needs_compact:
                 catalog.compact(
                     spark,
@@ -1472,3 +1534,30 @@ def auto_maintain(
                 )
         actions.append(act)
     return actions
+
+
+def _refresh_derived_index(
+    spark: SparkSession, catalog: TableCatalog, index_table: str, derived: dict
+) -> dict:
+    """Dispatch one derived index's incremental refresh by registered
+    kind (lazy imports: the extension modules import this module)."""
+    kind = derived["kind"]
+    params = dict(derived.get("params") or {})
+    if kind == "minhash_sigs":
+        from .extensions.dedup import refresh_signature_index
+
+        return refresh_signature_index(
+            spark, catalog, derived["base"], index_table, **params
+        )
+    if kind == "value_index":
+        from .derive import maintain_value_index
+
+        maintain_value_index(
+            spark, catalog, derived["base"], params["value_cols"], index_table
+        )
+        cur = int(catalog.versions(derived["base"])[-1])
+        meta = catalog.meta(index_table)
+        meta["derived"] = {**derived, "refreshed_to": cur}
+        catalog.put_meta(index_table, meta)
+        return {"refreshed_to": cur}
+    raise ValueError(f"unknown derived-index kind {kind!r} on {index_table!r}")

@@ -683,6 +683,81 @@ def signature_changelog(
     return snapshot_changelog(sigs, table_id, [id_col], insert_version=version)
 
 
+def refresh_signature_index(
+    spark,
+    catalog,
+    base_table: str,
+    index_table: str,
+    *,
+    n: int = 5,
+    k: int = 128,
+    text_col: str = "text",
+    from_version: int | None = None,
+) -> dict:
+    """Incremental refresh of a PERSISTED MinHash signature index
+    (``signature_changelog`` table) after its base corpus table moved:
+    diff the base between the index's recorded refresh watermark and
+    the current catalog version (``TableCatalog.table_changes`` — a
+    bucket-co-located PK diff, O(changed rows)), re-sign ONLY the
+    inserted/updated documents, and emit DELETEs for ids that left the
+    corpus. The standing corpus is never re-shingled — the same
+    O(new + collisions) contract as ``minhash_lsh_against_index``,
+    extended to the maintenance loop so ``apply.auto_maintain`` can
+    keep the index fresh on a schedule (reference parity: the keyed
+    sinks' stores rebuild secondary structures out-of-band;
+    ``sink/CDCHBase.java`` leaves it to HBase entirely).
+
+    Change versions stamp ``2*base_seq`` (deletes) / ``2*base_seq+1``
+    (upserts) — monotone across refreshes and replay-idempotent within
+    one, the ``derive.maintain_value_index`` convention. The refresh
+    watermark (base catalog sequence version) persists in the INDEX
+    table's meta under ``derived.refreshed_to``; ``from_version=None``
+    self-derives from it, so a scheduled refresh needs no external
+    state. Returns ``{"signed": n, "deleted": n, "refreshed_to": v}``
+    (zero-work no-op when the base hasn't moved)."""
+    from ..apply import apply_changelog
+    from ..changelog import OP_DELETE, OP_INSERT, dml_records
+
+    meta = catalog.meta(base_table)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {base_table!r}")
+    (id_col,) = list(meta["pks"])  # doc-grain index: single-PK contract
+    imeta = catalog.meta(index_table) or {}
+    derived = dict(imeta.get("derived") or {})
+    cur = int(catalog.versions(base_table)[-1])
+    frm = from_version if from_version is not None else int(derived.get("refreshed_to", 0) or 0)
+    if frm >= cur:
+        return {"signed": 0, "deleted": 0, "refreshed_to": frm}
+    changes = catalog.table_changes(spark, base_table, frm, cur).persist()
+    try:
+        upserted = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, text_col)
+        sigs = minhash_signatures(
+            shingles(upserted, n=n, id_col=id_col, text_col=text_col, distinct=False),
+            k=k,
+            id_col=id_col,
+        )
+        ups = dml_records(
+            sigs, index_table, [id_col], op=OP_INSERT, version=2 * cur + 1
+        )
+        gone = changes.filter(F.col("_change_type") == "delete").select(id_col)
+        dels = dml_records(
+            gone, index_table, [id_col], op=OP_DELETE, version=2 * cur, keys_only=True
+        )
+        signed = upserted.count()
+        deleted = gone.count()
+        if signed or deleted:
+            apply_changelog(spark, dels.unionByName(ups), catalog)
+    finally:
+        changes.unpersist()
+    imeta = catalog.meta(index_table) or imeta  # apply may have rewritten it
+    derived["refreshed_to"] = cur
+    imeta["derived"] = derived
+    catalog.put_meta(index_table, imeta)
+    return {"signed": signed, "deleted": deleted, "refreshed_to": cur}
+
+
 def minhash_lsh_against_index(
     new_docs: DataFrame,
     corpus_sigs: DataFrame,

@@ -5729,6 +5729,99 @@ def dedup_minhash_index(spark, sf_dir):
 
 
 @_q(
+    "cdc_index_auto_refresh",
+    """
+    WITH corpus AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 3 THEN coalesce(p.text, d.text)
+                  ELSE d.text END AS text
+      FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 3
+      WHERE d.doc_id % 10 <> 0 AND d.doc_id % 10 <> 9
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 10
+    ),
+    probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    everyone AS (SELECT * FROM probe UNION ALL SELECT * FROM corpus),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM everyone
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      WHERE a.doc_id IN (SELECT doc_id FROM probe)
+        AND b.doc_id IN (SELECT doc_id FROM corpus)
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(k * 1.0 / (ca.n + cb.n - k), 6) AS jaccard
+    FROM inter
+    JOIN c ca ON ca.doc_id = a_id
+    JOIN c cb ON cb.doc_id = b_id
+    WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.8
+    """,
+)
+def cdc_index_auto_refresh(spark, sf_dir):
+    """Maintenance loop closure (apply.register_derived_index +
+    maintenance_report index staleness + auto_maintain dispatching
+    dedup.refresh_signature_index): the corpus AND its MinHash
+    signature index are CDC-managed tables; a second batch then
+    rewrites every %10==3 doc to the text of the probe doc three ids
+    below it, inserts copies of half the probes under +200000 ids,
+    and deletes the %10==9 docs. auto_maintain sees the base move
+    past the index watermark and runs the INCREMENTAL refresh — only
+    the changed docs are re-signed (unit-asserted in
+    tests/test_catalog_versions.py). The probe-vs-index dedup query
+    then runs against the REFRESHED index; the brute-force oracle on
+    the post-mutation corpus only matches if the refresh signed the
+    rewritten/inserted docs (their J=1.0 pairs exist solely in the
+    new state) and nothing was rebuilt from scratch."""
+    from .apply import auto_maintain, register_derived_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_idxrefresh_"))
+    apply_changelog(spark, snapshot_changelog(corpus, "ml.docs", ["doc_id"]), cat)
+    apply_changelog(
+        spark, dedup.signature_changelog(corpus, "ml.sigs", n=5, k=96), cat
+    )
+    register_derived_index(
+        cat, "ml.sigs", base_table="ml.docs", kind="minhash_sigs",
+        params={"n": 5, "k": 96},
+    )
+    p = docs.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
+    upd = (
+        corpus.filter(F.col("doc_id") % 10 == 3)
+        .join(p, F.col("p_id") == F.col("doc_id") - 3, "left")
+        .select("doc_id", F.coalesce("p_text", "text").alias("text"))
+    )
+    ins = docs.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    dele = corpus.filter(F.col("doc_id") % 10 == 9).select("doc_id", "text")
+    batch = (
+        dml_records(upd, "ml.docs", ["doc_id"], op="UPDATE", version=2)
+        .unionByName(dml_records(ins, "ml.docs", ["doc_id"], op="INSERT", version=2))
+        .unionByName(
+            dml_records(dele, "ml.docs", ["doc_id"], op="DELETE", version=2,
+                        keys_only=True)
+        )
+    )
+    apply_changelog(spark, batch, cat)
+    auto_maintain(spark, cat)
+    return dedup.minhash_lsh_against_index(
+        probe,
+        cat.read(spark, "ml.sigs"),
+        cat.read(spark, "ml.docs"),
+        n=5, k=96, bands=24, threshold=0.8,
+    )
+
+
+@_q(
     "q_retention_cohorts",
     """
     WITH f AS (

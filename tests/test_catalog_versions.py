@@ -465,3 +465,74 @@ def test_auto_maintain_executes_advisor_actions(spark, tmp_path):
     # bucket sizes, so convergence is asserted at the default)
     auto_maintain(spark, cat, keep_last=2)
     assert auto_maintain(spark, cat, keep_last=2) == []
+
+
+def test_auto_maintain_refreshes_stale_signature_index(spark, tmp_path):
+    """Directive: auto-maintenance closes the loop with the persisted
+    MinHash index. After the base corpus moves, maintenance_report
+    flags the registered index stale and auto_maintain runs the
+    INCREMENTAL refresh — signing only the changed docs, deleting
+    departed ids — after which the index equals a full re-sign and the
+    next pass is a no-op."""
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, auto_maintain, maintenance_report,
+        register_derived_index,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.extensions import dedup
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    apply_changelog(spark, snapshot_changelog(docs, "ml.docs", ["doc_id"]), cat)
+    apply_changelog(
+        spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=32), cat
+    )
+    register_derived_index(
+        cat, "ml.sigs", base_table="ml.docs", kind="minhash_sigs",
+        params={"n": 5, "k": 32},
+    )
+    rep = {r["table"]: r for r in maintenance_report(cat)}
+    assert rep["ml.sigs"]["index_stale"] is False
+
+    # base moves: 5 inserts, 3 updates, 2 deletes
+    ins = spark.createDataFrame(
+        [(100 + i, f"fresh doc {i} " + " ".join(f"n{i}y{j}" for j in range(30)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    upd = docs.filter(F.col("doc_id").isin(1, 2, 3)).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" EDITED")).alias("text")
+    )
+    dele = docs.filter(F.col("doc_id").isin(10, 11)).select("doc_id", "text")
+    batch = (
+        dml_records(ins, "ml.docs", ["doc_id"], op="INSERT", version=2)
+        .unionByName(dml_records(upd, "ml.docs", ["doc_id"], op="UPDATE", version=2))
+        .unionByName(dml_records(dele, "ml.docs", ["doc_id"], op="DELETE",
+                                 version=2, keys_only=True))
+    )
+    apply_changelog(spark, batch, cat)
+    rep = {r["table"]: r for r in maintenance_report(cat)}
+    assert rep["ml.sigs"]["index_stale"] is True
+
+    acted = {a["table"]: a for a in auto_maintain(spark, cat)}
+    assert acted["ml.sigs"]["refreshed"]
+    r = acted["ml.sigs"]["refresh"]
+    assert r["signed"] == 8 and r["deleted"] == 2  # incremental, not a rebuild
+
+    # index now equals a from-scratch signing of the current base
+    want = {
+        tuple(row)
+        for row in dedup.minhash_signatures(
+            dedup.shingles(cat.read(spark, "ml.docs"), n=5, distinct=False), k=32
+        ).collect()
+    }
+    got = {tuple(row) for row in cat.read(spark, "ml.sigs").collect()}
+    assert got == want
+
+    # watermark advanced: nothing stale on the next pass
+    rep = {r["table"]: r for r in maintenance_report(cat)}
+    assert rep["ml.sigs"]["index_stale"] is False
