@@ -9054,138 +9054,106 @@ def profile_categorical_drift(spark, sf_dir):
 # named here follows in registration order and stays covered by the
 # local all-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
-    # Round-4 rotation (VERDICT r03 directive #3): long-stable slots
-    # (relational suite green 3x, several flagships green r03) rotate
-    # out to the local bare gate; 18 entries rotate in, 15 of which
-    # have NEVER had a driver row (table management: bootstrap/
-    # incremental-join/time-travel/export; TPC-H remainder q7/q9/q13/
-    # q21; web curation; ER survivorship; SCD2; PQ encode; tf-idf;
-    # batch packing) plus cdc_table_changes/cdc_compact/q5 (absent
-    # since r02). ann_ivf from the verdict's list is deliberately NOT
-    # here: recall<1 by design means no hash oracle, and every window
-    # slot must be hash-checkable (tests/test_registry_window.py).
-    # Late-r4 second swap: four multi-round-green slots
-    # (q1_pricing_summary r01-r03, q5_local_supplier_volume r01-r02,
-    # er_blocked_match r03, corpus_curation_pipeline r03) retire to the
-    # bare gate in favor of the four operators built this round, none
-    # of which has ever had a driver row: cdc_feed_gaps,
-    # corpus_context_windows, web_blocklist_filter,
-    # text_hashed_ngram_score. Family prefixes stay covered (q1 via
-    # q13, er_ via er_golden_records, corpus_ via pack/context).
-    # Rotated out r4: q3_shipping_priority, q_events_hourly,
-    # q_window_suite, q_grouping_sets, q_set_ops_all,
-    # q_scalar_functions, q_json_props, q_array_ops, q_type_compat,
-    # dedup_exact, dedup_clusters, text_quality, text_span_dedup,
-    # embedding_quantize_int8, embedding_kmeans_lloyd,
-    # text_decontaminate_pairs, corpus_split_assign, stream_sessionize,
-    # and (late-r4, both green r01+r03, for the two NEW wire-format
-    # sources) cdc_rowkey, cdc_ddl_dedup.
-    # Third r4 swap: p_batch_clamp (green 3x; scan family stays via
-    # p_ct_change_scan) and cdc_goldengate_apply (green 2x; subsumed by
-    # cdc_goldengate_binary_e2e's decode->normalize->apply) retire for
-    # the two operators built post-review, neither with a driver row:
-    # cdc_patch_updates (compressed-update apply), cdc_decode_dlq
-    # (typed-decode dead-letter routing).
-    # Fourth r4 swap: cdc_apply_events (green r01+r03; apply family
-    # keeps snapshot/mutations/stream/multi_table slots and the new
-    # flagship itself ingests through apply) retires for
-    # cdc_corpus_to_training — the CDC-to-training composite
-    # (apply -> quality gate -> exact dedup -> context-window packing).
-    # Fifth r4 swap: cdc_pk_type_coerce (green r01+r03; the coercion
-    # rule stays pinned by schema/pk_compat unit tests and
-    # cdc_pk_update_split) retires for cdc_apply_vectors — the
-    # complex-typed-envelope capability built late in the round.
-    # Seventh r4 swap: cdc_apply_snapshot (green r01+r02+r03; the
-    # apply family keeps mutations/stream/multi_table/
-    # corpus_to_training plus every wire-format apply, all of which
-    # exercise the same snapshot-create path) retires for
-    # cdc_mssql_cdc_apply — the SQL Server CDC-tables protocol (3/4
-    # update-image pairing, dense LSN versions), never driver-checked.
-    # --- CDC core: scan pushdown, normalize, apply, streaming,
-    #     table management (27)
-    # Eighth r4 swap: cdc_ct_scan_normalize (green r01+r03; the scan
-    # family keeps p_ct_change_scan and T1's ResultSet->DMLRecord rule
-    # stays pinned by tests/test_sources.py) and cdc_apply_mutations
-    # (green r01-r03; the apply family keeps stream/multi_table/
-    # corpus_to_training plus every wire-format apply) retire for the
-    # two operators built post-third-review, neither with a driver
-    # row: cdc_mongodb_apply (the document-store wire format — JSON-
-    # string images, updateDescription partial updates merged via
-    # patch_updates) and text_perplexity_buckets (CCNet head/middle/
-    # tail bucketing on exact order-statistic cuts).
+    # Round-5 rotation (VERDICT r04 directive #2): 38 of the 50 slots
+    # are FIRST-TIME names (no driver row in r01-r04; cumulative
+    # driver-checked goes 118 -> 156 of 222), the other 12 are the
+    # CDC-core anchors plus two family-guard holds:
+    # - anchors kept: p_ct_change_scan (scan), cdc_apply_stream
+    #   (stateful streaming), the four newest wire formats
+    #   (mongodb/wal2json/mssql_cdc/goldengate-binary), the two
+    #   composite flagships (corpus_to_training, rag_serving),
+    #   cdc_secondary_index, and dedup_minhash_lsh -- deliberately
+    #   re-checked because r5 narrowed its signature to 72/24x3.
+    # - er_golden_records and ann_topk_bruteforce repeat only because
+    #   their families have no hash-checkable never-checked member
+    #   (ann_ivf/ann_ivfpq/ann_lsh_bucketed are rows-only by design
+    #   and barred from the window by test_registry_window.py).
+    # - rotated out to the local bare gate (all green r04):
+    #   cdc_patch_updates, cdc_chunked_bootstrap,
+    #   text_perplexity_buckets, cdc_corpus_stats, cdc_apply_vectors,
+    #   cdc_maxwell_apply, cdc_dms_apply, cdc_canal_apply,
+    #   cdc_decode_dlq, cdc_debezium_apply (family stays via
+    #   outbound + dead_letters), cdc_incremental_agg,
+    #   cdc_bootstrap_handoff, cdc_incremental_join,
+    #   cdc_table_changes, cdc_time_travel, cdc_compact,
+    #   cdc_export_snapshot, cdc_feed_gaps, cdc_table_checksum,
+    #   q7/q9/q13/q21 (relational family stays via q2/q8/q11/q15/
+    #   q16/q17/q20/q22), profile_categorical_drift,
+    #   dedup_embedding_bucketed (family stays via
+    #   dedup_embedding_cosine), profile_table_stats,
+    #   text_tfidf_topterms, web_pagerank_full (family stays via
+    #   web_hits), web_url_dedup, web_link_extract,
+    #   embedding_pq_encode (family stays via embedding_decontaminate
+    #   + profile_embedding_drift), profile_numeric_drift,
+    #   temporal_scd2_lookup (family stays via
+    #   temporal_range_error_clicks), corpus_pack_batches,
+    #   corpus_context_windows (family stays via
+    #   corpus_mixture_rebalance), web_blocklist_filter,
+    #   text_hashed_ngram_score, multimodal_payload_dedup (family
+    #   stays via multimodal_payload_neardup -- newly hash-green this
+    #   round -- and multimodal_video_meta).
+    # --- CDC core anchors + scan (10)
     "p_ct_change_scan",
-    "cdc_patch_updates",
-    "cdc_mongodb_apply",
-    "cdc_chunked_bootstrap",
-    "cdc_mssql_cdc_apply",
-    "text_perplexity_buckets",
-    "cdc_corpus_to_training",
     "cdc_apply_stream",
-    # Tenth r4 swap: cdc_apply_multi_table (green r01+r03; the apply
-    # family keeps stream/vectors/corpus_to_training plus every
-    # wire-format apply, and the DDL-before-DML union rule stays
-    # pinned by tests/test_apply.py) retires for cdc_corpus_stats —
-    # the delta-maintained df/cf corpus-statistics table built this
-    # round, never driver-checked.
-    "cdc_corpus_stats",
-    # Eleventh r4 swap: cdc_schema_evolution (green r01+r03; K3 stays
-    # pinned by tests/test_apply.py + every wire format's DDL tests)
-    # retires for cdc_rag_serving — the third composite flagship
-    # (CDC ingest of text + typed vectors -> delete-everywhere
-    # mutation -> hybrid RRF retrieval over the served tables).
-    "cdc_rag_serving",
-    "cdc_apply_vectors",
-    "cdc_table_checksum",
-    "cdc_maxwell_apply",
-    "cdc_dms_apply",
-    "cdc_canal_apply",
-    # Sixth r4 swap: cdc_pk_update_split (green r01+r02+r03; the
-    # PK-move split rule stays pinned by normalize unit tests and by
-    # every wire format's own PK-move test) retires for
-    # cdc_wal2json_apply — the Postgres logical-decoding wire format,
-    # never driver-checked (and itself exercising the split path's
-    # identity-override preimage rule).
-    "cdc_decode_dlq",
-    "cdc_goldengate_binary_e2e",
-    "cdc_debezium_apply",
+    "cdc_mongodb_apply",
     "cdc_wal2json_apply",
-    # Ninth r4 swap: cdc_point_lookup (green r03; strictly subsumed —
-    # the new query runs apply.lookup_keys TWICE, bucket-pruned on
-    # both the index and the base) retires for cdc_secondary_index,
-    # the derived global-secondary-index capability built this round.
+    "cdc_mssql_cdc_apply",
+    "cdc_goldengate_binary_e2e",
+    "cdc_corpus_to_training",
+    "cdc_rag_serving",
     "cdc_secondary_index",
-    "cdc_incremental_agg",
-    "cdc_bootstrap_handoff",
-    "cdc_incremental_join",
-    "cdc_table_changes",
-    "cdc_time_travel",
-    "cdc_compact",
-    "cdc_export_snapshot",
-    "cdc_feed_gaps",
-    # --- relational surface (4; q1-family coverage rides on q13)
-    "q7_nation_trade_volume",
-    "q9_product_profit",
-    "q13_customer_order_distribution",
-    "q21_sole_returned_supplier",
-    # --- LLM-pipeline flagships: one per area (17)
-    "er_golden_records",
     "dedup_minhash_lsh",
-    "profile_categorical_drift",
-    "dedup_embedding_bucketed",
-    "profile_table_stats",
-    "text_tfidf_topterms",
-    "web_pagerank_full",
-    "web_url_dedup",
-    "web_link_extract",
+    # --- first-time: pipeline front door, maintenance loop, table
+    #     management, outbound renderers, dead letters (7)
+    "cdc_pipeline_run",
+    "cdc_index_auto_refresh",
+    "cdc_vacuum_safety",
+    "cdc_group_asof",
+    "cdc_debezium_outbound",
+    "cdc_debezium_dead_letters",
+    "dedup_minhash_index",
+    # --- first-time: TPC-H remainder (8)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_part_value",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_heavy_part_suppliers",
+    "q22_dormant_value_customers",
+    # --- first-time: exact quantiles + anomaly screens (4)
+    "q_exact_quantiles",
+    "q_exact_quantiles_by_group",
+    "text_length_mad_outliers",
+    "q_event_rate_anomaly",
+    # --- first-time: text analysis + BPE (6)
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_winnowing",
+    "text_bm25_topk",
+    "text_token_stats",
+    "text_gopher_rules",
+    # --- first-time: dedup reports + exact n-gram + embedding (4)
+    "dedup_score_histogram",
+    "dedup_cluster_stats",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # --- first-time: web graph + curation (2)
+    "web_hits",
+    "web_domain_cap",
+    # --- first-time: retrieval + embedding hygiene + drift (3)
+    "rag_hybrid_retrieval",
+    "profile_embedding_drift",
+    "embedding_decontaminate",
+    # --- first-time: multimodal, temporal, scale (3)
+    "multimodal_payload_neardup",
+    "multimodal_video_meta",
+    "temporal_range_error_clicks",
+    # --- family-guard holds (2)
+    "er_golden_records",
     "ann_topk_bruteforce",
-    "embedding_pq_encode",
-    "profile_numeric_drift",
-    "temporal_scd2_lookup",
-    "corpus_pack_batches",
-    "corpus_context_windows",
-    "web_blocklist_filter",
-    "text_hashed_ngram_score",
-    "multimodal_payload_dedup",
+    # --- first-time: scale ops (1)
+    "corpus_mixture_rebalance",
 ]
 
 
