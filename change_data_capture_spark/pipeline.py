@@ -270,38 +270,53 @@ def run_pipeline(
             "undecodable_patch_cells": patch_quarantine,
         }
 
+    # every JSON wire decoder honors the same source.message_col key
+    # the MongoDB leg and the streaming front door use — a kafka
+    # transport aliasing its value column to a custom name decodes
+    # identically across formats
+    mcol = src.get("message_col", "message")
     if fmt == "debezium":
         from .sources import debezium as mod
 
-        raw = mod.debezium_raw_ops(messages, table_keys, rows_schemas=rows_schemas or None)
-        dead = mod.debezium_dead_letters(messages, table_keys)
+        raw = mod.debezium_raw_ops(
+            messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
+        )
+        dead = mod.debezium_dead_letters(messages, table_keys, message_col=mcol)
     elif fmt == "maxwell":
         from .sources import wire_formats as mod
 
-        raw = mod.maxwell_raw_ops(messages, table_keys, rows_schemas=rows_schemas or None)
-        dead = mod.maxwell_dead_letters(messages, table_keys)
+        raw = mod.maxwell_raw_ops(
+            messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
+        )
+        dead = mod.maxwell_dead_letters(messages, table_keys, message_col=mcol)
     elif fmt == "dms":
         from .sources import wire_formats as mod
 
-        raw = mod.dms_raw_ops(messages, table_keys, rows_schemas=rows_schemas or None)
-        dead = mod.dms_dead_letters(messages, table_keys)
+        raw = mod.dms_raw_ops(
+            messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
+        )
+        dead = mod.dms_dead_letters(messages, table_keys, message_col=mcol)
     elif fmt == "canal":
         from .sources import canal as mod
 
-        raw = mod.canal_raw_ops(messages, table_keys, rows_schemas=rows_schemas or None)
-        dead = mod.canal_dead_letters(messages, table_keys)
+        raw = mod.canal_raw_ops(
+            messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
+        )
+        dead = mod.canal_dead_letters(messages, table_keys, message_col=mcol)
     elif fmt == "wal2json":
         from .sources import wal2json as mod
 
-        raw = mod.wal2json_raw_ops(messages, table_keys, rows_schemas=rows_schemas or None)
-        dead = mod.wal2json_dead_letters(messages, table_keys)
+        raw = mod.wal2json_raw_ops(
+            messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
+        )
+        dead = mod.wal2json_dead_letters(messages, table_keys, message_col=mcol)
     else:  # wal2json_v1
         from .sources import wal2json as mod
 
         raw = mod.wal2json_v1_raw_ops(
-            messages, table_keys, rows_schemas=rows_schemas or None
+            messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
         )
-        dead = mod.wal2json_dead_letters(messages, table_keys)
+        dead = mod.wal2json_dead_letters(messages, table_keys, message_col=mcol)
 
     apply_changelog(spark, normalize_raw_ops(raw), catalog)
     return {"tables": sorted(table_keys), "dead_letters": dead}

@@ -471,3 +471,27 @@ def test_pipeline_stream_honors_configured_column_names(spark, tmp_path):
     snap.write.mode("append").parquet(msgs_dir)
     run_pipeline_stream(spark, msgs_dir, cfg, cat, str(tmp_path / "ckpt"))
     assert cat.read(spark, "appdb.users").count() == 2
+
+
+def test_pipeline_batch_honors_message_col_across_formats(spark, tmp_path):
+    """source.message_col is one contract across the batch front door:
+    a debezium feed arriving under a custom column name decodes the
+    same as under the default."""
+    from change_data_capture_spark.sources import debezium as dz
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, bal double"
+    )
+    msgs = dz.encode_debezium_json(
+        base, table="db.t", op="c", before=None,
+        after=F.struct(F.col("id"), F.col("name"), F.col("bal")),
+        ts_ms=1,
+    ).withColumnRenamed("message", "payload")
+    cfg = {
+        "source": {"format": "debezium", "message_col": "payload"},
+        "tables": {"db.t": {"keys": ["id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "c"))
+    out = run_pipeline(spark, msgs, cfg, cat)
+    assert cat.read(spark, "db.t").count() == 2
+    assert out["dead_letters"].count() == 0
