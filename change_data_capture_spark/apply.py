@@ -427,11 +427,20 @@ class TableCatalog:
         os.replace(tmp, os.path.join(dest_dir, "manifest.json"))
         return group
 
-    def vacuum(self, table_id: str, keep_last: int = 2) -> list[int]:
+    def vacuum(
+        self, table_id: str, keep_last: int = 2, protect_from: int | None = None
+    ) -> list[int]:
         """Drop all but the newest ``keep_last`` versions. Safe under
         file reuse: hard links mean a shared file's data survives until
         its last referencing version is removed. Returns the dropped
-        version numbers."""
+        version numbers.
+
+        ``protect_from`` additionally keeps every version >= that
+        sequence number — the floor a registered derived index's next
+        incremental refresh still needs to diff from
+        (``auto_maintain`` passes the minimum ``refreshed_to`` across
+        the table's indexes, so maintenance can never vacuum away a
+        refresh basis and wedge itself)."""
         vs = self.versions(table_id)
         meta = self.meta(table_id)
         current_seq = (
@@ -440,6 +449,8 @@ class TableCatalog:
             else None
         )
         drop = [v for v in vs[:-keep_last] if v != current_seq] if keep_last else []
+        if protect_from is not None:
+            drop = [v for v in drop if v < int(protect_from)]
         for v in drop:
             shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
         if drop:
@@ -763,6 +774,17 @@ def maintenance_report(
     O(#tables + #files) driver work, zero Spark jobs, safe to run on
     a schedule against a live catalog."""
     report = []
+    # refresh floors: base table -> min(refreshed_to) over its
+    # registered derived indexes. Versions at or above the floor are
+    # the diff basis the next incremental refresh reads — they must
+    # never count as reclaimable, or a vacuum would wedge the refresh.
+    floors: dict[str, int] = {}
+    for t in catalog.tables():
+        m = catalog.meta(t) or {}
+        d = m.get("derived") or {}
+        if d.get("base"):
+            f = int(d.get("refreshed_to", 0) or 0)
+            floors[d["base"]] = min(floors.get(d["base"], f), f)
     for table_id in catalog.tables():
         meta = catalog.meta(table_id)
         if meta is None or meta.get("current") is None:
@@ -789,13 +811,17 @@ def maintenance_report(
         reclaimable = [
             v for v in versions[:-keep_last] if v != current_seq
         ] if keep_last else []
+        if table_id in floors:
+            reclaimable = [v for v in reclaimable if v < floors[table_id]]
         derived = meta.get("derived") or None
         index_stale = False
         base_version = None
-        if derived:
+        if derived and derived.get("base"):
             base_versions = catalog.versions(derived["base"])
             base_version = int(base_versions[-1]) if base_versions else 0
             index_stale = base_version > int(derived.get("refreshed_to", 0) or 0)
+        else:
+            derived = None  # tolerate partial/foreign records
         report.append(
             {
                 "table": table_id,
@@ -810,6 +836,7 @@ def maintenance_report(
                 "derived": derived,
                 "base_version": base_version,
                 "index_stale": index_stale,
+                "protect_from": floors.get(table_id),
             }
         )
     return report
@@ -1493,9 +1520,27 @@ def auto_maintain(
     advisor's metadata-only scan, so a no-op pass costs zero Spark
     jobs."""
     actions: list[dict] = []
-    for row in maintenance_report(
+    report = maintenance_report(
         catalog, target_bucket_bytes=target_bucket_bytes, keep_last=keep_last
-    ):
+    )
+    # Pass 1 — derived-index refreshes, BEFORE any vacuum: the refresh
+    # diffs the base from its refreshed_to version, so vacuuming first
+    # could (absent the protect_from floor) delete the diff basis; and
+    # refreshing first advances the floor so pass 2 reclaims MORE.
+    refreshed: dict[str, dict] = {}
+    for row in report:
+        if row["index_stale"] and not dry_run:
+            refreshed[row["table"]] = _refresh_derived_index(
+                spark, catalog, row["table"], row["derived"]
+            )
+    if refreshed:
+        # floors moved: recompute reclaimables against the new state
+        report = maintenance_report(
+            catalog, target_bucket_bytes=target_bucket_bytes, keep_last=keep_last
+        )
+    # Pass 2 — compact + vacuum (vacuum keeps any still-needed refresh
+    # basis via protect_from).
+    for row in report:
         # small-file compaction only helps while there are MORE files
         # than buckets (a compact can never produce fewer than one file
         # per bucket, so a genuinely small table would otherwise be
@@ -1505,7 +1550,9 @@ def auto_maintain(
             and row["files"] > row["buckets"]
         )
         needs_vacuum = bool(row["reclaimable_versions"])
-        needs_refresh = bool(row["index_stale"])
+        needs_refresh = row["table"] in refreshed or (
+            dry_run and row["index_stale"]
+        )
         if not (needs_compact or needs_vacuum or needs_refresh):
             continue
         act = {
@@ -1515,11 +1562,9 @@ def auto_maintain(
             "vacuumed_versions": list(row["reclaimable_versions"]),
             "refreshed": needs_refresh,
         }
+        if row["table"] in refreshed:
+            act["refresh"] = refreshed[row["table"]]
         if not dry_run:
-            if needs_refresh:
-                act["refresh"] = _refresh_derived_index(
-                    spark, catalog, row["table"], row["derived"]
-                )
             if needs_compact:
                 catalog.compact(
                     spark,
@@ -1530,7 +1575,9 @@ def auto_maintain(
                 )
             if needs_vacuum:
                 act["vacuumed_versions"] = catalog.vacuum(
-                    row["table"], keep_last=keep_last
+                    row["table"],
+                    keep_last=keep_last,
+                    protect_from=row["protect_from"],
                 )
         actions.append(act)
     return actions

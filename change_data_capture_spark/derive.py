@@ -307,16 +307,29 @@ def maintain_value_index(
         # and BOTH floor-divide back to the base version it last
         # indexed — no side-channel refresh state
         from_version = int(idx_meta.get("applied_version", 1)) // 2
-    changes = catalog.table_changes(spark, base_table, int(from_version))
-    old = catalog.read(spark, base_table, version=int(from_version))
-    changed_pks = changes.select(*pks).distinct()
-    affected = (
-        old.join(changed_pks, pks, "left_semi")
-        .select(*vcols)
-        .unionByName(changes.select(*vcols))
-        .filter(not_null)
-        .distinct()
-    )
+    if int(from_version) not in catalog.versions(base_table):
+        # Diff basis vacuumed away (manual vacuum; auto_maintain's
+        # protect_from floor prevents this path): full resync — every
+        # value currently in the index or the base is "affected", so
+        # stale postings recompute and departed values delete. Still
+        # one pass over metadata-grain value sets, no change feed.
+        affected = (
+            base.filter(not_null)
+            .select(*vcols)
+            .unionByName(catalog.read(spark, index_table).select(*vcols))
+            .distinct()
+        )
+    else:
+        changes = catalog.table_changes(spark, base_table, int(from_version))
+        old = catalog.read(spark, base_table, version=int(from_version))
+        changed_pks = changes.select(*pks).distinct()
+        affected = (
+            old.join(changed_pks, pks, "left_semi")
+            .select(*vcols)
+            .unionByName(changes.select(*vcols))
+            .filter(not_null)
+            .distinct()
+        )
     fresh = postings_of(base.join(affected, vcols, "left_semi"))
     gone = affected.join(fresh.select(*vcols), vcols, "left_anti")
     log = dml_records(

@@ -724,15 +724,35 @@ def refresh_signature_index(
     (id_col,) = list(meta["pks"])  # doc-grain index: single-PK contract
     imeta = catalog.meta(index_table) or {}
     derived = dict(imeta.get("derived") or {})
-    cur = int(catalog.versions(base_table)[-1])
+    versions = catalog.versions(base_table)
+    cur = int(versions[-1])
     frm = from_version if from_version is not None else int(derived.get("refreshed_to", 0) or 0)
     if frm >= cur:
-        return {"signed": 0, "deleted": 0, "refreshed_to": frm}
-    changes = catalog.table_changes(spark, base_table, frm, cur).persist()
-    try:
+        return {"signed": 0, "deleted": 0, "refreshed_to": frm, "resync": False}
+    resync = frm not in versions  # diff basis vacuumed away, or frm==0
+    if resync:
+        # Full resync fallback — the ONLY correct move once the
+        # incremental basis is gone: re-sign every current doc and
+        # delete index ids no longer in the base. Never reachable
+        # through auto_maintain (vacuum's protect_from keeps the
+        # basis); covers manual vacuums and pre-first-version
+        # registration.
+        base = catalog.read(spark, base_table)
+        upserted = base.select(id_col, text_col)
+        gone = (
+            catalog.read(spark, index_table)
+            .select(id_col)
+            .join(base.select(id_col), id_col, "left_anti")
+            if imeta.get("current") is not None
+            else upserted.select(id_col).limit(0)
+        )
+    else:
+        changes = catalog.table_changes(spark, base_table, frm, cur).persist()
         upserted = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).select(id_col, text_col)
+        gone = changes.filter(F.col("_change_type") == "delete").select(id_col)
+    try:
         sigs = minhash_signatures(
             shingles(upserted, n=n, id_col=id_col, text_col=text_col, distinct=False),
             k=k,
@@ -741,7 +761,6 @@ def refresh_signature_index(
         ups = dml_records(
             sigs, index_table, [id_col], op=OP_INSERT, version=2 * cur + 1
         )
-        gone = changes.filter(F.col("_change_type") == "delete").select(id_col)
         dels = dml_records(
             gone, index_table, [id_col], op=OP_DELETE, version=2 * cur, keys_only=True
         )
@@ -750,12 +769,17 @@ def refresh_signature_index(
         if signed or deleted:
             apply_changelog(spark, dels.unionByName(ups), catalog)
     finally:
-        changes.unpersist()
-    imeta = catalog.meta(index_table) or imeta  # apply may have rewritten it
-    derived["refreshed_to"] = cur
-    imeta["derived"] = derived
-    catalog.put_meta(index_table, imeta)
-    return {"signed": signed, "deleted": deleted, "refreshed_to": cur}
+        if not resync:
+            changes.unpersist()
+    if derived.get("base"):
+        # advance the registered watermark; an UNREGISTERED standalone
+        # call (caller tracks from_version itself) must not synthesize
+        # a partial derived record — maintenance_report would choke on
+        # a record with no base
+        imeta = catalog.meta(index_table) or imeta  # apply may have rewritten it
+        imeta["derived"] = {**derived, "refreshed_to": cur}
+        catalog.put_meta(index_table, imeta)
+    return {"signed": signed, "deleted": deleted, "refreshed_to": cur, "resync": resync}
 
 
 def minhash_lsh_against_index(

@@ -842,6 +842,23 @@ def exact_quantiles_by_group(
     ).filter(F.col("__v").isNotNull()).persist()
     try:
         spark = df.sparkSession
+        # Bounded cardinality probe BEFORE any full group collect: the
+        # cap must fire without the driver ever materializing the key
+        # set it is guarding against (limit keeps the probe to at most
+        # cap+1 rows executor-side; only the count crosses).
+        cap_groups = max(max_selectors // max(len(qs), 1), 1)
+        probed = (
+            rows.select(*gcols).distinct().limit(cap_groups + 1).count()
+        )
+        if probed > cap_groups:
+            raise ValueError(
+                f"exact_quantiles_by_group selector state would exceed "
+                f"max_selectors={max_selectors} (> {cap_groups} groups x "
+                f"{len(qs)} quantiles) — this op is for metadata-sized "
+                f"group domains; use a percent_rank window for "
+                f"high-cardinality keys (or raise max_selectors "
+                f"deliberately)"
+            )
         base = {
             tuple(r[g] for g in gcols): (r["__lo"], r["__hi"], r["__n"])
             for r in rows.groupBy(*gcols)
@@ -852,16 +869,6 @@ def exact_quantiles_by_group(
             )
             .collect()
         }
-        if len(base) * len(qs) > max_selectors:
-            raise ValueError(
-                f"exact_quantiles_by_group selector state would be "
-                f"{len(base)} groups x {len(qs)} quantiles = "
-                f"{len(base) * len(qs)} selectors on the driver, over the "
-                f"max_selectors={max_selectors} contract — this op is for "
-                f"metadata-sized group domains; use a percent_rank window "
-                f"for high-cardinality keys (or raise max_selectors "
-                f"deliberately)"
-            )
         # selector state: sid -> [group_key, q, k, lo, hi, resolved_value]
         sels: dict[int, list] = {}
         sid = 0

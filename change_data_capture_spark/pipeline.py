@@ -127,6 +127,12 @@ def run_pipeline(
     if fmt == "goldengate":
         from .sources import kafka
 
+        mcol = src.get("message_col", "message")
+        if mcol != "message":
+            # the wrapper decode path keys on a literal `message`
+            # column; honor the shared config contract by renaming up
+            # front instead of silently ignoring it
+            messages = messages.withColumnRenamed(mcol, "message")
         records = kafka.goldengate_changelog(messages)
         # whitelist semantics (T9) over the envelope: ddl and dml rows
         # both carry the table id
@@ -358,13 +364,19 @@ def stream_source_spec(
             "kafka transport requires source.topic", "source.topic"
         )
     try:
-        opts = kafka_options(
-            str(broker),
-            str(topic),
-            initial_offset=int(src.get("initial_offset", LATEST)),
-            max_rate_per_partition=int(src.get("max_rate_per_partition", 1000)),
-        )
+        initial_offset = int(src.get("initial_offset", LATEST))
     except (TypeError, ValueError) as e:
+        raise InvalidConfigError(str(e), "source.initial_offset") from e
+    try:
+        max_rate = int(src.get("max_rate_per_partition", 1000))
+    except (TypeError, ValueError) as e:
+        raise InvalidConfigError(str(e), "source.max_rate_per_partition") from e
+    try:
+        opts = kafka_options(
+            str(broker), str(topic),
+            initial_offset=initial_offset, max_rate_per_partition=max_rate,
+        )
+    except ValueError as e:  # offset out of domain (-2/-1/>=0)
         raise InvalidConfigError(str(e), "source.initial_offset") from e
     return transport, message_col, key_col, opts
 
@@ -409,6 +421,12 @@ def run_pipeline_stream(
       validated and unit-tested offline."""
     fmt_name, _src, _tables = _validated(config)
     transport, message_col, key_col, kopts = stream_source_spec(config)
+    if transport == "file" and not messages_dir:
+        raise InvalidConfigError(
+            "file transport requires a messages_dir (set source.transport "
+            "to 'kafka' for a broker-backed stream)",
+            "source.transport",
+        )
     if transport == "kafka":
         reader = spark.readStream.format("kafka")
         for k, v in kopts.items():

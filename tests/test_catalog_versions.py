@@ -536,3 +536,106 @@ def test_auto_maintain_refreshes_stale_signature_index(spark, tmp_path):
     # watermark advanced: nothing stale on the next pass
     rep = {r["table"]: r for r in maintenance_report(cat)}
     assert rep["ml.sigs"]["index_stale"] is False
+
+
+def test_auto_maintain_never_vacuums_a_refresh_basis(spark, tmp_path):
+    """Review regression: base sorts BEFORE its index in
+    catalog.tables() and has vacuum-able history while the index is
+    stale several versions behind. auto_maintain must refresh first
+    and vacuum must keep the diff basis (protect_from) — previously
+    the vacuum deleted it and every subsequent run raised KeyError."""
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, auto_maintain, register_derived_index,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.extensions import dedup
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(20)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    # 'a.docs' < 'z.sigs' lexicographically: base row acts first
+    apply_changelog(spark, snapshot_changelog(docs, "a.docs", ["doc_id"]), cat)
+    apply_changelog(spark, dedup.signature_changelog(docs, "z.sigs", n=5, k=16), cat)
+    register_derived_index(
+        cat, "z.sigs", base_table="a.docs", kind="minhash_sigs",
+        params={"n": 5, "k": 16},
+    )
+    # three more base versions WITHOUT refreshing the index
+    for ver in (2, 3, 4):
+        upd = docs.filter(F.col("doc_id") % 3 == ver % 3).select(
+            "doc_id", F.concat("text", F.lit(f" v{ver}")).alias("text")
+        )
+        apply_changelog(
+            spark, dml_records(upd, "a.docs", ["doc_id"], op="UPDATE", version=ver), cat
+        )
+    acts = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1)}
+    assert acts["z.sigs"]["refresh"]["resync"] is False  # incremental, basis intact
+    # index equals a from-scratch signing of the current base
+    want = {
+        tuple(r)
+        for r in dedup.minhash_signatures(
+            dedup.shingles(cat.read(spark, "a.docs"), n=5, distinct=False), k=16
+        ).collect()
+    }
+    assert {tuple(r) for r in cat.read(spark, "z.sigs").collect()} == want
+    # and the next run neither wedges nor re-refreshes
+    again = auto_maintain(spark, cat, keep_last=1)
+    assert all(not a.get("refresh") for a in again)
+
+
+def test_refresh_signature_index_resync_and_unregistered_meta(spark, tmp_path):
+    """Review regression pair: (1) a standalone (unregistered) refresh
+    must not synthesize a partial derived meta record that breaks
+    maintenance_report; (2) once the diff basis is manually vacuumed
+    away the refresh falls back to a full resync instead of KeyError."""
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, maintenance_report, register_derived_index,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.extensions import dedup
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(20)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    apply_changelog(spark, snapshot_changelog(docs, "b.docs", ["doc_id"]), cat)
+    apply_changelog(spark, dedup.signature_changelog(docs, "b.sigs", n=5, k=16), cat)
+    upd = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id", F.concat("text", F.lit(" v2")).alias("text")
+    )
+    apply_changelog(
+        spark, dml_records(upd, "b.docs", ["doc_id"], op="UPDATE", version=2), cat
+    )
+    # (1) standalone refresh with explicit from_version: no derived record
+    r = dedup.refresh_signature_index(
+        spark, cat, "b.docs", "b.sigs", n=5, k=16, from_version=1
+    )
+    assert r["signed"] == 5 and r["resync"] is False
+    assert (cat.meta("b.sigs") or {}).get("derived") is None
+    assert all(row["derived"] is None for row in maintenance_report(cat))
+    # (2) register, mutate again, vacuum away the basis, refresh -> resync
+    register_derived_index(
+        cat, "b.sigs", base_table="b.docs", kind="minhash_sigs",
+        params={"n": 5, "k": 16}, refreshed_to=2,
+    )
+    dele = docs.filter(F.col("doc_id") >= 18).select("doc_id", "text")
+    apply_changelog(
+        spark,
+        dml_records(dele, "b.docs", ["doc_id"], op="DELETE", version=3, keys_only=True),
+        cat,
+    )
+    cat.vacuum("b.docs", keep_last=1)  # manual vacuum drops the v2 basis
+    r2 = dedup.refresh_signature_index(spark, cat, "b.docs", "b.sigs", n=5, k=16)
+    assert r2["resync"] is True and r2["deleted"] == 2
+    want = {
+        tuple(r)
+        for r in dedup.minhash_signatures(
+            dedup.shingles(cat.read(spark, "b.docs"), n=5, distinct=False), k=16
+        ).collect()
+    }
+    assert {tuple(r) for r in cat.read(spark, "b.sigs").collect()} == want

@@ -495,3 +495,53 @@ def test_pipeline_batch_honors_message_col_across_formats(spark, tmp_path):
     out = run_pipeline(spark, msgs, cfg, cat)
     assert cat.read(spark, "db.t").count() == 2
     assert out["dead_letters"].count() == 0
+
+
+def test_stream_source_spec_names_correct_bad_property(spark):
+    """Review regression: a malformed max_rate_per_partition must name
+    ITS property, not source.initial_offset; a file transport with no
+    messages_dir fails fast at validation, not inside Spark."""
+    from change_data_capture_spark.pipeline import run_pipeline_stream, stream_source_spec
+
+    tables = {"db.t": {"keys": ["id"]}}
+    with pytest.raises(InvalidConfigError) as e:
+        stream_source_spec(
+            {"source": {"format": "debezium", "transport": "kafka",
+                        "broker": "b", "topic": "t",
+                        "max_rate_per_partition": "lots"}, "tables": tables}
+        )
+    assert e.value.property == "source.max_rate_per_partition"
+    with pytest.raises(InvalidConfigError) as e2:
+        run_pipeline_stream(
+            spark, None, {"source": {"format": "debezium"}, "tables": tables},
+            TableCatalog("/tmp/unused_cat"), "/tmp/unused_ckpt",
+        )
+    assert "messages_dir" in str(e2.value) or e2.value.property == "source.transport"
+
+
+def test_pipeline_goldengate_honors_message_col(spark, tmp_path):
+    """Review regression: the goldengate leg silently ignored
+    source.message_col; it now renames the configured column into the
+    wrapper decode path."""
+    from change_data_capture_spark.sources import kafka as kf
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    tag = base.withColumn("_change_type", F.lit("insert"))
+    wire = (
+        kf.goldengate_schema_message(spark, table="db.t", fingerprint=9,
+                                     schema_json=base.schema.json())
+        .unionByName(
+            kf.table_changes_to_goldengate(
+                tag, table="db.t", fingerprint=9, pk_names=["id"], version=1,
+                ts_micros=1,
+            )
+        )
+        .withColumnRenamed("message", "payload")
+    )
+    cfg = {
+        "source": {"format": "goldengate", "message_col": "payload"},
+        "tables": {"db.t": {"keys": ["id"]}},
+    }
+    cat = TableCatalog(str(tmp_path / "gg"))
+    run_pipeline(spark, wire, cfg, cat)
+    assert cat.read(spark, "db.t").count() == 2
