@@ -346,6 +346,151 @@ def decode_image_pixels(payload: bytes):  # pragma: no cover - documented stub
     )
 
 
+def decode_image_pixels_fake(payload: bytes):
+    """DETERMINISTIC FAKE pixel decoder — explicitly not a codec.
+
+    Parses the REAL header (``decode_image_meta``) for the image's
+    true (width, height, channels), then fills the pixel buffer with a
+    blake2b keystream of the payload bytes: same payload -> same
+    pixels, different payloads -> uncorrelated pixels. Exists so every
+    stage DOWNSTREAM of the codec boundary (feature extraction,
+    resize, batch shape, schema) runs for real in a container with no
+    image library; a deployment swaps ``decode_image_pixels`` in
+    without touching any Spark plumbing. Returns a numpy uint8 array
+    of shape (height, width, channels), or None for unparseable
+    headers (mirroring the NULL-dims contract of image_metadata)."""
+    import hashlib
+
+    import numpy as np
+
+    w, h, c = decode_image_meta(payload) if payload is not None else (None, None, None)
+    if not w or not h or not c:
+        return None
+    need = int(w) * int(h) * int(c)
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.blake2b(
+            payload, digest_size=64, salt=counter.to_bytes(8, "little")
+        ).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(
+        int(h), int(w), int(c)
+    )
+
+
+def image_feature_extract(
+    docs_with_payload: DataFrame,
+    *,
+    decode=decode_image_pixels,
+    grid: int = 4,
+) -> DataFrame:
+    """Pooled-pixel feature vectors over the binary column — the
+    vision-embedding UDF shape: Arrow-batched ``mapInPandas``, one
+    pandas batch per chunk, decode -> numpy pooling, emits
+    ``array<float>`` features of fixed dim grid*grid*channels-capped
+    (grid x grid average pooling over up to 3 channels + 3 global
+    moments). The pooling math is REAL numpy; only ``decode`` sits on
+    the codec boundary (default raises per the stub contract — pass
+    ``decode_image_pixels_fake`` in codec-less environments, a PIL
+    decoder in production). Undecodable payloads emit NULL features,
+    never fake numbers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                px = decode(p) if p is not None else None
+                if px is None:
+                    feats.append(None)
+                    continue
+                h, w, c = px.shape
+                c = min(c, 3)
+                a = px[:, :, :c].astype("float32")
+                # grid x grid average pooling: integer-stride crop so
+                # every cell is the mean of a real pixel block
+                gh, gw = max(h // grid, 1), max(w // grid, 1)
+                a_c = a[: gh * grid if h >= grid else h, : gw * grid if w >= grid else w]
+                if h >= grid and w >= grid:
+                    pooled = a_c.reshape(grid, gh, grid, gw, c).mean(axis=(1, 3))
+                else:
+                    pooled = np.broadcast_to(a_c.mean(axis=(0, 1)), (grid, grid, c))
+                vec = np.concatenate(
+                    [pooled.ravel(), [a.mean(), a.std(), float(h) / max(w, 1)]]
+                )
+                feats.append([float(x) for x in vec])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(
+        batches, "doc_id long, feature array<float>"
+    )
+
+
+def image_resize(
+    docs_with_payload: DataFrame,
+    *,
+    target_w: int = 224,
+    target_h: int = 224,
+    decode=decode_image_pixels,
+) -> DataFrame:
+    """Aspect-preserving nearest-neighbor resize + letterbox over the
+    binary column — applies exactly the geometry ``resize_spec``
+    computes, as the Arrow-batched UDF a vision pipeline runs. The
+    resample is REAL numpy index arithmetic (nearest neighbor needs no
+    image library); only ``decode`` sits on the codec boundary. Emits
+    the letterboxed (target_h x target_w x channels) buffer as raw
+    bytes plus the placed geometry; undecodable payloads emit NULLs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "dst_w": [], "dst_h": [], "pad_left": [],
+                    "pad_top": [], "pixels": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode(p) if p is not None else None
+                rows["doc_id"].append(int(doc_id))
+                if px is None:
+                    rows["dst_w"].append(None); rows["dst_h"].append(None)
+                    rows["pad_left"].append(None); rows["pad_top"].append(None)
+                    rows["pixels"].append(None)
+                    continue
+                h, w, c = px.shape
+                scale = min(target_w / w, target_h / h)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                yi = (np.arange(nh) / scale).astype(int).clip(0, h - 1)
+                xi = (np.arange(nw) / scale).astype(int).clip(0, w - 1)
+                resized = px[yi][:, xi]
+                canvas = np.zeros((target_h, target_w, c), dtype=np.uint8)
+                pl, pt = (target_w - nw) // 2, (target_h - nh) // 2
+                canvas[pt : pt + nh, pl : pl + nw] = resized
+                rows["dst_w"].append(nw); rows["dst_h"].append(nh)
+                rows["pad_left"].append(pl); rows["pad_top"].append(pt)
+                rows["pixels"].append(canvas.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "dst_w": pd.Series(rows["dst_w"], dtype="Int32"),
+                    "dst_h": pd.Series(rows["dst_h"], dtype="Int32"),
+                    "pad_left": pd.Series(rows["pad_left"], dtype="Int32"),
+                    "pad_top": pd.Series(rows["pad_top"], dtype="Int32"),
+                    "pixels": pd.Series(rows["pixels"], dtype="object"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(
+        batches,
+        "doc_id long, dst_w int, dst_h int, pad_left int, pad_top int, pixels binary",
+    )
+
+
 def image_metadata(docs_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over the binary column
     (mapInPandas: one pandas batch per Arrow chunk — the real plan

@@ -407,3 +407,78 @@ def test_payload_jaccard_exact_recall_one_and_integer_counts(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_fake_codec_and_downstream_plumbing_real(spark):
+    """The codec boundary: decode_image_pixels raises (documented
+    stub); decode_image_pixels_fake is a DETERMINISTIC stand-in that
+    honors the real header dims, and everything downstream —
+    feature-extract pooling, nearest-neighbor resize + letterbox,
+    Arrow batch shape, schemas — runs for real against it."""
+    import numpy as np
+    import pytest
+
+    from change_data_capture_spark.extensions import multimodal
+    from pyspark.sql import functions as F
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(b"anything")
+
+    docs = spark.range(1, 9).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            multimodal.png_header_expr(
+                (F.col("id") % 5 + 8).cast("int"), (F.col("id") % 3 + 6).cast("int")
+            ),
+            F.encode(F.repeat(F.concat(F.lit("px"), F.col("id").cast("string")), 20), "UTF-8"),
+        ).alias("payload"),
+    ).repartition(3)  # multiple Arrow batches: the mapInPandas shape is real
+
+    # fake decoder: deterministic, honors header dims, None on junk
+    (row,) = docs.filter(F.col("doc_id") == 1).collect()
+    px1 = multimodal.decode_image_pixels_fake(bytes(row["payload"]))
+    px2 = multimodal.decode_image_pixels_fake(bytes(row["payload"]))
+    assert px1.shape == (7, 9, 4) and (px1 == px2).all()  # RGBA header
+    assert multimodal.decode_image_pixels_fake(b"not a png") is None
+
+    feats = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.image_feature_extract(
+            docs, decode=multimodal.decode_image_pixels_fake, grid=4
+        ).collect()
+    }
+    assert len(feats) == 8
+    assert all(f is not None and len(f) == 4 * 4 * 3 + 3 for f in feats.values())
+    # deterministic across runs
+    feats2 = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.image_feature_extract(
+            docs, decode=multimodal.decode_image_pixels_fake, grid=4
+        ).collect()
+    }
+    assert feats == feats2
+
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.image_resize(
+            docs, target_w=32, target_h=16, decode=multimodal.decode_image_pixels_fake
+        ).collect()
+    }
+    r1 = out[1]  # src 9x7 -> scale min(32/9, 16/7) = 16/7 -> 20x16
+    assert (r1["dst_w"], r1["dst_h"]) == (20, 16)
+    assert r1["pad_left"] == (32 - 20) // 2 and r1["pad_top"] == 0
+    assert len(bytes(r1["pixels"])) == 16 * 32 * 4
+    # letterbox columns outside the placed region are zero
+    a = np.frombuffer(bytes(r1["pixels"]), dtype=np.uint8).reshape(16, 32, 4)
+    assert (a[:, : r1["pad_left"]] == 0).all()
+    assert (a[:, r1["pad_left"] + r1["dst_w"]:] == 0).all()
+    # geometry agrees with the declarative resize_spec on the same meta
+    spec = {
+        r["doc_id"]: r
+        for r in multimodal.resize_spec(
+            multimodal.image_metadata(docs), target_w=32, target_h=16
+        ).collect()
+    }
+    for d, r in out.items():
+        assert (r["dst_w"], r["dst_h"]) == (spec[d]["dst_w"], spec[d]["dst_h"])
+        assert r["pad_left"] == spec[d]["pad_left"] and r["pad_top"] == spec[d]["pad_top"]
