@@ -585,6 +585,106 @@ def frame_sample_plan(docs_with_payload: DataFrame, every_nth: int = 10) -> Data
     )
 
 
+def decode_audio_pcm(payload: bytes):  # pragma: no cover - documented stub
+    raise NotImplementedError(
+        "PCM decode of compressed audio requires a codec (ffmpeg) not "
+        "present in this container; raw RIFF/WAVE PCM needs none — see "
+        "decode_audio_pcm_fake for the deterministic stand-in and the "
+        "real struct-parse path it shares"
+    )
+
+
+def decode_audio_pcm_fake(payload: bytes):
+    """DETERMINISTIC FAKE PCM decoder — the audio twin of
+    ``decode_image_pixels_fake``. Parses the REAL RIFF/WAVE header
+    (``decode_audio_meta``) for the true (rate, channels, bits,
+    n_samples), then synthesizes an int16 sample buffer from a blake2b
+    keystream of the payload: same payload -> same samples. Lets every
+    stage downstream of the codec boundary (chunk energy features,
+    batch shape, schema) run for real without ffmpeg. Returns
+    (samples int16 ndarray of shape (n_samples, channels),
+    sample_rate), or None for unparseable headers."""
+    import hashlib
+
+    import numpy as np
+
+    rate, ch, _bits, n, _ms = (
+        decode_audio_meta(payload) if payload is not None else (None,) * 5
+    )
+    if not rate or not ch or not n:
+        return None
+    need = int(n) * int(ch) * 2
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.blake2b(
+            payload, digest_size=64, salt=counter.to_bytes(8, "little")
+        ).digest()
+        counter += 1
+    samples = np.frombuffer(bytes(out[:need]), dtype="<i2").reshape(int(n), int(ch))
+    return samples, int(rate)
+
+
+def audio_chunk_features(
+    docs_with_payload: DataFrame,
+    *,
+    chunk_seconds: int = 30,
+    decode=decode_audio_pcm,
+) -> DataFrame:
+    """Per-chunk audio features over the binary column — the
+    whisper-style segmenter's feature pass: Arrow-batched
+    ``mapInPandas``, decode -> numpy per fixed-duration chunk, emitting
+    (doc_id, chunk_idx, start_sample, end_sample, rms, zero_cross_rate)
+    — the same chunk geometry ``audio_chunk_plan`` declares. RMS and
+    zero-crossing rate are REAL numpy over the sample buffer; only
+    ``decode`` sits on the codec boundary (default raises per the stub
+    contract — pass ``decode_audio_pcm_fake`` in codec-less
+    environments). Undecodable payloads emit no rows (the dead-letter
+    pattern is the caller's metadata pass)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"doc_id": [], "chunk_idx": [], "start_sample": [],
+                    "end_sample": [], "rms": [], "zero_cross_rate": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode(p) if p is not None else None
+                if decoded is None:
+                    continue
+                samples, rate = decoded
+                mono = samples.astype("float64").mean(axis=1)
+                step = rate * chunk_seconds
+                for ci, s in enumerate(range(0, len(mono), step)):
+                    seg = mono[s : s + step]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["chunk_idx"].append(ci)
+                    rows["start_sample"].append(s)
+                    rows["end_sample"].append(s + len(seg))
+                    rows["rms"].append(float(np.sqrt((seg ** 2).mean())))
+                    rows["zero_cross_rate"].append(
+                        float((np.diff(np.signbit(seg)) != 0).mean())
+                        if len(seg) > 1
+                        else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "chunk_idx": pd.Series(rows["chunk_idx"], dtype="int32"),
+                    "start_sample": pd.Series(rows["start_sample"], dtype="int64"),
+                    "end_sample": pd.Series(rows["end_sample"], dtype="int64"),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                    "zero_cross_rate": pd.Series(rows["zero_cross_rate"], dtype="float64"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(
+        batches,
+        "doc_id long, chunk_idx int, start_sample long, end_sample long, "
+        "rms double, zero_cross_rate double",
+    )
+
+
 def payload_exact_duplicates(
     docs_with_payload: DataFrame,
     *,
