@@ -39,6 +39,12 @@ Format notes:
   document-store semantics, not just the raw-op subset.
 - ``mssql_cdc`` consumes one capture instance's change-table rows per
   call, so its config names exactly one table.
+- ``maxwell`` / ``canal`` accept ``source.apply_ddl: true`` to consume
+  the feeds' in-band DDL events through ``sources.ddl`` IN the same
+  call, DDL-before-DML, whitelisted to the configured tables
+  (optionally through ``source.compat_mode``) — a binlog feed then
+  evolves its tables and applies its rows with one front door, batch
+  or per-micro-batch via ``run_pipeline_stream``.
 - The live SQL Server CT poll (``sources/jdbc_ct``) and a live Kafka
   broker (``sources/kafka.kafka_options``) are runtime transports —
   this runner takes their already-fetched message/row frame, which is
@@ -324,8 +330,34 @@ def run_pipeline(
         )
         dead = mod.wal2json_dead_letters(messages, table_keys, message_col=mcol)
 
+    ddl_reports: list[dict] | None = None
+    if src.get("apply_ddl") and fmt in ("maxwell", "canal"):
+        # Binlog-DDL control plane, in-batch and DDL-before-DML: the
+        # data-plane decoders dead-letter DDL events; with
+        # source.apply_ddl the front door consumes them through
+        # sources.ddl (Spark-side ddl_candidates classification below
+        # the collect) and evolves the catalog BEFORE the data plane
+        # applies — the same ordering the reference's CT path
+        # guarantees (CTInputDStream.java DDL-before-DML). Optional
+        # source.compat_mode routes announcements through the
+        # compatibility gate. Only whitelisted tables evolve: Maxwell
+        # events name db.table, and apply_* skips unknown tables.
+        from .sources import ddl as ddl_mod
+
+        apply_fn = (
+            ddl_mod.apply_maxwell_ddl if fmt == "maxwell" else ddl_mod.apply_canal_ddl
+        )
+        ddl_reports = apply_fn(
+            messages, catalog,
+            message_col=mcol, compat_mode=src.get("compat_mode"),
+            tables=set(table_keys),
+        )
     apply_changelog(spark, normalize_raw_ops(raw), catalog)
-    return {"tables": sorted(table_keys), "dead_letters": dead}
+    return {
+        "tables": sorted(table_keys),
+        "dead_letters": dead,
+        "ddl_applied": ddl_reports,
+    }
 
 
 def stream_source_spec(

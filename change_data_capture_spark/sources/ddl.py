@@ -138,11 +138,15 @@ def apply_maxwell_ddl(
     *,
     message_col: str = "message",
     compat_mode: str | None = None,
+    tables: set[str] | None = None,
 ) -> list[dict]:
     """Consume Maxwell ``table-create`` / ``table-alter`` events and
     announce the carried schema to the catalog (through
-    ``compat.gate_announce`` when ``compat_mode`` is set). Returns one
-    report dict per applied event: table, event type, columns, pks."""
+    ``compat.gate_announce`` when ``compat_mode`` is set). ``tables``
+    whitelists which table ids may evolve (T9 semantics — events for
+    other tables are ignored BEFORE any announcement, never after).
+    Returns one report dict per applied event: table, event type,
+    columns, pks."""
     from ..compat import gate_announce
 
     rows = ddl_candidates(messages, "maxwell", message_col).collect()
@@ -155,6 +159,8 @@ def apply_maxwell_ddl(
         if m.get("type") not in ("table-create", "table-alter") or "def" not in m:
             continue
         table_id = f"{m['database']}.{m['table']}"
+        if tables is not None and table_id not in tables:
+            continue
         # per-event guard: one unmapped column type (e.g. geometry)
         # must not abort the whole DDL batch — it becomes an error
         # report row the operator reviews, and later events still apply
@@ -222,6 +228,7 @@ def apply_canal_ddl(
     *,
     message_col: str = "message",
     compat_mode: str | None = None,
+    tables: set[str] | None = None,
 ) -> list[dict]:
     """Consume Canal ``isDdl`` events: parse each ``sql`` statement,
     evolve the named table by its ADD COLUMN clauses (merged onto the
@@ -244,6 +251,8 @@ def apply_canal_ddl(
         table, added, unhandled = parse_canal_alter(m["sql"])
         if "." not in table and m.get("database"):
             table = f"{m['database']}.{table}" if table else ""
+        if tables is not None and table not in tables:
+            continue
         rec = {"table": table, "added": added, "unhandled": unhandled}
         meta = catalog.meta(table) if table else None
         current = (meta or {}).get("schema") or (meta or {}).get("pending_schema")

@@ -135,3 +135,27 @@ def test_maxwell_unmapped_type_reports_not_aborts(spark, tmp_path):
     assert "error" in rep[0] and "geometry" in rep[0]["error"]
     assert rep[1]["columns"] == ["id"]  # later event still applied
     assert cat.meta("shop.ok") is not None
+
+
+def test_canal_ddl_whitelist_param(spark, tmp_path):
+    """tables= whitelists which ids may evolve — an ALTER for a
+    non-whitelisted table is ignored before any catalog touch."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.sources import ddl
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(base, "db.t", ["id"]), cat)
+    apply_changelog(spark, snapshot_changelog(base, "db.other", ["id"]), cat)
+    msgs = spark.createDataFrame(
+        [
+            ('{"isDdl":true,"database":"db","sql":"ALTER TABLE db.t ADD c1 int"}',),
+            ('{"isDdl":true,"database":"db","sql":"ALTER TABLE db.other ADD c2 int"}',),
+        ],
+        "message string",
+    )
+    out = ddl.apply_canal_ddl(msgs, cat, tables={"db.t"})
+    assert [r["table"] for r in out] == ["db.t"] and out[0]["applied"]
+    assert "c1" in [f.name for f in cat.read(spark, "db.t").schema.fields]
+    assert "c2" not in [f.name for f in cat.read(spark, "db.other").schema.fields]

@@ -545,3 +545,46 @@ def test_pipeline_goldengate_honors_message_col(spark, tmp_path):
     cat = TableCatalog(str(tmp_path / "gg"))
     run_pipeline(spark, wire, cfg, cat)
     assert cat.read(spark, "db.t").count() == 2
+
+
+def test_pipeline_maxwell_apply_ddl_in_band(spark, tmp_path):
+    """source.apply_ddl: the Maxwell front door consumes table-create/
+    table-alter events DDL-before-DML in the same call — a column added
+    mid-feed lands for rows that carry it, earlier rows read NULL — and
+    DDL for non-whitelisted tables never touches the catalog."""
+    cfg = {
+        "source": {"format": "maxwell", "apply_ddl": True},
+        "tables": {"shop.orders": {"keys": ["id"]}},
+    }
+    cat = TableCatalog(str(tmp_path / "mx"))
+    create = (
+        '{"type":"table-create","database":"shop","table":"orders","ts":1,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"},{"type":"double","name":"amount"}],'
+        '"primary-key":["id"]}}'
+    )
+    rogue = (
+        '{"type":"table-create","database":"other","table":"t","ts":1,'
+        '"def":{"database":"other","table":"t","columns":['
+        '{"type":"bigint","name":"id"}],"primary-key":["id"]}}'
+    )
+    ins1 = ('{"database":"shop","table":"orders","type":"insert","ts":1,"xid":1,'
+            '"data":{"id":1,"amount":10.0}}')
+    b1 = spark.createDataFrame([(create,), (rogue,), (ins1,)], "message string")
+    out1 = run_pipeline(spark, b1, cfg, cat)
+    assert [r["table"] for r in out1["ddl_applied"]] == ["shop.orders"]
+    assert cat.meta("other.t") is None  # whitelist enforced pre-announce
+
+    alter = (
+        '{"type":"table-alter","database":"shop","table":"orders","ts":2,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"},{"type":"double","name":"amount"},'
+        '{"type":"varchar(16)","name":"ship_mode"}],"primary-key":["id"]}}'
+    )
+    ins2 = ('{"database":"shop","table":"orders","type":"insert","ts":2,"xid":2,'
+            '"data":{"id":2,"amount":20.0,"ship_mode":"express"}}')
+    b2 = spark.createDataFrame([(alter,), (ins2,)], "message string")
+    run_pipeline(spark, b2, cfg, cat)
+    got = {r["id"]: (r["amount"], r["ship_mode"])
+           for r in cat.read(spark, "shop.orders").collect()}
+    assert got == {1: (10.0, None), 2: (20.0, "express")}
