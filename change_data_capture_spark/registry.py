@@ -6242,6 +6242,74 @@ def cdc_maxwell_apply(spark, sf_dir):
 
 
 @_q(
+    "cdc_maxwell_ddl_pipeline",
+    """
+    SELECT c_custkey, c_name, c_acctbal,
+           CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS c_segment
+    FROM customer
+    """,
+)
+def cdc_maxwell_ddl_pipeline(spark, sf_dir):
+    """In-band binlog DDL through the declarative front door
+    (pipeline.run_pipeline with source.apply_ddl): batch 1 carries a
+    Maxwell table-create plus the full insert load; batch 2 carries a
+    table-alter (ADD c_segment varchar) plus updates that populate the
+    new column for even keys — schema evolution and data apply through
+    ONE config, DDL-before-DML per batch (sources/ddl.ddl_candidates
+    keeps the control-plane collect O(#DDL events)). Odd keys read the
+    evolved column as NULL, the add-nullable contract."""
+    import json as _json
+
+    from .pipeline import run_pipeline
+    from .sources import wire_formats as wf
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    cfg = {
+        "source": {"format": "maxwell", "apply_ddl": True},
+        "tables": {"shop.customer": {"keys": ["c_custkey"]}},
+    }
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_mxddl_"))
+    cols_v1 = [
+        {"name": "c_custkey", "type": "bigint"},
+        {"name": "c_name", "type": "varchar(64)"},
+        {"name": "c_acctbal", "type": "double"},
+    ]
+    create = _json.dumps(
+        {"type": "table-create", "database": "shop", "table": "customer", "ts": 1,
+         "def": {"database": "shop", "table": "customer", "columns": cols_v1,
+                 "primary-key": ["c_custkey"]}}
+    )
+    ins = wf.encode_maxwell_json(
+        cust, table="shop.customer", typ="insert",
+        data=F.struct("c_custkey", "c_name", "c_acctbal"), ts=1, xid=1,
+    )
+    b1 = spark.createDataFrame([(create,)], "message string").unionByName(ins)
+    run_pipeline(spark, b1, cfg, cat)
+
+    alter = _json.dumps(
+        {"type": "table-alter", "database": "shop", "table": "customer", "ts": 2,
+         "def": {"database": "shop", "table": "customer",
+                 "columns": cols_v1 + [{"name": "c_segment", "type": "varchar(16)"}],
+                 "primary-key": ["c_custkey"]}}
+    )
+    upd = wf.encode_maxwell_json(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        table="shop.customer", typ="update",
+        data=F.struct(
+            "c_custkey", "c_name", "c_acctbal",
+            F.col("c_mktsegment").alias("c_segment"),
+        ),
+        old=F.struct(F.lit(None).cast("string").alias("c_segment")),
+        ts=2, xid=2,
+    )
+    b2 = spark.createDataFrame([(alter,)], "message string").unionByName(upd)
+    run_pipeline(spark, b2, cfg, cat)
+    return cat.read(spark, "shop.customer")
+
+
+@_q(
     "cdc_dms_apply",
     """
     SELECT c_custkey, c_name, c_nationkey,
@@ -9133,10 +9201,12 @@ DRIVER_WINDOW: list[str] = [
     "text_bm25_topk",
     "text_token_stats",
     "text_gopher_rules",
-    # --- first-time: dedup reports + exact n-gram + embedding (4)
+    # --- first-time: dedup reports + embedding (3); dedup_ngram_jaccard
+    # stays bare-gate (its oracle is literally dedup_minhash_lsh's)
+    # in favor of the r5 in-band-DDL front door
     "dedup_score_histogram",
     "dedup_cluster_stats",
-    "dedup_ngram_jaccard",
+    "cdc_maxwell_ddl_pipeline",
     "dedup_embedding_cosine",
     # --- first-time: web graph + curation (2)
     "web_hits",
