@@ -588,3 +588,43 @@ def test_pipeline_maxwell_apply_ddl_in_band(spark, tmp_path):
     got = {r["id"]: (r["amount"], r["ship_mode"])
            for r in cat.read(spark, "shop.orders").collect()}
     assert got == {1: (10.0, None), 2: (20.0, "express")}
+
+
+def test_pipeline_stream_applies_in_band_ddl_per_batch(spark, tmp_path):
+    """source.apply_ddl through run_pipeline_stream: each micro-batch
+    consumes its DDL before its DML, so a mid-stream ALTER lands for
+    the rows that follow it."""
+    from change_data_capture_spark.pipeline import run_pipeline_stream
+
+    cfg = {
+        "source": {"format": "maxwell", "apply_ddl": True},
+        "tables": {"shop.orders": {"keys": ["id"]}},
+    }
+    msgs_dir = str(tmp_path / "msgs")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    create = (
+        '{"type":"table-create","database":"shop","table":"orders","ts":1,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"},{"type":"double","name":"amount"}],'
+        '"primary-key":["id"]}}'
+    )
+    ins1 = ('{"database":"shop","table":"orders","type":"insert","ts":1,"xid":1,'
+            '"data":{"id":1,"amount":10.0}}')
+    alter = (
+        '{"type":"table-alter","database":"shop","table":"orders","ts":2,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"},{"type":"double","name":"amount"},'
+        '{"type":"varchar(16)","name":"ship_mode"}],"primary-key":["id"]}}'
+    )
+    ins2 = ('{"database":"shop","table":"orders","type":"insert","ts":2,"xid":2,'
+            '"data":{"id":2,"amount":20.0,"ship_mode":"express"}}')
+    spark.createDataFrame([(create,), (ins1,)], "message string").coalesce(1)\
+        .write.mode("append").parquet(msgs_dir)
+    spark.createDataFrame([(alter,), (ins2,)], "message string").coalesce(1)\
+        .write.mode("append").parquet(msgs_dir)
+    run_pipeline_stream(
+        spark, msgs_dir, cfg, cat, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = {r["id"]: (r["amount"], r["ship_mode"])
+           for r in cat.read(spark, "shop.orders").collect()}
+    assert got == {1: (10.0, None), 2: (20.0, "express")}
