@@ -424,3 +424,13 @@ def test_ddl_control_plane_filters_in_spark(spark):
         assert "get_json_object" in plan, plan  # filter is Spark-side
         assert "Filter" in plan, plan
         assert cand.count() == want  # DML/garbage never reaches collect
+
+
+def test_payload_jaccard_prefix_join_plan_shape(spark, sf_dir):
+    """Exact payload near-dup (prefix-filtered set-similarity join):
+    equi-joins only — no cartesian, no Python eval, no broadcast
+    hints (the corpus-scale sides must stay shuffle-joinable at
+    100 TB; AQE may still choose broadcast at test scale)."""
+    plan = plan_of(spark, sf_dir, "multimodal_payload_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
