@@ -342,6 +342,63 @@ def main() -> int:
     from change_data_capture_spark.apply import auto_maintain
     print("auto_maintain plan:", auto_maintain(spark, pcat, dry_run=True))
 
+    section("17. End-of-r5: in-band DDL, index auto-refresh, exact payload near-dup")
+    import json as _json
+
+    from change_data_capture_spark.apply import register_derived_index
+    from change_data_capture_spark.changelog import dml_records
+    from change_data_capture_spark.extensions import dedup, multimodal
+
+    # one Maxwell batch evolves schema AND applies rows (DDL-before-DML)
+    dcat = TableCatalog(os.path.join(root, "ddlpipe"))
+    ddl_cfg = {"source": {"format": "maxwell", "apply_ddl": True},
+               "tables": {"shop.orders": {"keys": ["id"]}}}
+    create = _json.dumps(
+        {"type": "table-create", "database": "shop", "table": "orders", "ts": 1,
+         "def": {"database": "shop", "table": "orders",
+                 "columns": [{"name": "id", "type": "bigint"},
+                             {"name": "amount", "type": "double"}],
+                 "primary-key": ["id"]}})
+    ins = ('{"database":"shop","table":"orders","type":"insert","ts":1,"xid":1,'
+           '"data":{"id":1,"amount":10.0}}')
+    rep5 = run_pipeline(
+        spark, spark.createDataFrame([(create,), (ins,)], "message string"),
+        ddl_cfg, dcat)
+    print("in-band DDL applied:", rep5["ddl_applied"],
+          "rows:", dcat.read(spark, "shop.orders").count())
+
+    # persisted MinHash index kept fresh by the maintenance loop
+    icat = TableCatalog(os.path.join(root, "idx"))
+    dsmall = docs.limit(120).select("doc_id", "text")
+    apply_changelog(spark, snapshot_changelog(dsmall, "ml.docs", ["doc_id"]), icat)
+    apply_changelog(spark, dedup.signature_changelog(dsmall, "ml.sigs", n=5, k=32), icat)
+    register_derived_index(icat, "ml.sigs", base_table="ml.docs",
+                           kind="minhash_sigs", params={"n": 5, "k": 32})
+    newdoc = dsmall.limit(3).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text")
+    apply_changelog(
+        spark, dml_records(newdoc, "ml.docs", ["doc_id"], op="INSERT", version=2), icat)
+    acts = auto_maintain(spark, icat)
+    print("index auto-refresh:",
+          [(a["table"], a.get("refresh")) for a in acts if a.get("refreshed")])
+
+    # exact (recall-1) binary payload near-dup + fake-codec features
+    payloads = dsmall.limit(40).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    tagged = payloads.limit(10).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat("payload", F.lit(b"TOOLTAG!")).alias("payload"))
+    nd = multimodal.payload_jaccard_duplicates(payloads.unionByName(tagged))
+    print("exact payload near-dups (integer counts):", nd.count(), "pairs")
+    png = payloads.limit(5).select(
+        "doc_id",
+        F.concat(multimodal.png_header_expr(F.lit(16), F.lit(12)), "payload")
+        .alias("payload"))
+    feats = multimodal.image_feature_extract(
+        png, decode=multimodal.decode_image_pixels_fake)
+    print("fake-codec pooled features:", feats.count(), "rows, dim",
+          len(feats.first()["feature"]))
+
     print("\ndemo complete:", root)
     spark.stop()
     return 0
