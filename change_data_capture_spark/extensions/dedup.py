@@ -128,6 +128,44 @@ def jaccard_duplicates(
     return _jaccard_on(sh, threshold, id_col)
 
 
+def jaccard_duplicates_prefix(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT text near-dup at scale: the prefix-filtered AllPairs/
+    PPJoin set-similarity self-join (recall 1, no banding, no
+    probability) over character n-gram shingles — the third point in
+    the text near-dup design space alongside the quadratic baseline
+    (``jaccard_duplicates``) and the probabilistic MinHash path
+    (``minhash_lsh_duplicates``): use this when the drop list must be
+    AUDITABLY complete at a fixed threshold. Thin adapter over the
+    shared binary implementation
+    (``multimodal.payload_jaccard_duplicates``, stride 1 to match the
+    text shingle definition exactly); returns
+    (a_id, b_id, inter_shingles, union_shingles) integer counts, so
+    the DuckDB oracle hashes bit-exact. Scale shape: shingle-grain df
+    rank + prefix equi-join + candidate-bounded verify (plan-guarded,
+    no all-pairs, no broadcast hints)."""
+    from .multimodal import payload_jaccard_duplicates
+
+    payloads = docs.select(
+        F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+    return payload_jaccard_duplicates(
+        payloads,
+        n=n,
+        stride=1,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        id_col=id_col,
+    )
+
+
 def _verify_pairs(
     docs: DataFrame,
     pairs: DataFrame,

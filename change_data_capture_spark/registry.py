@@ -2529,6 +2529,45 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_duplicates(docs, n=5, threshold=0.8)
 
 
+@_q(
+    "dedup_jaccard_prefix",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, k AS inter_shingles,
+           ca.n + cb.n - k AS union_shingles
+    FROM inter
+    JOIN c ca ON ca.doc_id = a_id
+    JOIN c cb ON cb.doc_id = b_id
+    WHERE 5 * k >= 4 * (ca.n + cb.n - k)
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT text near-dup at scale (dedup.jaccard_duplicates_prefix):
+    the prefix-filtered AllPairs/PPJoin self-join, recall 1 with no
+    banding probability — the auditable-complete drop list the
+    quadratic baseline can't scale to and MinHash can't guarantee.
+    Integer (intersection, union) counts, threshold 4/5 as an integer
+    cross-multiply, so the quadratic inverted-index oracle hashes
+    bit-exact (oracle is the BASELINE form only, never the scale
+    path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_duplicates_prefix(
+        docs, n=5, threshold_num=4, threshold_den=5
+    )
+
+
 @_q("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """LSH changes the WORK (bucketed candidates instead of all-pairs),
