@@ -434,3 +434,11 @@ def test_payload_jaccard_prefix_join_plan_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_payload_neardup")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_prefix_jaccard_plan_shape(spark, sf_dir):
+    """Text adapter of the prefix-filtered exact join: same guards as
+    the payload form — equi-joins only, no Python eval, no cartesian."""
+    plan = plan_of(spark, sf_dir, "dedup_jaccard_prefix")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
