@@ -787,12 +787,25 @@ def payload_jaccard_duplicates(
         .withColumn("__rk", F.row_number().over(w))
         .join(sizes, id_col)
         .filter(F.col("__rk") <= F.col("__sz") - need + 1)
-        .select(F.col(id_col), "sh")
+        .select(F.col(id_col), "sh", "__sz")
     )
+    # PPJoin length filter, applied INSIDE the prefix join: J >= t
+    # implies |A∩B| >= t*max(|A|,|B|) and the intersection is at most
+    # min(|A|,|B|), so den*min >= num*max — pairs outside the size
+    # ratio can't reach the threshold and never leave the join. Sound
+    # (no recall loss), and it prunes the bulk of small-vs-large
+    # collisions a shared rare shingle would otherwise emit.
     candidates = (
-        pref.select(F.col(id_col).alias("a_id"), "sh")
-        .join(pref.select(F.col(id_col).alias("b_id"), "sh"), "sh")
+        pref.select(F.col(id_col).alias("a_id"), "sh", F.col("__sz").alias("__sa"))
+        .join(
+            pref.select(F.col(id_col).alias("b_id"), "sh", F.col("__sz").alias("__sb")),
+            "sh",
+        )
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.lit(threshold_den) * F.least("__sa", "__sb")
+            >= F.lit(threshold_num) * F.greatest("__sa", "__sb")
+        )
         .select("a_id", "b_id")
         .distinct()
         .persist()
