@@ -174,6 +174,14 @@ class TableCatalog:
         if not meta.get("pks"):
             meta["pks"] = list(pks)
         if meta["schema"] is None:
+            if not (meta.get("pending_schema") or rows_schema_json):
+                raise ValueError(
+                    f"table {table_id!r} has no schema from any source: no "
+                    f"prior DDL announcement, no pending schema, and the "
+                    f"batch's DML records carry none — for the wire-format "
+                    f"front door, pass tables.<table>.schema in the config "
+                    f"or announce the schema before the first DML"
+                )
             # Kudu PK-type restriction at create time
             # (CDCKudu.java:315-321): bool/float/double PKs -> STRING.
             raw = schema_from_json(meta.get("pending_schema") or rows_schema_json)

@@ -148,14 +148,17 @@ def jaccard_duplicates_prefix(
     (``multimodal.payload_jaccard_duplicates``, stride 1 to match the
     text shingle definition exactly); returns
     (a_id, b_id, inter_shingles, union_shingles) integer counts, so
-    the DuckDB oracle hashes bit-exact. Scale shape: shingle-grain df
-    rank + prefix equi-join + candidate-bounded verify (plan-guarded,
-    no all-pairs, no broadcast hints)."""
+    the DuckDB oracle hashes bit-exact. The text column passes through
+    UNENCODED: Spark's substring/length are character-based on
+    strings, so shingles are CHARACTER n-grams exactly like
+    ``jaccard_duplicates`` and the oracle, unicode included (encoding
+    to UTF-8 bytes would split multibyte code points and diverge on
+    non-ASCII text). Scale shape: shingle-grain df rank + prefix
+    equi-join + candidate-bounded verify (plan-guarded, no all-pairs,
+    no broadcast hints)."""
     from .multimodal import payload_jaccard_duplicates
 
-    payloads = docs.select(
-        F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload")
-    )
+    payloads = docs.select(F.col(id_col), F.col(text_col).alias("payload"))
     return payload_jaccard_duplicates(
         payloads,
         n=n,

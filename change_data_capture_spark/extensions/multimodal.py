@@ -367,11 +367,14 @@ def decode_image_pixels_fake(payload: bytes):
     if not w or not h or not c:
         return None
     need = int(w) * int(h) * int(c)
+    # hash the payload ONCE to a seed, then stream cheap fixed-size
+    # hashes of the seed — O(payload + pixels), not O(payload * pixels)
+    seed = hashlib.blake2b(payload, digest_size=64).digest()
     out = bytearray()
     counter = 0
     while len(out) < need:
         out += hashlib.blake2b(
-            payload, digest_size=64, salt=counter.to_bytes(8, "little")
+            seed, digest_size=64, salt=counter.to_bytes(8, "little")
         ).digest()
         counter += 1
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(
@@ -407,8 +410,16 @@ def image_feature_extract(
                     feats.append(None)
                     continue
                 h, w, c = px.shape
-                c = min(c, 3)
-                a = px[:, :, :c].astype("float32")
+                # fixed-dim contract: pool over EXACTLY 3 channels —
+                # gray/gray-alpha planes repeat to fill (grayscale's
+                # RGB form), RGBA drops alpha
+                a = px[:, :, :min(c, 3)].astype("float32")
+                if a.shape[2] < 3:
+                    a = np.concatenate(
+                        [a[:, :, i % a.shape[2]][..., None] for i in range(3)],
+                        axis=2,
+                    )
+                c = 3
                 # grid x grid average pooling: integer-stride crop so
                 # every cell is the mean of a real pixel block
                 gh, gw = max(h // grid, 1), max(w // grid, 1)
@@ -614,11 +625,12 @@ def decode_audio_pcm_fake(payload: bytes):
     if not rate or not ch or not n:
         return None
     need = int(n) * int(ch) * 2
+    seed = hashlib.blake2b(payload, digest_size=64).digest()
     out = bytearray()
     counter = 0
     while len(out) < need:
         out += hashlib.blake2b(
-            payload, digest_size=64, salt=counter.to_bytes(8, "little")
+            seed, digest_size=64, salt=counter.to_bytes(8, "little")
         ).digest()
         counter += 1
     samples = np.frombuffer(bytes(out[:need]), dtype="<i2").reshape(int(n), int(ch))
@@ -758,6 +770,8 @@ def payload_jaccard_duplicates(
         )
     from pyspark.sql import Window
 
+    from .dedup import spread
+
     shingle_pos = F.explode(
         F.sequence(
             F.lit(1),
@@ -765,8 +779,10 @@ def payload_jaccard_duplicates(
             F.lit(stride),
         )
     )
+    # spread() before the high-expansion shingle explode (CLAUDE.md
+    # rule: the scan sizer can't see the expansion factor)
     sh = (
-        docs_with_payload.select(
+        spread(docs_with_payload).select(
             F.col(id_col), F.col(payload_col), shingle_pos.alias("i")
         )
         .select(F.col(id_col), F.expr(f"substring({payload_col}, i, {n})").alias("sh"))

@@ -86,6 +86,13 @@ def _validated(config: Mapping[str, Any]) -> tuple[str, dict, dict[str, dict]]:
             f"unknown source format {fmt!r}; supported: {', '.join(SUPPORTED_FORMATS)}",
             "source.format",
         )
+    if src.get("apply_ddl") and fmt not in ("maxwell", "canal"):
+        raise InvalidConfigError(
+            f"source.apply_ddl is only supported for the binlog formats "
+            f"(maxwell, canal); format {fmt!r} carries no structured DDL "
+            f"events to consume",
+            "source.apply_ddl",
+        )
     tables = config.get("tables")
     if not isinstance(tables, Mapping) or not tables:
         raise InvalidConfigError("at least one table is required", "tables")
@@ -328,7 +335,7 @@ def run_pipeline(
         raw = mod.wal2json_v1_raw_ops(
             messages, table_keys, rows_schemas=rows_schemas or None, message_col=mcol
         )
-        dead = mod.wal2json_dead_letters(messages, table_keys, message_col=mcol)
+        dead = mod.wal2json_v1_dead_letters(messages, table_keys, message_col=mcol)
 
     ddl_reports: list[dict] | None = None
     if src.get("apply_ddl") and fmt in ("maxwell", "canal"):
@@ -352,6 +359,16 @@ def run_pipeline(
             message_col=mcol, compat_mode=src.get("compat_mode"),
             tables=set(table_keys),
         )
+        if dead is not None:
+            # the data-plane decoders classify DDL frames as
+            # unsupported_op/isDdl dead letters; once the control plane
+            # CONSUMES them they are handled, not quarantined
+            handled = ddl_mod.ddl_candidates(messages, fmt, mcol).select(
+                F.col("message").alias("__ddlmsg")
+            )
+            dead = dead.join(
+                handled, dead["message"] == F.col("__ddlmsg"), "left_anti"
+            )
     apply_changelog(spark, normalize_raw_ops(raw), catalog)
     return {
         "tables": sorted(table_keys),

@@ -158,6 +158,15 @@ def apply_maxwell_ddl(
             continue
         if m.get("type") not in ("table-create", "table-alter") or "def" not in m:
             continue
+        if not m.get("database") or not m.get("table"):
+            # malformed control message: surfaced as a report row, and
+            # the rest of the DDL batch still applies (same per-event
+            # guard rule as the unmapped-type case below)
+            out.append(
+                {"table": None, "event": m.get("type"),
+                 "error": "missing database/table"}
+            )
+            continue
         table_id = f"{m['database']}.{m['table']}"
         if tables is not None and table_id not in tables:
             continue
@@ -251,7 +260,10 @@ def apply_canal_ddl(
         table, added, unhandled = parse_canal_alter(m["sql"])
         if "." not in table and m.get("database"):
             table = f"{m['database']}.{table}" if table else ""
-        if tables is not None and table not in tables:
+        if tables is not None and table and table not in tables:
+            # whitelist applies to PARSED table ids only — statements
+            # the bounded parser could not attribute (DROP/RENAME/...,
+            # table == "") still surface as unhandled report rows
             continue
         rec = {"table": table, "added": added, "unhandled": unhandled}
         meta = catalog.meta(table) if table else None

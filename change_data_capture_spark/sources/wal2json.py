@@ -295,6 +295,59 @@ def wal2json_dead_letters(
     ).filter(F.col("reason").isNotNull())
 
 
+def wal2json_v1_dead_letters(
+    messages: DataFrame,
+    table_keys: Mapping[str, Sequence[str]],
+    *,
+    message_col: str = "message",
+) -> DataFrame:
+    """The format-version=1 twin of ``wal2json_dead_letters`` — the
+    rows ``wal2json_v1_raw_ops`` drops, classified with the V1 schema
+    (a v2-schema parse would mark every valid v1 transaction
+    'unparseable'; the pipeline front door routes each format version
+    to its own quarantine): 'unparseable' (no ``change`` array),
+    'unsupported_op' (a change whose kind is not insert/update/
+    delete — v1 has no message/truncate kinds but defensive),
+    'unknown_table', 'missing_columns' (insert/update with no column
+    values), 'missing_identity' (a delete with no oldkeys).
+    Message-grain for unparseable frames, change-grain otherwise (one
+    row per offending change, with its position)."""
+    m = messages.select(
+        F.col(message_col).alias("message"),
+        F.from_json(F.col(message_col), _V1_SCHEMA).alias("__m"),
+    )
+    unparseable = m.filter(F.col("__m.change").isNull()).select(
+        "message",
+        F.lit("unparseable").alias("reason"),
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("string").alias("table"),
+    )
+    flat = (
+        m.filter(F.col("__m.change").isNotNull())
+        .select("message", F.posexplode(F.col("__m.change")).alias("__pos", "__c"))
+        .filter(F.col("__c").isNotNull())
+    )
+    c = F.col("__c")
+    table_id = F.concat_ws(".", c["schema"], c["table"])
+    known = table_id.isin(*table_keys) if table_keys else F.lit(False)
+    reason = (
+        F.when(~c["kind"].isin(*_V1_OPS), F.lit("unsupported_op"))
+        .when(~known, F.lit("unknown_table"))
+        .when(
+            c["kind"].isin("insert", "update") & c["columnvalues"].isNull(),
+            F.lit("missing_columns"),
+        )
+        .when(
+            (c["kind"] == "delete") & c["oldkeys"].getField("keyvalues").isNull(),
+            F.lit("missing_identity"),
+        )
+    )
+    per_change = flat.select(
+        "message", reason.alias("reason"), c["kind"].alias("op"), table_id.alias("table")
+    ).filter(F.col("reason").isNotNull())
+    return unparseable.unionByName(per_change)
+
+
 _PG_TYPES = {
     "tinyint": "smallint", "smallint": "smallint", "int": "integer",
     "bigint": "bigint", "float": "real", "double": "double precision",

@@ -159,3 +159,41 @@ def test_canal_ddl_whitelist_param(spark, tmp_path):
     assert [r["table"] for r in out] == ["db.t"] and out[0]["applied"]
     assert "c1" in [f.name for f in cat.read(spark, "db.t").schema.fields]
     assert "c2" not in [f.name for f in cat.read(spark, "db.other").schema.fields]
+
+
+def test_maxwell_missing_db_table_reports_not_aborts(spark, tmp_path):
+    """A malformed control message without database/table becomes an
+    error report row; later DDL in the same batch still applies."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.sources import ddl
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    msgs = spark.createDataFrame(
+        [
+            ('{"type":"table-create","ts":1,"def":{"columns":'
+             '[{"name":"id","type":"bigint"}],"primary-key":["id"]}}',),
+            ('{"type":"table-create","database":"db","table":"t","ts":2,'
+             '"def":{"columns":[{"name":"id","type":"bigint"}],'
+             '"primary-key":["id"]}}',),
+        ],
+        "message string",
+    )
+    out = ddl.apply_maxwell_ddl(msgs, cat)
+    assert out[0]["error"] == "missing database/table" and out[0]["table"] is None
+    assert out[1]["table"] == "db.t" and "error" not in out[1]
+
+
+def test_canal_whitelist_keeps_unparsed_statements_for_review(spark, tmp_path):
+    """The whitelist filters PARSED table ids only: a DROP TABLE the
+    bounded parser can't attribute still surfaces as an unhandled
+    report row."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.sources import ddl
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    msgs = spark.createDataFrame(
+        [('{"isDdl":true,"database":"db","sql":"DROP TABLE db.t"}',)],
+        "message string",
+    )
+    out = ddl.apply_canal_ddl(msgs, cat, tables={"db.t"})
+    assert len(out) == 1 and not out[0]["applied"] and out[0]["unhandled"]

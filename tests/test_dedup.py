@@ -294,3 +294,36 @@ def test_jaccard_score_histogram_integer_banding(spark):
     assert set(out) == {b12, b34}
     for b, r in out.items():
         assert r["n_pairs"] == 1 and r["bucket_lo"] == b / 20
+
+
+def test_jaccard_prefix_unicode_char_parity(spark):
+    """Review regression: the prefix-join adapter shingles CHARACTERS
+    (like jaccard_duplicates and the oracle), not UTF-8 bytes — on
+    non-ASCII text the two definitions diverge, so assert against a
+    char-level brute force on multibyte content."""
+    import itertools
+
+    base = "café résumé naïve œuvre déjà-vu " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "ÉDITÉ!"), (3, base[: len(base) // 3])],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): (r.inter_shingles, r.union_shingles)
+        for r in dedup.jaccard_duplicates_prefix(
+            docs, n=5, threshold_num=1, threshold_den=5
+        ).collect()
+    }
+    texts = {1: base, 2: base + "ÉDITÉ!", 3: base[: len(base) // 3]}
+
+    def char_shingles(t):
+        top = max(len(t) - 4, 1)
+        return {t[i : i + 5] for i in range(top)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = char_shingles(texts[a]), char_shingles(texts[b])
+        i, u = len(sa & sb), len(sa | sb)
+        if 5 * i >= 1 * u:
+            want[(a, b)] = (i, u)
+    assert got == want and (1, 2) in got

@@ -522,14 +522,38 @@ def test_fake_pcm_codec_and_chunk_features(spark):
     assert last["start_sample"] == 64_000 and last["end_sample"] == 75_000
     for r in out:
         assert r["rms"] > 0 and 0.0 <= r["zero_cross_rate"] <= 1.0
-    # chunk geometry agrees with the declarative plan at the same rate
-    plan = {
-        (r["doc_id"], r["chunk_idx"]): (r["start_sample"], r["end_sample"])
-        for r in multimodal.audio_chunk_plan(
-            docs, sample_rate=16_000, chunk_seconds=1
-        ).collect()
-    }
-    # plan derives n_samples from byte length (header-only payload),
-    # so compare only the chunk COUNT pattern for doc grain here: the
-    # features path uses the DECLARED n_samples from the header
-    assert all((r["doc_id"], r["chunk_idx"]) is not None for r in out)
+    # chunk geometry: every chunk is exactly [i*16k, min((i+1)*16k, n))
+    # against an independent Python computation of the declared rate
+    for doc_id, n in ((1, 40_000), (2, 75_000)):
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        for i, r in enumerate(rows):
+            assert r["chunk_idx"] == i
+            assert r["start_sample"] == i * 16_000
+            assert r["end_sample"] == min((i + 1) * 16_000, n)
+
+
+def test_feature_extract_fixed_dim_across_channel_counts(spark):
+    """Review regression: grayscale (color type 0) and RGBA payloads
+    must emit the SAME feature dim — gray planes repeat to 3 channels,
+    alpha drops — so downstream fixed-dim consumers never misalign."""
+    from change_data_capture_spark.extensions import multimodal
+    from pyspark.sql import functions as F
+
+    body = F.encode(F.repeat(F.lit("pix"), 40), "UTF-8")
+    gray = spark.range(1, 3).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            multimodal.png_header_expr(F.lit(8), F.lit(6), color_type=0), body
+        ).alias("payload"),
+    )
+    rgba = spark.range(3, 5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            multimodal.png_header_expr(F.lit(8), F.lit(6), color_type=6), body
+        ).alias("payload"),
+    )
+    out = multimodal.image_feature_extract(
+        gray.unionByName(rgba), decode=multimodal.decode_image_pixels_fake, grid=4
+    ).collect()
+    dims = {len(r["feature"]) for r in out}
+    assert dims == {4 * 4 * 3 + 3}

@@ -628,3 +628,53 @@ def test_pipeline_stream_applies_in_band_ddl_per_batch(spark, tmp_path):
     got = {r["id"]: (r["amount"], r["ship_mode"])
            for r in cat.read(spark, "shop.orders").collect()}
     assert got == {1: (10.0, None), 2: (20.0, "express")}
+
+
+def test_pipeline_v1_dead_letters_and_apply_ddl_validation(spark, tmp_path):
+    """Review regressions: (1) the wal2json_v1 leg classifies dead
+    letters with the V1 schema — a valid v1 transaction is NOT
+    'unparseable'; (2) source.apply_ddl on a non-binlog format fails
+    fast naming the property; (3) with apply_ddl on, consumed DDL
+    events are excluded from the dead-letter frame."""
+    from change_data_capture_spark.pipeline import run_pipeline
+
+    # (1) valid v1 txn + junk + unknown table
+    v1 = ('{"xid":5,"nextlsn":"0/20","timestamp":"2021-02-02 12:00:00.123456+00",'
+          '"change":[{"kind":"insert","schema":"db","table":"t",'
+          '"columnnames":["id","v"],"columnvalues":[1,"a"]}]}')
+    rogue = v1.replace('"table":"t"', '"table":"zz"')
+    msgs = spark.createDataFrame([(v1,), ("junk",), (rogue,)], "message string")
+    tschema = spark.createDataFrame([(1, "a")], "id long, v string").schema.json()
+    cfg = {"source": {"format": "wal2json_v1"},
+           "tables": {"db.t": {"keys": ["id"], "schema": tschema}}}
+    cat = TableCatalog(str(tmp_path / "v1"))
+    out = run_pipeline(spark, msgs, cfg, cat)
+    reasons = sorted(r["reason"] for r in out["dead_letters"].collect())
+    assert reasons == ["unknown_table", "unparseable"]
+    assert cat.read(spark, "db.t").count() == 1
+
+    # (2) apply_ddl rejected for formats with no structured DDL
+    with pytest.raises(InvalidConfigError) as e:
+        run_pipeline(
+            spark, msgs,
+            {"source": {"format": "wal2json_v1", "apply_ddl": True},
+             "tables": {"db.t": {"keys": ["id"]}}},
+            cat,
+        )
+    assert e.value.property == "source.apply_ddl"
+
+    # (3) maxwell: a consumed DDL event is not also a dead letter
+    create = (
+        '{"type":"table-create","database":"shop","table":"orders","ts":1,'
+        '"def":{"database":"shop","table":"orders","columns":['
+        '{"type":"bigint","name":"id"}],"primary-key":["id"]}}'
+    )
+    ins = ('{"database":"shop","table":"orders","type":"insert","ts":1,"xid":1,'
+           '"data":{"id":1}}')
+    mcfg = {"source": {"format": "maxwell", "apply_ddl": True},
+            "tables": {"shop.orders": {"keys": ["id"]}}}
+    mcat = TableCatalog(str(tmp_path / "mx"))
+    mout = run_pipeline(
+        spark, spark.createDataFrame([(create,), (ins,)], "message string"),
+        mcfg, mcat)
+    assert mout["ddl_applied"] and mout["dead_letters"].count() == 0
