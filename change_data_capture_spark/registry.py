@@ -2608,7 +2608,7 @@ def dedup_clusters(spark, sf_dir):
     pairs: iterative min-label propagation on Spark vs a recursive-CTE
     transitive closure in the oracle — the same fixpoint."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
     return dedup.duplicate_clusters(pairs)
 
 
@@ -2649,7 +2649,7 @@ def dedup_score_histogram(spark, sf_dir):
     engines would split at band edges). The threshold-tuning signal
     read before choosing a dedup cut; O(near-dup docs) recompute."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
     return dedup.jaccard_score_histogram(docs, pairs, n=5)
 
 
@@ -2689,7 +2689,7 @@ def dedup_cluster_stats(spark, sf_dir):
     removes. Two metadata-sized aggregations over the cluster table;
     text is never rescanned."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
     return dedup.cluster_size_report(docs, dedup.duplicate_clusters(pairs))
 
 
@@ -2730,7 +2730,7 @@ def dedup_cluster_sample(spark, sf_dir):
     from the exact-verified MinHash pairs; every keep decision is
     bit-reproduced by the recursive-closure + md5 oracle."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
     return dedup.cluster_weighted_sample(docs, pairs)
 
 
@@ -5713,7 +5713,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return dedup.minhash_lsh_against(new, corpus, n=5, k=96, bands=24, threshold=0.8)
+    return dedup.minhash_lsh_against(new, corpus, n=5, k=72, bands=24, threshold=0.8)
 
 
 @_q(
@@ -5757,13 +5757,13 @@ def dedup_minhash_index(spark, sf_dir):
         spark, snapshot_changelog(corpus.select("doc_id", "text"), "ml.docs", ["doc_id"]), cat
     )
     apply_changelog(
-        spark, dedup.signature_changelog(corpus, "ml.minhash_sigs", n=5, k=96), cat
+        spark, dedup.signature_changelog(corpus, "ml.minhash_sigs", n=5, k=72), cat
     )
     return dedup.minhash_lsh_against_index(
         new,
         cat.read(spark, "ml.minhash_sigs"),
         cat.read(spark, "ml.docs"),
-        n=5, k=96, bands=24, threshold=0.8,
+        n=5, k=72, bands=24, threshold=0.8,
     )
 
 
@@ -5826,11 +5826,11 @@ def cdc_index_auto_refresh(spark, sf_dir):
     cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_idxrefresh_"))
     apply_changelog(spark, snapshot_changelog(corpus, "ml.docs", ["doc_id"]), cat)
     apply_changelog(
-        spark, dedup.signature_changelog(corpus, "ml.sigs", n=5, k=96), cat
+        spark, dedup.signature_changelog(corpus, "ml.sigs", n=5, k=72), cat
     )
     register_derived_index(
         cat, "ml.sigs", base_table="ml.docs", kind="minhash_sigs",
-        params={"n": 5, "k": 96},
+        params={"n": 5, "k": 72},
     )
     p = docs.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
     upd = (
@@ -5856,7 +5856,7 @@ def cdc_index_auto_refresh(spark, sf_dir):
         probe,
         cat.read(spark, "ml.sigs"),
         cat.read(spark, "ml.docs"),
-        n=5, k=96, bands=24, threshold=0.8,
+        n=5, k=72, bands=24, threshold=0.8,
     )
 
 
@@ -6031,7 +6031,7 @@ def dedup_cluster_best(spark, sf_dir):
     tiebreak on doc_id), drop the rest
     (extensions/dedup.cluster_representatives)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=96, bands=24, threshold=0.8)
+    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
     clusters = dedup.duplicate_clusters(pairs)
     scores = text.quality_scores(docs).select("doc_id", "quality_score")
     return dedup.cluster_representatives(clusters, scores)
