@@ -102,7 +102,18 @@ def brute_force_topk(
         c = c.withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
         score = F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
     else:
-        score = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        # per-side norm hoist for the unrolled form too: a fused
+        # cosine(a, b, dim) packs THREE unrolled dots into the join
+        # projection — the shape dot()'s docstring documents as
+        # overflowing the 64 KB codegen method limit. One unrolled
+        # norm per side row + the single unrolled pair dot keeps every
+        # expression a single-dot tree; IEEE-identical values (same
+        # folds, same divide).
+        q = q.withColumn("qn", norm(F.col("qv"), dim))
+        c = c.withColumn("cn", norm(F.col("cv"), dim))
+        score = F.round(
+            dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6
+        )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -203,26 +214,44 @@ def lsh_ann_topk(
     plans fast and is right for the bucketed candidate volume; flip it
     on only if a profile shows per-pair scoring dominating (see
     dot())."""
+    if multi_probe not in (0, 1):
+        raise ValueError(
+            f"multi_probe={multi_probe}: only 0 (exact bucket) and 1 "
+            f"(all Hamming-distance-1 buckets) are implemented — a larger "
+            f"radius would silently deliver distance-1 recall"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket_expr("qv", dim, planes))
+    # hoist the query norm ABOVE the multi-probe explode: one fold per
+    # QUERY, not one per probe row (and the broadcast ships one qn per
+    # duplicated row either way, but never recomputes it)
+    if unroll_score:
+        q = q.withColumn("qn", norm(F.col("qv"), dim))
+    else:
+        q = q.withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
     if multi_probe >= 1:
         probes = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
         )
         q = q.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
+            "query_id", "qv", "qn", F.explode(probes).alias("bucket")
         )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", lsh_bucket_expr("cv", dim, planes))
     if unroll_score:
-        score = F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        # single unrolled pair dot; the fused cosine(a, b, dim) form
+        # would pack three unrolled dots into one projection and trip
+        # the 64 KB codegen limit (see dot())
+        c = c.withColumn("cn", norm(F.col("cv"), dim))
+        score = F.round(
+            dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6
+        )
     else:
         # per-side norm hoist: one fold per candidate pair, not three
         # (see brute_force_topk)
-        q = q.withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
         c = c.withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
         score = F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
     scored = (
@@ -340,19 +369,29 @@ def ivf_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
+    # per-side norm hoist (see brute_force_topk): centroid assignment
+    # then costs one dot per (row, centroid) and the final scoring one
+    # dot per candidate pair — in BOTH forms; the unrolled path must
+    # never fuse three dots into one projection (64 KB codegen limit,
+    # see dot())
     if dim is None:
-        # per-side norm hoist (see brute_force_topk): centroid
-        # assignment then costs one fold per (row, centroid) and the
-        # final scoring one fold per candidate pair
         cent = cent.withColumn("__centn", F.expr(f"sqrt({_dot_sql('centroid', 'centroid')})"))
         c = c.withColumn("cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
         q = q.withColumn("qn", F.expr(f"sqrt({_dot_sql('qv', 'qv')})"))
+    else:
+        cent = cent.withColumn("__centn", norm(F.col("centroid"), dim))
+        c = c.withColumn("cn", norm(F.col("cv"), dim))
+        q = q.withColumn("qn", norm(F.col("qv"), dim))
 
     def assign(df, vec, n_best, out_cols):
+        vn = "cn" if vec == "cv" else "qn"
         if dim is not None:
-            sim = F.round(cosine(F.col(vec), F.col("centroid"), dim), 6)
+            sim = F.round(
+                dot(F.col(vec), F.col("centroid"), dim)
+                / (F.col(vn) * F.col("__centn")),
+                6,
+            )
         else:
-            vn = "cn" if vec == "cv" else "qn"
             sim = F.expr(
                 f"round(({_dot_sql(vec, 'centroid')} / ({vn} * __centn)), 6)"
             )
@@ -380,7 +419,7 @@ def ivf_ann_topk(
         lists = assign(c, "cv", 1, ["neighbor_id"]).join(c, "neighbor_id")
     probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
     pair_score = (
-        F.round(cosine(F.col("qv"), F.col("cv"), dim), 6)
+        F.round(dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6)
         if dim is not None
         else F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
     )
@@ -388,10 +427,11 @@ def ivf_ann_topk(
         lists.join(probes, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", pair_score)
-        # a corpus vector can appear in several probed lists of the
-        # same query — dedupe before ranking
+        # single-assignment IVF: each corpus vector lives in exactly
+        # one list, so a (query, neighbor) pair meets in at most one
+        # probed list — no dedup shuffle needed (the multi-probe LSH
+        # path is the one that dedups)
         .select("query_id", "neighbor_id", "score")
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -709,9 +749,13 @@ def embedding_near_duplicates_bucketed(
     comparison count degrades toward N^2 — which is the true lower
     bound there, since near-threshold pairs at 60+ degrees are not
     separable by any metric blocking — but the work stays distributed
-    and memory-bounded either way. A production run would persist the
-    assignment between the radii action and the pair join; the builder
-    stays lazy here so oracle replays see one plan.
+    and memory-bounded either way. The assignment frame is persisted
+    between the radii action and the pair join and RELEASED once the
+    verified pairs are materialized (same cache-lifetime contract as
+    dedup._verify_pairs: the returned frame is the persisted result —
+    a handful of pair rows — and long-lived callers can .unpersist()
+    it once consumed; the full-corpus assignment cache never outlives
+    the call).
     """
     import math
 
@@ -733,7 +777,7 @@ def embedding_near_duplicates_bucketed(
     b = assigned.select(
         F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("list_id").alias("list_b")
     ).withColumn("nb", norm(F.col("vb"), None))
-    return (
+    out = (
         a.join(F.broadcast(cand), "list_a")
         .join(b, "list_b")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -743,7 +787,11 @@ def embedding_near_duplicates_bucketed(
         )
         .filter(F.col("score") >= threshold)
         .select("a_id", "b_id", F.round("score", 6).alias("score"))
+        .persist()
     )
+    out.count()
+    assigned.unpersist()
+    return out
 
 
 def pq_encode(
@@ -892,14 +940,30 @@ def ivfpq_ann_topk(
     candidate equi-join. Approximate by design (IVF recall x PQ
     ranking noise) -> rows-only gate + recall floors in tests."""
     sub_d = dim // m
-    cent = (
-        spread(corpus)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("list_id"), as_double_vec(F.col(vec_col)).alias("centroid")
+    if index is not None:
+        # centroids re-derive from the index's OWN distinct list ids
+        # (list ids ARE seed vec ids; the corpus carries their
+        # vectors) — n_lists is IGNORED for the index path, so a
+        # build/query parameter mismatch cannot silently orphan lists
+        # (the same guard ivf_ann_topk documents; kc remains the one
+        # undetectable parameter, and the ADC CASE fails SAFE on it).
+        cent = (
+            corpus.join(
+                index.select(F.col("list_id").alias(id_col)).distinct(), id_col
+            ).select(
+                F.col(id_col).alias("list_id"),
+                as_double_vec(F.col(vec_col)).alias("centroid"),
+            )
         )
-    )
+    else:
+        cent = (
+            spread(corpus)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(
+                F.col(id_col).alias("list_id"), as_double_vec(F.col(vec_col)).alias("centroid")
+            )
+        )
     seeds = corpus.orderBy(id_col).limit(kc).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in seeds]
 
@@ -962,14 +1026,24 @@ def ivfpq_ann_topk(
                 for i in range(sub_d)
             )
             arms.append(f"WHEN {c_ix} THEN ({terms})")
-        return f"CASE code{s} {' '.join(arms)} END"
+        # ELSE +inf: an out-of-range code (index built with a larger
+        # kc than queried — the one undetectable mismatch) must rank
+        # WORST, not ride a NULL to the top of the ascending NULLS
+        # FIRST shortlist window and crowd out the whole rerank budget
+        return (
+            f"CASE code{s} {' '.join(arms)} "
+            f"ELSE cast('Infinity' as double) END"
+        )
 
     adc = " + ".join(f"({adc_case(s)})" for s in range(m))
     cand = (
         lists.join(probes, "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # single-assignment IVF: a (query, neighbor) pair meets in at
+        # most one probed list — the old distinct was a no-op that
+        # shuffled the dim-double qv array per candidate row, exactly
+        # the bandwidth PQ exists to avoid
         .select("query_id", "neighbor_id", "qv", *[f"code{s}" for s in range(m)])
-        .distinct()
         .withColumn("__adc", F.expr(f"round({adc}, 6)"))
     )
     w = Window.partitionBy("query_id").orderBy(
