@@ -1541,7 +1541,11 @@ def cdc_compact(spark, sf_dir):
 @_q("cdc_apply_stream", "SELECT * FROM nation")
 def cdc_apply_stream(spark, sf_dir):
     """The full Structured Streaming path: changelog files ->
-    stateful DDL dedup -> foreachBatch apply -> materialized table."""
+    foreachBatch (driver-dict DDL dedup with JVM-only prescreen ->
+    apply) -> materialized table. The dedup moved out of the streaming
+    plan in round 6: the applyInPandasWithState leg cost one Arrow
+    round trip + state-store commit per micro-batch even for DDL-free
+    batches (~0.48 s of a ~1.25 s batch, PERF.md r5 decomposition)."""
     nation = _t(spark, sf_dir, "nation")
     root = tempfile.mkdtemp(prefix="cdc_q_stream_")
     cat = TableCatalog(os.path.join(root, "cat"))

@@ -150,6 +150,84 @@ def test_stateful_ddl_dedup_across_batches(spark, tmp_path):
     assert out.filter(F.col("dml").isNotNull()).count() == 2
 
 
+def test_dedupe_ddl_batch_bypasses_ddl_free_batches(spark):
+    """The foreachBatch dedup (the run_apply_stream fast path) returns
+    the INPUT FRAME OBJECT for a DML-only micro-batch — proof the
+    common case pays one pruned collect and zero plan rewrite — and
+    likewise when every DDL row is novel (nothing suppressed)."""
+    from change_data_capture_spark.streaming import dedupe_ddl_batch
+
+    base = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    dml_only = dml_records(base, "t.x", ["id"], version=1)
+    state: dict = {}
+    assert dedupe_ddl_batch(dml_only, state) is dml_only
+    assert state == {}
+
+    with_ddl = ddl_record(spark, "t.x", base.schema.json()).unionByName(dml_only)
+    assert dedupe_ddl_batch(with_ddl, state) is with_ddl
+    assert state == {"t.x": base.schema.json()}
+
+
+def test_dedupe_ddl_batch_suppresses_repeats_across_batches(spark):
+    """Consecutive-duplicate suppression with driver-dict carry-over:
+    batch 2 re-announcing batch 1's schema is dropped; a changed
+    schema then the original again both pass (A,B,A keeps all —
+    last-announcement-wins semantics, same as the stateful leg)."""
+    from change_data_capture_spark.streaming import dedupe_ddl_batch
+
+    s_a = spark.createDataFrame([(1, "a")], "id bigint, v string").schema.json()
+    s_b = spark.createDataFrame([(1, "a", 0.0)], "id bigint, v string, w double").schema.json()
+    state: dict = {}
+
+    b1 = dedupe_ddl_batch(ddl_record(spark, "t.x", s_a), state)
+    assert b1.filter(F.col("ddl").isNotNull()).count() == 1
+
+    base = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    b2_in = ddl_record(spark, "t.x", s_a).unionByName(
+        dml_records(base, "t.x", ["id"], version=2)
+    )
+    b2 = dedupe_ddl_batch(b2_in, state)
+    assert b2.filter(F.col("ddl").isNotNull()).count() == 0  # suppressed
+    assert b2.filter(F.col("dml").isNotNull()).count() == 1  # DML intact
+
+    b3_in = (
+        ddl_record(spark, "t.x", s_b)
+        .unionByName(ddl_record(spark, "t.x", s_b))
+        .unionByName(ddl_record(spark, "t.y", s_a))
+    )
+    b3 = dedupe_ddl_batch(b3_in, state)
+    got = [
+        (r["ddl"]["table"], r["ddl"]["schema"])
+        for r in b3.filter(F.col("ddl").isNotNull()).collect()
+    ]
+    assert sorted(got) == sorted([("t.x", s_b), ("t.y", s_a)])
+    # A again after B: passes (consecutive semantics, not seen-ever)
+    b4 = dedupe_ddl_batch(ddl_record(spark, "t.x", s_a), state)
+    assert b4.filter(F.col("ddl").isNotNull()).count() == 1
+
+
+def test_stream_apply_dedups_repeated_ddl_across_microbatches(spark, tmp_path):
+    """End-to-end run_apply_stream with a re-announced schema in a
+    later micro-batch: the duplicate is suppressed driver-side and the
+    applied table is correct (same observable as the old stateful
+    leg)."""
+    base = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    schema_json = base.schema.json()
+    logdir = str(tmp_path / "log")
+    write_changelog(ddl_record(spark, "t.x", schema_json), logdir)
+    write_changelog(dml_records(base, "t.x", ["id"], version=1), logdir)
+    write_changelog(ddl_record(spark, "t.x", schema_json), logdir)  # dup
+    b2 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    write_changelog(dml_records(b2, "t.x", ["id"], version=2), logdir)
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    run_apply_stream(
+        spark, logdir, cat, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.x").collect()}
+    assert got == {1: "a", 2: "b"}
+
+
 def test_sessionize_batch_matches_window_query(spark, sf_dir):
     """Batch execution of the stateful sessionizer agrees with the
     q_user_sessions window formulation on session counts per user."""
