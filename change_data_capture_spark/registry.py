@@ -9243,112 +9243,84 @@ def profile_categorical_drift(spark, sf_dir):
 # named here follows in registration order and stays covered by the
 # local all-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
-    # Round-5 rotation (VERDICT r04 directive #2): 38 of the 50 slots
-    # are FIRST-TIME names (no driver row in r01-r04; cumulative
-    # driver-checked goes 118 -> 156 of 222), the other 12 are the
-    # CDC-core anchors plus two family-guard holds:
-    # - anchors kept: p_ct_change_scan (scan), cdc_apply_stream
-    #   (stateful streaming), the four newest wire formats
-    #   (mongodb/wal2json/mssql_cdc/goldengate-binary), the two
-    #   composite flagships (corpus_to_training, rag_serving),
-    #   cdc_secondary_index, and dedup_minhash_lsh -- deliberately
-    #   re-checked because r5 narrowed its signature to 72/24x3.
-    # - er_golden_records and ann_topk_bruteforce repeat only because
-    #   their families have no hash-checkable never-checked member
-    #   (ann_ivf/ann_ivfpq/ann_lsh_bucketed are rows-only by design
-    #   and barred from the window by test_registry_window.py).
-    # - rotated out to the local bare gate (all green r04):
-    #   cdc_patch_updates, cdc_chunked_bootstrap,
-    #   text_perplexity_buckets, cdc_corpus_stats, cdc_apply_vectors,
-    #   cdc_maxwell_apply, cdc_dms_apply, cdc_canal_apply,
-    #   cdc_decode_dlq, cdc_debezium_apply (family stays via
-    #   outbound + dead_letters), cdc_incremental_agg,
-    #   cdc_bootstrap_handoff, cdc_incremental_join,
-    #   cdc_table_changes, cdc_time_travel, cdc_compact,
-    #   cdc_export_snapshot, cdc_feed_gaps, cdc_table_checksum,
-    #   q7/q9/q13/q21 (relational family stays via q2/q8/q11/q15/
-    #   q16/q17/q20/q22), profile_categorical_drift,
-    #   dedup_embedding_bucketed (family stays via
-    #   dedup_embedding_cosine), profile_table_stats,
-    #   text_tfidf_topterms, web_pagerank_full (family stays via
-    #   web_hits), web_url_dedup, web_link_extract,
-    #   embedding_pq_encode (family stays via embedding_decontaminate
-    #   + profile_embedding_drift), profile_numeric_drift,
-    #   temporal_scd2_lookup (family stays via
-    #   temporal_range_error_clicks), corpus_pack_batches,
-    #   corpus_context_windows (family stays via
-    #   corpus_mixture_rebalance), web_blocklist_filter,
-    #   text_hashed_ngram_score, multimodal_payload_dedup (family
-    #   stays via multimodal_payload_neardup -- newly hash-green this
-    #   round -- and multimodal_video_meta).
-    # --- CDC core anchors + scan (10)
+    # Round-6 rotation (VERDICT r05 directive #1): 40 of the 50 slots
+    # are FIRST-TIME names (no driver row in r01-r05; cumulative
+    # driver-checked goes 156 -> 196 of 226, leaving ~24 for the
+    # round-7 sweep-finish). To reach the >=40 first-timer target the
+    # anchor set shrinks to 7 (r5 kept 10): cdc_wal2json_apply,
+    # cdc_mssql_cdc_apply and cdc_secondary_index — all hash-green
+    # r05 — retire to the local bare gate; the wire-format-apply
+    # family stays anchored via cdc_mongodb_apply +
+    # cdc_goldengate_binary_e2e, and cdc_apply_stream is deliberately
+    # re-checked because round 6 moved its DDL dedup out of the
+    # streaming plan (dedupe_ddl_batch). Three family-guard holds
+    # remain because their families have no hash-checkable
+    # never-checked member: er_golden_records (only er_ query),
+    # ann_topk_bruteforce (other ann_* are rows-only by design),
+    # temporal_scd2_lookup (r03-green; rotates variety vs r05's
+    # temporal_range_error_clicks).
+    # --- anchors (7)
     "p_ct_change_scan",
     "cdc_apply_stream",
     "cdc_mongodb_apply",
-    "cdc_wal2json_apply",
-    "cdc_mssql_cdc_apply",
     "cdc_goldengate_binary_e2e",
     "cdc_corpus_to_training",
     "cdc_rag_serving",
-    "cdc_secondary_index",
     "dedup_minhash_lsh",
-    # --- first-time: pipeline front door, maintenance loop, table
-    #     management, outbound renderers, dead letters (7)
-    "cdc_pipeline_run",
-    "cdc_index_auto_refresh",
-    "cdc_vacuum_safety",
-    "cdc_group_asof",
-    "cdc_debezium_outbound",
-    "cdc_debezium_dead_letters",
-    "dedup_minhash_index",
-    # --- first-time: TPC-H remainder (7; q15's single-row result is
-    # the weakest hash signal of the eight — it stays bare-gate so the
-    # ninth wire-format leg gets a driver row)
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_part_value",
-    "cdc_wal2json_v1_apply",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_heavy_part_suppliers",
-    "q22_dormant_value_customers",
-    # --- first-time: exact quantiles + anomaly screens (4)
-    "q_exact_quantiles",
-    "q_exact_quantiles_by_group",
-    "text_length_mad_outliers",
-    "q_event_rate_anomaly",
-    # --- first-time: text analysis + BPE (6)
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_winnowing",
-    "text_bm25_topk",
-    "text_token_stats",
-    "text_gopher_rules",
-    # --- first-time: dedup reports + embedding (3); dedup_ngram_jaccard
-    # stays bare-gate (its oracle is literally dedup_minhash_lsh's)
-    # in favor of the r5 in-band-DDL front door
-    "dedup_score_histogram",
-    "dedup_cluster_stats",
-    "cdc_maxwell_ddl_pipeline",
-    "dedup_embedding_cosine",
-    # --- first-time: web graph + curation (2)
-    "web_hits",
-    "web_domain_cap",
-    # --- first-time: retrieval + embedding hygiene + drift (3)
-    "rag_hybrid_retrieval",
-    "profile_embedding_drift",
-    "embedding_decontaminate",
-    # --- first-time: multimodal, temporal, scale (3)
-    "multimodal_payload_neardup",
-    "multimodal_video_meta",
-    "temporal_range_error_clicks",
-    # --- family-guard holds (2)
+    # --- family-guard holds (3)
     "er_golden_records",
     "ann_topk_bruteforce",
-    # --- first-time: scale ops (1)
-    "corpus_mixture_rebalance",
+    "temporal_scd2_lookup",
+    # --- first-time: CDC decode/clamp/drift (4)
+    "p_txn_clamp",
+    "cdc_goldengate_binary_decode",
+    "cdc_debezium_decode",
+    "cdc_version_drift",
+    # --- first-time: dedup family (5)
+    "dedup_stream_exact",
+    "dedup_jaccard_prefix",
+    "dedup_cluster_best",
+    "dedup_corpus_materialize",
+    "dedup_embedding_clusters",
+    # --- first-time: streaming twins (2)
+    "stream_interval_join",
+    "stream_windowed_counts",
+    # --- first-time: text analysis (11)
+    "text_clean_normalize",
+    "text_vocab_coverage",
+    "text_oov_rate",
+    "text_fingerprint",
+    "text_contamination_ratio",
+    "text_repetition_scores",
+    "text_chunk_dedup",
+    "text_pii_redact",
+    "text_inverted_index",
+    "text_c4_rules",
+    "text_sliding_chunks",
+    # --- first-time: corpus / scale ops (5)
+    "corpus_vocab_build",
+    "corpus_stats_report",
+    "corpus_shard_manifest",
+    "sample_stratified_docs",
+    "scale_key_skew_profile",
+    # --- first-time: embedding ops (2)
+    "embedding_knn_label_eval",
+    "embedding_cluster_assign",
+    # --- first-time: relational (6)
+    "q15_top_supplier",
+    "q_full_outer_entities",
+    "q_rolling_30d_spend",
+    "q_retention_cohorts",
+    "q_funnel_conversion",
+    "q_trending_topk",
+    # --- first-time: multimodal (2)
+    "multimodal_audio_meta",
+    "multimodal_frame_sample",
+    # --- first-time: web / profile / timeseries (3)
+    "web_domain_stats",
+    "profile_expectations",
+    "timeseries_gapfill",
 ]
-
 
 def _ordered_names() -> list[str]:
     window = [n for n in DRIVER_WINDOW if n in REGISTRY]
