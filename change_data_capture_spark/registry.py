@@ -4974,8 +4974,15 @@ def embedding_cluster_assign(spark, sf_dir):
     corpus never shuffles)."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", similarity.as_double_vec(F.col("embedding")).alias("v"))
-    seeds = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    # .limit(8) is semantically a no-op (vec_id is unique, so the
+    # filter yields exactly 8 rows) but makes the broadcast side
+    # PROVABLY bounded in the physical plan — the scale audit certifies
+    # a GlobalLimit where it cannot certify a filter on a corpus scan,
+    # and at 100 TB the limit lets the seed scan short-circuit.
+    seeds = (
+        e.filter(F.col("vec_id") < 8)
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     )
     scored = e.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
