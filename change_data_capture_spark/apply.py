@@ -743,6 +743,32 @@ def register_derived_index(
         raise KeyError(f"unknown index table {index_table!r}")
     if catalog.meta(base_table) is None:
         raise KeyError(f"unknown base table {base_table!r}")
+    # Fail fast AT REGISTRATION (ADVICE r5): a typo'd kind or param key
+    # must not surface as a mid-maintenance-loop TypeError weeks later.
+    # The table mirrors _refresh_derived_index's dispatch: per kind,
+    # the REQUIRED params and the accepted optional ones.
+    _KIND_PARAMS = {
+        "minhash_sigs": (set(), {"n", "k", "text_col", "from_version"}),
+        "value_index": ({"value_cols"}, set()),
+    }
+    if kind not in _KIND_PARAMS:
+        raise ValueError(
+            f"unknown derived-index kind {kind!r}; supported: "
+            f"{sorted(_KIND_PARAMS)}"
+        )
+    required, optional = _KIND_PARAMS[kind]
+    given = set(params or {})
+    if not required <= given:
+        raise ValueError(
+            f"derived-index kind {kind!r} requires params "
+            f"{sorted(required - given)}"
+        )
+    unknown = given - required - optional
+    if unknown:
+        raise ValueError(
+            f"derived-index kind {kind!r} got unknown params "
+            f"{sorted(unknown)}; accepted: {sorted(required | optional)}"
+        )
     if refreshed_to is None:
         versions = catalog.versions(base_table)
         refreshed_to = int(versions[-1]) if versions else 0
@@ -1521,7 +1547,11 @@ def auto_maintain(
       the watermark.
 
     ``dry_run=True`` returns the planned actions without touching
-    anything — the review mode a production schedule runs first.
+    anything — the review mode a production schedule runs first. The
+    planned ``vacuumed_versions`` are computed under the SIMULATED
+    post-refresh protect_from floor (a live run refreshes derived
+    indexes before vacuuming, which raises the floor), so dry_run
+    reports exactly what the real run will reclaim.
     Returns one dict per table with the actions taken (or planned):
     ``{"table", "compacted", "new_buckets", "vacuumed_versions"}``;
     tables needing nothing are omitted. Decisions come from the
@@ -1546,6 +1576,32 @@ def auto_maintain(
         report = maintenance_report(
             catalog, target_bucket_bytes=target_bucket_bytes, keep_last=keep_last
         )
+    elif dry_run:
+        # Simulate the post-refresh floors a REAL run would vacuum
+        # under (ADVICE r5: dry_run otherwise under-reports — a live
+        # run refreshes first, advancing every index's refreshed_to to
+        # its base's current version, so the protect_from floor rises
+        # and vacuum reclaims more). Post-refresh, every registered
+        # index sits AT its base's current version, so the simulated
+        # floor per base is simply that current version.
+        stale_bases = {
+            row["derived"]["base"] for row in report if row["index_stale"]
+        }
+        for row in report:
+            if row["table"] not in stale_bases:
+                continue
+            meta = catalog.meta(row["table"])
+            versions = catalog.versions(row["table"])
+            if not versions or meta is None or meta.get("current") is None:
+                continue
+            sim_floor = int(versions[-1])
+            current_seq = int(meta["current"].rsplit("_v", 1)[1])
+            row["reclaimable_versions"] = [
+                v
+                for v in (versions[:-keep_last] if keep_last else [])
+                if v != current_seq and v < sim_floor
+            ]
+            row["protect_from"] = sim_floor
     # Pass 2 — compact + vacuum (vacuum keeps any still-needed refresh
     # basis via protect_from).
     for row in report:

@@ -805,62 +805,71 @@ def payload_jaccard_duplicates(
         .filter(F.col("__rk") <= F.col("__sz") - need + 1)
         .select(F.col(id_col), "sh", "__sz")
     )
-    # PPJoin length filter, applied INSIDE the prefix join: J >= t
-    # implies |A∩B| >= t*max(|A|,|B|) and the intersection is at most
-    # min(|A|,|B|), so den*min >= num*max — pairs outside the size
-    # ratio can't reach the threshold and never leave the join. Sound
-    # (no recall loss), and it prunes the bulk of small-vs-large
-    # collisions a shared rare shingle would otherwise emit.
-    candidates = (
-        pref.select(F.col(id_col).alias("a_id"), "sh", F.col("__sz").alias("__sa"))
-        .join(
-            pref.select(F.col(id_col).alias("b_id"), "sh", F.col("__sz").alias("__sb")),
-            "sh",
+    # try/finally around everything that runs jobs while sh (and later
+    # candidates) are persisted: a mid-job failure (executor OOM during
+    # the verify count) must not leak two corpus-scale caches in a
+    # long-lived session (ADVICE r5; same discipline as
+    # refresh_signature_index).
+    candidates = None
+    try:
+        # PPJoin length filter, applied INSIDE the prefix join: J >= t
+        # implies |A∩B| >= t*max(|A|,|B|) and the intersection is at most
+        # min(|A|,|B|), so den*min >= num*max — pairs outside the size
+        # ratio can't reach the threshold and never leave the join. Sound
+        # (no recall loss), and it prunes the bulk of small-vs-large
+        # collisions a shared rare shingle would otherwise emit.
+        candidates = (
+            pref.select(F.col(id_col).alias("a_id"), "sh", F.col("__sz").alias("__sa"))
+            .join(
+                pref.select(F.col(id_col).alias("b_id"), "sh", F.col("__sz").alias("__sb")),
+                "sh",
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(
+                F.lit(threshold_den) * F.least("__sa", "__sb")
+                >= F.lit(threshold_num) * F.greatest("__sa", "__sb")
+            )
+            .select("a_id", "b_id")
+            .distinct()
+            .persist()
         )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            F.lit(threshold_den) * F.least("__sa", "__sb")
-            >= F.lit(threshold_num) * F.greatest("__sa", "__sb")
+        candidates.count()
+        ids = (
+            candidates.select(F.col("a_id").alias(id_col))
+            .unionByName(candidates.select(F.col("b_id").alias(id_col)))
+            .distinct()
         )
-        .select("a_id", "b_id")
-        .distinct()
-        .persist()
-    )
-    candidates.count()
-    ids = (
-        candidates.select(F.col("a_id").alias(id_col))
-        .unionByName(candidates.select(F.col("b_id").alias(id_col)))
-        .distinct()
-    )
-    # exact verify over candidate docs only; shingles are raw n-byte
-    # binaries (same 8-byte footprint as a hash, zero collision risk)
-    sets = (
-        sh.join(ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("hs"))
-    )
-    a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("hs").alias("ha"))
-    b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("hs").alias("hb"))
-    inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
-    out = (
-        candidates.join(a_sets, "a_id")
-        .join(b_sets, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            inter.alias("inter_shingles"),
-            (F.size("ha") + F.size("hb") - inter).cast("bigint").alias("union_shingles"),
+        # exact verify over candidate docs only; shingles are raw n-byte
+        # binaries (same 8-byte footprint as a hash, zero collision risk)
+        sets = (
+            sh.join(ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("sh").alias("hs"))
         )
-        .filter(
-            F.lit(threshold_den) * F.col("inter_shingles")
-            >= F.lit(threshold_num) * F.col("union_shingles")
+        a_sets = sets.select(F.col(id_col).alias("a_id"), F.col("hs").alias("ha"))
+        b_sets = sets.select(F.col(id_col).alias("b_id"), F.col("hs").alias("hb"))
+        inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+        out = (
+            candidates.join(a_sets, "a_id")
+            .join(b_sets, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                inter.alias("inter_shingles"),
+                (F.size("ha") + F.size("hb") - inter).cast("bigint").alias("union_shingles"),
+            )
+            .filter(
+                F.lit(threshold_den) * F.col("inter_shingles")
+                >= F.lit(threshold_num) * F.col("union_shingles")
+            )
+            .persist()
         )
-        .persist()
-    )
-    out.count()
-    candidates.unpersist()
-    sh.unpersist()
-    return out
+        out.count()
+        return out
+    finally:
+        if candidates is not None:
+            candidates.unpersist()
+        sh.unpersist()
 
 
 def payload_simhash_duplicates(

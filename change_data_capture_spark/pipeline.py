@@ -143,9 +143,12 @@ def run_pipeline(
         mcol = src.get("message_col", "message")
         if mcol != "message":
             # the wrapper decode path keys on a literal `message`
-            # column; honor the shared config contract by renaming up
-            # front instead of silently ignoring it
-            messages = messages.withColumnRenamed(mcol, "message")
+            # column; honor the shared config contract by selecting the
+            # configured column explicitly — a withColumnRenamed here
+            # would produce DUPLICATE `message` columns (ambiguous
+            # reference downstream) whenever the frame already carries
+            # a bystander column literally named `message` (ADVICE r5)
+            messages = messages.select(F.col(mcol).alias("message"))
         records = kafka.goldengate_changelog(messages)
         # whitelist semantics (T9) over the envelope: ddl and dml rows
         # both carry the table id

@@ -169,6 +169,15 @@ def apply_maxwell_ddl(
             continue
         table_id = f"{m['database']}.{m['table']}"
         if tables is not None and table_id not in tables:
+            # Visibility over silence: the front door's dead-letter
+            # anti-join removes every ddl_candidates match, so a
+            # whitelist-filtered event that also vanished from the DDL
+            # report would be invisible to the operator (ADVICE r5) —
+            # it is skipped, not applied, but it IS reported.
+            out.append(
+                {"table": table_id, "event": m.get("type"),
+                 "skipped": "table not whitelisted"}
+            )
             continue
         # per-event guard: one unmapped column type (e.g. geometry)
         # must not abort the whole DDL batch — it becomes an error
@@ -263,7 +272,14 @@ def apply_canal_ddl(
         if tables is not None and table and table not in tables:
             # whitelist applies to PARSED table ids only — statements
             # the bounded parser could not attribute (DROP/RENAME/...,
-            # table == "") still surface as unhandled report rows
+            # table == "") still surface as unhandled report rows.
+            # Skipped events stay visible in the report (ADVICE r5:
+            # the front door's dead-letter anti-join would otherwise
+            # make them vanish from both channels).
+            out.append(
+                {"table": table, "added": added, "unhandled": unhandled,
+                 "applied": False, "skipped": "table not whitelisted"}
+            )
             continue
         rec = {"table": table, "added": added, "unhandled": unhandled}
         meta = catalog.meta(table) if table else None

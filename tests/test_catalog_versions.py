@@ -639,3 +639,75 @@ def test_refresh_signature_index_resync_and_unregistered_meta(spark, tmp_path):
         ).collect()
     }
     assert {tuple(r) for r in cat.read(spark, "b.sigs").collect()} == want
+
+
+def test_register_derived_index_fails_fast_on_bad_kind_or_params(spark, tmp_path):
+    """ADVICE r5: a typo'd kind or param key must raise AT REGISTRATION,
+    not as a TypeError inside a scheduled auto_maintain weeks later."""
+    import pytest
+
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, register_derived_index,
+    )
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame([(1, "a@x")], "id long, email string")
+    apply_changelog(spark, snapshot_changelog(base, "t.u", ["id"]), cat)
+    apply_changelog(spark, snapshot_changelog(base, "t.u_idx", ["email"]), cat)
+
+    with pytest.raises(ValueError, match="unknown derived-index kind"):
+        register_derived_index(cat, "t.u_idx", base_table="t.u",
+                               kind="minhash_sig")  # typo
+    with pytest.raises(ValueError, match="requires params.*value_cols"):
+        register_derived_index(cat, "t.u_idx", base_table="t.u",
+                               kind="value_index")
+    with pytest.raises(ValueError, match="unknown params.*shingle"):
+        register_derived_index(cat, "t.u_idx", base_table="t.u",
+                               kind="minhash_sigs", params={"n": 5, "shingle": 3})
+    # nothing was recorded by the failed attempts; a valid call works
+    assert (cat.meta("t.u_idx") or {}).get("derived") is None
+    register_derived_index(cat, "t.u_idx", base_table="t.u",
+                           kind="value_index", params={"value_cols": ["email"]})
+    assert cat.meta("t.u_idx")["derived"]["kind"] == "value_index"
+
+
+def test_auto_maintain_dry_run_matches_real_vacuum_with_stale_index(spark, tmp_path):
+    """ADVICE r5: dry_run previously reported reclaimable_versions from
+    the PRE-refresh floor while a real run refreshes first, raises the
+    protect_from floor, and reclaims more. The planned vacuum must now
+    equal what the live run actually reclaims."""
+    from change_data_capture_spark.apply import (
+        TableCatalog, apply_changelog, auto_maintain, register_derived_index,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.derive import maintain_value_index
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [(i, f"u{i}@x", 1.0 * i) for i in range(40)],
+        "id long, email string, v double",
+    )
+    apply_changelog(spark, snapshot_changelog(base, "t.u", ["id"]), cat)
+    maintain_value_index(spark, cat, "t.u", ["email"], "t.u_idx")
+    register_derived_index(cat, "t.u_idx", base_table="t.u",
+                           kind="value_index", params={"value_cols": ["email"]})
+    # base moves three versions past the index watermark
+    for ver in (2, 3, 4):
+        apply_changelog(
+            spark,
+            dml_records(base.filter(F.col("id") % 5 == ver), "t.u", ["id"],
+                        op="UPDATE", version=ver,
+                        value_overrides={"v": F.col("v") + ver}),
+            cat,
+        )
+    planned = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1,
+                                                    dry_run=True)}
+    assert planned["t.u_idx"]["refreshed"]
+    planned_vacuum = planned["t.u"]["vacuumed_versions"]
+    assert planned_vacuum, "dry_run must report the post-refresh reclaim"
+    n_versions_before = len(cat.versions("t.u"))
+
+    acted = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1)}
+    assert acted["t.u"]["vacuumed_versions"] == planned_vacuum
+    assert len(cat.versions("t.u")) < n_versions_before

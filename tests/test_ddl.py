@@ -156,7 +156,13 @@ def test_canal_ddl_whitelist_param(spark, tmp_path):
         "message string",
     )
     out = ddl.apply_canal_ddl(msgs, cat, tables={"db.t"})
-    assert [r["table"] for r in out] == ["db.t"] and out[0]["applied"]
+    by_table = {r["table"]: r for r in out}
+    assert by_table["db.t"]["applied"]
+    # the non-whitelisted event is skipped but VISIBLE (ADVICE r5: the
+    # front door's dead-letter anti-join removes all ddl_candidates, so
+    # a silent skip here would make the event vanish from both channels)
+    assert by_table["db.other"]["skipped"] == "table not whitelisted"
+    assert not by_table["db.other"]["applied"]
     assert "c1" in [f.name for f in cat.read(spark, "db.t").schema.fields]
     assert "c2" not in [f.name for f in cat.read(spark, "db.other").schema.fields]
 
@@ -197,3 +203,26 @@ def test_canal_whitelist_keeps_unparsed_statements_for_review(spark, tmp_path):
     )
     out = ddl.apply_canal_ddl(msgs, cat, tables={"db.t"})
     assert len(out) == 1 and not out[0]["applied"] and out[0]["unhandled"]
+
+
+def test_maxwell_whitelist_skip_is_reported(spark, tmp_path):
+    """ADVICE r5: a non-whitelisted table's DDL event must surface as
+    a skipped report row, not vanish (the pipeline's dead-letter
+    anti-join removes every ddl_candidates match, so the report is the
+    only remaining channel)."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.sources import ddl
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    msgs = spark.createDataFrame(
+        [('{"type":"table-create","database":"other","table":"t","ts":1,'
+          '"def":{"columns":[{"name":"id","type":"bigint"}],'
+          '"primary-key":["id"]}}',)],
+        "message string",
+    )
+    out = ddl.apply_maxwell_ddl(msgs, cat, tables={"db.t"})
+    assert out == [
+        {"table": "other.t", "event": "table-create",
+         "skipped": "table not whitelisted"}
+    ]
+    assert cat.meta("other.t") is None

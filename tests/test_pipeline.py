@@ -547,6 +547,36 @@ def test_pipeline_goldengate_honors_message_col(spark, tmp_path):
     assert cat.read(spark, "db.t").count() == 2
 
 
+def test_pipeline_goldengate_message_col_with_bystander_message(spark, tmp_path):
+    """ADVICE r5 regression: with a custom message_col, a bystander
+    column literally named `message` must not collide — the old
+    withColumnRenamed produced duplicate `message` columns and an
+    ambiguous-reference failure in the decode path."""
+    from change_data_capture_spark.sources import kafka as kf
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    tag = base.withColumn("_change_type", F.lit("insert"))
+    wire = (
+        kf.goldengate_schema_message(spark, table="db.t", fingerprint=9,
+                                     schema_json=base.schema.json())
+        .unionByName(
+            kf.table_changes_to_goldengate(
+                tag, table="db.t", fingerprint=9, pk_names=["id"], version=1,
+                ts_micros=1,
+            )
+        )
+        .withColumnRenamed("message", "payload")
+        .withColumn("message", F.lit("bystander: not the wire frame"))
+    )
+    cfg = {
+        "source": {"format": "goldengate", "message_col": "payload"},
+        "tables": {"db.t": {"keys": ["id"]}},
+    }
+    cat = TableCatalog(str(tmp_path / "ggb"))
+    run_pipeline(spark, wire, cfg, cat)
+    assert cat.read(spark, "db.t").count() == 2
+
+
 def test_pipeline_maxwell_apply_ddl_in_band(spark, tmp_path):
     """source.apply_ddl: the Maxwell front door consumes table-create/
     table-alter events DDL-before-DML in the same call — a column added
@@ -572,7 +602,12 @@ def test_pipeline_maxwell_apply_ddl_in_band(spark, tmp_path):
             '"data":{"id":1,"amount":10.0}}')
     b1 = spark.createDataFrame([(create,), (rogue,), (ins1,)], "message string")
     out1 = run_pipeline(spark, b1, cfg, cat)
-    assert [r["table"] for r in out1["ddl_applied"]] == ["shop.orders"]
+    rep1 = {r["table"]: r for r in out1["ddl_applied"]}
+    assert "error" not in rep1["shop.orders"] and "skipped" not in rep1["shop.orders"]
+    # the rogue table's DDL is skipped but stays VISIBLE in the report
+    # (ADVICE r5: the dead-letter anti-join removes all ddl_candidates,
+    # so a silent skip would vanish from both channels)
+    assert rep1["other.t"]["skipped"] == "table not whitelisted"
     assert cat.meta("other.t") is None  # whitelist enforced pre-announce
 
     alter = (
