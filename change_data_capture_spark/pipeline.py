@@ -433,6 +433,21 @@ def stream_source_spec(
     return transport, message_col, key_col, opts
 
 
+def _kafka_stream(spark: SparkSession, kopts: dict[str, str]) -> DataFrame:
+    """The one call that needs a live broker: ``readStream.format
+    ("kafka")`` with the validated option set, returning Kafka's wire
+    frame (``key``/``value`` binary plus topic/partition/offset
+    metadata). Isolated as a seam so the transport leg downstream of
+    it — the binary casts, configured column names, per-batch decode,
+    apply — is testable end-to-end by injecting a frame of the same
+    shape (tests/test_pipeline.py kafka-parity test); the container
+    has no broker (GoldenGateKafka.java:117-194 runs against one)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kopts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def run_pipeline_stream(
     spark: SparkSession,
     messages_dir: str | None,
@@ -480,10 +495,7 @@ def run_pipeline_stream(
             "source.transport",
         )
     if transport == "kafka":
-        reader = spark.readStream.format("kafka")
-        for k, v in kopts.items():
-            reader = reader.option(k, v)
-        kstream = reader.load()
+        kstream = _kafka_stream(spark, kopts)
         cols = [F.col("value").cast("string").alias(message_col)]
         if fmt_name == "mongodb":
             cols.append(F.col("key").cast("string").alias(key_col))

@@ -908,17 +908,44 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
-@_q("q_approx_sketches", None)  # approximate by definition -> rows-only check
+@_q(
+    "q_approx_sketches",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           (ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+              <= 0.15 * COUNT(DISTINCT o_custkey)) AS hll_ok,
+           (approx_quantile(o_totalprice, 0.5)
+              BETWEEN quantile_cont(o_totalprice, 0.40)
+                  AND quantile_cont(o_totalprice, 0.60)) AS median_sketch_ok
+    FROM orders GROUP BY 1
+    """,
+)
 def q_approx_sketches(spark, sf_dir):
     """Sketch aggregates (HLL++ distinct count, GK-quantile): the
     streaming-friendly O(1)-memory versions of q_customer_order_stats'
-    exact counterparts; rows-only check because sketch estimates are
-    engine-specific by construction."""
+    exact counterparts. Promoted to a HASH-CHECKABLE form (VERDICT r5
+    directive #6): the raw sketch ESTIMATES are engine-specific by
+    construction (Spark HLL++ vs DuckDB HLL, GK vs t-digest), so the
+    hashed columns are the exact aggregates plus deterministic
+    BOUNDS-CHECK booleans — each engine runs ITS OWN sketch and
+    asserts it against ITS OWN exact values (HLL within 15% of the
+    exact distinct count, ~3x the 5% default rsd; approx median inside
+    the exact p40-p60 band). Both engines' sketches are deterministic
+    for fixed input, so the booleans hash stably — and a sketch
+    regression in either engine flips a boolean and fails the gate,
+    which the old rows-only check could never do."""
     orders = _t(spark, sf_dir, "orders")
+    exact_cust = F.countDistinct("o_custkey").cast("bigint")
+    hll = F.approx_count_distinct("o_custkey")
+    p = lambda q: F.expr(f"percentile(o_totalprice, {q})")  # noqa: E731
+    approx_med = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-        F.count("*").alias("n"),
+        F.count("*").cast("bigint").alias("n"),
+        exact_cust.alias("exact_customers"),
+        (F.abs(hll - exact_cust) <= 0.15 * exact_cust).alias("hll_ok"),
+        approx_med.between(p(0.40), p(0.60)).alias("median_sketch_ok"),
     )
 
 

@@ -35,8 +35,10 @@ def test_oracles_follow_query_order_and_cover_window():
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in registry.oracles()]
     # every window slot must be hash-checkable: the deliberately-approximate
     # ops (dedup_simhash, ann_ivfpq, ann_ivf, ann_lsh_bucketed,
-    # q_approx_sketches) stay outside the 50-query window, verified by the
-    # local rows-only gate + unit recall floors instead
+    # text_compression_ratio) stay outside the 50-query window, verified by
+    # the local rows-only gate + unit recall floors instead
+    # (q_approx_sketches left this list in round 6: its hashed columns are
+    # now the exact aggregates + per-engine sketch bounds-check booleans)
     assert rows_only == [], rows_only
 
 

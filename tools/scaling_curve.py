@@ -1,0 +1,145 @@
+"""Observed scaling-curve gate — the local proxy for the 100× question.
+
+The plan audit (tools/scale_audit.py) checks plan SHAPES; this tool
+checks observed BEHAVIOR: run every headline bench query at
+sf0.001 / sf0.01 / sf0.1 and compare runtime growth against data
+growth. A query whose runtime grows superlinearly in the data —
+t(10×) > THRESHOLD × 10 × t(1×) — has a lurking quadratic, a skew
+hotspot, or a driver-side accumulation that the plan sweep could not
+see, and fails the gate.
+
+Methodology (mirrors bench.py's frozen protocol where it matters):
+- RAW builders over a tuned session, warmup pass at the smallest SF
+  first (whole-stage codegen compiles once per plan shape — timing the
+  compile would swamp sf0.001 entirely), then min-of-N wall time per
+  (query, sf) with the noop sink forcing full computation.
+- The primary gate is the sf0.01 -> sf0.1 leg (sf0.001 timings are
+  dominated by the ~0.1-0.3 s per-action scheduler floor and are
+  reported for the curve, not gated). Fixed overhead makes observed
+  ratios CONSERVATIVE (they understate variable-cost growth), which is
+  why the threshold multiplies the data ratio by 1.3 rather than
+  demanding linearity: a true quadratic shows up at ~10-100× and is
+  unmissable; scheduler noise at ±0.3 s does not cross 13×.
+- The log-log slope column (log t-ratio / log data-ratio) is the
+  eyeball view: ~0 = fixed-cost dominated, ~1 = linear, ~2 = quadratic.
+
+The streaming leg is excluded: its n is fixed by protocol and PERF.md
+pins its fixed-cost decomposition separately.
+
+Usage: python tools/scaling_curve.py [--runs N] [--out SCALING.md]
+Exit code 1 if any query exceeds the threshold without a documented
+reason in ALLOW_SUPERLINEAR.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SFS = ["0.001", "0.01", "0.1"]
+THRESHOLD = 1.3  # flag when t-ratio > THRESHOLD * data-ratio
+
+# Queries allowed to grow faster than the data, each with the reason
+# the growth is understood and bounded (none today — additions need a
+# written justification here, which IS the documentation the gate
+# demands).
+ALLOW_SUPERLINEAR: dict[str, str] = {}
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    runs = 2
+    out_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--runs" and i + 1 < len(sys.argv):
+            runs = int(sys.argv[i + 1])
+        if a == "--out" and i + 1 < len(sys.argv):
+            out_path = sys.argv[i + 1]
+
+    import bench
+    from change_data_capture_spark import registry
+    from change_data_capture_spark.session import get_spark
+
+    spark = get_spark("scaling-curve")
+    qs = {name: qd.fn for name, qd in registry.REGISTRY.items()}
+    names = list(bench.HEADLINE)
+
+    # compile/JIT warmup at the smallest SF (same rationale as bench)
+    for name in names:
+        try:
+            _force(qs[name](spark, f"/root/testdata/sf{SFS[0]}"))
+        except Exception:
+            pass
+
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        for name in names:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                _force(qs[name](spark, sf_dir))
+                best = min(best, time.time() - t0)
+            times[name][sf] = best
+            spark.catalog.clearCache()
+
+    data_ratio = float(SFS[2]) / float(SFS[1])  # 10×
+    rows = []
+    failures = []
+    for name in names:
+        t_small, t_mid, t_big = (times[name][sf] for sf in SFS)
+        ratio = t_big / t_mid if t_mid > 0 else float("inf")
+        slope = math.log(ratio) / math.log(data_ratio) if ratio > 0 else 0.0
+        flagged = ratio > THRESHOLD * data_ratio
+        reason = ALLOW_SUPERLINEAR.get(name)
+        rows.append((name, t_small, t_mid, t_big, ratio, slope, flagged, reason))
+        if flagged and not reason:
+            failures.append((name, ratio))
+
+    lines = [
+        "# SCALING — observed runtime growth vs data growth",
+        "",
+        f"min-of-{runs} wall seconds per query per scale factor "
+        f"(noop sink, warm plans); gate: t(sf0.1)/t(sf0.01) must not "
+        f"exceed {THRESHOLD} x the 10x data ratio. slope = log t-ratio "
+        f"/ log 10 (~0 fixed-cost floor, ~1 linear, ~2 quadratic). "
+        f"{len(failures)} flagged.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | ratio 0.01→0.1 | slope | flag |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, ts, tm, tb, ratio, slope, flagged, reason in sorted(
+        rows, key=lambda r: -r[4]
+    ):
+        mark = ("ALLOWED: " + reason) if (flagged and reason) else (
+            "FLAG" if flagged else ""
+        )
+        lines.append(
+            f"| {name} | {ts:.3f} | {tm:.3f} | {tb:.3f} "
+            f"| {ratio:.2f}x | {slope:.2f} | {mark} |"
+        )
+    report = "\n".join(lines) + "\n"
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(report)
+        print(f"wrote {out_path}")
+    print(
+        f"scaling curve over {len(names)} queries x {len(SFS)} SFs: "
+        f"{len(failures)} flagged (threshold {THRESHOLD}x data ratio)"
+    )
+    for name, ratio in failures:
+        print(f"FLAG {name}: grew {ratio:.1f}x on 10x data")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
