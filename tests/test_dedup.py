@@ -327,3 +327,102 @@ def test_jaccard_prefix_unicode_char_parity(spark):
         if 5 * i >= 1 * u:
             want[(a, b)] = (i, u)
     assert got == want and (1, 2) in got
+
+
+def test_narrowed_config_adversarial_boilerplate_envelope(spark):
+    """Regression fence for the r5 MinHash narrowing (VERDICT r6
+    directive #7), at the registry's EXACT production config
+    (k=72, bands=24, rows=3): a worst-case corpus of 150 mid-Jaccard
+    boilerplate docs (shared 300-char template + unique tails,
+    pairwise J ~ 0.55 — below the 0.8 threshold but dominating the
+    per-band minima, so they flood LSH buckets) plus 10 true near-dup
+    pairs outside the family. With max_bucket_size on:
+
+    - recall envelope: output EQUALS brute force in both directions
+      (all 10 true pairs found, zero boilerplate false positives);
+    - candidate envelope: the capped >= 2-band candidate set stays
+      within a fixed budget while the uncapped set shows the blowup
+      the cap exists to absorb — the fence any FUTURE narrowing must
+      still clear.
+    """
+    from change_data_capture_spark.extensions import dedup
+    from change_data_capture_spark.extensions.dedup import (
+        _band_buckets, _cap_buckets, minhash_signatures, shingles,
+    )
+
+    import hashlib
+
+    K, BANDS, CAP = 72, 24, 32
+    template = " ".join(f"boiler{j}" for j in range(40))  # ~300 chars shared
+    fam = [
+        (
+            i,
+            f"{template} "
+            + " ".join(
+                hashlib.md5(f"fam{i}-{j}".encode()).hexdigest()[:10]
+                for j in range(12)
+            ),
+        )
+        for i in range(1000, 1150)
+    ]
+    truth = set()
+    uniq = []
+    for i in range(10):
+        # md5-derived words: deterministic, with no cross-document
+        # shingle overlap (plain f"doc{i}token{j}" words share most of
+        # their 5-grams ACROSS i and made unrelated docs near-dups)
+        body = " ".join(
+            hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10] for j in range(25)
+        )
+        uniq.append((i * 2, body + " alpha"))
+        uniq.append((i * 2 + 1, body + " omega"))
+        truth.add((i * 2, i * 2 + 1))
+    docs = spark.createDataFrame(fam + uniq, "doc_id long, text string")
+
+    brute = {(r.a_id, r.b_id) for r in dedup.jaccard_duplicates(docs, n=5, threshold=0.8).collect()}
+    assert brute == truth, "fixture self-check: only the cloned pairs are true pairs"
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_duplicates(
+            docs, n=5, k=K, bands=BANDS, threshold=0.8, max_bucket_size=CAP
+        ).collect()
+    }
+    assert got == brute, f"recall/precision envelope broken: {got ^ brute}"
+
+    # candidate-count envelope via the same internals the operator uses
+    sig = minhash_signatures(
+        shingles(docs, n=5, distinct=False), k=K
+    ).persist()
+    sig.count()
+    try:
+        def n_candidates(cap):
+            b = _cap_buckets(_band_buckets(sig, bands=BANDS, rows=K // BANDS,
+                                           id_col="doc_id"), cap)
+            a_side = b.select(F.col("doc_id").alias("a_id"), "band", "bh")
+            b_side = b.select(F.col("doc_id").alias("b_id"), "band", "bh")
+            return (
+                a_side.join(b_side, ["band", "bh"])
+                .filter(F.col("a_id") < F.col("b_id"))
+                .groupBy("a_id", "b_id")
+                .agg(F.count("*").alias("nb"))
+                .filter(F.col("nb") >= 2)
+                .count()
+            )
+
+        capped, uncapped = n_candidates(CAP), n_candidates(None)
+        # documented envelope: with the cap, candidate count is O(family
+        # size) — sub-cap boilerplate collisions the signature screen
+        # absorbs (measured 151 for a 150-doc family at this config) —
+        # NOT O(family^2); without the cap the mid-J family floods the
+        # candidate set quadratically. A future narrowing that pushes
+        # more mid-J mass through the bands must still clear this fence.
+        n_family = 150
+        assert capped <= 2 * n_family + 10 * len(truth), (
+            f"capped candidates blew the O(family) envelope: {capped}"
+        )
+        assert uncapped > 10 * capped, (
+            f"fixture lost its adversarial bite: uncapped={uncapped} capped={capped}"
+        )
+    finally:
+        sig.unpersist()
