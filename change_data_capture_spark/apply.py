@@ -1039,6 +1039,7 @@ def apply_changes(
     catalog: TableCatalog,
     *,
     replay_floor: Mapping[str, int] | None = None,
+    ddl_dedup_state: dict[str, str] | None = None,
 ) -> list[dict]:
     """Apply one micro-batch of change records (CHANGE_SCHEMA envelope)
     to the catalog's managed tables. Usable directly as a
@@ -1053,6 +1054,18 @@ def apply_changes(
     leg; anything lower re-opens the stale-redelivery window the
     watermark exists to close. Tables absent from the map keep the
     stored-watermark rule.
+
+    ``ddl_dedup_state`` (ST1, streaming callers): a caller-held
+    ``{table: last schema_json}`` dict; DDL records whose schema equals
+    the table's previous announcement are suppressed and the dict is
+    updated in place. The dedup rides the batch's ONE metadata collect
+    — which already carries every DDL record in explicit __seq order —
+    so it costs ZERO extra Spark jobs (the whole point vs. the in-plan
+    ``applyInPandasWithState`` leg it replaces; see
+    ``streaming.run_apply_stream``). Suppression is pure work
+    avoidance: ``announce_schema`` is idempotent on an identical
+    schema, so a reset dict (driver restart) only costs a redundant
+    no-op announce.
 
     Returns a per-table report of what the batch did — action taken
     (create / merge / skip), high-watermark advanced to, and bucket
@@ -1141,6 +1154,10 @@ def apply_changes(
         for r in meta_rows:
             if r["is_ddl"]:
                 for entry in r["ddl_schemas"]:
+                    if ddl_dedup_state is not None:
+                        if ddl_dedup_state.get(r["table"]) == entry["schema"]:
+                            continue  # consecutive re-announcement (ST1)
+                        ddl_dedup_state[r["table"]] = entry["schema"]
                     catalog.announce_schema(r["table"], entry["schema"])
 
         dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")

@@ -474,15 +474,17 @@ def run_apply_stream(
     watermark makes replayed batches idempotent (at-least-once -> same
     final state).
 
-    Schema-announcement dedup (ST1) runs per micro-batch inside
-    foreachBatch via ``dedupe_ddl_batch`` — a driver-dict schema cache
-    with a JVM-only prescreen — NOT the in-plan
+    Schema-announcement dedup (ST1) runs per micro-batch INSIDE
+    ``apply_changes``' one metadata collect (``ddl_dedup_state`` — a
+    driver-dict schema cache, zero extra Spark jobs), NOT the in-plan
     ``applyInPandasWithState`` operator (``dedupe_ddl_stream``, kept
-    for callers that need checkpoint-durable dedup state). Rationale
-    and the measured fixed cost it removes are in
-    ``dedupe_ddl_batch``'s docstring; the dict resets on restart,
-    which is safe because announce_schema is idempotent for an
-    identical schema.
+    for callers that need checkpoint-durable dedup state; the
+    standalone ``dedupe_ddl_batch`` remains for custom foreachBatch
+    bodies that need the deduped FRAME). The stateful leg cost one
+    Arrow round trip + state-store commit per micro-batch even for
+    DDL-free batches (~0.48 s of a ~1.25 s batch, PERF.md r5
+    decomposition); the dict resets on restart, which is safe because
+    announce_schema is idempotent for an identical schema.
 
     ``state_partitions``: micro-batches are small relative to the
     session's batch-sized shuffle default, so the apply work inside
@@ -493,12 +495,12 @@ def run_apply_stream(
     stream = read_changelog_stream(
         spark, changelog_dir, max_files_per_trigger=max_files_per_trigger, fmt=fmt
     )
-    ddl_state: dict[str, str] = {}
+    ddl_state: dict[str, str] | None = {} if dedupe_ddl else None
 
     def _batch(batch_df: DataFrame, _epoch: int) -> None:
-        if dedupe_ddl:
-            batch_df = dedupe_ddl_batch(batch_df, ddl_state)
-        apply_changes(batch_df.sparkSession, batch_df, catalog)
+        apply_changes(
+            batch_df.sparkSession, batch_df, catalog, ddl_dedup_state=ddl_state
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_batch)
