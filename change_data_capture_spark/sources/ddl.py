@@ -84,10 +84,15 @@ _DECIMAL_RE = re.compile(
 def mysql_type_to_spark(t: str) -> str:
     """One MySQL column type -> Spark SQL type string. ``tinyint(1)``
     follows the MySQL convention of being a boolean; decimals keep
-    their precision/scale."""
+    their precision/scale. UNSIGNED integer types widen to the next
+    Spark type that holds their full range (``int unsigned`` exceeds
+    INT, ``bigint unsigned`` exceeds BIGINT — mapping them signed
+    would silently wrap values above 2^31/2^63; r6 review finding)."""
     t = t.strip().lower()
     if t in ("tinyint(1)", "bool", "boolean"):
         return "boolean"
+    unsigned = bool(re.search(r"\bunsigned\b", t))
+    t = re.sub(r"\b(unsigned|zerofill)\b", "", t).strip()
     m = _DECIMAL_RE.match(t)
     if m:
         # bare DECIMAL/NUMERIC defaults to (10,0) per MySQL
@@ -96,6 +101,11 @@ def mysql_type_to_spark(t: str) -> str:
     mapped = _MYSQL_TYPES.get(base)
     if mapped is None:
         raise ValueError(f"unmapped MySQL type {t!r}")
+    if unsigned:
+        if base == "int" or base == "integer":
+            return "bigint"
+        if base == "bigint":
+            return "decimal(20,0)"  # full 0..2^64-1 range
     return mapped
 
 
@@ -155,6 +165,13 @@ def apply_maxwell_ddl(
         try:
             m = json.loads(r["message"])
         except (TypeError, ValueError):
+            # A frame that passed get_json_object's lenient parse but
+            # fails strict json.loads must stay VISIBLE: the front
+            # door's dead-letter anti-join removes every
+            # ddl_candidates match, so a silent continue here would
+            # make the event vanish from both channels (r6 review —
+            # same invisibility class as the whitelist finding).
+            out.append({"table": None, "event": None, "error": "unparseable json"})
             continue
         if m.get("type") not in ("table-create", "table-alter") or "def" not in m:
             continue
@@ -207,7 +224,8 @@ _ALTER_RE = re.compile(
     re.I | re.S,
 )
 _ADD_COL_RE = re.compile(
-    r"^add\s+(?:column\s+)?[`\"]?(?P<name>\w+)[`\"]?\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)",
+    r"^add\s+(?:column\s+)?[`\"]?(?P<name>\w+)[`\"]?\s+"
+    r"(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\s+unsigned)?)",
     re.I,
 )
 
@@ -263,6 +281,11 @@ def apply_canal_ddl(
         try:
             m = json.loads(r["message"])
         except (TypeError, ValueError):
+            # visible, not vanished (see apply_maxwell_ddl; r6 review)
+            out.append(
+                {"table": "", "added": [], "unhandled": [],
+                 "applied": False, "error": "unparseable json"}
+            )
             continue
         if not m.get("isDdl") or not m.get("sql"):
             continue

@@ -226,3 +226,44 @@ def test_maxwell_whitelist_skip_is_reported(spark, tmp_path):
          "skipped": "table not whitelisted"}
     ]
     assert cat.meta("other.t") is None
+
+
+def test_unsigned_integer_types_widen():
+    """r6 review: UNSIGNED int/bigint exceed their signed Spark
+    counterparts — values above 2^31/2^63 would silently wrap. They
+    widen to bigint / decimal(20,0); smaller unsigned ints already fit."""
+    assert ddl.mysql_type_to_spark("int unsigned") == "bigint"
+    assert ddl.mysql_type_to_spark("INT(10) UNSIGNED") == "bigint"
+    assert ddl.mysql_type_to_spark("bigint unsigned") == "decimal(20,0)"
+    assert ddl.mysql_type_to_spark("bigint(20) unsigned zerofill") == "decimal(20,0)"
+    assert ddl.mysql_type_to_spark("smallint unsigned") == "int"
+    assert ddl.mysql_type_to_spark("tinyint(1)") == "boolean"  # unchanged
+    # the Canal ALTER parser carries the unsigned token through
+    t, added, un = ddl.parse_canal_alter(
+        "ALTER TABLE shop.orders ADD views bigint unsigned, ADD n int UNSIGNED"
+    )
+    assert added == [("views", "decimal(20,0)"), ("n", "bigint")] and un == []
+
+
+def test_unparseable_ddl_candidate_reports_not_vanishes(spark, tmp_path):
+    """r6 review: a frame passing get_json_object's lenient classifier
+    but failing strict json.loads must surface as an error report row
+    (the dead-letter anti-join removes every ddl_candidates match, so
+    a silent continue would vanish from both channels)."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.sources import ddl as ddl_mod
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    # duplicate-free JSON for get_json_object, but a trailing garbage
+    # byte breaks json.loads
+    mx = '{"type":"table-create","def":{"columns":[]}}x'
+    out = ddl_mod.apply_maxwell_ddl(
+        spark.createDataFrame([(mx,)], "message string"), cat
+    )
+    assert out == [{"table": None, "event": None, "error": "unparseable json"}]
+    cn = '{"isDdl":true,"sql":"ALTER TABLE t ADD c int"}x'
+    out2 = ddl_mod.apply_canal_ddl(
+        spark.createDataFrame([(cn,)], "message string"), cat
+    )
+    assert out2 == [{"table": "", "added": [], "unhandled": [],
+                     "applied": False, "error": "unparseable json"}]
