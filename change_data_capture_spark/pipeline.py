@@ -458,6 +458,7 @@ def run_pipeline_stream(
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    dead_letter_dir: str | None = None,
 ):
     """Streaming front door: the same declarative config over a
     Structured Streaming source of wire messages — each micro-batch
@@ -485,7 +486,21 @@ def run_pipeline_stream(
       string under the same configured column names, so the per-batch
       body is transport-agnostic. Needs a reachable broker at
       ``start()`` — the option surface itself is deploy-time
-      validated and unit-tested offline."""
+      validated and unit-tested offline. Log-compaction TOMBSTONES
+      (null value, key present) are protocol metadata, not data: they
+      are split off BEFORE decode so they never pollute the format
+      dead letters as phantom `unparseable` rows (ADVICE r6).
+
+    ``dead_letter_dir``: the streaming DLQ sink. The batch front door
+    RETURNS its dead-letter frame; inside foreachBatch there is no
+    caller to return it to, so without a sink a streaming feed's
+    quarantined messages would vanish (r6 review finding). When set,
+    each micro-batch appends its format dead letters (with a
+    ``batch_epoch`` column) under ``<dir>/decode`` and, for the kafka
+    transport, tombstone keys under ``<dir>/tombstones`` — both plain
+    parquet an operator can query with the same engine. Default None
+    keeps the old cost profile (no extra per-batch writes)."""
+    import os as _os
     fmt_name, _src, _tables = _validated(config)
     transport, message_col, key_col, kopts = stream_source_spec(config)
     if transport == "file" and not messages_dir:
@@ -496,10 +511,13 @@ def run_pipeline_stream(
         )
     if transport == "kafka":
         kstream = _kafka_stream(spark, kopts)
-        cols = [F.col("value").cast("string").alias(message_col)]
-        if fmt_name == "mongodb":
-            cols.append(F.col("key").cast("string").alias(key_col))
-        stream = kstream.select(*cols)
+        # key rides along for EVERY format (decoders ignore extra
+        # columns): mongodb keys its events on it, and the tombstone
+        # split below records which key was compacted away
+        stream = kstream.select(
+            F.col("value").cast("string").alias(message_col),
+            F.col("key").cast("string").alias(key_col),
+        )
     else:
         schema = (
             f"{message_col} string, {key_col} string"
@@ -511,8 +529,22 @@ def run_pipeline_stream(
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
         stream = reader.load(messages_dir)
 
-    def _batch(batch_df: DataFrame, _epoch: int) -> None:
-        run_pipeline(batch_df.sparkSession, batch_df, config, catalog)
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        df = batch_df
+        if transport == "kafka":
+            if dead_letter_dir is not None:
+                df.filter(F.col(message_col).isNull()).select(
+                    F.col(key_col).alias("key"),
+                    F.lit(int(epoch)).cast("bigint").alias("batch_epoch"),
+                ).write.mode("append").parquet(
+                    _os.path.join(dead_letter_dir, "tombstones")
+                )
+            df = df.filter(F.col(message_col).isNotNull())
+        rep = run_pipeline(df.sparkSession, df, config, catalog)
+        if dead_letter_dir is not None and rep.get("dead_letters") is not None:
+            rep["dead_letters"].withColumn(
+                "batch_epoch", F.lit(int(epoch)).cast("bigint")
+            ).write.mode("append").parquet(_os.path.join(dead_letter_dir, "decode"))
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

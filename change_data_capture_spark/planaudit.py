@@ -18,10 +18,14 @@ This module fixes both by walking the actual JVM plan tree via py4j:
   in-memory cache of an unproven frame) reaches the subtree root
   un-aggregated. Used to VERIFY every BNLJ's build side instead of
   allowlisting the operator wholesale.
-- ``count_exchanges(node)`` — canonical exchange counts: each
+- canonical exchange counts (``analyze``/``analyze_jplan``): each
   Shuffle/BroadcastExchange node counts once per distinct plan node;
   ``ReusedExchangeExec`` references and cached-subtree re-prints
   contribute zero, so the column reflects actual shuffle work.
+- ``ExecutedPlanCollector`` — a py4j-proxied QueryExecutionListener
+  that captures the executed plan of every action a builder triggers
+  internally (eager persist+count stages), so the sweep audits the
+  jobs a query RUNS, not just the frame it returns.
 
 AQE wrappers (``AdaptiveSparkPlanExec``, ``*QueryStageExec``) are
 unwrapped transparently, so the same walk works on un-executed plans
@@ -194,7 +198,10 @@ class PlanFacts:
 def analyze(df: DataFrame) -> PlanFacts:
     """One pass over the physical plan tree collecting every fact the
     scale audit grades. Works on un-executed frames (initial plan)."""
-    root = df._jdf.queryExecution().executedPlan()
+    return analyze_jplan(df._jdf.queryExecution().executedPlan())
+
+
+def analyze_jplan(root) -> PlanFacts:
     facts = PlanFacts()
     for node in walk(root):
         cn = _cls(node)
@@ -214,3 +221,58 @@ def analyze(df: DataFrame) -> PlanFacts:
         elif cn == "BroadcastExchangeExec":
             facts.broadcasts += 1
     return facts
+
+
+class ExecutedPlanCollector:
+    """Capture the EXECUTED physical plan of every action a code block
+    triggers — the audit's answer to eager builders (ADVICE r6: a
+    builder that persists + counts internally shows the sweep only its
+    final read plan; the expensive intermediate jobs were invisible).
+
+    A py4j-proxied ``QueryExecutionListener`` collects each successful
+    query execution's plan root; ``drain()`` waits for the async
+    listener bus to flush and hands back the JVM plan refs for
+    ``analyze_jplan``. Use as a context manager around the code under
+    audit; plans accumulate until ``clear()``."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self.plans: list = []
+        self.errors: int = 0
+        outer = self
+
+        class _Listener:
+            def onSuccess(self, funcName, qe, durationNs):  # noqa: N802
+                try:
+                    outer.plans.append(qe.executedPlan())
+                except Exception:  # pragma: no cover - never break the bus
+                    outer.errors += 1
+
+            def onFailure(self, funcName, qe, exception):  # noqa: N802
+                pass
+
+            class Java:
+                implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+        self._listener = _Listener()
+
+    def __enter__(self):
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(self._spark.sparkContext._gateway)
+        self._spark._jsparkSession.listenerManager().register(self._listener)
+        return self
+
+    def __exit__(self, *exc):
+        self._spark._jsparkSession.listenerManager().unregister(self._listener)
+        return False
+
+    def clear(self) -> None:
+        self.plans = []
+
+    def drain(self, timeout_ms: int = 30000) -> list:
+        """Flush the shared listener bus so every plan from actions
+        already run has been delivered, then return the collected
+        roots."""
+        self._spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(timeout_ms)
+        return list(self.plans)

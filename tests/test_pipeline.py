@@ -794,3 +794,88 @@ def test_pipeline_stream_kafka_transport_parity_with_injected_frames(
         file_cat.read(spark, "appdb.users").schema
         == kafka_cat.read(spark, "appdb.users").schema
     )
+
+
+def test_pipeline_stream_dead_letter_sink(spark, tmp_path):
+    """r6 review finding: the batch front door RETURNS dead letters,
+    but inside foreachBatch there is no caller — without a sink a
+    streaming feed's quarantined messages vanished. dead_letter_dir
+    persists each micro-batch's dead letters with its epoch."""
+    from change_data_capture_spark.pipeline import run_pipeline_stream
+
+    base = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, bal double")
+    good = debezium.encode_debezium_json(
+        base, table="db.t", op="c", before=None,
+        after=F.struct(F.col("id"), F.col("name"), F.col("bal")), ts_ms=1,
+    )
+    junk = spark.createDataFrame([("{not json",)], "message string")
+    msgs_dir, dlq = str(tmp_path / "msgs"), str(tmp_path / "dlq")
+    good.unionByName(junk).write.mode("append").parquet(msgs_dir)
+    cfg = {
+        "source": {"format": "debezium"},
+        "tables": {"db.t": {"keys": ["id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "cat"))
+    run_pipeline_stream(spark, msgs_dir, cfg, cat, str(tmp_path / "ckpt"),
+                        dead_letter_dir=dlq)
+    assert cat.read(spark, "db.t").count() == 1
+    dl = spark.read.parquet(str(tmp_path / "dlq" / "decode")).collect()
+    assert len(dl) == 1 and dl[0]["reason"] == "unparseable"
+    assert dl[0]["batch_epoch"] == 0
+
+
+def test_pipeline_stream_kafka_tombstones_split_from_dead_letters(
+    spark, tmp_path, monkeypatch
+):
+    """r6 review finding: compacted-topic tombstones (null value, key
+    present) are protocol metadata — they must not decode (no phantom
+    `unparseable` rows) and, with a DLQ configured, their keys are
+    recorded separately."""
+    from change_data_capture_spark import pipeline
+
+    base = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                                 "_id long, name string, bal double")
+    wire = mg.encode_mongodb_json(
+        base, table="appdb.users", op="c",
+        after=F.struct(F.col("_id"), F.col("name"), F.col("bal")),
+        doc_id=F.col("_id"), ts_ms=1,
+    )
+    kwire_dir, dlq = str(tmp_path / "kwire"), str(tmp_path / "dlq")
+    frames = wire.select(
+        F.encode(F.col("key"), "UTF-8").alias("key"),
+        F.encode(F.col("message"), "UTF-8").alias("value"),
+    ).unionByName(
+        spark.createDataFrame([("gone-key",)], "k string").select(
+            F.encode(F.col("k"), "UTF-8").alias("key"),
+            F.lit(None).cast("binary").alias("value"),  # the tombstone
+        )
+    )
+    frames.select(
+        "key", "value", F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    ).write.mode("append").parquet(kwire_dir)
+
+    monkeypatch.setattr(
+        pipeline, "_kafka_stream",
+        lambda sp, kopts: sp.readStream.schema(
+            "key binary, value binary, topic string, partition int, "
+            "offset bigint, timestamp timestamp, timestampType int"
+        ).parquet(kwire_dir),
+    )
+    cfg = {
+        "source": {"format": "mongodb", "transport": "kafka",
+                   "broker": "b:9092", "topic": "t"},
+        "tables": {"appdb.users": {"keys": ["_id"], "schema": base.schema.json()}},
+    }
+    cat = TableCatalog(str(tmp_path / "cat"))
+    pipeline.run_pipeline_stream(spark, None, cfg, cat, str(tmp_path / "ckpt"),
+                                 dead_letter_dir=dlq)
+    assert cat.read(spark, "appdb.users").count() == 2
+    tomb = spark.read.parquet(str(tmp_path / "dlq" / "tombstones")).collect()
+    assert [r["key"] for r in tomb] == ["gone-key"]
+    # no phantom unparseable rows from the tombstone
+    import os
+    if os.path.isdir(str(tmp_path / "dlq" / "decode")):
+        dl = spark.read.parquet(str(tmp_path / "dlq" / "decode"))
+        assert dl.count() == 0

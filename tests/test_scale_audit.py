@@ -114,3 +114,29 @@ def test_cached_scalar_aggregate_certifies_bnlj_side(spark, sf_dir):
         assert facts.bnlj >= 1 and facts.bnlj_unbounded == 0, facts.notes
     finally:
         total.unpersist()
+
+
+def test_executed_plan_collector_sees_eager_builder_jobs(spark, sf_dir):
+    """ADVICE r6 blind spot: a builder that persists + counts an
+    all-pairs frame internally, then returns an innocent aggregate,
+    must still be caught — the collector captures the EXECUTED plans
+    of the internal actions."""
+    from change_data_capture_spark.planaudit import (
+        ExecutedPlanCollector, analyze_jplan,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    with ExecutedPlanCollector(spark) as col:
+        pairs = docs.crossJoin(docs.select(F.col("doc_id").alias("b"))).persist()
+        try:
+            pairs.count()  # the eager internal action
+            executed = col.drain()
+        finally:
+            pairs.unpersist()
+    assert executed, "collector captured no executed plans"
+    caught = any(
+        analyze_jplan(p).cartesian or analyze_jplan(p).bnlj_unbounded
+        for p in executed
+    )
+    assert caught, "eager all-pairs job invisible to the collector"
+    assert col.errors == 0

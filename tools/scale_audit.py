@@ -64,32 +64,58 @@ def main() -> int:
             out_path = sys.argv[i + 1]
 
     from change_data_capture_spark import registry
-    from change_data_capture_spark.planaudit import analyze
+    from change_data_capture_spark.planaudit import (
+        ExecutedPlanCollector,
+        analyze,
+        analyze_jplan,
+    )
     from change_data_capture_spark.session import get_spark
 
     spark = get_spark("scale-audit")
     rows = []
     failures = []
-    for name, qd in registry.REGISTRY.items():
-        t0 = time.time()
-        try:
-            facts = analyze(qd.fn(spark, sf_dir))
-        except Exception as e:  # noqa: BLE001 - audit must cover all
-            failures.append((name, f"build error: {e}"))
-            continue
-        flags = []
-        if facts.cartesian and not ALLPAIRS_OK.match(name):
-            flags.append("all-pairs")
-        if facts.bnlj_unbounded and not ALLPAIRS_OK.match(name):
-            flags.append("bnlj-unbounded-side")
-        if facts.python_eval and not PYTHON_OK.match(name):
-            flags.append("python-eval")
-        rows.append((name, facts, flags, time.time() - t0))
-        if flags:
-            failures.append((name, "+".join(flags) + "; " + "; ".join(facts.notes)))
-        spark.catalog.clearCache()
+    with ExecutedPlanCollector(spark) as collector:
+        for name, qd in registry.REGISTRY.items():
+            t0 = time.time()
+            collector.clear()
+            try:
+                facts = analyze(qd.fn(spark, sf_dir))
+            except Exception as e:  # noqa: BLE001 - audit must cover all
+                failures.append((name, f"build error: {e}"))
+                continue
+            # Eager-builder coverage (ADVICE r6): every action the
+            # builder ran INTERNALLY (persist+count staging, applies,
+            # index builds) is audited too, not just the returned
+            # frame's plan — flags merge, counts stay returned-frame
+            # canonical so the eyeball columns keep one meaning.
+            executed = collector.drain()
+            n_jobs = len(executed)
+            for jplan in executed:
+                try:
+                    ef = analyze_jplan(jplan)
+                except Exception:  # noqa: BLE001 - plan GC race etc.
+                    continue
+                facts.cartesian = facts.cartesian or ef.cartesian
+                facts.python_eval = facts.python_eval or ef.python_eval
+                if ef.bnlj_unbounded:
+                    facts.bnlj_unbounded += ef.bnlj_unbounded
+                    facts.bnlj += ef.bnlj
+                    facts.notes.extend(f"[executed] {n}" for n in ef.notes)
+            flags = []
+            if facts.cartesian and not ALLPAIRS_OK.match(name):
+                flags.append("all-pairs")
+            if facts.bnlj_unbounded and not ALLPAIRS_OK.match(name):
+                flags.append("bnlj-unbounded-side")
+            if facts.python_eval and not PYTHON_OK.match(name):
+                flags.append("python-eval")
+            rows.append((name, facts, n_jobs, flags, time.time() - t0))
+            if flags:
+                failures.append(
+                    (name, "+".join(flags) + "; " + "; ".join(facts.notes))
+                )
+            spark.catalog.clearCache()
 
-    flagged = [r for r in rows if r[2]]
+    flagged = [r for r in rows if r[3]]
     n_bnlj = sum(1 for _, f, *_ in rows if f.bnlj)
     lines = [
         "# SCALE_AUDIT — whole-registry physical-plan sweep",
@@ -99,20 +125,23 @@ def main() -> int:
         "",
         "Allowlisted by design: quadratic oracle baselines (cartesian), "
         "multimodal codec-boundary mapInPandas (python-eval). "
-        "Every BroadcastNestedLoopJoin build side is now structurally "
+        "Every BroadcastNestedLoopJoin build side is structurally "
         "VERIFIED bounded (scalar aggregate / driver-created relation / "
         "global limit); shuffle and broadcast counts are canonical plan-tree "
-        "node counts (reused exchanges and cached-subtree re-prints count "
-        "zero).",
+        "node counts over the RETURNED frame (reused exchanges and "
+        "cached-subtree re-prints count zero); `jobs` = executed plans the "
+        "builder triggered internally, each audited for the same flags "
+        "(QueryExecutionListener capture — eager persist/count staging is "
+        "no longer a blind spot).",
         "",
-        "| query | cartesian | bnlj (verified) | python | shuffles | broadcasts | flags |",
-        "|---|---|---|---|---|---|---|",
+        "| query | cartesian | bnlj (verified) | python | shuffles | broadcasts | jobs | flags |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for name, f, flags, _t in sorted(rows, key=lambda r: (-len(r[2]), r[0])):
+    for name, f, n_jobs, flags, _t in sorted(rows, key=lambda r: (-len(r[3]), r[0])):
         lines.append(
             f"| {name} | {'Y' if f.cartesian else ''} | {f.bnlj or ''} "
             f"| {'Y' if f.python_eval else ''} | {f.shuffles} | {f.broadcasts} "
-            f"| {', '.join(flags)} |"
+            f"| {n_jobs} | {', '.join(flags)} |"
         )
     report = "\n".join(lines) + "\n"
     if out_path:
