@@ -230,6 +230,41 @@ _ADD_COL_RE = re.compile(
 )
 
 
+def _split_clauses(body: str) -> list[str]:
+    """Split an ALTER body on top-level commas — a character scanner
+    that respects BOTH paren nesting (``decimal(10,2)``) and quoted
+    string literals (``DEFAULT 'a,b'``; ADVICE r6: the old regex split
+    inside quoted defaults, emitting phantom unhandled rows). MySQL
+    doubles quotes to escape them inside literals ('' / "" / ``) —
+    handled naturally: the first quote closes, the second reopens,
+    and no comma can hide between them."""
+    clauses: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in body:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"`":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            clauses.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    clauses.append("".join(buf))
+    return clauses
+
+
 def parse_canal_alter(sql: str) -> tuple[str, list[tuple[str, str]], list[str]]:
     """Bounded MySQL ALTER parser: returns (table, added columns as
     (name, spark_type), unhandled clause texts). Only ``ADD [COLUMN]``
@@ -243,7 +278,7 @@ def parse_canal_alter(sql: str) -> tuple[str, list[tuple[str, str]], list[str]]:
     table = re.sub(r'[`"]', "", m.group("table")).strip()
     added: list[tuple[str, str]] = []
     unhandled: list[str] = []
-    for clause in re.split(r",(?![^()]*\))", m.group("body")):
+    for clause in _split_clauses(m.group("body")):
         clause = clause.strip().rstrip(";").strip()
         if not clause:
             continue

@@ -179,7 +179,11 @@ def dedupe_ddl_batch(batch_df: DataFrame, state: dict[str, str]) -> DataFrame:
     Semantics are identical to the stateful leg: per-table
     consecutive-duplicate suppression, last-announcement-wins, arrival
     (partition) order — the same order guarantee the Arrow-chunk fold
-    had. The one behavioral delta is restart durability: the dict
+    had. Output ORDER contract: when suppression rebuilds the frame,
+    kept DDL rows precede all DML rows (original interleaving is not
+    preserved) — exactly the DDL-before-DML order ``apply_changes``
+    imposes anyway; a consumer needing arrival interleaving should use
+    ``dedupe_ddl_stream`` instead. The one behavioral delta is restart durability: the dict
     resets when the stream restarts, so the first re-announcement
     after a restart passes through — safe, because
     ``announce_schema`` is idempotent for an identical schema (the

@@ -267,3 +267,17 @@ def test_unparseable_ddl_candidate_reports_not_vanishes(spark, tmp_path):
     )
     assert out2 == [{"table": "", "added": [], "unhandled": [],
                      "applied": False, "error": "unparseable json"}]
+
+
+def test_canal_clause_split_respects_quoted_literals():
+    """r6 review: commas inside quoted DEFAULT literals must not split
+    clauses (the old regex emitted phantom unhandled rows); doubled
+    quotes (MySQL escaping) and parens keep working."""
+    t, added, un = ddl.parse_canal_alter(
+        "ALTER TABLE shop.orders ADD c varchar(16) DEFAULT 'a,b', "
+        "ADD d decimal(10,2), ADD e varchar(8) DEFAULT 'it''s, fine', "
+        "DROP COLUMN legacy"
+    )
+    assert t == "shop.orders"
+    assert added == [("c", "string"), ("d", "decimal(10,2)"), ("e", "string")]
+    assert un == ["DROP COLUMN legacy"]
