@@ -547,22 +547,38 @@ def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> engine-portable BIGINT
+
+
 def simhash_signatures(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, majority vote of
-    token-hash bits (explode + 64 conditional sums, all codegen)."""
+    """60-bit SimHash over whitespace tokens: per bit, majority vote of
+    token-hash bits (explode + 60 conditional sums, all codegen).
+
+    The token hash is the repo's ENGINE-PORTABLE md5 convention
+    (``conv(substr(md5(t),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(t),1,15))::BIGINT``, 60 bits), not xxhash64:
+    SimHash candidate generation has recall < 1 by design, so the only
+    way an independent engine can reproduce the OUTPUT bit-for-bit is
+    to reproduce the signatures themselves — this is what promoted
+    ``dedup_simhash`` from a rows-only check to a full hash-checked
+    oracle row (r6). md5 costs more per token than xxhash64, but the
+    operator is not on the bench headline and the dedup decision
+    quality is hash-agnostic."""
     tok = spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    )
     votes = [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     sig = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
@@ -579,15 +595,17 @@ def simhash_duplicates(
     text_col: str = "text",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash-bucketed candidates (four 16-bit bands; Hamming<=k must
-    match at least one band exactly), Hamming-filtered, then exact
-    Jaccard-verified so the output is comparable to the brute-force
-    baseline."""
+    """SimHash-bucketed candidates (four 15-bit bands over the 60-bit
+    signature; Hamming<=k must match at least one band exactly),
+    Hamming-filtered, then exact Jaccard-verified so the output is
+    comparable to the brute-force baseline."""
     sig = simhash_signatures(docs, id_col=id_col, text_col=text_col).persist()
+    band_bits = SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
     bands = [
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            F.shiftright("simhash", band_bits * i).bitwiseAND(F.lit(mask)).alias("bh"),
         )
         for i in range(4)
     ]

@@ -2765,12 +2765,86 @@ def dedup_cluster_sample(spark, sf_dir):
     return dedup.cluster_weighted_sample(docs, pairs)
 
 
-@_q("dedup_simhash", None)  # candidate recall < 1 by design -> rows-only
+# DuckDB twin of extensions/dedup.simhash_signatures: 60 per-bit
+# majority votes over the SAME engine-portable md5 token hash, the
+# signature rebuilt as a sum of distinct powers of two (<= 2^60-1,
+# no BIGINT overflow). Generated, not hand-written — one term per bit.
+_SIMHASH_VOTES_SQL = ",\n             ".join(
+    f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(60)
+)
+_SIMHASH_SIG_SQL = "\n             + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES_SQL}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_SIMHASH_SIG_SQL} AS simhash
+      FROM votes
+    ),
+    bands AS (
+      SELECT doc_id, simhash,
+             unnest(generate_series(0, 3)) AS band
+      FROM sig
+    ),
+    bh AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (15 * band)) & 32767 AS bh
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bh a JOIN bh b USING (band, bh)
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    ),
+    s AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM idx),
+    c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS k
+      FROM s a JOIN s b USING (sh)
+      JOIN cand ON cand.a_id = a.doc_id AND cand.b_id = b.doc_id
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(k * 1.0 / (ca.n + cb.n - k), 6) AS jaccard
+    FROM inter
+    JOIN c ca ON ca.doc_id = a_id
+    JOIN c cb ON cb.doc_id = b_id
+    WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.8
+"""
+
+
+@_q("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     """SimHash measures token-level similarity, not shingle Jaccard —
     near-dup pairs at Jaccard ~0.9 sit at Hamming ~5-6, so a Hamming<=3
     candidate gate keeps precision (verified output is a strict subset
-    of the brute-force pairs) but not recall; no exact SQL oracle."""
+    of the brute-force pairs) but not recall. PROMOTED to a full
+    hash-checked row in r6: the signature hash is the engine-portable
+    md5 convention (dedup.simhash_signatures), so the oracle reproduces
+    the exact 60-bit signatures, band buckets, Hamming gate and
+    Jaccard verification — recall<1 stops being an obstacle once both
+    engines MISS the same pairs deterministically. Rows-only list
+    shrinks 5 -> 4."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_duplicates(docs, hamming_max=3, threshold=0.8)
 

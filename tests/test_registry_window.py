@@ -34,11 +34,12 @@ def test_oracles_follow_query_order_and_cover_window():
     assert all(any(q == o for q in it) for o in onames), "oracles() out of order vs queries()"
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in registry.oracles()]
     # every window slot must be hash-checkable: the deliberately-approximate
-    # ops (dedup_simhash, ann_ivfpq, ann_ivf, ann_lsh_bucketed,
-    # text_compression_ratio) stay outside the 50-query window, verified by
-    # the local rows-only gate + unit recall floors instead
-    # (q_approx_sketches left this list in round 6: its hashed columns are
-    # now the exact aggregates + per-engine sketch bounds-check booleans)
+    # ops (ann_ivfpq, ann_ivf, ann_lsh_bucketed, text_compression_ratio)
+    # stay outside the 50-query window, verified by the local rows-only
+    # gate + unit recall floors instead (q_approx_sketches left this list
+    # in round 6 — exact aggregates + per-engine sketch bounds-check
+    # booleans; dedup_simhash left it too — the engine-portable md5
+    # signature hash lets the oracle reproduce the exact candidates)
     assert rows_only == [], rows_only
 
 
