@@ -3220,15 +3220,134 @@ def cdc_rag_serving(spark, sf_dir):
     )
 
 
-@_q("ann_lsh_bucketed", None)  # approximate: recall < 1 by design -> rows-only check
+# DuckDB twin of the hyperplane-LSH bucketing: the hyperplanes are
+# DETERMINISTIC CONSTANTS (md5-derived in Python, similarity._hyperplane),
+# so the oracle inlines the exact same double literals — no RNG, no
+# hash parsing — and reproduces bucket ids, Hamming-1 multi-probe,
+# candidate joins and scores. Both engines fold the dot product
+# left-to-right in doubles (Spark's aggregate/zip_with == DuckDB's
+# list_dot_product), the same float-parity contract every hash-green
+# cosine query already relies on.
+def _lsh_oracle(planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    def arr(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+    bucket = lambda v: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({v}, {arr(similarity._hyperplane(dim, p))})"
+        f" > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, v,
+             {bucket('v')} AS bucket,
+             sqrt(list_dot_product(v, v)) AS n
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS qb, n AS qn
+      FROM c WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT query_id, qv, qn,
+             CASE WHEN p = -1 THEN qb ELSE xor(qb, (1 << p)) END AS bucket
+      FROM q, (SELECT unnest(generate_series(-1, {planes - 1})) AS p)
+    ),
+    scored AS (
+      SELECT DISTINCT probes.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(probes.qv, c.v) / (probes.qn * c.n), 6) AS score
+      FROM probes JOIN c ON c.bucket = probes.bucket
+      WHERE c.vec_id <> probes.query_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, round(score, 6) AS score
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@_q("ann_lsh_bucketed", _lsh_oracle())
 def ann_lsh_bucketed(spark, sf_dir):
+    """Hyperplane-LSH ANN with Hamming-1 multi-probe. PROMOTED to a
+    hash-checked row in r6: recall<1 never blocked checkability — the
+    hyperplanes are deterministic constants both engines inline, so
+    the oracle reproduces the exact buckets, probes and scores, and
+    both engines MISS the same neighbors deterministically. Rows-only
+    list shrinks 4 -> 3 (ann_ivf/ann_ivfpq: iterative float centroid
+    state; text_compression_ratio: zlib-build-dependent)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(emb, queries, k=5, dim=64, planes=4)
 
 
-@_q("ann_ivf", None)  # approximate: recall < 1 by design -> rows-only check
+@_q(
+    "ann_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+    cent AS (
+      SELECT vec_id AS list_id, v AS centroid, vn AS centn
+      FROM n ORDER BY vec_id LIMIT 16
+    ),
+    casg AS (
+      SELECT vec_id AS neighbor_id, list_id FROM (
+        SELECT n.vec_id, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.centroid)
+                                / (n.vn * cent.centn), 6) DESC,
+                          cent.list_id) AS r
+        FROM n CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    lists AS (
+      SELECT casg.neighbor_id, casg.list_id, n.v AS cv, n.vn AS cn
+      FROM casg JOIN n ON n.vec_id = casg.neighbor_id
+    ),
+    qasg AS (
+      SELECT query_id, list_id, qv, qn FROM (
+        SELECT n.vec_id AS query_id, cent.list_id, n.v AS qv, n.vn AS qn,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.centroid)
+                                / (n.vn * cent.centn), 6) DESC,
+                          cent.list_id) AS r
+        FROM n CROSS JOIN cent
+        WHERE n.vec_id < 10
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) / (qn * cn), 6) AS score
+      FROM lists JOIN qasg USING (list_id)
+      WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, round(score, 6) AS score
+    FROM r WHERE rnk <= 5
+    """,
+)
 def ann_ivf(spark, sf_dir):
+    """Seeded IVF-flat ANN. PROMOTED to a hash-checked row in r6: the
+    centroids are the 16 smallest corpus ids' vectors (deterministic by
+    design — the docstring in similarity.ivf_ann_topk explains why
+    Lloyd-trained centroids would NOT be), so the oracle reproduces the
+    assignment, probed lists and scores exactly — recall<1 never
+    blocked checkability, only nondeterminism would have."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2, dim=None)
@@ -3784,12 +3903,141 @@ def embedding_knn_label_eval(spark, sf_dir):
     )
 
 
-@_q("ann_ivfpq", None)  # approximate: IVF recall x PQ ranking -> rows-only check
+# DuckDB twin of the full IVF-PQ search. Every stage is deterministic
+# by construction (seeded centroids and codebook = smallest corpus
+# ids; per-subspace distances rounded to 6dp BEFORE the argmin with a
+# smaller-code tiebreak; ADC summed in subspace order then rounded;
+# explicit (value, id) tiebreaks on both ranking windows), so the
+# oracle reproduces codes, probes, shortlist and rerank exactly. The
+# per-subspace distance sums are GENERATED with the same left-assoc
+# term order as pq_encode's SQL; the argmin mirrors Spark's
+# array_min(array(struct(d, c))) via DuckDB's struct-ordered
+# list_min; the ADC rides 8 explicit joins (one per subspace) so its
+# 8-term sum is also left-associated, never an order-free aggregate.
+def _ivfpq_oracle(m: int = 8, kc: int = 16, dim: int = 64, n_probe: int = 2,
+                  rerank: int = 32, k: int = 5) -> str:
+    sub_d = dim // m
+
+    def d2(s: int, rounded: bool) -> str:
+        terms = " + ".join(
+            f"(e.v[{s * sub_d + i + 1}] - cbx.w[{s * sub_d + i + 1}])"
+            f" * (e.v[{s * sub_d + i + 1}] - cbx.w[{s * sub_d + i + 1}])"
+            for i in range(sub_d)
+        )
+        return f"round({terms}, 6)" if rounded else f"({terms})"
+
+    dist_cols = ",\n             ".join(
+        f"{d2(s, True)} AS d{s}, {d2(s, False)} AS raw{s}" for s in range(m)
+    )
+    enc_cols = ",\n             ".join(
+        f"(list_min(list(struct_pack(d := CAST(d{s} AS DOUBLE), c := c_ix)))).c"
+        f" AS code{s}"
+        for s in range(m)
+    )
+    adc_joins = "\n      ".join(
+        f"JOIN dists q{s} ON q{s}.vec_id = cand0.query_id"
+        f" AND q{s}.c_ix = enc.code{s}"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"q{s}.raw{s}" for s in range(m))
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT {kc}
+    ),
+    casg AS (
+      SELECT vec_id AS neighbor_id, list_id FROM (
+        SELECT e.vec_id, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos.format(a='e.v', b='cent.centroid')}, 6) DESC,
+                          cent.list_id) AS r
+        FROM e CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    qasg AS (
+      SELECT query_id, list_id FROM (
+        SELECT e.vec_id AS query_id, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos.format(a='e.v', b='cent.centroid')}, 6) DESC,
+                          cent.list_id) AS r
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id < 10
+      ) WHERE r <= {n_probe}
+    ),
+    cbx AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_ix, v AS w
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {kc})
+    ),
+    -- MATERIALIZED: the ADC stage re-references dists once per
+    -- subspace (8 joins); inlined, DuckDB would recompute the full
+    -- e x codebook distance evaluation nine times (~5 min at sf0.01
+    -- vs seconds materialized)
+    dists AS MATERIALIZED (
+      SELECT e.vec_id, cbx.c_ix,
+             {dist_cols}
+      FROM e CROSS JOIN cbx
+    ),
+    enc AS (
+      SELECT vec_id,
+             {enc_cols}
+      FROM dists GROUP BY vec_id
+    ),
+    cand0 AS (
+      SELECT qasg.query_id, casg.neighbor_id
+      FROM casg JOIN qasg USING (list_id)
+      WHERE casg.neighbor_id <> qasg.query_id
+    ),
+    adc AS (
+      SELECT cand0.query_id, cand0.neighbor_id,
+             round({adc_sum}, 6) AS adc_d
+      FROM cand0
+      JOIN enc ON enc.vec_id = cand0.neighbor_id
+      {adc_joins}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d ASC, neighbor_id ASC) AS r
+        FROM adc
+      ) WHERE r <= {rerank}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({cos.format(a='q.v', b='c.v')}, 6) AS score
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.neighbor_id
+    ),
+    final AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rnk
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, rnk, score FROM final WHERE rnk <= {k}
+    """
+
+
+@_q("ann_ivfpq", _ivfpq_oracle())
 def ann_ivfpq(spark, sf_dir):
     """Full FAISS-shape IVF-PQ search (similarity.ivfpq_ann_topk):
     inverted-list probe + int8-code candidates + literal-codebook ADC
     ranking + exact top-rerank; recall floors asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. PROMOTED to a hash-checked row in r6:
+    seeded centroids/codebook + rounded-before-argmin distances +
+    explicit tiebreaks make every stage engine-reproducible, so the
+    oracle replays codes, ADC ranking and rerank exactly — the
+    rows-only list is now ONLY text_compression_ratio (zlib bytes are
+    build-dependent; no deterministic twin exists)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_ann_topk(emb, queries, k=5, n_lists=16, n_probe=2)
@@ -9375,10 +9623,11 @@ DRIVER_WINDOW: list[str] = [
     "cdc_corpus_to_training",
     "cdc_rag_serving",
     "dedup_minhash_lsh",
-    # --- family-guard holds (3)
+    # --- family-guard holds (2)
     "er_golden_records",
-    "ann_topk_bruteforce",
     "temporal_scd2_lookup",
+    # --- first-time: ANN (promoted to hash-checked this round) (1)
+    "ann_lsh_bucketed",
     # --- first-time: CDC decode/clamp/drift (4)
     "p_txn_clamp",
     "cdc_goldengate_binary_decode",

@@ -33,13 +33,13 @@ def test_oracles_follow_query_order_and_cover_window():
     it = iter(qnames)
     assert all(any(q == o for q in it) for o in onames), "oracles() out of order vs queries()"
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in registry.oracles()]
-    # every window slot must be hash-checkable: the deliberately-approximate
-    # ops (ann_ivfpq, ann_ivf, ann_lsh_bucketed, text_compression_ratio)
-    # stay outside the 50-query window, verified by the local rows-only
-    # gate + unit recall floors instead (q_approx_sketches left this list
-    # in round 6 — exact aggregates + per-engine sketch bounds-check
-    # booleans; dedup_simhash left it too — the engine-portable md5
-    # signature hash lets the oracle reproduce the exact candidates)
+    # every window slot must be hash-checkable. The rows-only list is
+    # down to ONE entry after round 6's promotions: text_compression_ratio
+    # (zlib bytes are build-dependent; no deterministic twin exists).
+    # q_approx_sketches: exact aggregates + per-engine sketch bounds
+    # booleans; dedup_simhash: engine-portable md5 signatures;
+    # ann_lsh_bucketed/ann_ivf/ann_ivfpq: deterministic seeds/planes +
+    # rounded-before-argmin distances reproduce the exact misses.
     assert rows_only == [], rows_only
 
 
