@@ -1646,20 +1646,32 @@ def auto_maintain(
         if row["table"] in refreshed:
             act["refresh"] = refreshed[row["table"]]
         if not dry_run:
-            if needs_compact:
-                catalog.compact(
-                    spark,
-                    row["table"],
-                    n_buckets=(
-                        row["recommended_buckets"] if row["needs_rebucket"] else None
-                    ),
-                )
-            if needs_vacuum:
-                act["vacuumed_versions"] = catalog.vacuum(
-                    row["table"],
-                    keep_last=keep_last,
-                    protect_from=row["protect_from"],
-                )
+            try:
+                if needs_compact:
+                    catalog.compact(
+                        spark,
+                        row["table"],
+                        n_buckets=(
+                            row["recommended_buckets"] if row["needs_rebucket"] else None
+                        ),
+                    )
+                if needs_vacuum:
+                    act["vacuumed_versions"] = catalog.vacuum(
+                        row["table"],
+                        keep_last=keep_last,
+                        protect_from=row["protect_from"],
+                    )
+            except ConcurrentWriteError as e:
+                # A live apply raced this table's compact (the commit
+                # CAS caught it — apply.py publish path). A scheduled
+                # maintenance pass must SKIP AND REPORT, not die
+                # mid-loop: the loser left no partial state by the CAS
+                # contract, the other tables still deserve their
+                # maintenance, and the next scheduled pass retries
+                # naturally against the advisor's fresh metadata.
+                act["compacted"] = False
+                act["vacuumed_versions"] = []
+                act["skipped"] = f"concurrent writer: {e}"
         actions.append(act)
     return actions
 

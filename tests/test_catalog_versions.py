@@ -711,3 +711,49 @@ def test_auto_maintain_dry_run_matches_real_vacuum_with_stale_index(spark, tmp_p
     acted = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1)}
     assert acted["t.u"]["vacuumed_versions"] == planned_vacuum
     assert len(cat.versions("t.u")) < n_versions_before
+
+
+def test_auto_maintain_skips_and_reports_on_concurrent_writer(spark, tmp_path, monkeypatch):
+    """A live apply racing a table's compact (commit CAS) must not
+    kill the whole scheduled maintenance pass: the raced table is
+    skipped with a report note, other tables still get maintained,
+    and the next pass retries naturally."""
+    from change_data_capture_spark import apply as apply_mod
+    from change_data_capture_spark.apply import (
+        ConcurrentWriteError, TableCatalog, apply_changelog, auto_maintain,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame([(i, 1.0 * i) for i in range(100)], "id long, v double")
+    for t in ("t.a", "t.b"):
+        apply_changelog(spark, snapshot_changelog(base, t, ["id"]), cat)
+        for ver in (2, 3, 4):
+            apply_changelog(
+                spark,
+                dml_records(base.filter(F.col("id") % 5 == ver), t, ["id"],
+                            op="UPDATE", version=ver,
+                            value_overrides={"v": F.col("v") + ver}),
+                cat,
+            )
+
+    real_compact = TableCatalog.compact
+
+    def racy_compact(self, spark_, table_id, **kw):
+        if table_id == "t.a":
+            raise ConcurrentWriteError(f"{table_id}: version superseded during write")
+        return real_compact(self, spark_, table_id, **kw)
+
+    monkeypatch.setattr(TableCatalog, "compact", racy_compact)
+    acts = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1,
+                                                 target_bucket_bytes=256)}
+    assert "concurrent writer" in acts["t.a"]["skipped"]
+    assert acts["t.a"]["vacuumed_versions"] == []  # nothing claimed
+    assert "skipped" not in acts["t.b"]           # the other table maintained
+    assert acts["t.b"]["vacuumed_versions"]
+    # raced table's data intact and next pass (no race) succeeds
+    monkeypatch.setattr(TableCatalog, "compact", real_compact)
+    assert cat.read(spark, "t.a").count() == 100
+    acts2 = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1,
+                                                  target_bucket_bytes=256)}
+    assert "skipped" not in acts2.get("t.a", {})
