@@ -30,7 +30,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each queries() entry.
-    Approximate operators (ann_lsh_bucketed) are deliberately omitted
-    -> the driver records the weaker rows-only check for them."""
+    """DuckDB-runnable ANSI SQL twin for each queries() entry. As of
+    round 6, 225 of 226 queries are hash-checked — the approximate
+    operators (SimHash, LSH/IVF/IVF-PQ ANN, sketches) carry exact
+    oracles built on deterministic seeds/portable hashes, so both
+    engines reproduce even their MISSES. The one deliberate omission
+    is text_compression_ratio (zlib bytes are build-dependent) ->
+    rows-only check."""
     return registry.oracles()
