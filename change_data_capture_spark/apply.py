@@ -1154,11 +1154,17 @@ def apply_changes(
         for r in meta_rows:
             if r["is_ddl"]:
                 for entry in r["ddl_schemas"]:
-                    if ddl_dedup_state is not None:
-                        if ddl_dedup_state.get(r["table"]) == entry["schema"]:
-                            continue  # consecutive re-announcement (ST1)
-                        ddl_dedup_state[r["table"]] = entry["schema"]
+                    if ddl_dedup_state is not None and (
+                        ddl_dedup_state.get(r["table"]) == entry["schema"]
+                    ):
+                        continue  # consecutive re-announcement (ST1)
                     catalog.announce_schema(r["table"], entry["schema"])
+                    # record ONLY after the announce durably applied
+                    # (put_meta inside announce_schema): recording
+                    # first would mark a FAILED announcement as done
+                    # and suppress its retry forever (r6 review)
+                    if ddl_dedup_state is not None:
+                        ddl_dedup_state[r["table"]] = entry["schema"]
 
         dml = batch_df.filter(F.col("dml").isNotNull()).select("dml.*")
         tables = [
@@ -1565,10 +1571,16 @@ def auto_maintain(
 
     ``dry_run=True`` returns the planned actions without touching
     anything — the review mode a production schedule runs first. The
-    planned ``vacuumed_versions`` are computed under the SIMULATED
-    post-refresh protect_from floor (a live run refreshes derived
-    indexes before vacuuming, which raises the floor), so dry_run
-    reports exactly what the real run will reclaim.
+    planned ``vacuumed_versions`` for BASE tables are computed under
+    the SIMULATED post-refresh protect_from floor (a live run
+    refreshes derived indexes before vacuuming, which raises the
+    floor), so base-table reclaim is reported exactly. The stale
+    INDEX tables themselves may reclaim slightly MORE in the live run
+    than planned: the refresh publishes new index versions, shifting
+    their own keep_last window — how many versions a refresh publishes
+    depends on the batch content, so it cannot be simulated without
+    running it (documented under-report, bounded by the refresh's own
+    publish count).
     Returns one dict per table with the actions taken (or planned):
     ``{"table", "compacted", "new_buckets", "vacuumed_versions"}``;
     tables needing nothing are omitted. Decisions come from the

@@ -138,16 +138,22 @@ def _is_scalar_agg(node) -> bool:
         return False
 
 
-def bounded_rows(node) -> bool:
+def bounded_rows(node, _allow_agg: bool = True) -> bool:
     """True iff this subtree provably yields O(1)-ish rows at ANY
     corpus size. Conservative: unknown node kinds propagate their
     children's verdict only when that is safe (unary operators never
-    grow rows except Generate/explode, which is accepted only over a
-    bounded input — array growth over bounded rows stays bounded)."""
+    grow rows). Generate (explode) is the one row-GROWING unary: it is
+    certified only over driver-created data, because a scalar
+    aggregate's one row can carry an O(corpus) collect_list array —
+    explode(collect_list(corpus)) is corpus-scale again — so under a
+    Generate the scalar-aggregate certification is DISABLED (r6
+    review: that was a certifiable-unbounded false negative)."""
     node = unwrap(node)
     cn = _cls(node)
     if _is_scalar_agg(node):
-        return True
+        # one output ROW — but its array cells may hold O(corpus)
+        # elements; only safe while no Generate above can re-expand it
+        return _allow_agg
     if cn in _LIMIT_NODES:
         return True
     if cn in _BOUNDED_LEAVES:
@@ -157,25 +163,28 @@ def bounded_rows(node) -> bool:
     if cn == "ReusedExchangeExec":
         # child IS the original exchange subtree in Spark's tree
         try:
-            return bounded_rows(node.child())
+            return bounded_rows(node.child(), _allow_agg)
         except Exception:  # pragma: no cover
             return False
     if cn == "InMemoryTableScanExec":
         # look through the cache: a cached scalar aggregate certifies,
         # a cached corpus frame does not
         try:
-            return bounded_rows(node.relation().cachedPlan())
+            return bounded_rows(node.relation().cachedPlan(), _allow_agg)
         except Exception:  # pragma: no cover
             return False
+    if cn == "GenerateExec":
+        _allow_agg = False
     kids = children(node)
     if not kids:
         # unknown leaf: refuse to certify
         return False
-    # joins/unions/generate/unary ops: bounded inputs compose to
-    # bounded outputs (a join of bounded sides is at most the product
-    # of two bounded counts; filters/projects/sorts/exchanges preserve
-    # or shrink).
-    return all(bounded_rows(c) for c in kids)
+    # joins/unions/unary ops: bounded inputs compose to bounded
+    # outputs (a join of bounded sides is at most the product of two
+    # bounded counts; filters/projects/sorts/exchanges preserve or
+    # shrink; Generate over driver-created literals stays
+    # literal-sized).
+    return all(bounded_rows(c, _allow_agg) for c in kids)
 
 
 def _build_side_child(bnlj):

@@ -9609,12 +9609,17 @@ DRIVER_WINDOW: list[str] = [
     # family stays anchored via cdc_mongodb_apply +
     # cdc_goldengate_binary_e2e, and cdc_apply_stream is deliberately
     # re-checked because round 6 moved its DDL dedup out of the
-    # streaming plan (dedupe_ddl_batch). Three family-guard holds
-    # remain because their families have no hash-checkable
-    # never-checked member: er_golden_records (only er_ query),
-    # ann_topk_bruteforce (other ann_* are rows-only by design),
-    # temporal_scd2_lookup (r03-green; rotates variety vs r05's
-    # temporal_range_error_clicks).
+    # streaming plan (dedupe_ddl_batch). Two family-guard holds remain
+    # because their families have no hash-checkable never-checked
+    # member: er_golden_records (only er_ query), temporal_scd2_lookup
+    # (r03-green; rotates variety vs r05's temporal_range_error_clicks).
+    # The planned ann_topk_bruteforce hold became unnecessary
+    # mid-round: the ANN family's promotion to hash-checked oracles
+    # (deterministic seeds/planes + rounded-before-argmin) made
+    # ann_lsh_bucketed a NEVER-CHECKED hash-checkable member, so the
+    # ann_ slot is the 41st first-timer; ann_ivf / ann_ivfpq /
+    # dedup_simhash (also promoted, still never-checked) are round-7
+    # window candidates.
     # --- anchors (7)
     "p_ct_change_scan",
     "cdc_apply_stream",

@@ -237,15 +237,23 @@ def _split_clauses(body: str) -> list[str]:
     inside quoted defaults, emitting phantom unhandled rows). MySQL
     doubles quotes to escape them inside literals ('' / "" / ``) —
     handled naturally: the first quote closes, the second reopens,
-    and no comma can hide between them."""
+    and no comma can hide between them. Backslash escapes (MySQL's
+    DEFAULT mode, ``'it\\'s, fine'``) are handled explicitly: a
+    backslashed character inside a literal never closes the quote
+    (r6 review follow-up)."""
     clauses: list[str] = []
     buf: list[str] = []
     depth = 0
     quote: str | None = None
+    escaped = False
     for ch in body:
         if quote is not None:
             buf.append(ch)
-            if ch == quote:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == quote:
                 quote = None
         elif ch in "'\"`":
             quote = ch

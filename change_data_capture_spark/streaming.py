@@ -158,7 +158,9 @@ def dedupe_ddl_stream(changelog: DataFrame) -> DataFrame:
     return ddl_env.unionByName(dml_env)
 
 
-def dedupe_ddl_batch(batch_df: DataFrame, state: dict[str, str]) -> DataFrame:
+def dedupe_ddl_batch(
+    batch_df: DataFrame, state: dict[str, str]
+) -> tuple[DataFrame, dict[str, str]]:
     """ST1 per-micro-batch, driver-side: the foreachBatch twin of
     ``dedupe_ddl_stream``, with the schema cache held in a plain dict
     on the driver (the reference's own shape —
@@ -183,7 +185,17 @@ def dedupe_ddl_batch(batch_df: DataFrame, state: dict[str, str]) -> DataFrame:
     kept DDL rows precede all DML rows (original interleaving is not
     preserved) — exactly the DDL-before-DML order ``apply_changes``
     imposes anyway; a consumer needing arrival interleaving should use
-    ``dedupe_ddl_stream`` instead. The one behavioral delta is restart durability: the dict
+    ``dedupe_ddl_stream`` instead.
+
+    TWO-PHASE state contract (r6 review): ``state`` is READ ONLY here;
+    the returned ``updates`` dict must be merged into ``state``
+    (``state.update(updates)``) AFTER the returned frame is
+    successfully applied. Mutating at frame-build time would record an
+    announcement the apply then fails to land — a retry with the same
+    long-lived dict would suppress the replayed DDL forever and every
+    later DML would apply under the stale schema. The stateful leg
+    committed state only on successful batches; this contract keeps
+    that direction safe. The one behavioral delta is restart durability: the dict
     resets when the stream restarts, so the first re-announcement
     after a restart passes through — safe, because
     ``announce_schema`` is idempotent for an identical schema (the
@@ -198,14 +210,16 @@ def dedupe_ddl_batch(batch_df: DataFrame, state: dict[str, str]) -> DataFrame:
         .collect()
     )
     if not ddl_rows:
-        return batch_df
+        return batch_df, {}
     kept: list[tuple[str, str]] = []
+    updates: dict[str, str] = {}
     for r in ddl_rows:
-        if state.get(r["table"]) != r["schema_json"]:
+        last = updates.get(r["table"], state.get(r["table"]))
+        if last != r["schema_json"]:
             kept.append((r["table"], r["schema_json"]))
-        state[r["table"]] = r["schema_json"]
+        updates[r["table"]] = r["schema_json"]
     if len(kept) == len(ddl_rows):
-        return batch_df
+        return batch_df, updates
     ddl_type = _relax(CHANGE_SCHEMA["ddl"].dataType)
     dml_type = _relax(CHANGE_SCHEMA["dml"].dataType)
     env_schema = StructType(
@@ -217,7 +231,7 @@ def dedupe_ddl_batch(batch_df: DataFrame, state: dict[str, str]) -> DataFrame:
     dml_env = batch_df.filter(F.col("dml").isNotNull()).select(
         F.lit(None).cast(ddl_type).alias("ddl"), F.col("dml").cast(dml_type).alias("dml")
     )
-    return ddl_env.unionByName(dml_env)
+    return ddl_env.unionByName(dml_env), updates
 
 
 def interval_join_streams(

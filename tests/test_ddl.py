@@ -281,3 +281,14 @@ def test_canal_clause_split_respects_quoted_literals():
     assert t == "shop.orders"
     assert added == [("c", "string"), ("d", "decimal(10,2)"), ("e", "string")]
     assert un == ["DROP COLUMN legacy"]
+
+
+def test_canal_clause_split_respects_backslash_escapes():
+    """r6 review follow-up: MySQL's default backslash escaping —
+    a comma after an escaped quote must not split the literal."""
+    t, added, un = ddl.parse_canal_alter(
+        "ALTER TABLE t ADD c varchar(8) DEFAULT 'it\\'s, fine', ADD d int"
+    )
+    assert t == "t"
+    assert added == [("c", "string"), ("d", "int")]
+    assert un == []

@@ -140,3 +140,28 @@ def test_executed_plan_collector_sees_eager_builder_jobs(spark, sf_dir):
     )
     assert caught, "eager all-pairs job invisible to the collector"
     assert col.errors == 0
+
+
+def test_explode_of_scalar_aggregate_is_not_certified(spark, sf_dir):
+    """r6 review: explode(collect_list(corpus)) is corpus-scale again
+    even though the scalar aggregate beneath it is one row — a BNLJ
+    broadcasting that shape must trip the flag, while explode over
+    driver-created literals stays certified."""
+    from change_data_capture_spark.planaudit import analyze
+
+    docs = load(spark, sf_dir, "documents")
+    blown = docs.agg(F.collect_list("doc_id").alias("ids")).select(
+        F.explode("ids").alias("doc_id")
+    )
+    # a non-equi condition forces the BNLJ shape (an equi-key would
+    # compile to a broadcast HASH join and dodge the certification)
+    bad = docs.join(F.broadcast(blown), docs.doc_id > blown.doc_id)
+    facts = analyze(bad)
+    assert facts.bnlj >= 1 and facts.bnlj_unbounded >= 1, facts
+
+    lit = spark.createDataFrame([([1, 2, 3],)], "xs array<bigint>").select(
+        F.explode("xs").alias("x")
+    )
+    ok = docs.join(F.broadcast(lit), docs.doc_id > lit.x)
+    f2 = analyze(ok)
+    assert f2.bnlj >= 1 and f2.bnlj_unbounded == 0, f2.notes

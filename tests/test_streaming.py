@@ -151,21 +151,25 @@ def test_stateful_ddl_dedup_across_batches(spark, tmp_path):
 
 
 def test_dedupe_ddl_batch_bypasses_ddl_free_batches(spark):
-    """The foreachBatch dedup (the run_apply_stream fast path) returns
-    the INPUT FRAME OBJECT for a DML-only micro-batch — proof the
-    common case pays one pruned collect and zero plan rewrite — and
-    likewise when every DDL row is novel (nothing suppressed)."""
+    """The foreachBatch dedup returns the INPUT FRAME OBJECT for a
+    DML-only micro-batch — proof the common case pays one pruned
+    collect and zero plan rewrite — and likewise when every DDL row is
+    novel (nothing suppressed). The input state dict is NEVER mutated
+    (two-phase contract, r6 review: commit updates only after a
+    successful apply)."""
     from change_data_capture_spark.streaming import dedupe_ddl_batch
 
     base = spark.createDataFrame([(1, "a")], "id bigint, v string")
     dml_only = dml_records(base, "t.x", ["id"], version=1)
     state: dict = {}
-    assert dedupe_ddl_batch(dml_only, state) is dml_only
-    assert state == {}
+    out, upd = dedupe_ddl_batch(dml_only, state)
+    assert out is dml_only and upd == {} and state == {}
 
     with_ddl = ddl_record(spark, "t.x", base.schema.json()).unionByName(dml_only)
-    assert dedupe_ddl_batch(with_ddl, state) is with_ddl
-    assert state == {"t.x": base.schema.json()}
+    out2, upd2 = dedupe_ddl_batch(with_ddl, state)
+    assert out2 is with_ddl
+    assert upd2 == {"t.x": base.schema.json()}
+    assert state == {}, "frame-build must not mutate the caller's state"
 
 
 def test_dedupe_ddl_batch_suppresses_repeats_across_batches(spark):
@@ -179,30 +183,41 @@ def test_dedupe_ddl_batch_suppresses_repeats_across_batches(spark):
     s_b = spark.createDataFrame([(1, "a", 0.0)], "id bigint, v string, w double").schema.json()
     state: dict = {}
 
-    b1 = dedupe_ddl_batch(ddl_record(spark, "t.x", s_a), state)
+    b1, u1 = dedupe_ddl_batch(ddl_record(spark, "t.x", s_a), state)
     assert b1.filter(F.col("ddl").isNotNull()).count() == 1
+    state.update(u1)  # the caller commits after a successful apply
 
     base = spark.createDataFrame([(2, "b")], "id bigint, v string")
     b2_in = ddl_record(spark, "t.x", s_a).unionByName(
         dml_records(base, "t.x", ["id"], version=2)
     )
-    b2 = dedupe_ddl_batch(b2_in, state)
+    b2, u2 = dedupe_ddl_batch(b2_in, state)
     assert b2.filter(F.col("ddl").isNotNull()).count() == 0  # suppressed
     assert b2.filter(F.col("dml").isNotNull()).count() == 1  # DML intact
+    state.update(u2)
 
     b3_in = (
         ddl_record(spark, "t.x", s_b)
         .unionByName(ddl_record(spark, "t.x", s_b))
         .unionByName(ddl_record(spark, "t.y", s_a))
     )
-    b3 = dedupe_ddl_batch(b3_in, state)
+    b3, u3 = dedupe_ddl_batch(b3_in, state)
     got = [
         (r["ddl"]["table"], r["ddl"]["schema"])
         for r in b3.filter(F.col("ddl").isNotNull()).collect()
     ]
     assert sorted(got) == sorted([("t.x", s_b), ("t.y", s_a)])
+
+    # failed-apply semantics: WITHOUT committing u3, a retry sees the
+    # same novel DDL again (nothing was poisoned at frame-build time)
+    b3r, _ = dedupe_ddl_batch(ddl_record(spark, "t.x", s_b), state)
+    assert b3r.filter(F.col("ddl").isNotNull()).count() == 1
+    state.update(u3)
+    # committed: now the same re-announcement is suppressed
+    b3s, _ = dedupe_ddl_batch(ddl_record(spark, "t.x", s_b), state)
+    assert b3s.filter(F.col("ddl").isNotNull()).count() == 0
     # A again after B: passes (consecutive semantics, not seen-ever)
-    b4 = dedupe_ddl_batch(ddl_record(spark, "t.x", s_a), state)
+    b4, _ = dedupe_ddl_batch(ddl_record(spark, "t.x", s_a), state)
     assert b4.filter(F.col("ddl").isNotNull()).count() == 1
 
 

@@ -80,14 +80,22 @@ def main() -> int:
             pass
 
     times: dict[str, dict[str, float]] = {n: {} for n in names}
+    build_errors: list[tuple[str, str, str]] = []
     for sf in SFS:
         sf_dir = f"/root/testdata/sf{sf}"
         for name in names:
             best = float("inf")
-            for _ in range(runs):
-                t0 = time.time()
-                _force(qs[name](spark, sf_dir))
-                best = min(best, time.time() - t0)
+            try:
+                for _ in range(runs):
+                    t0 = time.time()
+                    _force(qs[name](spark, sf_dir))
+                    best = min(best, time.time() - t0)
+            except Exception as e:  # noqa: BLE001 - keep sweeping,
+                # record per-query (the warmup's except hides nothing
+                # here: a broken builder must surface as ITS row, not
+                # crash the whole gate with every timing discarded)
+                build_errors.append((name, sf, str(e)[:200]))
+                best = float("nan")
             times[name][sf] = best
             spark.catalog.clearCache()
 
@@ -96,6 +104,8 @@ def main() -> int:
     failures = []
     for name in names:
         t_small, t_mid, t_big = (times[name][sf] for sf in SFS)
+        if math.isnan(t_mid) or math.isnan(t_big):
+            continue  # build error already recorded as a failure
         ratio = t_big / t_mid if t_mid > 0 else float("inf")
         slope = math.log(ratio) / math.log(data_ratio) if ratio > 0 else 0.0
         flagged = ratio > THRESHOLD * data_ratio
@@ -111,7 +121,7 @@ def main() -> int:
         f"(noop sink, warm plans); gate: t(sf0.1)/t(sf0.01) must not "
         f"exceed {THRESHOLD} x the 10x data ratio. slope = log t-ratio "
         f"/ log 10 (~0 fixed-cost floor, ~1 linear, ~2 quadratic). "
-        f"{len(failures)} flagged.",
+        f"{len(failures)} flagged, {len(build_errors)} build errors.",
         "",
         "| query | sf0.001 | sf0.01 | sf0.1 | ratio 0.01→0.1 | slope | flag |",
         "|---|---|---|---|---|---|---|",
@@ -137,8 +147,10 @@ def main() -> int:
     )
     for name, ratio in failures:
         print(f"FLAG {name}: grew {ratio:.1f}x on 10x data")
+    for name, sf, err in build_errors:
+        print(f"FLAG {name}: build error at sf{sf}: {err}")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if (failures or build_errors) else 0
 
 
 if __name__ == "__main__":
