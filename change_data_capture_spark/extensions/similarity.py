@@ -1205,8 +1205,11 @@ def hybrid_retrieval(
         .select("query_id", "doc_id", "lex_rank")
     )
     dense_top = brute_force_topk(
-        emb, emb.filter(F.col(vec_id_col).isin(qids)), k=k, dim=None,
-        id_col=vec_id_col, vec_col=vec_col,
+        # .limit(len(qids)) is a semantic no-op (ids are unique) that
+        # makes the broadcast query side PROVABLY bounded in the plan
+        # (scale-audit certification) and lets the scan short-circuit
+        emb, emb.filter(F.col(vec_id_col).isin(qids)).limit(len(qids)),
+        k=k, dim=None, id_col=vec_id_col, vec_col=vec_col,
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("dense_rank")
     )

@@ -3045,7 +3045,9 @@ def ann_topk_bruteforce(spark, sf_dir):
     # at Q*N candidate volume. See similarity.dot for the measured
     # tradeoff (the O(N^2) verify stages keep the unroll).
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    # .limit(10) = semantic no-op (vec_id unique), provably-bounded
+    # broadcast side for the scale audit + short-circuiting seed scan
+    queries = emb.filter(F.col("vec_id") < 10).limit(10)
     return similarity.brute_force_topk(emb, queries, k=5, dim=None)
 
 
@@ -3882,7 +3884,7 @@ def embedding_knn_label_eval(spark, sf_dir):
     6dp-rounded cosine), majority with (count desc, label asc)
     tiebreak; per-label aggregation."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 100)
+    q = emb.filter(F.col("vec_id") < 100).limit(100)  # provably bounded
     topk = similarity.brute_force_topk(emb, q, k=5)
     nlbl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
     qlbl = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))

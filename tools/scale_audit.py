@@ -102,12 +102,19 @@ def main() -> int:
                     facts.bnlj += ef.bnlj
                     facts.notes.extend(f"[executed] {n}" for n in ef.notes)
             flags = []
-            if facts.cartesian and not ALLPAIRS_OK.match(name):
-                flags.append("all-pairs")
-            if facts.bnlj_unbounded and not ALLPAIRS_OK.match(name):
-                flags.append("bnlj-unbounded-side")
+            notes = []
+            if facts.cartesian:
+                (notes if ALLPAIRS_OK.match(name) else flags).append("all-pairs")
+            if facts.bnlj_unbounded:
+                (notes if ALLPAIRS_OK.match(name) else flags).append(
+                    "bnlj-unbounded-side"
+                )
             if facts.python_eval and not PYTHON_OK.match(name):
                 flags.append("python-eval")
+            if notes:
+                # allowlisted quadratic baselines: visible in the
+                # table as notes, never silently green (r6 review)
+                facts.notes.insert(0, "allowlisted baseline: " + "+".join(notes))
             rows.append((name, facts, n_jobs, flags, time.time() - t0))
             if flags:
                 failures.append(
@@ -139,10 +146,13 @@ def main() -> int:
         "|---|---|---|---|---|---|---|---|",
     ]
     for name, f, n_jobs, flags, _t in sorted(rows, key=lambda r: (-len(r[3]), r[0])):
+        cell = ", ".join(flags) or (
+            f.notes[0] if f.notes and f.notes[0].startswith("allowlisted") else ""
+        )
         lines.append(
             f"| {name} | {'Y' if f.cartesian else ''} | {f.bnlj or ''} "
             f"| {'Y' if f.python_eval else ''} | {f.shuffles} | {f.broadcasts} "
-            f"| {n_jobs} | {', '.join(flags)} |"
+            f"| {n_jobs} | {cell} |"
         )
     report = "\n".join(lines) + "\n"
     if out_path:
