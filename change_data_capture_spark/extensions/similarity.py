@@ -64,6 +64,15 @@ def dot(a, b, dim: int | None = None) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _require(**named: int) -> None:
+    """Fail-fast positive-integer parameter gate (repo convention:
+    a typo'd/degenerate parameter raises AT THE CALL, naming itself,
+    never as a silent empty result or a mid-job arithmetic error)."""
+    for name, v in named.items():
+        if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+            raise ValueError(f"{name}={v!r}: must be a positive integer")
+
+
 def norm(a, dim: int | None = None) -> F.Column:
     return F.sqrt(dot(a, a, dim))
 
@@ -84,6 +93,7 @@ def brute_force_topk(
     """Exact cosine top-k per query vector. The small query side is
     broadcast; ranking is a per-query window (ties broken by corpus id
     for determinism)."""
+    _require(k=k)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
     )
@@ -214,6 +224,12 @@ def lsh_ann_topk(
     plans fast and is right for the bucketed candidate volume; flip it
     on only if a profile shows per-pair scoring dominating (see
     dot())."""
+    _require(k=k, dim=dim, planes=planes)
+    if planes > 62:
+        raise ValueError(
+            f"planes={planes}: bucket ids are signed 64-bit longs; more "
+            f"than 62 sign bits would overflow the shiftleft"
+        )
     if multi_probe not in (0, 1):
         raise ValueError(
             f"multi_probe={multi_probe}: only 0 (exact bucket) and 1 "
@@ -339,6 +355,7 @@ def ivf_ann_topk(
     ids, and the seed vectors travel in the index) — no side-channel
     centroid file, and ``n_lists`` is IGNORED for the index path so a
     build/query parameter mismatch cannot silently orphan lists."""
+    _require(k=k, n_lists=n_lists, n_probe=n_probe)
     if index is not None:
         cent = index.join(
             index.select(F.col("list_id").alias(id_col)).distinct(), id_col
@@ -480,6 +497,9 @@ def kmeans_lloyd(
     Ties (on the 6dp-rounded cosine) break to the smaller cluster
     label; cluster labels are the seed vectors' ids (the k smallest
     corpus ids, the ivf_ann_topk seeding rule)."""
+    _require(k=k, dim=dim)
+    if not isinstance(iters, int) or isinstance(iters, bool) or iters < 0:
+        raise ValueError(f"iters={iters!r}: must be a non-negative integer")
     scale = float(1 << 30)
     e = (
         spread(vectors)
@@ -831,13 +851,19 @@ def pq_encode(
     kc=256 a codegen unit would bloat — there the codebook becomes a
     BROADCAST (sub, code) -> centroid table and the ADC a join, same
     zero-shuffle corpus side."""
-    assert dim % m == 0
+    _require(m=m, k=k, dim=dim)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub_d = dim // m
     seeds = (
         vectors.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in seeds]
-    assert len(cents) == k, f"corpus smaller than codebook k={k}"
+    if len(cents) != k:
+        raise ValueError(
+            f"corpus has only {len(cents)} vectors — smaller than the "
+            f"codebook k={k}"
+        )
 
     # Three stacked projections keep the expression tree small: cast
     # each element once, difference each (element, centroid) pair once,
@@ -938,7 +964,17 @@ def ivfpq_ann_topk(
     codebook inlined as literals (no table, no join for the distance
     math); the only joins are the id-keyed code attach and the list-id
     candidate equi-join. Approximate by design (IVF recall x PQ
-    ranking noise) -> rows-only gate + recall floors in tests."""
+    ranking noise); deterministic seeding + rounded-before-argmin
+    distances make it oracle-reproducible (hash-checked since r6) —
+    recall floors additionally asserted in tests."""
+    _require(k=k, n_lists=n_lists, n_probe=n_probe, m=m, kc=kc, rerank=rerank)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if rerank < k:
+        raise ValueError(
+            f"rerank={rerank} < k={k}: the exact-rerank shortlist would "
+            f"silently return fewer than k neighbors"
+        )
     sub_d = dim // m
     if index is not None:
         # centroids re-derive from the index's OWN distinct list ids
@@ -1178,7 +1214,10 @@ def hybrid_retrieval(
     for the inverted-index and IVF operators, same fusion."""
     from .text import tokens as _tokens
 
+    _require(k=k, rrf_k=rrf_k)
     qids = list(query_ids)
+    if not qids:
+        raise ValueError("query_ids is empty: nothing to retrieve for")
     tok = (
         _tokens(docs, id_col=doc_id_col, text_col=text_col)
         .filter(F.col("token") != "")

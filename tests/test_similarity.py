@@ -246,3 +246,34 @@ def test_hybrid_retrieval_rrf_semantics(spark):
             for c in ("dense_rank", "lex_rank") if r[c] is not None
         )
         assert r["rrf_score"] == want, (r, want)
+
+
+def test_similarity_params_fail_fast(spark, sf_dir):
+    """ADVICE r6 follow-up area: degenerate/typo'd parameters raise at
+    the call naming themselves — never a silent empty result, a
+    shiftleft overflow, or a mid-job arithmetic error."""
+    import pytest
+
+    from change_data_capture_spark.extensions import similarity as sm
+    from conftest import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.limit(2)
+    with pytest.raises(ValueError, match="k=0"):
+        sm.brute_force_topk(emb, q, k=0)
+    with pytest.raises(ValueError, match="planes=63"):
+        sm.lsh_ann_topk(emb, q, k=5, dim=64, planes=63)
+    with pytest.raises(ValueError, match="n_probe=0"):
+        sm.ivf_ann_topk(emb, q, k=5, n_lists=16, n_probe=0)
+    with pytest.raises(ValueError, match="not divisible"):
+        sm.pq_encode(emb, m=7, k=16, dim=64)
+    with pytest.raises(ValueError, match="smaller than the"):
+        sm.pq_encode(emb.limit(3), m=8, k=16, dim=64)
+    with pytest.raises(ValueError, match="rerank=3 < k=5"):
+        sm.ivfpq_ann_topk(emb, q, k=5, rerank=3)
+    with pytest.raises(ValueError, match="query_ids is empty"):
+        sm.hybrid_retrieval(
+            load(spark, sf_dir, "documents"), emb, query_ids=[], k=5
+        )
+    with pytest.raises(ValueError, match="iters=-1"):
+        sm.kmeans_lloyd(emb, k=4, iters=-1)
