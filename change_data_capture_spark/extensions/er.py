@@ -104,7 +104,13 @@ def golden_records(
     fill gaps from the feed' policy. One equi-join per side on the
     match table, then a per-entity max-collapse for safety when a
     master matched several feed rows (deterministic: greatest value
-    wins ties)."""
+    wins ties). ``prefer`` must name at least one column — an empty
+    survivorship spec has nothing to merge (and would previously crash
+    inside groupBy().agg() with a bare assertion; r6 review)."""
+    if not prefer:
+        raise ValueError(
+            "prefer is empty: survivorship needs at least one column to merge"
+        )
     l_cols = [F.col(c).alias(f"__l_{c}") for c in prefer]
     r_cols = [F.col(c).alias(f"__r_{c}") for c in prefer]
     joined = (

@@ -266,6 +266,12 @@ def ks_drift(base: DataFrame, current: DataFrame, col: str) -> DataFrame:
             .cast("bigint")
             .alias("c_cur"),
         )
+        # persisted: the two nested prefix_sum calls each issue TWO
+        # driver actions (min/max + per-bucket partials) and the final
+        # aggregates rescan — without the cache the union+groupBy over
+        # both FULL snapshots recomputes ~5x (r6 review; the
+        # kth_order_statistic persist rule). O(distinct values) rows.
+        .persist()
     )
     cum = prefix_sum(
         prefix_sum(per_value, "__x", "c_base", out_col="cum_base"),
@@ -281,7 +287,7 @@ def ks_drift(base: DataFrame, current: DataFrame, col: str) -> DataFrame:
         F.sum("c_cur").cast("bigint").alias("t_cur"),
     )
     scored = cum.crossJoin(F.broadcast(totals))
-    return scored.agg(
+    out = scored.agg(
         F.max(
             F.abs(
                 F.col("cum_base").cast(d) * F.col("t_cur").cast(d)
@@ -292,7 +298,13 @@ def ks_drift(base: DataFrame, current: DataFrame, col: str) -> DataFrame:
         .alias("ks_num"),
         F.first("t_base").alias("t_base"),
         F.first("t_cur").alias("t_cur"),
-    )
+    ).persist()
+    try:
+        out.count()  # materialize the 1-row result, then release the
+        # O(distinct) cache (persist-once-materialized discipline)
+        return out
+    finally:
+        per_value.unpersist()
 
 
 def ks_stat(ks_row) -> float:

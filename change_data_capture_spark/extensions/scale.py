@@ -66,8 +66,12 @@ def histogram(
     buckets. One partial-aggregated shuffle of at most ``buckets``
     groups."""
     width = (hi - lo) / buckets
-    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).cast("int")
+    # clamp in the DOUBLE domain BEFORE floor (the numeric_drift rule,
+    # r6 review): floor of a far-outlier/inf quotient overflows BIGINT
+    # and dies under ANSI before a post-floor clamp could save it
+    scaled = (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(float(buckets - 1)))
+    b = F.floor(clamped).cast("int")
     return (
         df.select(b.alias("bucket"))
         .groupBy("bucket")
@@ -489,6 +493,17 @@ def prefix_sum(
             "(the driver-side bucket offsets are integers — cast "
             "fractional values to a scaled integer first)"
         )
+    ot = dict(df.dtypes)[order_col]
+    if ot not in (
+        "int", "bigint", "smallint", "tinyint", "long", "float", "double"
+    ) and not ot.startswith("decimal"):
+        # fail fast naming the column (r6 review): a string order
+        # column would hit CAST_INVALID_INPUT mid-job under ANSI — or
+        # silently produce an all-NULL running total without it
+        raise ValueError(
+            f"prefix_sum needs a numeric order column (range bucketing "
+            f"casts it to double); {order_col!r} is {ot}"
+        )
     lo, hi = df.agg(
         F.min(order_col).cast("double"), F.max(order_col).cast("double")
     ).first()
@@ -549,14 +564,22 @@ def clamp_to_txn_boundary(
     two-phase ``prefix_sum`` over O(#txns) rows, and a semi-join back
     to the feed — never a global sort of the rows."""
     order_col = order_col or txn_col
+    # persisted: prefix_sum issues two driver actions over this frame
+    # and the semi-join scans it again — without the cache the full
+    # feed's groupBy recomputes three times (r6 review). O(#txns) rows.
     per_txn = feed.groupBy(F.col(txn_col).alias("__txn")).agg(
         F.count(F.lit(1)).alias("__n"), F.min(order_col).alias("__ord")
-    )
-    cum = prefix_sum(per_txn, "__ord", "__n", out_col="__cum", tie_cols=["__txn"])
-    kept = cum.filter(
-        (F.col("__cum") <= max_rows) | (F.col("__cum") == F.col("__n"))
-    ).select(F.col("__txn").alias(txn_col))
-    return feed.join(kept, on=txn_col, how="left_semi")
+    ).persist()
+    try:
+        cum = prefix_sum(per_txn, "__ord", "__n", out_col="__cum", tie_cols=["__txn"])
+        kept = cum.filter(
+            (F.col("__cum") <= max_rows) | (F.col("__cum") == F.col("__n"))
+        ).select(F.col("__txn").alias(txn_col))
+        out = feed.join(kept, on=txn_col, how="left_semi").persist()
+        out.count()  # materialize before releasing the txn cache
+        return out
+    finally:
+        per_txn.unpersist()
 
 
 def zorder_expr(
@@ -580,16 +603,19 @@ def zorder_expr(
         raise ValueError("zorder needs >= 2 columns; sort plain columns instead")
     if n * bits > 63:
         raise ValueError(f"{n} cols x {bits} bits exceeds a signed bigint")
-    cells = F.lit((1 << bits) - 1)
     qs = []
     for name, lo, hi in specs:
         scaled = (
             (F.col(name).cast("double") - F.lit(float(lo)))
             / F.lit((float(hi) - float(lo)) / (1 << bits))
         )
-        qs.append(
-            F.least(cells, F.greatest(F.lit(0), F.floor(scaled).cast("bigint")))
+        # clamp in the DOUBLE domain BEFORE floor (numeric_drift rule,
+        # r6 review): floor of a far-outlier quotient overflows BIGINT
+        # under ANSI before a post-floor clamp runs
+        clamped = F.least(
+            F.greatest(scaled, F.lit(0.0)), F.lit(float((1 << bits) - 1))
         )
+        qs.append(F.floor(clamped).cast("bigint"))
     key = F.lit(0).cast("bigint")
     for i in range(bits):
         for j, q in enumerate(qs):
@@ -641,7 +667,15 @@ def context_windows(
         raise ValueError(f"window size must be positive, got {size}")
     if base_offset < 0:
         raise ValueError(f"base_offset must be >= 0, got {base_offset}")
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # empty/whitespace-only docs carry ZERO tokens — split("") returns
+    # [""] (size 1) in both engines and would inflate the token stream
+    # by one per empty doc, shifting every downstream offset and
+    # breaking the base_offset incremental contract (r6 review)
+    n_tokens = (
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+    )
     t = docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
     c = prefix_sum(t, id_col, "n_tokens", out_col="__cum")
     c = c.select(
@@ -651,6 +685,9 @@ def context_windows(
     )
     first_w = F.expr(f"__start div {size}")
     last_w = F.expr(f"(__start + n_tokens - 1) div {size}")
+    # zero-token docs occupy no window span (and sequence(first, last)
+    # with last < first would emit a DESCENDING bogus span)
+    c = c.filter(F.col("n_tokens") > 0)
     spans = c.select(
         F.col(id_col),
         "n_tokens",
@@ -703,7 +740,12 @@ def kth_order_statistic(
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    sub = df.select(F.col(value_col).alias("__v"))
+    # nulls stripped UP FRONT: count("__v") already excludes them, but
+    # the small-frame orderBy path sorts NULLS FIRST and would return
+    # a null (or shift every k by the null count) — r6 review.
+    sub = df.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
     for _ in range(64):  # floats collapse in ~6 rounds; hard stop
         lo, hi, cnt = sub.agg(
             F.min("__v"), F.max("__v"), F.count("__v")

@@ -141,7 +141,11 @@ def url_duplicates(
     recrawl count."""
     canon = docs.select(
         F.col(id_col), canonical_url(F.col(url_col)).alias("url_canon")
-    )
+    ).filter(F.col("url_canon").isNotNull())
+    # NULL urls are excluded, not grouped: Window.partitionBy puts all
+    # nulls in ONE partition, which would report every url-less doc as
+    # a duplicate of the smallest-id one — the synthetic-key collapse
+    # canonical_url's contract forbids for malformed urls (r6 review)
     from pyspark.sql import Window
 
     keeper = F.min(id_col).over(Window.partitionBy("url_canon"))
@@ -286,8 +290,14 @@ def domain_stats(
     return canon.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("url_canon").alias("n_pages"),
+        # greatest(.., 1): the NULL-domain group's countDistinct is 0
+        # (countDistinct skips nulls) and the division would die with
+        # DIVIDE_BY_ZERO under ANSI (r6 review; same guard as
+        # html_extract's text-length ratio)
         F.round(
-            F.count(F.lit(1)) / F.countDistinct("url_canon"), 6
+            F.count(F.lit(1))
+            / F.greatest(F.countDistinct("url_canon"), F.lit(1)),
+            6,
         ).alias("recrawl_ratio"),
     )
 
@@ -592,8 +602,13 @@ def blocklist_filter(
     dom_rules = rules.filter(F.col("kind") == "domain").select(
         F.col("pattern").alias("__pat")
     )
+    # the PATTERN goes through the same canonicalization as the doc
+    # urls it is compared against (r6 review): a raw mixed-case or
+    # slash-terminated rule ('http://Ads.Example.com/banner/') would
+    # never prefix-match a canonical url and silently under-block
     pre_rules = rules.filter(F.col("kind") == "url_prefix").select(
-        F.col("pattern").alias("__pat"),
+        F.col("pattern").alias("rule"),
+        canonical_url(F.col("pattern")).alias("__pat"),
         url_domain(F.col("pattern")).alias("__pat_dom"),
     )
 
@@ -616,7 +631,7 @@ def blocklist_filter(
     pre_hits = (
         canon.join(pre_rules, canon["domain"] == pre_rules["__pat_dom"])
         .filter(F.col("url_canon").startswith(F.col("__pat")))
-        .select(F.col(id_col), F.col("__pat").alias("rule"))
+        .select(F.col(id_col), "rule")  # report the rule AS WRITTEN
     )
 
     matches = (

@@ -5715,7 +5715,9 @@ def corpus_pack_batches(spark, sf_dir):
     r"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -5730,6 +5732,7 @@ def corpus_pack_batches(spark, sf_dir):
              unnest(generate_series(st // 128, (st + n_tokens - 1) // 128))
                AS window_id
       FROM c
+      WHERE n_tokens > 0
     )
     SELECT window_id, doc_id,
            greatest(window_id * 128 - st, 0) AS tok_start,

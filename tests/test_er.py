@@ -97,3 +97,17 @@ def test_blocked_match_degenerate_block_cap(spark):
     full_pairs = {(r.left_id, r.right_id) for r in full.collect()}
     assert (90, 1090) in full_pairs
     assert len(full_pairs) > 51
+
+
+def test_golden_records_requires_prefer_columns(spark):
+    """r6 review: the old default prefer=() crashed inside
+    groupBy().agg() with a bare assertion; it now fails fast."""
+    import pytest
+
+    from change_data_capture_spark.extensions import er
+
+    m = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    l = spark.createDataFrame([(1, "a")], "rec_id long, name string")
+    r = spark.createDataFrame([(2, "b")], "rec_id long, name string")
+    with pytest.raises(ValueError, match="prefer is empty"):
+        er.golden_records(m, l, r)

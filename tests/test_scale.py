@@ -486,3 +486,65 @@ class TestMadOutliers:
             assert got[g] == (med, mad, len(vals), out), g
         assert got["b"][1] == 0  # constant bulk -> MAD 0
         assert got["b"][3] == 2  # the two deviants flagged
+
+
+def test_kth_order_statistic_ignores_nulls(spark):
+    """r6 review: orderBy sorts NULLS FIRST — the small-frame collect
+    path must not return a null or shift k by the null count."""
+    from change_data_capture_spark.extensions.scale import kth_order_statistic
+
+    df = spark.createDataFrame(
+        [(None,), (10.0,), (None,), (20.0,), (30.0,)], "v double"
+    )
+    assert kth_order_statistic(df, "v", 0) == 10.0
+    assert kth_order_statistic(df, "v", 2) == 30.0
+
+
+def test_histogram_clamps_outliers_before_floor(spark):
+    """r6 review: a far-outlier/inf value must clamp into the edge
+    bucket, not overflow floor's BIGINT under ANSI."""
+    from change_data_capture_spark.extensions.scale import histogram
+
+    df = spark.createDataFrame(
+        [(0.05,), (1e300,), (float("inf"),), (-1e300,)], "v double"
+    )
+    got = {r["bucket"]: r["n"] for r in histogram(df, "v", lo=0.0, hi=1.0, buckets=10).collect()}
+    assert got == {0: 2, 9: 2}  # outliers clamp to the edges
+
+
+def test_zorder_expr_clamps_outliers_before_floor(spark):
+    from change_data_capture_spark.extensions.scale import zorder_expr
+
+    df = spark.createDataFrame([(1e300, -1e300), (0.5, 0.5)], "x double, y double")
+    rows = df.select(zorder_expr(("x", 0.0, 1.0), ("y", 0.0, 1.0)).alias("z")).collect()
+    assert all(r["z"] is not None and r["z"] >= 0 for r in rows)
+
+
+def test_context_windows_empty_docs_occupy_no_tokens(spark):
+    """r6 review: split('') returns [''] (size 1) — empty docs must
+    contribute ZERO tokens and no window span, or every downstream
+    offset shifts."""
+    from change_data_capture_spark.extensions.scale import context_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, "   "), (4, "e f g h")],
+        "doc_id long, text string",
+    )
+    out = context_windows(docs, size=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 4}  # empty docs emit no span
+    # doc 4 starts exactly where doc 1 ended: window 1, position 0
+    (w4,) = by_doc[4]
+    assert (w4["window_id"], w4["pos_in_window"]) == (1, 0)
+
+
+def test_prefix_sum_rejects_non_numeric_order_column(spark):
+    import pytest
+
+    from change_data_capture_spark.extensions.scale import prefix_sum
+
+    df = spark.createDataFrame([("doc_001", 3)], "id string, n bigint")
+    with pytest.raises(ValueError, match="'id' is string"):
+        prefix_sum(df, "id", "n")

@@ -450,3 +450,49 @@ def test_blocklist_min_rule_deterministic_and_unmatched_null(spark):
     out = {r.doc_id: r for r in web.blocklist_filter(docs, rules).collect()}
     assert out[1].matched_rule == "a.b.com"  # min() of the two matches
     assert out[2].matched_rule is None and not out[2].blocked
+
+
+def test_url_duplicates_never_groups_null_urls(spark):
+    """r6 review: url-less docs must not collapse into one synthetic
+    NULL-key group and report each other as duplicates."""
+    from change_data_capture_spark.extensions import web
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "http://a.com/x"), (4, "http://a.com/x")],
+        "doc_id long, url string",
+    )
+    got = {(r["dup_id"], r["keeper_id"]) for r in web.url_duplicates(docs).collect()}
+    assert got == {(4, 3)}
+
+
+def test_domain_stats_survives_null_urls(spark):
+    """r6 review: the NULL-domain group's countDistinct is 0 — the
+    recrawl ratio must not DIVIDE_BY_ZERO under ANSI."""
+    from change_data_capture_spark.extensions import web
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "http://a.com/x"), (3, "http://a.com/x")],
+        "doc_id long, url string",
+    )
+    got = {r["domain"]: (r["n_docs"], r["n_pages"]) for r in web.domain_stats(docs).collect()}
+    assert got["a.com"] == (2, 1)
+    assert got[None] == (1, 0)
+
+
+def test_blocklist_prefix_rules_are_canonicalized(spark):
+    """r6 review: a raw mixed-case slash-terminated url_prefix rule
+    must match canonicalized doc urls (silent under-blocking), and the
+    report carries the rule AS WRITTEN."""
+    from change_data_capture_spark.extensions import web
+
+    docs = spark.createDataFrame(
+        [(1, "http://ads.example.com/banner/x.gif"), (2, "http://ok.example.com/p")],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("http://Ads.Example.com/banner/", "url_prefix")], "pattern string, kind string"
+    )
+    got = {r["doc_id"]: (r["blocked"], r["matched_rule"])
+           for r in web.blocklist_filter(docs, rules).collect()}
+    assert got[1] == (True, "http://Ads.Example.com/banner/")
+    assert got[2] == (False, None)
