@@ -82,12 +82,26 @@ def maintain_aggregate(
         .distinct()
     )
 
+    # NULL-SAFE key matching (r6 review): groupBy produces a NULL
+    # group, but a plain semi/anti join on the keys is null-unsafe —
+    # the NULL group would never be recomputed (fresh misses it) AND
+    # never dropped from prev (anti keeps it), leaving its aggregate
+    # permanently stale after any change to null-keyed rows.
+    def _nullsafe(left, right):
+        cond = None
+        for c in keys:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
+
+    aff1 = affected.alias("__a1")
     fresh = (
-        base.join(affected, keys, "left_semi")
+        base.join(aff1, _nullsafe(base, aff1), "left_semi")
         .groupBy(*keys)
         .agg(*agg_exprs)
     )
-    kept = prev.join(affected, keys, "left_anti")
+    aff2 = affected.alias("__a2")
+    kept = prev.join(aff2, _nullsafe(prev, aff2), "left_anti")
     return kept.unionByName(fresh)
 
 

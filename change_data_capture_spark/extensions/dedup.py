@@ -63,8 +63,20 @@ def shingles(
     substr(...)) is ~9x slower because higher-order functions are
     interpreted per element."""
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))))
-    out = spread(docs).select(F.col(id_col), F.col(text_col), pos.alias("i")).select(
-        F.col(id_col), F.col(text_col).substr(F.col("i"), F.lit(n)).alias("sh")
+    # NULL-text docs are EXCLUDED from similarity entirely (r6 review,
+    # confirmed by execution): substr(NULL) yields NULL shingles whose
+    # xxhash64 is a non-null CONSTANT, so two content-less docs got
+    # identical MinHash signatures, collided in every band, and the
+    # exact verify then divided 0/0 (both shingle sets empty) — an
+    # ANSI crash AND a violation of the equals-brute-force contract
+    # (the brute-force path never pairs them: NULL join keys).
+    out = (
+        spread(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col), pos.alias("i"))
+        .select(
+            F.col(id_col), F.col(text_col).substr(F.col("i"), F.lit(n)).alias("sh")
+        )
     )
     return out.distinct() if distinct else out
 
@@ -543,6 +555,16 @@ def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         labels = new_labels.drop("prev")
         if changed == 0:
             break
+    else:  # pragma: no cover - needs a >max_iter-diameter chain
+        edges.unpersist()
+        # refusing loudly beats silently splitting one real component
+        # into several clusters (r6 review: a 30-doc drifting-template
+        # chain exceeds 25 min-label hops)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — a component's diameter "
+            f"exceeds max_iter; raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -970,6 +992,15 @@ def jaccard_score_histogram(
     doubles but 7 in decimals; engines would disagree). Shingle sets
     are recomputed for PAIR DOCS ONLY (the `_verify_pairs` semi-join
     shape), so cost is O(near-dup docs), not O(corpus)."""
+    # normalize pair orientation up front (r6 review, confirmed by
+    # execution): the incremental paths (minhash_lsh_against[_index])
+    # emit (new_id, corpus_id) pairs where a_id > b_id is routine, and
+    # the a_id < b_id intersection filter silently dropped them from
+    # the histogram
+    pairs = pairs.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+    )
     ids = (
         pairs.select(F.col("a_id").alias(id_col))
         .unionByName(pairs.select(F.col("b_id").alias(id_col)))

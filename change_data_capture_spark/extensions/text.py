@@ -35,7 +35,11 @@ def tokens(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -
 
 def token_stats(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc token counts: whitespace tokens, distinct tokens, and a
-    BPE-ish subword proxy (4-char chunks of the de-spaced text)."""
+    BPE-ish subword proxy (4-char chunks of the de-spaced text).
+    NULL text coalesces to '' (the all-docs output contract
+    language_id pins; r6 review: the token-explode inner join silently
+    dropped NULL-text docs from the output)."""
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     compact_len = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     t = tokens(docs, id_col=id_col, text_col=text_col)
@@ -51,7 +55,12 @@ def token_stats(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
 
 def quality_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score. Every ratio is
-    double arithmetic over integer counts -> engine-reproducible."""
+    double arithmetic over integer counts -> engine-reproducible.
+    NULL text coalesces to '' (all-docs contract) and every character
+    denominator is floored at 1 — an empty doc scores zero ratios
+    instead of dying with DIVIDE_BY_ZERO under ANSI (r6 review,
+    confirmed by execution; same guard as regex_token_stats)."""
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = F.size(F.split(F.trim(text), r"\s+"))
@@ -59,8 +68,8 @@ def quality_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "
     n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
     compact = F.length(F.regexp_replace(text, r"\s", ""))
     mean_tok_len = compact.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / n_chars
-    digit_ratio = n_digit.cast("double") / n_chars
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digit.cast("double") / F.greatest(n_chars, F.lit(1))
 
     t = tokens(docs, id_col=id_col, text_col=text_col)
     sw = F.when(F.col("token").isin(*STOPWORDS["en"]), 1).otherwise(0)
@@ -276,7 +285,9 @@ def repetition_scores(docs: DataFrame, *, id_col: str = "doc_id", text_col: str 
     the ONE split array — whole-stage codegen, no HOF transform, no
     per-token self-join — then two partial-aggregated hash shuffles
     (per-(doc,bigram), per-doc). Integer counts + one final division:
-    engine-exact."""
+    engine-exact. NULL text coalesces to '' (all-docs contract;
+    r6 review)."""
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     text = F.trim(F.lower(F.col(text_col)))
     arr = F.split(text, r"\s+")
     base = docs.select(F.col(id_col), F.size(arr).cast("bigint").alias("n_tokens"))
@@ -544,19 +555,19 @@ def pii_scan(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
 
     A pure narrow map (regexp_count + chained regexp_replace, all
     JVM codegen): zero shuffles, streams over a 100 TB corpus at scan
-    speed. Counts are taken on the ORIGINAL text per class (the
-    classes are constructed non-overlapping: digit runs require >= 9
-    consecutive digits, phones require separators, IPs require dots);
-    redaction applies the classes in PII_PATTERNS order so nested
-    matches (digits inside an already-redacted email) cannot double
-    fire."""
-    text = F.col(text_col)
-    counts = [
-        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}s")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    red = text
-    for _, pat, token in PII_PATTERNS:
+    speed. Each class is counted on the PROGRESSIVELY-REDACTED text —
+    the same chain the redaction itself walks — so counts and
+    redaction always agree: a 9-digit local part inside an email
+    counts ONCE as an email, never again as an id number (r6 review,
+    confirmed by execution: counting every class on the original text
+    double-counted nested matches and contradicted the docstring's
+    non-overlap claim)."""
+    red = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).cast("bigint").alias(f"n_{name}s")
+        )
         red = F.regexp_replace(red, pat, token)
     out = docs.select(F.col(id_col), *counts, red.alias("redacted_text"))
     total = None
@@ -1516,15 +1527,19 @@ def compression_ratio(
                 ratio.append(round(c / len(b), 6) if b else 1.0)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],  # carry the input id dtype
                     "utf8_len": pd.Series(raw_len, dtype="int64"),
                     "compressed_len": pd.Series(comp_len, dtype="int64"),
                     "compression_ratio": pd.Series(ratio, dtype="float64"),
                 }
             )
 
+    # the id column keeps ITS OWN type (r6 review: astype('int64') +
+    # a hardcoded 'long' schema crashed on the string doc ids every
+    # other operator in the module supports)
+    id_type = src.schema[id_col].dataType.simpleString()
     return src.mapInPandas(
         batches,
-        f"{id_col} long, utf8_len long, compressed_len long, "
+        f"{id_col} {id_type}, utf8_len long, compressed_len long, "
         "compression_ratio double",
     )

@@ -77,7 +77,20 @@ def normalize_raw_ops(raw: DataFrame) -> DataFrame:
     op = F.when(op.isNotNull(), op).otherwise(
         F.raise_error(F.concat(F.lit("unknown op_type: "), F.col("op_type")))
     )
-    merged = F.map_zip_with("before", "after", lambda _, b, a: F.coalesce(a, b))
+    # Present-in-after WINS even when its value is NULL (an explicit
+    # SET NULL must reach the replica); only keys ABSENT from the
+    # after map fall back to the before image. coalesce(a, b) cannot
+    # distinguish present-null from absent (r6 review, confirmed by
+    # execution: a SET-NULL kept the stale before value forever) —
+    # map_contains_key can, the same test patch_updates uses for the
+    # identical Mongo $unset case.
+    merged = F.map_zip_with(
+        "before",
+        "after",
+        lambda k, b, a: F.when(
+            F.map_contains_key(F.col("after"), k), a
+        ).otherwise(b),
+    )
     # UPDATE with no before image degrades to the after image alone.
     update_values = (
         F.when(F.col("before").isNull(), F.col("after"))
@@ -91,10 +104,19 @@ def normalize_raw_ops(raw: DataFrame) -> DataFrame:
             values_col.alias("rows_values"),
         )
 
+    # The split fires only when the after image actually CONTAINS the
+    # key columns: a compressed update that omits the unchanged pk
+    # (GoldenGate-style) renders an empty after-pk string and would
+    # otherwise split into DELETE + a keyless INSERT (r6 review,
+    # confirmed by execution) instead of the per-column merge.
+    after_has_pks = F.forall(
+        "primary_keys", lambda k: F.map_contains_key(F.col("after"), k)
+    )
     pk_changed = (
         (op == "UPDATE")
         & F.col("before").isNotNull()
         & F.col("after").isNotNull()
+        & after_has_pks
         & (_pk_image("before") != _pk_image("after"))
     )
 

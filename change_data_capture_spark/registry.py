@@ -3368,8 +3368,8 @@ _QUALITY_CTE = r"""
     ),
     q AS (
       SELECT d.doc_id,
-             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
-                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 2, 0.5)
+                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 2, 0.3)
                        + least(swr.stopword_ratio, 0.2), 6) AS quality_score
       FROM documents d JOIN swr ON swr.doc_id = d.doc_id
     )
@@ -4083,12 +4083,12 @@ def text_token_stats(spark, sf_dir):
            round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
                  / length(string_split_regex(trim(text), '\s+')), 6) AS mean_token_len,
            round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) AS punct_ratio,
+                 / greatest(length(text), 1), 6) AS punct_ratio,
            round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) AS digit_ratio,
+                 / greatest(length(text), 1), 6) AS digit_ratio,
            round(swr.stopword_ratio, 6) AS stopword_ratio,
-           round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
-                     - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+           round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 2, 0.5)
+                     - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 2, 0.3)
                      + least(swr.stopword_ratio, 0.2), 6) AS quality_score
     FROM documents d JOIN swr ON swr.doc_id = d.doc_id
     """,
@@ -5259,8 +5259,8 @@ def corpus_budget_sample(spark, sf_dir):
     ),
     score AS (
       SELECT d.doc_id,
-             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.5)
-                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6) * 2, 0.3)
+             round(1.0 - least(round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 2, 0.5)
+                       - least(round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) * 2, 0.3)
                        + least(swr.stopword_ratio, 0.2), 6) AS quality_score
       FROM documents d JOIN swr ON swr.doc_id = d.doc_id
     ),
@@ -5804,29 +5804,40 @@ def text_chunk_dedup(spark, sf_dir):
                   || CAST(900000000 + doc_id AS VARCHAR) AS text
       FROM documents
     )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
-                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4s,
-           CAST(len(regexp_extract_all(text,
-                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_id_numbers,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
-               '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g'),
-             '[0-9]{9,}', '[ID]', 'g') AS redacted_text,
-           CAST(len(regexp_extract_all(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(text,
-                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
-              + len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))
-              + len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_pii_total
-    FROM d
+    ,
+    -- progressive counting (lockstep with pii_scan, r6): class i is
+    -- counted on the text with classes < i already redacted, so a
+    -- nested match (digit run inside an email) counts exactly once
+    s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+      FROM d
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1,
+                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4s,
+             regexp_replace(t1,
+                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_emails, n_ipv4s,
+             CAST(len(regexp_extract_all(t2,
+                  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+             regexp_replace(t2,
+                  '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, n_emails, n_ipv4s, n_phones,
+           CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_id_numbers,
+           regexp_replace(t3, '[0-9]{9,}', '[ID]', 'g') AS redacted_text,
+           CAST(n_emails + n_ipv4s + n_phones
+              + len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_pii_total
+    FROM s3
     """,
 )
 def text_pii_redact(spark, sf_dir):

@@ -426,3 +426,35 @@ def test_narrowed_config_adversarial_boilerplate_envelope(spark):
         )
     finally:
         sig.unpersist()
+
+
+def test_minhash_survives_null_text_docs(spark, sf_dir):
+    """r6 review (confirmed by execution pre-fix): two NULL-text docs
+    got identical constant signatures, collided in every band, and the
+    exact verify divided 0/0 under ANSI. Content-less docs are now
+    excluded from similarity entirely — matching the brute-force
+    baseline, which never pairs them (NULL join keys)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    with_nulls = docs.unionByName(
+        spark.createDataFrame([(900001, None), (900002, None)], "doc_id long, text string")
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_duplicates(
+            with_nulls, n=5, k=72, bands=24, threshold=0.8
+        ).collect()
+    }
+    assert not any(a >= 900000 or b >= 900000 for a, b in got)
+
+
+def test_score_histogram_handles_reversed_pair_orientation(spark):
+    """r6 review (confirmed by execution pre-fix): (a_id > b_id) pairs
+    from the incremental new-vs-corpus paths vanished from the
+    threshold-tuning histogram."""
+    docs = spark.createDataFrame(
+        [(2, "shared near duplicate content body"), (9, "shared near duplicate content bodX")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(9, 2)], "a_id long, b_id long")  # reversed
+    out = dedup.jaccard_score_histogram(docs, pairs, n=5).collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 1

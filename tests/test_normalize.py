@@ -228,3 +228,33 @@ def test_patch_updates_skips_uncastable_cells_and_quarantines(spark):
     q = undecodable_patch_cells(patches, base.schema)
     got = {(r.id, r.column, r.reason) for r in q.collect()}
     assert got == {(1, "amount", "uncastable"), (2, "ghost_col", "unknown_column")}
+
+
+def test_update_set_null_wins_over_before(spark):
+    """r6 review (confirmed by execution pre-fix): a column PRESENT in
+    the after map with a NULL value is an explicit SET NULL and must
+    reach the replica — coalesce kept the stale before value."""
+    raw = _raw(
+        spark,
+        [("t.x", "U", ["id"],
+          {"id": "1", "x": "old"}, {"id": "1", "x": None}, SCHEMA_JSON, 1, 10)],
+    )
+    rows = normalize_raw_ops(raw).select("dml.*").collect()
+    assert len(rows) == 1 and rows[0]["op_type"] == "UPDATE"
+    vals = rows[0]["rows_values"]
+    assert vals["id"] == "1"
+    assert "x" in vals and vals["x"] is None  # explicit null survives
+
+
+def test_update_missing_pk_in_after_merges_instead_of_splitting(spark):
+    """r6 review (confirmed by execution pre-fix): a compressed update
+    whose after image omits the unchanged pk must MERGE (pk from the
+    before image), never split into DELETE + a keyless INSERT."""
+    raw = _raw(
+        spark,
+        [("t.x", "U", ["id"],
+          {"id": "1", "x": "old"}, {"x": "new"}, SCHEMA_JSON, 2, 10)],
+    )
+    rows = normalize_raw_ops(raw).select("dml.*").collect()
+    assert [r["op_type"] for r in rows] == ["UPDATE"]
+    assert rows[0]["rows_values"] == {"id": "1", "x": "new"}

@@ -523,3 +523,51 @@ def test_winnowing_hand_computed_selection_and_tie_rule(spark):
     )
     # identical docs -> identical fingerprint sets
     assert out["d2"] == out["d3"]
+
+
+def test_text_ops_survive_empty_and_null_docs(spark):
+    """r6 review (confirmed by execution pre-fix): empty-string docs
+    crashed quality_scores with DIVIDE_BY_ZERO under ANSI, and
+    NULL-text docs silently vanished from token_stats/quality/
+    repetition outputs via the token-explode inner join."""
+    from change_data_capture_spark.extensions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    for fn in (tx.token_stats, tx.quality_scores, tx.repetition_scores):
+        out = fn(docs)
+        assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 2, 3], fn.__name__
+    q = {r["doc_id"]: r for r in tx.quality_scores(docs).collect()}
+    assert q[2]["punct_ratio"] == 0.0 and q[3]["digit_ratio"] == 0.0
+
+
+def test_pii_counts_agree_with_redaction_on_nested_matches(spark):
+    """r6 review (confirmed by execution pre-fix): a 9-digit local
+    part inside an email counted as BOTH an email and an id number —
+    one PII item, n_pii_total=2, while the redaction emitted a single
+    [EMAIL] token."""
+    from change_data_capture_spark.extensions import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "contact 123456789@example.com"), (2, "acct 987654321 plain")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.pii_scan(docs).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_id_numbers"] == 0
+    assert got[1]["n_pii_total"] == 1
+    assert "[EMAIL]" in got[1]["redacted_text"] and "[ID]" not in got[1]["redacted_text"]
+    assert got[2]["n_id_numbers"] == 1 and got[2]["n_pii_total"] == 1
+
+
+def test_compression_ratio_carries_string_ids(spark):
+    from change_data_capture_spark.extensions import text as tx
+
+    docs = spark.createDataFrame(
+        [("doc-001", "aaa " * 50), ("doc-002", "xyzzy prose")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["compression_ratio"] for r in tx.compression_ratio(docs).collect()}
+    assert set(got) == {"doc-001", "doc-002"}
+    assert got["doc-001"] < got["doc-002"]  # repetition compresses better
