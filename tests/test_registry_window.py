@@ -34,13 +34,18 @@ def test_oracles_follow_query_order_and_cover_window():
     assert all(any(q == o for q in it) for o in onames), "oracles() out of order vs queries()"
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in registry.oracles()]
     # every window slot must be hash-checkable. The rows-only list is
-    # down to ONE entry after round 6's promotions: text_compression_ratio
-    # (zlib bytes are build-dependent; no deterministic twin exists).
-    # q_approx_sketches: exact aggregates + per-engine sketch bounds
-    # booleans; dedup_simhash: engine-portable md5 signatures;
-    # ann_lsh_bucketed/ann_ivf/ann_ivfpq: deterministic seeds/planes +
-    # rounded-before-argmin distances reproduce the exact misses.
+    # EMPTY as of round 7: text_compression_ratio (the last holdout)
+    # was promoted via zlib-format-guarantee bounds booleans — same
+    # technique as q_approx_sketches (exact aggregates + per-engine
+    # bounds booleans), dedup_simhash (engine-portable md5
+    # signatures), and the ANN family (deterministic seeds/planes +
+    # rounded-before-argmin distances reproduce the exact misses).
     assert rows_only == [], rows_only
+
+    # r7 invariant: EVERY registry entry is hash-checkable now — a new
+    # rows-only entry needs a documented justification here.
+    unoracled = [n for n in registry.REGISTRY if n not in registry.oracles()]
+    assert unoracled == [], unoracled
 
 
 def test_window_spans_every_operator_area():
