@@ -1179,7 +1179,22 @@ def apply_changes(
             if not r["is_ddl"]
         ]
 
-        for table_id, pks, rows_schema_json, batch_max_version, touched in sorted(tables):
+        def _apply_one_table(
+            table_id: str,
+            pks: Sequence[str],
+            rows_schema_json: str,
+            batch_max_version,
+            touched,
+            fast: bool,
+        ) -> dict:
+            """One publish attempt for one table, computed from the
+            catalog state read HERE. ``fast=True`` (first attempt)
+            trusts the batch-level meta scan's precomputed
+            touched-bucket set; a CAS-retry passes ``fast=False`` so
+            everything bucket-count- and watermark-dependent is
+            recomputed from the fresh meta (a concurrent compact may
+            have re-bucketed; a concurrent apply may have advanced the
+            watermark past part of this batch)."""
             meta = catalog.ensure_table(table_id, pks, rows_schema_json)
             schema = schema_from_json(meta["schema"])
             pks = meta["pks"]
@@ -1205,10 +1220,10 @@ def apply_changes(
                 # (the plan has a single consumer). applied==0 whenever
                 # current is None (only write_new_version advances it),
                 # so the batch-level max version from the meta scan IS
-                # the high-watermark.
+                # the high-watermark (batch_max_version is a property
+                # of the BATCH, so it stays valid across CAS retries).
                 if batch_max_version is None:
-                    report.append({"table": table_id, "action": "skip_empty"})
-                    continue  # DDL-only or empty slice for this table
+                    return {"table": table_id, "action": "skip_empty"}
                 typed = decode_rows(winners, schema)
                 upserts = typed.filter(F.col("op_type") != OP_DELETE).select(
                     *[f.name for f in schema.fields]
@@ -1220,18 +1235,15 @@ def apply_changes(
                     changed_buckets=None,
                     expected_current=None,  # create path: table must still be empty
                 )
-                report.append(
-                    {
-                        "table": table_id,
-                        "action": "create",
-                        "applied_version": int(batch_max_version),
-                        "buckets_written": n_buckets,
-                        "buckets_total": n_buckets,
-                    }
-                )
-                continue
+                return {
+                    "table": table_id,
+                    "action": "create",
+                    "applied_version": int(batch_max_version),
+                    "buckets_written": n_buckets,
+                    "buckets_total": n_buckets,
+                }
 
-            if table_id in known:
+            if fast and table_id in known:
                 # Merge path with the touched-bucket set precomputed in
                 # the batch-level meta scan: no per-table action at all
                 # before the write. No cache either — the write is the
@@ -1239,13 +1251,14 @@ def apply_changes(
                 # shuffle (changed_keys + upserts) share it via
                 # exchange reuse.
                 if batch_max_version is None or int(batch_max_version) <= applied:
-                    report.append({"table": table_id, "action": "skip_replay"})
-                    continue  # nothing new for this table
+                    return {"table": table_id, "action": "skip_replay"}
                 changed_buckets = sorted(int(b) for b in touched)
                 typed = decode_rows(winners, schema)
             else:
-                # Fallback (a catalog mutated behind our back): the
-                # original per-table stats action.
+                # Fallback (a catalog mutated behind our back, or a
+                # CAS-retry after one did): the original per-table
+                # stats action, computed against the FRESH meta's
+                # bucket count and watermark.
                 typed = decode_rows(winners, schema).persist()
                 stats = typed.agg(
                     F.max("change_tracking_version").alias("v"),
@@ -1253,8 +1266,7 @@ def apply_changes(
                 ).collect()[0]
                 if stats["v"] is None:
                     typed.unpersist()
-                    report.append({"table": table_id, "action": "skip_replay"})
-                    continue  # nothing new for this table
+                    return {"table": table_id, "action": "skip_replay"}
                 batch_max_version = stats["v"]
                 changed_buckets = sorted(int(b) for b in stats["bks"])
 
@@ -1281,18 +1293,50 @@ def apply_changes(
                     # OCC: the merge base is this meta snapshot's data dir
                     expected_current=meta["current"],
                 )
-                report.append(
-                    {
-                        "table": table_id,
-                        "action": "merge",
-                        "applied_version": int(batch_max_version),
-                        "buckets_written": len(changed_buckets),
-                        "buckets_total": n_buckets,
-                    }
-                )
+                return {
+                    "table": table_id,
+                    "action": "merge",
+                    "applied_version": int(batch_max_version),
+                    "buckets_written": len(changed_buckets),
+                    "buckets_total": n_buckets,
+                }
             finally:
                 if typed.is_cached:
                     typed.unpersist()
+
+        for table_id, pks, rows_schema_json, batch_max_version, touched in sorted(tables):
+            # CAS-retry loop (concurrency contract, r7): apply vs a
+            # scheduled ``auto_maintain`` compact/vacuum on the same
+            # table is a FIRST-CLASS interleaving, resolved by
+            # optimistic concurrency on both sides. The maintenance
+            # pass is the designated loser (it skips-and-reports on
+            # ConcurrentWriteError and retries next schedule); the
+            # APPLY retries here, because a stream batch must land —
+            # dropping it would lose changes, and at-least-once replay
+            # after a crash would re-deliver the whole batch anyway.
+            # Each retry recomputes the merge from the freshly-read
+            # meta (fast=False): new data pointer, possibly a NEW
+            # BUCKET COUNT (compaction re-hashes) and an advanced
+            # watermark. Bounded attempts — livelock against a
+            # misbehaving writer surfaces as the final
+            # ConcurrentWriteError rather than an infinite loop.
+            attempts = 3
+            for attempt in range(attempts):
+                try:
+                    report.append(
+                        _apply_one_table(
+                            table_id,
+                            pks,
+                            rows_schema_json,
+                            batch_max_version,
+                            touched,
+                            fast=attempt == 0,
+                        )
+                    )
+                    break
+                except ConcurrentWriteError:
+                    if attempt == attempts - 1:
+                        raise
         return report
     finally:
         batch_df.unpersist()

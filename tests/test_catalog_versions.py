@@ -757,3 +757,102 @@ def test_auto_maintain_skips_and_reports_on_concurrent_writer(spark, tmp_path, m
     acts2 = {a["table"]: a for a in auto_maintain(spark, cat, keep_last=1,
                                                   target_bucket_bytes=256)}
     assert "skipped" not in acts2.get("t.a", {})
+
+
+def test_apply_retries_and_lands_when_compact_publishes_mid_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Concurrency contract, apply side (r7): a scheduled compact that
+    publishes BETWEEN a stream batch's merge-read and its write trips
+    the publish CAS; apply_changes must retry against the fresh meta —
+    including a NEW BUCKET COUNT from a re-bucketing compact (the old
+    touched-bucket set is invalid in the new layout) — and land the
+    batch exactly once."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [(i, 1.0 * i) for i in range(200)], "id long, v double"
+    )
+    apply_changelog(spark, snapshot_changelog(base, "t.r", ["id"]), cat)
+    old_buckets = int(cat.meta("t.r")["buckets"])
+
+    real_read = TableCatalog.read
+    raced = {"done": False}
+
+    def read_with_racing_compact(self, spark_, table_id, **kw):
+        # fire exactly once, on apply's bucket-pruned merge read (the
+        # compact's own full read passes version=, not buckets=)
+        if table_id == "t.r" and "buckets" in kw and not raced["done"]:
+            raced["done"] = True
+            real_compact(self, spark_, table_id, n_buckets=old_buckets * 2)
+        return real_read(self, spark_, table_id, **kw)
+
+    real_compact = TableCatalog.compact
+    monkeypatch.setattr(TableCatalog, "read", read_with_racing_compact)
+
+    updates = dml_records(
+        base.filter(F.col("id") % 7 == 0), "t.r", ["id"],
+        op="UPDATE", version=2, value_overrides={"v": F.col("v") + 1000},
+    )
+    report = apply_changelog(spark, updates, cat)
+
+    assert raced["done"], "the racing compact never fired"
+    assert [r["action"] for r in report] == ["merge"]
+    monkeypatch.setattr(TableCatalog, "read", real_read)
+    meta = cat.meta("t.r")
+    assert int(meta["buckets"]) == old_buckets * 2  # compact's layout won
+    assert int(meta["applied_version"]) == 2        # and the batch landed on it
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.r").collect()}
+    assert len(got) == 200  # no duplicates, no resurrections
+    for i in range(200):
+        assert got[i] == (1.0 * i + 1000 if i % 7 == 0 else 1.0 * i)
+
+
+def test_apply_retry_respects_watermark_advanced_by_concurrent_writer(
+    spark, tmp_path, monkeypatch
+):
+    """If the concurrent writer was ANOTHER APPLY that advanced the
+    watermark past this batch's versions, the CAS-retry must re-filter
+    against the fresh watermark and skip — re-upserting the stale
+    batch's older values would silently regress the newer rows."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [(i, 1.0 * i) for i in range(50)], "id long, v double"
+    )
+    apply_changelog(spark, snapshot_changelog(base, "t.w", ["id"]), cat)
+
+    newer = dml_records(
+        base.filter(F.col("id") < 10), "t.w", ["id"],
+        op="UPDATE", version=9, value_overrides={"v": F.lit(9999.0)},
+    )
+    real_read = TableCatalog.read
+    raced = {"done": False}
+
+    def read_with_racing_apply(self, spark_, table_id, **kw):
+        if table_id == "t.w" and "buckets" in kw and not raced["done"]:
+            raced["done"] = True
+            # a competing consumer lands version 9 first
+            monkeypatch.setattr(TableCatalog, "read", real_read)
+            apply_changelog(spark_, newer, self)
+            monkeypatch.setattr(TableCatalog, "read", read_with_racing_apply)
+        return real_read(self, spark_, table_id, **kw)
+
+    monkeypatch.setattr(TableCatalog, "read", read_with_racing_apply)
+
+    stale = dml_records(
+        base.filter(F.col("id") < 10), "t.w", ["id"],
+        op="UPDATE", version=2, value_overrides={"v": F.lit(-1.0)},
+    )
+    report = apply_changelog(spark, stale, cat)
+
+    assert raced["done"]
+    assert [r["action"] for r in report] == ["skip_replay"]
+    monkeypatch.setattr(TableCatalog, "read", real_read)
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.w").collect()}
+    assert all(got[i] == 9999.0 for i in range(10))  # newer writer kept
+    assert int(cat.meta("t.w")["applied_version"]) == 9
