@@ -120,14 +120,25 @@ def clamp_version(prev: int, current: int, max_batch: int = 100_000) -> int:
     return min(current, prev + max_batch)
 
 
-def change_scan_sql(ti: TableInformation, prev: int, cur: int) -> str:
+def change_scan_sql(
+    ti: TableInformation, prev: int, cur: int, *, ordered: bool = True
+) -> str:
     """S4/P1-P4: the core incremental change scan
     (``CTInputDStream.java:148-169``).
 
     Projection order: PK columns (from CT, present even for deletes),
     value columns (from the base row, NULL for deletes), then the
     change-tracking metadata columns.
-    """
+
+    ``ordered=False`` omits the trailing ``ORDER BY`` (P3): the
+    partition-parallel read path must wrap this statement as a derived
+    table (Spark's JDBC source forbids the ``query`` option together
+    with ``partitionColumn`` — JDBCOptions.scala — so partitioning
+    requires ``dbtable`` with a subquery alias), and SQL Server
+    rejects ORDER BY inside a derived table without TOP/OFFSET. A
+    global sort is meaningless under a partitioned read anyway; per-key
+    ordering is restored downstream by ``collapse_last_writer``
+    (apply.py), as the module docstring documents."""
     join_cond = " AND ".join(
         f"CT.[{pk}] = CI.[{pk}]" for pk in ti.primary_keys
     )
@@ -140,8 +151,8 @@ def change_scan_sql(ti: TableInformation, prev: int, cur: int) -> str:
         f"FROM [{ti.schema_name}].[{ti.name}] WITH (NOLOCK) AS CI "
         f"RIGHT OUTER JOIN CHANGETABLE(CHANGES [{ti.schema_name}].[{ti.name}], {prev}) AS CT "
         f"ON {join_cond} "
-        f"WHERE CT.SYS_CHANGE_VERSION > {prev} AND CT.SYS_CHANGE_VERSION <= {cur} "
-        "ORDER BY CT.SYS_CHANGE_VERSION"
+        f"WHERE CT.SYS_CHANGE_VERSION > {prev} AND CT.SYS_CHANGE_VERSION <= {cur}"
+        + (" ORDER BY CT.SYS_CHANGE_VERSION" if ordered else "")
     )
 
 
@@ -238,21 +249,40 @@ class CTPollingSource:
 
     def _jdbc_query(self, spark: SparkSession, sql: str, *, partitioned_on: str | None = None,
                     lower: int = 0, upper: int = 0) -> DataFrame:
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("query", sql)
-        )
-        for k, v in self.properties.items():
+        """Single-partition reads push ``sql`` via the ``query`` option
+        (the reference's exact statement, ORDER BY included). The
+        partitioned path CANNOT: Spark's JDBC source rejects ``query``
+        + ``partitionColumn`` outright (JDBCOptions.scala: "Options
+        'query' and 'partitionColumn' can not be specified together"),
+        so the statement ships as a ``dbtable`` derived-table alias —
+        the caller must pass ORDER-BY-free SQL there (SQL Server
+        refuses ORDER BY in a derived table; see change_scan_sql)."""
+        reader = spark.read.format("jdbc")
+        for k, v in self.reader_options(
+            sql, partitioned_on=partitioned_on, lower=lower, upper=upper
+        ).items():
             reader = reader.option(k, v)
-        if partitioned_on and upper > lower and self.num_partitions > 1:
-            reader = (
-                reader.option("partitionColumn", partitioned_on)
-                .option("lowerBound", lower)
-                .option("upperBound", upper)
-                .option("numPartitions", self.num_partitions)
-            )
         return reader.load()
+
+    def reader_options(
+        self, sql: str, *, partitioned_on: str | None = None,
+        lower: int = 0, upper: int = 0,
+    ) -> dict:
+        """The exact JDBC reader options a scan uses — separated from
+        the load() so the query/dbtable routing is unit-testable
+        without a live server."""
+        opts = {"url": self.url, **self.properties}
+        if partitioned_on and upper > lower and self.num_partitions > 1:
+            opts.update(
+                dbtable=f"({sql}) AS __ct_scan",
+                partitionColumn=partitioned_on,
+                lowerBound=lower,
+                upperBound=upper,
+                numPartitions=self.num_partitions,
+            )
+        else:
+            opts["query"] = sql
+        return opts
 
     def current_version(self, spark: SparkSession) -> int:
         row = self._jdbc_query(spark, current_version_sql()).collect()[0]
@@ -274,15 +304,34 @@ class CTPollingSource:
             schema_json = probe.schema.json()
             parts.append(schema_announcement(spark, ti, schema_json))
         for ti in tables:
+            # partitioned reads ship as a derived table, which cannot
+            # carry ORDER BY (see change_scan_sql/_jdbc_query); the
+            # single-partition fallback keeps the reference's ordered
+            # statement verbatim
+            parallel = self.num_partitions > 1 and cur > self.tracking_offset
             scan = self._jdbc_query(
                 spark,
-                change_scan_sql(ti, self.tracking_offset, cur),
+                change_scan_sql(
+                    ti, self.tracking_offset, cur, ordered=not parallel
+                ),
                 partitioned_on="SYS_CHANGE_VERSION",
                 lower=self.tracking_offset,
                 upper=cur,
             )
+            # rows_schema is the DATA schema — the CT metadata columns
+            # (version/op/timestamp) ride the envelope's own fields,
+            # never the row payload, exactly as the reference's
+            # DMLRecord schema excludes them
+            # (ResultSetToDMLRecord.java:56-113). Passing the raw scan
+            # schema here would register tables with three phantom
+            # always-NULL columns on the create path.
+            from pyspark.sql.types import StructType as _ST
+
+            data_schema = _ST(
+                [f for f in scan.schema.fields if f.name not in _CT_META]
+            )
             parts.append(
-                ct_scan_to_change_records(scan, ti, scan.schema.json())
+                ct_scan_to_change_records(scan, ti, data_schema.json())
             )
         self.tracking_offset = cur
         out = parts[0]

@@ -84,12 +84,27 @@ def mssql_cdc_raw_ops(
     with the after image standing in for the preimage (key columns are
     present either way, which is all the PK-update split needs).
 
-    ``base_version`` is the caller's watermark (e.g. the dense version
-    reached by the previous poll); ``version_expr`` overrides the
-    version entirely (evaluated against the paired frame's
-    ``__lsn``/``__seq`` hex columns) for feeds that already carry a
-    bigint order.
+    ``base_version`` is the caller's TRANSACTION-domain watermark: the
+    number of distinct commit LSNs consumed by all previous polls —
+    i.e. ``previous poll's max change_tracking_version >> 20``, NOT
+    the max version itself. The emitted version is
+    ``(base_version + txn_index) * 2^20 + intra_txn_order``, so
+    passing a version-domain value would multiply an already-shifted
+    number by 2^20 again and overflow bigint within a few polls
+    (ANSI mode turns that into a hard error rather than silent
+    wraparound; the guard below catches it before any Spark job).
+    ``version_expr`` overrides the version entirely (evaluated against
+    the paired frame's ``__lsn``/``__seq`` hex columns) for feeds that
+    already carry a bigint order.
     """
+    if base_version < 0 or base_version >= 1 << 42:
+        raise ValueError(
+            "base_version must be a transaction-count watermark "
+            "(previous max change_tracking_version >> 20), got "
+            f"{base_version} — a value this large is almost certainly "
+            "a version-domain watermark and would overflow the "
+            "(base + txn) * 2^20 version encoding"
+        )
     data_cols = [c for c in changes.columns if c not in META_COLS]
     missing = [k for k in primary_keys if k not in data_cols]
     if missing:

@@ -390,7 +390,15 @@ def _sessionize_fn(gap_seconds: int, flush_at_end: bool):
                     closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                     cur = [t, t, 1, float(v)]
                 else:
-                    cur[1] = t
+                    # A LATE event (within the watermark horizon) from a
+                    # later micro-batch can carry t < the open session's
+                    # bounds: it merges, but must never REGRESS last_ts
+                    # (which would shrink session_end and pull the
+                    # timeout earlier, closing the session prematurely)
+                    # nor leave session_start above the true earliest
+                    # event (r7 review fix).
+                    cur[0] = min(cur[0], t)
+                    cur[1] = max(cur[1], t)
                     cur[2] += 1
                     cur[3] += float(v)
             if cur is not None:

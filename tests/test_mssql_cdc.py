@@ -158,3 +158,26 @@ def test_mssql_cdc_outbound_roundtrip(spark, tmp_path):
     apply_changelog(spark, normalize_raw_ops(raw), replica)
     got = sorted(tuple(r) for r in replica.read(spark, "s.t").collect())
     assert got == want
+
+
+def test_base_version_must_be_transaction_domain(spark):
+    """r7 review: the emitted version is (base + txn) * 2^20 + intra,
+    so a caller passing the previous poll's max VERSION (already
+    shifted by 2^20) instead of the transaction watermark
+    (max_version >> 20) would overflow bigint within a few polls —
+    fail fast on values that can only be version-domain."""
+    import pytest
+
+    from change_data_capture_spark.sources.mssql_cdc import mssql_cdc_raw_ops
+
+    df = spark.createDataFrame(
+        [("00A", "001", 2, 1)],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, id int",
+    )
+    with pytest.raises(ValueError, match="transaction-count watermark"):
+        mssql_cdc_raw_ops(df, "t", ["id"], base_version=1 << 42)
+    with pytest.raises(ValueError, match="transaction-count watermark"):
+        mssql_cdc_raw_ops(df, "t", ["id"], base_version=-1)
+    # a sane transaction watermark passes validation
+    out = mssql_cdc_raw_ops(df, "t", ["id"], base_version=7)
+    assert out.select("change_tracking_version").first()[0] == 8 * 1048576

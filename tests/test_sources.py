@@ -34,6 +34,49 @@ class TestCTSQL:
         # P4: PKs from CT, value columns from the base row
         assert "SELECT CT.[id], CT.[region], CI.[name], CI.[balance]," in sql
 
+    def test_unordered_scan_sql_for_partitioned_reads(self):
+        """The partitioned read wraps the scan as a derived table
+        (Spark forbids query+partitionColumn), and SQL Server rejects
+        ORDER BY inside a derived table — so the unordered variant
+        must differ from the ordered one ONLY by the trailing clause."""
+        ordered = jdbc_ct.change_scan_sql(TI, 10, 20)
+        unordered = jdbc_ct.change_scan_sql(TI, 10, 20, ordered=False)
+        assert "ORDER BY" not in unordered
+        assert ordered == unordered + " ORDER BY CT.SYS_CHANGE_VERSION"
+
+    def test_reader_options_route_partitioned_scans_through_dbtable(self):
+        """Spark's JDBC source hard-rejects the `query` option together
+        with `partitionColumn` (JDBCOptions.scala: "Options 'query' and
+        'partitionColumn' can not be specified together") — the
+        partition-parallel CT scan, this source's headline improvement
+        over the reference's 1-partition JdbcRDD
+        (CTInputDStream.java:166-167), must therefore ship as a
+        dbtable derived-table alias. Caught by the r7 review pass: the
+        old code passed query+partitionColumn and would have thrown on
+        the first real poll."""
+        src = jdbc_ct.CTPollingSource(url="jdbc:sqlserver://h;databaseName=d",
+                                      num_partitions=8)
+        sql = jdbc_ct.change_scan_sql(TI, 10, 20, ordered=False)
+        opts = src.reader_options(sql, partitioned_on="SYS_CHANGE_VERSION",
+                                  lower=10, upper=20)
+        assert "query" not in opts
+        assert opts["dbtable"] == f"({sql}) AS __ct_scan"
+        assert opts["partitionColumn"] == "SYS_CHANGE_VERSION"
+        assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (10, 20, 8)
+
+        # single-partition config keeps the reference's exact ordered
+        # statement via `query` (no wrapping, ORDER BY allowed)
+        src1 = jdbc_ct.CTPollingSource(url="jdbc:x", num_partitions=1)
+        opts1 = src1.reader_options(jdbc_ct.change_scan_sql(TI, 10, 20),
+                                    partitioned_on="SYS_CHANGE_VERSION",
+                                    lower=10, upper=20)
+        assert "dbtable" not in opts1 and "partitionColumn" not in opts1
+        assert opts1["query"].endswith("ORDER BY CT.SYS_CHANGE_VERSION")
+
+        # an empty/degenerate range never partitions
+        opts0 = src.reader_options("SELECT CHANGE_TRACKING_CURRENT_VERSION()")
+        assert "partitionColumn" not in opts0 and "query" in opts0
+
     def test_batch_clamp(self):
         assert jdbc_ct.clamp_version(100, 5000, max_batch=1000) == 1100
         assert jdbc_ct.clamp_version(100, 150, max_batch=1000) == 150

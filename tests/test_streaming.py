@@ -322,6 +322,65 @@ def test_sessionize_stream_stitches_and_times_out(spark, tmp_path):
     assert (1, ts(0), ts(20), 3, 6.0) in rows
 
 
+def test_sessionize_stream_late_event_extends_not_regresses(spark, tmp_path):
+    """A late event (within the watermark horizon) arriving in a LATER
+    micro-batch with ts inside the open session must extend the
+    session's bounds, never regress them: before the r7 review fix,
+    the fold set last_ts = t unconditionally, so a late event shrank
+    session_end below already-seen events and pulled the state timeout
+    earlier (premature close — silent session truncation)."""
+    import datetime as dt
+    import os
+
+    from change_data_capture_spark.streaming import sessionize_stream
+
+    def ts(minute, second=0):
+        return dt.datetime(2024, 1, 1, 0, minute, second)
+
+    schema = "user_id bigint, ts timestamp, value double"
+    srcdir = str(tmp_path / "late_src")
+    os.makedirs(srcdir)
+    # batch 1: session open at [10, 20]
+    spark.createDataFrame(
+        [(1, ts(10), 1.0), (1, ts(20), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(srcdir)
+    # batch 2: LATE event at minute 5 — watermark_delay=2h keeps it in
+    # the horizon; it must EXTEND session_start down to 5 and leave
+    # session_end at 20
+    spark.createDataFrame([(1, ts(5), 4.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(srcdir)
+    # batch 3: a far-future event to advance the watermark past the
+    # session's (end + gap) so the timeout closes it
+    spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 5), 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(srcdir)
+    # batch 4: one more tick so the timeout fires after the watermark
+    # from batch 3 is committed
+    spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 6), 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(srcdir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcdir)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark_delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM late_sessions WHERE user_id = 1").collect()
+    }
+    assert rows == {(1, ts(5), ts(20), 3, 7.0)}
+
+
 def test_stream_document_dedup_across_batches(spark, tmp_path):
     """dedupe_documents_stream suppresses redelivered content across
     micro-batches: batch 2 redelivers batch 1's rows plus one new doc;
