@@ -27,8 +27,12 @@ The streaming leg is excluded: its n is fixed by protocol and PERF.md
 pins its fixed-cost decomposition separately.
 
 Usage: python tools/scaling_curve.py [--runs N] [--out SCALING.md]
-Exit code 1 if any query exceeds the threshold without a documented
-reason in ALLOW_SUPERLINEAR.
+                                     [--extended]
+``--extended`` adds EXTENDED_TIER — the heaviest NON-headline
+operators (the slowest rows of the full local gate run) — because the
+100x question applies to them just as much as to the bench set
+(VERDICT r6 directive #7). Exit code 1 if any query exceeds the
+threshold without a documented reason in ALLOW_SUPERLINEAR.
 """
 
 from __future__ import annotations
@@ -50,6 +54,20 @@ THRESHOLD = 1.3  # flag when t-ratio > THRESHOLD * data-ratio
 # demands).
 ALLOW_SUPERLINEAR: dict[str, str] = {}
 
+# The heavy non-headline tier (--extended): the 5 slowest queries of
+# the round-6 full local gate run. Iterative / multi-version
+# operators whose scale behavior the headline set does not cover:
+# full-convergence PageRank, the incremental join + auto-refresh
+# catalog loops (many small versioned writes), BPE training
+# (iterative merge loop), and blocked entity matching.
+EXTENDED_TIER = [
+    "web_pagerank_full",
+    "cdc_incremental_join",
+    "cdc_index_auto_refresh",
+    "text_bpe_train",
+    "er_blocked_match",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -58,6 +76,7 @@ def _force(df) -> None:
 def main() -> int:
     runs = 2
     out_path = None
+    extended = "--extended" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--runs" and i + 1 < len(sys.argv):
             runs = int(sys.argv[i + 1])
@@ -71,6 +90,8 @@ def main() -> int:
     spark = get_spark("scaling-curve")
     qs = {name: qd.fn for name, qd in registry.REGISTRY.items()}
     names = list(bench.HEADLINE)
+    if extended:
+        names += [n for n in EXTENDED_TIER if n not in names]
 
     # compile/JIT warmup at the smallest SF (same rationale as bench)
     for name in names:
