@@ -196,14 +196,29 @@ class TableCatalog:
 
     # -- data path --------------------------------------------------
     def versions(self, table_id: str) -> list[int]:
-        """Published version sequence numbers, oldest first."""
+        """PUBLISHED version sequence numbers, oldest first — i.e.
+        committed through the meta-pointer swap. A crash between the
+        parquet write and ``put_meta`` leaves an ORPHAN
+        ``data_v{current+1}`` dir (r7 review): it was never readable,
+        may be half-written, and must not surface as a version — a
+        time-travel read of it would serve uncommitted data, and
+        vacuum/maintenance would count it toward retention. Committed
+        == ``seq <= current``'s seq (publishes are strictly
+        sequential), so the filter is exact; the orphan dir itself
+        self-heals because the next publish reuses seq ``current+1``
+        with mode("overwrite")."""
         tdir = self.table_dir(table_id)
         if not os.path.isdir(tdir):
             return []
+        meta = self.meta(table_id)
+        if not meta or not meta.get("current"):
+            return []
+        current_seq = int(meta["current"].rsplit("_v", 1)[1])
         return sorted(
-            int(d.rsplit("_v", 1)[1])
+            seq
             for d in os.listdir(tdir)
             if d.startswith("data_v")
+            and (seq := int(d.rsplit("_v", 1)[1])) <= current_seq
         )
 
     def read(

@@ -856,3 +856,45 @@ def test_apply_retry_respects_watermark_advanced_by_concurrent_writer(
     got = {r["id"]: r["v"] for r in cat.read(spark, "t.w").collect()}
     assert all(got[i] == 9999.0 for i in range(10))  # newer writer kept
     assert int(cat.meta("t.w")["applied_version"]) == 9
+
+
+def test_orphan_data_dir_from_crashed_publish_is_not_a_version(spark, tmp_path):
+    """r7 review: a crash between write_new_version's parquet write and
+    its meta swap leaves a data_v{current+1} dir that was never
+    committed. It must not appear in versions(), must not be
+    time-travel readable (it may be half-written), and must be
+    harmlessly overwritten by the next real publish."""
+    import os
+
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame([(i, 1.0 * i) for i in range(20)], "id long, v double")
+    apply_changelog(spark, snapshot_changelog(base, "t.o", ["id"]), cat)
+    upd = dml_records(base.filter(F.col("id") < 5), "t.o", ["id"],
+                      op="UPDATE", version=2, value_overrides={"v": F.lit(7.0)})
+    apply_changelog(spark, upd, cat)
+    assert cat.versions("t.o") == [1, 2]
+
+    # simulate the crash: an orphan dir one past current, half-written
+    orphan = os.path.join(cat.table_dir("t.o"), "data_v000003")
+    os.makedirs(os.path.join(orphan, "__bucket=0"))
+    with open(os.path.join(orphan, "__bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    assert cat.versions("t.o") == [1, 2]  # orphan invisible
+    try:
+        cat.read(spark, "t.o", version=3)
+        raise AssertionError("orphan must not be time-travel readable")
+    except KeyError:
+        pass
+    assert cat.read(spark, "t.o").count() == 20  # current read unaffected
+
+    # the next real publish reuses seq 3, overwriting the junk
+    upd2 = dml_records(base.filter(F.col("id") >= 15), "t.o", ["id"],
+                       op="UPDATE", version=3, value_overrides={"v": F.lit(9.0)})
+    apply_changelog(spark, upd2, cat)
+    assert cat.versions("t.o") == [1, 2, 3]
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t.o", version=3).collect()}
+    assert len(got) == 20 and got[19] == 9.0 and got[0] == 7.0
