@@ -1123,9 +1123,22 @@ def apply_changes(
             arm = bucket_expr(
                 pks, nb, value_of=pk_value_of(tschema, "dml.rows_values")
             ).cast("int")
+            # The version filter here must be the SAME effective floor
+            # _apply_one_table applies, i.e. replay_floor wins over the
+            # stored watermark when present (r7 review). With the
+            # stored watermark, a replay_floor below it (the Mongo
+            # patch-merge leg's whole point) re-opens versions whose
+            # rows the arm excluded from touched_buckets — the merge
+            # then neither anti-joins their old rows out (bucket not
+            # read) nor marks their bucket changed (old files
+            # hard-linked NEXT TO the fresh upsert file): silent
+            # duplicate rows.
+            floor = applied
+            if replay_floor is not None and t in replay_floor:
+                floor = int(replay_floor[t])
             bucket_of = F.when(
                 (F.col("dml.table") == t)
-                & (F.col("dml.change_tracking_version") > applied),
+                & (F.col("dml.change_tracking_version") > floor),
                 arm,
             ).otherwise(bucket_of)
 

@@ -7,7 +7,7 @@ import json
 
 from pyspark.sql import functions as F
 
-from change_data_capture_spark.apply import TableCatalog, apply_changelog
+from change_data_capture_spark.apply import TableCatalog, apply_changelog, apply_changes
 from change_data_capture_spark.changelog import (
     ddl_record,
     dml_records,
@@ -173,7 +173,7 @@ def test_unchanged_buckets_are_file_reused(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, apply_changes
     from change_data_capture_spark.changelog import dml_records, snapshot_changelog
     from tests.conftest import load
 
@@ -427,7 +427,7 @@ def test_apply_report_describes_batch_outcomes(spark, tmp_path):
 
 
 def test_bootstrap_replica_handoff_matches_source(spark, tmp_path):
-    from change_data_capture_spark.apply import TableCatalog, apply_changelog, bootstrap_replica
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, apply_changes, bootstrap_replica
     from change_data_capture_spark.changelog import mutation_changelog, snapshot_changelog
     from pyspark.sql import functions as F
 
@@ -460,7 +460,7 @@ def test_bootstrap_replica_handoff_matches_source(spark, tmp_path):
 
 
 def test_lookup_keys_prunes_to_requested_buckets(spark, tmp_path):
-    from change_data_capture_spark.apply import TableCatalog, apply_changelog, lookup_keys
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, apply_changes, lookup_keys
     from change_data_capture_spark.changelog import snapshot_changelog
 
     df = spark.createDataFrame(
@@ -506,7 +506,7 @@ def test_bootstrap_replica_resumes_live_feed_without_skip(spark, tmp_path):
     FEED's tracking domain, not the catalog's dir-seq domain: when
     tracking versions lag dir seqs, the next real feed batch must not
     be skipped as a replay (lost updates on the replica)."""
-    from change_data_capture_spark.apply import TableCatalog, apply_changelog, bootstrap_replica
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog, apply_changes, bootstrap_replica
     from change_data_capture_spark.changelog import dml_records
 
     src = TableCatalog(str(tmp_path / "src"))
@@ -689,3 +689,35 @@ def test_decode_dlq_catches_malformed_struct_json(spark):
     ok = {r.id: r for r in decode_rows_safe(dml, schema).collect()}
     assert set(ok) == {1, 3}
     assert ok[1].payload.x == 5 and ok[3].payload.x is None
+
+
+def test_replay_floor_reopened_versions_merge_correctly(spark, tmp_path):
+    """r7 review regression: a replay_floor BELOW the stored watermark
+    (the Mongo patch-merge leg's contract) re-opens versions in
+    (floor, stored]. The fast path's precomputed touched-bucket arms
+    filtered on the STORED watermark, so a re-opened row's bucket was
+    missing from changed_buckets: its old row survived the (pruned)
+    anti-join AND its bucket's old files were hard-linked next to the
+    fresh upsert file — duplicate rows."""
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t = "db.docs"
+    # Leg 1 (raw): full images A@5, B@20 -> stored watermark 20.
+    full = spark.createDataFrame(
+        [("A", "alpha", 5), ("B", "beta", 20)], "id string, body string, v int"
+    )
+    leg1 = dml_records(
+        full, t, ["id"], op="INSERT", version=F.col("v").cast("long"),
+        value_cols=["id", "body"],
+    )
+    apply_changes(spark, leg1, cat)
+    assert int(cat.meta(t)["applied_version"]) == 20
+
+    # Leg 2 (patch): A patched at v10 — <= stored watermark, > floor 0.
+    patched = spark.createDataFrame([("A", "alpha-patched")], "id string, body string")
+    leg2 = dml_records(patched, t, ["id"], op="UPDATE", version=10)
+    apply_changes(spark, leg2, cat, replay_floor={t: 0})
+
+    got = cat.read(spark, t)
+    rows = {r["id"]: r["body"] for r in got.collect()}
+    assert got.count() == 2, f"duplicate rows: {sorted(got.collect())}"
+    assert rows == {"A": "alpha-patched", "B": "beta"}
