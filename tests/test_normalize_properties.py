@@ -94,12 +94,15 @@ def test_normalizer_invariants(spark, ops):
 @given(st.lists(raw_op(), min_size=1, max_size=8))
 @settings(max_examples=6, deadline=None)
 def test_update_merge_after_wins_per_column(spark, ops):
-    """Non-split UPDATEs merge before+after per column with a NON-NULL
-    after value winning; a null after value means 'missing' and falls
-    back to the before image (the map encoding of the reference's
-    per-column _isMissing flags, Normalizer.java:176-186). With only
-    one image present, that image passes through as-is — nulls
-    retained, since there is nothing to fall back to."""
+    """Non-split UPDATEs merge before+after per column with a key
+    PRESENT in the after map winning EVEN WHEN ITS VALUE IS NULL — an
+    explicit SET NULL must reach the replica (r6 review; the map
+    encoding of the reference's per-column _isMissing flags,
+    Normalizer.java:176-186, where 'missing' is map-key ABSENCE, not a
+    null value). Only keys absent from the after map fall back to the
+    before image. With only one image present, that image passes
+    through as-is — nulls retained, since there is nothing to fall
+    back to."""
     raw = spark.createDataFrame(ops, RAW_OP_DDL)
     out = normalize_raw_ops(raw).select("dml.*").collect()
     # versions are NOT unique across generated ops, so group the UPDATE
@@ -125,7 +128,7 @@ def test_update_merge_after_wins_per_column(spark, ops):
             expect = dict(before)
         else:
             expect = {
-                k: (after.get(k) if after.get(k) is not None else before.get(k))
+                k: (after[k] if k in after else before.get(k))
                 for k in {*before, *after}
             }
         group = updates.get((version, expect["id"]), [])
