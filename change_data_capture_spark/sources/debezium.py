@@ -110,8 +110,17 @@ def debezium_raw_ops(
     for t, sj in (rows_schemas or {}).items():
         schemas = F.when(table_id == t, F.lit(sj)).otherwise(schemas)
 
+    # The image that DEFINES the record must exist: c/r/u carry the row
+    # in `after`, d carries the key row in `before`. Without the drop a
+    # malformed frame sails through as an all-null-image op whose
+    # rowkey renders EMPTY — it would collapse with every other
+    # null-image row and upsert/delete a garbage '' key (r7 review;
+    # the DLQ flags these as 'missing_image').
+    has_image = F.when(op_raw == "d", _pick("before").isNotNull()).otherwise(
+        _pick("after").isNotNull()
+    )
     return (
-        m.filter(op_raw.isin(*_OP_MAP) & src.isNotNull())
+        m.filter(op_raw.isin(*_OP_MAP) & src.isNotNull() & has_image)
         .select(
             table_id.alias("table"),
             op.alias("op_type"),
@@ -188,7 +197,8 @@ def debezium_dead_letters(
     (Catalyst dedupes the work when both run in one plan); reasons:
     'unparseable' (no envelope fields at all), 'unsupported_op'
     (truncate/message/unknown codes), 'unknown_table' (not in the key
-    whitelist)."""
+    whitelist), 'missing_image' (c/r/u with no after row, or d with no
+    before row — the image that defines the record)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _ENVELOPE_SCHEMA).alias("__m"),
@@ -197,10 +207,14 @@ def debezium_dead_letters(
     op_raw = _pick("op")
     table_id = F.concat_ws(".", src["db"], src["table"])
     known = table_id.isin(*table_keys) if table_keys else F.lit(False)
+    missing_image = F.when(op_raw == "d", _pick("before").isNull()).otherwise(
+        _pick("after").isNull()
+    )
     reason = (
         F.when(op_raw.isNull() | src.isNull(), F.lit("unparseable"))
         .when(~op_raw.isin(*_OP_MAP), F.lit("unsupported_op"))
         .when(~known, F.lit("unknown_table"))
+        .when(missing_image, F.lit("missing_image"))
     )
     return m.select("message", reason.alias("reason"), op_raw.alias("op"),
                     table_id.alias("table")).filter(F.col("reason").isNotNull())

@@ -158,7 +158,17 @@ def wal2json_raw_ops(
     raw-op rows (normalize.RAW_OP_DDL)."""
     m = messages.select(F.from_json(F.col(message_col), _V2_SCHEMA).alias("__m"))
     action = F.col("__m.action")
-    flat = m.filter(action.isin(*_V2_OPS) & F.col("__m.table").isNotNull())
+    # The image that DEFINES the record must exist: I/U carry the post
+    # row in `columns`, D carries the old key row in `identity`.
+    # Without the drop a malformed frame (flagged 'missing_columns' /
+    # 'missing_identity' in the DLQ) still entered the apply path as a
+    # null-image op with an EMPTY rowkey (r7 review).
+    has_image = F.when(
+        action == "D", F.col("__m.identity").isNotNull()
+    ).otherwise(F.col("__m.columns").isNotNull())
+    flat = m.filter(
+        action.isin(*_V2_OPS) & F.col("__m.table").isNotNull() & has_image
+    )
     table_id = F.concat_ws(".", F.col("__m.schema"), F.col("__m.table"))
     op = action  # v2 action codes are already the engine's I/U/D
     post = _entries_map(F.col("__m.columns"))
@@ -214,6 +224,14 @@ def wal2json_v1_raw_ops(
             F.posexplode(F.col("__m.change")).alias("__pos", "__c"),
         )
         .filter(F.col("__c").isNotNull() & F.col("__c.kind").isin(*_V1_OPS))
+        # defining-image drop, same rule as v2 (DLQ reasons
+        # 'missing_columns' / 'missing_identity' already cover these)
+        .filter(
+            F.when(
+                F.col("__c.kind") == "delete",
+                F.col("__c.oldkeys.keyvalues").isNotNull(),
+            ).otherwise(F.col("__c.columnvalues").isNotNull())
+        )
     )
     c = F.col("__c")
     table_id = F.concat_ws(".", c["schema"], c["table"])
@@ -272,7 +290,8 @@ def wal2json_dead_letters(
     commit framing — expected, routed so an operator can count txn
     boundaries), 'unsupported_op' (M logical messages, T truncate,
     unknown codes), 'unknown_table', 'missing_columns' (an I/U action
-    with no post row)."""
+    with no post row), 'missing_identity' (a D action with no identity
+    row)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _V2_SCHEMA).alias("__m"),
@@ -288,6 +307,10 @@ def wal2json_dead_letters(
         .when(
             action.isin("I", "U") & F.col("__m.columns").isNull(),
             F.lit("missing_columns"),
+        )
+        .when(
+            (action == "D") & F.col("__m.identity").isNull(),
+            F.lit("missing_identity"),
         )
     )
     return m.select(

@@ -304,3 +304,30 @@ def test_debezium_vector_payload_applies_typed(spark, sf_dir, tmp_path):
     got = cat.read(spark, "ml.emb")
     assert dict(got.dtypes)["embedding"].startswith("array<")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, emb.collect()))
+
+
+def test_missing_image_rows_dropped_and_quarantined(spark):
+    """r7 review: a c/r/u frame with no after row (or d with no before
+    row) must be dropped from the raw-op path — not enter the apply as
+    a null-image op with an empty rowkey — and the DLQ names it
+    'missing_image'."""
+    from change_data_capture_spark.sources.debezium import (
+        debezium_dead_letters,
+        debezium_raw_ops,
+    )
+
+    keys = {"db.t": ["id"]}
+    msgs = spark.createDataFrame(
+        [
+            ('{"op":"u","source":{"db":"db","table":"t","ts_ms":5}}',),
+            ('{"op":"d","source":{"db":"db","table":"t","ts_ms":6}}',),
+            ('{"op":"c","source":{"db":"db","table":"t","ts_ms":7},'
+             '"after":{"id":"1","v":"x"}}',),
+        ],
+        "message string",
+    )
+    ops = debezium_raw_ops(msgs, keys).collect()
+    assert [r["op_type"] for r in ops] == ["I"]
+    dl = debezium_dead_letters(msgs, keys).collect()
+    assert {r["reason"] for r in dl} == {"missing_image"}
+    assert {r["op"] for r in dl} == {"u", "d"}

@@ -104,7 +104,9 @@ def test_wal2json_dead_letters(spark):
         ("not json at all",),
     ]
     mdf = spark.createDataFrame(msgs, "message string")
-    assert wj.wal2json_raw_ops(mdf, KEYS).count() == 1  # missing-columns I still keyed
+    # the missing-columns I is QUARANTINED, not decoded (r7 review:
+    # raw_ops and the DLQ must partition the feed, never overlap)
+    assert wj.wal2json_raw_ops(mdf, KEYS).count() == 0
     reasons = sorted(
         r["reason"] for r in wj.wal2json_dead_letters(mdf, KEYS).collect()
     )
@@ -188,3 +190,47 @@ def test_wal2json_outbound_roundtrip(spark, tmp_path):
     apply_changelog(spark, normalize_raw_ops(raw), replica)
     got = {r["id"]: r["amount"] for r in replica.read(spark, "public.orders").collect()}
     assert got == want
+
+
+def test_missing_image_rows_dropped_and_quarantined(spark):
+    """r7 review: rows the DLQ flags (missing_columns / missing_identity)
+    must NOT also enter the apply path as null-image ops with an empty
+    rowkey — v2 and v1 alike drop them at the raw-op stage."""
+    from change_data_capture_spark.sources.wal2json import (
+        wal2json_dead_letters,
+        wal2json_raw_ops,
+        wal2json_v1_dead_letters,
+        wal2json_v1_raw_ops,
+    )
+
+    keys = {"public.t": ["id"]}
+    v2 = spark.createDataFrame(
+        [
+            ('{"action":"U","schema":"public","table":"t","lsn":"0/10",'
+             '"identity":[{"name":"id","type":"int","value":"1"}]}',),
+            ('{"action":"D","schema":"public","table":"t","lsn":"0/11"}',),
+            ('{"action":"I","schema":"public","table":"t","lsn":"0/12",'
+             '"columns":[{"name":"id","type":"int","value":"2"}]}',),
+        ],
+        "message string",
+    )
+    ops = wal2json_raw_ops(v2, keys).collect()
+    assert [r["op_type"] for r in ops] == ["I"]
+    reasons = {r["reason"] for r in wal2json_dead_letters(v2, keys).collect()}
+    assert reasons == {"missing_columns", "missing_identity"}
+
+    v1 = spark.createDataFrame(
+        [
+            ('{"xid":1,"nextlsn":"0/20","change":['
+             '{"kind":"update","schema":"public","table":"t",'
+             '"columnnames":null,"columnvalues":null},'
+             '{"kind":"delete","schema":"public","table":"t"},'
+             '{"kind":"insert","schema":"public","table":"t",'
+             '"columnnames":["id"],"columntypes":["int"],"columnvalues":["3"]}]}',),
+        ],
+        "message string",
+    )
+    ops1 = wal2json_v1_raw_ops(v1, keys).collect()
+    assert [r["op_type"] for r in ops1] == ["I"]
+    reasons1 = {r["reason"] for r in wal2json_v1_dead_letters(v1, keys).collect()}
+    assert {"missing_columns", "missing_identity"} <= reasons1
