@@ -286,13 +286,19 @@ def dedupe_documents_stream(
     State is one hash per distinct document. Unbounded by default
     (matching a global dedup guarantee); pass ``watermark=(ts_col,
     delay)`` to bound state for feeds where duplicates only arrive
-    within a redelivery horizon — ``dropDuplicates`` then evicts
-    hashes older than the watermark, the standard 100 TB deployment
+    within a redelivery horizon — ``dropDuplicatesWithinWatermark``
+    then suppresses ANY same-content row inside the horizon (a
+    redelivered doc usually carries a NEW event time — a re-crawl
+    stamp; keying the classic ``dropDuplicates`` on (hash, ts) would
+    let every re-stamped duplicate through, r7 review) and evicts
+    hashes once the watermark passes, the standard 100 TB deployment
     shape."""
     d = docs.withColumn("content_hash", F.md5(F.col(text_col)))
     if watermark is not None:
         ts_col, delay = watermark
-        return d.withWatermark(ts_col, delay).dropDuplicates(["content_hash", ts_col])
+        return d.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
     return d.dropDuplicates(["content_hash"])
 
 

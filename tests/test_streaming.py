@@ -679,3 +679,52 @@ def test_event_rate_anomaly_flags_bursts(spark, tmp_path):
     assert out[28]["rate_ratio"] == 10.0  # 100 vs trailing mean 10
     # warmup: first 6 buckets can never flag
     assert all(not out[h]["is_anomaly"] for h in range(6))
+
+
+def test_stream_document_dedup_watermarked_suppresses_restamped_redelivery(
+    spark, tmp_path
+):
+    """Watermarked mode (r7 review): a redelivered document typically
+    carries a NEW event time (re-crawl stamp). Within the watermark
+    horizon it must still be suppressed — dropDuplicatesWithinWatermark
+    keys on content alone, unlike dropDuplicates([hash, ts]) which
+    would emit every re-stamped duplicate."""
+    from change_data_capture_spark.streaming import dedupe_documents_stream
+
+    schema = "doc_id long, text string, ts timestamp"
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = "2024-01-01 00:00:00"
+    t1 = "2024-01-01 00:10:00"  # re-crawl 10 min later, inside the horizon
+    b1 = spark.sql(
+        f"SELECT 1L doc_id, 'alpha' text, timestamp'{t0}' ts "
+        f"UNION ALL SELECT 2L, 'beta', timestamp'{t0}'"
+    )
+    b2 = spark.sql(
+        f"SELECT 9L doc_id, 'alpha' text, timestamp'{t1}' ts "
+        f"UNION ALL SELECT 3L, 'gamma', timestamp'{t1}'"
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    # one file per trigger: the redelivery must arrive in a LATER
+    # micro-batch (in one batch, which copy survives is arbitrary)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        dedupe_documents_stream(stream, watermark=("ts", "1 hour"))
+        .select("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    # the re-stamped 'alpha' (doc_id 9) is suppressed; 'gamma' passes
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
