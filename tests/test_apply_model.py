@@ -119,3 +119,81 @@ def test_bootstrap_replica_from_any_version_matches_current(spark, tmp_path):
         replica = TableCatalog(str(tmp_path / f"rep{i}"))
         out = bootstrap_replica(spark, cat, "t.model", replica, snapshot_version=v)
         assert sorted(tuple(r) for r in out.collect()) == want, f"from v{v}"
+
+
+def test_apply_matches_model_with_interleaved_maintenance(spark, tmp_path):
+    """Same randomized stream, but a maintenance pass (compact to a NEW
+    bucket count, then vacuum) runs between batches: re-bucketing must
+    be invisible to the merge — the next batch's touched-bucket arms
+    and pruned reads recompute against the republished layout (r7: the
+    interleave class the concurrency contract governs, exercised
+    sequentially so divergence is deterministic)."""
+    batches = _gen_batches(seed=41)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    model: dict = {}
+    seed_df = spark.createDataFrame([(999, "seed")], "id long, v string")
+    apply_changelog(
+        spark,
+        dml_records(seed_df, "t.model", ["id"], op="INSERT", version=0),
+        cat,
+    )
+    model[999] = "seed"
+    buckets = [4, 32, 8, 16]
+    for i, ops in enumerate(batches):
+        apply_changelog(spark, _batch_changelog(spark, ops), cat)
+        _model_apply(model, ops)
+        cat.compact(spark, "t.model", n_buckets=buckets[i % len(buckets)])
+        cat.vacuum("t.model", keep_last=2)
+        got = {r["id"]: r["v"] for r in cat.read(spark, "t.model").collect()}
+        assert got == model, f"divergence after batch {i}: {got} != {model}"
+
+
+def test_apply_matches_model_with_replay_floor_second_leg(spark, tmp_path):
+    """Randomized two-leg property (r7 review regression class): leg 1
+    applies a batch and advances the stored watermark to its max; leg 2
+    carries per-key rows at versions INTERLEAVED below that max but
+    above the pre-leg-1 floor, applied with replay_floor. Engine
+    semantics: every leg-2 row re-opened by the floor replaces the
+    stored row (per-table watermark, not per-key) — exactly the Mongo
+    patch-merge contract. The model mirrors that."""
+    rng = random.Random(97)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    model: dict = {}
+    t = "t.model"
+    seed_df = spark.createDataFrame([(999, "seed")], "id long, v string")
+    apply_changelog(
+        spark, dml_records(seed_df, "t.model", ["id"], op="INSERT", version=0), cat
+    )
+    model[999] = "seed"
+    version = 0
+    for round_i in range(3):
+        floor = int(cat.meta(t).get("applied_version", 0))
+        # leg 1: normal ops at fresh versions
+        ops1 = []
+        for _ in range(30):
+            version += 2  # leave odd gaps for leg 2 to land in
+            key = rng.randrange(N_KEYS)
+            if rng.random() < 0.2:
+                ops1.append((version, key, "DELETE", None))
+            else:
+                ops1.append((version, key, "UPDATE", f"v{version}"))
+        apply_changelog(spark, _batch_changelog(spark, ops1), cat)
+        _model_apply(model, ops1)
+        # leg 2: rows at versions BELOW the new stored watermark but
+        # above the pre-leg floor (the odd gaps), applied with the floor
+        ops2 = []
+        used = set()
+        for _ in range(10):
+            v2 = rng.randrange(floor + 1, version) | 1  # odd -> unused by leg 1
+            if v2 in used:
+                continue
+            used.add(v2)
+            ops2.append((v2, rng.randrange(N_KEYS), "UPDATE", f"patch{v2}"))
+        if not ops2:
+            continue
+        from change_data_capture_spark.apply import apply_changes
+
+        apply_changes(spark, _batch_changelog(spark, ops2), cat, replay_floor={t: floor})
+        _model_apply(model, ops2)
+        got = {r["id"]: r["v"] for r in cat.read(spark, t).collect()}
+        assert got == model, f"divergence in round {round_i}: {got} != {model}"
