@@ -592,8 +592,17 @@ class TableCatalog:
         sort_within_buckets: Sequence[str | F.Column] | None = None,
         expected_current: object = _NO_CAS,
         bloom_filter_cols: Sequence[str] | None = None,
+        prebucketed: bool = False,
     ) -> None:
         """Publish a new table version.
+
+        ``prebucketed``: the caller already computed the ``__bucket``
+        column with this table's bucket expression AND distributed the
+        frame on it (``collapse_last_writer_bucketed``) — skip the
+        bucket projection + repartition here, so the whole
+        collapse-to-write path runs on ONE exchange. Internal-contract
+        flag: the caller owns bucket correctness (a wrong bucket id
+        would mis-place rows for later pruned merges).
 
         ``bloom_filter_cols`` (usually set once via ``compact``)
         persists in the table meta and every SUBSEQUENT write keeps
@@ -665,9 +674,13 @@ class TableCatalog:
         # re-hashing); the write also behaves identically under
         # streaming, where AQE is force-disabled and the hint used to
         # be silently dropped.
-        bucketed = df.withColumn(_BUCKET, bucket_expr(pks, n_buckets)).repartition(
-            n_buckets, F.col(_BUCKET)
-        )
+        if prebucketed:
+            assert _BUCKET in df.columns, "prebucketed frame must carry __bucket"
+            bucketed = df
+        else:
+            bucketed = df.withColumn(_BUCKET, bucket_expr(pks, n_buckets)).repartition(
+                n_buckets, F.col(_BUCKET)
+            )
         if sort_within_buckets:
             # Zone-map layout: a per-partition (not global) sort keeps
             # the exchange above untouched while parquet's row-group
@@ -1048,6 +1061,45 @@ def collapse_last_writer(dml: DataFrame, pks: Sequence[str], value_of=None) -> D
     )
 
 
+def collapse_last_writer_bucketed(
+    dml: DataFrame, pks: Sequence[str], n_buckets: int, value_of=None
+) -> DataFrame:
+    """``collapse_last_writer`` that carries the write-path bucket id
+    through the aggregation, partitioned so the downstream bucketed
+    write needs NO second exchange (r7): the frame is repartitioned on
+    the bucket id FIRST, and the group-by on (bucket, key) is then
+    satisfied by that partitioning (hash on a subset of the clustering
+    keys co-locates every group), so Catalyst elides the agg exchange.
+    One shuffle — at the bucket count the write wants — replaces the
+    two (key-hash collapse + bucket repartition) of the unbucketed
+    form; at 100 TB that halves the shuffle volume of every create
+    batch. The bucket hashes the SAME canonical key string as
+    ``bucket_expr`` over the written typed rows (``value_of`` must
+    normalize through the registered types — ``pk_value_of``), the
+    precomputed-arm guarantee apply already relies on. Output: winner
+    rows plus the ``__bucket`` column, physically distributed by it —
+    feed to ``write_new_version(..., prebucketed=True)``."""
+    vo = value_of or (lambda c: F.col("rows_values")[c])
+    pre = dml.withColumn(_BUCKET, bucket_expr(pks, n_buckets, vo)).repartition(
+        n_buckets, F.col(_BUCKET)
+    )
+    key = rowkey_expr(pks, value_of=vo)
+    op_pref = (
+        F.when(F.col("op_type") == "DELETE", 2)
+        .when(F.col("op_type") == "INSERT", 1)
+        .otherwise(0)
+    )
+    order_key = F.struct(
+        F.col("change_tracking_version").alias("v"), op_pref.alias("p")
+    )
+    row = F.struct(*[F.col(c) for c in dml.columns])
+    return (
+        pre.groupBy(F.col(_BUCKET), key.alias("__k"))
+        .agg(F.max_by(row, order_key).alias("__w"))
+        .select(F.col(_BUCKET), "__w.*")
+    )
+
+
 def apply_changes(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -1235,10 +1287,6 @@ def apply_changes(
             if applied:
                 t = t.filter(F.col("change_tracking_version") > applied)
 
-            # Collapse on schema-normalized key values: two source
-            # spellings of the same typed key ('7' / '007') are ONE
-            # row identity, exactly as the typed merge sees them.
-            winners = collapse_last_writer(t, pks, value_of=pk_value_of(schema))
             n_buckets = int(meta.get("buckets") or _DEFAULT_BUCKETS)
 
             if meta.get("current") is None:
@@ -1250,11 +1298,27 @@ def apply_changes(
                 # so the batch-level max version from the meta scan IS
                 # the high-watermark (batch_max_version is a property
                 # of the BATCH, so it stays valid across CAS retries).
+                # ONE exchange end-to-end (r7): the bucketed collapse
+                # pre-partitions on the write's bucket id, the group-by
+                # on (bucket, key) is satisfied by that partitioning,
+                # and the prebucketed write skips its repartition.
                 if batch_max_version is None:
                     return {"table": table_id, "action": "skip_empty"}
-                typed = decode_rows(winners, schema)
+                winners = collapse_last_writer_bucketed(
+                    t, pks, n_buckets, value_of=pk_value_of(schema)
+                )
+                typed = winners.select(
+                    *[
+                        _decode_value(
+                            F.col("rows_values")[f.name], f.dataType
+                        ).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.col("op_type"),
+                    F.col(_BUCKET),
+                )
                 upserts = typed.filter(F.col("op_type") != OP_DELETE).select(
-                    *[f.name for f in schema.fields]
+                    *[f.name for f in schema.fields], F.col(_BUCKET)
                 )
                 catalog.write_new_version(
                     table_id,
@@ -1262,6 +1326,7 @@ def apply_changes(
                     int(batch_max_version),
                     changed_buckets=None,
                     expected_current=None,  # create path: table must still be empty
+                    prebucketed=True,
                 )
                 return {
                     "table": table_id,
@@ -1271,6 +1336,10 @@ def apply_changes(
                     "buckets_total": n_buckets,
                 }
 
+            # Collapse on schema-normalized key values: two source
+            # spellings of the same typed key ('7' / '007') are ONE
+            # row identity, exactly as the typed merge sees them.
+            winners = collapse_last_writer(t, pks, value_of=pk_value_of(schema))
             if fast and table_id in known:
                 # Merge path with the touched-bucket set precomputed in
                 # the batch-level meta scan: no per-table action at all
