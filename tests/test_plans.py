@@ -442,3 +442,40 @@ def test_text_prefix_jaccard_plan_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_jaccard_prefix")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_create_path_apply_is_single_exchange(spark, sf_dir):
+    """The first load of a table must run on ONE exchange (r7): the
+    bucketed collapse pre-partitions on the write's bucket id, the
+    (bucket, key) group-by is satisfied by that partitioning, and the
+    prebucketed write adds no repartition. A second Exchange here means
+    every create batch shuffles its rows twice at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import (
+        _BUCKET,
+        _decode_value,
+        collapse_last_writer_bucketed,
+        pk_value_of,
+    )
+    from tests.conftest import load
+
+    df = load(spark, sf_dir, "customer")
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    log = snapshot_changelog(df, "tpch.customer", ["c_custkey"])
+    dml = log.filter(F.col("dml").isNotNull()).select("dml.*")
+    schema = df.schema
+    winners = collapse_last_writer_bucketed(
+        dml, ["c_custkey"], 16, value_of=pk_value_of(schema)
+    )
+    upserts = winners.select(
+        *[
+            _decode_value(F.col("rows_values")[f.name], f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        F.col("op_type"),
+        F.col(_BUCKET),
+    ).filter(F.col("op_type") != "DELETE")
+    plan = upserts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
