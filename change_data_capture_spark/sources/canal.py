@@ -144,6 +144,10 @@ def canal_raw_ops(
             (F.col("__m.es").cast("bigint") * 1000).alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 
@@ -158,7 +162,8 @@ def canal_dead_letters(
     frames: 'unparseable' (no database/type at all), 'ddl'
     (``isDdl: true`` — CREATE/ALTER/ERASE/QUERY events),
     'unsupported_op', 'unknown_table', 'missing_data' (a DML-typed
-    message with a null or empty row-image array)."""
+    message with a null or empty row-image array), 'null_row',
+    'missing_version' (no es event time)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _CANAL_SCHEMA).alias("__m"),
@@ -181,6 +186,7 @@ def canal_dead_letters(
         .when(
             F.exists(F.col("__m.data"), lambda r: r.isNull()), F.lit("null_row")
         )
+        .when(F.col("__m.es").isNull(), F.lit("missing_version"))
     )
     return m.select(
         "message", reason.alias("reason"), typ.alias("op"), table_id.alias("table")

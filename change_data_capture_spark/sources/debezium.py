@@ -132,6 +132,10 @@ def debezium_raw_ops(
             (_pick("ts_ms") * 1000).cast("bigint").alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 
@@ -198,7 +202,8 @@ def debezium_dead_letters(
     'unparseable' (no envelope fields at all), 'unsupported_op'
     (truncate/message/unknown codes), 'unknown_table' (not in the key
     whitelist), 'missing_image' (c/r/u with no after row, or d with no
-    before row — the image that defines the record)."""
+    before row — the image that defines the record), 'missing_version'
+    (no source.ts_ms and no payload ts_ms)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _ENVELOPE_SCHEMA).alias("__m"),
@@ -215,6 +220,10 @@ def debezium_dead_letters(
         .when(~op_raw.isin(*_OP_MAP), F.lit("unsupported_op"))
         .when(~known, F.lit("unknown_table"))
         .when(missing_image, F.lit("missing_image"))
+        .when(
+            F.coalesce(src["ts_ms"], _pick("ts_ms")).isNull(),
+            F.lit("missing_version"),
+        )
     )
     return m.select("message", reason.alias("reason"), op_raw.alias("op"),
                     table_id.alias("table")).filter(F.col("reason").isNotNull())

@@ -193,6 +193,10 @@ def mongodb_raw_ops(
             (ts_ms.cast("bigint") * 1000).alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 
@@ -250,6 +254,11 @@ def mongodb_patch_ops(
         doc_id.alias("id"),
         version.cast("bigint").alias("version"),
         patch.alias("patch"),
+    ).filter(
+        # null-version patches are unusable in the per-cell LWW and the
+        # pipeline's floor filter drops them anyway — quarantine
+        # instead (DLQ missing_version, r7)
+        F.col("version").isNotNull()
     )
 
 
@@ -268,7 +277,8 @@ def mongodb_dead_letters(
     full-image c/r/u whose body carries no id AND whose key is null),
     'unparseable_image' (an after string that is not a JSON object),
     'unparseable_patch' (an updatedFields string that is not a JSON
-    object — the decoder refuses to degrade it to an empty $set)."""
+    object — the decoder refuses to degrade it to an empty $set),
+    'missing_version' (no source.ts_ms and no payload ts_ms)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _MONGO_VALUE_SCHEMA).alias("__m"),
@@ -313,6 +323,10 @@ def mongodb_dead_letters(
         .when(
             (op == "u") & _pick("after").isNull() & patch_bad,
             F.lit("unparseable_patch"),
+        )
+        .when(
+            F.coalesce(_pick("source").getField("ts_ms"), _pick("ts_ms")).isNull(),
+            F.lit("missing_version"),
         )
     )
     return m.select(

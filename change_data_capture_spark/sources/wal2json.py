@@ -105,16 +105,33 @@ def lsn_version(lsn: Column) -> Column:
     """Postgres LSN text ("16D/3048A2B0") -> the 64-bit integer it
     names: hi segment is the high 32 bits, lo the low 32. Monotone in
     WAL order — the natural change_tracking_version domain for a
-    logical-replication feed."""
+    logical-replication feed.
+
+    Malformed text yields NULL, never a wrong version and never a
+    crash (r7 review): a slash-less string used to hit ``parts[1]``
+    out-of-bounds — an ANSI runtime error killing the whole job on one
+    bad frame — and non-hex segments silently ``conv`` to 0, which the
+    replay filter would then drop as an already-applied version. Both
+    segments are validated as 1-8 hex digits first."""
     parts = F.split(lsn, "/")
-    return (
-        F.conv(parts[0], 16, 10).cast("bigint") * F.lit(4294967296).cast("bigint")
-        + F.conv(parts[1], 16, 10).cast("bigint")
+    hi, lo = F.get(parts, 0), F.get(parts, 1)
+    valid = (
+        (F.size(parts) == 2)
+        & hi.rlike("^[0-9a-fA-F]{1,8}$")
+        & lo.rlike("^[0-9a-fA-F]{1,8}$")
+    )
+    return F.when(
+        valid,
+        F.conv(hi, 16, 10).cast("bigint") * F.lit(4294967296).cast("bigint")
+        + F.conv(lo, 16, 10).cast("bigint"),
     )
 
 
 def _ts_micros(ts: Column) -> Column:
-    return F.unix_micros(F.to_timestamp(ts, _TS_FMT))
+    # try_to_timestamp: one malformed timestamp string must quarantine
+    # that record (missing_version), not throw an ANSI parse error that
+    # kills the whole apply job (r7 review).
+    return F.unix_micros(F.try_to_timestamp(ts, F.lit(_TS_FMT)))
 
 
 def _entries_map(entries: Column) -> Column:
@@ -194,6 +211,10 @@ def wal2json_raw_ops(
             _ts_micros(F.col("__m.timestamp")).alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 
@@ -275,6 +296,10 @@ def wal2json_v1_raw_ops(
             _ts_micros(F.col("__m.timestamp")).alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 
@@ -291,7 +316,8 @@ def wal2json_dead_letters(
     boundaries), 'unsupported_op' (M logical messages, T truncate,
     unknown codes), 'unknown_table', 'missing_columns' (an I/U action
     with no post row), 'missing_identity' (a D action with no identity
-    row)."""
+    row), 'missing_version' (neither a decodable lsn nor a parseable
+    timestamp — no version domain to order the record in)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _V2_SCHEMA).alias("__m"),
@@ -311,6 +337,11 @@ def wal2json_dead_letters(
         .when(
             (action == "D") & F.col("__m.identity").isNull(),
             F.lit("missing_identity"),
+        )
+        .when(
+            lsn_version(F.col("__m.lsn")).isNull()
+            & _ts_micros(F.col("__m.timestamp")).isNull(),
+            F.lit("missing_version"),
         )
     )
     return m.select(
@@ -332,7 +363,9 @@ def wal2json_v1_dead_letters(
     'unsupported_op' (a change whose kind is not insert/update/
     delete — v1 has no message/truncate kinds but defensive),
     'unknown_table', 'missing_columns' (insert/update with no column
-    values), 'missing_identity' (a delete with no oldkeys).
+    values), 'missing_identity' (a delete with no oldkeys),
+    'missing_version' (neither a decodable nextlsn nor a parseable
+    timestamp on the transaction).
     Message-grain for unparseable frames, change-grain otherwise (one
     row per offending change, with its position)."""
     m = messages.select(
@@ -347,7 +380,11 @@ def wal2json_v1_dead_letters(
     )
     flat = (
         m.filter(F.col("__m.change").isNotNull())
-        .select("message", F.posexplode(F.col("__m.change")).alias("__pos", "__c"))
+        .select(
+            "message",
+            F.col("__m"),
+            F.posexplode(F.col("__m.change")).alias("__pos", "__c"),
+        )
         .filter(F.col("__c").isNotNull())
     )
     c = F.col("__c")
@@ -363,6 +400,13 @@ def wal2json_v1_dead_letters(
         .when(
             (c["kind"] == "delete") & c["oldkeys"].getField("keyvalues").isNull(),
             F.lit("missing_identity"),
+        )
+        .when(
+            # the version is per-TRANSACTION (nextlsn/timestamp): when
+            # both are unusable every change of the txn is versionless
+            lsn_version(F.col("__m.nextlsn")).isNull()
+            & _ts_micros(F.col("__m.timestamp")).isNull(),
+            F.lit("missing_version"),
         )
     )
     per_change = flat.select(

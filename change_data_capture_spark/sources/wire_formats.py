@@ -153,6 +153,10 @@ def maxwell_raw_ops(
             (F.col("__m.ts").cast("bigint") * 1_000_000).alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 
@@ -165,7 +169,8 @@ def maxwell_dead_letters(
     """Rows ``maxwell_raw_ops`` drops, with a reason — same quarantine
     contract as ``debezium_dead_letters``: 'unparseable' (no
     database/type at all), 'unsupported_op' (bootstrap markers, DDL
-    events, unknown types), 'unknown_table' (not whitelisted)."""
+    events, unknown types), 'unknown_table' (not whitelisted),
+    'missing_data', 'missing_version' (no ts field)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _MAXWELL_SCHEMA).alias("__m"),
@@ -181,6 +186,7 @@ def maxwell_dead_letters(
         # decoder (data.isNotNull() filter) — it must land here, not
         # vanish from both outputs
         .when(F.col("__m.data").isNull(), F.lit("missing_data"))
+        .when(F.col("__m.ts").isNull(), F.lit("missing_version"))
     )
     return m.select(
         "message", reason.alias("reason"), typ.alias("op"), table_id.alias("table")
@@ -196,7 +202,8 @@ def dms_dead_letters(
     """Rows ``dms_raw_ops`` drops, with a reason — the complement
     quarantine frame: 'unparseable' (no metadata at all), 'control'
     (DDL notification records), 'unsupported_op', 'unknown_table',
-    'missing_data' (data-typed record with no row image)."""
+    'missing_data' (data-typed record with no row image),
+    'missing_version' (no parseable metadata timestamp)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _DMS_SCHEMA).alias("__m"),
@@ -211,6 +218,10 @@ def dms_dead_letters(
         .when(~op_raw.isin(*_DMS_OPS), F.lit("unsupported_op"))
         .when(~known, F.lit("unknown_table"))
         .when(F.col("__m.data").isNull(), F.lit("missing_data"))
+        .when(
+            F.try_to_timestamp(md["timestamp"]).isNull(),
+            F.lit("missing_version"),
+        )
     )
     return m.select(
         "message", reason.alias("reason"), op_raw.alias("op"), table_id.alias("table")
@@ -244,8 +255,11 @@ def dms_raw_ops(
     # Pattern-less parse: Spark's ISO-8601 reader accepts DMS
     # timestamps at any fractional precision (none/millis/micros all
     # occur across DMS target versions); a fixed SSS pattern would
-    # fail the job on the micros form.
-    ts_micros = F.unix_micros(F.to_timestamp(md["timestamp"]))
+    # fail the job on the micros form. try_to_timestamp, because under
+    # ANSI a plain to_timestamp THROWS on one malformed timestamp
+    # string and kills the whole apply job (r7 review) — the record
+    # quarantines as missing_version instead.
+    ts_micros = F.unix_micros(F.try_to_timestamp(md["timestamp"]))
     version = version_expr if version_expr is not None else ts_micros
     keys, schemas = _keys_and_schemas(table_id, table_keys, rows_schemas)
     return (
@@ -263,6 +277,10 @@ def dms_raw_ops(
             ts_micros.alias("cdc_current_timestamp"),
         )
         .filter(F.col("primary_keys").isNotNull())
+        # a NULL version is unusable: it would apply on the create path
+        # but silently vanish behind any later watermark (NULL > x is
+        # NULL) — drop it here; the DLQ names it missing_version (r7)
+        .filter(F.col("change_tracking_version").isNotNull())
     )
 
 

@@ -267,3 +267,86 @@ def test_dead_letters_cover_missing_data_and_dms(spark):
     assert wf.dms_raw_ops(ddf, KEYS).count() == 0
     reasons = sorted(r["reason"] for r in wf.dms_dead_letters(ddf, KEYS).collect())
     assert reasons == ["control", "missing_data", "unknown_table", "unparseable"]
+
+
+def test_missing_or_malformed_version_drops_and_quarantines(spark):
+    """r7 review: a record whose version expression is NULL (missing
+    ts/es/lsn, or malformed timestamp text) must be dropped by the
+    decoder and named missing_version in the DLQ — not applied on the
+    create path and then silently vanished behind any later watermark.
+    Also pins the ANSI-crash regressions: a malformed DMS/wal2json
+    timestamp or a slash-less LSN used to THROW and kill the job."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.sources import canal as canal_mod
+    from change_data_capture_spark.sources import debezium as dbz_mod
+    from change_data_capture_spark.sources import mongodb as mongo_mod
+    from change_data_capture_spark.sources import wal2json as wj_mod
+    from change_data_capture_spark.sources import wire_formats as wf_mod
+
+    # lsn_version: malformed forms -> NULL, never a crash or a bogus 0
+    lsns = spark.createDataFrame(
+        [("0/10",), ("nolsn",), ("zz/12",), ("1/2/3",), (None,)], "lsn string"
+    )
+    got = {
+        r["lsn"]: r["v"]
+        for r in lsns.select("lsn", wj_mod.lsn_version(F.col("lsn")).alias("v")).collect()
+    }
+    assert got["0/10"] == 16
+    assert got["nolsn"] is None and got["zz/12"] is None and got["1/2/3"] is None
+
+    keys = {"db.t": ["id"]}
+    cases = [
+        (
+            wf_mod.maxwell_raw_ops, wf_mod.maxwell_dead_letters,
+            '{"database":"db","table":"t","type":"insert","data":{"id":"1"}}',
+        ),
+        (
+            wf_mod.dms_raw_ops, wf_mod.dms_dead_letters,
+            '{"data":{"id":"1"},"metadata":{"timestamp":"junk-not-a-ts",'
+            '"record-type":"data","operation":"insert",'
+            '"schema-name":"db","table-name":"t"}}',
+        ),
+        (
+            canal_mod.canal_raw_ops, canal_mod.canal_dead_letters,
+            '{"database":"db","table":"t","type":"INSERT",'
+            '"data":[{"id":"1"}],"isDdl":false}',
+        ),
+        (
+            dbz_mod.debezium_raw_ops, dbz_mod.debezium_dead_letters,
+            '{"op":"c","source":{"db":"db","table":"t"},"after":{"id":"1"}}',
+        ),
+        (
+            wj_mod.wal2json_raw_ops, wj_mod.wal2json_dead_letters,
+            '{"action":"I","schema":"db","table":"t","lsn":"garbage",'
+            '"timestamp":"not a time",'
+            '"columns":[{"name":"id","type":"int","value":"1"}]}',
+        ),
+    ]
+    for raw_fn, dlq_fn, msg in cases:
+        mdf = spark.createDataFrame([(msg,)], "message string")
+        assert raw_fn(mdf, keys).count() == 0, raw_fn.__name__
+        reasons = {r["reason"] for r in dlq_fn(mdf, keys).collect()}
+        assert "missing_version" in reasons, (raw_fn.__name__, reasons)
+
+    # mongodb (separate signature: id column map + message key)
+    mmsg = (
+        '{"payload":{"op":"c","after":"{\\"id\\": 1}",'
+        '"source":{"db":"db","rs":"rs0","collection":"t"}}}'
+    )
+    mdf = spark.createDataFrame([(mmsg, '{"payload":{"id":"1"}}')],
+                                "message string, key string")
+    assert mongo_mod.mongodb_raw_ops(mdf, {"db.t": "id"}).count() == 0
+    reasons = {r["reason"] for r in mongo_mod.mongodb_dead_letters(mdf, {"db.t": "id"}).collect()}
+    assert "missing_version" in reasons, reasons
+
+    # wal2json v1: versionless transaction quarantines every change
+    v1msg = (
+        '{"xid":5,"nextlsn":"junk","timestamp":"not a time","change":['
+        '{"kind":"insert","schema":"db","table":"t",'
+        '"columnnames":["id"],"columntypes":["int"],"columnvalues":["1"]}]}'
+    )
+    v1df = spark.createDataFrame([(v1msg,)], "message string")
+    assert wj_mod.wal2json_v1_raw_ops(v1df, keys).count() == 0
+    reasons = {r["reason"] for r in wj_mod.wal2json_v1_dead_letters(v1df, keys).collect()}
+    assert "missing_version" in reasons, reasons
