@@ -993,6 +993,48 @@ def undecodable_rows(dml: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def typed_dead_letters(
+    changelog: DataFrame,
+    catalog: TableCatalog,
+    *,
+    rows_schemas: Mapping[str, str] | None = None,
+    tables: Sequence[str] | None = None,
+) -> DataFrame | None:
+    """The TYPED-decode quarantine for a whole CHANGE_SCHEMA batch: per
+    table with a resolvable schema (the catalog's registered/pending
+    schema, else the caller's ``rows_schemas`` config), the envelope
+    rows ``apply_changes(undecodable="skip")`` will drop because a
+    value cannot cast to its registered column type. Capture this
+    frame BEFORE the apply — the watermark advances past skipped rows,
+    so this is their only record. Uniform shape across tables:
+    ``(table, op_type, change_tracking_version, bad_columns,
+    rows_values)``. Returns None when no table's schema is resolvable
+    (nothing to check against). Driver loop is O(#configured tables);
+    each leg is a narrow projection, no shuffle."""
+    names = list(tables) if tables is not None else sorted(
+        set(catalog.tables()) | set(rows_schemas or {})
+    )
+    dml = changelog.filter(F.col("dml").isNotNull()).select("dml.*")
+    out: DataFrame | None = None
+    for t in names:
+        meta = catalog.meta(t) or {}
+        sj = meta.get("schema") or meta.get("pending_schema") or (
+            rows_schemas or {}
+        ).get(t)
+        if not sj:
+            continue
+        schema = schema_from_json(sj)
+        bad = undecodable_rows(dml.filter(F.col("table") == t), schema).select(
+            F.col("table"),
+            F.col("op_type"),
+            F.col("change_tracking_version"),
+            F.col("bad_columns"),
+            F.col("rows_values"),
+        )
+        out = bad if out is None else out.unionByName(bad)
+    return out
+
+
 def decode_rows_safe(dml: DataFrame, schema: StructType) -> DataFrame:
     """``decode_rows`` that never throws: rows with any undecodable
     value (see ``undecodable_rows``) are filtered OUT before the typed
@@ -1107,6 +1149,7 @@ def apply_changes(
     *,
     replay_floor: Mapping[str, int] | None = None,
     ddl_dedup_state: dict[str, str] | None = None,
+    undecodable: str = "raise",
 ) -> list[dict]:
     """Apply one micro-batch of change records (CHANGE_SCHEMA envelope)
     to the catalog's managed tables. Usable directly as a
@@ -1134,11 +1177,24 @@ def apply_changes(
     schema, so a reset dict (driver restart) only costs a redundant
     no-op announce.
 
+    ``undecodable`` (r7): what to do with a row carrying a value the
+    registered schema cannot cast ('N/A' in a double column). The
+    default ``"raise"`` keeps ANSI fail-loud semantics — one bad value
+    stops the batch. ``"skip"`` is the route-and-continue contract:
+    such rows are filtered out BEFORE the typed cast
+    (``decode_rows_safe``) so the batch lands; the caller MUST capture
+    ``undecodable_rows``/``typed_dead_letters`` into a quarantine
+    FIRST, because the watermark still advances past the skipped
+    rows' versions (at-least-once will NOT redeliver them) — the
+    pipeline front door does exactly this pairing.
+
     Returns a per-table report of what the batch did — action taken
     (create / merge / skip), high-watermark advanced to, and bucket
     write amplification — built ONLY from driver-side metadata the
     apply already holds (no extra Spark actions), so it is free to log
     or ship to a metrics sink per micro-batch."""
+    if undecodable not in ("raise", "skip"):
+        raise ValueError(f"undecodable must be 'raise' or 'skip', got {undecodable!r}")
     report: list[dict] = []
     # Explicit intra-batch ordinal BEFORE any aggregation: DDL order
     # within a batch is the UNION order the caller built (T3), and a
@@ -1307,6 +1363,10 @@ def apply_changes(
                 winners = collapse_last_writer_bucketed(
                     t, pks, n_buckets, value_of=pk_value_of(schema)
                 )
+                if undecodable == "skip":
+                    winners = winners.filter(
+                        F.size(_undecodable_columns(schema)) == 0
+                    )
                 typed = winners.select(
                     *[
                         _decode_value(
@@ -1340,6 +1400,8 @@ def apply_changes(
             # spellings of the same typed key ('7' / '007') are ONE
             # row identity, exactly as the typed merge sees them.
             winners = collapse_last_writer(t, pks, value_of=pk_value_of(schema))
+            if undecodable == "skip":
+                winners = winners.filter(F.size(_undecodable_columns(schema)) == 0)
             if fast and table_id in known:
                 # Merge path with the touched-bucket set precomputed in
                 # the batch-level meta scan: no per-table action at all
@@ -1445,9 +1507,12 @@ def apply_changelog(
     catalog: TableCatalog,
     *,
     replay_floor: Mapping[str, int] | None = None,
+    undecodable: str = "raise",
 ) -> list[dict]:
     """Batch convenience: treat an entire change log as one batch."""
-    return apply_changes(spark, changelog, catalog, replay_floor=replay_floor)
+    return apply_changes(
+        spark, changelog, catalog, replay_floor=replay_floor, undecodable=undecodable
+    )
 
 
 def lookup_keys(

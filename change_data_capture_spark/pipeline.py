@@ -58,7 +58,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .apply import TableCatalog, apply_changelog
+from .apply import TableCatalog, apply_changelog, typed_dead_letters
 from .changelog import dml_records
 from .normalize import normalize_raw_ops, patch_updates
 from .sources.config import InvalidConfigError
@@ -92,6 +92,12 @@ def _validated(config: Mapping[str, Any]) -> tuple[str, dict, dict[str, dict]]:
             f"(maxwell, canal); format {fmt!r} carries no structured DDL "
             f"events to consume",
             "source.apply_ddl",
+        )
+    if src.get("undecodable", "raise") not in ("raise", "skip"):
+        raise InvalidConfigError(
+            f"source.undecodable must be 'raise' or 'skip', got "
+            f"{src.get('undecodable')!r}",
+            "source.undecodable",
         )
     tables = config.get("tables")
     if not isinstance(tables, Mapping) or not tables:
@@ -194,7 +200,14 @@ def run_pipeline(
             t: int((catalog.meta(t) or {}).get("applied_version", 0) or 0)
             for t in id_cols
         }
-        apply_changelog(spark, normalize_raw_ops(raw), catalog)
+        undec = src.get("undecodable", "raise")
+        raw_env = normalize_raw_ops(raw)
+        typed_dlq = None
+        if undec == "skip":
+            typed_dlq = typed_dead_letters(
+                raw_env, catalog, rows_schemas=rows_schemas, tables=list(table_keys)
+            )
+        apply_changelog(spark, raw_env, catalog, undecodable=undec)
         patches = mongodb.mongodb_patch_ops(messages, id_cols, **kw)
         patch_quarantine: DataFrame | None = None
         for t, idc in id_cols.items():
@@ -290,6 +303,7 @@ def run_pipeline(
             "tables": sorted(table_keys),
             "dead_letters": dead,
             "undecodable_patch_cells": patch_quarantine,
+            "undecodable_rows": typed_dlq,
         }
 
     # every JSON wire decoder honors the same source.message_col key
@@ -372,11 +386,25 @@ def run_pipeline(
             dead = dead.join(
                 handled, dead["message"] == F.col("__ddlmsg"), "left_anti"
             )
-    apply_changelog(spark, normalize_raw_ops(raw), catalog)
+    env = normalize_raw_ops(raw)
+    typed_dlq: DataFrame | None = None
+    if src.get("undecodable", "raise") == "skip":
+        # Route-and-continue (r7): capture the typed-decode quarantine
+        # BEFORE the apply — the watermark advances past skipped rows,
+        # so this frame is their only record — then apply with the
+        # never-throwing decode. Default 'raise' keeps fail-loud ANSI
+        # semantics.
+        typed_dlq = typed_dead_letters(
+            env, catalog, rows_schemas=rows_schemas, tables=list(table_keys)
+        )
+        apply_changelog(spark, env, catalog, undecodable="skip")
+    else:
+        apply_changelog(spark, env, catalog)
     return {
         "tables": sorted(table_keys),
         "dead_letters": dead,
         "ddl_applied": ddl_reports,
+        "undecodable_rows": typed_dlq,
     }
 
 
@@ -545,6 +573,13 @@ def run_pipeline_stream(
             rep["dead_letters"].withColumn(
                 "batch_epoch", F.lit(int(epoch)).cast("bigint")
             ).write.mode("append").parquet(_os.path.join(dead_letter_dir, "decode"))
+        if dead_letter_dir is not None and rep.get("undecodable_rows") is not None:
+            # typed-decode quarantine (source.undecodable=skip): the
+            # watermark advanced past these rows — this sink is their
+            # only durable record
+            rep["undecodable_rows"].withColumn(
+                "batch_epoch", F.lit(int(epoch)).cast("bigint")
+            ).write.mode("append").parquet(_os.path.join(dead_letter_dir, "typed"))
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

@@ -879,3 +879,53 @@ def test_pipeline_stream_kafka_tombstones_split_from_dead_letters(
     if os.path.isdir(str(tmp_path / "dlq" / "decode")):
         dl = spark.read.parquet(str(tmp_path / "dlq" / "decode"))
         assert dl.count() == 0
+
+
+def test_undecodable_skip_routes_and_continues(spark, tmp_path):
+    """source.undecodable=skip (r7): a value the registered schema
+    cannot cast ('N/A' in a double column) must not kill the batch
+    under ANSI — the row quarantines into report['undecodable_rows']
+    and every other row lands. Default 'raise' keeps fail-loud."""
+    import pytest
+
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.pipeline import run_pipeline
+
+    schema_json = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"long","nullable":false,"metadata":{}},'
+        '{"name":"amount","type":"double","nullable":true,"metadata":{}}]}'
+    )
+    msgs = spark.createDataFrame(
+        [
+            ('{"op":"c","source":{"db":"db","table":"t","ts_ms":1},'
+             '"after":{"id":"1","amount":"10.5"}}',),
+            ('{"op":"c","source":{"db":"db","table":"t","ts_ms":2},'
+             '"after":{"id":"2","amount":"N/A"}}',),
+            ('{"op":"c","source":{"db":"db","table":"t","ts_ms":3},'
+             '"after":{"id":"3","amount":"30.25"}}',),
+        ],
+        "message string",
+    )
+    base_cfg = {
+        "source": {"format": "debezium"},
+        "tables": {"db.t": {"keys": ["id"], "schema": schema_json}},
+    }
+
+    # default: fail-loud under ANSI
+    with pytest.raises(Exception):
+        run_pipeline(spark, msgs, base_cfg, TableCatalog(str(tmp_path / "c1")))
+
+    # skip: good rows land, the bad row is quarantined with its column
+    cfg = {**base_cfg, "source": {"format": "debezium", "undecodable": "skip"}}
+    cat = TableCatalog(str(tmp_path / "c2"))
+    rep = run_pipeline(spark, msgs, cfg, cat)
+    got = {r["id"]: r["amount"] for r in cat.read(spark, "db.t").collect()}
+    assert got == {1: 10.5, 3: 30.25}
+    q = rep["undecodable_rows"].collect()
+    assert len(q) == 1
+    assert q[0]["rows_values"]["id"] == "2"
+    assert list(q[0]["bad_columns"]) == ["amount"]
+    # the skipped row's version still advanced the watermark — the
+    # quarantine frame is the only record (documented contract)
+    assert int(cat.meta("db.t")["applied_version"]) == 3
