@@ -158,6 +158,12 @@ def goldengate_changelog(raw: DataFrame) -> DataFrame:
         F.coalesce(F.col("rs"), F.lit("{}")).alias("rows_schema"),
         F.col("version").alias("change_tracking_version"),
         F.col("ts_micros").alias("cdc_current_timestamp"),
+    ).filter(
+        # decoder-uniform rule (r7): a versionless DML would apply on
+        # the create path but vanish behind any later watermark —
+        # dropped like the other decoders' missing_version records
+        # (this leg's junk-drop contract is T10, Normalizer.java:65-69)
+        F.col("change_tracking_version").isNotNull()
     )
     return normalize_raw_ops(rawops)
 
