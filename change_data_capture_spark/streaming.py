@@ -455,7 +455,10 @@ def sessionize_stream(
     §2.4); this is north-star surface. Works on a batch DataFrame too
     (single pass, no timeouts), which is how the unit test pins the
     batch/stream agreement."""
-    slim = events.select("user_id", "ts", "value")
+    # A null event time cannot be sessionized: through the Arrow
+    # boundary it would fold as int64 min (NaT) and poison the group's
+    # gap arithmetic. Dropped up front, batch and stream alike (r7).
+    slim = events.select("user_id", "ts", "value").filter(F.col("ts").isNotNull())
     if not events.isStreaming:
         # applyInPandasWithState is streaming-only; the batch twin runs
         # the same per-group fold once, flushing the tail session.

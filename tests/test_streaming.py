@@ -728,3 +728,20 @@ def test_stream_document_dedup_watermarked_suppresses_restamped_redelivery(
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     # the re-stamped 'alpha' (doc_id 9) is suppressed; 'gamma' passes
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+
+
+def test_sessionize_drops_null_event_times(spark):
+    """A null ts crosses Arrow as NaT (int64 min) and would poison the
+    gap arithmetic of its user's whole session history — dropped up
+    front (r7)."""
+    from change_data_capture_spark.streaming import sessionize_stream
+
+    ev = spark.sql(
+        "SELECT 1L user_id, timestamp'2024-01-01 00:00:00' ts, 1.0 value "
+        "UNION ALL SELECT 1L, NULL, 9.0 "
+        "UNION ALL SELECT 1L, timestamp'2024-01-01 00:10:00', 2.0"
+    )
+    rows = sessionize_stream(ev, gap_seconds=1800).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 2 and r["total_value"] == 3.0
