@@ -98,6 +98,14 @@ class TableCatalog:
         fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".meta.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
+            # fsync BEFORE the atomic rename: os.replace alone is
+            # atomic against concurrent readers but not against power
+            # loss — an unsynced rename can publish a truncated pointer
+            # file, bricking the table (the one file that must never be
+            # half-written). On an object store the conditional PUT
+            # subsumes this.
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(tdir, _META))
 
     def tables(self) -> list[str]:
