@@ -479,3 +479,30 @@ def test_create_path_apply_is_single_exchange(spark, sf_dir):
     ).filter(F.col("op_type") != "DELETE")
     plan = upserts._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_create_path_executed_write_is_single_exchange(spark, sf_dir, tmp_path):
+    """Stronger than the frame-construction guard above: capture the
+    plans apply_changes actually EXECUTES for a first load and assert
+    the bucketed write job itself ran on one Exchange (a rewire of
+    _apply_one_table away from the bucketed collapse would slip past a
+    hand-built-frame check)."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+    from tests.conftest import load
+
+    df = load(spark, sf_dir, "nation")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    with ExecutedPlanCollector(spark) as collector:
+        apply_changelog(
+            spark, snapshot_changelog(df, "tpch.nation", ["n_nationkey"]), cat
+        )
+        plans = [str(p.toString()) for p in collector.drain()]
+    writes = [p for p in plans if "InsertIntoHadoopFsRelation" in p]
+    assert writes, f"no write job captured; got {len(plans)} plans"
+    for w in writes:
+        # an executed AdaptiveSparkPlan prints Final AND Initial plan
+        # sections — count exchanges in the final section only
+        final = w.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 1, final[:2000]
