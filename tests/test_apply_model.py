@@ -197,3 +197,60 @@ def test_apply_matches_model_with_replay_floor_second_leg(spark, tmp_path):
         _model_apply(model, ops2)
         got = {r["id"]: r["v"] for r in cat.read(spark, t).collect()}
         assert got == model, f"divergence in round {round_i}: {got} != {model}"
+
+
+def test_bucketed_collapse_equals_plain_collapse(spark):
+    """collapse_last_writer_bucketed (the single-exchange create path)
+    must pick exactly the winners of collapse_last_writer and stamp
+    each with the write-path bucket expression — randomized over
+    duplicate keys, version ties, op tie-breaks, and non-canonical key
+    spellings ('007' vs '7')."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import (
+        bucket_expr,
+        collapse_last_writer,
+        collapse_last_writer_bucketed,
+        pk_value_of,
+    )
+    from change_data_capture_spark.changelog import dml_records
+
+    rng = random.Random(13)
+    # one payload per (typed key, version, op): an exact tie on the
+    # max_by ordering key is resolved arbitrarily, and the two
+    # implementations may legitimately pick different winners — the
+    # equivalence under test is about everything BUT that tie.
+    by_combo: dict = {}
+    for _ in range(300):
+        key = rng.randrange(20)
+        spelled = str(key) if rng.random() < 0.7 else f"00{key}"
+        combo = (key, rng.randrange(1, 12), rng.choice(["INSERT", "UPDATE", "DELETE"]))
+        by_combo.setdefault(combo, (spelled, f"v{len(by_combo)}", combo[2], combo[1]))
+    rows = list(by_combo.values())
+    df = spark.createDataFrame(rows, "id string, v string, __op string, __ver long")
+    log = dml_records(
+        df, "t.x", ["id"], op=F.col("__op"), version=F.col("__ver"),
+        value_cols=["id", "v"],
+    )
+    dml = log.filter(F.col("dml").isNotNull()).select("dml.*")
+    schema = spark.createDataFrame([(1, "a")], "id long, v string").schema
+    vo = pk_value_of(schema)
+
+    plain = collapse_last_writer(dml, ["id"], value_of=vo)
+    plain_with_bucket = plain.withColumn(
+        "__bucket", bucket_expr(["id"], 16, value_of=vo)
+    )
+    bucketed = collapse_last_writer_bucketed(dml, ["id"], 16, value_of=vo)
+
+    def canon(frame):
+        return sorted(
+            (r["rows_values"]["id"], r["rows_values"]["v"], r["op_type"],
+             r["change_tracking_version"], r["__bucket"])
+            for r in frame.collect()
+        )
+
+    a, b = canon(plain_with_bucket), canon(bucketed)
+    assert a == b
+    # the version winner is unique per TYPED key even when ops tie
+    typed_keys = {int(r[0]) for r in a}
+    assert len(a) == len(typed_keys)
