@@ -118,11 +118,31 @@ class TableCatalog:
         )
 
     # -- DDL path ---------------------------------------------------
-    def announce_schema(self, table_id: str, schema_json: str) -> None:
+    def announce_schema(
+        self, table_id: str, schema_json: str, spark: SparkSession | None = None
+    ) -> None:
         """Handle a DDL record. Unknown table -> pending schema
         (deferred create until first DML brings PKs,
         CDCKudu.java:80-85). Known table -> evolve by column
-        set-difference (CDCKudu.java:78-137)."""
+        set-difference (CDCKudu.java:78-137).
+
+        Drop-then-re-add discipline (r7 review, reproduced by
+        execution): evolution is metadata-only, so a DROPPED column's
+        bytes stay in the table's parquet files (hard-linked across
+        versions). Re-adding the same name would silently RESURRECT
+        the stale values from old files — and inconsistently, since
+        buckets rewritten after the drop give null. The reference's
+        sink physically deletes column data on an ALTER DROP
+        (CDCKudu.java:78-137), so a re-added column there is empty.
+        Dropped names are therefore tombstoned in the meta
+        (``dropped_columns``); re-adding one first PURGES the column
+        physically (a compact projecting the column-less registered
+        schema — a full rewrite, but drop+re-add is a rare event) when
+        a ``spark`` session is available, and otherwise raises with
+        the compact-first workaround. Time travel to versions
+        published BEFORE the purge may still read the historical
+        values — that is what time travel means; vacuum retires them.
+        """
         meta = self.meta(table_id)
         if meta is None:
             self.put_meta(
@@ -153,9 +173,39 @@ class TableCatalog:
             for pk in pks:
                 if pk not in present and pk in old_fields:
                     evolved = StructType([*evolved.fields, old_fields[pk]])
-            # PK restriction survives evolution (CDCKudu.java:315-321):
-            # a re-announced float/bool PK column stays STRING.
-            meta["schema"] = pk_compat_schema(evolved, pks).json()
+            final = pk_compat_schema(evolved, pks)
+            new_names = {f.name for f in final.fields}
+            tombstones = dict(meta.get("dropped_columns") or {})
+            readded = sorted(n for n in new_names if n in tombstones)
+            if readded and meta.get("current") is not None:
+                if spark is None:
+                    raise ValueError(
+                        f"{table_id}: column(s) {readded} were previously "
+                        "DROPPED and their bytes may persist in old data "
+                        "files — re-adding would resurrect stale values. "
+                        "Pass spark= to announce_schema (the apply path "
+                        "does) for an automatic purge, or compact() the "
+                        "table first."
+                    )
+                # physical purge: rewrite under the CURRENT registered
+                # schema (which lacks the column) — versioned like any
+                # write, CAS-protected inside compact
+                self.compact(spark, table_id)
+                meta = self.meta(table_id)  # compact moved the pointer
+            for n in readded:
+                tombstones.pop(n, None)
+            dropped_now = set(old_fields) - new_names
+            if dropped_now:
+                seq = (
+                    int(meta["current"].rsplit("_v", 1)[1])
+                    if meta.get("current")
+                    else 0
+                )
+                for n in dropped_now:
+                    tombstones[n] = seq
+            if tombstones or meta.get("dropped_columns"):
+                meta["dropped_columns"] = tombstones
+            meta["schema"] = final.json()
         self.put_meta(table_id, meta)
 
     @staticmethod
@@ -1302,7 +1352,7 @@ def apply_changes(
                         ddl_dedup_state.get(r["table"]) == entry["schema"]
                     ):
                         continue  # consecutive re-announcement (ST1)
-                    catalog.announce_schema(r["table"], entry["schema"])
+                    catalog.announce_schema(r["table"], entry["schema"], spark=spark)
                     # record ONLY after the announce durably applied
                     # (put_meta inside announce_schema): recording
                     # first would mark a FAILED announcement as done

@@ -162,7 +162,7 @@ class IncompatibleSchemaError(ValueError):
 
 
 def gate_announce(
-    catalog, table_id: str, schema_json: str, mode: str = BACKWARD
+    catalog, table_id: str, schema_json: str, mode: str = BACKWARD, *, spark=None
 ) -> None:
     """Enforcement point: check the incoming DDL against the table's
     current schema under ``mode`` and only then announce it. Raises
@@ -177,4 +177,4 @@ def gate_announce(
         violations = check_compat(current, schema_json, mode)
         if violations:
             raise IncompatibleSchemaError(table_id, violations)
-    catalog.announce_schema(table_id, schema_json)
+    catalog.announce_schema(table_id, schema_json, spark=spark)

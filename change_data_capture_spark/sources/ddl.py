@@ -205,9 +205,14 @@ def apply_maxwell_ddl(
             out.append({"table": table_id, "event": m["type"], "error": str(e)})
             continue
         if compat_mode:
-            gate_announce(catalog, table_id, schema.json(), compat_mode)
+            gate_announce(
+                catalog, table_id, schema.json(), compat_mode,
+                spark=messages.sparkSession,
+            )
         else:
-            catalog.announce_schema(table_id, schema.json())
+            catalog.announce_schema(
+                table_id, schema.json(), spark=messages.sparkSession
+            )
         out.append(
             {
                 "table": table_id,
@@ -360,9 +365,14 @@ def apply_canal_ddl(
             ]
             evolved = StructType(new_fields)
             if compat_mode:
-                gate_announce(catalog, table, evolved.json(), compat_mode)
+                gate_announce(
+                    catalog, table, evolved.json(), compat_mode,
+                    spark=messages.sparkSession,
+                )
             else:
-                catalog.announce_schema(table, evolved.json())
+                catalog.announce_schema(
+                    table, evolved.json(), spark=messages.sparkSession
+                )
             rec["applied"] = True
         else:
             rec["applied"] = False

@@ -184,7 +184,9 @@ def evolve_from_observed_columns(raw_ops: DataFrame, catalog) -> dict[str, list[
         evolved = StructType(
             [*schema.fields, *[StructField(c, StringType(), True) for c in new_cols]]
         )
-        catalog.announce_schema(r["table"], evolved.json())
+        catalog.announce_schema(
+            r["table"], evolved.json(), spark=raw_ops.sparkSession
+        )
         added[r["table"]] = new_cols
     return added
 

@@ -721,3 +721,44 @@ def test_replay_floor_reopened_versions_merge_correctly(spark, tmp_path):
     rows = {r["id"]: r["body"] for r in got.collect()}
     assert got.count() == 2, f"duplicate rows: {sorted(got.collect())}"
     assert rows == {"A": "alpha-patched", "B": "beta"}
+
+
+def test_dropped_column_does_not_resurrect_on_readd(spark, tmp_path):
+    """r7 review (reproduced by execution): evolution is metadata-only,
+    so a dropped column's bytes persist in the table's parquet files —
+    re-adding the name used to RESURRECT the stale values (the
+    reference's sink physically deletes column data on ALTER DROP,
+    CDCKudu.java:78-137, so its re-added column is empty). The catalog
+    now tombstones dropped names and a re-add purges physically first
+    (or raises without a session)."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t = "db.t"
+    df = spark.createDataFrame(
+        [(1, "x", "secret1"), (2, "y", "secret2")], "id long, a string, b string"
+    )
+    apply_changelog(spark, snapshot_changelog(df, t, ["id"]), cat)
+
+    s_no_b = StructType([StructField("id", LongType()), StructField("a", StringType())])
+    cat.announce_schema(t, s_no_b.json())  # DROP b (metadata-only: ok)
+    assert cat.read(spark, t).columns == ["id", "a"]
+    assert "b" in (cat.meta(t).get("dropped_columns") or {})
+
+    s_re = StructType([*s_no_b.fields, StructField("b", StringType())])
+    # no session: loud failure naming the workaround
+    with pytest.raises(ValueError, match="resurrect"):
+        cat.announce_schema(t, s_re.json())
+    # with a session: physical purge, then evolve — b is NULL everywhere
+    cat.announce_schema(t, s_re.json(), spark=spark)
+    rows = {r["id"]: r["b"] for r in cat.read(spark, t).collect()}
+    assert rows == {1: None, 2: None}
+    assert "b" not in (cat.meta(t).get("dropped_columns") or {})
+
+    # and through the apply path (DDL records carry spark implicitly)
+    cat.announce_schema(t, s_no_b.json())  # drop again
+    log = ddl_record(spark, t, s_re.json())
+    apply_changelog(spark, log, cat)  # re-add via a DDL record
+    rows2 = {r["id"]: r["b"] for r in cat.read(spark, t).collect()}
+    assert rows2 == {1: None, 2: None}

@@ -82,11 +82,11 @@ class _FlakyCatalog(TableCatalog):
         super().__init__(root)
         self._fails_left = fail_times
 
-    def announce_schema(self, table_id, schema_json):
+    def announce_schema(self, table_id, schema_json, spark=None):
         if self._fails_left > 0:
             self._fails_left -= 1
             raise RuntimeError("injected announce failure")
-        return super().announce_schema(table_id, schema_json)
+        return super().announce_schema(table_id, schema_json, spark=spark)
 
 
 def test_failed_announce_leaves_dedup_state_untouched_for_retry(spark, tmp_path):
@@ -136,11 +136,11 @@ def test_failed_announce_mid_batch_keeps_earlier_tables_recorded(spark, tmp_path
     orig = TableCatalog.announce_schema
     calls = {"n": 0}
 
-    def flaky(self, table_id, schema_json):
+    def flaky(self, table_id, schema_json, spark=None):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected announce failure")
-        return orig(self, table_id, schema_json)
+        return orig(self, table_id, schema_json, spark=spark)
 
     cat.announce_schema = flaky.__get__(cat)
     try:
