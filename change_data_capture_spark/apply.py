@@ -61,6 +61,37 @@ class ConcurrentWriteError(RuntimeError):
     are invisible to readers and are cleaned up)."""
 
 
+def _read_compatible(old_dt, new_dt) -> bool:
+    """Can parquet files physically written as ``old_dt`` be READ under
+    a schema declaring ``new_dt``? The empirically-probed Spark 4
+    vectorized-reader widening matrix (r7): int-family upcasts within
+    the int32 physical encoding (byte/short/int share int32), int32 ->
+    long/double, float -> double, int-family -> DECIMAL(p,0) with
+    enough integer digits, and same-scale decimal precision widening.
+    NOT safe (probed: the read crashes): long -> double, int -> string,
+    date -> timestamp, any narrowing — those need a physical rewrite
+    (announce_schema does it)."""
+    from pyspark.sql.types import DecimalType
+
+    if old_dt == new_dt:
+        return True
+    o, n = old_dt.typeName(), new_dt.typeName()
+    int32 = ("byte", "short", "integer")
+    if o in int32 and (n in int32[int32.index(o) + 1 :] or n in ("long", "double")):
+        return True
+    if o == "float" and n == "double":
+        return True
+    if isinstance(new_dt, DecimalType) and new_dt.scale == 0:
+        digits = {"byte": 3, "short": 5, "integer": 10, "long": 19}.get(o)
+        if digits is not None and new_dt.precision >= digits:
+            return True
+    if isinstance(old_dt, DecimalType) and isinstance(new_dt, DecimalType):
+        return (
+            new_dt.scale == old_dt.scale and new_dt.precision >= old_dt.precision
+        )
+    return False
+
+
 def bucket_expr(pks: Sequence[str], n_buckets: int, value_of=None) -> F.Column:
     """Stable PK-hash bucket id in [0, n_buckets): the unit of merge
     granularity. Derived from the rowkey string so bucket identity and
@@ -177,21 +208,61 @@ class TableCatalog:
             new_names = {f.name for f in final.fields}
             tombstones = dict(meta.get("dropped_columns") or {})
             readded = sorted(n for n in new_names if n in tombstones)
-            if readded and meta.get("current") is not None:
+            # Surviving columns whose announced type the parquet reader
+            # cannot apply over the OLD physical encoding (r7, probed:
+            # e.g. string->int crashes every subsequent read — the
+            # table is bricked until a rewrite; long->double too).
+            # These need a physical re-type, not a metadata edit.
+            unsafe_types = sorted(
+                f.name
+                for f in final.fields
+                if f.name in old_fields
+                and old_fields[f.name].dataType != f.dataType
+                and not _read_compatible(old_fields[f.name].dataType, f.dataType)
+            )
+            if (readded or unsafe_types) and meta.get("current") is not None:
                 if spark is None:
                     raise ValueError(
-                        f"{table_id}: column(s) {readded} were previously "
-                        "DROPPED and their bytes may persist in old data "
-                        "files — re-adding would resurrect stale values. "
-                        "Pass spark= to announce_schema (the apply path "
-                        "does) for an automatic purge, or compact() the "
-                        "table first."
+                        f"{table_id}: evolution needs a PHYSICAL rewrite "
+                        f"(re-added previously-dropped column(s) {readded} "
+                        f"would resurrect stale values; type change(s) on "
+                        f"{unsafe_types} are not read-compatible with the "
+                        "old files). Pass spark= to announce_schema (the "
+                        "apply path does) for an automatic rewrite, or "
+                        "compact() / re-type the table first."
                     )
-                # physical purge: rewrite under the CURRENT registered
-                # schema (which lacks the column) — versioned like any
-                # write, CAS-protected inside compact
-                self.compact(spark, table_id)
-                meta = self.meta(table_id)  # compact moved the pointer
+                if readded:
+                    # purge the dropped columns' bytes: rewrite under
+                    # the CURRENT registered schema (which lacks them) —
+                    # versioned, CAS-protected inside compact
+                    self.compact(spark, table_id)
+                if unsafe_types:
+                    # physical re-type: rewrite the table directly
+                    # under the FINAL schema (ANSI casts — data that
+                    # cannot be the new type fails HERE, at evolve
+                    # time, loudly); schema + data pointer move in ONE
+                    # atomic meta swap so no reader ever pairs old
+                    # files with the new schema or vice versa
+                    cur = self.read(spark, table_id)
+                    have = set(cur.columns)
+                    cast_cols = [
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in have
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in final.fields
+                    ]
+                    m2 = self.meta(table_id)
+                    self.write_new_version(
+                        table_id,
+                        cur.select(*cast_cols),
+                        int(m2.get("applied_version", 0)),
+                        changed_buckets=None,
+                        expected_current=m2["current"],
+                        new_schema_json=final.json(),
+                    )
+                meta = self.meta(table_id)  # the rewrites moved state
             for n in readded:
                 tombstones.pop(n, None)
             dropped_now = set(old_fields) - new_names
@@ -651,8 +722,15 @@ class TableCatalog:
         expected_current: object = _NO_CAS,
         bloom_filter_cols: Sequence[str] | None = None,
         prebucketed: bool = False,
+        new_schema_json: str | None = None,
     ) -> None:
         """Publish a new table version.
+
+        ``new_schema_json``: registered schema to publish IN THE SAME
+        atomic meta swap as the data pointer (the physical re-type
+        path of ``announce_schema``): updating them separately leaves
+        a window where readers pair old files with the new schema (or
+        new files with the old one) — both crash classes.
 
         ``prebucketed``: the caller already computed the ``__bucket``
         column with this table's bucket expression AND distributed the
@@ -793,6 +871,8 @@ class TableCatalog:
         latest["current"] = new_dir
         latest["buckets"] = n_buckets
         latest["bloom_filter_cols"] = bloom_cols
+        if new_schema_json is not None:
+            latest["schema"] = new_schema_json
         latest["applied_version"] = max(latest.get("applied_version", 0), applied_version)
         # Per-version watermark history: which feed (tracking-domain)
         # watermark each published version reflects — the index that

@@ -762,3 +762,49 @@ def test_dropped_column_does_not_resurrect_on_readd(spark, tmp_path):
     apply_changelog(spark, log, cat)  # re-add via a DDL record
     rows2 = {r["id"]: r["b"] for r in cat.read(spark, t).collect()}
     assert rows2 == {1: None, 2: None}
+
+
+def test_type_changing_evolution_rewrites_instead_of_bricking(spark, tmp_path):
+    """r7 review (reproduced): announcing a type change that the
+    parquet reader cannot apply over the old physical encoding
+    (string->int) used to brick every subsequent read of the table.
+    Such changes now trigger a physical re-type rewrite (schema + data
+    pointer move in one atomic meta swap); read-compatible widenings
+    (int->long) stay metadata-only — no new version published."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    import pytest
+
+    def mk(vtype):
+        return StructType([StructField("id", LongType()), StructField("v", vtype)])
+
+    # unsafe change: physical rewrite, values cast
+    cat = TableCatalog(str(tmp_path / "a"))
+    df = spark.createDataFrame([(1, "10"), (2, "20")], mk(StringType()))
+    apply_changelog(spark, snapshot_changelog(df, "db.a", ["id"]), cat)
+    with pytest.raises(ValueError, match="PHYSICAL rewrite"):
+        cat.announce_schema("db.a", mk(IntegerType()).json())  # no session
+    v_before = cat.versions("db.a")[-1]
+    cat.announce_schema("db.a", mk(IntegerType()).json(), spark=spark)
+    got = {r["id"]: r["v"] for r in cat.read(spark, "db.a").collect()}
+    assert got == {1: 10, 2: 20}
+    assert dict(cat.read(spark, "db.a").dtypes)["v"] == "int"
+    assert cat.versions("db.a")[-1] == v_before + 1  # one rewrite published
+
+    # read-compatible widening: metadata-only, no rewrite
+    cat2 = TableCatalog(str(tmp_path / "b"))
+    df2 = spark.createDataFrame([(1, 10), (2, 20)], mk(IntegerType()))
+    apply_changelog(spark, snapshot_changelog(df2, "db.b", ["id"]), cat2)
+    v0 = cat2.versions("db.b")[-1]
+    cat2.announce_schema("db.b", mk(LongType()).json())
+    assert cat2.versions("db.b")[-1] == v0  # no new version
+    got2 = {r["id"]: r["v"] for r in cat2.read(spark, "db.b").collect()}
+    assert got2 == {1: 10, 2: 20}
+    assert dict(cat2.read(spark, "db.b").dtypes)["v"] == "bigint"
+
+    # a genuinely un-castable value fails LOUDLY at evolve time
+    cat3 = TableCatalog(str(tmp_path / "c"))
+    df3 = spark.createDataFrame([(1, "xx")], mk(StringType()))
+    apply_changelog(spark, snapshot_changelog(df3, "db.c", ["id"]), cat3)
+    with pytest.raises(Exception):
+        cat3.announce_schema("db.c", mk(IntegerType()).json(), spark=spark)
