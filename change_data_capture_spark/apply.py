@@ -369,6 +369,15 @@ class TableCatalog:
             if version not in self.versions(table_id):
                 raise KeyError(f"table {table_id!r} has no version {version}")
             current = f"data_v{version:06d}"
+            # Schema AS OF that version (r7): after a physical re-type
+            # (announce_schema) the CURRENT schema cannot read
+            # pre-rewrite files — time travel must use the schema the
+            # version was published under. Catalogs predating the
+            # history fall back to the current schema (unchanged
+            # behavior for tables that never re-typed).
+            hist = meta.get("version_schemas") or {}
+            if str(int(version)) in hist:
+                schema = schema_from_json(hist[str(int(version))])
         else:
             current = meta["current"]
         if current is None:
@@ -614,13 +623,17 @@ class TableCatalog:
             # view (same best-effort caveat as write_new_version's CAS
             # on a plain filesystem).
             latest = self.meta(table_id)
-            if latest and latest.get("version_watermarks"):
+            if latest and (
+                latest.get("version_watermarks") or latest.get("version_schemas")
+            ):
                 dropped = {int(v) for v in drop}
-                latest["version_watermarks"] = {
-                    s: w
-                    for s, w in latest["version_watermarks"].items()
-                    if int(s) not in dropped
-                }
+                for key in ("version_watermarks", "version_schemas"):
+                    if latest.get(key):
+                        latest[key] = {
+                            s: w
+                            for s, w in latest[key].items()
+                            if int(s) not in dropped
+                        }
                 self.put_meta(table_id, latest)
         return drop
 
@@ -655,7 +668,17 @@ class TableCatalog:
         pinned = (
             int(meta["current"].rsplit("_v", 1)[1]) if meta.get("current") else None
         )
-        current = self.read(spark, table_id, version=pinned)
+        # Read the pinned version under ITS schema (physical
+        # compatibility — version_schemas), then align to the CURRENT
+        # registered schema: a compact is a rewrite of the table as it
+        # is REGISTERED today, which is what makes it the physical
+        # purge step for dropped-column tombstones (announce_schema) —
+        # reading as-of alone would carry dropped columns' bytes
+        # forward (r7).
+        current = _align(
+            self.read(spark, table_id, version=pinned),
+            schema_from_json(meta["schema"]),
+        )
         # The new bucket count is published in the SAME atomic meta
         # swap as the new data pointer (inside write_new_version) — a
         # crash mid-compact must never leave meta['buckets']
@@ -688,6 +711,12 @@ class TableCatalog:
         pks = list(meta["pks"])
         old = self.read(spark, table_id, version=from_version)
         new = self.read(spark, table_id, version=to_version)
+        # Versions read under their own historical schemas (re-type
+        # support): align BOTH sides to the comparison schema — the new
+        # side's — so the per-column diff and the unions are typed
+        # consistently ('10' string vs 10 int is the SAME value after
+        # the cast, exactly what the re-type rewrite asserted).
+        old = _align(old, new.schema)
         cols = new.columns
         val_cols = [c for c in cols if c not in pks]
         inserts = new.join(old, pks, "left_anti").withColumn(
@@ -882,6 +911,14 @@ class TableCatalog:
         hist = dict(latest.get("version_watermarks") or {})
         hist[str(int(new_dir.rsplit("_v", 1)[1]))] = int(latest["applied_version"])
         latest["version_watermarks"] = hist
+        # Per-version schema history: the registered schema each
+        # version was PUBLISHED under, so time travel and the change
+        # feed can read pre-re-type versions with the schema their
+        # files physically encode (r7). Same O(#versions) metadata
+        # class as the watermark index; vacuum trims both.
+        shist = dict(latest.get("version_schemas") or {})
+        shist[str(int(new_dir.rsplit("_v", 1)[1]))] = latest["schema"]
+        latest["version_schemas"] = shist
         self.put_meta(table_id, latest)
 
 

@@ -808,3 +808,31 @@ def test_type_changing_evolution_rewrites_instead_of_bricking(spark, tmp_path):
     apply_changelog(spark, snapshot_changelog(df3, "db.c", ["id"]), cat3)
     with pytest.raises(Exception):
         cat3.announce_schema("db.c", mk(IntegerType()).json(), spark=spark)
+
+
+def test_time_travel_and_cdf_survive_a_retype(spark, tmp_path):
+    """r7 follow-on: after a physical re-type, time travel must read
+    pre-rewrite versions under the schema they were PUBLISHED with
+    (per-version schema history), and the change feed across the
+    boundary must align both sides — values equal across the re-type
+    diff as empty updates."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    def mk(vtype):
+        return StructType([StructField("id", LongType()), StructField("v", vtype)])
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1, "10"), (2, "20")], mk(StringType()))
+    apply_changelog(spark, snapshot_changelog(df, "db.t", ["id"]), cat)
+    v_str = cat.versions("db.t")[-1]
+    cat.announce_schema("db.t", mk(IntegerType()).json(), spark=spark)
+    v_int = cat.versions("db.t")[-1]
+
+    # time travel to the pre-re-type version: string-typed, readable
+    old = cat.read(spark, "db.t", version=v_str)
+    assert dict(old.dtypes)["v"] == "string"
+    assert {r["id"]: r["v"] for r in old.collect()} == {1: "10", 2: "20"}
+
+    # CDF across the re-type boundary: same values, so no changes
+    cdf = cat.table_changes(spark, "db.t", from_version=v_str, to_version=v_int)
+    assert cdf.count() == 0
