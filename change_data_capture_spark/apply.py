@@ -496,7 +496,10 @@ class TableCatalog:
                 {"name": f, "bytes": os.path.getsize(os.path.join(data_dir, f))}
                 for f in files
             ],
-            "columns": [f.name for f in schema_from_json(meta["schema"]).fields],
+            # from the exported frame, not the CURRENT registered
+            # schema: a pinned pre-evolution export carries the
+            # columns of ITS version (r7, version_schemas)
+            "columns": list(df.columns),
             "primary_keys": list(meta["pks"]),
         }
         tmp = os.path.join(dest_dir, "manifest.json.tmp")
