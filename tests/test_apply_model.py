@@ -254,3 +254,112 @@ def test_bucketed_collapse_equals_plain_collapse(spark):
     # the version winner is unique per TYPED key even when ops tie
     typed_keys = {int(r[0]) for r in a}
     assert len(a) == len(typed_keys)
+
+
+def test_apply_matches_model_under_randomized_evolution(spark, tmp_path):
+    """Randomized schema-evolution property over the r7 machinery:
+    rounds interleave {add column, drop column, re-add a dropped
+    column, unsafe re-type (string->long, long->double)} with upsert
+    batches, all through announce_schema(spark=...) and the normal
+    apply. The Python model mirrors the engine's observable contract:
+    a dropped column's values are GONE (re-add yields nulls — the
+    tombstone purge), a re-type casts surviving values, reads show
+    exactly the registered columns."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    TYPES = {"string": StringType(), "long": LongType(), "double": DoubleType()}
+    RETYPE = {"string": "long", "long": "double"}  # probed-unsafe changes
+
+    def spark_schema(cols):
+        return StructType(
+            [StructField("id", LongType()), *[
+                StructField(n, TYPES[t]) for n, t in sorted(cols.items())
+            ]]
+        )
+
+    def cast_val(v, t):
+        if v is None:
+            return None
+        if t == "string":
+            return str(v)
+        if t == "long":
+            return int(float(v))
+        return float(v)
+
+    rng = random.Random(71)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t = "db.evo"
+    cols = {"a": "string"}          # registered non-pk columns: name -> type
+    dropped: set = set()
+    model: dict = {}                # key -> {col: typed value}
+    version = 0
+
+    # create with the initial schema
+    df0 = spark.createDataFrame([(999, "seed")], spark_schema(cols))
+    apply_changelog(spark, dml_records(df0, t, ["id"], version=0), cat)
+    model[999] = {"a": "seed"}
+
+    for rnd in range(6):
+        op = rng.choice(["add", "drop", "readd", "retype", "none"])
+        if op == "add" and len(cols) < 4:
+            name = f"c{rnd}"
+            cols[name] = rng.choice(list(TYPES))
+            for vals in model.values():
+                vals.setdefault(name, None)
+        elif op == "drop" and len(cols) > 1:
+            name = rng.choice(sorted(cols))
+            dropped.add(name)
+            del cols[name]
+            for vals in model.values():
+                vals.pop(name, None)  # purge-on-readd => observably gone
+        elif op == "readd" and dropped:
+            name = rng.choice(sorted(dropped))
+            dropped.discard(name)
+            cols[name] = rng.choice(list(TYPES))
+            for vals in model.values():
+                vals[name] = None
+        elif op == "retype":
+            name = rng.choice(sorted(cols))
+            if cols[name] in RETYPE:
+                new_t = RETYPE[cols[name]]
+                cols[name] = new_t
+                for vals in model.values():
+                    vals[name] = cast_val(vals.get(name), new_t)
+        if op != "none":
+            cat.announce_schema(t, spark_schema(cols).json(), spark=spark)
+
+        # a batch of typed upserts under the current schema
+        rows = []
+        for _ in range(8):
+            version += 1
+            key = rng.randrange(8)
+            vals = {n: cast_val(rng.randrange(100), typ) for n, typ in cols.items()}
+            rows.append((version, key, vals))
+        data = [
+            tuple([key] + [vals[n] for n in sorted(cols)]) for _, key, vals in rows
+        ]
+        vdf = spark.createDataFrame(
+            [(v, *d) for (v, _, _), d in zip(rows, data)],
+            StructType([StructField("__ver", LongType()),
+                        *spark_schema(cols).fields]),
+        )
+        log = dml_records(
+            vdf, t, ["id"], version=F.col("__ver"),
+            value_cols=["id", *sorted(cols)],
+        )
+        apply_changelog(spark, log, cat)
+        last = {}
+        for v, key, vals in rows:
+            if key not in last or v > last[key][0]:
+                last[key] = (v, vals)
+        for key, (_, vals) in last.items():
+            model[key] = dict(vals)
+
+        got = {
+            r["id"]: {n: r[n] for n in sorted(cols)}
+            for r in cat.read(spark, t).collect()
+        }
+        want = {k: {n: vals.get(n) for n in sorted(cols)} for k, vals in model.items()}
+        assert got == want, f"divergence after round {rnd} (op={op})"
