@@ -1924,6 +1924,68 @@ def forget_keys(
     }
 
 
+def forget_column(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    table_id: str,
+    column: str,
+    *,
+    keep_last: int = 1,
+) -> dict:
+    """Column-level erasure — the COLUMN twin of ``forget_keys`` (drop
+    a field everywhere AND purge its bytes from history, then PROVE it
+    gone). A metadata drop alone is not erasure: the column's bytes
+    persist in every data file (the r7 resurrection finding), and old
+    versions keep serving it to time travel. Sequence:
+
+      1. ``announce_schema`` without the column (tombstoned drop —
+         PK columns are refused, they are row identity);
+      2. ``compact`` — the rewrite projects the CURRENT registered
+         schema, so the new version's files physically lack the column;
+      3. ``vacuum(keep_last)`` — retire the pre-drop versions whose
+         files still hold the bytes (``keep_last=1`` for full erasure);
+      4. verification by PHYSICAL file schema: every remaining
+         version's parquet footers are inspected (schema inference,
+         not the registered read schema — the registered schema would
+         hide the column while its bytes remain) and must not name the
+         column.
+
+    Returns {column, versions_purged, versions_verified}. Quiesce the
+    table's apply loop around the erasure, as with any maintenance
+    write."""
+    meta = catalog.meta(table_id)
+    if meta is None or meta["schema"] is None:
+        raise KeyError(f"unknown table {table_id!r}")
+    pks = list(meta["pks"] or [])
+    if column in pks:
+        raise ValueError(
+            f"{table_id}: {column!r} is a primary-key column — row "
+            "identity cannot be erased column-wise (use forget_keys)"
+        )
+    schema = schema_from_json(meta["schema"])
+    if column not in {f.name for f in schema.fields}:
+        raise KeyError(f"{table_id} has no column {column!r}")
+    without = StructType([f for f in schema.fields if f.name != column])
+    catalog.announce_schema(table_id, without.json(), spark=spark)
+    catalog.compact(spark, table_id)
+    purged = catalog.vacuum(table_id, keep_last=keep_last)
+    remaining = catalog.versions(table_id)
+    for v in remaining:
+        vdir = os.path.join(catalog.table_dir(table_id), f"data_v{v:06d}")
+        physical = set(spark.read.parquet(vdir).columns)
+        if column in physical:
+            raise RuntimeError(
+                f"erasure verification failed: column {column!r} still "
+                f"physically present in version {v} of {table_id!r} "
+                f"(keep_last={keep_last} retained a pre-drop version?)"
+            )
+    return {
+        "column": column,
+        "versions_purged": purged,
+        "versions_verified": [int(v) for v in remaining],
+    }
+
+
 def auto_maintain(
     spark: SparkSession,
     catalog: TableCatalog,
