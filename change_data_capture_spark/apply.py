@@ -1464,7 +1464,16 @@ def apply_changes(
             )
             .collect()
         )
-        # DDL first (explicit ordering; see module docstring).
+        # DDL first (explicit ordering; see module docstring). Tables
+        # whose schema was announced THIS batch lose the fast path
+        # below (r7): the precomputed touched-bucket arms hashed keys
+        # under the PRE-announce schema, and a same-batch PK type
+        # change (e.g. a binlog ALTER MODIFY id) alters the canonical
+        # key strings — the arms would name the wrong buckets, the
+        # same silent-duplicate class as the replay_floor finding. The
+        # slow path recomputes buckets and watermark from the fresh
+        # post-announce meta.
+        announced: set[str] = set()
         for r in meta_rows:
             if r["is_ddl"]:
                 for entry in r["ddl_schemas"]:
@@ -1473,6 +1482,7 @@ def apply_changes(
                     ):
                         continue  # consecutive re-announcement (ST1)
                     catalog.announce_schema(r["table"], entry["schema"], spark=spark)
+                    announced.add(r["table"])
                     # record ONLY after the announce durably applied
                     # (put_meta inside announce_schema): recording
                     # first would mark a FAILED announcement as done
@@ -1667,7 +1677,7 @@ def apply_changes(
                             rows_schema_json,
                             batch_max_version,
                             touched,
-                            fast=attempt == 0,
+                            fast=attempt == 0 and table_id not in announced,
                         )
                     )
                     break

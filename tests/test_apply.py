@@ -836,3 +836,36 @@ def test_time_travel_and_cdf_survive_a_retype(spark, tmp_path):
     # CDF across the re-type boundary: same values, so no changes
     cdf = cat.table_changes(spark, "db.t", from_version=v_str, to_version=v_int)
     assert cdf.count() == 0
+
+
+def test_same_batch_pk_retype_with_dml_merges_correctly(spark, tmp_path):
+    """r7 review: a DDL in the same batch that changes a PK column's
+    TYPE alters the canonical key strings the bucket hash uses
+    ('007' as string vs 7 as long) — the precomputed touched-bucket
+    arms hashed under the PRE-announce schema would name the wrong
+    buckets (the replay_floor duplicate class). Announced tables now
+    take the slow path, recomputing buckets from the fresh meta."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from change_data_capture_spark.envelope import wrap_ddl
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    t = "db.t"
+    # create with a STRING pk, seeded via non-canonical spellings
+    df = spark.createDataFrame(
+        [("007", "old7"), ("08", "old8"), ("9", "old9")], "id string, v string"
+    )
+    apply_changelog(spark, snapshot_changelog(df, t, ["id"]), cat)
+
+    # one batch: DDL re-typing the pk to LONG + updates spelled canonically
+    new_schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    ddl = ddl_record(spark, t, new_schema.json())
+    upd = spark.createDataFrame([(7, "new7"), (9, "new9")], new_schema)
+    batch = ddl.unionByName(dml_records(upd, t, ["id"], op="UPDATE", version=2))
+    apply_changes(spark, batch, cat)
+
+    got = {r["id"]: r["v"] for r in cat.read(spark, t).collect()}
+    assert got == {7: "new7", 8: "old8", 9: "new9"}, got
+    assert dict(cat.read(spark, t).dtypes)["id"] == "bigint"
