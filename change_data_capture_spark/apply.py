@@ -138,6 +138,18 @@ class TableCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(tdir, _META))
+        # The rename itself must also be durable: fsyncing the file
+        # protects the CONTENT, but the directory entry swap lives in
+        # the parent dir's metadata — without a dir fsync a power loss
+        # can roll the pointer back to the previous meta (consistent
+        # but stale: old-version state, exactly what the crash matrix
+        # allows) or, on some filesystems, lose a first-ever meta. One
+        # extra fsync per publish, O(1) per batch.
+        dfd = os.open(tdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def tables(self) -> list[str]:
         if not os.path.isdir(self.root):
@@ -191,20 +203,9 @@ class TableCatalog:
         if meta["schema"] is None:
             meta["pending_schema"] = schema_json
         else:
-            evolved = schema_from_json(self._evolved(meta["schema"], schema_json))
-            # Primary-key columns survive evolution even when the
-            # announced schema omits them: dropping a key column would
-            # destroy row identity mid-table (Kudu refuses exactly this
-            # alter, CDCKudu.java:78-137 via AlterTableOptions), so the
-            # registered PK fields are re-added with their existing
-            # types rather than failing or silently un-keying the table.
             pks = meta.get("pks") or []
-            present = {f.name for f in evolved.fields}
             old_fields = {f.name: f for f in schema_from_json(meta["schema"]).fields}
-            for pk in pks:
-                if pk not in present and pk in old_fields:
-                    evolved = StructType([*evolved.fields, old_fields[pk]])
-            final = pk_compat_schema(evolved, pks)
+            final = self._final_evolved_schema(meta["schema"], schema_json, pks)
             new_names = {f.name for f in final.fields}
             tombstones = dict(meta.get("dropped_columns") or {})
             readded = sorted(n for n in new_names if n in tombstones)
@@ -277,6 +278,22 @@ class TableCatalog:
             if tombstones or meta.get("dropped_columns"):
                 meta["dropped_columns"] = tombstones
             meta["schema"] = final.json()
+            # Keep the CURRENT version's history entry in step with a
+            # METADATA-ONLY evolution (r8, ADVICE): version_schemas is
+            # otherwise stamped only by write_new_version, so a
+            # metadata-only column drop landing after a physical
+            # re-type left read(version=<latest>) serving the stale
+            # pre-drop schema — exposing the dropped column's bytes
+            # that the tombstone discipline exists to bury, and
+            # diverging from the default read. Older versions keep
+            # their publish-time schemas (that is what time travel
+            # means); tables with no history fall back to the
+            # registered schema on explicit reads, so there is nothing
+            # to stamp for them.
+            hist = meta.get("version_schemas")
+            if hist and meta.get("current"):
+                cur_seq = int(meta["current"].rsplit("_v", 1)[1])
+                hist[str(cur_seq)] = final.json()
         self.put_meta(table_id, meta)
 
     @staticmethod
@@ -285,6 +302,60 @@ class TableCatalog:
         drop, types of surviving columns come from the new schema."""
         new_schema = schema_from_json(new_json)
         return new_schema.json()
+
+    def _final_evolved_schema(
+        self, old_json: str, new_json: str, pks: Sequence[str]
+    ) -> StructType:
+        """The registered schema an announcement over ``old_json``
+        evolves to — PURE (no catalog access, no mutation), shared by
+        ``announce_schema`` and ``effective_schema_json`` so the
+        quarantine path can never diverge from the apply path.
+        Primary-key columns survive evolution even when the announced
+        schema omits them: dropping a key column would destroy row
+        identity mid-table (Kudu refuses exactly this alter,
+        CDCKudu.java:78-137 via AlterTableOptions), so the registered
+        PK fields are re-added with their existing types rather than
+        failing or silently un-keying the table."""
+        evolved = schema_from_json(self._evolved(old_json, new_json))
+        present = {f.name for f in evolved.fields}
+        old_fields = {f.name: f for f in schema_from_json(old_json).fields}
+        for pk in pks or []:
+            if pk not in present and pk in old_fields:
+                evolved = StructType([*evolved.fields, old_fields[pk]])
+        return pk_compat_schema(evolved, pks or [])
+
+    def effective_schema_json(
+        self,
+        table_id: str,
+        ddl_schemas: Sequence[str] = (),
+        *,
+        rows_schema_json: str | None = None,
+        pks: Sequence[str] | None = None,
+    ) -> str | None:
+        """The schema ``apply_changes`` will decode ``table_id``'s DML
+        under AFTER announcing ``ddl_schemas`` in batch order — pure
+        simulation, no catalog mutation (r8, ADVICE): the typed-decode
+        quarantine must be computed against the POST-announce schema,
+        because apply announces same-batch DDL first. Mirrors
+        ``announce_schema``'s metadata evolution (known table) and
+        ``ensure_table``'s create-time pk_compat coercion (pending /
+        first-DML table). Returns None when no schema is resolvable
+        from any source."""
+        meta = self.meta(table_id) or {}
+        cur = meta.get("schema")
+        pending = meta.get("pending_schema")
+        eff_pks = meta.get("pks") or list(pks or [])
+        for sj in ddl_schemas:
+            if cur is None:
+                pending = sj
+            else:
+                cur = self._final_evolved_schema(cur, sj, eff_pks).json()
+        if cur is not None:
+            return cur
+        base = pending or rows_schema_json
+        if not base:
+            return None
+        return pk_compat_schema(schema_from_json(base), eff_pks).json()
 
     def ensure_table(self, table_id: str, pks: Sequence[str], rows_schema_json: str) -> dict:
         """Create-on-first-DML: primary keys come from the DML record,
@@ -1177,28 +1248,72 @@ def typed_dead_letters(
     *,
     rows_schemas: Mapping[str, str] | None = None,
     tables: Sequence[str] | None = None,
+    pks: Mapping[str, Sequence[str]] | None = None,
 ) -> DataFrame | None:
     """The TYPED-decode quarantine for a whole CHANGE_SCHEMA batch: per
-    table with a resolvable schema (the catalog's registered/pending
-    schema, else the caller's ``rows_schemas`` config), the envelope
-    rows ``apply_changes(undecodable="skip")`` will drop because a
-    value cannot cast to its registered column type. Capture this
-    frame BEFORE the apply — the watermark advances past skipped rows,
-    so this is their only record. Uniform shape across tables:
+    table with a resolvable schema, the envelope rows
+    ``apply_changes(undecodable="skip")`` will drop because a value
+    cannot cast to its registered column type. Capture this frame
+    BEFORE the apply — the watermark advances past skipped rows, so
+    this is their only record. Uniform shape across tables:
     ``(table, op_type, change_tracking_version, bad_columns,
     rows_values)``. Returns None when no table's schema is resolvable
-    (nothing to check against). Driver loop is O(#configured tables);
-    each leg is a narrow projection, no shuffle."""
+    (nothing to check against). One metadata-sized collect (per-table
+    in-batch DDL + first DML descriptors), then a driver loop of
+    O(#configured tables) narrow projections, no shuffle.
+
+    The check schema is the POST-announce one (r8, ADVICE):
+    ``apply_changes`` announces same-batch DDL FIRST and decodes under
+    the evolved schema, so the quarantine simulates the same
+    announcements (``TableCatalog.effective_schema_json``) — against
+    the PRE-announce schema, a batch carrying a type-narrowing ALTER
+    plus now-invalid values skipped those rows with NO quarantine
+    record while the watermark advanced past them (silent loss), and
+    a widening ALTER produced false-positive entries for rows that
+    actually applied. Create-path tables get the same pk_compat
+    coercion ``ensure_table`` applies (bool/float/double PKs decode as
+    STRING — those values never quarantine)."""
     names = list(tables) if tables is not None else sorted(
         set(catalog.tables()) | set(rows_schemas or {})
     )
+    # Per-table batch descriptors: every in-batch DDL announcement in
+    # explicit plan order (the same __seq discipline as apply's meta
+    # scan) plus the first DML's pks/rows_schema — exactly the inputs
+    # announce_schema/ensure_table will see. Metadata-sized.
+    desc = {
+        r["t"]: r
+        for r in (
+            changelog.withColumn("__seq", F.monotonically_increasing_id())
+            .groupBy(F.coalesce(F.col("ddl.table"), F.col("dml.table")).alias("t"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("ddl").isNotNull(),
+                            F.struct(
+                                F.col("__seq").alias("s"),
+                                F.col("ddl.schema").alias("schema"),
+                            ),
+                        )
+                    )
+                ).alias("ddls"),
+                F.first("dml.primary_keys", ignorenulls=True).alias("pks"),
+                F.first("dml.rows_schema", ignorenulls=True).alias("rows_schema"),
+            )
+            .collect()
+        )
+    }
     dml = changelog.filter(F.col("dml").isNotNull()).select("dml.*")
     out: DataFrame | None = None
     for t in names:
-        meta = catalog.meta(t) or {}
-        sj = meta.get("schema") or meta.get("pending_schema") or (
-            rows_schemas or {}
-        ).get(t)
+        r = desc.get(t)
+        sj = catalog.effective_schema_json(
+            t,
+            [e["schema"] for e in (r["ddls"] if r is not None else [])],
+            rows_schema_json=(r["rows_schema"] if r is not None else None)
+            or (rows_schemas or {}).get(t),
+            pks=(r["pks"] if r is not None else None) or (pks or {}).get(t),
+        )
         if not sj:
             continue
         schema = schema_from_json(sj)
@@ -1233,7 +1348,19 @@ def pk_value_of(schema: StructType, rows_col: str = "rows_values"):
     — because the write path buckets typed rows; hashing the raw
     source string would send a non-canonical form ('007', '+5',
     '1.50', timestamp format variants) to a different bucket than the
-    one its typed row is written into."""
+    one its typed row is written into.
+
+    try_cast, not cast (r8, ADVICE finding): these expressions execute
+    in the collapse groupBy and the batch meta-scan bucket arms BEFORE
+    any ``undecodable='skip'`` winners filter, so one row with 'N/A'
+    in an int PK column would ANSI-throw and kill the whole batch —
+    while ``undecodable_rows`` flags PK columns as if covered. An
+    undecodable PK value now falls back to raw-string identity (the
+    same degraded path an unregistered column takes): the row forms
+    its own key group — a failed cast can never render equal to a
+    valid key's canonical cast-to-string form — and the skip filter
+    then quarantines it; under 'raise' the typed decode still fails
+    loudly exactly as before."""
     types = {f.name: f.dataType for f in schema.fields}
 
     def value_of(c: str):
@@ -1242,7 +1369,12 @@ def pk_value_of(schema: StructType, rows_col: str = "rows_values"):
         # write path exhibits, instead of a driver-side KeyError
         t = types.get(c)
         col = F.col(rows_col)[c]
-        return col.cast(t) if t is not None else col
+        if t is None:
+            return col
+        safe = col.try_cast(t)
+        return F.when(col.isNotNull() & safe.isNull(), col).otherwise(
+            safe.cast("string")
+        )
 
     return value_of
 

@@ -156,6 +156,7 @@ def canal_dead_letters(
     table_keys: Mapping[str, Sequence[str]],
     *,
     message_col: str = "message",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """Rows ``canal_raw_ops`` drops, with a reason — the same
     quarantine contract as the Maxwell/DMS/Debezium dead-letter
@@ -163,7 +164,9 @@ def canal_dead_letters(
     (``isDdl: true`` — CREATE/ALTER/ERASE/QUERY events),
     'unsupported_op', 'unknown_table', 'missing_data' (a DML-typed
     message with a null or empty row-image array), 'null_row',
-    'missing_version' (no es event time)."""
+    'missing_version' (no es event time). Pass the SAME
+    ``version_expr`` given to ``canal_raw_ops`` so missing_version
+    keys on the EFFECTIVE version expression (r8, ADVICE)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _CANAL_SCHEMA).alias("__m"),
@@ -186,7 +189,14 @@ def canal_dead_letters(
         .when(
             F.exists(F.col("__m.data"), lambda r: r.isNull()), F.lit("null_row")
         )
-        .when(F.col("__m.es").isNull(), F.lit("missing_version"))
+        .when(
+            (
+                version_expr.try_cast("bigint")
+                if version_expr is not None
+                else F.col("__m.es")
+            ).isNull(),
+            F.lit("missing_version"),
+        )
     )
     return m.select(
         "message", reason.alias("reason"), typ.alias("op"), table_id.alias("table")

@@ -196,6 +196,7 @@ def debezium_dead_letters(
     table_keys: Mapping[str, Sequence[str]],
     *,
     message_col: str = "message",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """The rows ``debezium_raw_ops`` drops, with a reason column — the
     dead-letter queue a production feed routes to a quarantine sink
@@ -205,7 +206,14 @@ def debezium_dead_letters(
     (truncate/message/unknown codes), 'unknown_table' (not in the key
     whitelist), 'missing_image' (c/r/u with no after row, or d with no
     before row — the image that defines the record), 'missing_version'
-    (no source.ts_ms and no payload ts_ms)."""
+    (no source.ts_ms and no payload ts_ms).
+
+    ``version_expr`` must be the SAME override passed to
+    ``debezium_raw_ops`` (r8, ADVICE): missing_version is keyed on the
+    EFFECTIVE version expression, not the default timestamps —
+    otherwise a record with a null default ts but a valid custom
+    version is both applied and quarantined, and one whose custom
+    version is null is dropped with no DLQ record."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _ENVELOPE_SCHEMA).alias("__m"),
@@ -223,7 +231,11 @@ def debezium_dead_letters(
         .when(~known, F.lit("unknown_table"))
         .when(missing_image, F.lit("missing_image"))
         .when(
-            F.coalesce(src["ts_ms"], _pick("ts_ms")).isNull(),
+            (
+                version_expr.try_cast("bigint")
+                if version_expr is not None
+                else F.coalesce(src["ts_ms"], _pick("ts_ms"))
+            ).isNull(),
             F.lit("missing_version"),
         )
     )

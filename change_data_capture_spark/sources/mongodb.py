@@ -268,6 +268,7 @@ def mongodb_dead_letters(
     *,
     message_col: str = "message",
     key_col: str = "key",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """Rows BOTH decoders drop, with a reason — the same quarantine
     contract as the other wire formats: 'unparseable' (no op either
@@ -278,7 +279,10 @@ def mongodb_dead_letters(
     'unparseable_image' (an after string that is not a JSON object),
     'unparseable_patch' (an updatedFields string that is not a JSON
     object — the decoder refuses to degrade it to an empty $set),
-    'missing_version' (no source.ts_ms and no payload ts_ms)."""
+    'missing_version' (no source.ts_ms and no payload ts_ms). Pass
+    the SAME ``version_expr`` given to the raw-ops decoders so
+    missing_version keys on the EFFECTIVE version expression (r8,
+    ADVICE)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _MONGO_VALUE_SCHEMA).alias("__m"),
@@ -325,7 +329,11 @@ def mongodb_dead_letters(
             F.lit("unparseable_patch"),
         )
         .when(
-            F.coalesce(_pick("source").getField("ts_ms"), _pick("ts_ms")).isNull(),
+            (
+                version_expr.try_cast("bigint")
+                if version_expr is not None
+                else F.coalesce(_pick("source").getField("ts_ms"), _pick("ts_ms"))
+            ).isNull(),
             F.lit("missing_version"),
         )
     )

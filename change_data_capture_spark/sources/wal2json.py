@@ -308,6 +308,7 @@ def wal2json_dead_letters(
     table_keys: Mapping[str, Sequence[str]],
     *,
     message_col: str = "message",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """The v2 rows ``wal2json_raw_ops`` drops, with a reason — the
     same quarantine contract as the other five decoders' dead-letter
@@ -339,8 +340,12 @@ def wal2json_dead_letters(
             F.lit("missing_identity"),
         )
         .when(
-            lsn_version(F.col("__m.lsn")).isNull()
-            & _ts_micros(F.col("__m.timestamp")).isNull(),
+            (
+                version_expr.try_cast("bigint").isNull()
+                if version_expr is not None
+                else lsn_version(F.col("__m.lsn")).isNull()
+                & _ts_micros(F.col("__m.timestamp")).isNull()
+            ),
             F.lit("missing_version"),
         )
     )
@@ -354,6 +359,7 @@ def wal2json_v1_dead_letters(
     table_keys: Mapping[str, Sequence[str]],
     *,
     message_col: str = "message",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """The format-version=1 twin of ``wal2json_dead_letters`` — the
     rows ``wal2json_v1_raw_ops`` drops, classified with the V1 schema
@@ -403,9 +409,15 @@ def wal2json_v1_dead_letters(
         )
         .when(
             # the version is per-TRANSACTION (nextlsn/timestamp): when
-            # both are unusable every change of the txn is versionless
-            lsn_version(F.col("__m.nextlsn")).isNull()
-            & _ts_micros(F.col("__m.timestamp")).isNull(),
+            # both are unusable every change of the txn is versionless;
+            # a caller's version_expr override replaces the whole
+            # default (r8, ADVICE — key on the EFFECTIVE expression)
+            (
+                version_expr.try_cast("bigint").isNull()
+                if version_expr is not None
+                else lsn_version(F.col("__m.nextlsn")).isNull()
+                & _ts_micros(F.col("__m.timestamp")).isNull()
+            ),
             F.lit("missing_version"),
         )
     )

@@ -165,12 +165,15 @@ def maxwell_dead_letters(
     table_keys: Mapping[str, Sequence[str]],
     *,
     message_col: str = "message",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """Rows ``maxwell_raw_ops`` drops, with a reason — same quarantine
     contract as ``debezium_dead_letters``: 'unparseable' (no
     database/type at all), 'unsupported_op' (bootstrap markers, DDL
     events, unknown types), 'unknown_table' (not whitelisted),
-    'missing_data', 'missing_version' (no ts field)."""
+    'missing_data', 'missing_version' (no ts field). Pass the SAME
+    ``version_expr`` given to ``maxwell_raw_ops`` so missing_version
+    keys on the EFFECTIVE version expression (r8, ADVICE)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _MAXWELL_SCHEMA).alias("__m"),
@@ -186,7 +189,14 @@ def maxwell_dead_letters(
         # decoder (data.isNotNull() filter) — it must land here, not
         # vanish from both outputs
         .when(F.col("__m.data").isNull(), F.lit("missing_data"))
-        .when(F.col("__m.ts").isNull(), F.lit("missing_version"))
+        .when(
+            (
+                version_expr.try_cast("bigint")
+                if version_expr is not None
+                else F.col("__m.ts")
+            ).isNull(),
+            F.lit("missing_version"),
+        )
     )
     return m.select(
         "message", reason.alias("reason"), typ.alias("op"), table_id.alias("table")
@@ -198,12 +208,15 @@ def dms_dead_letters(
     table_keys: Mapping[str, Sequence[str]],
     *,
     message_col: str = "message",
+    version_expr: Column | None = None,
 ) -> DataFrame:
     """Rows ``dms_raw_ops`` drops, with a reason — the complement
     quarantine frame: 'unparseable' (no metadata at all), 'control'
     (DDL notification records), 'unsupported_op', 'unknown_table',
     'missing_data' (data-typed record with no row image),
-    'missing_version' (no parseable metadata timestamp)."""
+    'missing_version' (no parseable metadata timestamp). Pass the SAME
+    ``version_expr`` given to ``dms_raw_ops`` so missing_version keys
+    on the EFFECTIVE version expression (r8, ADVICE)."""
     m = messages.select(
         F.col(message_col).alias("message"),
         F.from_json(F.col(message_col), _DMS_SCHEMA).alias("__m"),
@@ -219,7 +232,11 @@ def dms_dead_letters(
         .when(~known, F.lit("unknown_table"))
         .when(F.col("__m.data").isNull(), F.lit("missing_data"))
         .when(
-            F.try_to_timestamp(md["timestamp"]).isNull(),
+            (
+                version_expr.try_cast("bigint")
+                if version_expr is not None
+                else F.try_to_timestamp(md["timestamp"])
+            ).isNull(),
             F.lit("missing_version"),
         )
     )
