@@ -132,6 +132,44 @@ def _warmup(spark, sf_dir: str, qs) -> None:
             pass  # timed run will surface real failures
 
 
+def _host_snapshot() -> dict:
+    """Host-contention counters for the steal detector: 1-minute
+    loadavg plus the cumulative steal/total jiffies from /proc/stat.
+    Read twice (before/after the timed section) so the artifact can
+    report how much CPU the HOST stole from this VM during the run —
+    the shared box has bursty burst-credit throttling (PERF.md ledger
+    note) that min-of-N cannot always filter; two consecutive driver
+    artifacts were noise-dominated (VERDICT r7 directive #4)."""
+    snap = {"load1": None, "steal": None, "total": None}
+    try:
+        snap["load1"] = float(open("/proc/loadavg").read().split()[0])
+        cpu = open("/proc/stat").readline().split()[1:]
+        vals = [int(x) for x in cpu]
+        snap["total"] = sum(vals)
+        snap["steal"] = vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return snap
+
+
+def _steal_verdict(before: dict, after: dict) -> dict:
+    """steal_pct = host-stolen share of all jiffies during the run;
+    the artifact is flagged untrustworthy (steal_detected) when the
+    host stole >2% of the run's CPU time or the 1-minute load exceeds
+    the core count (another tenant of the shared box)."""
+    out = {"load1_before": before.get("load1"), "load1_after": after.get("load1")}
+    if None not in (before.get("steal"), after.get("steal"), before.get("total"), after.get("total")):
+        dt = after["total"] - before["total"]
+        ds = after["steal"] - before["steal"]
+        out["steal_pct"] = round(100.0 * ds / dt, 2) if dt > 0 else 0.0
+    ncpu = os.cpu_count() or 32
+    load_hot = max(
+        x for x in (before.get("load1"), after.get("load1"), 0.0) if x is not None
+    ) > ncpu
+    out["steal_detected"] = bool(out.get("steal_pct", 0.0) > 2.0 or load_hot)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -151,6 +189,7 @@ def main() -> None:
     # queries swung +13..+33% in the r6 driver artifact purely from
     # box load). Spread is REPORTING ONLY — it changes no timed work
     # and no headline semantics.
+    host_before = _host_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -168,6 +207,7 @@ def main() -> None:
     spreads["streaming_apply_5k"] = streaming_throughput.last_spread
 
     total = round(sum(timings.values()), 3)
+    host = _steal_verdict(host_before, _host_snapshot())
     result = {
         "metric": "headline_total",
         "value": total,
@@ -176,6 +216,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "streaming_records_per_sec": round(stream_rps, 1),
         "spreads": spreads,
+        "host": host,
+        "steal_detected": host["steal_detected"],
     }
     print(json.dumps(result))
     if "--ledger" in sys.argv:
