@@ -160,6 +160,30 @@ class TableCatalog:
             if os.path.exists(os.path.join(self.root, d, _META))
         )
 
+    def drop_table(self, table_id: str) -> None:
+        """Remove a table entirely — meta pointer first (readers that
+        re-resolve see the table gone atomically), then the data dirs.
+        Used by column-level erasure when a DERIVED index's identity
+        IS the erased data (its postings/signatures key on the
+        column's values) and no rewrite can scrub it."""
+        tdir = self.table_dir(table_id)
+        meta_path = os.path.join(tdir, _META)
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    def derived_children(self, base_table: str) -> list[tuple[str, dict]]:
+        """Registered derived indexes of ``base_table`` (see
+        ``register_derived_index``) — the artifacts an erasure of the
+        base must propagate to. O(#tables) metadata reads."""
+        out: list[tuple[str, dict]] = []
+        for t in self.tables():
+            m = self.meta(t) or {}
+            d = m.get("derived") or {}
+            if d.get("base") == base_table:
+                out.append((t, d))
+        return out
+
     # -- DDL path ---------------------------------------------------
     def announce_schema(
         self, table_id: str, schema_json: str, spark: SparkSession | None = None
@@ -789,8 +813,13 @@ class TableCatalog:
         # support): align BOTH sides to the comparison schema — the new
         # side's — so the per-column diff and the unions are typed
         # consistently ('10' string vs 10 int is the SAME value after
-        # the cast, exactly what the re-type rewrite asserted).
-        old = _align(old, new.schema)
+        # the cast, exactly what the re-type rewrite asserted). Lenient
+        # (try_cast): the rewrite asserted castability only for rows
+        # ALIVE at the re-type — a since-deleted row's uncastable value
+        # still sits in the old version and must not crash the feed
+        # (it surfaces as a delete with that column null, keyed by its
+        # PKs, which the rewrite does guarantee castable).
+        old = _align(old, new.schema, lenient=True)
         cols = new.columns
         val_cols = [c for c in cols if c not in pks]
         inserts = new.join(old, pks, "left_anti").withColumn(
@@ -1153,14 +1182,24 @@ def maintenance_report(
     return report
 
 
-def _align(df: DataFrame, schema: StructType) -> DataFrame:
+def _align(df: DataFrame, schema: StructType, lenient: bool = False) -> DataFrame:
+    """Project ``df`` onto ``schema`` (missing columns null, present
+    ones cast). ``lenient`` uses try_cast — required when aligning a
+    HISTORICAL version across a re-type boundary (r8 seam review): the
+    physical re-type only proved castability for rows alive AT the
+    rewrite, so a value in a since-deleted row ('abc' in a column later
+    re-typed to bigint) exists in old versions and would ANSI-crash the
+    change feed; it aligns to NULL instead (the delete row's identity
+    is its keys — PK columns always cast, the rewrite enforces it)."""
     cols = set(df.columns)
-    return df.select(
-        *[
-            (F.col(f.name).cast(f.dataType) if f.name in cols else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in schema.fields
-        ]
-    )
+
+    def conv(f):
+        if f.name not in cols:
+            return F.lit(None).cast(f.dataType)
+        c = F.col(f.name)
+        return c.try_cast(f.dataType) if lenient else c.cast(f.dataType)
+
+    return df.select(*[conv(f).alias(f.name) for f in schema.fields])
 
 
 def _decode_value(raw: F.Column, dtype) -> F.Column:
@@ -2021,14 +2060,26 @@ def forget_keys(
          an object store: actually deleted);
       4. verification: EVERY remaining readable version is semi-joined
          against the keys and must come back empty — the erasure
-         report states what was checked, not just what was attempted.
+         report states what was checked, not just what was attempted;
+      5. propagation to REGISTERED DERIVED INDEXES (r8 seam review:
+         a value index's postings and a minhash signature catalog are
+         COPIES of the erased rows' data — without this step they
+         keep serving the erased keys while the base verification
+         proclaims success): each child gets the kind's incremental
+         refresh (the post-erasure base drives postings/signature
+         DELETEs; a vacuumed diff basis falls to the documented full
+         resync), its own ``vacuum(keep_last)`` so the index's history
+         releases the bytes, and the same every-remaining-version
+         verification — postings are exploded back to PK grain for the
+         check. Unregistered copies are the caller's problem, as with
+         any derived dataset.
 
-    Returns {rows_deleted, versions_purged, versions_verified}. The
-    DELETE stamps ``applied_version + 1``; on a live feed, quiesce the
-    table's apply loop around the erasure (the same operational rule
-    as any maintenance write). Change-feed note: with ``keep_last=1``
-    no version pair remains for ``table_changes`` to diff, so the
-    erased rows cannot resurface through the CDF either."""
+    Returns {rows_deleted, versions_purged, versions_verified,
+    derived}. The DELETE stamps ``applied_version + 1``; on a live
+    feed, quiesce the table's apply loop around the erasure (the same
+    operational rule as any maintenance write). Change-feed note: with
+    ``keep_last=1`` no version pair remains for ``table_changes`` to
+    diff, so the erased rows cannot resurface through the CDF either."""
     meta = catalog.meta(table_id)
     if meta is None or meta["schema"] is None:
         raise KeyError(f"unknown table {table_id!r}")
@@ -2059,10 +2110,42 @@ def forget_keys(
                 f"erasure verification failed: {n} row(s) for the "
                 f"requested keys still readable at version {v} of {table_id!r}"
             )
+    derived_report: dict[str, dict] = {}
+    for child, dinfo in catalog.derived_children(table_id):
+        _refresh_derived_index(spark, catalog, child, dinfo)
+        child_purged = catalog.vacuum(child, keep_last=keep_last)
+        child_versions = catalog.versions(child)
+        for v in child_versions:
+            idx_v = catalog.read(spark, child, version=v)
+            if dinfo.get("kind") == "value_index":
+                served = (
+                    idx_v.select(F.explode("postings").alias("__p"))
+                    .select("__p.*")
+                    .join(keys.select(*pks), on=pks, how="left_semi")
+                    .count()
+                )
+            else:
+                on = [c for c in pks if c in idx_v.columns]
+                served = (
+                    idx_v.join(keys.select(*on), on=on, how="left_semi").count()
+                    if on
+                    else 0
+                )
+            if served:
+                raise RuntimeError(
+                    f"erasure verification failed: derived index "
+                    f"{child!r} still serves {served} artifact(s) for "
+                    f"the requested keys at version {v}"
+                )
+        derived_report[child] = {
+            "versions_purged": child_purged,
+            "versions_verified": [int(v) for v in child_versions],
+        }
     return {
         "rows_deleted": int(present),
         "versions_purged": purged,
         "versions_verified": [int(v) for v in remaining],
+        "derived": derived_report,
     }
 
 
@@ -2092,9 +2175,19 @@ def forget_column(
          hide the column while its bytes remain) and must not name the
          column.
 
-    Returns {column, versions_purged, versions_verified}. Quiesce the
-    table's apply loop around the erasure, as with any maintenance
-    write."""
+    Derived-index propagation (r8 seam review): a registered derived
+    index whose IDENTITY is built from the erased column — a
+    ``value_index`` with the column among its ``value_cols`` (the
+    column's values ARE the index's primary key), or a
+    ``minhash_sigs`` catalog whose ``text_col`` is the column (the
+    signatures derive from its content) — cannot be scrubbed by any
+    rewrite and is DROPPED outright (``drop_table``, step 0, before
+    the base rewrite). Children not built from the column hold only
+    base-PK postings and are untouched.
+
+    Returns {column, versions_purged, versions_verified, derived}.
+    Quiesce the table's apply loop around the erasure, as with any
+    maintenance write."""
     meta = catalog.meta(table_id)
     if meta is None or meta["schema"] is None:
         raise KeyError(f"unknown table {table_id!r}")
@@ -2107,6 +2200,19 @@ def forget_column(
     schema = schema_from_json(meta["schema"])
     if column not in {f.name for f in schema.fields}:
         raise KeyError(f"{table_id} has no column {column!r}")
+    derived_report: dict[str, dict] = {}
+    for child, dinfo in catalog.derived_children(table_id):
+        params = dinfo.get("params") or {}
+        built_from_column = (
+            dinfo.get("kind") == "value_index"
+            and column in list(params.get("value_cols") or [])
+        ) or (
+            dinfo.get("kind") == "minhash_sigs"
+            and params.get("text_col", "text") == column
+        )
+        if built_from_column:
+            catalog.drop_table(child)
+            derived_report[child] = {"dropped": True}
     without = StructType([f for f in schema.fields if f.name != column])
     catalog.announce_schema(table_id, without.json(), spark=spark)
     catalog.compact(spark, table_id)
@@ -2121,10 +2227,17 @@ def forget_column(
                 f"physically present in version {v} of {table_id!r} "
                 f"(keep_last={keep_last} retained a pre-drop version?)"
             )
+    for child in derived_report:
+        if child in catalog.tables() or os.path.isdir(catalog.table_dir(child)):
+            raise RuntimeError(
+                f"erasure verification failed: derived index {child!r} "
+                f"built from column {column!r} still exists after drop"
+            )
     return {
         "column": column,
         "versions_purged": purged,
         "versions_verified": [int(v) for v in remaining],
+        "derived": derived_report,
     }
 
 

@@ -150,3 +150,93 @@ def test_sparse_versions_unblocks_dense_feeds(spark, tmp_path):
         version=6, value_overrides={"amount": F.lit(777.0)}))
     cs.apply_feed(nxt)  # 6000 > 5001: no collision
     assert _rows(cs.result())[3] == 777.0
+
+
+def test_retype_evolution_during_chunked_bootstrap(spark, tmp_path):
+    """r8 seam review (VERDICT directive #5a): a type-changing ALTER
+    arriving on the live feed MID-BOOTSTRAP — after some chunks, before
+    others. The physical re-type rewrites the half-loaded table, later
+    chunks decode under the NEW registered type, the watermark/chunk
+    stamping stays collision-free, time travel reads each version under
+    its publish-time schema, and the change feed crosses the re-type
+    boundary without crashing."""
+    from change_data_capture_spark.changelog import ddl_record
+
+    cat = TableCatalog(str(tmp_path / "retype"))
+    src_v1 = spark.createDataFrame(
+        [(i, str(10 * i)) for i in range(1, 9)], "id long, note string"
+    )
+    cs = ChunkedSnapshot(spark, cat, "shop.t", ["id"], src_v1.schema.json())
+    cs.begin()
+    # chunk 1 under the ORIGINAL string schema
+    cs.apply_chunk(select_chunk(src_v1, "id", 1, 5))
+    v_after_chunk1 = cs.applied_version()
+    assert _rows_note(cat, spark) == {1: "10", 2: "20", 3: "30", 4: "40"}
+
+    # live feed: re-type DDL (string -> bigint, physical rewrite) plus
+    # a DML above the chunk stamp
+    ddl = ddl_record(
+        spark, "shop.t",
+        spark.createDataFrame([], "id long, note bigint").schema.json(),
+    )
+    upd = dml_records(
+        spark.createDataFrame([(2, 999)], "id long, note bigint"),
+        "shop.t", ["id"], op="UPDATE", version=v_after_chunk1 + 100,
+    )
+    cs.apply_feed(ddl.unionByName(upd))
+
+    # chunk 2 arrives typed under the POST-ALTER source schema
+    src_v2 = spark.createDataFrame(
+        [(i, 10 * i) for i in range(1, 9)], "id long, note bigint"
+    )
+    cs.apply_chunk(select_chunk(src_v2, "id", 5, None))
+
+    got = {r.id: r.note for r in cs.result().collect()}
+    assert got == {1: 10, 2: 999, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70, 8: 80}
+    assert dict(cs.result().dtypes)["note"] == "bigint"
+
+    # every published version still time-travels under its own schema
+    for v in cat.versions("shop.t"):
+        cat.read(spark, "shop.t", version=v).collect()
+
+    # the change feed crosses the re-type boundary (old side read
+    # under the string schema, aligned leniently)
+    changes = cat.table_changes(spark, "shop.t", cat.versions("shop.t")[0])
+    kinds = {(r.id, r._change_type) for r in changes.collect()}
+    assert (2, "update_postimage") in kinds
+    assert all(k != "delete" for _, k in kinds)
+
+
+def _rows_note(cat, spark):
+    return {r.id: r.note for r in cat.read(spark, "shop.t").collect()}
+
+
+def test_cdf_across_retype_with_predeleted_uncastable_row(spark, tmp_path):
+    """r8 seam review (VERDICT directive #5c): the physical re-type
+    only proves castability for rows alive AT the rewrite — a value in
+    a since-deleted row ('abc' later re-typed to bigint) survives in
+    old versions and used to ANSI-crash table_changes; it must emit as
+    a delete with the column nulled (identity = PKs), and the outbound
+    renderer must carry it."""
+    from change_data_capture_spark.apply import apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.sources.debezium import table_changes_to_debezium
+
+    cat = TableCatalog(str(tmp_path / "cdf"))
+    df = spark.createDataFrame([(1, "abc"), (2, "10")], "id long, note string")
+    apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
+    dele = dml_records(
+        df.filter("id = 1"), "t.x", ["id"], op="DELETE", version=2, keys_only=True
+    )
+    apply_changelog(spark, dele, cat)
+    cat.announce_schema(
+        "t.x",
+        spark.createDataFrame([], "id long, note bigint").schema.json(),
+        spark=spark,
+    )
+    changes = cat.table_changes(spark, "t.x", 1)
+    rows = changes.collect()
+    assert [(r.id, r.note, r._change_type) for r in rows] == [(1, None, "delete")]
+    # outbound render of the same frame does not crash and carries 'd'
+    wire = table_changes_to_debezium(changes, table="t.x").collect()
+    assert len(wire) == 1 and '"op":"d"' in wire[0].message.replace(" ", "")

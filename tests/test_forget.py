@@ -111,3 +111,115 @@ def test_forget_column_purges_bytes_and_verifies(spark, tmp_path):
     )
     cat.announce_schema(t, readd.json(), spark=spark)
     assert {r["ssn"] for r in cat.read(spark, t).collect()} == {None}
+
+
+def test_forget_keys_propagates_to_value_index(spark, tmp_path):
+    """r8 seam review (VERDICT directive #5): a registered derived
+    VALUE INDEX is a copy of the indexed values + PK postings — after
+    forget_keys the index must no longer serve the erased keys from
+    ANY remaining version, and the report must say it was checked."""
+    from change_data_capture_spark.apply import register_derived_index
+    from change_data_capture_spark.derive import maintain_value_index
+
+    base, cat = _seed(spark, tmp_path)
+    maintain_value_index(spark, cat, T, ["email"], "shop.users_by_email")
+    register_derived_index(
+        cat, "shop.users_by_email", base_table=T, kind="value_index",
+        params={"value_cols": ["email"]},
+    )
+    # the erased user's email is readable through the index before
+    erased_email = "user7@mail.test"
+    idx = cat.read(spark, "shop.users_by_email")
+    assert idx.filter(F.col("email") == erased_email).count() == 1
+
+    keys = spark.createDataFrame([(7,), (30,)], "id long")
+    rep = forget_keys(spark, cat, T, keys)
+    assert "shop.users_by_email" in rep["derived"]
+    assert rep["derived"]["shop.users_by_email"]["versions_verified"]
+    # no remaining index version serves the erased ids or values
+    for v in cat.versions("shop.users_by_email"):
+        idx_v = cat.read(spark, "shop.users_by_email", version=v)
+        assert idx_v.filter(F.col("email") == erased_email).count() == 0
+        assert (
+            idx_v.select(F.explode("postings").alias("p"))
+            .filter(F.col("p.id").isin(7, 30))
+            .count()
+            == 0
+        )
+    # unrelated postings intact
+    assert cat.read(spark, "shop.users_by_email").count() == 98
+
+
+def test_forget_keys_propagates_to_minhash_signature_index(spark, tmp_path):
+    """The signature catalog keyed by doc id must drop (and purge from
+    history) the erased documents' signature rows."""
+    from change_data_capture_spark.apply import register_derived_index
+    from change_data_capture_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} "
+              f"with some shared boilerplate text padding") for i in range(40)],
+        "doc_id long, text string",
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(docs, "ml.docs", ["doc_id"]), cat)
+    apply_changelog(
+        spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=32), cat
+    )
+    register_derived_index(
+        cat, "ml.sigs", base_table="ml.docs", kind="minhash_sigs",
+        params={"n": 5, "k": 32},
+    )
+    keys = spark.createDataFrame([(3,), (17,)], "doc_id long")
+    rep = forget_keys(spark, cat, "ml.docs", keys)
+    assert "ml.sigs" in rep["derived"]
+    for v in cat.versions("ml.sigs"):
+        got = cat.read(spark, "ml.sigs", version=v)
+        assert got.filter(F.col("doc_id").isin(3, 17)).count() == 0
+    assert cat.read(spark, "ml.sigs").count() == 38
+
+
+def test_forget_column_drops_indexes_built_from_the_column(spark, tmp_path):
+    """forget_column on a column that IS a derived index's identity
+    (value_cols member / minhash text_col): no rewrite can scrub the
+    index — it must be dropped outright and reported."""
+    from change_data_capture_spark.apply import (
+        forget_column,
+        register_derived_index,
+    )
+    from change_data_capture_spark.derive import maintain_value_index
+
+    base, cat = _seed(spark, tmp_path)
+    maintain_value_index(spark, cat, T, ["email"], "shop.users_by_email")
+    register_derived_index(
+        cat, "shop.users_by_email", base_table=T, kind="value_index",
+        params={"value_cols": ["email"]},
+    )
+    rep = forget_column(spark, cat, T, "email")
+    assert rep["derived"] == {"shop.users_by_email": {"dropped": True}}
+    assert "shop.users_by_email" not in cat.tables()
+    import os
+    assert not os.path.isdir(cat.table_dir("shop.users_by_email"))
+    # base survived, column physically gone (existing contract)
+    assert cat.read(spark, T).columns == ["id", "balance"]
+
+
+def test_forget_column_leaves_unrelated_indexes_alone(spark, tmp_path):
+    """A derived index NOT built from the erased column holds only
+    base-PK postings — it survives the erasure untouched."""
+    from change_data_capture_spark.apply import (
+        forget_column,
+        register_derived_index,
+    )
+    from change_data_capture_spark.derive import maintain_value_index
+
+    base, cat = _seed(spark, tmp_path)
+    maintain_value_index(spark, cat, T, ["email"], "shop.users_by_email")
+    register_derived_index(
+        cat, "shop.users_by_email", base_table=T, kind="value_index",
+        params={"value_cols": ["email"]},
+    )
+    rep = forget_column(spark, cat, T, "balance")
+    assert rep["derived"] == {}
+    assert "shop.users_by_email" in cat.tables()
+    assert cat.read(spark, "shop.users_by_email").count() == 100
