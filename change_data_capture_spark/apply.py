@@ -623,7 +623,18 @@ class TableCatalog:
                 "written before AS-OF-WATERMARK support; compact/rewrite "
                 "to index it"
             )
-        eligible = [int(s) for s, w in hist.items() if int(w) <= int(watermark)]
+        # Intersect with the READABLE version set (r8 crash matrix): a
+        # kill between vacuum's directory deletes and its meta cleanup
+        # leaves dangling history entries naming deleted versions — the
+        # cut must never select one (read would KeyError until the next
+        # reclaiming vacuum). Self-heals the read path; vacuum also
+        # prunes dangling entries on every run.
+        readable = set(self.versions(table_id))
+        eligible = [
+            int(s)
+            for s, w in hist.items()
+            if int(w) <= int(watermark) and int(s) in readable
+        ]
         return max(eligible) if eligible else None
 
     def read_asof_watermark(
@@ -712,26 +723,29 @@ class TableCatalog:
             drop = [v for v in drop if v < int(protect_from)]
         for v in drop:
             shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
-        if drop:
-            # keep the watermark index consistent with the readable set
-            # (an AS-OF cut must never select a vacuumed version) —
-            # mutating a FRESH meta snapshot read AFTER the deletes, so
-            # a version published concurrently during the rmtree loop is
-            # not un-published by writing back this call's stale entry
-            # view (same best-effort caveat as write_new_version's CAS
-            # on a plain filesystem).
-            latest = self.meta(table_id)
-            if latest and (
-                latest.get("version_watermarks") or latest.get("version_schemas")
-            ):
-                dropped = {int(v) for v in drop}
-                for key in ("version_watermarks", "version_schemas"):
-                    if latest.get(key):
-                        latest[key] = {
-                            s: w
-                            for s, w in latest[key].items()
-                            if int(s) not in dropped
-                        }
+        # Keep the watermark/schema index consistent with the READABLE
+        # set (an AS-OF cut must never select a vacuumed version) —
+        # mutating a FRESH meta snapshot read AFTER the deletes, so a
+        # version published concurrently during the rmtree loop is not
+        # un-published by writing back this call's stale entry view
+        # (same best-effort caveat as write_new_version's CAS on a
+        # plain filesystem). Filtered on the CURRENT readable set, not
+        # this call's drop list, and run even when drop is empty (r8
+        # crash matrix): a kill between a previous vacuum's deletes and
+        # its cleanup leaves dangling entries that would otherwise
+        # persist until the next RECLAIMING vacuum.
+        latest = self.meta(table_id)
+        if latest and (
+            latest.get("version_watermarks") or latest.get("version_schemas")
+        ):
+            readable = set(self.versions(table_id))
+            pruned = {
+                key: {s: w for s, w in latest[key].items() if int(s) in readable}
+                for key in ("version_watermarks", "version_schemas")
+                if latest.get(key)
+            }
+            if any(pruned[k] != latest[k] for k in pruned):
+                latest.update(pruned)
                 self.put_meta(table_id, latest)
         return drop
 

@@ -363,3 +363,181 @@ def test_apply_matches_model_under_randomized_evolution(spark, tmp_path):
         }
         want = {k: {n: vals.get(n) for n in sorted(cols)} for k, vals in model.items()}
         assert got == want, f"divergence after round {rnd} (op={op})"
+
+
+# ---------------------------------------------------------------------------
+# r8 crash-consistency matrix (VERDICT r7 directive #6): injected kill
+# points around every publish path must leave either old-version or
+# new-version state — never a torn read — and the next run must heal.
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, tmp_path, name="t.c", versions=3):
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "crash"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, val string"
+    )
+    apply_changelog(spark, snapshot_changelog(base, name, ["id"]), cat)
+    for v in range(2, versions + 1):
+        upd = dml_records(
+            base.limit(3), name, ["id"], op="UPDATE", version=v,
+            value_overrides={"val": F.concat(F.lit(f"u{v}_"), F.col("val"))},
+        )
+        apply_changelog(spark, upd, cat)
+    return cat, name
+
+
+def test_crash_between_data_write_and_meta_publish_reads_old_state(
+    spark, tmp_path, monkeypatch
+):
+    """Kill injected INSIDE write_new_version after the parquet write,
+    before put_meta: readers see the OLD version exactly; the orphan
+    dir is not a version; the retried batch self-heals by overwriting
+    the orphan seq."""
+    cat, t = _mk(spark, tmp_path)
+    before_rows = sorted(map(tuple, cat.read(spark, t).collect()))
+    before_versions = cat.versions(t)
+    real_put = TableCatalog.put_meta
+    boom = {"armed": True}
+
+    def exploding_put(self, tid, meta):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected: power loss before meta publish")
+        return real_put(self, tid, meta)
+
+    upd = dml_records(
+        spark.createDataFrame([(1, "post-crash")], "id long, val string"),
+        t, ["id"], op="UPDATE", version=50,
+    )
+    monkeypatch.setattr(TableCatalog, "put_meta", exploding_put)
+    import pytest
+    with pytest.raises(OSError, match="injected"):
+        apply_changelog(spark, upd, cat)
+    # old-version state, exactly
+    assert cat.versions(t) == before_versions
+    assert sorted(map(tuple, cat.read(spark, t).collect())) == before_rows
+    # retry (at-least-once redelivery) heals: overwrites the orphan seq
+    apply_changelog(spark, upd, cat)
+    got = {r.id: r.val for r in cat.read(spark, t).collect()}
+    assert got[1] == "post-crash"
+    assert len(cat.versions(t)) == len(before_versions) + 1
+
+
+def test_crash_between_vacuum_deletes_and_meta_cleanup_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Kill injected between vacuum's directory deletes and its
+    history cleanup: the dangling version_watermarks/version_schemas
+    entries must never wedge the AS-OF cut (read path intersects the
+    readable set), and the NEXT vacuum — even a non-reclaiming one —
+    prunes them."""
+    cat, t = _mk(spark, tmp_path, versions=4)
+    hist_before = dict(cat.meta(t)["version_watermarks"])
+    assert len(hist_before) == 4
+    real_put = TableCatalog.put_meta
+    boom = {"armed": True}
+
+    def exploding_put(self, tid, meta):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected: power loss before history cleanup")
+        return real_put(self, tid, meta)
+
+    monkeypatch.setattr(TableCatalog, "put_meta", exploding_put)
+    import pytest
+    with pytest.raises(OSError, match="injected"):
+        cat.vacuum(t, keep_last=1)
+    monkeypatch.setattr(TableCatalog, "put_meta", real_put)
+    # dirs are gone but the history still names them — the torn state
+    assert len(cat.versions(t)) == 1
+    assert len(cat.meta(t)["version_watermarks"]) == 4
+    # read path self-heals: the cut never selects an unreadable version
+    cut = cat.version_at_watermark(t, watermark=10**9)
+    assert cut == cat.versions(t)[-1]
+    cat.read_asof_watermark(spark, t, 10**9).collect()
+    # a non-reclaiming vacuum prunes the dangling entries
+    assert cat.vacuum(t, keep_last=1) == []
+    assert set(cat.meta(t)["version_watermarks"]) == {
+        str(v) for v in cat.versions(t)
+    }
+
+
+def test_crash_between_compact_and_vacuum_converges_on_rerun(spark, tmp_path):
+    """auto_maintain killed after its compact but before its vacuum
+    leaves a consistent (just unreclaimed) catalog; the next scheduled
+    run converges."""
+    from change_data_capture_spark.apply import auto_maintain
+
+    cat, t = _mk(spark, tmp_path, versions=3)
+    rows_before = sorted(map(tuple, cat.read(spark, t).collect()))
+    cat.compact(spark, t)  # the "crashed" maintenance run got this far
+    assert sorted(map(tuple, cat.read(spark, t).collect())) == rows_before
+    auto_maintain(spark, cat, keep_last=1)
+    assert sorted(map(tuple, cat.read(spark, t).collect())) == rows_before
+    assert len(cat.versions(t)) == 1
+
+
+def test_crash_inside_put_meta_leaves_old_pointer(spark, tmp_path, monkeypatch):
+    """Kill inside put_meta AFTER the temp write, BEFORE the atomic
+    rename: the meta pointer is the old one, readers are unaffected,
+    and the stranded .meta.tmp never shadows the real file."""
+    import os as _os
+
+    cat, t = _mk(spark, tmp_path)
+    meta_before = cat.meta(t)
+    real_replace = _os.replace
+    boom = {"armed": True}
+
+    def exploding_replace(src, dst):
+        if boom["armed"] and dst.endswith("_meta.json"):
+            boom["armed"] = False
+            raise OSError("injected: power loss before rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", exploding_replace)
+    import pytest
+    tampered = dict(meta_before, applied_version=999)
+    with pytest.raises(OSError, match="injected"):
+        cat.put_meta(t, tampered)
+    monkeypatch.setattr(_os, "replace", real_replace)
+    assert cat.meta(t) == meta_before
+    cat.read(spark, t).collect()
+    # and a later put works over the stranded tmp
+    cat.put_meta(t, tampered)
+    assert cat.meta(t)["applied_version"] == 999
+
+
+def test_crash_mid_erasure_rerun_completes(spark, tmp_path, monkeypatch):
+    """forget_keys killed after its DELETE batch but before its vacuum
+    (history still holds the rows): the re-run completes the erasure
+    and the verification passes."""
+    from change_data_capture_spark.apply import forget_keys
+
+    cat, t = _mk(spark, tmp_path)
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    real_vac = TableCatalog.vacuum
+    boom = {"armed": True}
+
+    def exploding_vacuum(self, tid, keep_last=2, protect_from=None):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("injected: power loss before erasure vacuum")
+        return real_vac(self, tid, keep_last=keep_last, protect_from=protect_from)
+
+    monkeypatch.setattr(TableCatalog, "vacuum", exploding_vacuum)
+    import pytest
+    with pytest.raises(OSError, match="injected"):
+        forget_keys(spark, cat, t, keys)
+    monkeypatch.setattr(TableCatalog, "vacuum", real_vac)
+    # current state already lacks the keys, but history still has them
+    assert cat.read(spark, t).filter(F.col("id").isin(3, 7)).count() == 0
+    rep = forget_keys(spark, cat, t, keys)  # idempotent completion
+    assert rep["rows_deleted"] == 0
+    for v in cat.versions(t):
+        assert (
+            cat.read(spark, t, version=v).filter(F.col("id").isin(3, 7)).count()
+            == 0
+        )
