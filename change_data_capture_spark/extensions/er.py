@@ -139,16 +139,34 @@ def match_pairs_multi_pass(
     id_col: str = "rec_id",
     cmp_col: str = "name",
     max_distance: int = 1,
-    max_block_size: int | None = None,
+    max_block_size: int | Sequence[int | None] | None = None,
 ) -> DataFrame:
     """Multi-pass blocking: union the candidate pairs of several
     blocking keys (each pass tolerant to errors the others aren't —
     e.g. a prefix block survives suffix typos and vice versa), then
     one distinct. The production-linker shape: recall comes from the
     union, the N^2 blowup never happens because every pass is an
-    equi-join."""
+    equi-join.
+
+    ``max_block_size`` may be one int (every pass) or a sequence
+    aligned with ``passes`` (r8, VERDICT directive #7): blocking keys
+    differ in how their block sizes scale — a bounded-cardinality key
+    (a 2-char tail, a language code) grows its blocks linearly with
+    the corpus, turning its pass quadratic, while the recall-critical
+    pass's key may stay selective. Per-pass caps let the degenerate
+    pass be bounded without sacrificing the recall pass."""
+    caps: list[int | None]
+    if max_block_size is None or isinstance(max_block_size, int):
+        caps = [max_block_size] * len(list(passes))
+    else:
+        caps = list(max_block_size)
+        if len(caps) != len(list(passes)):
+            raise ValueError(
+                f"max_block_size sequence length {len(caps)} != "
+                f"number of passes {len(list(passes))}"
+            )
     out: DataFrame | None = None
-    for cols in passes:
+    for cols, cap in zip(passes, caps):
         part = blocked_match(
             left,
             right,
@@ -156,7 +174,7 @@ def match_pairs_multi_pass(
             id_col=id_col,
             cmp_col=cmp_col,
             max_distance=max_distance,
-            max_block_size=max_block_size,
+            max_block_size=cap,
         )
         out = part if out is None else out.unionByName(part)
     assert out is not None, "at least one blocking pass required"

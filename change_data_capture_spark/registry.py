@@ -8453,10 +8453,17 @@ _ER_CLEAN_SQL = """
       FROM clean c JOIN dirty d USING (blk_nation, blk_band)
       WHERE levenshtein(c.name, d.name) <= 1
     ),
+    cb AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY blk_tail) AS bn FROM clean
+    ),
+    db AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY blk_tail) AS bn FROM dirty
+    ),
     pb AS (
       SELECT c.rec_id AS left_id, d.rec_id AS right_id,
              CAST(levenshtein(c.name, d.name) AS INT) AS distance
-      FROM clean c JOIN dirty d USING (blk_tail)
+      FROM (SELECT * FROM cb WHERE bn <= 64) c
+      JOIN (SELECT * FROM db WHERE bn <= 64) d USING (blk_tail)
       WHERE levenshtein(c.name, d.name) <= 1
     ),
     m AS (SELECT * FROM pa UNION SELECT * FROM pb)
@@ -8512,7 +8519,18 @@ def er_blocked_match(spark, sf_dir):
     levenshtein <= 1. Every pass is an equi-join: the N^2 comparison
     never happens, and recall comes from the pass union (each pass is
     tolerant to errors the other isn't), exactly the production-linker
-    shape."""
+    shape.
+
+    Per-pass degenerate-block cap (r8, VERDICT directive #7): the
+    blk_tail key has BOUNDED cardinality (100 two-digit tails), so its
+    blocks grow as N/100 and the pass's join fan-out as N^2/100 — the
+    SCALING.md 0.98 slope was this pass heading quadratic. Pass B is
+    capped at 64 rows/side (oracle mirrors the cap with window
+    counts): blocks past the cap carry ~no linkage information, and
+    pass A — whose (nation, band) block for a true pair ALWAYS matches
+    by construction — keeps recall. Pass A stays uncapped (the recall
+    pass; its key should be re-banded finer, not capped, if its blocks
+    outgrow executors)."""
     from .extensions import er
 
     clean, dirty = _er_frames(spark, sf_dir)
@@ -8521,6 +8539,7 @@ def er_blocked_match(spark, sf_dir):
         dirty,
         passes=[("blk_nation", "blk_band"), ("blk_tail",)],
         max_distance=1,
+        max_block_size=[None, 64],
     )
 
 
@@ -8553,6 +8572,7 @@ def er_golden_records(spark, sf_dir):
         dirty,
         passes=[("blk_nation", "blk_band"), ("blk_tail",)],
         max_distance=1,
+        max_block_size=[None, 64],  # same capped plan as er_blocked_match
     )
     return er.golden_records(
         matches, clean, dirty, prefer=["name", "acctbal"]

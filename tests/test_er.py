@@ -111,3 +111,41 @@ def test_golden_records_requires_prefer_columns(spark):
     r = spark.createDataFrame([(2, "b")], "rec_id long, name string")
     with pytest.raises(ValueError, match="prefer is empty"):
         er.golden_records(m, l, r)
+
+
+def test_multi_pass_per_pass_block_caps(spark):
+    """r8 (VERDICT directive #7): max_block_size accepts a per-pass
+    sequence — the degenerate bounded-cardinality pass is capped while
+    the recall pass stays exact. A capped-out block contributes no
+    pairs; pairs still reachable through the uncapped pass survive."""
+    import pytest
+    from change_data_capture_spark.extensions.er import match_pairs_multi_pass
+
+    left = spark.createDataFrame(
+        [(i, f"name{i:03d}", i % 2, "XX") for i in range(10)],
+        "rec_id long, name string, blk_a int, blk_all string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"name{i:03d}", i % 2, "XX") for i in range(10)],
+        "rec_id long, name string, blk_a int, blk_all string",
+    )
+    # blk_all is one mega-block (10 rows/side); blk_a splits 5/5
+    capped = match_pairs_multi_pass(
+        left, right, passes=[("blk_a",), ("blk_all",)],
+        max_distance=0, max_block_size=[None, 8],
+    )
+    exact = match_pairs_multi_pass(
+        left, right, passes=[("blk_a",), ("blk_all",)], max_distance=0,
+    )
+    # the mega-block pass capped out, but every true pair rides pass A
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, exact.collect()))
+    # cap below pass A's block size too: everything drops
+    none_left = match_pairs_multi_pass(
+        left, right, passes=[("blk_a",), ("blk_all",)],
+        max_distance=0, max_block_size=4,
+    )
+    assert none_left.count() == 0
+    with pytest.raises(ValueError, match="length"):
+        match_pairs_multi_pass(
+            left, right, passes=[("blk_a",)], max_block_size=[None, 8],
+        )
