@@ -56,12 +56,18 @@ PYTHON_OK = re.compile(r"^multimodal_")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_path = None
+    skip = set()
     for i, a in enumerate(sys.argv):
         if a == "--out" and i + 1 < len(sys.argv):
             out_path = sys.argv[i + 1]
+            skip.add(i + 1)  # the value is not a positional sf_dir
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], start=1)
+        if not a.startswith("--") and i not in skip
+    ]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
     from change_data_capture_spark import registry
     from change_data_capture_spark.planaudit import (
