@@ -233,6 +233,11 @@ def _append_ledger(result: dict) -> None:
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
     protocol = "min3-q/min3-s"  # frozen as of round 4
+    if result.get("steal_detected"):
+        # the row itself says it ran under host contention (steal_pct
+        # from /proc/stat around the timed section) — treat its
+        # numbers as upper bounds, not regressions
+        protocol += f" STEAL {result['host'].get('steal_pct', '?')}%"
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M")
     new_file = not os.path.exists(path)
     with open(path, "a") as f:
