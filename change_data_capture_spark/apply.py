@@ -1709,6 +1709,18 @@ def apply_changes(
             pks = meta["pks"]
 
             t = dml.filter(F.col("table") == table_id)
+            if undecodable == "skip":
+                # Quarantined rows leave the batch BEFORE the
+                # last-writer collapse (r8 self-review): filtering the
+                # collapse WINNERS instead silently dropped a VALID
+                # older row for the same key — an INSERT at v10 lost
+                # the collapse to a poisoned UPDATE at v11, and then
+                # the winner filter dropped v11 too, so the insert
+                # vanished with no quarantine record of ITS OWN (only
+                # v11 is in the DLQ) while the watermark advanced past
+                # both. Pre-filtering lets the newest DECODABLE row
+                # win, which is the route-and-continue contract.
+                t = t.filter(F.size(_undecodable_columns(schema)) == 0)
             # Idempotent at-least-once: skip already-applied versions.
             applied = int(meta.get("applied_version", 0))
             if replay_floor is not None and table_id in replay_floor:
@@ -1733,13 +1745,11 @@ def apply_changes(
                 # and the prebucketed write skips its repartition.
                 if batch_max_version is None:
                     return {"table": table_id, "action": "skip_empty"}
+                # skip-mode quarantine already filtered ABOVE, before
+                # the collapse (never on winners — see the t filter)
                 winners = collapse_last_writer_bucketed(
                     t, pks, n_buckets, value_of=pk_value_of(schema)
                 )
-                if undecodable == "skip":
-                    winners = winners.filter(
-                        F.size(_undecodable_columns(schema)) == 0
-                    )
                 typed = winners.select(
                     *[
                         _decode_value(
@@ -1773,8 +1783,6 @@ def apply_changes(
             # spellings of the same typed key ('7' / '007') are ONE
             # row identity, exactly as the typed merge sees them.
             winners = collapse_last_writer(t, pks, value_of=pk_value_of(schema))
-            if undecodable == "skip":
-                winners = winners.filter(F.size(_undecodable_columns(schema)) == 0)
             if fast and table_id in known:
                 # Merge path with the touched-bucket set precomputed in
                 # the batch-level meta scan: no per-table action at all

@@ -283,3 +283,47 @@ def test_version_schemas_stamped_on_metadata_only_evolution(spark, tmp_path):
     assert sorted(map(tuple, explicit.collect())) == sorted(
         map(tuple, default.collect())
     ) == [(1, 10), (2, 20)]
+
+
+def test_skip_does_not_shadow_valid_older_row_same_key(spark, tmp_path):
+    """r8 self-review: under undecodable='skip' the quarantine filter
+    must run BEFORE the last-writer collapse — filtering the winners
+    let a poisoned high-version row win the collapse and then be
+    dropped, taking the same key's VALID older row down with it (an
+    INSERT at v10 vanished behind a quarantined UPDATE at v11 with no
+    DLQ record of its own). The newest DECODABLE row must apply."""
+    cat, _ = _mk_table(
+        spark, tmp_path, [(1, "5")], "id long, amount string", name="shadow"
+    )
+    # re-type so amount is long (make 'N/A' undecodable)
+    cat.announce_schema(
+        "shop.t",
+        spark.createDataFrame([], "id long, amount long").schema.json(),
+        spark=spark,
+    )
+    batch = _dml_env(
+        spark, "shop.t", ["id"],
+        [{"id": "2", "amount": "7"},      # valid INSERT, v10
+         {"id": "2", "amount": "N/A"}],   # poisoned UPDATE, v11
+        version=10,
+    )
+    apply_changelog(spark, batch, cat, undecodable="skip")
+    got = {r.id: r.amount for r in cat.read(spark, "shop.t").collect()}
+    assert got == {1: 5, 2: 7}
+
+    # and the same on the CREATE path
+    batch2 = _dml_env(
+        spark, "shop.fresh", ["id"],
+        [{"id": "9", "amount": "1"}, {"id": "9", "amount": "bad"}],
+        version=1,
+    )
+    from change_data_capture_spark.changelog import ddl_record as _ddl
+
+    create = _ddl(
+        spark, "shop.fresh",
+        spark.createDataFrame([], "id long, amount long").schema.json(),
+    ).unionByName(batch2)
+    apply_changelog(spark, create, cat, undecodable="skip")
+    assert [(r.id, r.amount) for r in cat.read(spark, "shop.fresh").collect()] == [
+        (9, 1)
+    ]
