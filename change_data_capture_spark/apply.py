@@ -1988,7 +1988,22 @@ def bootstrap_replica(
         raise KeyError(f"table {table_id!r} has no version {v}")
     from .changelog import dml_records, snapshot_changelog
 
-    snap = source.read(spark, table_id, version=v)
+    # The snapshot leg bootstraps under the source's CURRENT registered
+    # schema, not the snapshot version's own (r8 seam review): a
+    # re-type or column add/drop between V and current otherwise leaves
+    # the replica typed/shaped as V forever — bigint on the source,
+    # string on the replica — breaking the row-for-row contract and
+    # silently dropping post-add column values the CDF carries (the
+    # replica's decode projects ITS registered schema). Lenient align:
+    # a V-era value unrepresentable under the current schema can only
+    # belong to a row the CDF overwrites or deletes (the source's own
+    # re-type rewrite proved every surviving row castable), so nulling
+    # it in the snapshot leg is invisible in the final state.
+    snap = _align(
+        source.read(spark, table_id, version=v),
+        schema_from_json(meta["schema"]),
+        lenient=True,
+    )
     apply_changes(
         spark, snapshot_changelog(snap, table_id, pks, insert_version=v), target
     )

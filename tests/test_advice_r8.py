@@ -327,3 +327,48 @@ def test_skip_does_not_shadow_valid_older_row_same_key(spark, tmp_path):
     assert [(r.id, r.amount) for r in cat.read(spark, "shop.fresh").collect()] == [
         (9, 1)
     ]
+
+
+def test_bootstrap_replica_across_retype_matches_source_exactly(spark, tmp_path):
+    """r8 seam review: bootstrap_replica from a PRE-re-type snapshot
+    version used to register the replica under the old schema — the
+    replica ended string-typed while the source was bigint (and a
+    post-add column's CDF values were silently dropped by the
+    replica's old-schema decode). The snapshot leg now bootstraps
+    under the source's CURRENT registered schema with a lenient align;
+    replica must equal the source in VALUES AND TYPES."""
+    from change_data_capture_spark.apply import bootstrap_replica
+
+    src = TableCatalog(str(tmp_path / "src"))
+    dst = TableCatalog(str(tmp_path / "dst"))
+    df = spark.createDataFrame([(1, "abc"), (2, "10")], "id long, note string")
+    apply_changelog(spark, snapshot_changelog(df, "t.b", ["id"]), src)
+    # delete the uncastable row, re-type, add a column, update a row
+    apply_changelog(
+        spark,
+        dml_records(df.filter("id = 1"), "t.b", ["id"], op="DELETE",
+                    version=2, keys_only=True),
+        src,
+    )
+    src.announce_schema(
+        "t.b",
+        spark.createDataFrame([], "id long, note bigint, extra string")
+        .schema.json(),
+        spark=spark,
+    )
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame([(2, 999, "added")],
+                                  "id long, note bigint, extra string"),
+            "t.b", ["id"], op="UPDATE", version=3,
+        ),
+        src,
+    )
+    got = bootstrap_replica(spark, src, "t.b", dst)
+    assert dict(got.dtypes) == dict(src.read(spark, "t.b").dtypes)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, src.read(spark, "t.b").collect())
+    ) == [(2, 999, "added")]
+    # the replica's registered schema matches the source's
+    assert dst.meta("t.b")["schema"] == src.meta("t.b")["schema"]
