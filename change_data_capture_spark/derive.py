@@ -321,6 +321,41 @@ def maintain_value_index(
         # and BOTH floor-divide back to the base version it last
         # indexed — no side-channel refresh state
         from_version = int(idx_meta.get("applied_version", 1)) // 2
+
+    # The affected-value set mixes values read under DIFFERENT schemas
+    # (the diff-basis version, the change feed, the index itself): a
+    # re-type of the indexed column between the basis and current made
+    # the naive typed union/joins coerce — and ANSI-crash on an
+    # old-typed value like 'abc' that the re-type era deleted (r8 seam
+    # review). The set is therefore computed in the CANONICAL STRING
+    # domain — each value normalized through the INDEX's registered
+    # column type when it fits (so a non-canonical source form like
+    # '0100' maps to the '100' identity the index actually stores) and
+    # kept raw otherwise (a raw form can never name a typed index key,
+    # so its recompute/delete legs are no-ops, never crashes). The
+    # base-side joins compare on cast-to-string expressions, so no
+    # implicit cross-type coercion ever reaches the data.
+    from .schema import schema_from_json
+
+    idx_types = {
+        f.name: f.dataType
+        for f in schema_from_json(idx_meta["schema"]).fields
+        if f.name in set(vcols)
+    }
+
+    def canon(df: DataFrame) -> DataFrame:
+        cols = []
+        for c in vcols:
+            raw = F.col(c).cast("string")
+            t = idx_types.get(c)
+            e = (
+                F.coalesce(F.col(c).cast("string").try_cast(t).cast("string"), raw)
+                if t is not None
+                else raw
+            )
+            cols.append(e.alias(c))
+        return df.select(*cols)
+
     if int(from_version) not in catalog.versions(base_table):
         # Diff basis vacuumed away (manual vacuum; auto_maintain's
         # protect_from floor prevents this path): full resync — every
@@ -328,9 +363,8 @@ def maintain_value_index(
         # stale postings recompute and departed values delete. Still
         # one pass over metadata-grain value sets, no change feed.
         affected = (
-            base.filter(not_null)
-            .select(*vcols)
-            .unionByName(catalog.read(spark, index_table).select(*vcols))
+            canon(base.filter(not_null))
+            .unionByName(canon(catalog.read(spark, index_table)))
             .distinct()
         )
     else:
@@ -338,14 +372,17 @@ def maintain_value_index(
         old = catalog.read(spark, base_table, version=int(from_version))
         changed_pks = changes.select(*pks).distinct()
         affected = (
-            old.join(changed_pks, pks, "left_semi")
-            .select(*vcols)
-            .unionByName(changes.select(*vcols))
-            .filter(not_null)
+            canon(old.join(changed_pks, pks, "left_semi").filter(not_null))
+            .unionByName(canon(changes.filter(not_null)))
             .distinct()
         )
-    fresh = postings_of(base.join(affected, vcols, "left_semi"))
-    gone = affected.join(fresh.select(*vcols), vcols, "left_anti")
+    aff = affected.select(*[F.col(c).alias(f"__a_{c}") for c in vcols])
+    on = None
+    for c in vcols:
+        eq = F.col(c).cast("string") == F.col(f"__a_{c}")
+        on = eq if on is None else (on & eq)
+    fresh = postings_of(base.join(aff, on, "left_semi"))
+    gone = affected.join(canon(fresh), vcols, "left_anti")
     log = dml_records(
         gone, index_table, vcols, op=OP_DELETE, version=2 * cv, keys_only=True
     ).unionByName(

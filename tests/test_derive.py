@@ -418,3 +418,51 @@ def test_value_index_delete_only_refresh_keeps_watermark_exact(spark, tmp_path):
     )
     idx = maintain_value_index(spark, cat, "t.u", ["email"], "t.u_idx")
     assert sorted(r["email"] for r in idx.collect()) == ["b@x", "c@x"]
+
+
+def test_value_index_refresh_across_base_retype(spark, tmp_path):
+    """r8 seam review: a re-type of the INDEXED column between the
+    refresh basis and current made the affected-value union/joins
+    coerce across types — ANSI-crashing on an old-typed value ('abc')
+    that the re-type era deleted. The refresh now computes the value
+    domain in canonical string form normalized through the index's
+    registered types: stale postings delete, fresh ones land, no
+    crash."""
+    from change_data_capture_spark.apply import (
+        TableCatalog,
+        apply_changelog,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.derive import maintain_value_index
+    from pyspark.sql import functions as F
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, "100"), (2, "200"), (3, "abc")], "id long, code string"
+    )
+    apply_changelog(spark, snapshot_changelog(df, "t.u", ["id"]), cat)
+    maintain_value_index(spark, cat, "t.u", ["code"], "t.u_idx")
+    apply_changelog(
+        spark,
+        dml_records(df.filter("id = 3"), "t.u", ["id"], op="DELETE",
+                    version=2, keys_only=True),
+        cat,
+    )
+    cat.announce_schema(
+        "t.u",
+        spark.createDataFrame([], "id long, code bigint").schema.json(),
+        spark=spark,
+    )
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame([(2, 999)], "id long, code bigint"),
+            "t.u", ["id"], op="UPDATE", version=3,
+        ),
+        cat,
+    )
+    idx = maintain_value_index(spark, cat, "t.u", ["code"], "t.u_idx")
+    got = sorted(
+        (r.code, sorted(p.id for p in r.postings)) for r in idx.collect()
+    )
+    assert got == [("100", [1]), ("999", [2])]
