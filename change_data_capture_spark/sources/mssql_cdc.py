@@ -117,12 +117,20 @@ def mssql_cdc_raw_ops(
         kv.append(F.col(f"`{c}`").cast("string"))
     row_map = F.create_map(*kv)
 
-    tagged = changes.select(
-        _hex(changes, "__$start_lsn").alias("__lsn"),
-        _hex(changes, "__$seqval").alias("__seq"),
-        op.alias("__op"),
-        row_map.alias("__row"),
-    ).filter(F.col("__op").isin(1, 2, 3, 4))
+    tagged = (
+        changes.select(
+            _hex(changes, "__$start_lsn").alias("__lsn"),
+            _hex(changes, "__$seqval").alias("__seq"),
+            op.alias("__op"),
+            row_map.alias("__row"),
+        )
+        .filter(F.col("__op").isin(1, 2, 3, 4))
+        # a null LSN or seqval breaks the pairing key: two DISTINCT
+        # changes would fold into ONE record in the groupBy below
+        # (silent merge of unrelated rows) — drop them here; the DLQ
+        # names them missing_lsn (r8)
+        .filter(F.col("__lsn").isNotNull() & F.col("__seq").isNotNull())
+    )
 
     # ONE shuffle: (lsn, seqval) is one logical change; ops 3+4 meet
     # here. first(ignorenulls) is deterministic — at most one image of
@@ -176,16 +184,99 @@ def mssql_cdc_raw_ops(
             + intra
         )
 
-    return paired.select(
-        F.lit(table).alias("table"),
-        op_type.alias("op_type"),
-        F.array(*[F.lit(p) for p in primary_keys]).alias("primary_keys"),
-        before.alias("before"),
-        after.alias("after"),
-        F.lit(rows_schema).alias("rows_schema"),
-        version.cast("bigint").alias("change_tracking_version"),
-        version.cast("bigint").alias("cdc_current_timestamp"),
+    return (
+        paired.select(
+            F.lit(table).alias("table"),
+            op_type.alias("op_type"),
+            F.array(*[F.lit(p) for p in primary_keys]).alias("primary_keys"),
+            before.alias("before"),
+            after.alias("after"),
+            F.lit(rows_schema).alias("rows_schema"),
+            version.cast("bigint").alias("change_tracking_version"),
+            version.cast("bigint").alias("cdc_current_timestamp"),
+        )
+        # a NULL version (possible only through a caller version_expr;
+        # the default dense transaction index is never null) is
+        # unusable — it would apply on the create path but silently
+        # vanish behind any later watermark (NULL > x is NULL). Same
+        # drop + DLQ(missing_version) contract as the seven
+        # message-shaped decoders (r8).
+        .filter(F.col("change_tracking_version").isNotNull())
     )
+
+
+def mssql_cdc_dead_letters(
+    changes: DataFrame,
+    *,
+    version_expr: Column | None = None,
+) -> DataFrame:
+    """The change records ``mssql_cdc_raw_ops`` drops, with a reason —
+    the quarantine twin the seven message-shaped decoders already have
+    (r8 parity): 'unsupported_op' (a null or out-of-domain
+    __$operation), 'missing_lsn' (null __$start_lsn or __$seqval — the
+    (lsn, seqval) pairing key is broken, and keeping such rows would
+    FOLD distinct changes into one record), 'missing_image' (a 3-row
+    update-before image whose 4-row after image never arrived — a torn
+    export must not upsert nulls), 'missing_version' (a caller
+    ``version_expr`` that evaluates null — pass the SAME override given
+    to ``mssql_cdc_raw_ops``; the default dense transaction index is
+    never null). Change-grain output: (lsn, seqval, op, reason). The
+    3/4 pairing runs here under the SAME internal column names as the
+    decoder (``__lsn``/``__seq``/``__kind``), so an LSN-derived
+    version_expr works verbatim in both and decode + DLQ partition the
+    feed's change records exactly (image-derived version expressions
+    are not classifiable here — the torn-pair reasons fire first for
+    those shapes anyway)."""
+    op = F.col("`__$operation`")
+    tagged = changes.select(
+        _hex(changes, "__$start_lsn").alias("__lsn"),
+        _hex(changes, "__$seqval").alias("__seq"),
+        op.alias("__op"),
+    )
+    top = F.col("__op")
+    bad_shape = tagged.withColumn(
+        "reason",
+        F.when(
+            ~top.isin(1, 2, 3, 4) | top.isNull(), F.lit("unsupported_op")
+        ).when(
+            F.col("__lsn").isNull() | F.col("__seq").isNull(),
+            F.lit("missing_lsn"),
+        ),
+    ).filter(F.col("reason").isNotNull())
+
+    # the pairing view over the VALID rows, for torn-pair / version
+    # classification at change grain
+    valid = tagged.filter(
+        top.isin(1, 2, 3, 4)
+        & F.col("__lsn").isNotNull()
+        & F.col("__seq").isNotNull()
+    )
+    paired = valid.groupBy("__lsn", "__seq").agg(
+        F.max("__op").alias("__kind"),
+        F.max(
+            F.when(F.col("__op").isin(2, 4), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__has_after"),
+    )
+
+    def shape(df: DataFrame, opcol: str, reason: str | None = None) -> DataFrame:
+        r = F.col("reason") if reason is None else F.lit(reason)
+        return df.select(
+            F.col("__lsn").alias("lsn"),
+            F.col("__seq").alias("seqval"),
+            F.col(opcol).alias("op"),
+            r.alias("reason"),
+        )
+
+    torn = paired.filter((F.col("__kind") == 3) & (F.col("__has_after") == 0))
+    out = shape(bad_shape, "__op").unionByName(shape(torn, "__kind", "missing_image"))
+    if version_expr is not None:
+        versionless = (
+            paired.filter(~((F.col("__kind") == 3) & (F.col("__has_after") == 0)))
+            .withColumn("__v", version_expr.try_cast("bigint"))
+            .filter(F.col("__v").isNull())
+        )
+        out = out.unionByName(shape(versionless, "__kind", "missing_version"))
+    return out
 
 
 def encode_mssql_cdc(

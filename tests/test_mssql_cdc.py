@@ -181,3 +181,67 @@ def test_base_version_must_be_transaction_domain(spark):
     # a sane transaction watermark passes validation
     out = mssql_cdc_raw_ops(df, "t", ["id"], base_version=7)
     assert out.select("change_tracking_version").first()[0] == 8 * 1048576
+
+
+def test_mssql_cdc_dead_letters_partition_the_feed(spark):
+    """r8 parity: the row-shaped decoder gets the same quarantine twin
+    as the seven message-shaped decoders. Reasons cover out-of-domain
+    ops, null pairing keys (which would FOLD distinct changes into one
+    record — the decoder now drops them), and torn 3-row pairs."""
+    from change_data_capture_spark.sources.mssql_cdc import (
+        mssql_cdc_dead_letters,
+        mssql_cdc_raw_ops,
+    )
+
+    rows = [
+        # valid insert
+        ("0A", "01", 2, 1, "a"),
+        # torn update: 3-row with no 4-row
+        ("0B", "01", 3, 2, "b"),
+        # unsupported op code
+        ("0C", "01", 9, 3, "c"),
+        # null lsn: pairing key broken
+        (None, "01", 2, 4, "d"),
+        # null seqval: pairing key broken
+        ("0D", None, 2, 5, "e"),
+    ]
+    changes = spark.createDataFrame(
+        rows,
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long, v string",
+    )
+    ops = mssql_cdc_raw_ops(changes, "db.t", ["id"]).collect()
+    assert [(r.op_type, r.after["id"]) for r in ops] == [("I", "1")]
+    dlq = mssql_cdc_dead_letters(changes).collect()
+    reasons = sorted((r.reason, r.op) for r in dlq)
+    assert reasons == [
+        ("missing_image", 3),
+        ("missing_lsn", 2),
+        ("missing_lsn", 2),
+        ("unsupported_op", 9),
+    ]
+    # decode + DLQ partition the feed's change records exactly
+    assert len(ops) + len(dlq) == 5
+
+
+def test_mssql_cdc_null_custom_version_drops_and_quarantines(spark):
+    """A caller version_expr that evaluates null: the record is
+    dropped by raw_ops (NULL would vanish behind any watermark) and
+    the DLQ names it missing_version under the SAME override."""
+    from pyspark.sql import functions as F
+    from change_data_capture_spark.sources.mssql_cdc import (
+        mssql_cdc_dead_letters,
+        mssql_cdc_raw_ops,
+    )
+
+    changes = spark.createDataFrame(
+        [("0A", "01", 2, 1, "a"), ("FF", "01", 2, 2, "b")],
+        "`__$start_lsn` string, `__$seqval` string, `__$operation` int, "
+        "id long, v string",
+    )
+    # version only decodable for lsn 0A
+    vexpr = F.when(F.col("__lsn") == "0A", F.lit(7)).cast("bigint")
+    ops = mssql_cdc_raw_ops(changes, "db.t", ["id"], version_expr=vexpr).collect()
+    assert [(r.change_tracking_version, r.after["id"]) for r in ops] == [(7, "1")]
+    dlq = mssql_cdc_dead_letters(changes, version_expr=vexpr).collect()
+    assert [(r.lsn, r.reason) for r in dlq] == [("FF", "missing_version")]
