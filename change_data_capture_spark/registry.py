@@ -7105,6 +7105,47 @@ def cdc_mssql_cdc_apply(spark, sf_dir):
 
 
 @_q(
+    "cdc_mssql_cdc_dead_letters",
+    """
+    SELECT '0B' AS lsn, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS seqval,
+           3 AS op, 'missing_image' AS reason
+    FROM customer WHERE c_custkey % 4 = 1
+    UNION ALL
+    SELECT '0C', lpad(CAST(c_custkey AS VARCHAR), 8, '0'), 9, 'unsupported_op'
+    FROM customer WHERE c_custkey % 4 = 2
+    UNION ALL
+    SELECT NULL, lpad(CAST(c_custkey AS VARCHAR), 8, '0'), 2, 'missing_lsn'
+    FROM customer WHERE c_custkey % 4 = 3
+    """,
+)
+def cdc_mssql_cdc_dead_letters(spark, sf_dir):
+    """Quarantine twin of the SQL Server CDC decoder (r8,
+    sources/mssql_cdc.mssql_cdc_dead_letters) — the row-shaped
+    protocol's version of the seven message decoders' DLQ contract: a
+    feed mixing valid inserts, torn 3-row updates whose 4-row after
+    image never arrived, out-of-domain operation codes, and null
+    pairing keys (which would FOLD distinct changes into one record —
+    the decoder drops them) classifies every dropped change record
+    with a reason while the valid rows decode. The 3/4 pairing
+    aggregation runs once per change record, same single hash-shuffle
+    discipline as the decoder."""
+    from .sources import mssql_cdc as ms
+
+    cust = _t(spark, sf_dir, "customer")
+    seq = F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+    k = F.col("c_custkey") % 4
+    ok = ms.encode_mssql_cdc(cust.filter(k == 0), operation=2, lsn="0A", seqval=seq)
+    torn = ms.encode_mssql_cdc(cust.filter(k == 1), operation=3, lsn="0B", seqval=seq)
+    badop = ms.encode_mssql_cdc(cust.filter(k == 2), operation=9, lsn="0C", seqval=seq)
+    nolsn = ms.encode_mssql_cdc(
+        cust.filter(k == 3), operation=2,
+        lsn=F.lit(None).cast("string"), seqval=seq,
+    )
+    feed = ok.unionByName(torn).unionByName(badop).unionByName(nolsn)
+    return ms.mssql_cdc_dead_letters(feed)
+
+
+@_q(
     "cdc_chunked_bootstrap",
     """
     SELECT c_custkey, c_name, c_nationkey,
