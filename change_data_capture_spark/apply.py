@@ -1326,9 +1326,6 @@ def typed_dead_letters(
     actually applied. Create-path tables get the same pk_compat
     coercion ``ensure_table`` applies (bool/float/double PKs decode as
     STRING — those values never quarantine)."""
-    names = list(tables) if tables is not None else sorted(
-        set(catalog.tables()) | set(rows_schemas or {})
-    )
     # Per-table batch descriptors: every in-batch DDL announcement in
     # explicit plan order (the same __seq discipline as apply's meta
     # scan) plus the first DML's pks/rows_schema — exactly the inputs
@@ -1356,6 +1353,15 @@ def typed_dead_letters(
             .collect()
         )
     }
+    # default table list self-discovers from the batch too (r8): a
+    # stream's FIRST batch creates its tables — the catalog knows
+    # nothing yet, but the batch's own DDL/rows_schema resolve, and a
+    # table with no resolvable schema is skipped anyway
+    names = list(tables) if tables is not None else sorted(
+        set(catalog.tables())
+        | set(rows_schemas or {})
+        | {t for t in desc if t is not None}
+    )
     dml = changelog.filter(F.col("dml").isNotNull()).select("dml.*")
     out: DataFrame | None = None
     for t in names:

@@ -502,6 +502,8 @@ def run_apply_stream(
     available_now: bool = True,
     state_partitions: int | None = 8,
     fmt: str = "parquet",
+    undecodable: str = "raise",
+    dead_letter_dir: str | None = None,
 ) -> Any:
     """Continuously (or availableNow for tests) apply a changelog file
     stream into the catalog's managed tables. Checkpointing makes
@@ -526,15 +528,45 @@ def run_apply_stream(
     foreachBatch (and any stateful stage, for callers composing one)
     runs at a small fixed shuffle-partition count; pass None to keep
     the session setting (e.g. thousands of tables on a large
-    cluster)."""
+    cluster).
+
+    ``undecodable``/``dead_letter_dir`` (r8 — parity with the
+    declarative front door's ``source.undecodable``): 'skip' applies
+    with the never-throwing decode and, when ``dead_letter_dir`` is
+    set, appends each micro-batch's typed-decode quarantine
+    (``apply.typed_dead_letters`` — the POST-announce schema contract)
+    under ``<dir>/typed`` with a ``batch_epoch`` column. The watermark
+    advances past skipped rows, so that sink is their only durable
+    record; 'skip' without a dir keeps the old cost profile and loses
+    them knowingly."""
+    import os as _os
+
+    from .apply import typed_dead_letters
+
+    if undecodable not in ("raise", "skip"):
+        raise ValueError(
+            f"undecodable must be 'raise' or 'skip', got {undecodable!r}"
+        )
     stream = read_changelog_stream(
         spark, changelog_dir, max_files_per_trigger=max_files_per_trigger, fmt=fmt
     )
     ddl_state: dict[str, str] | None = {} if dedupe_ddl else None
 
-    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+    def _batch(batch_df: DataFrame, epoch: int) -> None:
+        if undecodable == "skip" and dead_letter_dir is not None:
+            dlq = typed_dead_letters(batch_df, catalog)
+            if dlq is not None:
+                dlq.withColumn(
+                    "batch_epoch", F.lit(int(epoch)).cast("bigint")
+                ).write.mode("append").parquet(
+                    _os.path.join(dead_letter_dir, "typed")
+                )
         apply_changes(
-            batch_df.sparkSession, batch_df, catalog, ddl_dedup_state=ddl_state
+            batch_df.sparkSession,
+            batch_df,
+            catalog,
+            ddl_dedup_state=ddl_state,
+            undecodable=undecodable,
         )
 
     writer = (

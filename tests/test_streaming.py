@@ -745,3 +745,46 @@ def test_sessionize_drops_null_event_times(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_events"] == 2 and r["total_value"] == 3.0
+
+
+def test_run_apply_stream_skip_routes_quarantine_to_sink(spark, tmp_path):
+    """r8 parity with the declarative front door: the hand-wired
+    streaming path supports route-and-continue — a poisoned value in a
+    micro-batch quarantines into <dead_letter_dir>/typed (its ONLY
+    durable record, the watermark advances past it) while the batch's
+    valid rows apply; the stream does not die."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.changelog import ddl_record
+    from change_data_capture_spark.envelope import wrap_dml
+    from change_data_capture_spark.streaming import (
+        run_apply_stream,
+        write_changelog,
+    )
+
+    schema_json = spark.createDataFrame([], "id long, amount long").schema.json()
+    dml = wrap_dml(spark.createDataFrame(
+        [
+            ("INSERT", "s.t", ["id"], None, {"id": "1", "amount": "10"}, 1, 0),
+            ("INSERT", "s.t", ["id"], None, {"id": "2", "amount": "N/A"}, 2, 0),
+            ("INSERT", "s.t", ["id"], None, {"id": "3", "amount": "30"}, 3, 0),
+        ],
+        "op_type string, table string, primary_keys array<string>, "
+        "rows_schema string, rows_values map<string,string>, "
+        "change_tracking_version long, cdc_current_timestamp long",
+    ))
+    log = ddl_record(spark, "s.t", schema_json).unionByName(dml)
+    log_dir = str(tmp_path / "log")
+    write_changelog(log, log_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    dlq_dir = str(tmp_path / "dlq")
+    run_apply_stream(
+        spark, log_dir, cat, str(tmp_path / "ckpt"),
+        undecodable="skip", dead_letter_dir=dlq_dir,
+    )
+    got = {r.id: r.amount for r in cat.read(spark, "s.t").collect()}
+    assert got == {1: 10, 3: 30}
+    q = spark.read.parquet(dlq_dir + "/typed").collect()
+    assert [(r.change_tracking_version, list(r.bad_columns)) for r in q] == [
+        (2, ["amount"])
+    ]
+    assert all(r.batch_epoch is not None for r in q)
