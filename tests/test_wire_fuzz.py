@@ -102,3 +102,52 @@ def test_fuzz_roundtrip_all_formats(spark):
             # numeric wire forms: compare as parsed floats (the wire
             # carries the engine's shortest-roundtrip rendering)
             assert float(after["amount"]) == amount, (name, wid)
+
+
+def test_fuzz_decode_dlq_partition_under_version_expr(spark):
+    """r8 invariant: with a CUSTOM version_expr passed to BOTH halves,
+    raw_ops + dead_letters partition the message feed exactly — no
+    message both applied and quarantined, none lost — across a fuzzed
+    mix of valid, versionless, and malformed frames (the ADVICE r7
+    finding was precisely this invariant breaking under overrides)."""
+    import json
+    import random
+
+    rng = random.Random(99)
+    msgs = []
+    n_valid = n_noversion = 0
+    for i in range(1, 41):
+        note = rng.choice(NASTY)
+        shape = rng.choice(["valid", "no_version", "garbage"])
+        if shape == "valid":
+            n_valid += 1
+            msgs.append(json.dumps({
+                "database": "shop", "table": "orders", "type": "insert",
+                "xid": i, "data": {"id": str(i), "note": note},
+            }))
+        elif shape == "no_version":
+            n_noversion += 1
+            msgs.append(json.dumps({
+                "database": "shop", "table": "orders", "type": "insert",
+                "ts": i, "data": {"id": str(i), "note": note},  # ts, no xid
+            }))
+        else:
+            msgs.append(rng.choice([
+                "not json at all", '{"half": ', '{"database": null}',
+            ]))
+    frame = spark.createDataFrame([(m,) for m in msgs], "message string")
+    vexpr = F.col("__m.xid")
+    ops = wf.maxwell_raw_ops(frame, KEYS, version_expr=vexpr)
+    dlq = wf.maxwell_dead_letters(frame, KEYS, version_expr=vexpr)
+    assert ops.count() == n_valid
+    assert dlq.count() == len(msgs) - n_valid
+    assert (
+        dlq.filter(F.col("reason") == "missing_version").count() == n_noversion
+    )
+    # versions are exactly the custom expression's values
+    got = sorted(r.change_tracking_version for r in ops.collect())
+    want = sorted(
+        json.loads(m)["xid"] for m in msgs
+        if '"xid"' in m
+    )
+    assert got == want
