@@ -125,3 +125,55 @@ def test_dedupe_ddl_batch_fold_fuzz(spark):
             t: [s for tt, s in seq if tt == t] for t in ("t.x", "t.y")
         }
         assert per_table(got_kept) == per_table(want), (events, cuts)
+
+
+def test_effective_schema_simulation_matches_real_announce(spark, tmp_path):
+    """r8 property: TableCatalog.effective_schema_json — the PURE
+    simulation typed_dead_letters uses to resolve the post-announce
+    quarantine schema — must equal the registered schema the SAME
+    announcement chain produces through announce_schema, over
+    randomized evolution sequences (add / drop / re-type / widen /
+    PK-omitting announcements). Any divergence is exactly the
+    quarantine-vs-apply schema mismatch the r7 advisory flagged."""
+    import random
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    rng = random.Random(4242)
+    types = [LongType(), StringType(), DoubleType()]
+    pool = [f"c{i}" for i in range(6)]
+
+    def rand_schema():
+        cols = rng.sample(pool, rng.randrange(1, 5))
+        return StructType(
+            [StructField("id", LongType(), True)]
+            + [StructField(c, rng.choice(types), True) for c in cols]
+        )
+
+    for trial in range(6):
+        cat = TableCatalog(str(tmp_path / f"cat{trial}"))
+        # c0 seeds with a value castable under ANY random re-type —
+        # announce's rewrite fail-loud on incompatible data is its own
+        # documented behavior, not this property
+        df = spark.createDataFrame([(1, "1")], "id long, c0 string")
+        apply_changelog(spark, snapshot_changelog(df, "t.z", ["id"]), cat)
+        chain = [rand_schema().json() for _ in range(rng.randrange(1, 4))]
+        if rng.random() < 0.5:
+            # an announcement that OMITS the PK: the survival rule
+            # must agree between the two paths
+            no_pk = StructType(
+                [StructField("c5", StringType(), True)]
+            )
+            chain.insert(rng.randrange(len(chain) + 1), no_pk.json())
+        predicted = cat.effective_schema_json("t.z", chain)
+        for sj in chain:
+            cat.announce_schema("t.z", sj, spark=spark)
+        assert predicted == cat.meta("t.z")["schema"], (
+            f"trial {trial}: simulation diverged from announce for "
+            f"chain {chain}"
+        )
