@@ -210,3 +210,76 @@ def test_goldengate_render_drops_preimage_and_raises_on_unknown(spark):
         kafka.table_changes_to_goldengate(
             null_t, table="t.x", fingerprint=1, pk_names=["id"]
         ).collect()
+
+
+def test_outbound_renderers_survive_retype_boundary_cdf(spark, tmp_path):
+    """r8 seam: a CDF crossing a physical re-type boundary can carry a
+    DELETE whose non-key column is NULL (the since-deleted row's value
+    was uncastable under the new type — table_changes nulls it rather
+    than crash). Every outbound renderer must render that frame, and
+    each message format's own inbound decoder must classify the delete
+    with the right key."""
+    from change_data_capture_spark.changelog import dml_records
+    from change_data_capture_spark.sources import mssql_cdc as ms
+
+    cat = TableCatalog(str(tmp_path / "src"))
+    df = spark.createDataFrame([(1, "abc"), (2, "10")], "id long, note string")
+    apply_changelog(spark, snapshot_changelog(df, T, ["id"]), cat)
+    apply_changelog(
+        spark,
+        dml_records(df.filter("id = 1"), T, ["id"], op="DELETE",
+                    version=2, keys_only=True),
+        cat,
+    )
+    cat.announce_schema(
+        T, spark.createDataFrame([], "id long, note bigint").schema.json(),
+        spark=spark,
+    )
+    changes = cat.table_changes(spark, T, 1)
+    assert [(r.id, r.note, r._change_type) for r in changes.collect()] == [
+        (1, None, "delete")
+    ]
+
+    # message formats: render -> inbound decode -> one D/delete for id 1
+    renders = {
+        "debezium": (
+            lambda: debezium.table_changes_to_debezium(changes, table=T),
+            lambda m: debezium.debezium_raw_ops(m, KEYS),
+        ),
+        "maxwell": (
+            lambda: wf.table_changes_to_maxwell(changes, table=T),
+            lambda m: wf.maxwell_raw_ops(m, KEYS),
+        ),
+        "dms": (
+            lambda: wf.table_changes_to_dms(changes, table=T),
+            lambda m: wf.dms_raw_ops(m, KEYS),
+        ),
+        "canal": (
+            lambda: canal.table_changes_to_canal(changes, table=T,
+                                                 pk_names=["id"]),
+            lambda m: canal.canal_raw_ops(m, KEYS),
+        ),
+        "wal2json": (
+            lambda: wj.table_changes_to_wal2json(changes, table=T,
+                                                 pk_names=["id"]),
+            lambda m: wj.wal2json_raw_ops(m, KEYS),
+        ),
+        "mongodb": (
+            lambda: mg.table_changes_to_mongodb(changes, table=T,
+                                                id_col="id"),
+            lambda m: mg.mongodb_raw_ops(m, {T: "id"}),
+        ),
+    }
+    for name, (render, decode) in renders.items():
+        msgs = render()
+        ops = decode(msgs).collect()
+        assert len(ops) == 1, f"{name}: {ops}"
+        r = ops[0]
+        key = (r.before or r.after)["id" if name != "mongodb" else "id"]
+        assert r.op_type == "D" and key == "1", f"{name}: {r}"
+
+    # row-shaped protocol: render -> pairing decode -> one D for id 1
+    rows = ms.table_changes_to_mssql_cdc(changes, pk_names=["id"])
+    ops = ms.mssql_cdc_raw_ops(rows, T, ["id"]).collect()
+    assert len(ops) == 1 and ops[0].op_type == "D"
+    assert ops[0].before["id"] == "1"
