@@ -541,3 +541,38 @@ def test_crash_mid_erasure_rerun_completes(spark, tmp_path, monkeypatch):
             cat.read(spark, t, version=v).filter(F.col("id").isin(3, 7)).count()
             == 0
         )
+
+
+def test_apply_vs_apply_cas_retry_lands_both_batches(spark, tmp_path, monkeypatch):
+    """r8: the CAS-retry loop's OTHER first-class interleaving — apply
+    racing a CONCURRENT APPLY on the same table (not maintenance). A
+    competing writer publishes between this apply's merge computation
+    and its publish: the CAS must refuse the stale publish, and the
+    retry (fast=False, fresh meta) must land ON TOP of the competitor
+    — both batches visible, no lost update, no duplicate."""
+    cat, t = _mk(spark, tmp_path, versions=1)
+    batch_mine = dml_records(
+        spark.createDataFrame([(1, "mine")], "id long, val string"),
+        t, ["id"], op="UPDATE", version=20,
+    )
+    batch_theirs = dml_records(
+        spark.createDataFrame([(2, "theirs")], "id long, val string"),
+        t, ["id"], op="UPDATE", version=10,
+    )
+    real = TableCatalog.write_new_version
+    state = {"injected": False}
+
+    def racing(self, table_id, df, *a, **kw):
+        if not state["injected"] and table_id == t:
+            state["injected"] = True
+            competitor = TableCatalog(self.root)
+            apply_changelog(spark, batch_theirs, competitor)
+        return real(self, table_id, df, *a, **kw)
+
+    monkeypatch.setattr(TableCatalog, "write_new_version", racing)
+    apply_changelog(spark, batch_mine, cat)
+    got = {r.id: r.val for r in cat.read(spark, t).collect()}
+    assert got[1] == "mine" and got[2] == "theirs"
+    assert int(cat.meta(t)["applied_version"]) == 20
+    # every other row untouched
+    assert len(got) == 20
