@@ -2077,6 +2077,76 @@ def _stamp_tracking_watermark(
     target.put_meta(table_id, dst_meta)
 
 
+def import_group_snapshot(
+    spark: SparkSession,
+    src_dir: str,
+    catalog: TableCatalog,
+) -> dict:
+    """Disaster-recovery RESTORE of an ``export_group_snapshot`` into a
+    catalog — the missing inverse of the export path (r8): each table
+    of the group is recreated from its exported parquet + manifest
+    (primary keys, per-table feed watermark), and its applied-version
+    watermark is re-homed to the EXPORT's per-table source watermark so
+    subscribing the restored catalog to the live change feed resumes
+    with no gap and no overlap — the ``bootstrap_replica`` handoff rule
+    applied to the restore direction.
+
+    Watermark choice: each table stamps ITS OWN exported
+    ``applied_version`` (the watermark of its cut version), NOT the
+    group watermark W. The two differ only when a batch spanned W on
+    some table — that batch published atomically ABOVE W, so its rows
+    are absent from the cut; stamping W would make the resumed feed
+    skip them as replays (lost updates), while stamping the per-table
+    value replays the spanning batch idempotently. A lagging watermark
+    only costs idempotent replays; a leading one loses data.
+
+    Refuses to restore over an EXISTING table (a restore is a create,
+    not a merge — an occupied table means the caller is pointing at the
+    wrong catalog). The group ``manifest.json`` is the completeness
+    marker the export wrote LAST; its absence means a torn export.
+    Returns {table: {n_rows, applied_version}} plus the group
+    watermark."""
+    man_path = os.path.join(src_dir, "manifest.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            f"{src_dir}: no group manifest.json — the export's "
+            "completeness marker is written LAST, so this export is "
+            "torn or not a group snapshot"
+        )
+    with open(man_path) as fh:
+        group = json.load(fh)
+    from .changelog import snapshot_changelog
+
+    report: dict = {"watermark": int(group["watermark"]), "tables": {}}
+    for t in sorted(group["tables"]):
+        if catalog.meta(t) is not None:
+            raise ValueError(
+                f"restore target already has table {t!r} — import "
+                "creates tables; restore into a fresh catalog"
+            )
+    for t, info in sorted(group["tables"].items()):
+        sub = os.path.join(src_dir, info["dir"])
+        with open(os.path.join(sub, "manifest.json")) as fh:
+            m = json.load(fh)
+        df = spark.read.parquet(os.path.join(sub, "data"))
+        pks = list(m["primary_keys"])
+        wm = int(m["applied_version"])
+        # content lands at version 1 of the NEW catalog's publish
+        # sequence; the feed watermark is re-homed separately below
+        apply_changes(spark, snapshot_changelog(df, t, pks), catalog)
+        _stamp_tracking_watermark(catalog, t, wm)
+        report["tables"][t] = {
+            "n_rows": int(m["n_rows"]),
+            "applied_version": wm,
+        }
+        got = catalog.read(spark, t).count()
+        if got != int(m["n_rows"]):
+            raise RuntimeError(
+                f"{t}: restored row count {got} != manifest {m['n_rows']}"
+            )
+    return report
+
+
 def forget_keys(
     spark: SparkSession,
     catalog: TableCatalog,

@@ -7884,6 +7884,52 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_group_restore",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def cdc_group_restore(spark, sf_dir):
+    """Disaster-recovery roundtrip (r8, apply.import_group_snapshot —
+    the restore inverse of export_group_snapshot): a consistent
+    multi-table cut (customer + nation at one shared feed watermark)
+    exported, then RESTORED into a brand-new catalog whose per-table
+    feed watermarks are re-homed so the live change feed resumes with
+    no gap and no overlap. Also applies a post-restore feed batch with
+    a version AT the restored watermark and asserts it is skipped as a
+    replay — the idempotence contract the re-homing exists for. The
+    query returns the restored customer table; the oracle states the
+    source content directly."""
+    from .apply import import_group_snapshot
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    src = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_grpsrc_"))
+    apply_changelog(
+        spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), src
+    )
+    apply_changelog(
+        spark, snapshot_changelog(nat, "tpch.nation", ["n_nationkey"]), src
+    )
+    exp = tempfile.mkdtemp(prefix="cdc_q_grpexp_")
+    src.export_group_snapshot(
+        spark, ["tpch.customer", "tpch.nation"], watermark=1, dest_dir=exp
+    )
+    dst = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_grpdst_"))
+    import_group_snapshot(spark, exp, dst)
+    # replay at the restored watermark must be a no-op (idempotence)
+    from .changelog import dml_records
+
+    replay = dml_records(
+        cust.limit(5), "tpch.customer", ["c_custkey"], op="DELETE",
+        version=1, keys_only=True,
+    )
+    apply_changelog(spark, replay, dst)
+    return dst.read(spark, "tpch.customer")
+
+
 @_q("cdc_export_snapshot", "SELECT * FROM customer")
 def cdc_export_snapshot(spark, sf_dir):
     """Consistent snapshot export (TableCatalog.export_snapshot): the

@@ -898,3 +898,61 @@ def test_orphan_data_dir_from_crashed_publish_is_not_a_version(spark, tmp_path):
     assert cat.versions("t.o") == [1, 2, 3]
     got = {r["id"]: r["v"] for r in cat.read(spark, "t.o", version=3).collect()}
     assert len(got) == 20 and got[19] == 9.0 and got[0] == 7.0
+
+
+def test_import_group_snapshot_restores_and_resumes_feed(spark, tmp_path):
+    """r8: the restore inverse of export_group_snapshot — a fresh
+    catalog recreated from the export equals every table's cut state,
+    re-homes each table's feed watermark to its OWN exported value,
+    and a live-feed resume replays idempotently with no gap and no
+    overlap (including a batch that SPANNED the group watermark and
+    was therefore excluded whole from the cut)."""
+    import pytest
+
+    from change_data_capture_spark.apply import import_group_snapshot
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    src = TableCatalog(str(tmp_path / "src"))
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(10)], "id long, v string")
+    b = spark.createDataFrame([(i, 10 * i) for i in range(5)], "k long, n long")
+    apply_changelog(spark, snapshot_changelog(a, "g.a", ["id"], insert_version=5), src)
+    apply_changelog(spark, snapshot_changelog(b, "g.b", ["k"], insert_version=5), src)
+    # a batch on g.a SPANNING watermark 10: versions 8 and 12 publish
+    # atomically at watermark 12 (> 10), so the cut excludes it whole
+    span = dml_records(
+        a.filter("id = 1"), "g.a", ["id"], op="UPDATE", version=8,
+        value_overrides={"v": F.lit("below")},
+    ).unionByName(
+        dml_records(
+            a.filter("id = 2"), "g.a", ["id"], op="UPDATE", version=12,
+            value_overrides={"v": F.lit("above")},
+        )
+    )
+    apply_changelog(spark, span, src)
+
+    exp = str(tmp_path / "exp")
+    group = src.export_group_snapshot(spark, ["g.a", "g.b"], watermark=10, dest_dir=exp)
+    assert group["tables"]["g.a"]["applied_version"] == 5  # spanning batch excluded
+
+    dst = TableCatalog(str(tmp_path / "dst"))
+    rep = import_group_snapshot(spark, exp, dst)
+    assert rep["tables"]["g.a"]["applied_version"] == 5
+    # restored content equals the cut (no 'below'/'above' rows)
+    assert sorted(map(tuple, dst.read(spark, "g.a").collect())) == sorted(
+        map(tuple, a.collect())
+    )
+    assert sorted(map(tuple, dst.read(spark, "g.b").collect())) == sorted(
+        map(tuple, b.collect())
+    )
+    # live-feed resume: replaying the spanning batch applies BOTH rows
+    # (versions 8 and 12 are above the re-homed watermark 5) — no gap
+    apply_changelog(spark, span, dst)
+    got = {r.id: r.v for r in dst.read(spark, "g.a").collect()}
+    assert got[1] == "below" and got[2] == "above"
+    # and the restored catalog now equals the live source
+    assert sorted(map(tuple, dst.read(spark, "g.a").collect())) == sorted(
+        map(tuple, src.read(spark, "g.a").collect())
+    )
+    # refuses to restore over an occupied table
+    with pytest.raises(ValueError, match="already has table"):
+        import_group_snapshot(spark, exp, dst)
