@@ -9789,11 +9789,12 @@ DRIVER_WINDOW: list[str] = [
     # per guarded operator family (tests/test_registry_window.py pins
     # family coverage, not specific names). er_blocked_match also
     # re-runs its new capped-block plan (directive #7).
-    # Round-9 note: cdc_mssql_cdc_dead_letters (registered mid-r8,
-    # hash-green locally) has no driver row yet — give it a slot, along
-    # with the four deferred r02-vintage names (q10_returned_items,
-    # q12_priority_shipping, q14_promo_effect, q19_disjunctive_revenue)
-    # and the r03/r04 backlog.
+    # Round-9 note: cdc_mssql_cdc_dead_letters and cdc_group_restore
+    # (both registered mid-r8, hash-green locally) have no driver row
+    # yet — give them slots, along with the four deferred r02-vintage
+    # names (q10_returned_items, q12_priority_shipping,
+    # q14_promo_effect, q19_disjunctive_revenue) and the r03/r04
+    # backlog.
     # --- anchors (5 repeats from the r7 window)
     "p_ct_change_scan",
     "cdc_apply_stream",
