@@ -121,6 +121,40 @@ def classify_messages(raw: DataFrame) -> DataFrame:
     return parsed.select("m.*").filter(F.col("kind").isin("schema", "dml"))
 
 
+def goldengate_dead_letters(
+    raw: DataFrame, *, message_col: str = "message"
+) -> DataFrame:
+    """The messages the GoldenGate wrapper decode drops, with a reason
+    (r8 — quarantine parity with the other decoders; previously T10's
+    junk-drop was silent by design, which is right for the APPLY path
+    but leaves an operator blind to a feed gone bad): 'unparseable'
+    (no wrapper kind at all), 'wrapper_notice' (non-schema/dml wrapper
+    kinds — expected protocol chatter, routed so it can be counted,
+    the wal2json txn_marker convention), 'missing_version' (a dml
+    whose version is null — dropped by ``goldengate_changelog``'s
+    decoder-uniform rule). Same parse expression as the decode;
+    message-grain output (message, reason, kind, table)."""
+    m = raw.select(
+        F.col(message_col).alias("message"),
+        decode_value_expr(F.col(message_col)).alias("__m"),
+    )
+    kind = F.col("__m.kind")
+    reason = (
+        F.when(kind.isNull(), F.lit("unparseable"))
+        .when(~kind.isin("schema", "dml"), F.lit("wrapper_notice"))
+        .when(
+            (kind == "dml") & F.col("__m.version").isNull(),
+            F.lit("missing_version"),
+        )
+    )
+    return m.select(
+        "message",
+        reason.alias("reason"),
+        kind.alias("kind"),
+        F.col("__m.table").alias("table"),
+    ).filter(F.col("reason").isNotNull())
+
+
 def schema_registry(classified: DataFrame) -> DataFrame:
     """ST2 (``GoldenGateKafka.java:211-227``): fingerprint -> schema
     registry. Last announcement per fingerprint wins (fingerprints are

@@ -318,3 +318,40 @@ class TestKafkaOptionParity:
         assert kafka.resolve_starting_offsets("t", 5) == '{"t": {"0": 5}}'
         with pytest.raises(ValueError):
             kafka.resolve_starting_offsets("t", -3)
+
+
+def test_goldengate_dead_letters_classify_dropped_messages(spark):
+    """r8 quarantine parity for the GoldenGate wrapper wire: the
+    messages classify_messages/goldengate_changelog drop land in a
+    reasoned DLQ — wrapper notices (expected chatter, countable),
+    unparseable junk, and versionless DMLs — and decode + DLQ
+    partition the feed exactly."""
+    import json
+
+    from change_data_capture_spark.sources.kafka import (
+        classify_messages,
+        goldengate_dead_letters,
+    )
+
+    msgs = [
+        json.dumps({"kind": "schema", "fingerprint": 1, "table": "t",
+                    "schema": "{}", "version": 1}),
+        json.dumps({"kind": "dml", "fingerprint": 1, "table": "t",
+                    "op_type": "I", "primary_keys": ["id"],
+                    "after": {"id": "1"}, "version": 5, "ts_micros": 0}),
+        json.dumps({"kind": "notice", "table": "t"}),
+        "complete garbage {",
+        json.dumps({"kind": "dml", "fingerprint": 1, "table": "t",
+                    "op_type": "I", "primary_keys": ["id"],
+                    "after": {"id": "2"}, "ts_micros": 0}),  # no version
+    ]
+    raw = spark.createDataFrame([(m,) for m in msgs], "message string")
+    kept = classify_messages(raw).count()
+    dlq = goldengate_dead_letters(raw).collect()
+    reasons = sorted(r.reason for r in dlq)
+    assert reasons == ["missing_version", "unparseable", "wrapper_notice"]
+    # the versionless dml passes classify (kind=dml) but is dropped by
+    # the changelog's version rule — DLQ'd here; the other two DLQ rows
+    # plus the classified keep-set partition the feed
+    assert kept == 3 and len(dlq) == 3
+    assert kept + len(dlq) - 1 == len(msgs)  # the versionless dml counted once each side
