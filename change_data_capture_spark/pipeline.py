@@ -557,29 +557,38 @@ def run_pipeline_stream(
             reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
         stream = reader.load(messages_dir)
 
+    from .streaming import write_dead_letters
+
     def _batch(batch_df: DataFrame, epoch: int) -> None:
+        # every quarantine sink is epoch-partitioned dynamic overwrite
+        # (streaming.write_dead_letters, r8): foreachBatch side effects
+        # are at-least-once, and an append-mode sink duplicated every
+        # dead letter on checkpoint replay — the apply is idempotent
+        # via its watermark, the DLQ record must be too
         df = batch_df
         if transport == "kafka":
             if dead_letter_dir is not None:
-                df.filter(F.col(message_col).isNull()).select(
-                    F.col(key_col).alias("key"),
-                    F.lit(int(epoch)).cast("bigint").alias("batch_epoch"),
-                ).write.mode("append").parquet(
-                    _os.path.join(dead_letter_dir, "tombstones")
+                write_dead_letters(
+                    df.filter(F.col(message_col).isNull()).select(
+                        F.col(key_col).alias("key")
+                    ),
+                    _os.path.join(dead_letter_dir, "tombstones"),
+                    epoch,
                 )
             df = df.filter(F.col(message_col).isNotNull())
         rep = run_pipeline(df.sparkSession, df, config, catalog)
         if dead_letter_dir is not None and rep.get("dead_letters") is not None:
-            rep["dead_letters"].withColumn(
-                "batch_epoch", F.lit(int(epoch)).cast("bigint")
-            ).write.mode("append").parquet(_os.path.join(dead_letter_dir, "decode"))
+            write_dead_letters(
+                rep["dead_letters"], _os.path.join(dead_letter_dir, "decode"), epoch
+            )
         if dead_letter_dir is not None and rep.get("undecodable_rows") is not None:
             # typed-decode quarantine (source.undecodable=skip): the
             # watermark advanced past these rows — this sink is their
             # only durable record
-            rep["undecodable_rows"].withColumn(
-                "batch_epoch", F.lit(int(epoch)).cast("bigint")
-            ).write.mode("append").parquet(_os.path.join(dead_letter_dir, "typed"))
+            write_dead_letters(
+                rep["undecodable_rows"], _os.path.join(dead_letter_dir, "typed"),
+                epoch,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

@@ -24,6 +24,7 @@ because the test container has no broker.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
 import pandas as pd
@@ -491,6 +492,29 @@ def sessionize_stream(
 # ---------------------------------------------------------------------------
 
 
+def write_dead_letters(df: DataFrame, path: str, epoch: int) -> None:
+    """Idempotent per-micro-batch quarantine sink: EPOCH-PARTITIONED
+    dynamic overwrite, not blind append (r8). foreachBatch gives
+    at-least-once side effects — after a crash between the sink write
+    and the checkpoint commit, the redelivered epoch re-runs and an
+    append-mode sink would duplicate every quarantine row (the apply
+    itself is idempotent via the version watermark; the DLQ must be
+    too). Overwriting ONLY the replayed epoch's partition makes the
+    sink exactly-once per epoch while leaving other epochs' files
+    untouched. Readers: ``spark.read.parquet(path)`` — batch_epoch is
+    the partition column, inferred from the directory names.
+
+    The epoch directory is written EXPLICITLY (``.../batch_epoch=N``
+    with plain overwrite) rather than via partitionBy+dynamic
+    overwrite: a ZERO-row epoch must still leave a schema-carrying
+    (empty) parquet file so the sink stays readable — dynamic
+    overwrite of an empty frame writes nothing at all, and a DLQ dir
+    holding only empty-epoch markers would fail schema inference."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(path, f"batch_epoch={int(epoch)}")
+    )
+
+
 def run_apply_stream(
     spark: SparkSession,
     changelog_dir: str,
@@ -556,10 +580,8 @@ def run_apply_stream(
         if undecodable == "skip" and dead_letter_dir is not None:
             dlq = typed_dead_letters(batch_df, catalog)
             if dlq is not None:
-                dlq.withColumn(
-                    "batch_epoch", F.lit(int(epoch)).cast("bigint")
-                ).write.mode("append").parquet(
-                    _os.path.join(dead_letter_dir, "typed")
+                write_dead_letters(
+                    dlq, _os.path.join(dead_letter_dir, "typed"), epoch
                 )
         apply_changes(
             batch_df.sparkSession,

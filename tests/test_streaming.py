@@ -788,3 +788,42 @@ def test_run_apply_stream_skip_routes_quarantine_to_sink(spark, tmp_path):
         (2, ["amount"])
     ]
     assert all(r.batch_epoch is not None for r in q)
+
+
+def test_dead_letter_sink_idempotent_under_checkpoint_replay(spark, tmp_path):
+    """r8: foreachBatch side effects are at-least-once — replaying the
+    stream from scratch (lost checkpoint, the worst case) must not
+    duplicate quarantine rows. The sink is epoch-partitioned dynamic
+    overwrite: the replayed epoch overwrites ITS OWN partition; the
+    catalog stays correct via the version watermark as before."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.changelog import ddl_record
+    from change_data_capture_spark.envelope import wrap_dml
+    from change_data_capture_spark.streaming import (
+        run_apply_stream,
+        write_changelog,
+    )
+
+    schema_json = spark.createDataFrame([], "id long, amount long").schema.json()
+    dml = wrap_dml(spark.createDataFrame(
+        [("INSERT", "r.t", ["id"], None, {"id": "1", "amount": "bad"}, 1, 0),
+         ("INSERT", "r.t", ["id"], None, {"id": "2", "amount": "2"}, 2, 0)],
+        "op_type string, table string, primary_keys array<string>, "
+        "rows_schema string, rows_values map<string,string>, "
+        "change_tracking_version long, cdc_current_timestamp long",
+    ))
+    log_dir = str(tmp_path / "log")
+    write_changelog(ddl_record(spark, "r.t", schema_json).unionByName(dml), log_dir)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    dlq_dir = str(tmp_path / "dlq")
+    run_apply_stream(spark, log_dir, cat, str(tmp_path / "ckpt1"),
+                     undecodable="skip", dead_letter_dir=dlq_dir)
+    first = spark.read.parquet(dlq_dir + "/typed").count()
+    assert first == 1
+    # full replay: FRESH checkpoint, same log, same catalog, same sink
+    run_apply_stream(spark, log_dir, cat, str(tmp_path / "ckpt2"),
+                     undecodable="skip", dead_letter_dir=dlq_dir)
+    again = spark.read.parquet(dlq_dir + "/typed").collect()
+    assert len(again) == 1 and again[0].change_tracking_version == 1
+    # table content unchanged and correct
+    assert [(r.id, r.amount) for r in cat.read(spark, "r.t").collect()] == [(2, 2)]
