@@ -466,3 +466,47 @@ def test_value_index_refresh_across_base_retype(spark, tmp_path):
         (r.code, sorted(p.id for p in r.postings)) for r in idx.collect()
     )
     assert got == [("100", [1]), ("999", [2])]
+
+
+def test_value_index_refresh_composite_cols_mixed_retype(spark, tmp_path):
+    """Composite value_cols where only ONE column re-typed between the
+    basis and current: the canonical-string value domain normalizes
+    per column, so the composite affected set still lines up with the
+    index's stored identities."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.derive import maintain_value_index
+    from pyspark.sql import functions as F
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, "100", "US"), (2, "200", "DE"), (3, "bad", "FR")],
+        "id long, code string, cc string",
+    )
+    apply_changelog(spark, snapshot_changelog(df, "t.m", ["id"]), cat)
+    maintain_value_index(spark, cat, "t.m", ["code", "cc"], "t.m_idx")
+    apply_changelog(
+        spark,
+        dml_records(df.filter("id = 3"), "t.m", ["id"], op="DELETE",
+                    version=2, keys_only=True),
+        cat,
+    )
+    cat.announce_schema(
+        "t.m",
+        spark.createDataFrame([], "id long, code bigint, cc string").schema.json(),
+        spark=spark,
+    )
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame([(2, 999, "DE")],
+                                  "id long, code bigint, cc string"),
+            "t.m", ["id"], op="UPDATE", version=3,
+        ),
+        cat,
+    )
+    idx = maintain_value_index(spark, cat, "t.m", ["code", "cc"], "t.m_idx")
+    got = sorted(
+        (r.code, r.cc, sorted(p.id for p in r.postings)) for r in idx.collect()
+    )
+    assert got == [("100", "US", [1]), ("999", "DE", [2])]
