@@ -2100,12 +2100,16 @@ def import_group_snapshot(
     value replays the spanning batch idempotently. A lagging watermark
     only costs idempotent replays; a leading one loses data.
 
-    Refuses to restore over an EXISTING table (a restore is a create,
-    not a merge — an occupied table means the caller is pointing at the
-    wrong catalog). The group ``manifest.json`` is the completeness
-    marker the export wrote LAST; its absence means a torn export.
-    Returns {table: {n_rows, applied_version}} plus the group
-    watermark."""
+    Occupied-table rule, crash-resumable: a table that already exists
+    is SKIPPED when its watermark and row count match the manifest
+    exactly (the signature of a previous import attempt that crashed
+    after restoring it — the re-run resumes with the remaining
+    tables), and REFUSED otherwise (a mismatched occupied table means
+    the caller is pointing at the wrong catalog; a restore is a
+    create, not a merge). The group ``manifest.json`` is the
+    completeness marker the export wrote LAST; its absence means a
+    torn export. Returns {table: {n_rows, applied_version, resumed}}
+    plus the group watermark."""
     man_path = os.path.join(src_dir, "manifest.json")
     if not os.path.exists(man_path):
         raise FileNotFoundError(
@@ -2118,26 +2122,40 @@ def import_group_snapshot(
     from .changelog import snapshot_changelog
 
     report: dict = {"watermark": int(group["watermark"]), "tables": {}}
-    for t in sorted(group["tables"]):
-        if catalog.meta(t) is not None:
-            raise ValueError(
-                f"restore target already has table {t!r} — import "
-                "creates tables; restore into a fresh catalog"
-            )
+    manifests: dict[str, dict] = {}
     for t, info in sorted(group["tables"].items()):
         sub = os.path.join(src_dir, info["dir"])
         with open(os.path.join(sub, "manifest.json")) as fh:
-            m = json.load(fh)
-        df = spark.read.parquet(os.path.join(sub, "data"))
+            manifests[t] = json.load(fh)
+        existing = catalog.meta(t)
+        if existing is not None:
+            m = manifests[t]
+            same = int(existing.get("applied_version", -1)) == int(
+                m["applied_version"]
+            ) and catalog.read(spark, t).count() == int(m["n_rows"])
+            if not same:
+                raise ValueError(
+                    f"restore target already has table {t!r} with "
+                    "different content — import creates tables; "
+                    "restore into a fresh catalog"
+                )
+    for t, info in sorted(group["tables"].items()):
+        m = manifests[t]
         pks = list(m["primary_keys"])
         wm = int(m["applied_version"])
-        # content lands at version 1 of the NEW catalog's publish
-        # sequence; the feed watermark is re-homed separately below
-        apply_changes(spark, snapshot_changelog(df, t, pks), catalog)
-        _stamp_tracking_watermark(catalog, t, wm)
+        resumed = catalog.meta(t) is not None
+        if not resumed:
+            df = spark.read.parquet(
+                os.path.join(src_dir, info["dir"], "data")
+            )
+            # content lands at version 1 of the NEW catalog's publish
+            # sequence; the feed watermark is re-homed separately below
+            apply_changes(spark, snapshot_changelog(df, t, pks), catalog)
+            _stamp_tracking_watermark(catalog, t, wm)
         report["tables"][t] = {
             "n_rows": int(m["n_rows"]),
             "applied_version": wm,
+            "resumed": resumed,
         }
         got = catalog.read(spark, t).count()
         if got != int(m["n_rows"]):

@@ -956,3 +956,42 @@ def test_import_group_snapshot_restores_and_resumes_feed(spark, tmp_path):
     # refuses to restore over an occupied table
     with pytest.raises(ValueError, match="already has table"):
         import_group_snapshot(spark, exp, dst)
+
+
+def test_import_group_snapshot_resumes_after_partial_crash(spark, tmp_path):
+    """r8: a crash mid-restore leaves some tables created — the re-run
+    must RESUME (skip tables whose watermark and row count match the
+    manifest, restore the rest), not wedge on the occupied-table rule;
+    an occupied table with DIFFERENT content still refuses."""
+    import pytest
+
+    from change_data_capture_spark.apply import import_group_snapshot
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    src = TableCatalog(str(tmp_path / "src"))
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(6)], "id long, v string")
+    b = spark.createDataFrame([(i, 2 * i) for i in range(4)], "k long, n long")
+    apply_changelog(spark, snapshot_changelog(a, "g.a", ["id"], insert_version=3), src)
+    apply_changelog(spark, snapshot_changelog(b, "g.b", ["k"], insert_version=3), src)
+    exp = str(tmp_path / "exp")
+    src.export_group_snapshot(spark, ["g.a", "g.b"], watermark=5, dest_dir=exp)
+
+    dst = TableCatalog(str(tmp_path / "dst"))
+    import_group_snapshot(spark, exp, dst)
+    # simulate the crash: g.b never landed
+    dst.drop_table("g.b")
+    rep = import_group_snapshot(spark, exp, dst)
+    assert rep["tables"]["g.a"]["resumed"] is True
+    assert rep["tables"]["g.b"]["resumed"] is False
+    assert dst.read(spark, "g.b").count() == 4
+    # diverged occupied table still refuses
+    from change_data_capture_spark.changelog import dml_records
+
+    apply_changelog(
+        spark,
+        dml_records(a.limit(1), "g.a", ["id"], op="DELETE", version=9,
+                    keys_only=True),
+        dst,
+    )
+    with pytest.raises(ValueError, match="different content"):
+        import_group_snapshot(spark, exp, dst)
