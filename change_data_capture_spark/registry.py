@@ -7296,6 +7296,66 @@ def cdc_debezium_dead_letters(spark, sf_dir):
     return dead.groupBy("reason").agg(F.count("*").cast("long").alias("n"))
 
 
+@_q(
+    "cdc_goldengate_dead_letters",
+    """
+    SELECT 'wrapper_notice' AS reason, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    UNION ALL
+    SELECT 'missing_version', CAST(COUNT(*) AS BIGINT) FROM region
+    UNION ALL
+    SELECT 'unparseable', CAST(4 AS BIGINT)
+    """,
+)
+def cdc_goldengate_dead_letters(spark, sf_dir):
+    """The GoldenGate wrapper wire's quarantine frame (r8,
+    sources/kafka.goldengate_dead_letters — the last decoder without a
+    DLQ): wrapper notices (expected protocol chatter the classify step
+    drops by design, T10 Normalizer.java:65-69 — now countable),
+    versionless DMLs (the decoder-uniform missing_version rule), and
+    unparseable junk, classified with the SAME parse expression the
+    decode uses so decode + DLQ partition the feed exactly."""
+    import json as _json
+
+    from .sources import kafka as gg
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    notices = nation.select(
+        F.concat(
+            F.lit('{"kind": "notice", "table": "n'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('"}'),
+        ).alias("message")
+    )
+    good = gg.goldengate_schema_message(
+        spark, table="tpch.customer", fingerprint=7,
+        schema_json=cust.select("c_custkey", "c_name").schema.json(),
+    ).unionByName(
+        gg.table_changes_to_goldengate(
+            cust.select(
+                "c_custkey", "c_name", F.lit("insert").alias("_change_type")
+            ),
+            table="tpch.customer", fingerprint=7, pk_names=["c_custkey"],
+            version=F.col("c_custkey").cast("long"),
+        )
+    )
+    versionless = gg.table_changes_to_goldengate(
+        region.select(
+            "r_regionkey", "r_name", F.lit("insert").alias("_change_type")
+        ),
+        table="tpch.region", fingerprint=9, pk_names=["r_regionkey"],
+        version=F.lit(None).cast("bigint"),
+    )
+    junk = spark.range(4).select(
+        F.concat(F.lit("junk "), F.col("id")).alias("message")
+    )
+    feed = good.unionByName(notices).unionByName(versionless).unionByName(junk)
+    dead = gg.goldengate_dead_letters(feed)
+    return dead.groupBy("reason").agg(F.count("*").cast("long").alias("n"))
+
+
 def _harness_safe(fn: Callable[[SparkSession, str], DataFrame]):
     """Make a builder survive ANY harness session, including a plain
     1 GB-driver ``SparkSession.builder.getOrCreate()`` running all ~140
@@ -9789,8 +9849,8 @@ DRIVER_WINDOW: list[str] = [
     # per guarded operator family (tests/test_registry_window.py pins
     # family coverage, not specific names). er_blocked_match also
     # re-runs its new capped-block plan (directive #7).
-    # Round-9 note: cdc_mssql_cdc_dead_letters and cdc_group_restore
-    # (both registered mid-r8, hash-green locally) have no driver row
+    # Round-9 note: cdc_mssql_cdc_dead_letters, cdc_group_restore, and cdc_goldengate_dead_letters
+    # (all registered mid-r8, hash-green locally) have no driver row
     # yet — give them slots, along with the four deferred r02-vintage
     # names (q10_returned_items, q12_priority_shipping,
     # q14_promo_effect, q19_disjunctive_revenue) and the r03/r04
