@@ -506,3 +506,62 @@ def test_create_path_executed_write_is_single_exchange(spark, sf_dir, tmp_path):
         # sections — count exchanges in the final section only
         final = w.split("== Initial Plan ==")[0]
         assert final.count("Exchange") == 1, final[:2000]
+
+
+def test_skip_mode_create_path_keeps_single_exchange(spark, sf_dir, tmp_path):
+    """r8: undecodable='skip' pre-filters the batch BEFORE the bucketed
+    collapse (a narrow filter over the same scan) — it must not cost
+    the create path its single exchange, and the try_cast PK fallback
+    must not push anything to Python."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+    from tests.conftest import load
+
+    df = load(spark, sf_dir, "nation")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    with ExecutedPlanCollector(spark) as collector:
+        apply_changelog(
+            spark,
+            snapshot_changelog(df, "tpch.nation", ["n_nationkey"]),
+            cat,
+            undecodable="skip",
+        )
+    plans = [str(p.toString()) for p in collector.drain()]
+    writes = [p for p in plans if "InsertIntoHadoopFsRelation" in p]
+    assert writes, f"no write job captured; got {len(plans)} plans"
+    for w in writes:
+        # an executed AdaptiveSparkPlan prints Final AND Initial plan
+        # sections — count exchanges in the final section only
+        final = w.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") == 1, final[:2000]
+    for p in plans:
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+
+def test_typed_dead_letters_is_narrow_per_table(spark, sf_dir, tmp_path):
+    """r8: the quarantine frame is a per-table narrow projection over
+    the batch scan — no shuffle, no Python — so skip-mode's only extra
+    distributed cost is the metadata-grain descriptor collect."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import (
+        TableCatalog,
+        apply_changelog,
+        typed_dead_letters,
+    )
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from tests.conftest import load
+
+    df = load(spark, sf_dir, "nation")
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(
+        spark, snapshot_changelog(df, "tpch.nation", ["n_nationkey"]), cat
+    )
+    batch = snapshot_changelog(
+        df.withColumn("n_comment", F.lit("x")), "tpch.nation", ["n_nationkey"]
+    )
+    dlq = typed_dead_letters(batch, cat)
+    plan = dlq._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
