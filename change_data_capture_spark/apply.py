@@ -38,7 +38,14 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 from collections.abc import Mapping, Sequence
+from contextlib import contextmanager
+
+try:  # POSIX only; the lock degrades to best-effort elsewhere
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,6 +118,52 @@ class TableCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._lock_state = threading.local()
+
+    @contextmanager
+    def _meta_lock(self, table_id: str):
+        """Per-table advisory lock around every read-check-swap of
+        ``_meta.json`` (r8 — closes the documented microsecond revert
+        window of the filesystem CAS for same-host writers): an
+        ``fcntl.flock`` on ``<table>/.lock`` serializes concurrent
+        processes AND threads on one machine, so a publish can no
+        longer interleave between another writer's meta read and its
+        ``os.replace`` (the revert would silently un-publish a version
+        or drop a schema evolution). Reentrant per (thread, table) —
+        announce_schema's physical re-type publishes through
+        write_new_version UNDER the announce's own lock. Crash-safe:
+        the kernel releases flocks when the holder dies. On an object
+        store there is no flock — the CAS stays best-effort there and
+        production wants a conditional-PUT catalog backend, exactly as
+        documented since r7."""
+        held = getattr(self._lock_state, "held", None)
+        if held is None:
+            held = self._lock_state.held = {}
+        if table_id in held:
+            fd, depth = held[table_id]
+            held[table_id] = (fd, depth + 1)
+            try:
+                yield
+            finally:
+                fd, depth = held[table_id]
+                held[table_id] = (fd, depth - 1)
+            return
+        if fcntl is None:  # pragma: no cover - non-POSIX fallback
+            yield
+            return
+        tdir = self.table_dir(table_id)
+        os.makedirs(tdir, exist_ok=True)
+        fd = os.open(os.path.join(tdir, ".lock"), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            held[table_id] = (fd, 1)
+            try:
+                yield
+            finally:
+                held.pop(table_id, None)
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     # -- metadata ---------------------------------------------------
     def table_dir(self, table_id: str) -> str:
@@ -166,11 +219,12 @@ class TableCatalog:
         Used by column-level erasure when a DERIVED index's identity
         IS the erased data (its postings/signatures key on the
         column's values) and no rewrite can scrub it."""
-        tdir = self.table_dir(table_id)
-        meta_path = os.path.join(tdir, _META)
-        if os.path.exists(meta_path):
-            os.remove(meta_path)
-        shutil.rmtree(tdir, ignore_errors=True)
+        with self._meta_lock(table_id):
+            tdir = self.table_dir(table_id)
+            meta_path = os.path.join(tdir, _META)
+            if os.path.exists(meta_path):
+                os.remove(meta_path)
+            shutil.rmtree(tdir, ignore_errors=True)
 
     def derived_children(self, base_table: str) -> list[tuple[str, dict]]:
         """Registered derived indexes of ``base_table`` (see
@@ -186,6 +240,18 @@ class TableCatalog:
 
     # -- DDL path ---------------------------------------------------
     def announce_schema(
+        self, table_id: str, schema_json: str, spark: SparkSession | None = None
+    ) -> None:
+        """See ``_announce_schema_unlocked``; the public entry runs the
+        whole read-evolve-put (and any physical rewrite) under the
+        per-table meta lock so a concurrent publish can never be
+        reverted by this announcement's final meta write (r8 — the
+        documented filesystem-CAS window, now closed for same-host
+        writers; the rewrite's own publish re-enters the lock)."""
+        with self._meta_lock(table_id):
+            return self._announce_schema_unlocked(table_id, schema_json, spark)
+
+    def _announce_schema_unlocked(
         self, table_id: str, schema_json: str, spark: SparkSession | None = None
     ) -> None:
         """Handle a DDL record. Unknown table -> pending schema
@@ -384,7 +450,14 @@ class TableCatalog:
     def ensure_table(self, table_id: str, pks: Sequence[str], rows_schema_json: str) -> dict:
         """Create-on-first-DML: primary keys come from the DML record,
         schema from the pending DDL if any, else from the DML's own
-        rows_schema (CDCKudu.java:227-243)."""
+        rows_schema (CDCKudu.java:227-243). Runs its read-modify-put
+        under the per-table meta lock (r8)."""
+        with self._meta_lock(table_id):
+            return self._ensure_table_unlocked(table_id, pks, rows_schema_json)
+
+    def _ensure_table_unlocked(
+        self, table_id: str, pks: Sequence[str], rows_schema_json: str
+    ) -> dict:
         meta = self.meta(table_id)
         if meta is None:
             meta = {
@@ -710,7 +783,15 @@ class TableCatalog:
         incremental refresh still needs to diff from
         (``auto_maintain`` passes the minimum ``refreshed_to`` across
         the table's indexes, so maintenance can never vacuum away a
-        refresh basis and wedge itself)."""
+        refresh basis and wedge itself). Runs under the per-table meta
+        lock (r8): the history cleanup is a read-filter-put that could
+        otherwise revert a concurrent publish's meta fields."""
+        with self._meta_lock(table_id):
+            return self._vacuum_unlocked(table_id, keep_last, protect_from)
+
+    def _vacuum_unlocked(
+        self, table_id: str, keep_last: int = 2, protect_from: int | None = None
+    ) -> list[int]:
         vs = self.versions(table_id)
         meta = self.meta(table_id)
         current_seq = (
@@ -999,44 +1080,52 @@ class TableCatalog:
                         os.link(src, dst)
                     except OSError:
                         shutil.copy2(src, dst)
-        # Commit-time CAS: re-read the pointer and refuse to swap if a
-        # concurrent writer published while this version was being
-        # written. The new data dir is removed — without a meta pointer
-        # it was never visible to any reader.
-        latest = self.meta(table_id)
-        if latest is None or latest.get("current") != expected_current:
-            shutil.rmtree(out, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"{table_id}: version {expected_current!r} was superseded by "
-                f"{latest.get('current') if latest else None!r} during the write"
+        # Commit-time CAS, made ATOMIC by the per-table meta lock (r8):
+        # re-read the pointer and refuse to swap if a concurrent writer
+        # published while this version was being written. Only the
+        # check-and-swap holds the lock — the (long) data write above
+        # ran unlocked. The new data dir is removed on refusal —
+        # without a meta pointer it was never visible to any reader.
+        with self._meta_lock(table_id):
+            latest = self.meta(table_id)
+            if latest is None or latest.get("current") != expected_current:
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{table_id}: version {expected_current!r} was superseded by "
+                    f"{latest.get('current') if latest else None!r} during the write"
+                )
+            # Merge into the LATEST meta, not this call's entry
+            # snapshot: a concurrent DDL may have evolved the schema
+            # (schema changes don't move the data pointer, so they pass
+            # the CAS — and must not be lost here).
+            latest["current"] = new_dir
+            latest["buckets"] = n_buckets
+            latest["bloom_filter_cols"] = bloom_cols
+            if new_schema_json is not None:
+                latest["schema"] = new_schema_json
+            latest["applied_version"] = max(
+                latest.get("applied_version", 0), applied_version
             )
-        # Merge into the LATEST meta, not this call's entry snapshot: a
-        # concurrent DDL may have evolved the schema (schema changes
-        # don't move the data pointer, so they pass the CAS — and must
-        # not be lost here).
-        latest["current"] = new_dir
-        latest["buckets"] = n_buckets
-        latest["bloom_filter_cols"] = bloom_cols
-        if new_schema_json is not None:
-            latest["schema"] = new_schema_json
-        latest["applied_version"] = max(latest.get("applied_version", 0), applied_version)
-        # Per-version watermark history: which feed (tracking-domain)
-        # watermark each published version reflects — the index that
-        # makes cross-table AS-OF-WATERMARK cuts possible
-        # (version_at_watermark / read_asof_watermark). O(#versions)
-        # metadata, trimmed by vacuum alongside the data dirs.
-        hist = dict(latest.get("version_watermarks") or {})
-        hist[str(int(new_dir.rsplit("_v", 1)[1]))] = int(latest["applied_version"])
-        latest["version_watermarks"] = hist
-        # Per-version schema history: the registered schema each
-        # version was PUBLISHED under, so time travel and the change
-        # feed can read pre-re-type versions with the schema their
-        # files physically encode (r7). Same O(#versions) metadata
-        # class as the watermark index; vacuum trims both.
-        shist = dict(latest.get("version_schemas") or {})
-        shist[str(int(new_dir.rsplit("_v", 1)[1]))] = latest["schema"]
-        latest["version_schemas"] = shist
-        self.put_meta(table_id, latest)
+            # Per-version watermark history: which feed (tracking-
+            # domain) watermark each published version reflects — the
+            # index that makes cross-table AS-OF-WATERMARK cuts
+            # possible (version_at_watermark / read_asof_watermark).
+            # O(#versions) metadata, trimmed by vacuum alongside the
+            # data dirs.
+            hist = dict(latest.get("version_watermarks") or {})
+            hist[str(int(new_dir.rsplit("_v", 1)[1]))] = int(
+                latest["applied_version"]
+            )
+            latest["version_watermarks"] = hist
+            # Per-version schema history: the registered schema each
+            # version was PUBLISHED under, so time travel and the
+            # change feed can read pre-re-type versions with the schema
+            # their files physically encode (r7). Same O(#versions)
+            # metadata class as the watermark index; vacuum trims both.
+            shist = dict(latest.get("version_schemas") or {})
+            shist[str(int(new_dir.rsplit("_v", 1)[1]))] = latest["schema"]
+            latest["version_schemas"] = shist
+            self.put_meta(table_id, latest)
 
 
 def register_derived_index(
@@ -1092,13 +1181,15 @@ def register_derived_index(
     if refreshed_to is None:
         versions = catalog.versions(base_table)
         refreshed_to = int(versions[-1]) if versions else 0
-    meta["derived"] = {
-        "base": base_table,
-        "kind": kind,
-        "params": dict(params or {}),
-        "refreshed_to": int(refreshed_to),
-    }
-    catalog.put_meta(index_table, meta)
+    with catalog._meta_lock(index_table):
+        meta = catalog.meta(index_table) or meta  # fresh read under lock
+        meta["derived"] = {
+            "base": base_table,
+            "kind": kind,
+            "params": dict(params or {}),
+            "refreshed_to": int(refreshed_to),
+        }
+        catalog.put_meta(index_table, meta)
 
 
 def maintenance_report(
@@ -2070,11 +2161,12 @@ def _stamp_tracking_watermark(
     content doesn't cover (the first live batch would then be skipped
     as a replay — lost updates). A lagging watermark only causes
     idempotent replays; a leading one loses data."""
-    dst_meta = target.meta(table_id)
-    if dst_meta is None:
-        return
-    dst_meta["applied_version"] = int(src_watermark)
-    target.put_meta(table_id, dst_meta)
+    with target._meta_lock(table_id):
+        dst_meta = target.meta(table_id)
+        if dst_meta is None:
+            return
+        dst_meta["applied_version"] = int(src_watermark)
+        target.put_meta(table_id, dst_meta)
 
 
 def import_group_snapshot(

@@ -576,3 +576,67 @@ def test_apply_vs_apply_cas_retry_lands_both_batches(spark, tmp_path, monkeypatc
     assert int(cat.meta(t)["applied_version"]) == 20
     # every other row untouched
     assert len(got) == 20
+
+
+def test_meta_lock_reentrant_and_mutually_exclusive(tmp_path):
+    """r8: the per-table meta lock is reentrant within one thread
+    (announce -> physical-rewrite publish re-enters), mutually
+    exclusive across threads AND across TableCatalog instances on the
+    same root (flock is on the file, not the object), and per-table
+    (different tables never contend)."""
+    import threading
+    import time
+
+    from change_data_capture_spark.apply import TableCatalog
+
+    cat_a = TableCatalog(str(tmp_path / "c"))
+    cat_b = TableCatalog(str(tmp_path / "c"))  # second handle, same root
+
+    # reentrancy
+    with cat_a._meta_lock("t.x"):
+        with cat_a._meta_lock("t.x"):
+            pass  # no deadlock
+
+    # cross-instance exclusion
+    order: list[str] = []
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with cat_a._meta_lock("t.x"):
+            order.append("a-in")
+            entered.set()
+            release.wait(timeout=10)
+            order.append("a-out")
+
+    def waiter():
+        entered.wait(timeout=10)
+        t0 = time.time()
+        with cat_b._meta_lock("t.x"):
+            order.append("b-in")
+        assert time.time() - t0 >= 0.15  # it actually waited
+
+    ta = threading.Thread(target=holder)
+    tb = threading.Thread(target=waiter)
+    ta.start()
+    tb.start()
+    entered.wait(timeout=10)
+    time.sleep(0.2)
+    assert order == ["a-in"]  # b is blocked
+    release.set()
+    ta.join(timeout=10)
+    tb.join(timeout=10)
+    assert order == ["a-in", "a-out", "b-in"]
+
+    # different tables never contend
+    with cat_a._meta_lock("t.x"):
+        done = []
+
+        def other():
+            with cat_b._meta_lock("t.y"):
+                done.append(True)
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join(timeout=5)
+        assert done == [True]
