@@ -640,3 +640,69 @@ def test_meta_lock_reentrant_and_mutually_exclusive(tmp_path):
         t.start()
         t.join(timeout=5)
         assert done == [True]
+
+
+def test_concurrent_apply_and_announce_hammer_loses_nothing(spark, tmp_path):
+    """r8 meta-lock end-to-end: one thread streams apply batches while
+    another streams metadata-only schema evolutions on the SAME table.
+    Pre-lock, an announce's read-put could silently un-publish a
+    concurrent version (the documented filesystem-CAS revert window).
+    Post-hammer invariants: every batch's rows landed at their final
+    values, the registered schema is the last announcement's, and
+    every published version has a watermark-history entry."""
+    import threading
+
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.schema import schema_from_json
+
+    base = spark.createDataFrame([(i, f"v0_{i}") for i in range(8)],
+                                 "id long, val string")
+    cat = TableCatalog(str(tmp_path / "h"))
+    apply_changelog(spark, snapshot_changelog(base, "h.t", ["id"]), cat)
+
+    N_BATCHES, N_DDL = 6, 6
+    errors: list[BaseException] = []
+
+    def applier():
+        try:
+            for b in range(1, N_BATCHES + 1):
+                upd = dml_records(
+                    spark.createDataFrame([(b % 8, f"b{b}")],
+                                          "id long, val string"),
+                    "h.t", ["id"], op="UPDATE", version=10 + b,
+                )
+                apply_changelog(spark, upd, cat)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def announcer():
+        try:
+            cols = "id long, val string"
+            for d in range(1, N_DDL + 1):
+                cols += f", extra{d} string"
+                cat.announce_schema(
+                    "h.t", spark.createDataFrame([], cols).schema.json(),
+                    spark=spark,
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ta = threading.Thread(target=applier)
+    tb = threading.Thread(target=announcer)
+    ta.start(); tb.start()
+    ta.join(timeout=300); tb.join(timeout=300)
+    assert not errors, errors
+
+    meta = cat.meta("h.t")
+    # the last announcement's schema won (no reverted evolution)
+    names = [f.name for f in schema_from_json(meta["schema"]).fields]
+    assert names == ["id", "val"] + [f"extra{d}" for d in range(1, N_DDL + 1)]
+    # no lost update: the final batch per key is visible
+    got = {r.id: r.val for r in cat.read(spark, "h.t").collect()}
+    assert got[N_BATCHES % 8] == f"b{N_BATCHES}"
+    assert int(meta["applied_version"]) == 10 + N_BATCHES
+    # every published version has a watermark-history entry (a revert
+    # would have dropped one)
+    hist = meta.get("version_watermarks") or {}
+    for v in cat.versions("h.t"):
+        assert str(v) in hist, (v, sorted(hist))
