@@ -110,9 +110,11 @@ class TableCatalog:
     """Directory-backed managed-table registry (replaces the Kudu/HBase
     admin surface, ``sink/CDCKudu.java:227-270`` / ``CDCTableUtil.java:49-64``).
 
-    Layout: ``root/<table_id>/_meta.json`` + ``root/<table_id>/data_v%06d/``.
-    The meta file is the single source of truth (atomic ``os.replace``
-    swap), so readers never observe a half-written data dir.
+    Layout: ``root/<table_id>/_meta.json`` + ``root/<table_id>/data_v%06d/``
+    (+ ``root/<table_id>/.lock``, the advisory flock file serializing
+    same-host meta writers — see ``_meta_lock``). The meta file is the
+    single source of truth (atomic ``os.replace`` swap), so readers
+    never observe a half-written data dir; readers take no lock.
     """
 
     def __init__(self, root: str):
