@@ -383,6 +383,16 @@ def maintain_value_index(
         on = eq if on is None else (on & eq)
     fresh = postings_of(base.join(aff, on, "left_semi"))
     gone = affected.join(canon(fresh), vcols, "left_anti")
+    # A raw form that cannot cast to the index's typed key (possible
+    # only via a caller from_version below a re-type boundary) names
+    # NO index entry — deleting it is a no-op, and letting it into the
+    # DELETE envelope would ANSI-crash the typed decode instead.
+    for c in vcols:
+        t = idx_types.get(c)
+        if t is not None and t.simpleString() != "string":
+            gone = gone.filter(
+                F.col(c).isNull() | F.col(c).try_cast(t).isNotNull()
+            )
     log = dml_records(
         gone, index_table, vcols, op=OP_DELETE, version=2 * cv, keys_only=True
     ).unionByName(

@@ -510,3 +510,43 @@ def test_value_index_refresh_composite_cols_mixed_retype(spark, tmp_path):
         (r.code, r.cc, sorted(p.id for p in r.postings)) for r in idx.collect()
     )
     assert got == [("100", "US", [1]), ("999", "DE", [2])]
+
+
+def test_value_index_refresh_typed_index_with_pre_retype_basis(spark, tmp_path):
+    """The inverse re-type direction: the INDEX was built AFTER the
+    base re-typed (typed bigint key), and a caller explicitly diffs
+    from a PRE-re-type basis whose values include an uncastable raw
+    form — the raw form names no typed index entry, so it must be
+    silently excluded from the delete leg rather than ANSI-crashing
+    the typed decode."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.derive import maintain_value_index
+    from pyspark.sql import functions as F
+
+    cat = TableCatalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, "100"), (2, "200"), (3, "abc")], "id long, code string"
+    )
+    apply_changelog(spark, snapshot_changelog(df, "t.r", ["id"]), cat)
+    apply_changelog(
+        spark,
+        dml_records(df.filter("id = 3"), "t.r", ["id"], op="DELETE",
+                    version=2, keys_only=True),
+        cat,
+    )
+    cat.announce_schema(
+        "t.r",
+        spark.createDataFrame([], "id long, code bigint").schema.json(),
+        spark=spark,
+    )
+    # index built AFTER the re-type: its key column is bigint
+    maintain_value_index(spark, cat, "t.r", ["code"], "t.r_idx")
+    assert dict(cat.read(spark, "t.r_idx").dtypes)["code"] == "bigint"
+    # explicit pre-re-type basis: version 1 still holds 'abc'
+    idx = maintain_value_index(spark, cat, "t.r", ["code"], "t.r_idx",
+                               from_version=1)
+    got = sorted(
+        (r.code, sorted(p.id for p in r.postings)) for r in idx.collect()
+    )
+    assert got == [(100, [1]), (200, [2])]
