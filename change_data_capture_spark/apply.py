@@ -2634,8 +2634,9 @@ def _refresh_derived_index(
             spark, catalog, derived["base"], params["value_cols"], index_table
         )
         cur = int(catalog.versions(derived["base"])[-1])
-        meta = catalog.meta(index_table)
-        meta["derived"] = {**derived, "refreshed_to": cur}
-        catalog.put_meta(index_table, meta)
+        with catalog._meta_lock(index_table):
+            meta = catalog.meta(index_table)
+            meta["derived"] = {**derived, "refreshed_to": cur}
+            catalog.put_meta(index_table, meta)
         return {"refreshed_to": cur}
     raise ValueError(f"unknown derived-index kind {kind!r} on {index_table!r}")

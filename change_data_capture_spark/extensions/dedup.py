@@ -857,9 +857,10 @@ def refresh_signature_index(
         # call (caller tracks from_version itself) must not synthesize
         # a partial derived record — maintenance_report would choke on
         # a record with no base
-        imeta = catalog.meta(index_table) or imeta  # apply may have rewritten it
-        imeta["derived"] = {**derived, "refreshed_to": cur}
-        catalog.put_meta(index_table, imeta)
+        with catalog._meta_lock(index_table):
+            imeta = catalog.meta(index_table) or imeta  # apply may have rewritten it
+            imeta["derived"] = {**derived, "refreshed_to": cur}
+            catalog.put_meta(index_table, imeta)
     return {"signed": signed, "deleted": deleted, "refreshed_to": cur, "resync": resync}
 
 
