@@ -39,7 +39,7 @@ import os
 import shutil
 import tempfile
 import threading
-from collections.abc import Mapping, Sequence
+from collections.abc import Callable, Mapping, Sequence
 from contextlib import contextmanager
 
 try:  # POSIX only; the lock degrades to best-effort elsewhere
@@ -111,15 +111,28 @@ class TableCatalog:
     admin surface, ``sink/CDCKudu.java:227-270`` / ``CDCTableUtil.java:49-64``).
 
     Layout: ``root/<table_id>/_meta.json`` + ``root/<table_id>/data_v%06d/``
-    (+ ``root/<table_id>/.lock``, the advisory flock file serializing
-    same-host meta writers — see ``_meta_lock``). The meta file is the
-    single source of truth (atomic ``os.replace`` swap), so readers
-    never observe a half-written data dir; readers take no lock.
+    (+ ``root/.locks/<table_id>.lock``, the advisory flock file
+    serializing same-host meta writers — see ``_meta_lock``). The meta
+    file is the single source of truth (atomic ``os.replace`` swap), so
+    readers never observe a half-written data dir; readers take no lock.
+
+    Lock files live OUTSIDE the table dir and are never deleted (r9):
+    when the lock lived at ``<table>/.lock``, ``drop_table``'s rmtree
+    unlinked it while writers were still blocked on the old inode — a
+    blocked writer would then "acquire" the orphaned inode while a
+    later locker created and locked a FRESH ``.lock`` at the same
+    path, giving two simultaneous holders if the table was recreated
+    (re-opening exactly the CAS window ``_meta_lock`` exists to
+    close). A never-unlinked path in ``root/.locks/`` makes the inode
+    stable for the catalog's lifetime, so flock's mutual exclusion
+    holds across drop/recreate cycles.
     """
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._locks_dir = os.path.join(root, ".locks")
+        os.makedirs(self._locks_dir, exist_ok=True)
         self._lock_state = threading.local()
 
     @contextmanager
@@ -132,8 +145,9 @@ class TableCatalog:
         longer interleave between another writer's meta read and its
         ``os.replace`` (the revert would silently un-publish a version
         or drop a schema evolution). Reentrant per (thread, table) —
-        announce_schema's physical re-type publishes through
-        write_new_version UNDER the announce's own lock. Crash-safe:
+        announce_schema's terminal locked fallback publishes through
+        write_new_version UNDER the announce's own lock (the common
+        rewrite path runs unlocked with CAS replans, r9). Crash-safe:
         the kernel releases flocks when the holder dies. On an object
         store there is no flock — the CAS stays best-effort there and
         production wants a conditional-PUT catalog backend, exactly as
@@ -153,9 +167,16 @@ class TableCatalog:
         if fcntl is None:  # pragma: no cover - non-POSIX fallback
             yield
             return
-        tdir = self.table_dir(table_id)
-        os.makedirs(tdir, exist_ok=True)
-        fd = os.open(os.path.join(tdir, ".lock"), os.O_CREAT | os.O_RDWR, 0o644)
+        # Lock path is OUTSIDE the table dir and never unlinked
+        # (drop_table used to rmtree the in-dir lock while blocked
+        # writers held the doomed inode — see class docstring), so
+        # the inode every process flocks is the same one forever.
+        os.makedirs(self._locks_dir, exist_ok=True)
+        fd = os.open(
+            os.path.join(self._locks_dir, f"{table_id}.lock"),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             held[table_id] = (fd, 1)
@@ -245,17 +266,129 @@ class TableCatalog:
         self, table_id: str, schema_json: str, spark: SparkSession | None = None
     ) -> None:
         """See ``_announce_schema_unlocked``; the public entry runs the
-        whole read-evolve-put (and any physical rewrite) under the
-        per-table meta lock so a concurrent publish can never be
-        reverted by this announcement's final meta write (r8 — the
-        documented filesystem-CAS window, now closed for same-host
-        writers; the rewrite's own publish re-enters the lock)."""
+        read-evolve-put legs under the per-table meta lock so a
+        concurrent publish can never be reverted by this announcement's
+        final meta write (r8 — the documented filesystem-CAS window,
+        closed for same-host writers).
+
+        The rare PHYSICAL rewrite legs (tombstone purge / re-type, a
+        full-table Spark job — minutes to hours at scale) run WITHOUT
+        the lock (r9 advisory: holding a no-timeout flock across the
+        rewrite stalled every concurrent writer and maintenance pass
+        for its whole duration). Safety without the lock mirrors
+        ``write_new_version``'s own discipline: the rewrite publishes
+        through the commit CAS (a concurrent data publish raises
+        ``ConcurrentWriteError`` → replan from fresh meta), and both
+        the rewrite leg and the final metadata swap re-check that the
+        registered schema is still the one the plan was computed from
+        (a concurrent DDL → replan). Bounded retries; the terminal
+        fallback is the fully locked single pass — the pre-r9
+        behavior, guaranteed progress."""
+        for _ in range(5):
+            with self._meta_lock(table_id):
+                need = self._announce_schema_unlocked(
+                    table_id, schema_json, spark, defer_rewrites=True
+                )
+            if need is None:
+                return
+            readded, unsafe_types, final, base_schema, dropped_now = need
+            try:
+                if readded:
+                    self.compact(spark, table_id)
+                if unsafe_types:
+                    m2 = self.meta(table_id)
+                    if m2 is None or m2.get("schema") != base_schema:
+                        continue  # concurrent DDL — replan
+                    cur = self.read(spark, table_id)
+                    have = set(cur.columns)
+                    cast_cols = [
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in have
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in final.fields
+                    ]
+                    # ANSI casts — data that cannot be the new type
+                    # fails HERE, at evolve time, loudly; schema + data
+                    # pointer move in ONE atomic meta swap so no reader
+                    # ever pairs old files with the new schema
+                    self.write_new_version(
+                        table_id,
+                        cur.select(*cast_cols),
+                        int(m2.get("applied_version", 0)),
+                        changed_buckets=None,
+                        expected_current=m2["current"],
+                        new_schema_json=final.json(),
+                    )
+            except ConcurrentWriteError:
+                continue  # a writer published mid-rewrite — replan
+            with self._meta_lock(table_id):
+                meta = self.meta(table_id)
+                if meta is None:
+                    return  # table dropped concurrently
+                if meta.get("schema") not in (base_schema, final.json()):
+                    continue  # concurrent DDL between rewrite and swap
+                self._finish_announce(table_id, meta, final, readded, dropped_now)
+                return
+        # Contention exhausted the optimistic retries — fall back to
+        # one fully serialized pass (rewrite under the lock, pre-r9
+        # shape): progress guaranteed, and the stall now costs at most
+        # one rewrite instead of riding every announcement.
         with self._meta_lock(table_id):
-            return self._announce_schema_unlocked(table_id, schema_json, spark)
+            self._announce_schema_unlocked(table_id, schema_json, spark)
+
+    def _finish_announce(
+        self,
+        table_id: str,
+        meta: dict,
+        final: StructType,
+        readded: Sequence[str],
+        dropped_now: set[str],
+    ) -> None:
+        """Final metadata swap of an announcement (caller holds the
+        meta lock): tombstone bookkeeping, registered-schema update,
+        and the current version's ``version_schemas`` stamp — shared
+        by the locked single pass and the unlocked-rewrite path."""
+        tombstones = dict(meta.get("dropped_columns") or {})
+        for n in readded:
+            tombstones.pop(n, None)
+        if dropped_now:
+            seq = (
+                int(meta["current"].rsplit("_v", 1)[1])
+                if meta.get("current")
+                else 0
+            )
+            for n in dropped_now:
+                tombstones[n] = seq
+        if tombstones or meta.get("dropped_columns"):
+            meta["dropped_columns"] = tombstones
+        meta["schema"] = final.json()
+        # Keep the CURRENT version's history entry in step with a
+        # METADATA-ONLY evolution (r8, ADVICE): version_schemas is
+        # otherwise stamped only by write_new_version, so a
+        # metadata-only column drop landing after a physical
+        # re-type left read(version=<latest>) serving the stale
+        # pre-drop schema — exposing the dropped column's bytes
+        # that the tombstone discipline exists to bury, and
+        # diverging from the default read. Older versions keep
+        # their publish-time schemas (that is what time travel
+        # means); tables with no history fall back to the
+        # registered schema on explicit reads, so there is nothing
+        # to stamp for them.
+        hist = meta.get("version_schemas")
+        if hist and meta.get("current"):
+            cur_seq = int(meta["current"].rsplit("_v", 1)[1])
+            hist[str(cur_seq)] = final.json()
+        self.put_meta(table_id, meta)
 
     def _announce_schema_unlocked(
-        self, table_id: str, schema_json: str, spark: SparkSession | None = None
-    ) -> None:
+        self,
+        table_id: str,
+        schema_json: str,
+        spark: SparkSession | None = None,
+        defer_rewrites: bool = False,
+    ) -> tuple | None:
         """Handle a DDL record. Unknown table -> pending schema
         (deferred create until first DML brings PKs,
         CDCKudu.java:80-85). Known table -> evolve by column
@@ -324,6 +457,16 @@ class TableCatalog:
                         "apply path does) for an automatic rewrite, or "
                         "compact() / re-type the table first."
                     )
+                if defer_rewrites:
+                    # hand the rewrite plan back to announce_schema so
+                    # the full-table Spark job runs OUTSIDE the lock
+                    return (
+                        readded,
+                        unsafe_types,
+                        final,
+                        meta["schema"],
+                        set(old_fields) - new_names,
+                    )
                 if readded:
                     # purge the dropped columns' bytes: rewrite under
                     # the CURRENT registered schema (which lacks them) —
@@ -356,37 +499,12 @@ class TableCatalog:
                         new_schema_json=final.json(),
                     )
                 meta = self.meta(table_id)  # the rewrites moved state
-            for n in readded:
-                tombstones.pop(n, None)
-            dropped_now = set(old_fields) - new_names
-            if dropped_now:
-                seq = (
-                    int(meta["current"].rsplit("_v", 1)[1])
-                    if meta.get("current")
-                    else 0
-                )
-                for n in dropped_now:
-                    tombstones[n] = seq
-            if tombstones or meta.get("dropped_columns"):
-                meta["dropped_columns"] = tombstones
-            meta["schema"] = final.json()
-            # Keep the CURRENT version's history entry in step with a
-            # METADATA-ONLY evolution (r8, ADVICE): version_schemas is
-            # otherwise stamped only by write_new_version, so a
-            # metadata-only column drop landing after a physical
-            # re-type left read(version=<latest>) serving the stale
-            # pre-drop schema — exposing the dropped column's bytes
-            # that the tombstone discipline exists to bury, and
-            # diverging from the default read. Older versions keep
-            # their publish-time schemas (that is what time travel
-            # means); tables with no history fall back to the
-            # registered schema on explicit reads, so there is nothing
-            # to stamp for them.
-            hist = meta.get("version_schemas")
-            if hist and meta.get("current"):
-                cur_seq = int(meta["current"].rsplit("_v", 1)[1])
-                hist[str(cur_seq)] = final.json()
+            self._finish_announce(
+                table_id, meta, final, readded, set(old_fields) - new_names
+            )
+            return None
         self.put_meta(table_id, meta)
+        return None
 
     @staticmethod
     def _evolved(old_json: str, new_json: str) -> str:
@@ -1469,15 +1587,23 @@ def typed_dead_letters(
         if not sj:
             continue
         schema = schema_from_json(sj)
-        bad = undecodable_rows(dml.filter(F.col("table") == t), schema).select(
-            F.col("table"),
-            F.col("op_type"),
-            F.col("change_tracking_version"),
-            F.col("bad_columns"),
-            F.col("rows_values"),
-        )
+        bad = _quarantine_frame(dml, t, schema)
         out = bad if out is None else out.unionByName(bad)
     return out
+
+
+def _quarantine_frame(dml: DataFrame, table_id: str, schema: StructType) -> DataFrame:
+    """One table's typed-decode quarantine projection — the uniform
+    DLQ shape shared by ``typed_dead_letters`` and the folded
+    ``apply_changes(on_dead_letters=...)`` path (they must never
+    diverge: both claim the same contract for the same rows)."""
+    return undecodable_rows(dml.filter(F.col("table") == table_id), schema).select(
+        F.col("table"),
+        F.col("op_type"),
+        F.col("change_tracking_version"),
+        F.col("bad_columns"),
+        F.col("rows_values"),
+    )
 
 
 def decode_rows_safe(dml: DataFrame, schema: StructType) -> DataFrame:
@@ -1612,6 +1738,9 @@ def apply_changes(
     replay_floor: Mapping[str, int] | None = None,
     ddl_dedup_state: dict[str, str] | None = None,
     undecodable: str = "raise",
+    on_dead_letters: Callable[[DataFrame], None] | None = None,
+    dead_letter_schemas: Mapping[str, str] | None = None,
+    dead_letter_pks: Mapping[str, Sequence[str]] | None = None,
 ) -> list[dict]:
     """Apply one micro-batch of change records (CHANGE_SCHEMA envelope)
     to the catalog's managed tables. Usable directly as a
@@ -1649,6 +1778,21 @@ def apply_changes(
     FIRST, because the watermark still advances past the skipped
     rows' versions (at-least-once will NOT redeliver them) — the
     pipeline front door does exactly this pairing.
+
+    ``on_dead_letters`` (r9 — folds the quarantine into THIS batch's
+    one metadata collect): with ``undecodable='skip'``, the typed
+    quarantine frame is built from the meta scan's own per-table
+    descriptors — the standalone ``typed_dead_letters`` call ran the
+    SAME descriptor groupBy+collect a second time, a second driver
+    round-trip per skip-mode batch on the hot apply path. The callback
+    receives the frame AFTER same-batch DDL is announced (the
+    POST-announce schema contract) and BEFORE any table publishes —
+    write it durably there and a crash leaves duplicate DLQ entries
+    (at-least-once), never silently-lost rows. Zero extra Spark
+    actions unless the callback itself acts. ``dead_letter_schemas``/
+    ``dead_letter_pks`` are per-table fallbacks for batches whose DML
+    descriptors carry no rows_schema / primary_keys (exactly
+    ``typed_dead_letters``' ``rows_schemas``/``pks``).
 
     Returns a per-table report of what the batch did — action taken
     (create / merge / skip), high-watermark advanced to, and bucket
@@ -1786,6 +1930,31 @@ def apply_changes(
             for r in meta_rows
             if not r["is_ddl"]
         ]
+
+        if undecodable == "skip" and on_dead_letters is not None:
+            # Quarantine capture folded into THIS batch's metadata scan
+            # (r9): same-batch DDL is already announced above, so the
+            # registered schema IS the post-announce one — no second
+            # descriptor collect, no effective-schema simulation needed
+            # beyond the create-path fallbacks.
+            dlq: DataFrame | None = None
+            for t_id, t_pks, t_rs, _mv, _tb in tables:
+                sj = catalog.effective_schema_json(
+                    t_id,
+                    (),
+                    rows_schema_json=t_rs
+                    or (dead_letter_schemas or {}).get(t_id),
+                    pks=t_pks or (dead_letter_pks or {}).get(t_id),
+                )
+                if not sj:
+                    continue
+                bad = _quarantine_frame(dml, t_id, schema_from_json(sj))
+                dlq = bad if dlq is None else dlq.unionByName(bad)
+            if dlq is not None:
+                # before any publish: a crash after the callback's
+                # write re-delivers the batch (duplicate DLQ rows),
+                # after a publish it would lose the skipped rows
+                on_dead_letters(dlq)
 
         def _apply_one_table(
             table_id: str,
@@ -1988,10 +2157,20 @@ def apply_changelog(
     *,
     replay_floor: Mapping[str, int] | None = None,
     undecodable: str = "raise",
+    on_dead_letters: Callable[[DataFrame], None] | None = None,
+    dead_letter_schemas: Mapping[str, str] | None = None,
+    dead_letter_pks: Mapping[str, Sequence[str]] | None = None,
 ) -> list[dict]:
     """Batch convenience: treat an entire change log as one batch."""
     return apply_changes(
-        spark, changelog, catalog, replay_floor=replay_floor, undecodable=undecodable
+        spark,
+        changelog,
+        catalog,
+        replay_floor=replay_floor,
+        undecodable=undecodable,
+        on_dead_letters=on_dead_letters,
+        dead_letter_schemas=dead_letter_schemas,
+        dead_letter_pks=dead_letter_pks,
     )
 
 
@@ -2198,8 +2377,15 @@ def import_group_snapshot(
     is SKIPPED when its watermark and row count match the manifest
     exactly (the signature of a previous import attempt that crashed
     after restoring it — the re-run resumes with the remaining
-    tables), and REFUSED otherwise (a mismatched occupied table means
-    the caller is pointing at the wrong catalog; a restore is a
+    tables). A row-count match whose watermark has NOT caught up to
+    the manifest's (existing ``applied_version`` <= manifest, or the
+    snapshot-insert constant 1 left by ``apply_changes`` before the
+    stamp) is the OTHER crash signature — a crash in the window
+    between ``apply_changes`` and ``_stamp_tracking_watermark`` — and
+    is resumed by re-stamping the watermark (a lagging watermark only
+    costs idempotent replays, so completing the stamp is always
+    safe). Everything else is REFUSED (a mismatched occupied table
+    means the caller is pointing at the wrong catalog; a restore is a
     create, not a merge). The group ``manifest.json`` is the
     completeness marker the export wrote LAST; its absence means a
     torn export. Returns {table: {n_rows, applied_version, resumed}}
@@ -2224,10 +2410,14 @@ def import_group_snapshot(
         existing = catalog.meta(t)
         if existing is not None:
             m = manifests[t]
-            same = int(existing.get("applied_version", -1)) == int(
-                m["applied_version"]
-            ) and catalog.read(spark, t).count() == int(m["n_rows"])
-            if not same:
+            got_wm = int(existing.get("applied_version", -1))
+            want_wm = int(m["applied_version"])
+            rows_ok = catalog.read(spark, t).count() == int(m["n_rows"])
+            # got_wm == 1 covers the snapshot-insert constant that
+            # apply_changes leaves before the stamp even when the
+            # manifest watermark is 0 (a never-fed source table).
+            resumable = rows_ok and (got_wm <= want_wm or got_wm == 1)
+            if not resumable:
                 raise ValueError(
                     f"restore target already has table {t!r} with "
                     "different content — import creates tables; "
@@ -2237,7 +2427,12 @@ def import_group_snapshot(
         m = manifests[t]
         pks = list(m["primary_keys"])
         wm = int(m["applied_version"])
-        resumed = catalog.meta(t) is not None
+        existing = catalog.meta(t)
+        resumed = existing is not None
+        if resumed and int(existing.get("applied_version", -1)) != wm:
+            # crash landed between apply_changes and the stamp —
+            # complete the interrupted stamp instead of refusing
+            _stamp_tracking_watermark(catalog, t, wm)
         if not resumed:
             df = spark.read.parquet(
                 os.path.join(src_dir, info["dir"], "data")
@@ -2299,6 +2494,17 @@ def forget_keys(
          check. Unregistered copies are the caller's problem, as with
          any derived dataset.
 
+    Verification cost (r9, documented bound): the proof leg semi-joins
+    the keys against EVERY remaining readable version of the table AND
+    every remaining version of every registered derived index — by
+    design bucket-UNPRUNED (it must prove absence everywhere, including
+    buckets the delete never touched), so the cost is
+    O(#remaining_versions × full scan) per artifact. With the
+    documented ``keep_last=1`` that is exactly ONE version per
+    artifact (pinned by test); a deployment retaining deep history
+    pays #versions × scan per erasure — erasure is rare and must be
+    proven, but size ``keep_last`` accordingly.
+
     Returns {rows_deleted, versions_purged, versions_verified,
     derived}. The DELETE stamps ``applied_version + 1``; on a live
     feed, quiesce the table's apply loop around the erasure (the same
@@ -2340,6 +2546,7 @@ def forget_keys(
         _refresh_derived_index(spark, catalog, child, dinfo)
         child_purged = catalog.vacuum(child, keep_last=keep_last)
         child_versions = catalog.versions(child)
+        child_unverified: list[int] = []
         for v in child_versions:
             idx_v = catalog.read(spark, child, version=v)
             if dinfo.get("kind") == "value_index":
@@ -2351,11 +2558,17 @@ def forget_keys(
                 )
             else:
                 on = [c for c in pks if c in idx_v.columns]
-                served = (
-                    idx_v.join(keys.select(*on), on=on, how="left_semi").count()
-                    if on
-                    else 0
-                )
+                if not on:
+                    # No base-PK columns in this index's schema means
+                    # the semi-join check CANNOT see erased keys here.
+                    # Counting it as verified would be a vacuous pass
+                    # recorded as a real erasure check (r9 advisory) —
+                    # report it honestly as unverified instead.
+                    child_unverified.append(int(v))
+                    continue
+                served = idx_v.join(
+                    keys.select(*on), on=on, how="left_semi"
+                ).count()
             if served:
                 raise RuntimeError(
                     f"erasure verification failed: derived index "
@@ -2364,8 +2577,12 @@ def forget_keys(
                 )
         derived_report[child] = {
             "versions_purged": child_purged,
-            "versions_verified": [int(v) for v in child_versions],
+            "versions_verified": [
+                int(v) for v in child_versions if int(v) not in set(child_unverified)
+            ],
         }
+        if child_unverified:
+            derived_report[child]["versions_unverified"] = child_unverified
     return {
         "rows_deleted": int(present),
         "versions_purged": purged,

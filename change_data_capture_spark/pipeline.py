@@ -58,7 +58,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .apply import TableCatalog, apply_changelog, typed_dead_letters
+from .apply import TableCatalog, apply_changelog
 from .changelog import dml_records
 from .normalize import normalize_raw_ops, patch_updates
 from .sources.config import InvalidConfigError
@@ -202,12 +202,18 @@ def run_pipeline(
         }
         undec = src.get("undecodable", "raise")
         raw_env = normalize_raw_ops(raw)
-        typed_dlq = None
-        if undec == "skip":
-            typed_dlq = typed_dead_letters(
-                raw_env, catalog, rows_schemas=rows_schemas, tables=list(table_keys)
-            )
-        apply_changelog(spark, raw_env, catalog, undecodable=undec)
+        # quarantine rides the apply's own metadata collect (r9): one
+        # driver round-trip per skip-mode batch instead of two
+        _dlq_box: list[DataFrame] = []
+        apply_changelog(
+            spark,
+            raw_env,
+            catalog,
+            undecodable=undec,
+            on_dead_letters=_dlq_box.append if undec == "skip" else None,
+            dead_letter_schemas=rows_schemas,
+        )
+        typed_dlq = _dlq_box[0] if _dlq_box else None
         patches = mongodb.mongodb_patch_ops(messages, id_cols, **kw)
         patch_quarantine: DataFrame | None = None
         for t, idc in id_cols.items():
@@ -389,15 +395,22 @@ def run_pipeline(
     env = normalize_raw_ops(raw)
     typed_dlq: DataFrame | None = None
     if src.get("undecodable", "raise") == "skip":
-        # Route-and-continue (r7): capture the typed-decode quarantine
-        # BEFORE the apply — the watermark advances past skipped rows,
-        # so this frame is their only record — then apply with the
-        # never-throwing decode. Default 'raise' keeps fail-loud ANSI
-        # semantics.
-        typed_dlq = typed_dead_letters(
-            env, catalog, rows_schemas=rows_schemas, tables=list(table_keys)
+        # Route-and-continue (r7): the typed-decode quarantine is the
+        # skipped rows' only record (the watermark advances past
+        # them). It rides the apply's own metadata collect (r9,
+        # on_dead_letters) — built after same-batch DDL announces,
+        # before any table publishes. Default 'raise' keeps fail-loud
+        # ANSI semantics.
+        _dlq_box: list[DataFrame] = []
+        apply_changelog(
+            spark,
+            env,
+            catalog,
+            undecodable="skip",
+            on_dead_letters=_dlq_box.append,
+            dead_letter_schemas=rows_schemas,
         )
-        apply_changelog(spark, env, catalog, undecodable="skip")
+        typed_dlq = _dlq_box[0] if _dlq_box else None
     else:
         apply_changelog(spark, env, catalog)
     return {

@@ -9831,85 +9831,80 @@ def profile_categorical_drift(spark, sf_dir):
 # named here follows in registration order and stays covered by the
 # local all-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
-    # Round-8 STALE-ROW ROTATION (VERDICT r07 directives #1/#2): the
-    # driver record is cumulative across OLD code — 176 of the 226
-    # driver-green rows were earned in rounds 1-6, and the r7
-    # evolution/retention rewrite plus the r8 advisory fixes
-    # (pk_value_of, typed_dead_letters, DLQ version_expr,
-    # version_schemas) sit under many of them. This window therefore
-    # keeps only FIVE repeat anchors (≤5 per the directive), finally
-    # gives q_approx_sketches its first driver row (the single
-    # registry entry with none — r1/r2 saw it only as err:no_oracle,
-    # before its r6 hash-oracle promotion; cumulative driver-green is
-    # 225/226 until this lands), and fills the rest with the STALEST
-    # rows: every surviving r02-vintage name, the r03-era
-    # apply/normalize family the r7-r8 rewrites touched most
-    # (cdc_*_apply, schema evolution, PK-update split, DDL dedup,
-    # decode DLQ, pk-type coercion, time travel), and one stale member
-    # per guarded operator family (tests/test_registry_window.py pins
-    # family coverage, not specific names). er_blocked_match also
-    # re-runs its new capped-block plan (directive #7).
-    # Round-9 note: cdc_mssql_cdc_dead_letters, cdc_group_restore, and cdc_goldengate_dead_letters
-    # (all registered mid-r8, hash-green locally) have no driver row
-    # yet — give them slots, along with the four deferred r02-vintage
-    # names (q10_returned_items, q12_priority_shipping,
-    # q14_promo_effect, q19_disjunctive_revenue) and the r03/r04
-    # backlog.
-    # --- anchors (5 repeats from the r7 window)
+    # Round-9 STALE-ROW ROTATION (VERDICT r08 directives #1/#8).
+    # Cumulative driver-green after r8 is 226/229; vintage census of
+    # the per-name LATEST green row going into this round:
+    # r02×4, r03×24, r04×30, r05×35, r06×38, r07×44, r08×50, never×3.
+    # This window closes the ledger at a true 229/229: first-ever
+    # driver rows for the 3 mid-r8 registrations
+    # (cdc_mssql_cdc_dead_letters, cdc_group_restore,
+    # cdc_goldengate_dead_letters — all hash-green on the local 229/229
+    # bare gate), the four deferred r02-vintage names, the ENTIRE
+    # r03-vintage backlog (24 names — the oldest rows in the repo,
+    # all earned before the r7 evolution rewrite), the stalest member
+    # of each guarded family not otherwise covered (er_golden_records
+    # r07 is the stalest er_; ann_lsh_bucketed r06;
+    # temporal_range_error_clicks r05; dedup_embedding_cosine r05),
+    # and 10 r04-vintage rows biased to the apply/wire paths the
+    # r7-r9 rewrites sit under. 5 repeat anchors (≤5 per directive).
+    # Oldest vintage remaining AFTER this window lands: r04 (20 rows)
+    # — continue stale-first rotation in r10.
+    # --- anchors (5 repeats)
     "p_ct_change_scan",
     "cdc_apply_stream",
     "dedup_minhash_lsh",
     "cdc_corpus_to_training",
     "q1_pricing_summary",
-    # --- first-ever driver row (directive #1)
-    "q_approx_sketches",
-    # --- r7/r8-touched paths, stalest first (directive #2's named list)
-    "cdc_schema_evolution",
-    "cdc_patch_updates",
-    "cdc_ddl_dedup",
-    "cdc_pk_update_split",
-    "cdc_chunked_bootstrap",
-    "cdc_apply_snapshot",
-    "cdc_apply_mutations",
-    "cdc_apply_events",
-    "cdc_apply_multi_table",
-    "cdc_goldengate_apply",
-    "cdc_decode_dlq",
-    "cdc_debezium_dead_letters",
-    "cdc_pk_type_coerce",
-    "cdc_time_travel",
-    # --- one stale member per guarded family
-    "dedup_embedding_bucketed",
-    "er_blocked_match",
-    "web_pagerank_full",
-    "text_quality",
-    "ann_topk_bruteforce",
-    "embedding_quantize_int8",
-    "temporal_asof_attribution",
-    "corpus_split_assign",
-    "multimodal_image_meta",
-    # --- the r02-vintage backlog (stalest driver rows in the repo)
-    "cdc_scd2_history",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "q_conditional_null",
-    "q_cube_orders",
-    "q_customer_order_stats",
-    "q_date_functions",
-    "q_first_last_window",
-    "q_latest_order_per_customer",
-    "q_orders_without_lineitems",
-    "q_percentiles",
-    "q_pivot_status_by_priority",
-    "q_posexplode_tokens",
-    "q_rollup_lineitem",
-    "q_set_ops",
-    "q_stats_moments",
-    "q_string_functions",
-    "q_top_orders_per_customer",
-    "q_user_sessions",
+    # --- first-ever driver rows (directive #1: close the ledger)
+    "cdc_mssql_cdc_dead_letters",
+    "cdc_group_restore",
+    "cdc_goldengate_dead_letters",
+    # --- the deferred r02-vintage names (stalest rows in the repo)
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q19_disjunctive_revenue",
+    # --- the full r03-vintage backlog (24 names)
+    "cdc_ct_scan_normalize",
+    "cdc_flatten_snapshot",
+    "cdc_goldengate_decode",
+    "cdc_net_change_collapse",
+    "cdc_point_lookup",
+    "cdc_rowkey",
+    "corpus_curation_pipeline",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_incremental",
+    "embedding_kmeans_lloyd",
+    "p_batch_clamp",
+    "q3_shipping_priority",
+    "q_array_ops",
+    "q_events_hourly",
+    "q_grouping_sets",
+    "q_json_props",
+    "q_scalar_functions",
+    "q_set_ops_all",
+    "q_type_compat",
+    "stream_sessionize",
+    "text_decontaminate_pairs",
+    "text_langid",
+    "text_span_dedup",
+    # --- stalest member per guarded family not covered above
+    "er_golden_records",
+    "ann_lsh_bucketed",
+    "temporal_range_error_clicks",
+    "dedup_embedding_cosine",
+    # --- r04-vintage backlog, apply/wire-path biased
+    "multimodal_payload_dedup",
+    "cdc_debezium_apply",
+    "cdc_canal_apply",
+    "cdc_dms_apply",
+    "cdc_maxwell_apply",
+    "cdc_compact",
+    "cdc_export_snapshot",
+    "cdc_bootstrap_handoff",
+    "cdc_apply_vectors",
+    "web_url_dedup",
 ]
 
 

@@ -557,15 +557,15 @@ def run_apply_stream(
     ``undecodable``/``dead_letter_dir`` (r8 — parity with the
     declarative front door's ``source.undecodable``): 'skip' applies
     with the never-throwing decode and, when ``dead_letter_dir`` is
-    set, appends each micro-batch's typed-decode quarantine
-    (``apply.typed_dead_letters`` — the POST-announce schema contract)
-    under ``<dir>/typed`` with a ``batch_epoch`` column. The watermark
+    set, appends each micro-batch's typed-decode quarantine (the
+    POST-announce schema contract of ``apply.typed_dead_letters``,
+    folded into the apply's ONE metadata collect via
+    ``on_dead_letters`` — r9) under ``<dir>/typed`` with a
+    ``batch_epoch`` column. The watermark
     advances past skipped rows, so that sink is their only durable
     record; 'skip' without a dir keeps the old cost profile and loses
     them knowingly."""
     import os as _os
-
-    from .apply import typed_dead_letters
 
     if undecodable not in ("raise", "skip"):
         raise ValueError(
@@ -577,9 +577,13 @@ def run_apply_stream(
     ddl_state: dict[str, str] | None = {} if dedupe_ddl else None
 
     def _batch(batch_df: DataFrame, epoch: int) -> None:
+        # The quarantine rides apply_changes' own metadata collect
+        # (r9 — one driver round-trip per skip-mode batch, not two);
+        # the callback writes the DLQ BEFORE any table publishes, so
+        # a crash duplicates DLQ rows instead of losing skipped rows.
+        sink = None
         if undecodable == "skip" and dead_letter_dir is not None:
-            dlq = typed_dead_letters(batch_df, catalog)
-            if dlq is not None:
+            def sink(dlq: DataFrame) -> None:
                 write_dead_letters(
                     dlq, _os.path.join(dead_letter_dir, "typed"), epoch
                 )
@@ -589,6 +593,7 @@ def run_apply_stream(
             catalog,
             ddl_dedup_state=ddl_state,
             undecodable=undecodable,
+            on_dead_letters=sink,
         )
 
     writer = (

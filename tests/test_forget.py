@@ -223,3 +223,42 @@ def test_forget_column_leaves_unrelated_indexes_alone(spark, tmp_path):
     assert rep["derived"] == {}
     assert "shop.users_by_email" in cat.tables()
     assert cat.read(spark, "shop.users_by_email").count() == 100
+
+
+def test_keep_last_1_verifies_exactly_one_version_per_artifact(spark, tmp_path):
+    """r9 cost bound: the erasure proof scans every REMAINING version
+    of the base and each derived child — with the documented
+    keep_last=1 that must be exactly ONE version per artifact (the
+    verification read is bucket-unpruned by design, so the version
+    count IS the cost knob)."""
+    from change_data_capture_spark.apply import register_derived_index
+    from change_data_capture_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} "
+              f"with some shared boilerplate text padding") for i in range(30)],
+        "doc_id long, text string",
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(docs, "ml.docs", ["doc_id"]), cat)
+    # second base version so pre-erasure history exists
+    apply_changelog(
+        spark,
+        dml_records(docs.filter("doc_id < 3"), "ml.docs", ["doc_id"],
+                    op="UPDATE", version=2,
+                    value_overrides={"text": F.concat(F.col("text"), F.lit("!"))}),
+        cat,
+    )
+    apply_changelog(
+        spark, dedup.signature_changelog(docs, "ml.sigs", n=5, k=32), cat
+    )
+    register_derived_index(
+        cat, "ml.sigs", base_table="ml.docs", kind="minhash_sigs",
+        params={"n": 5, "k": 32},
+    )
+    keys = spark.createDataFrame([(7,), (11,)], "doc_id long")
+    rep = forget_keys(spark, cat, "ml.docs", keys, keep_last=1)
+    assert len(rep["versions_verified"]) == 1
+    for child_rep in rep["derived"].values():
+        assert len(child_rep["versions_verified"]) == 1
+        assert "versions_unverified" not in child_rep

@@ -565,3 +565,41 @@ def test_typed_dead_letters_is_narrow_per_table(spark, sf_dir, tmp_path):
     plan = dlq._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dead_letter_capture_adds_no_spark_actions(spark, tmp_path):
+    """r9: with on_dead_letters, the typed quarantine rides
+    apply_changes' ONE metadata collect — constructing and handing
+    over the DLQ frame must trigger ZERO additional Spark actions
+    versus the same skip-mode apply without the callback (the old
+    standalone typed_dead_letters call ran the descriptor scan — a
+    second driver round-trip — per batch)."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+
+    df = spark.createDataFrame([(1, "10"), (2, "20")], "id long, amount string")
+
+    def run(cb):
+        import shutil
+        import uuid
+
+        root = str(tmp_path / f"cat{uuid.uuid4().hex[:8]}")
+        cat = TableCatalog(root)
+        batch = snapshot_changelog(df, "shop.t", ["id"])
+        apply_changelog(
+            spark, batch, cat, undecodable="skip", on_dead_letters=cb
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+    with ExecutedPlanCollector(spark) as col:
+        run(None)
+        baseline = len(col.drain())
+        col.clear()
+        captured = []
+        run(captured.append)
+        with_capture = len(col.drain())
+    assert captured, "callback must receive the quarantine frame"
+    assert with_capture == baseline, (
+        f"dead-letter capture added Spark actions: {baseline} -> {with_capture}"
+    )
