@@ -170,10 +170,8 @@ def _steal_verdict(before: dict, after: dict) -> dict:
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_bench(spark, sf_dir: str) -> dict:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("cdc-spark-bench")
     # RAW builders, not registry.queries(): the queries() wrapper
     # (_harness_safe) clears caches and re-sets confs per call — the
     # right guard for an untuned correctness harness, but it would
@@ -219,13 +217,77 @@ def main() -> None:
         "host": host,
         "steal_detected": host["steal_detected"],
     }
+    return result
+
+
+def _precheck_steal(window_s: float = 8.0) -> dict:
+    before = _host_snapshot()
+    time.sleep(window_s)
+    return _steal_verdict(before, _host_snapshot())
+
+
+def anchor(spark, sf_dir: str, budget_min: float = 45.0) -> int:
+    """Quiet-band absolute anchor (r9, VERDICT r8 directive #4): both
+    the r7 and r8 driver artifacts were steal-flagged, so the newest
+    trustworthy absolute headline was r6-era. This mode runs the bench
+    ONLY when an 8 s /proc/stat pre-check reads steal < 1% and the
+    load is cool, re-checks the flag on the finished artifact, and
+    keeps the FIRST clean run as a PERF.md ledger row (marked ANCHOR).
+    Flagged attempts are discarded (printed for the record, never
+    ledgered); retries back off until the time budget runs out."""
+    deadline = time.time() + budget_min * 60.0
+    attempt = 0
+    while True:
+        attempt += 1
+        pre = _precheck_steal()
+        quiet = (
+            not pre.get("steal_detected")
+            and pre.get("steal_pct", 99.0) < 1.0
+        )
+        if quiet:
+            result = run_bench(spark, sf_dir)
+            result["anchor_attempt"] = attempt
+            print(json.dumps(result))
+            if not result["steal_detected"] and (
+                result["host"].get("steal_pct", 99.0) < 1.0
+            ):
+                _append_ledger(result, anchor=True)
+                print(f"ANCHOR kept on attempt {attempt} "
+                      f"(steal {result['host'].get('steal_pct')}%)")
+                return 0
+            print(f"attempt {attempt}: flagged mid-run "
+                  f"(steal {result['host'].get('steal_pct')}%), discarding")
+        else:
+            print(f"attempt {attempt}: pre-check hot "
+                  f"(steal {pre.get('steal_pct')}%, "
+                  f"load {pre.get('load1_after')}), waiting")
+        if time.time() > deadline:
+            print("anchor budget exhausted — no quiet-band run; the "
+                  "structural job-count gate (tools/job_budget.py) "
+                  "carries the perf story until the host calms down")
+            return 1
+        time.sleep(30.0)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("cdc-spark-bench")
+    if "--anchor" in sys.argv:
+        budget = 45.0
+        for i, a in enumerate(sys.argv):
+            if a == "--budget-min" and i + 1 < len(sys.argv):
+                budget = float(sys.argv[i + 1])
+        rc = anchor(spark, sf_dir, budget)
+        spark.stop()
+        raise SystemExit(rc)
+    result = run_bench(spark, sf_dir)
     print(json.dumps(result))
     if "--ledger" in sys.argv:
         _append_ledger(result)
     spark.stop()
 
 
-def _append_ledger(result: dict) -> None:
+def _append_ledger(result: dict, anchor: bool = False) -> None:
     """Append this run to PERF.md — the round-over-round perf ledger
     (one row per query per run, protocol column) so protocol changes
     and regressions are caught by diff, not archaeology."""
@@ -233,6 +295,10 @@ def _append_ledger(result: dict) -> None:
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.md")
     protocol = "min3-q/min3-s"  # frozen as of round 4
+    if anchor:
+        # quiet-band absolute anchor: pre-checked AND post-checked
+        # steal < 1% — the row future rounds compare against
+        protocol += " ANCHOR"
     if result.get("steal_detected"):
         # the row itself says it ran under host contention (steal_pct
         # from /proc/stat around the timed section) — treat its

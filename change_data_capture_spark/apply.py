@@ -37,35 +37,26 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
-import threading
 from collections.abc import Callable, Mapping, Sequence
-from contextlib import contextmanager
-
-try:  # POSIX only; the lock degrades to best-effort elsewhere
-    import fcntl
-except ImportError:  # pragma: no cover
-    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import metastore as _metastore
 from .envelope import rowkey_expr
+from .metastore import LocalFSMetaBackend, MetaBackend
 from .schema import OP_DELETE, OP_INSERT, OP_UPDATE, pk_compat_schema, schema_from_json
 
-_META = "_meta.json"
 _BUCKET = "__bucket"
 _DEFAULT_BUCKETS = int(os.environ.get("SPARK_GRAFT_APPLY_BUCKETS", "16"))
 _NO_CAS = object()  # sentinel: CAS against the entry-time snapshot
 
 
-class ConcurrentWriteError(RuntimeError):
-    """Another writer published a version after this write's merge was
-    computed: committing would silently drop that writer's rows (the
-    merge was based on a stale table state). The batch is safe to
-    retry — nothing was published (data files without a meta pointer
-    are invisible to readers and are cleaned up)."""
+# Re-exported so every existing ``from .apply import
+# ConcurrentWriteError`` keeps the SAME class identity as the backend
+# contract's exception (metastore.py owns the definition since r9).
+ConcurrentWriteError = _metastore.ConcurrentWriteError
 
 
 def _read_compatible(old_dt, new_dt) -> bool:
@@ -116,125 +107,80 @@ class TableCatalog:
     file is the single source of truth (atomic ``os.replace`` swap), so
     readers never observe a half-written data dir; readers take no lock.
 
-    Lock files live OUTSIDE the table dir and are never deleted (r9):
-    when the lock lived at ``<table>/.lock``, ``drop_table``'s rmtree
-    unlinked it while writers were still blocked on the old inode — a
-    blocked writer would then "acquire" the orphaned inode while a
-    later locker created and locked a FRESH ``.lock`` at the same
-    path, giving two simultaneous holders if the table was recreated
-    (re-opening exactly the CAS window ``_meta_lock`` exists to
-    close). A never-unlinked path in ``root/.locks/`` makes the inode
-    stable for the catalog's lifetime, so flock's mutual exclusion
-    holds across drop/recreate cycles.
+    Meta-pointer storage is a pluggable backend (r9,
+    ``metastore.MetaBackend``): the default ``LocalFSMetaBackend``
+    keeps the r8 semantics exactly — atomic fsync'd ``os.replace``
+    publishes plus the per-table advisory flock at
+    ``root/.locks/<table>.lock`` (OUTSIDE the table dir and never
+    unlinked, so drop/recreate cycles cannot orphan a held lock
+    inode). An object-store deployment drops in a conditional-PUT
+    backend instead; every pure meta mutation routes through
+    ``update_meta`` (get → fn → put_if), which needs no lock there.
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: MetaBackend | None = None):
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._locks_dir = os.path.join(root, ".locks")
-        os.makedirs(self._locks_dir, exist_ok=True)
-        self._lock_state = threading.local()
+        self.backend = backend or LocalFSMetaBackend(root)
+        # kept for callers/tests that probe the local lock files
+        self._locks_dir = getattr(
+            self.backend, "_locks_dir", os.path.join(root, ".locks")
+        )
 
-    @contextmanager
     def _meta_lock(self, table_id: str):
         """Per-table advisory lock around every read-check-swap of
         ``_meta.json`` (r8 — closes the documented microsecond revert
-        window of the filesystem CAS for same-host writers): an
-        ``fcntl.flock`` on ``<table>/.lock`` serializes concurrent
-        processes AND threads on one machine, so a publish can no
-        longer interleave between another writer's meta read and its
-        ``os.replace`` (the revert would silently un-publish a version
-        or drop a schema evolution). Reentrant per (thread, table) —
-        announce_schema's terminal locked fallback publishes through
-        write_new_version UNDER the announce's own lock (the common
-        rewrite path runs unlocked with CAS replans, r9). Crash-safe:
-        the kernel releases flocks when the holder dies. On an object
-        store there is no flock — the CAS stays best-effort there and
-        production wants a conditional-PUT catalog backend, exactly as
-        documented since r7."""
-        held = getattr(self._lock_state, "held", None)
-        if held is None:
-            held = self._lock_state.held = {}
-        if table_id in held:
-            fd, depth = held[table_id]
-            held[table_id] = (fd, depth + 1)
-            try:
-                yield
-            finally:
-                fd, depth = held[table_id]
-                held[table_id] = (fd, depth - 1)
-            return
-        if fcntl is None:  # pragma: no cover - non-POSIX fallback
-            yield
-            return
-        # Lock path is OUTSIDE the table dir and never unlinked
-        # (drop_table used to rmtree the in-dir lock while blocked
-        # writers held the doomed inode — see class docstring), so
-        # the inode every process flocks is the same one forever.
-        os.makedirs(self._locks_dir, exist_ok=True)
-        fd = os.open(
-            os.path.join(self._locks_dir, f"{table_id}.lock"),
-            os.O_CREAT | os.O_RDWR,
-            0o644,
-        )
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            held[table_id] = (fd, 1)
-            try:
-                yield
-            finally:
-                held.pop(table_id, None)
-                fcntl.flock(fd, fcntl.LOCK_UN)
-        finally:
-            os.close(fd)
+        window of the filesystem CAS for same-host writers; since r9
+        the mechanics live in the backend, ``metastore.py``).
+        Reentrant per (thread, table) — announce_schema's terminal
+        locked fallback publishes through write_new_version UNDER the
+        announce's own lock. Crash-safe locally: the kernel releases
+        flocks when the holder dies."""
+        return self.backend.lock(table_id)
 
     # -- metadata ---------------------------------------------------
     def table_dir(self, table_id: str) -> str:
         return os.path.join(self.root, table_id)
 
     def meta(self, table_id: str) -> dict | None:
-        path = os.path.join(self.table_dir(table_id), _META)
-        if not os.path.exists(path):
-            return None
-        with open(path) as f:
-            return json.load(f)
+        return self.backend.get(table_id)[0]
 
     def put_meta(self, table_id: str, meta: dict) -> None:
-        tdir = self.table_dir(table_id)
-        os.makedirs(tdir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".meta.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-            # fsync BEFORE the atomic rename: os.replace alone is
-            # atomic against concurrent readers but not against power
-            # loss — an unsynced rename can publish a truncated pointer
-            # file, bricking the table (the one file that must never be
-            # half-written). On an object store the conditional PUT
-            # subsumes this.
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(tdir, _META))
-        # The rename itself must also be durable: fsyncing the file
-        # protects the CONTENT, but the directory entry swap lives in
-        # the parent dir's metadata — without a dir fsync a power loss
-        # can roll the pointer back to the previous meta (consistent
-        # but stale: old-version state, exactly what the crash matrix
-        # allows) or, on some filesystems, lose a first-ever meta. One
-        # extra fsync per publish, O(1) per batch.
-        dfd = os.open(tdir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        self.backend.put(table_id, meta)
+
+    def update_meta(
+        self,
+        table_id: str,
+        fn: Callable[[dict | None], dict | None],
+        attempts: int = 16,
+    ) -> dict | None:
+        """Atomic read-modify-put of one table's meta through the
+        backend contract: ``fn(meta_or_None) -> new_meta | None``
+        (None = no-op, nothing written; the current meta is
+        returned). Under the local backend the advisory lock makes the
+        first attempt exact; under a lock-less conditional-PUT backend
+        the loop re-runs ``fn`` against fresh state until the
+        ``put_if`` lands (optimistic concurrency) — so ``fn`` must be
+        pure apart from its argument (it can run several times).
+        Exceptions raised BY ``fn`` propagate immediately (business-
+        level refusals are not retried); only the backend's put_if
+        conflict retries."""
+        last: ConcurrentWriteError | None = None
+        for _ in range(attempts):
+            with self.backend.lock(table_id):
+                cur, tok = self.backend.get(table_id)
+                new = fn(cur)
+                if new is None:
+                    return cur
+                try:
+                    self.backend.put_if(table_id, new, tok)
+                    return new
+                except ConcurrentWriteError as e:
+                    last = e
+        raise last
 
     def tables(self) -> list[str]:
-        if not os.path.isdir(self.root):
-            return []
-        return sorted(
-            d
-            for d in os.listdir(self.root)
-            if os.path.exists(os.path.join(self.root, d, _META))
-        )
+        return self.backend.list_tables()
 
     def drop_table(self, table_id: str) -> None:
         """Remove a table entirely — meta pointer first (readers that
@@ -243,11 +189,8 @@ class TableCatalog:
         IS the erased data (its postings/signatures key on the
         column's values) and no rewrite can scrub it."""
         with self._meta_lock(table_id):
-            tdir = self.table_dir(table_id)
-            meta_path = os.path.join(tdir, _META)
-            if os.path.exists(meta_path):
-                os.remove(meta_path)
-            shutil.rmtree(tdir, ignore_errors=True)
+            self.backend.remove(table_id)
+            shutil.rmtree(self.table_dir(table_id), ignore_errors=True)
 
     def derived_children(self, base_table: str) -> list[tuple[str, dict]]:
         """Registered derived indexes of ``base_table`` (see
@@ -1301,15 +1244,16 @@ def register_derived_index(
     if refreshed_to is None:
         versions = catalog.versions(base_table)
         refreshed_to = int(versions[-1]) if versions else 0
-    with catalog._meta_lock(index_table):
-        meta = catalog.meta(index_table) or meta  # fresh read under lock
-        meta["derived"] = {
-            "base": base_table,
-            "kind": kind,
-            "params": dict(params or {}),
-            "refreshed_to": int(refreshed_to),
-        }
-        catalog.put_meta(index_table, meta)
+    derived = {
+        "base": base_table,
+        "kind": kind,
+        "params": dict(params or {}),
+        "refreshed_to": int(refreshed_to),
+    }
+    catalog.update_meta(
+        index_table,
+        lambda m: {**(m or meta), "derived": derived},
+    )
 
 
 def maintenance_report(
@@ -2342,12 +2286,14 @@ def _stamp_tracking_watermark(
     content doesn't cover (the first live batch would then be skipped
     as a replay — lost updates). A lagging watermark only causes
     idempotent replays; a leading one loses data."""
-    with target._meta_lock(table_id):
-        dst_meta = target.meta(table_id)
-        if dst_meta is None:
-            return
-        dst_meta["applied_version"] = int(src_watermark)
-        target.put_meta(table_id, dst_meta)
+
+    def _stamp(meta: dict | None) -> dict | None:
+        if meta is None:
+            return None
+        meta["applied_version"] = int(src_watermark)
+        return meta
+
+    target.update_meta(table_id, _stamp)
 
 
 def import_group_snapshot(
@@ -2388,8 +2334,16 @@ def import_group_snapshot(
     means the caller is pointing at the wrong catalog; a restore is a
     create, not a merge). The group ``manifest.json`` is the
     completeness marker the export wrote LAST; its absence means a
-    torn export. Returns {table: {n_rows, applied_version, resumed}}
-    plus the group watermark."""
+    torn export.
+
+    Restore-vs-live-apply (r9 seam review): each table's restore leg
+    (existence decision → snapshot write → watermark stamp → row-count
+    verification) runs under that table's meta lock, so a concurrent
+    applier cannot interleave a create between the unlocked precheck
+    and the restore (which would merge snapshot rows into live
+    content); it blocks for the one table's restore and then merges on
+    top under the normal replay rules. Returns {table: {n_rows,
+    applied_version, resumed}} plus the group watermark."""
     man_path = os.path.join(src_dir, "manifest.json")
     if not os.path.exists(man_path):
         raise FileNotFoundError(
@@ -2427,30 +2381,62 @@ def import_group_snapshot(
         m = manifests[t]
         pks = list(m["primary_keys"])
         wm = int(m["applied_version"])
-        existing = catalog.meta(t)
-        resumed = existing is not None
-        if resumed and int(existing.get("applied_version", -1)) != wm:
-            # crash landed between apply_changes and the stamp —
-            # complete the interrupted stamp instead of refusing
-            _stamp_tracking_watermark(catalog, t, wm)
-        if not resumed:
-            df = spark.read.parquet(
-                os.path.join(src_dir, info["dir"], "data")
-            )
-            # content lands at version 1 of the NEW catalog's publish
-            # sequence; the feed watermark is re-homed separately below
-            apply_changes(spark, snapshot_changelog(df, t, pks), catalog)
-            _stamp_tracking_watermark(catalog, t, wm)
+        # The restore leg of ONE table runs under its meta lock (r9
+        # seam review): the precheck above read meta UNLOCKED, so a
+        # live apply could create/advance the table between the check
+        # and this leg — an unlocked restore would then MERGE the
+        # snapshot into live content (mixed rows) before the row-count
+        # verification catches it, with the watermark already
+        # re-homed. Under the lock, the existence decision, the
+        # restore write, the stamp, and the row-count verification are
+        # one atomic unit against appliers; a concurrent applier
+        # blocks for this table's restore and then merges on top —
+        # exactly the resume semantics (its versions above wm apply,
+        # the rest are replays). Restore is rare; the stall is the
+        # safe direction here, unlike announce_schema's hot path.
+        with catalog._meta_lock(t):
+            existing = catalog.meta(t)
+            resumed = existing is not None
+            if resumed:
+                got_wm = int(existing.get("applied_version", -1))
+                if got_wm != wm:
+                    if got_wm <= wm or got_wm == 1:
+                        # crash landed between apply_changes and the
+                        # stamp — complete the interrupted stamp.
+                        # (Watermark-lagging content cannot have been
+                        # written to since the precheck: any apply
+                        # advances the watermark, so a lag means no
+                        # writer interleaved and the precheck's
+                        # row-count match still holds.)
+                        _stamp_tracking_watermark(catalog, t, wm)
+                    else:
+                        raise ValueError(
+                            f"restore target table {t!r} advanced past "
+                            "the manifest watermark between the "
+                            "precheck and the restore — a live feed is "
+                            "applying to this catalog; quiesce it or "
+                            "restore into a fresh catalog"
+                        )
+            else:
+                df = spark.read.parquet(
+                    os.path.join(src_dir, info["dir"], "data")
+                )
+                # content lands at version 1 of the NEW catalog's
+                # publish sequence; the feed watermark is re-homed
+                # separately below
+                apply_changes(spark, snapshot_changelog(df, t, pks), catalog)
+                _stamp_tracking_watermark(catalog, t, wm)
+                got = catalog.read(spark, t).count()
+                if got != int(m["n_rows"]):
+                    raise RuntimeError(
+                        f"{t}: restored row count {got} != "
+                        f"manifest {m['n_rows']}"
+                    )
         report["tables"][t] = {
             "n_rows": int(m["n_rows"]),
             "applied_version": wm,
             "resumed": resumed,
         }
-        got = catalog.read(spark, t).count()
-        if got != int(m["n_rows"]):
-            raise RuntimeError(
-                f"{t}: restored row count {got} != manifest {m['n_rows']}"
-            )
     return report
 
 
@@ -2508,12 +2494,33 @@ def forget_keys(
     Returns {rows_deleted, versions_purged, versions_verified,
     derived}. The DELETE stamps ``applied_version + 1``; on a live
     feed, quiesce the table's apply loop around the erasure (the same
-    operational rule as any maintenance write). Change-feed note: with
-    ``keep_last=1`` no version pair remains for ``table_changes`` to
-    diff, so the erased rows cannot resurface through the CDF either."""
+    operational rule as any maintenance write). The erasure-vs-
+    ``auto_maintain`` half of that rule is MACHINE-CHECKED (r9): a
+    ``maintenance_hold`` is stamped on the base and every derived
+    child for the erasure's duration, and auto_maintain skip-reports
+    held tables instead of racing the verification reads. Change-feed
+    note: with ``keep_last=1`` no version pair remains for
+    ``table_changes`` to diff, so the erased rows cannot resurface
+    through the CDF either."""
     meta = catalog.meta(table_id)
     if meta is None or meta["schema"] is None:
         raise KeyError(f"unknown table {table_id!r}")
+    hold = [table_id] + [c for c, _ in catalog.derived_children(table_id)]
+    _set_maintenance_hold(catalog, hold, "forget_keys")
+    try:
+        return _forget_keys_impl(spark, catalog, table_id, keys, meta, keep_last)
+    finally:
+        _clear_maintenance_hold(catalog, hold)
+
+
+def _forget_keys_impl(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    table_id: str,
+    keys: DataFrame,
+    meta: dict,
+    keep_last: int,
+) -> dict:
     pks = list(meta["pks"])
     from .changelog import dml_records
 
@@ -2629,7 +2636,8 @@ def forget_column(
 
     Returns {column, versions_purged, versions_verified, derived}.
     Quiesce the table's apply loop around the erasure, as with any
-    maintenance write."""
+    maintenance write; the auto_maintain half of the rule is machine-
+    checked via the same ``maintenance_hold`` as ``forget_keys``."""
     meta = catalog.meta(table_id)
     if meta is None or meta["schema"] is None:
         raise KeyError(f"unknown table {table_id!r}")
@@ -2642,6 +2650,24 @@ def forget_column(
     schema = schema_from_json(meta["schema"])
     if column not in {f.name for f in schema.fields}:
         raise KeyError(f"{table_id} has no column {column!r}")
+    hold = [table_id] + [c for c, _ in catalog.derived_children(table_id)]
+    _set_maintenance_hold(catalog, hold, "forget_column")
+    try:
+        return _forget_column_impl(
+            spark, catalog, table_id, column, schema, keep_last
+        )
+    finally:
+        _clear_maintenance_hold(catalog, hold)
+
+
+def _forget_column_impl(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    table_id: str,
+    column: str,
+    schema: StructType,
+    keep_last: int,
+) -> dict:
     derived_report: dict[str, dict] = {}
     for child, dinfo in catalog.derived_children(table_id):
         params = dinfo.get("params") or {}
@@ -2681,6 +2707,39 @@ def forget_column(
         "versions_verified": [int(v) for v in remaining],
         "derived": derived_report,
     }
+
+
+def _set_maintenance_hold(
+    catalog: TableCatalog, table_ids: Sequence[str], op: str
+) -> None:
+    """Stamp ``maintenance_hold`` into each table's meta (r9 seam
+    review: forget_keys-vs-auto_maintain was a DOCUMENTED quiesce rule
+    only — nothing stopped a scheduled maintenance pass from
+    compacting/vacuuming/refreshing a table mid-erasure, racing the
+    erasure's every-remaining-version verification reads). The hold is
+    advisory metadata checked by ``auto_maintain`` right before each
+    action; the commit CAS stays the hard backstop for writes that
+    began before the hold landed. A crash mid-erasure leaves the hold
+    visible in every maintenance report (``skipped_hold``) until the
+    erasure is re-run to completion — loud, resumable, never silently
+    cleared."""
+    hold = {"op": op, "pid": os.getpid()}
+    for t in table_ids:
+        catalog.update_meta(
+            t, lambda m: None if m is None else {**m, "maintenance_hold": hold}
+        )
+
+
+def _clear_maintenance_hold(
+    catalog: TableCatalog, table_ids: Sequence[str]
+) -> None:
+    def _clear(m: dict | None) -> dict | None:
+        if m is None or "maintenance_hold" not in m:
+            return None
+        return {k: v for k, v in m.items() if k != "maintenance_hold"}
+
+    for t in table_ids:
+        catalog.update_meta(t, _clear)
 
 
 def auto_maintain(
@@ -2738,8 +2797,27 @@ def auto_maintain(
     # could (absent the protect_from floor) delete the diff basis; and
     # refreshing first advances the floor so pass 2 reclaims MORE.
     refreshed: dict[str, dict] = {}
+
+    def _hold(table_id: str) -> dict | None:
+        """Fresh per-action hold check (minimizes the TOCTOU window to
+        one action's duration; the commit CAS backstops the rest)."""
+        m = catalog.meta(table_id)
+        return (m or {}).get("maintenance_hold")
+
+    hold_reported: set[str] = set()
     for row in report:
         if row["index_stale"] and not dry_run:
+            # an erasure holds BOTH the base and its children — touch
+            # neither side of the refresh while it runs. Report the
+            # skip: a silently-skipped stale index keeps protecting
+            # the base's old versions from vacuum, so a stale hold
+            # (crashed erasure) would otherwise freeze maintenance
+            # with NOTHING in any report to say why.
+            h = _hold(row["table"]) or _hold(row["derived"]["base"])
+            if h:
+                actions.append({"table": row["table"], "skipped_hold": h})
+                hold_reported.add(row["table"])
+                continue
             refreshed[row["table"]] = _refresh_derived_index(
                 spark, catalog, row["table"], row["derived"]
             )
@@ -2790,6 +2868,14 @@ def auto_maintain(
             dry_run and row["index_stale"]
         )
         if not (needs_compact or needs_vacuum or needs_refresh):
+            continue
+        held = _hold(row["table"])
+        if held:
+            # machine-checked quiesce (r9): an in-flight erasure owns
+            # this table; skip-and-report, like the CAS-loser path
+            if row["table"] not in hold_reported:
+                actions.append({"table": row["table"], "skipped_hold": held})
+                hold_reported.add(row["table"])
             continue
         act = {
             "table": row["table"],
@@ -2851,9 +2937,9 @@ def _refresh_derived_index(
             spark, catalog, derived["base"], params["value_cols"], index_table
         )
         cur = int(catalog.versions(derived["base"])[-1])
-        with catalog._meta_lock(index_table):
-            meta = catalog.meta(index_table)
-            meta["derived"] = {**derived, "refreshed_to": cur}
-            catalog.put_meta(index_table, meta)
+        catalog.update_meta(
+            index_table,
+            lambda m: {**m, "derived": {**derived, "refreshed_to": cur}},
+        )
         return {"refreshed_to": cur}
     raise ValueError(f"unknown derived-index kind {kind!r} on {index_table!r}")

@@ -857,10 +857,13 @@ def refresh_signature_index(
         # call (caller tracks from_version itself) must not synthesize
         # a partial derived record — maintenance_report would choke on
         # a record with no base
-        with catalog._meta_lock(index_table):
-            imeta = catalog.meta(index_table) or imeta  # apply may have rewritten it
-            imeta["derived"] = {**derived, "refreshed_to": cur}
-            catalog.put_meta(index_table, imeta)
+        catalog.update_meta(
+            index_table,
+            # apply may have rewritten the meta — merge into the fresh
+            # read; the atomicity comes from update_meta's backend
+            # contract (lock locally, conditional PUT remotely)
+            lambda m: {**(m or imeta), "derived": {**derived, "refreshed_to": cur}},
+        )
     return {"signed": signed, "deleted": deleted, "refreshed_to": cur, "resync": resync}
 
 

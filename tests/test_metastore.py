@@ -1,0 +1,216 @@
+"""MetaBackend contract tests (r9, VERDICT r8 directive #6).
+
+The race fake proves ``TableCatalog.update_meta`` holds its atomicity
+contract with NO lock at all — exactly the situation on an object
+store, where ``lock()`` cannot exist and a conditional PUT
+(``put_if``) is the only primitive. The local backend must pass the
+same contract under its flock."""
+
+import json
+import os
+import threading
+from contextlib import contextmanager
+
+import pytest
+
+from change_data_capture_spark.apply import TableCatalog
+from change_data_capture_spark.metastore import (
+    ConcurrentWriteError,
+    LocalFSMetaBackend,
+    MetaBackend,
+)
+
+
+class ConditionalPutFake(MetaBackend):
+    """In-memory backend with S3/GCS-style semantics: no lock (a
+    no-op context), a monotonically bumped generation token per key,
+    and an optional ``interleave`` hook fired between a reader's get
+    and its put_if — the injected race."""
+
+    def __init__(self):
+        self._store: dict[str, tuple[dict, int]] = {}
+        self._mu = threading.Lock()  # models the store's own atomicity
+        self.interleave = None
+        self.put_if_conflicts = 0
+
+    def get(self, table_id):
+        with self._mu:
+            if table_id not in self._store:
+                return None, None
+            meta, gen = self._store[table_id]
+            return json.loads(json.dumps(meta)), gen
+
+    def put(self, table_id, meta):
+        with self._mu:
+            _, gen = self._store.get(table_id, (None, 0))
+            self._store[table_id] = (json.loads(json.dumps(meta)), gen + 1)
+
+    def put_if(self, table_id, meta, expected_token):
+        hook, self.interleave = self.interleave, None
+        if hook is not None:
+            hook()  # a rival writer lands between our get and put_if
+        with self._mu:
+            cur = self._store.get(table_id)
+            tok = cur[1] if cur is not None else None
+            if tok != expected_token:
+                self.put_if_conflicts += 1
+                raise ConcurrentWriteError(
+                    f"{table_id}: generation {expected_token} != {tok}"
+                )
+            self._store[table_id] = (json.loads(json.dumps(meta)), (tok or 0) + 1)
+
+    def remove(self, table_id):
+        with self._mu:
+            self._store.pop(table_id, None)
+
+    def list_tables(self):
+        with self._mu:
+            return sorted(self._store)
+
+    @contextmanager
+    def lock(self, table_id):
+        yield  # object stores cannot lock — that is the point
+
+
+@pytest.fixture(params=["local", "fake"])
+def catalog(request, tmp_path):
+    if request.param == "local":
+        return TableCatalog(str(tmp_path / "c"))
+    return TableCatalog(str(tmp_path / "c"), backend=ConditionalPutFake())
+
+
+def test_update_meta_read_modify_put(catalog):
+    catalog.put_meta("t.a", {"table": "t.a", "n": 0})
+    out = catalog.update_meta("t.a", lambda m: {**m, "n": m["n"] + 1})
+    assert out["n"] == 1
+    assert catalog.meta("t.a")["n"] == 1
+    # no-op leg: fn returning None writes nothing and returns current
+    assert catalog.update_meta("t.a", lambda m: None)["n"] == 1
+    # missing table: fn sees None
+    seen = []
+    catalog.update_meta("t.missing", lambda m: seen.append(m))
+    assert seen == [None]
+
+
+def test_update_meta_survives_injected_race():
+    """A rival publish landing between get and put_if must not be
+    reverted: update_meta retries against fresh state and BOTH
+    mutations survive — the exact CAS window the r7 verdict documented
+    for the lockless filesystem catalog."""
+    be = ConditionalPutFake()
+    cat = TableCatalog.__new__(TableCatalog)  # no fs root needed
+    cat.backend = be
+    be.put("t.a", {"table": "t.a", "n": 0, "rival": 0})
+
+    def rival():
+        # unconditional in the hook = a writer that won the race
+        meta, _ = be.get("t.a")
+        be.put("t.a", {**meta, "rival": meta["rival"] + 1})
+
+    be.interleave = rival
+    cat.update_meta("t.a", lambda m: {**m, "n": m["n"] + 1})
+    final = be.get("t.a")[0]
+    assert final == {"table": "t.a", "n": 1, "rival": 1}
+    assert be.put_if_conflicts == 1  # the race actually happened
+
+
+def test_update_meta_lockless_hammer_loses_nothing():
+    """16 threads x 25 increments through update_meta on the lock-less
+    fake: every increment must survive (the hammer that proves the
+    optimistic loop is a real substitute for the flock)."""
+    be = ConditionalPutFake()
+    cat = TableCatalog.__new__(TableCatalog)
+    cat.backend = be
+    be.put("t.a", {"n": 0})
+    N_THREADS, N_INCR = 16, 25
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(N_INCR):
+                cat.update_meta(
+                    "t.a", lambda m: {**m, "n": m["n"] + 1}, attempts=10_000
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    assert be.get("t.a")[0]["n"] == N_THREADS * N_INCR
+
+
+def test_local_backend_hammer_loses_nothing(tmp_path):
+    """Same hammer against the real filesystem backend (flock path)."""
+    cat = TableCatalog(str(tmp_path / "c"))
+    cat.put_meta("t.a", {"n": 0})
+    N_THREADS, N_INCR = 8, 15
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(N_INCR):
+                cat.update_meta("t.a", lambda m: {**m, "n": m["n"] + 1})
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    assert cat.meta("t.a")["n"] == N_THREADS * N_INCR
+
+
+def test_fn_exceptions_propagate_not_retried(catalog):
+    """Business-level refusals raised BY fn must abort immediately —
+    only the backend's put_if conflict is retried."""
+    catalog.put_meta("t.a", {"n": 0})
+    calls = []
+
+    def fn(m):
+        calls.append(1)
+        raise ValueError("refused")
+
+    with pytest.raises(ValueError, match="refused"):
+        catalog.update_meta("t.a", fn)
+    assert len(calls) == 1
+
+
+def test_local_token_changes_on_every_put(tmp_path):
+    be = LocalFSMetaBackend(str(tmp_path / "c"))
+    be.put("t.a", {"n": 0})
+    _, t1 = be.get("t.a")
+    be.put("t.a", {"n": 1})
+    _, t2 = be.get("t.a")
+    assert t1 != t2
+    with pytest.raises(ConcurrentWriteError):
+        be.put_if("t.a", {"n": 2}, t1)
+    be.put_if("t.a", {"n": 2}, t2)
+    assert be.get("t.a")[0] == {"n": 2}
+
+
+def test_catalog_flows_work_on_fake_backend(spark, tmp_path):
+    """A TableCatalog running on the conditional-PUT fake supports the
+    core apply flow end-to-end (data dirs stay on the filesystem; only
+    the meta pointer moves through the backend) — the drop-in seam the
+    S3/GCS backend will use."""
+    from change_data_capture_spark.apply import apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    cat = TableCatalog(str(tmp_path / "c"), backend=ConditionalPutFake())
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
+    assert sorted(map(tuple, cat.read(spark, "t.x").collect())) == [
+        (1, "a"), (2, "b"),
+    ]
+    assert cat.tables() == ["t.x"]
+    # no _meta.json on disk — the pointer lives in the backend
+    assert not os.path.exists(str(tmp_path / "c" / "t.x" / "_meta.json"))
+    # idempotent replay through the same backend
+    apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
+    assert cat.read(spark, "t.x").count() == 2

@@ -1,0 +1,87 @@
+"""Structural job-count budget — the steal-immune perf regression gate
+(r9, VERDICT r8 directive #4).
+
+The bench headline is wall-clock and the shared box has bursty host
+CPU steal, so two rounds running the same code can differ 20% for
+host reasons alone (BENCH_r07/r08 both carry ``steal_detected``).
+The number of Spark ACTIONS a query triggers (captured with the same
+``QueryExecutionListener`` as SCALE_AUDIT's jobs column) is a
+structural property of the code path: data-size- and host-independent,
+so growth here is a REAL regression (an extra staging collect, a lost
+single-exchange plan) even when the wall clock is too noisy to show
+it.
+
+``tools/job_budget.json`` pins the per-query action count for the
+bench HEADLINE queries at sf0.001; ``tests/test_job_budget.py`` fails
+on any drift. Regenerate deliberately after an intentional plan
+change:
+
+    python tools/job_budget.py --update
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BUDGET_FILE = os.path.join(REPO, "tools", "job_budget.json")
+
+
+def measure(spark, sf_dir: str, names: list[str]) -> dict[str, int]:
+    """Per-query Spark-action counts: build the query, force it with
+    the noop sink (the bench's own forcing), and count every executed
+    plan the run triggered — internal staging actions included."""
+    from change_data_capture_spark import registry
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+
+    out: dict[str, int] = {}
+    with ExecutedPlanCollector(spark) as col:
+        for name in names:
+            col.drain()
+            col.clear()
+            df = registry.REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = len(col.drain())
+    return out
+
+
+def headline_names() -> list[str]:
+    import bench
+
+    return list(bench.HEADLINE)
+
+
+def main() -> int:
+    from change_data_capture_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("job-budget")
+    counts = measure(spark, sf_dir, headline_names())
+    if "--update" in sys.argv:
+        with open(BUDGET_FILE, "w") as f:
+            json.dump(counts, f, indent=1, sort_keys=True)
+        print(f"wrote {BUDGET_FILE}")
+        for k, v in sorted(counts.items()):
+            print(f"  {k}: {v}")
+        return 0
+    budget = {}
+    if os.path.exists(BUDGET_FILE):
+        with open(BUDGET_FILE) as f:
+            budget = json.load(f)
+    bad = {
+        k: (budget.get(k), v)
+        for k, v in counts.items()
+        if budget.get(k) != v
+    }
+    for k, (want, got) in sorted(bad.items()):
+        print(f"DRIFT {k}: budget {want} -> measured {got}")
+    print(f"{len(counts) - len(bad)}/{len(counts)} within budget")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,32 +100,55 @@ def main() -> int:
 
     failed = []
     durations: dict[str, float] = {}
+    walls: list[float] = []
     for i, group, xml, log, p in procs:
         rc = p.wait()
+        walls.append(time.time() - t0)
         log.close()
         if rc != 0:
             failed.append((i, log.name, rc))
         if os.path.exists(xml):
             try:
                 for case in ET.parse(xml).getroot().iter("testcase"):
-                    mod = case.get("classname", "").split(".")[0] + ".py"
-                    durations[mod] = durations.get(mod, 0.0) + float(
-                        case.get("time", 0) or 0
+                    # classname is dotted ("tests.test_apply" or
+                    # "tests.test_x.TestClass") — take the MODULE
+                    # component. The old split(".")[0] collapsed every
+                    # test into one "tests.py" key, so the learned
+                    # durations never populated and packing silently
+                    # ran on the file-size proxy forever (the r8
+                    # 468-688 s worker imbalance).
+                    parts = (case.get("classname") or "").split(".")
+                    mod = next(
+                        (p_ for p_ in parts if p_.startswith("test_")), None
                     )
+                    if mod is None:
+                        continue
+                    durations[f"{mod}.py"] = durations.get(
+                        f"{mod}.py", 0.0
+                    ) + float(case.get("time", 0) or 0)
             except ET.ParseError:
                 pass
         tail = open(log.name).read().strip().splitlines()
-        print(f"worker {i} rc={rc}: {tail[-1] if tail else '(no output)'}")
+        print(
+            f"worker {i} rc={rc} wall={walls[-1]:.0f}s: "
+            f"{tail[-1] if tail else '(no output)'}"
+        )
 
     if durations:
         learned = {}
         if os.path.exists(DUR_FILE):
             with open(DUR_FILE) as f:
                 learned = json.load(f)
+        learned.pop("tests.py", None)  # the pre-fix collapsed key
         learned.update({k: round(v, 2) for k, v in durations.items()})
         with open(DUR_FILE, "w") as f:
             json.dump(learned, f, indent=1, sort_keys=True)
 
+    if len(walls) > 1 and min(walls) > 0:
+        print(
+            f"worker balance: max/min = {max(walls) / min(walls):.2f} "
+            f"(target <= 1.2; re-run after a harvest if above)"
+        )
     print(f"total wall: {time.time() - t0:.0f}s across {len(groups)} workers")
     for i, logname, rc in failed:
         print(f"\n===== worker {i} FAILED (rc={rc}), last 60 lines =====")
