@@ -2649,7 +2649,17 @@ def forget_column(
         )
     schema = schema_from_json(meta["schema"])
     if column not in {f.name for f in schema.fields}:
-        raise KeyError(f"{table_id} has no column {column!r}")
+        # Crash-resume (r9 self-review, same class as the import
+        # watermark hole): a crash between the announce (metadata
+        # drop) and the compact leaves the column ABSENT from the
+        # registered schema but its bytes still in every file — the
+        # tombstone announce_schema wrote is the crash signature.
+        # Refusing here made the erasure permanently un-completable
+        # ("has no column") with the bytes still on disk; instead
+        # resume the physical legs (compact + vacuum + verify are
+        # idempotent). A column never known at all still KeyErrors.
+        if column not in (meta.get("dropped_columns") or {}):
+            raise KeyError(f"{table_id} has no column {column!r}")
     hold = [table_id] + [c for c, _ in catalog.derived_children(table_id)]
     _set_maintenance_hold(catalog, hold, "forget_column")
     try:

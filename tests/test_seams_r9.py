@@ -294,3 +294,55 @@ def test_stale_hold_from_crashed_process_is_visible_then_cleared_by_rerun(
     assert "maintenance_hold" not in cat.meta("ml.sigs")
     acts = auto_maintain(spark, cat, keep_last=1)
     assert not any("skipped_hold" in a for a in acts)
+
+
+def test_forget_column_resumes_after_crash_between_announce_and_compact(
+    spark, tmp_path
+):
+    """r9 self-review: a crash between forget_column's announce
+    (metadata drop, tombstone written) and its compact left the
+    column's BYTES in every file while the re-run refused with
+    'has no column' — the erasure was permanently un-completable.
+    The tombstone is the crash signature: the re-run must resume the
+    physical legs and the verification must then prove the bytes gone."""
+    import pyarrow.parquet as pq
+    from change_data_capture_spark.apply import forget_column
+
+    base = spark.createDataFrame(
+        [(i, f"u{i}@mail.test", i * 1.0) for i in range(20)],
+        "id long, email string, balance double",
+    )
+    cat = TableCatalog(str(tmp_path / "cat"))
+    apply_changelog(spark, snapshot_changelog(base, "shop.u", ["id"]), cat)
+
+    real_compact = TableCatalog.compact
+    calls = {"n": 0}
+
+    def dying_compact(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected kill: before compact")
+        return real_compact(self, *a, **k)
+
+    TableCatalog.compact = dying_compact
+    try:
+        with pytest.raises(RuntimeError, match="before compact"):
+            forget_column(spark, cat, "shop.u", "email")
+        # torn state: column gone from the registered schema, bytes
+        # still physically present in the current version's files
+        from change_data_capture_spark.schema import schema_from_json as sfj
+        meta = cat.meta("shop.u")
+        assert "email" not in [f.name for f in sfj(meta["schema"]).fields]
+        vdir = os.path.join(cat.table_dir("shop.u"), meta["current"])
+        assert "email" in set(spark.read.parquet(vdir).columns)
+        # re-run resumes (no 'has no column' refusal) and completes
+        rep = forget_column(spark, cat, "shop.u", "email")
+    finally:
+        TableCatalog.compact = real_compact
+    assert rep["versions_verified"]
+    for v in cat.versions("shop.u"):
+        vdir = os.path.join(cat.table_dir("shop.u"), f"data_v{v:06d}")
+        assert "email" not in set(spark.read.parquet(vdir).columns)
+    # a column that never existed still refuses
+    with pytest.raises(KeyError, match="no column"):
+        forget_column(spark, cat, "shop.u", "ghost")
