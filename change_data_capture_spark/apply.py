@@ -263,6 +263,9 @@ class TableCatalog:
                         changed_buckets=None,
                         expected_current=m2["current"],
                         new_schema_json=final.json(),
+                        # a metadata-only DDL mid-rewrite must not be
+                        # clobbered by this commit's schema swap (r9)
+                        expected_schema=m2["schema"],
                     )
             except ConcurrentWriteError:
                 continue  # a writer published mid-rewrite — replan
@@ -440,6 +443,7 @@ class TableCatalog:
                         changed_buckets=None,
                         expected_current=m2["current"],
                         new_schema_json=final.json(),
+                        expected_schema=m2["schema"],
                     )
                 meta = self.meta(table_id)  # the rewrites moved state
             self._finish_announce(
@@ -1013,6 +1017,7 @@ class TableCatalog:
         bloom_filter_cols: Sequence[str] | None = None,
         prebucketed: bool = False,
         new_schema_json: str | None = None,
+        expected_schema: str | None = None,
     ) -> None:
         """Publish a new table version.
 
@@ -1021,6 +1026,16 @@ class TableCatalog:
         path of ``announce_schema``): updating them separately leaves
         a window where readers pair old files with the new schema (or
         new files with the old one) — both crash classes.
+
+        ``expected_schema`` (r9, required whenever ``new_schema_json``
+        is set from a schema-DERIVED rewrite): the registered schema
+        the rewrite was computed FROM. Setting ``new_schema_json``
+        overwrites the registered schema at commit, but the pointer
+        CAS alone cannot see a concurrent METADATA-ONLY DDL (schema
+        changes don't move the data pointer) — without this check an
+        unlocked re-type would silently clobber a column added mid-
+        rewrite. A mismatch raises ``ConcurrentWriteError`` so the
+        caller replans from fresh meta.
 
         ``prebucketed``: the caller already computed the ``__bucket``
         column with this table's bucket expression AND distributed the
@@ -1156,6 +1171,15 @@ class TableCatalog:
                 raise ConcurrentWriteError(
                     f"{table_id}: version {expected_current!r} was superseded by "
                     f"{latest.get('current') if latest else None!r} during the write"
+                )
+            if expected_schema is not None and latest.get("schema") != expected_schema:
+                # a concurrent metadata-only DDL evolved the schema
+                # mid-rewrite; committing new_schema_json would erase
+                # that evolution from the registered schema (r9)
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{table_id}: registered schema evolved during the "
+                    "schema-rewriting publish — replan from fresh meta"
                 )
             # Merge into the LATEST meta, not this call's entry
             # snapshot: a concurrent DDL may have evolved the schema

@@ -340,3 +340,63 @@ def test_on_dead_letters_matches_typed_dead_letters(spark, tmp_path):
     # and the apply itself landed the valid row only
     got = {r.id: r.note for r in cat_b.read(spark, "shop.t").collect()}
     assert got == {1: 10, 4: 40}
+
+
+def test_retype_rewrite_does_not_clobber_concurrent_metadata_ddl(spark, tmp_path):
+    """r9 self-review of the unlocked rewrite itself: a METADATA-ONLY
+    DDL landing mid-rewrite doesn't move the data pointer, so the
+    pointer CAS alone let the re-type's schema swap commit a schema
+    computed from PRE-DDL state — the concurrent column vanished
+    WITHOUT a drop tombstone, i.e. a non-serializable lost update the
+    pre-r9 full lock made impossible (a later re-add would silently
+    resurrect stale bytes). The commit now schema-CASes
+    (expected_schema) and the announcement REPLANS from the evolved
+    schema, so the outcome equals the serialization 'add then
+    re-type-drop': the re-type's column set wins (new-schema-wins
+    evolution contract) but extra_col is recorded as a PROPER drop
+    in dropped_columns."""
+    cat = _GatedReadCatalog(str(tmp_path / "c"))
+    t = "shop.t"
+    df = spark.createDataFrame([(1, "10"), (2, "20")], "id long, amount string")
+    apply_changelog(spark, snapshot_changelog(df, t, ["id"]), cat)
+
+    cat.armed = True
+    err: list[BaseException] = []
+
+    def announce_retype():
+        try:
+            cat.announce_schema(
+                t,
+                spark.createDataFrame([], "id long, amount bigint").schema.json(),
+                spark=spark,
+            )
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+
+    th = threading.Thread(target=announce_retype)
+    th.start()
+    assert cat.read_entered.wait(60)
+    # concurrent METADATA-ONLY evolution through a second handle while
+    # the rewrite is parked: adds extra_col, moves no data pointer
+    other = TableCatalog(str(tmp_path / "c"))
+    other.announce_schema(
+        t,
+        spark.createDataFrame([], "id long, amount string, extra_col string")
+        .schema.json(),
+        spark=spark,
+    )
+    cat.release.set()
+    th.join(180)
+    assert not err, err
+    meta = cat.meta(t)
+    fields = {f.name: f.dataType.typeName() for f in
+              schema_from_json(meta["schema"]).fields}
+    assert fields == {"id": "long", "amount": "long"}
+    # the serializable outcome: extra_col was DROPPED by the re-type's
+    # column set, and the drop is tombstoned (the clobber path lost it
+    # with NO tombstone — a later re-add would resurrect stale bytes)
+    assert "extra_col" in (meta.get("dropped_columns") or {}), (
+        f"concurrent DDL silently clobbered (no tombstone): {meta}"
+    )
+    got = sorted(map(tuple, cat.read(spark, t).collect()))
+    assert got == [(1, 10), (2, 20)]
