@@ -7990,6 +7990,92 @@ def cdc_group_restore(spark, sf_dir):
     return dst.read(spark, "tpch.customer")
 
 
+@_q(
+    "cdc_forget_keys",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE c_name END
+             AS c_name,
+           c_nationkey, c_acctbal, c_mktsegment,
+           CAST(1 AS INTEGER) AS versions_remaining
+    FROM customer
+    WHERE c_custkey % 97 <> 3
+    """,
+)
+def cdc_forget_keys(spark, sf_dir):
+    """Right-to-be-forgotten erasure through the driver gate (r9,
+    apply.forget_keys — previously unit-only): customer is applied,
+    mutated at version 2 (history exists, so the erasure's vacuum has
+    pre-delete files to physically retire), then the ``% 97 == 3``
+    cohort is ERASED — delete + vacuum(keep_last=1) + every-remaining-
+    version verification (the erasure PROVES absence, raising
+    otherwise, so this query reaching the oracle at all certifies the
+    proof leg ran). The query returns the surviving table plus the
+    verified version count as a literal; the oracle states the
+    survivors (with the v2 mutation applied) directly — a silent
+    under- or over-delete hash-mismatches."""
+    from .apply import forget_keys
+
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_forgetk_"))
+    apply_changelog(
+        spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat
+    )
+    upd = dml_records(
+        cust.filter(F.col("c_custkey") % 10 == 0),
+        "tpch.customer",
+        ["c_custkey"],
+        op="UPDATE",
+        version=2,
+        value_overrides={"c_name": F.upper(F.col("c_name"))},
+    )
+    apply_changelog(spark, upd, cat)
+    keys = cust.filter(F.col("c_custkey") % 97 == 3).select("c_custkey")
+    rep = forget_keys(spark, cat, "tpch.customer", keys, keep_last=1)
+    assert rep["rows_deleted"] >= 1, "fixture must actually erase rows"
+    return cat.read(spark, "tpch.customer").withColumn(
+        "versions_remaining",
+        F.lit(len(rep["versions_verified"])).cast("int"),
+    )
+
+
+@_q(
+    "cdc_forget_column",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+)
+def cdc_forget_column(spark, sf_dir):
+    """Column-level erasure through the driver gate (r9,
+    apply.forget_column — previously unit-only): after a version-2
+    mutation ON the doomed column (so pre-drop files physically hold
+    distinct bytes for it), ``c_mktsegment`` is erased — tombstoned
+    metadata drop, compact projecting the column-less schema, vacuum,
+    then PHYSICAL per-version parquet-footer verification (raises if
+    any remaining file still names the column, so oracle agreement
+    certifies the bytes-gone proof ran). The oracle is the base table
+    minus the column: the v2 mutation touched only the erased column,
+    so a leak of either the column or the mutation's version history
+    breaks the hash."""
+    from .apply import forget_column
+
+    cust = _t(spark, sf_dir, "customer")
+    cat = TableCatalog(tempfile.mkdtemp(prefix="cdc_q_forgetc_"))
+    apply_changelog(
+        spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat
+    )
+    upd = dml_records(
+        cust.filter(F.col("c_custkey") % 7 == 0),
+        "tpch.customer",
+        ["c_custkey"],
+        op="UPDATE",
+        version=2,
+        value_overrides={"c_mktsegment": F.lit("PRE_ERASURE_SEGMENT")},
+    )
+    apply_changelog(spark, upd, cat)
+    rep = forget_column(spark, cat, "tpch.customer", "c_mktsegment", keep_last=1)
+    assert rep["versions_verified"], "verification must cover remaining versions"
+    return cat.read(spark, "tpch.customer")
+
+
 @_q("cdc_export_snapshot", "SELECT * FROM customer")
 def cdc_export_snapshot(spark, sf_dir):
     """Consistent snapshot export (TableCatalog.export_snapshot): the
@@ -9848,7 +9934,9 @@ DRIVER_WINDOW: list[str] = [
     # and 10 r04-vintage rows biased to the apply/wire paths the
     # r7-r9 rewrites sit under. 5 repeat anchors (≤5 per directive).
     # Oldest vintage remaining AFTER this window lands: r04 (20 rows)
-    # — continue stale-first rotation in r10.
+    # — continue stale-first rotation in r10. Registered mid-r9 with
+    # NO driver row yet (hash-green on the local bare gate):
+    # cdc_forget_keys, cdc_forget_column — give them r10 slots.
     # --- anchors (5 repeats)
     "p_ct_change_scan",
     "cdc_apply_stream",
