@@ -706,3 +706,72 @@ def test_concurrent_apply_and_announce_hammer_loses_nothing(spark, tmp_path):
     hist = meta.get("version_watermarks") or {}
     for v in cat.versions("h.t"):
         assert str(v) in hist, (v, sorted(hist))
+
+
+def test_apply_matches_model_with_interleaved_erasure(spark, tmp_path):
+    """Randomized property over the r8/r9 erasure machinery: rounds
+    interleave upsert batches, forget_keys erasures (keep_last=1),
+    auto_maintain passes, compactions, and REPLAYS of previously
+    applied batches. The Python model mirrors the observable contract:
+    erased keys are gone from every remaining version (forget's own
+    proof leg raises otherwise), a replay of any pre-erasure batch is
+    fully watermark-suppressed (the erasure DELETE stamps above every
+    prior version, so erased rows can never resurrect through
+    at-least-once redelivery), and a genuinely NEW batch may lawfully
+    re-insert an erased key (erasure is not a tombstone against future
+    consent)."""
+    import random as _random
+
+    from change_data_capture_spark.apply import auto_maintain, forget_keys
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    rng = _random.Random(92)
+    cat = TableCatalog(str(tmp_path / "erm"))
+    t = "db.erase"
+    base = spark.createDataFrame(
+        [(i, f"v0_{i}") for i in range(12)], "id long, val string"
+    )
+    apply_changelog(spark, snapshot_changelog(base, t, ["id"]), cat)
+    model = {i: f"v0_{i}" for i in range(12)}
+    version = 1
+    applied_batches: list = []  # (version, rows) for replay rounds
+
+    for rnd in range(10):
+        op = rng.choice(["batch", "batch", "erase", "maintain", "compact", "replay"])
+        if op == "batch":
+            version += 1
+            rows = [(rng.randrange(16), f"r{rnd}_{j}") for j in range(4)]
+            df = spark.createDataFrame(rows, "id long, val string")
+            log = dml_records(df, t, ["id"], op="UPDATE", version=version)
+            apply_changelog(spark, log, cat)
+            applied_batches.append((version, rows))
+            last = {}
+            for k, v in rows:
+                last[k] = v  # dml_records rows share one version; last write
+            model.update(last)
+        elif op == "erase":
+            doomed = sorted(rng.sample(range(16), 3))
+            keys = spark.createDataFrame([(k,) for k in doomed], "id long")
+            rep = forget_keys(spark, cat, t, keys, keep_last=1)
+            for k in doomed:
+                model.pop(k, None)
+            assert len(rep["versions_verified"]) == 1
+            version += 1  # the DELETE stamped applied+1
+        elif op == "maintain":
+            auto_maintain(spark, cat, keep_last=2)
+        elif op == "compact":
+            cat.compact(spark, t)
+        elif op == "replay" and applied_batches:
+            v, rows = rng.choice(applied_batches)
+            df = spark.createDataFrame(rows, "id long, val string")
+            apply_changelog(
+                spark, dml_records(df, t, ["id"], op="UPDATE", version=v), cat
+            )
+            # watermark suppression: NOTHING changes — in particular no
+            # erased key resurrects (the model is not updated)
+        got = {r["id"]: r["val"] for r in cat.read(spark, t).collect()}
+        assert got == model, f"divergence after round {rnd} (op={op})"
+    # final: erased keys absent from EVERY remaining readable version
+    for v in cat.versions(t):
+        ids = {r["id"] for r in cat.read(spark, t, version=v).collect()}
+        assert ids <= (set(model) | set()), f"version {v} serves unmodeled keys"
