@@ -14,7 +14,12 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from tools.job_budget import BUDGET_FILE, headline_names, measure
+from tools.job_budget import (
+    BUDGET_FILE,
+    headline_names,
+    measure,
+    measure_streaming,
+)
 
 
 @pytest.mark.usefixtures("spark")
@@ -25,6 +30,7 @@ def test_headline_job_counts_match_budget(spark, sf_dir):
     with open(BUDGET_FILE) as f:
         budget = json.load(f)
     counts = measure(spark, sf_dir, headline_names())
+    counts.update(measure_streaming(spark))
     drift = {
         k: {"budget": budget.get(k), "measured": v}
         for k, v in counts.items()

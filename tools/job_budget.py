@@ -55,12 +55,53 @@ def headline_names() -> list[str]:
     return list(bench.HEADLINE)
 
 
+def measure_streaming(spark) -> dict[str, int]:
+    """Spark-action count of ONE streaming apply micro-batch — the
+    metric the r8 ablation used to prove the streaming path had not
+    regressed when the wall clock was steal-dominated (r8 code runs
+    one fewer job per batch than r6). availableNow with no
+    maxFilesPerTrigger processes the whole changelog as a single
+    batch, so the count is exact and data-size-independent."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+    from change_data_capture_spark.streaming import (
+        run_apply_stream,
+        write_changelog,
+    )
+
+    root = tempfile.mkdtemp(prefix="job_budget_stream_")
+    rows = spark.range(100).select(
+        F.col("id").alias("c_custkey"), F.concat(F.lit("n"), "id").alias("c_name")
+    )
+    log = snapshot_changelog(
+        rows, "perf.stream", ["c_custkey"], insert_version=F.col("c_custkey") + 1
+    )
+    write_changelog(log, os.path.join(root, "log"))
+    with ExecutedPlanCollector(spark) as col:
+        col.drain()
+        col.clear()
+        run_apply_stream(
+            spark,
+            os.path.join(root, "log"),
+            TableCatalog(os.path.join(root, "cat")),
+            os.path.join(root, "ckpt"),
+        )
+        n = len(col.drain())
+    return {"streaming_apply_batch": n}
+
+
 def main() -> int:
     from change_data_capture_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark("job-budget")
     counts = measure(spark, sf_dir, headline_names())
+    counts.update(measure_streaming(spark))
     if "--update" in sys.argv:
         with open(BUDGET_FILE, "w") as f:
             json.dump(counts, f, indent=1, sort_keys=True)
