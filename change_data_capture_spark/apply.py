@@ -1709,6 +1709,7 @@ def apply_changes(
     on_dead_letters: Callable[[DataFrame], None] | None = None,
     dead_letter_schemas: Mapping[str, str] | None = None,
     dead_letter_pks: Mapping[str, Sequence[str]] | None = None,
+    known_tables: Sequence[str] | None = None,
 ) -> list[dict]:
     """Apply one micro-batch of change records (CHANGE_SCHEMA envelope)
     to the catalog's managed tables. Usable directly as a
@@ -1762,6 +1763,18 @@ def apply_changes(
     descriptors carry no rows_schema / primary_keys (exactly
     ``typed_dead_letters``' ``rows_schemas``/``pks``).
 
+    ``known_tables`` (r9, 100 TB driver-cost control): the candidate
+    pool for the precomputed touched-bucket arms. Default None scans
+    EVERY catalog table's meta per batch — O(#tables) driver-side
+    metadata reads, fine for hundreds of tables but a real per-batch
+    cost against a catalog of thousands when the stream touches a
+    handful. Pass the tables this feed writes (the streaming wrapper
+    maintains the set it has seen) and only those metas are read.
+    Correctness-neutral BY CONSTRUCTION: a batch table outside the
+    pool simply takes the existing fresh-stats fallback inside
+    ``_apply_one_table`` (the same leg every CAS retry uses), costing
+    one extra per-table action, never a wrong bucket set.
+
     Returns a per-table report of what the batch did — action taken
     (create / merge / skip), high-watermark advanced to, and bucket
     write amplification — built ONLY from driver-side metadata the
@@ -1786,7 +1799,8 @@ def apply_changes(
         # action disappears. The per-table CASE arms also apply the
         # version watermark, so the set is exactly the post-filter one.
         known: dict[str, tuple[list[str], int, int, StructType]] = {}
-        for t in catalog.tables():
+        pool = catalog.tables() if known_tables is None else known_tables
+        for t in pool:
             m = catalog.meta(t)
             if m and m.get("pks") and m.get("current") is not None:
                 known[t] = (

@@ -576,6 +576,16 @@ def run_apply_stream(
     )
     ddl_state: dict[str, str] | None = {} if dedupe_ddl else None
 
+    # Tables THIS stream has applied to so far (r9): restricting the
+    # batch meta scan's candidate pool to them keeps the per-batch
+    # driver cost O(stream tables), not O(catalog tables) — against a
+    # catalog of thousands the full scan was the apply loop's one
+    # remaining per-batch scaling term. A table's FIRST batch (not in
+    # the set yet) takes the fresh-stats fallback once, then rides the
+    # fast path; correctness is unaffected either way (apply_changes
+    # docstring).
+    seen_tables: set[str] = set()
+
     def _batch(batch_df: DataFrame, epoch: int) -> None:
         # The quarantine rides apply_changes' own metadata collect
         # (r9 — one driver round-trip per skip-mode batch, not two);
@@ -587,14 +597,16 @@ def run_apply_stream(
                 write_dead_letters(
                     dlq, _os.path.join(dead_letter_dir, "typed"), epoch
                 )
-        apply_changes(
+        report = apply_changes(
             batch_df.sparkSession,
             batch_df,
             catalog,
             ddl_dedup_state=ddl_state,
             undecodable=undecodable,
             on_dead_letters=sink,
+            known_tables=sorted(seen_tables),
         )
+        seen_tables.update(r["table"] for r in report if "table" in r)
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

@@ -869,3 +869,58 @@ def test_same_batch_pk_retype_with_dml_merges_correctly(spark, tmp_path):
     got = {r["id"]: r["v"] for r in cat.read(spark, t).collect()}
     assert got == {7: "new7", 8: "old8", 9: "new9"}, got
     assert dict(cat.read(spark, t).dtypes)["id"] == "bigint"
+
+
+def test_known_tables_pool_is_correctness_neutral_and_bounds_meta_reads(
+    spark, tmp_path
+):
+    """r9: apply_changes(known_tables=...) restricts the batch meta
+    scan's candidate pool — a hinted-out table must land EXACTLY the
+    same state through the fresh-stats fallback, and unrelated
+    catalog tables' metas must not be read at all (the O(#tables)
+    per-batch driver cost this exists to cut)."""
+    from change_data_capture_spark.apply import TableCatalog, apply_changes
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.metastore import LocalFSMetaBackend
+
+    class CountingBackend(LocalFSMetaBackend):
+        def __init__(self, root):
+            super().__init__(root)
+            self.gets: dict[str, int] = {}
+
+        def get(self, table_id):
+            self.gets[table_id] = self.gets.get(table_id, 0) + 1
+            return super().get(table_id)
+
+    def seed(root):
+        be = CountingBackend(str(root))
+        cat = TableCatalog(str(root), backend=be)
+        for name in ("db.target", "db.bystander1", "db.bystander2"):
+            df = spark.createDataFrame(
+                [(i, f"{name}_{i}") for i in range(6)], "id long, val string"
+            )
+            apply_changes(
+                spark, snapshot_changelog(df, name, ["id"]), cat
+            )
+        return cat, be
+
+    upd = lambda: dml_records(  # noqa: E731
+        spark.createDataFrame([(2, "patched"), (9, "new")], "id long, val string"),
+        "db.target", ["id"], op="UPDATE", version=5,
+    )
+
+    cat_full, _ = seed(tmp_path / "full")
+    apply_changes(spark, upd(), cat_full)  # default: full-catalog pool
+
+    cat_hint, be = seed(tmp_path / "hint")
+    be.gets.clear()
+    # hint EXCLUDES the batch's table: fallback leg must still land it
+    apply_changes(spark, upd(), cat_hint, known_tables=["db.bystander1"])
+    assert be.gets.get("db.bystander2", 0) == 0, (
+        f"unhinted bystander meta was read: {be.gets}"
+    )
+
+    a = sorted(map(tuple, cat_full.read(spark, "db.target").collect()))
+    b = sorted(map(tuple, cat_hint.read(spark, "db.target").collect()))
+    assert a == b
+    assert (2, "patched") in b and (9, "new") in b and len(b) == 7
