@@ -31,10 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry. As of
-    round 6, 225 of 226 queries are hash-checked — the approximate
-    operators (SimHash, LSH/IVF/IVF-PQ ANN, sketches) carry exact
-    oracles built on deterministic seeds/portable hashes, so both
-    engines reproduce even their MISSES. The one deliberate omission
-    is text_compression_ratio (zlib bytes are build-dependent) ->
-    rows-only check."""
+    round 7, EVERY registry entry is hash-checked (231/231 in round
+    9) — the approximate operators (SimHash, LSH/IVF/IVF-PQ ANN,
+    sketches) carry exact oracles built on deterministic seeds/
+    portable hashes so both engines reproduce even their misses, and
+    text_compression_ratio (the last rows-only holdout) was promoted
+    via zlib-format-guarantee bounds booleans."""
     return registry.oracles()
