@@ -1764,12 +1764,14 @@ def apply_changes(
     ``typed_dead_letters``' ``rows_schemas``/``pks``).
 
     ``known_tables`` (r9, 100 TB driver-cost control): the candidate
-    pool for the precomputed touched-bucket arms. Default None scans
-    EVERY catalog table's meta per batch — O(#tables) driver-side
-    metadata reads, fine for hundreds of tables but a real per-batch
-    cost against a catalog of thousands when the stream touches a
-    handful. Pass the tables this feed writes (the streaming wrapper
-    maintains the set it has seen) and only those metas are read.
+    pool for the precomputed touched-bucket arms. Default None builds
+    an arm for EVERY catalog table — O(#tables) meta reads AND, the
+    dominant term, O(#tables) nested CASE arms in the batch scan's
+    plan, which Catalyst re-analyzes per batch (measured: 9.0 s vs
+    0.5 s per tiny batch against a 300-table catalog, PERF.md r9
+    note). Pass the tables this feed writes (the streaming wrapper
+    maintains the set it has seen) and the plan stays O(feed tables)
+    no matter how big the catalog grows.
     Correctness-neutral BY CONSTRUCTION: a batch table outside the
     pool simply takes the existing fresh-stats fallback inside
     ``_apply_one_table`` (the same leg every CAS retry uses), costing
