@@ -49,6 +49,12 @@ from .metastore import LocalFSMetaBackend, MetaBackend
 from .schema import OP_DELETE, OP_INSERT, OP_UPDATE, pk_compat_schema, schema_from_json
 
 _BUCKET = "__bucket"
+
+# Catalog size above which apply_changes auto-derives its candidate
+# pool from the batch (one metadata-grain distinct-table collect)
+# instead of building a bucket arm per catalog table — see the
+# known_tables docstring and the PERF.md r9 note.
+_POOL_AUTO_THRESHOLD = 64
 _DEFAULT_BUCKETS = int(os.environ.get("SPARK_GRAFT_APPLY_BUCKETS", "16"))
 _NO_CAS = object()  # sentinel: CAS against the entry-time snapshot
 
@@ -1771,7 +1777,10 @@ def apply_changes(
     0.5 s per tiny batch against a 300-table catalog, PERF.md r9
     note). Pass the tables this feed writes (the streaming wrapper
     maintains the set it has seen) and the plan stays O(feed tables)
-    no matter how big the catalog grows.
+    no matter how big the catalog grows. With no hint and a catalog
+    larger than ``_POOL_AUTO_THRESHOLD`` (64), the pool is derived
+    from the batch itself — one extra metadata-grain collect per
+    batch, strictly cheaper than the arms it avoids at that size.
     Correctness-neutral BY CONSTRUCTION: a batch table outside the
     pool simply takes the existing fresh-stats fallback inside
     ``_apply_one_table`` (the same leg every CAS retry uses), costing
@@ -1801,7 +1810,29 @@ def apply_changes(
         # action disappears. The per-table CASE arms also apply the
         # version watermark, so the set is exactly the post-filter one.
         known: dict[str, tuple[list[str], int, int, StructType]] = {}
-        pool = catalog.tables() if known_tables is None else known_tables
+        pool = known_tables
+        if pool is None:
+            pool = catalog.tables()
+            if len(pool) > _POOL_AUTO_THRESHOLD:
+                # Auto-pool (r9): against a big catalog, one extra
+                # metadata-grain action (the batch's distinct table
+                # names, column-pruned) is far cheaper than building
+                # O(#catalog) CASE arms into the batch scan that
+                # Catalyst re-analyzes per batch (PERF.md r9 note:
+                # 9.0 s -> 0.5 s per tiny batch at 300 tables). Below
+                # the threshold the extra action costs more than the
+                # arms save.
+                pool = sorted(
+                    r["t"]
+                    for r in batch_df.select(
+                        F.coalesce(
+                            F.col("ddl.table"), F.col("dml.table")
+                        ).alias("t")
+                    )
+                    .distinct()
+                    .collect()
+                    if r["t"] is not None
+                )
         for t in pool:
             m = catalog.meta(t)
             if m and m.get("pks") and m.get("current") is not None:

@@ -924,3 +924,43 @@ def test_known_tables_pool_is_correctness_neutral_and_bounds_meta_reads(
     b = sorted(map(tuple, cat_hint.read(spark, "db.target").collect()))
     assert a == b
     assert (2, "patched") in b and (9, "new") in b and len(b) == 7
+
+
+def test_auto_pool_kicks_in_above_threshold(spark, tmp_path, monkeypatch):
+    """r9: with no known_tables hint and a catalog above
+    _POOL_AUTO_THRESHOLD, apply_changes derives its candidate pool
+    from the batch itself — bystander tables' metas are never read and
+    the result is identical to the full-pool apply."""
+    import change_data_capture_spark.apply as apply_mod
+    from change_data_capture_spark.apply import TableCatalog, apply_changes
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.metastore import LocalFSMetaBackend
+
+    class CountingBackend(LocalFSMetaBackend):
+        def __init__(self, root):
+            super().__init__(root)
+            self.gets: dict[str, int] = {}
+
+        def get(self, table_id):
+            self.gets[table_id] = self.gets.get(table_id, 0) + 1
+            return super().get(table_id)
+
+    be = CountingBackend(str(tmp_path / "auto"))
+    cat = TableCatalog(str(tmp_path / "auto"), backend=be)
+    for name in ("db.target", "db.by1", "db.by2", "db.by3"):
+        df = spark.createDataFrame(
+            [(i, f"{name}_{i}") for i in range(5)], "id long, val string"
+        )
+        apply_changes(spark, snapshot_changelog(df, name, ["id"]), cat)
+
+    monkeypatch.setattr(apply_mod, "_POOL_AUTO_THRESHOLD", 2)
+    be.gets.clear()
+    upd = dml_records(
+        spark.createDataFrame([(1, "patched")], "id long, val string"),
+        "db.target", ["id"], op="UPDATE", version=7,
+    )
+    apply_changes(spark, upd, cat)  # no hint: auto-pool from the batch
+    for by in ("db.by1", "db.by2", "db.by3"):
+        assert be.gets.get(by, 0) == 0, f"bystander meta read: {be.gets}"
+    got = {r["id"]: r["val"] for r in cat.read(spark, "db.target").collect()}
+    assert got[1] == "patched" and len(got) == 5
