@@ -25,7 +25,7 @@ because the test container has no broker.
 from __future__ import annotations
 
 import os
-from typing import Any, Iterator
+from typing import Any, Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -528,6 +528,7 @@ def run_apply_stream(
     fmt: str = "parquet",
     undecodable: str = "raise",
     dead_letter_dir: str | None = None,
+    on_report: Callable[[int, list[dict]], None] | None = None,
 ) -> Any:
     """Continuously (or availableNow for tests) apply a changelog file
     stream into the catalog's managed tables. Checkpointing makes
@@ -564,7 +565,15 @@ def run_apply_stream(
     ``batch_epoch`` column. The watermark
     advances past skipped rows, so that sink is their only durable
     record; 'skip' without a dir keeps the old cost profile and loses
-    them knowingly."""
+    them knowingly.
+
+    ``on_report`` (r9): called once per micro-batch with
+    ``(epoch, report)`` — the per-table action report apply_changes
+    already builds from driver-side metadata (action taken, watermark
+    advanced to, bucket write amplification; zero extra Spark jobs).
+    The hook for a metrics sink or lag monitor; exceptions it raises
+    fail the batch (at-least-once redelivers), so wrap a best-effort
+    sink in its own try/except."""
     import os as _os
 
     if undecodable not in ("raise", "skip"):
@@ -607,6 +616,12 @@ def run_apply_stream(
             known_tables=sorted(seen_tables),
         )
         seen_tables.update(r["table"] for r in report if "table" in r)
+        if on_report is not None:
+            # per-micro-batch observability (r9): apply_changes already
+            # builds the per-table action report from driver-side
+            # metadata (zero extra Spark jobs) — hand it to the caller
+            # (metrics sink, lag monitor) instead of discarding it
+            on_report(epoch, report)
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

@@ -827,3 +827,31 @@ def test_dead_letter_sink_idempotent_under_checkpoint_replay(spark, tmp_path):
     assert len(again) == 1 and again[0].change_tracking_version == 1
     # table content unchanged and correct
     assert [(r.id, r.amount) for r in cat.read(spark, "r.t").collect()] == [(2, 2)]
+
+
+def test_on_report_delivers_per_batch_action_reports(spark, tmp_path):
+    """r9: run_apply_stream(on_report=...) hands each micro-batch's
+    per-table action report (already built from driver metadata) to
+    the caller — the metrics/lag-monitor hook."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.changelog import snapshot_changelog
+    from change_data_capture_spark.streaming import (
+        run_apply_stream,
+        write_changelog,
+    )
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                               "id long, val string")
+    root = tmp_path / "rep"
+    write_changelog(snapshot_changelog(df, "m.t", ["id"]), str(root / "log"))
+    cat = TableCatalog(str(root / "cat"))
+    got: list = []
+    run_apply_stream(
+        spark, str(root / "log"), cat, str(root / "ckpt"),
+        on_report=lambda epoch, rep: got.append((epoch, rep)),
+    )
+    assert len(got) == 1
+    epoch, rep = got[0]
+    actions = {r["table"]: r["action"] for r in rep}
+    assert actions == {"m.t": "create"}
+    assert rep[0]["applied_version"] >= 1
