@@ -53,7 +53,7 @@ Format notes:
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -500,6 +500,7 @@ def run_pipeline_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     dead_letter_dir: str | None = None,
+    on_report: Callable[[int, dict], None] | None = None,
 ):
     """Streaming front door: the same declarative config over a
     Structured Streaming source of wire messages — each micro-batch
@@ -602,6 +603,12 @@ def run_pipeline_stream(
                 rep["undecodable_rows"], _os.path.join(dead_letter_dir, "typed"),
                 epoch,
             )
+        if on_report is not None:
+            # per-micro-batch observability (r9): the batch report
+            # (tables, ddl_applied, quarantine frames) goes to the
+            # caller's metrics sink; exceptions fail the batch
+            # (at-least-once redelivers) — wrap best-effort sinks
+            on_report(epoch, rep)
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

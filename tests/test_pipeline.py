@@ -929,3 +929,37 @@ def test_undecodable_skip_routes_and_continues(spark, tmp_path):
     # the skipped row's version still advanced the watermark — the
     # quarantine frame is the only record (documented contract)
     assert int(cat.meta("db.t")["applied_version"]) == 3
+
+
+def test_stream_on_report_delivers_batch_reports(spark, tmp_path):
+    """r9: run_pipeline_stream(on_report=...) hands each micro-batch's
+    run_pipeline report (tables, ddl_applied, quarantine frames) to
+    the caller's metrics sink."""
+    from change_data_capture_spark.apply import TableCatalog
+    from change_data_capture_spark.pipeline import run_pipeline_stream
+
+    msgs = spark.createDataFrame(
+        [
+            ('{"op":"c","source":{"db":"db","table":"t","ts_ms":1},'
+             '"after":{"id":"1","v":"a"}}',),
+            ('{"op":"c","source":{"db":"db","table":"t","ts_ms":2},'
+             '"after":{"id":"2","v":"b"}}',),
+        ],
+        "message string",
+    )
+    src = str(tmp_path / "msgs")
+    msgs.write.parquet(src)
+    cat = TableCatalog(str(tmp_path / "cat"))
+    schema_json = spark.createDataFrame([], "id long, v string").schema.json()
+    got: list = []
+    run_pipeline_stream(
+        spark, src,
+        {"source": {"format": "debezium"},
+         "tables": {"db.t": {"keys": ["id"], "schema": schema_json}}},
+        cat, str(tmp_path / "ckpt"),
+        on_report=lambda epoch, rep: got.append((epoch, rep)),
+    )
+    assert len(got) == 1
+    _, rep = got[0]
+    assert rep["tables"] == ["db.t"]
+    assert cat.read(spark, "db.t").count() == 2
