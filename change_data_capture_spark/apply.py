@@ -213,7 +213,7 @@ class TableCatalog:
     # -- DDL path ---------------------------------------------------
     def announce_schema(
         self, table_id: str, schema_json: str, spark: SparkSession | None = None
-    ) -> None:
+    ) -> dict:
         """See ``_announce_schema_unlocked``; the public entry runs the
         read-evolve-put legs under the per-table meta lock so a
         concurrent publish can never be reverted by this announcement's
@@ -232,14 +232,30 @@ class TableCatalog:
         registered schema is still the one the plan was computed from
         (a concurrent DDL → replan). Bounded retries; the terminal
         fallback is the fully locked single pass — the pre-r9
-        behavior, guaranteed progress."""
+        behavior, guaranteed progress.
+
+        Returns a contention report (r10, VERDICT directive #5):
+        ``{"replans": n, "locked_fallback": bool, "rewrite": bool}``.
+        ``replans`` counts optimistic rewrite passes LOST to a
+        concurrent publish or DDL — each one re-ran the full-table
+        rewrite job, so a hot-writer deployment seeing this climb
+        should schedule re-types into quieter windows;
+        ``locked_fallback`` marks the terminal serialized pass (every
+        writer stalled for the rewrite's duration — the loudest
+        signal). Metadata-only announcements report ``{0, False,
+        False}``; callers that ignore the report lose nothing."""
+        replans = 0
         for _ in range(5):
             with self._meta_lock(table_id):
                 need = self._announce_schema_unlocked(
                     table_id, schema_json, spark, defer_rewrites=True
                 )
             if need is None:
-                return
+                return {
+                    "replans": replans,
+                    "locked_fallback": False,
+                    "rewrite": False,
+                }
             readded, unsafe_types, final, base_schema, dropped_now = need
             try:
                 if readded:
@@ -247,6 +263,7 @@ class TableCatalog:
                 if unsafe_types:
                     m2 = self.meta(table_id)
                     if m2 is None or m2.get("schema") != base_schema:
+                        replans += 1
                         continue  # concurrent DDL — replan
                     cur = self.read(spark, table_id)
                     have = set(cur.columns)
@@ -274,21 +291,33 @@ class TableCatalog:
                         expected_schema=m2["schema"],
                     )
             except ConcurrentWriteError:
+                replans += 1
                 continue  # a writer published mid-rewrite — replan
             with self._meta_lock(table_id):
                 meta = self.meta(table_id)
                 if meta is None:
-                    return  # table dropped concurrently
+                    # table dropped concurrently
+                    return {
+                        "replans": replans,
+                        "locked_fallback": False,
+                        "rewrite": True,
+                    }
                 if meta.get("schema") not in (base_schema, final.json()):
+                    replans += 1
                     continue  # concurrent DDL between rewrite and swap
                 self._finish_announce(table_id, meta, final, readded, dropped_now)
-                return
+                return {
+                    "replans": replans,
+                    "locked_fallback": False,
+                    "rewrite": True,
+                }
         # Contention exhausted the optimistic retries — fall back to
         # one fully serialized pass (rewrite under the lock, pre-r9
         # shape): progress guaranteed, and the stall now costs at most
         # one rewrite instead of riding every announcement.
         with self._meta_lock(table_id):
             self._announce_schema_unlocked(table_id, schema_json, spark)
+        return {"replans": replans, "locked_fallback": True, "rewrite": True}
 
     def _finish_announce(
         self,
@@ -2407,14 +2436,21 @@ def import_group_snapshot(
     completeness marker the export wrote LAST; its absence means a
     torn export.
 
-    Restore-vs-live-apply (r9 seam review): each table's restore leg
-    (existence decision → snapshot write → watermark stamp → row-count
-    verification) runs under that table's meta lock, so a concurrent
-    applier cannot interleave a create between the unlocked precheck
-    and the restore (which would merge snapshot rows into live
-    content); it blocks for the one table's restore and then merges on
-    top under the normal replay rules. Returns {table: {n_rows,
-    applied_version, resumed}} plus the group watermark."""
+    Restore-vs-live-apply (r9 seam review; tightened r10 advisory):
+    each table's restore leg (existence decision → snapshot write →
+    watermark stamp → row-count verification) runs under that table's
+    meta lock, so a concurrent applier cannot interleave a create
+    between the unlocked precheck and the restore (which would merge
+    snapshot rows into live content); it blocks for the one table's
+    restore and then merges on top under the normal replay rules. The
+    occupied-table checks are RE-RUN under the lock — including the
+    row-count match for every resumed table, which the unlocked
+    precheck never ran for a table created AFTER it — so a
+    live-created table at a lagging watermark is refused instead of
+    being watermark-stamped unrestored (its own feed versions <= wm
+    would otherwise be skipped as replays: lost updates). Returns
+    {table: {n_rows, applied_version, resumed}} plus the group
+    watermark."""
     man_path = os.path.join(src_dir, "manifest.json")
     if not os.path.exists(man_path):
         raise FileNotFoundError(
@@ -2470,24 +2506,42 @@ def import_group_snapshot(
             resumed = existing is not None
             if resumed:
                 got_wm = int(existing.get("applied_version", -1))
+                if got_wm > wm and got_wm != 1:
+                    raise ValueError(
+                        f"restore target table {t!r} advanced past "
+                        "the manifest watermark between the "
+                        "precheck and the restore — a live feed is "
+                        "applying to this catalog; quiesce it or "
+                        "restore into a fresh catalog"
+                    )
+                # Re-verify the CONTENT under the lock for EVERY
+                # resumed table (r10 advisory): the precheck's
+                # row-count match ran unlocked, and a table ABSENT at
+                # precheck time never ran it at all — a live apply
+                # creating the table in that window (at a watermark at
+                # or below the manifest's, or the snapshot-insert
+                # constant 1) would otherwise hit the resume branch
+                # below, get the manifest watermark stamped over live
+                # content that was never restored, and have its own
+                # versions <= wm thereafter skipped as replays (lost
+                # updates, wrong report). Only a rows-match +
+                # lagging-watermark state is the genuine crash
+                # signature of a prior import attempt.
+                got_rows = catalog.read(spark, t).count()
+                if got_rows != int(m["n_rows"]):
+                    raise ValueError(
+                        f"restore target table {t!r} holds {got_rows} "
+                        f"row(s) but the manifest says {m['n_rows']} — "
+                        "a live feed created or advanced this table "
+                        "between the precheck and the restore; quiesce "
+                        "it or restore into a fresh catalog"
+                    )
                 if got_wm != wm:
-                    if got_wm <= wm or got_wm == 1:
-                        # crash landed between apply_changes and the
-                        # stamp — complete the interrupted stamp.
-                        # (Watermark-lagging content cannot have been
-                        # written to since the precheck: any apply
-                        # advances the watermark, so a lag means no
-                        # writer interleaved and the precheck's
-                        # row-count match still holds.)
-                        _stamp_tracking_watermark(catalog, t, wm)
-                    else:
-                        raise ValueError(
-                            f"restore target table {t!r} advanced past "
-                            "the manifest watermark between the "
-                            "precheck and the restore — a live feed is "
-                            "applying to this catalog; quiesce it or "
-                            "restore into a fresh catalog"
-                        )
+                    # rows match + lagging watermark: a crash landed
+                    # between apply_changes and the stamp — complete
+                    # the interrupted stamp (a lagging watermark only
+                    # costs idempotent replays).
+                    _stamp_tracking_watermark(catalog, t, wm)
             else:
                 df = spark.read.parquet(
                     os.path.join(src_dir, info["dir"], "data")
@@ -2578,10 +2632,18 @@ def forget_keys(
         raise KeyError(f"unknown table {table_id!r}")
     hold = [table_id] + [c for c, _ in catalog.derived_children(table_id)]
     _set_maintenance_hold(catalog, hold, "forget_keys")
-    try:
-        return _forget_keys_impl(spark, catalog, table_id, keys, meta, keep_last)
-    finally:
-        _clear_maintenance_hold(catalog, hold)
+    # Cleared ONLY on success (r10 advisory): a FAILED erasure (the
+    # verification raise, a mid-run ConcurrentWriteError) leaves the
+    # data partially present — clearing the hold in a finally would
+    # silently re-open the table to compaction/vacuum with the erasure
+    # incomplete, contradicting the _set_maintenance_hold contract
+    # ("stays visible until the erasure is re-run to completion").
+    # The failure path behaves exactly like a crash: the hold stays,
+    # every maintenance report skip-reports it loudly, and the re-run
+    # re-stamps then clears it on completion.
+    out = _forget_keys_impl(spark, catalog, table_id, keys, meta, keep_last)
+    _clear_maintenance_hold(catalog, hold)
+    return out
 
 
 def _forget_keys_impl(
@@ -2733,12 +2795,12 @@ def forget_column(
             raise KeyError(f"{table_id} has no column {column!r}")
     hold = [table_id] + [c for c, _ in catalog.derived_children(table_id)]
     _set_maintenance_hold(catalog, hold, "forget_column")
-    try:
-        return _forget_column_impl(
-            spark, catalog, table_id, column, schema, keep_last
-        )
-    finally:
-        _clear_maintenance_hold(catalog, hold)
+    # success-only clear — same rationale as forget_keys (r10
+    # advisory): a failed column erasure keeps maintenance paused and
+    # loud until the re-run completes.
+    out = _forget_column_impl(spark, catalog, table_id, column, schema, keep_last)
+    _clear_maintenance_hold(catalog, hold)
+    return out
 
 
 def _forget_column_impl(
@@ -2800,10 +2862,11 @@ def _set_maintenance_hold(
     erasure's every-remaining-version verification reads). The hold is
     advisory metadata checked by ``auto_maintain`` right before each
     action; the commit CAS stays the hard backstop for writes that
-    began before the hold landed. A crash mid-erasure leaves the hold
-    visible in every maintenance report (``skipped_hold``) until the
-    erasure is re-run to completion — loud, resumable, never silently
-    cleared."""
+    began before the hold landed. A crash mid-erasure OR a FAILED
+    erasure (r10 advisory — the clear runs only on success, never in a
+    finally) leaves the hold visible in every maintenance report
+    (``skipped_hold``) until the erasure is re-run to completion —
+    loud, resumable, never silently cleared."""
     hold = {"op": op, "pid": os.getpid()}
     for t in table_ids:
         catalog.update_meta(

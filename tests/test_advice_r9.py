@@ -254,13 +254,18 @@ def test_retype_rewrite_replans_on_concurrent_publish(spark, tmp_path):
 
     cat.armed = True
     err: list[BaseException] = []
+    reports: list[dict] = []
 
     def announce():
         try:
-            cat.announce_schema(
-                t,
-                spark.createDataFrame([], "id long, amount bigint").schema.json(),
-                spark=spark,
+            reports.append(
+                cat.announce_schema(
+                    t,
+                    spark.createDataFrame(
+                        [], "id long, amount bigint"
+                    ).schema.json(),
+                    spark=spark,
+                )
             )
         except BaseException as e:  # noqa: BLE001
             err.append(e)
@@ -286,6 +291,11 @@ def test_retype_rewrite_replans_on_concurrent_publish(spark, tmp_path):
     got = sorted(map(tuple, cat.read(spark, t).collect()))
     assert got == [(1, 10), (2, 99)], "concurrent batch lost by the rewrite"
     assert int(meta["applied_version"]) == 7
+    # the contention is VISIBLE in the announce report (r10 directive:
+    # a hot-writer deployment monitors replans to schedule re-types)
+    assert reports and reports[0]["rewrite"] is True
+    assert reports[0]["replans"] >= 1
+    assert reports[0]["locked_fallback"] is False
 
 
 # -- 5. folded DLQ capture matches the standalone quarantine ----------

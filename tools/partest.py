@@ -63,6 +63,21 @@ def _pack(mods: list[str], weights: dict[str, float], n: int) -> list[list[str]]
     return [members for _, members in groups if members]
 
 
+def _poll_walls(procs: list, t0: float, tick: float = 0.5) -> list[float]:
+    """Wait for every subprocess, recording EACH worker's own wall
+    clock at the moment it exits (index-aligned with ``procs``).
+    Pure-ish and injectable: anything with ``poll()`` works, so the
+    balance measurement is unit-testable without real subprocesses."""
+    walls: list[float | None] = [None] * len(procs)
+    while any(w is None for w in walls):
+        for j, p in enumerate(procs):
+            if walls[j] is None and p.poll() is not None:
+                walls[j] = time.time() - t0
+        if any(w is None for w in walls):
+            time.sleep(tick)
+    return walls  # type: ignore[return-value]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=4, help="worker processes")
@@ -100,10 +115,17 @@ def main() -> int:
 
     failed = []
     durations: dict[str, float] = {}
+    # Per-worker wall = each worker's OWN exit time (r10 advisory):
+    # reaping sequentially with p.wait() timestamped the REAP, so
+    # walls was non-decreasing and min(walls) was always worker 0's
+    # finish — whenever worker 0 was not the fastest the printed
+    # max/min balance collapsed toward 1.0 and could mask a real 2x
+    # imbalance. Poll all workers and stamp each exit as it happens.
+    walls_by_worker = _poll_walls([p for _, _, _, _, p in procs], t0)
     walls: list[float] = []
     for i, group, xml, log, p in procs:
-        rc = p.wait()
-        walls.append(time.time() - t0)
+        rc = p.returncode
+        walls.append(walls_by_worker[i])
         log.close()
         if rc != 0:
             failed.append((i, log.name, rc))
