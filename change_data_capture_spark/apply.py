@@ -53,8 +53,16 @@ _BUCKET = "__bucket"
 # Catalog size above which apply_changes auto-derives its candidate
 # pool from the batch (one metadata-grain distinct-table collect)
 # instead of building a bucket arm per catalog table — see the
-# known_tables docstring and the PERF.md r9 note.
+# known_tables docstring and the PERF.md r9 note. Public API surface
+# (r10, VERDICT directive #7): callers of apply_changes WITHOUT a
+# known_tables hint get the full-catalog arm build at or below this
+# many catalog tables and the derived pool (one extra per-batch
+# metadata-grain action) above it; both sides of the boundary are
+# pinned by tests/test_apply.py::test_auto_pool_boundary_is_exact.
+# Pass known_tables explicitly to make the plan O(feed tables)
+# regardless of catalog size — the streaming wrappers do.
 _POOL_AUTO_THRESHOLD = 64
+POOL_AUTO_THRESHOLD = _POOL_AUTO_THRESHOLD  # public, documented name
 _DEFAULT_BUCKETS = int(os.environ.get("SPARK_GRAFT_APPLY_BUCKETS", "16"))
 _NO_CAS = object()  # sentinel: CAS against the entry-time snapshot
 
@@ -63,6 +71,7 @@ _NO_CAS = object()  # sentinel: CAS against the entry-time snapshot
 # ConcurrentWriteError`` keeps the SAME class identity as the backend
 # contract's exception (metastore.py owns the definition since r9).
 ConcurrentWriteError = _metastore.ConcurrentWriteError
+QuiesceRequiredError = _metastore.QuiesceRequiredError
 
 
 def _read_compatible(old_dt, new_dt) -> bool:
@@ -246,10 +255,18 @@ class TableCatalog:
         False}``; callers that ignore the report lose nothing."""
         replans = 0
         for _ in range(5):
-            with self._meta_lock(table_id):
-                need = self._announce_schema_unlocked(
-                    table_id, schema_json, spark, defer_rewrites=True
-                )
+            try:
+                with self._meta_lock(table_id):
+                    need = self._announce_schema_unlocked(
+                        table_id, schema_json, spark, defer_rewrites=True
+                    )
+            except ConcurrentWriteError:
+                # reachable only on a lock-less conditional-PUT
+                # backend: a rival meta write landed between this
+                # leg's token read and its put_if — replan from fresh
+                # state (under the local flock the leg is exact)
+                replans += 1
+                continue
             if need is None:
                 return {
                     "replans": replans,
@@ -294,7 +311,7 @@ class TableCatalog:
                 replans += 1
                 continue  # a writer published mid-rewrite — replan
             with self._meta_lock(table_id):
-                meta = self.meta(table_id)
+                meta, swap_tok = self.backend.get(table_id)
                 if meta is None:
                     # table dropped concurrently
                     return {
@@ -305,7 +322,14 @@ class TableCatalog:
                 if meta.get("schema") not in (base_schema, final.json()):
                     replans += 1
                     continue  # concurrent DDL between rewrite and swap
-                self._finish_announce(table_id, meta, final, readded, dropped_now)
+                try:
+                    self._finish_announce(
+                        table_id, meta, final, readded, dropped_now,
+                        token=swap_tok,
+                    )
+                except ConcurrentWriteError:
+                    replans += 1
+                    continue  # lock-less backend: rival write → replan
                 return {
                     "replans": replans,
                     "locked_fallback": False,
@@ -314,7 +338,16 @@ class TableCatalog:
         # Contention exhausted the optimistic retries — fall back to
         # one fully serialized pass (rewrite under the lock, pre-r9
         # shape): progress guaranteed, and the stall now costs at most
-        # one rewrite instead of riding every announcement.
+        # one rewrite instead of riding every announcement. A backend
+        # with no real lock CANNOT serialize this pass — refuse loudly
+        # instead of silently racing (r10, the typed-quiesce contract).
+        if not getattr(self.backend, "supports_locks", True):
+            raise QuiesceRequiredError(
+                f"{table_id}: schema announcement lost {replans} optimistic "
+                "replans to concurrent writers and the catalog backend "
+                "cannot lock for the terminal serialized rewrite — quiesce "
+                "the table's writers and re-run the announcement"
+            )
         with self._meta_lock(table_id):
             self._announce_schema_unlocked(table_id, schema_json, spark)
         return {"replans": replans, "locked_fallback": True, "rewrite": True}
@@ -326,11 +359,16 @@ class TableCatalog:
         final: StructType,
         readded: Sequence[str],
         dropped_now: set[str],
+        token: object = _NO_CAS,
     ) -> None:
         """Final metadata swap of an announcement (caller holds the
         meta lock): tombstone bookkeeping, registered-schema update,
         and the current version's ``version_schemas`` stamp — shared
-        by the locked single pass and the unlocked-rewrite path."""
+        by the locked single pass and the unlocked-rewrite path.
+        ``token``: the backend token ``meta`` was read under — the swap
+        goes through ``put_if`` so it is exact even on a lock-less
+        conditional-PUT backend (r10); a rival write raises
+        ``ConcurrentWriteError`` for the caller to replan."""
         tombstones = dict(meta.get("dropped_columns") or {})
         for n in readded:
             tombstones.pop(n, None)
@@ -361,7 +399,10 @@ class TableCatalog:
         if hist and meta.get("current"):
             cur_seq = int(meta["current"].rsplit("_v", 1)[1])
             hist[str(cur_seq)] = final.json()
-        self.put_meta(table_id, meta)
+        if token is _NO_CAS:
+            self.put_meta(table_id, meta)
+        else:
+            self.backend.put_if(table_id, meta, token)
 
     def _announce_schema_unlocked(
         self,
@@ -392,9 +433,12 @@ class TableCatalog:
         published BEFORE the purge may still read the historical
         values — that is what time travel means; vacuum retires them.
         """
-        meta = self.meta(table_id)
+        meta, tok = self.backend.get(table_id)
         if meta is None:
-            self.put_meta(
+            # exclusive create: token None = "still absent"; a rival
+            # creating concurrently surfaces as ConcurrentWriteError
+            # on a lock-less backend (the caller replans)
+            self.backend.put_if(
                 table_id,
                 {
                     "table": table_id,
@@ -404,6 +448,7 @@ class TableCatalog:
                     "applied_version": 0,
                     "pending_schema": schema_json,
                 },
+                tok,
             )
             return
         if meta["schema"] is None:
@@ -480,12 +525,15 @@ class TableCatalog:
                         new_schema_json=final.json(),
                         expected_schema=m2["schema"],
                     )
-                meta = self.meta(table_id)  # the rewrites moved state
+                # the rewrites moved state: re-read WITH a fresh token
+                # (the entry token is stale by construction here)
+                meta, tok = self.backend.get(table_id)
             self._finish_announce(
-                table_id, meta, final, readded, set(old_fields) - new_names
+                table_id, meta, final, readded, set(old_fields) - new_names,
+                token=tok,
             )
             return None
-        self.put_meta(table_id, meta)
+        self.backend.put_if(table_id, meta, tok)
         return None
 
     @staticmethod
@@ -552,46 +600,48 @@ class TableCatalog:
     def ensure_table(self, table_id: str, pks: Sequence[str], rows_schema_json: str) -> dict:
         """Create-on-first-DML: primary keys come from the DML record,
         schema from the pending DDL if any, else from the DML's own
-        rows_schema (CDCKudu.java:227-243). Runs its read-modify-put
-        under the per-table meta lock (r8)."""
-        with self._meta_lock(table_id):
-            return self._ensure_table_unlocked(table_id, pks, rows_schema_json)
+        rows_schema (CDCKudu.java:227-243). A pure read-modify-put, so
+        it rides ``update_meta`` (r10): exact in one attempt under the
+        local lock, optimistic put_if retry on a conditional-PUT-only
+        backend — two concurrent first-DML creators converge instead
+        of last-writer-wins clobbering each other's create."""
 
-    def _ensure_table_unlocked(
-        self, table_id: str, pks: Sequence[str], rows_schema_json: str
-    ) -> dict:
-        meta = self.meta(table_id)
-        if meta is None:
-            meta = {
-                "table": table_id,
-                "schema": None,
-                "pks": None,
-                "current": None,
-                "applied_version": 0,
-                "pending_schema": None,
-            }
-        if not meta.get("pks"):
-            meta["pks"] = list(pks)
-        if meta["schema"] is None:
-            if not (meta.get("pending_schema") or rows_schema_json):
-                raise ValueError(
-                    f"table {table_id!r} has no schema from any source: no "
-                    f"prior DDL announcement, no pending schema, and the "
-                    f"batch's DML records carry none — for the wire-format "
-                    f"front door, pass tables.<table>.schema in the config "
-                    f"or announce the schema before the first DML"
-                )
-            # Kudu PK-type restriction at create time
-            # (CDCKudu.java:315-321): bool/float/double PKs -> STRING.
-            raw = schema_from_json(meta.get("pending_schema") or rows_schema_json)
-            meta["schema"] = pk_compat_schema(raw, meta["pks"]).json()
-            meta["pending_schema"] = None
-        if not meta.get("buckets"):
-            # Fixed at create time (like Kudu's hash partitions,
-            # CDCKuduConfig.java:96-213); thousands on a real cluster.
-            meta["buckets"] = _DEFAULT_BUCKETS
-        self.put_meta(table_id, meta)
-        return meta
+        def _fn(meta: dict | None) -> dict:
+            meta = (
+                dict(meta)
+                if meta is not None
+                else {
+                    "table": table_id,
+                    "schema": None,
+                    "pks": None,
+                    "current": None,
+                    "applied_version": 0,
+                    "pending_schema": None,
+                }
+            )
+            if not meta.get("pks"):
+                meta["pks"] = list(pks)
+            if meta["schema"] is None:
+                if not (meta.get("pending_schema") or rows_schema_json):
+                    raise ValueError(
+                        f"table {table_id!r} has no schema from any source: no "
+                        f"prior DDL announcement, no pending schema, and the "
+                        f"batch's DML records carry none — for the wire-format "
+                        f"front door, pass tables.<table>.schema in the config "
+                        f"or announce the schema before the first DML"
+                    )
+                # Kudu PK-type restriction at create time
+                # (CDCKudu.java:315-321): bool/float/double PKs -> STRING.
+                raw = schema_from_json(meta.get("pending_schema") or rows_schema_json)
+                meta["schema"] = pk_compat_schema(raw, meta["pks"]).json()
+                meta["pending_schema"] = None
+            if not meta.get("buckets"):
+                # Fixed at create time (like Kudu's hash partitions,
+                # CDCKuduConfig.java:96-213); thousands on a real cluster.
+                meta["buckets"] = _DEFAULT_BUCKETS
+            return meta
+
+        return self.update_meta(table_id, _fn)
 
     # -- data path --------------------------------------------------
     def versions(self, table_id: str) -> list[int]:
@@ -917,19 +967,41 @@ class TableCatalog:
         # crash matrix): a kill between a previous vacuum's deletes and
         # its cleanup leaves dangling entries that would otherwise
         # persist until the next RECLAIMING vacuum.
-        latest = self.meta(table_id)
-        if latest and (
-            latest.get("version_watermarks") or latest.get("version_schemas")
-        ):
-            readable = set(self.versions(table_id))
+        tdir = self.table_dir(table_id)
+
+        def _prune(latest: dict | None) -> dict | None:
+            if not latest or not (
+                latest.get("version_watermarks") or latest.get("version_schemas")
+            ):
+                return None
+            # readable set derived from THIS attempt's meta snapshot
+            # (not a pre-read one): a version published concurrently
+            # during the rmtree loop must keep its history entry, and
+            # the put_if retry re-runs this fn against fresh state
+            readable: set[int] = set()
+            if latest.get("current") and os.path.isdir(tdir):
+                cur_seq = int(latest["current"].rsplit("_v", 1)[1])
+                readable = {
+                    seq
+                    for d in os.listdir(tdir)
+                    if d.startswith("data_v")
+                    and (seq := int(d.rsplit("_v", 1)[1])) <= cur_seq
+                }
             pruned = {
                 key: {s: w for s, w in latest[key].items() if int(s) in readable}
                 for key in ("version_watermarks", "version_schemas")
                 if latest.get(key)
             }
-            if any(pruned[k] != latest[k] for k in pruned):
-                latest.update(pruned)
-                self.put_meta(table_id, latest)
+            if not any(pruned[k] != latest[k] for k in pruned):
+                return None
+            return {**latest, **pruned}
+
+        # the history prune is a pure read-modify-put, so it rides
+        # update_meta (r10): a version published concurrently during
+        # the rmtree loop can no longer be un-published by writing back
+        # a stale entry view — the put_if retry re-reads fresh state on
+        # ANY backend (the old best-effort caveat is gone).
+        self.update_meta(table_id, _prune)
         return drop
 
     def compact(
@@ -1193,14 +1265,21 @@ class TableCatalog:
                         os.link(src, dst)
                     except OSError:
                         shutil.copy2(src, dst)
-        # Commit-time CAS, made ATOMIC by the per-table meta lock (r8):
-        # re-read the pointer and refuse to swap if a concurrent writer
-        # published while this version was being written. Only the
-        # check-and-swap holds the lock — the (long) data write above
-        # ran unlocked. The new data dir is removed on refusal —
-        # without a meta pointer it was never visible to any reader.
+        # Commit-time CAS: re-read the pointer WITH ITS TOKEN and
+        # refuse to swap if a concurrent writer published while this
+        # version was being written. Only the check-and-swap holds the
+        # lock — the (long) data write above ran unlocked. The final
+        # write goes through the backend's ``put_if`` against the
+        # re-read token (r10): under the local flock that is the r8
+        # semantics exactly; on a conditional-PUT-only backend (no-op
+        # lock) the put_if IS the atomicity — a racer landing between
+        # this re-read and the swap surfaces as ConcurrentWriteError
+        # instead of a silent pointer revert, so the publish commit is
+        # exact with NO lock at all. The new data dir is removed on
+        # refusal — without a meta pointer it was never visible to any
+        # reader.
         with self._meta_lock(table_id):
-            latest = self.meta(table_id)
+            latest, _commit_tok = self.backend.get(table_id)
             if latest is None or latest.get("current") != expected_current:
                 shutil.rmtree(out, ignore_errors=True)
                 raise ConcurrentWriteError(
@@ -1247,7 +1326,14 @@ class TableCatalog:
             shist = dict(latest.get("version_schemas") or {})
             shist[str(int(new_dir.rsplit("_v", 1)[1]))] = latest["schema"]
             latest["version_schemas"] = shist
-            self.put_meta(table_id, latest)
+            try:
+                self.backend.put_if(table_id, latest, _commit_tok)
+            except ConcurrentWriteError:
+                # a racer swapped the pointer between the re-read and
+                # the put (reachable only on a lock-less backend) —
+                # same refusal semantics as the CAS check above
+                shutil.rmtree(out, ignore_errors=True)
+                raise
 
 
 def register_derived_index(
@@ -2204,6 +2290,7 @@ def apply_changelog(
     on_dead_letters: Callable[[DataFrame], None] | None = None,
     dead_letter_schemas: Mapping[str, str] | None = None,
     dead_letter_pks: Mapping[str, Sequence[str]] | None = None,
+    known_tables: Sequence[str] | None = None,
 ) -> list[dict]:
     """Batch convenience: treat an entire change log as one batch."""
     return apply_changes(
@@ -2215,6 +2302,7 @@ def apply_changelog(
         on_dead_letters=on_dead_letters,
         dead_letter_schemas=dead_letter_schemas,
         dead_letter_pks=dead_letter_pks,
+        known_tables=known_tables,
     )
 
 
@@ -2451,6 +2539,19 @@ def import_group_snapshot(
     would otherwise be skipped as replays: lost updates). Returns
     {table: {n_rows, applied_version, resumed}} plus the group
     watermark."""
+    if not getattr(catalog.backend, "supports_locks", True):
+        # The restore leg is one of the two compound critical sections
+        # that genuinely require HELD exclusivity across non-meta work
+        # (create + stamp + verify as one atomic unit against live
+        # appliers). A conditional-PUT-only backend cannot serialize
+        # it — refuse loudly instead of silently racing (r10, the
+        # typed-quiesce contract; metastore.QuiesceRequiredError).
+        raise _metastore.QuiesceRequiredError(
+            "import_group_snapshot needs the per-table meta lock for its "
+            "restore leg and this catalog's backend cannot lock — quiesce "
+            "every writer of the target catalog and restore through a "
+            "lock-capable catalog handle"
+        )
     man_path = os.path.join(src_dir, "manifest.json")
     if not os.path.exists(man_path):
         raise FileNotFoundError(
@@ -2942,11 +3043,22 @@ def auto_maintain(
     # refreshing first advances the floor so pass 2 reclaims MORE.
     refreshed: dict[str, dict] = {}
 
-    def _hold(table_id: str) -> dict | None:
+    _DROPPED = object()  # sentinel: the table vanished since the report
+
+    def _hold(table_id: str):
         """Fresh per-action hold check (minimizes the TOCTOU window to
-        one action's duration; the commit CAS backstops the rest)."""
+        one action's duration; the commit CAS backstops the rest).
+        Returns the hold dict, None (no hold), or ``_DROPPED`` when the
+        table's meta is GONE — a forget_column that drops a derived
+        child built from the dying column removes the child's meta
+        (and with it the hold the erasure had stamped), so a pass
+        planned against the pre-drop report must skip-report, not
+        crash into refreshing/compacting a dropped table (r10 seam
+        sweep)."""
         m = catalog.meta(table_id)
-        return (m or {}).get("maintenance_hold")
+        if m is None:
+            return _DROPPED
+        return m.get("maintenance_hold")
 
     hold_reported: set[str] = set()
     for row in report:
@@ -2957,7 +3069,13 @@ def auto_maintain(
             # the base's old versions from vacuum, so a stale hold
             # (crashed erasure) would otherwise freeze maintenance
             # with NOTHING in any report to say why.
-            h = _hold(row["table"]) or _hold(row["derived"]["base"])
+            h = _hold(row["table"])
+            if h is None:
+                h = _hold(row["derived"]["base"])
+            if h is _DROPPED:
+                actions.append({"table": row["table"], "skipped_dropped": True})
+                hold_reported.add(row["table"])
+                continue
             if h:
                 actions.append({"table": row["table"], "skipped_hold": h})
                 hold_reported.add(row["table"])
@@ -3014,6 +3132,14 @@ def auto_maintain(
         if not (needs_compact or needs_vacuum or needs_refresh):
             continue
         held = _hold(row["table"])
+        if held is _DROPPED:
+            # the table vanished since the report (a forget_column
+            # child drop) — skip-and-report, never compact/vacuum a
+            # ghost (r10 seam sweep)
+            if row["table"] not in hold_reported:
+                actions.append({"table": row["table"], "skipped_dropped": True})
+                hold_reported.add(row["table"])
+            continue
         if held:
             # machine-checked quiesce (r9): an in-flight erasure owns
             # this table; skip-and-report, like the CAS-loser path

@@ -142,6 +142,15 @@ def run_pipeline(
         t: spec["schema"] for t, spec in tables.items() if spec.get("schema")
     }
     dead: DataFrame | None = None
+    # The config's table whitelist IS the feed's complete table set, so
+    # it is the exact known_tables pool for every apply leg (r10,
+    # VERDICT directive #2): without it each micro-batch through the
+    # declarative front door paid either O(#catalog) CASE arms or the
+    # auto-pool's extra per-batch metadata collect against a large
+    # catalog — the cost run_apply_stream already avoids with its
+    # seen-tables set. Better than a seen-set here: deterministic from
+    # batch 1, no first-batch fresh-stats fallback for existing tables.
+    pool = sorted(table_keys)
 
     if fmt == "goldengate":
         from .sources import kafka
@@ -159,7 +168,12 @@ def run_pipeline(
         # whitelist semantics (T9) over the envelope: ddl and dml rows
         # both carry the table id
         tbl = F.coalesce(F.col("dml.table"), F.col("ddl.table"))
-        apply_changelog(spark, records.filter(tbl.isin(*table_keys)), catalog)
+        apply_changelog(
+            spark,
+            records.filter(tbl.isin(*table_keys)),
+            catalog,
+            known_tables=pool,
+        )
         return {"tables": sorted(table_keys), "dead_letters": None}
 
     if fmt == "mssql_cdc":
@@ -173,7 +187,7 @@ def run_pipeline(
             rows_schema=rows_schemas.get(t),
             base_version=int(src.get("base_version", 0)),
         )
-        apply_changelog(spark, normalize_raw_ops(raw), catalog)
+        apply_changelog(spark, normalize_raw_ops(raw), catalog, known_tables=pool)
         return {"tables": [t], "dead_letters": None}
 
     if fmt == "mongodb":
@@ -212,6 +226,7 @@ def run_pipeline(
             undecodable=undec,
             on_dead_letters=_dlq_box.append if undec == "skip" else None,
             dead_letter_schemas=rows_schemas,
+            known_tables=pool,
         )
         typed_dlq = _dlq_box[0] if _dlq_box else None
         patches = mongodb.mongodb_patch_ops(messages, id_cols, **kw)
@@ -301,6 +316,8 @@ def run_pipeline(
                 ),
                 catalog,
                 replay_floor={t: floors[t]},
+                # single-table leg: one CASE arm, not the whole pool
+                known_tables=[t],
             )
             live.unpersist()
             p_t.unpersist()
@@ -409,10 +426,11 @@ def run_pipeline(
             undecodable="skip",
             on_dead_letters=_dlq_box.append,
             dead_letter_schemas=rows_schemas,
+            known_tables=pool,
         )
         typed_dlq = _dlq_box[0] if _dlq_box else None
     else:
-        apply_changelog(spark, env, catalog)
+        apply_changelog(spark, env, catalog, known_tables=pool)
     return {
         "tables": sorted(table_keys),
         "dead_letters": dead,

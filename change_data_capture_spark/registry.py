@@ -9917,26 +9917,25 @@ def profile_categorical_drift(spark, sf_dir):
 # named here follows in registration order and stays covered by the
 # local all-query bare gate (tools/check_oracle.py --bare).
 DRIVER_WINDOW: list[str] = [
-    # Round-9 STALE-ROW ROTATION (VERDICT r08 directives #1/#8).
-    # Cumulative driver-green after r8 is 226/229; vintage census of
+    # Round-10 STALE-ROW ROTATION (VERDICT r09 directives #1/#6).
+    # Cumulative driver-green after r9 is 229/231; vintage census of
     # the per-name LATEST green row going into this round:
-    # r02×4, r03×24, r04×30, r05×35, r06×38, r07×44, r08×50, never×3.
-    # This window closes the ledger at a true 229/229: first-ever
-    # driver rows for the 3 mid-r8 registrations
-    # (cdc_mssql_cdc_dead_letters, cdc_group_restore,
-    # cdc_goldengate_dead_letters — all hash-green on the local 229/229
-    # bare gate), the four deferred r02-vintage names, the ENTIRE
-    # r03-vintage backlog (24 names — the oldest rows in the repo,
-    # all earned before the r7 evolution rewrite), the stalest member
-    # of each guarded family not otherwise covered (er_golden_records
-    # r07 is the stalest er_; ann_lsh_bucketed r06;
-    # temporal_range_error_clicks r05; dedup_embedding_cosine r05),
-    # and 10 r04-vintage rows biased to the apply/wire paths the
-    # r7-r9 rewrites sit under. 5 repeat anchors (≤5 per directive).
-    # Oldest vintage remaining AFTER this window lands: r04 (20 rows)
-    # — continue stale-first rotation in r10. Registered mid-r9 with
-    # NO driver row yet (hash-green on the local bare gate):
-    # cdc_forget_keys, cdc_forget_column — give them r10 slots.
+    # r04x20, r05x33, r06x37, r07x43, r08x45, r09x50, never x2.
+    # This window closes the ledger at a TRUE 231/231: first-ever
+    # driver rows for the 2 mid-r9 erasure registrations
+    # (cdc_forget_keys, cdc_forget_column — both bare-gate hash-green
+    # since r9), the ENTIRE r04-vintage backlog (20 names — now the
+    # oldest rows in the repo), the stalest member of each guarded
+    # family not otherwise covered (cdc_goldengate_binary_decode r06,
+    # dedup_embedding_clusters r07, er_blocked_match r08, ann_ivf r07,
+    # temporal_scd2_lookup r07), and 18 r05-vintage rows biased to the
+    # cdc/apply/maintenance paths the r8-r10 rewrites sit under.
+    # 5 repeat anchors (<=5 per the standing directive). Oldest
+    # vintage remaining AFTER this window lands: r05 (15 rows:
+    # q20/q22/q8/q_event_rate_anomaly/q_exact_quantiles{,_by_group}/
+    # rag_hybrid_retrieval/text_bm25_topk/text_bpe_{encode,train}/
+    # text_length_mad_outliers/text_token_stats/text_winnowing/
+    # web_domain_cap/web_hits) — continue stale-first rotation in r11.
     # --- anchors (5 repeats)
     "p_ct_change_scan",
     "cdc_apply_stream",
@@ -9944,55 +9943,54 @@ DRIVER_WINDOW: list[str] = [
     "cdc_corpus_to_training",
     "q1_pricing_summary",
     # --- first-ever driver rows (directive #1: close the ledger)
-    "cdc_mssql_cdc_dead_letters",
-    "cdc_group_restore",
-    "cdc_goldengate_dead_letters",
-    # --- the deferred r02-vintage names (stalest rows in the repo)
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_effect",
-    "q19_disjunctive_revenue",
-    # --- the full r03-vintage backlog (24 names)
-    "cdc_ct_scan_normalize",
-    "cdc_flatten_snapshot",
-    "cdc_goldengate_decode",
-    "cdc_net_change_collapse",
-    "cdc_point_lookup",
-    "cdc_rowkey",
-    "corpus_curation_pipeline",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_incremental",
-    "embedding_kmeans_lloyd",
-    "p_batch_clamp",
-    "q3_shipping_priority",
-    "q_array_ops",
-    "q_events_hourly",
-    "q_grouping_sets",
-    "q_json_props",
-    "q_scalar_functions",
-    "q_set_ops_all",
-    "q_type_compat",
-    "stream_sessionize",
-    "text_decontaminate_pairs",
-    "text_langid",
-    "text_span_dedup",
+    "cdc_forget_keys",
+    "cdc_forget_column",
+    # --- the full r04-vintage backlog (20 names)
+    "cdc_corpus_stats",
+    "cdc_feed_gaps",
+    "cdc_incremental_agg",
+    "cdc_incremental_join",
+    "cdc_table_changes",
+    "corpus_context_windows",
+    "corpus_pack_batches",
+    "embedding_pq_encode",
+    "profile_categorical_drift",
+    "profile_numeric_drift",
+    "profile_table_stats",
+    "q13_customer_order_distribution",
+    "q21_sole_returned_supplier",
+    "q7_nation_trade_volume",
+    "q9_product_profit",
+    "text_hashed_ngram_score",
+    "text_perplexity_buckets",
+    "text_tfidf_topterms",
+    "web_blocklist_filter",
+    "web_link_extract",
     # --- stalest member per guarded family not covered above
-    "er_golden_records",
-    "ann_lsh_bucketed",
-    "temporal_range_error_clicks",
-    "dedup_embedding_cosine",
-    # --- r04-vintage backlog, apply/wire-path biased
-    "multimodal_payload_dedup",
-    "cdc_debezium_apply",
-    "cdc_canal_apply",
-    "cdc_dms_apply",
-    "cdc_maxwell_apply",
-    "cdc_compact",
-    "cdc_export_snapshot",
-    "cdc_bootstrap_handoff",
-    "cdc_apply_vectors",
-    "web_url_dedup",
+    "cdc_goldengate_binary_decode",
+    "dedup_embedding_clusters",
+    "er_blocked_match",
+    "ann_ivf",
+    "temporal_scd2_lookup",
+    # --- r05-vintage backlog, cdc/apply/maintenance-path biased
+    "cdc_debezium_outbound",
+    "cdc_group_asof",
+    "cdc_index_auto_refresh",
+    "cdc_pipeline_run",
+    "cdc_secondary_index",
+    "cdc_vacuum_safety",
+    "cdc_wal2json_v1_apply",
+    "corpus_mixture_rebalance",
+    "dedup_cluster_stats",
+    "dedup_score_histogram",
+    "embedding_decontaminate",
+    "multimodal_payload_neardup",
+    "multimodal_video_meta",
+    "profile_embedding_drift",
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
 ]
 
 

@@ -964,3 +964,54 @@ def test_auto_pool_kicks_in_above_threshold(spark, tmp_path, monkeypatch):
         assert be.gets.get(by, 0) == 0, f"bystander meta read: {be.gets}"
     got = {r["id"]: r["val"] for r in cat.read(spark, "db.target").collect()}
     assert got[1] == "patched" and len(got) == 5
+
+
+def test_auto_pool_boundary_is_exact(spark, tmp_path, monkeypatch):
+    """r10 (VERDICT directive #7): the POOL_AUTO_THRESHOLD behavior
+    flip is part of the public apply_changes contract — pin BOTH sides
+    of the boundary. At catalog size == threshold the full-catalog
+    pool is used (every table's meta read, no extra batch action); at
+    size == threshold + 1 the auto-pool kicks in (bystander metas
+    never read)."""
+    import change_data_capture_spark.apply as apply_mod
+    from change_data_capture_spark.apply import TableCatalog, apply_changes
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.metastore import LocalFSMetaBackend
+
+    class CountingBackend(LocalFSMetaBackend):
+        def __init__(self, root):
+            super().__init__(root)
+            self.gets: dict[str, int] = {}
+
+        def get(self, table_id):
+            self.gets[table_id] = self.gets.get(table_id, 0) + 1
+            return super().get(table_id)
+
+    be = CountingBackend(str(tmp_path / "b"))
+    cat = TableCatalog(str(tmp_path / "b"), backend=be)
+    names = ["db.target", "db.by1", "db.by2", "db.by3"]  # 4 tables
+    for name in names:
+        df = spark.createDataFrame([(1, name)], "id long, val string")
+        apply_changes(spark, snapshot_changelog(df, name, ["id"]), cat)
+
+    def batch(v):
+        return dml_records(
+            spark.createDataFrame([(1, f"p{v}")], "id long, val string"),
+            "db.target", ["id"], op="UPDATE", version=v,
+        )
+
+    # AT the threshold (4 == 4): full-catalog pool — every catalog
+    # table's meta is read to build its arm
+    monkeypatch.setattr(apply_mod, "_POOL_AUTO_THRESHOLD", 4)
+    be.gets.clear()
+    apply_changes(spark, batch(5), cat)
+    assert all(be.gets.get(n, 0) >= 1 for n in names), be.gets
+    # ONE past the threshold (4 > 3): auto-pool — bystanders untouched
+    monkeypatch.setattr(apply_mod, "_POOL_AUTO_THRESHOLD", 3)
+    be.gets.clear()
+    apply_changes(spark, batch(6), cat)
+    assert all(be.gets.get(n, 0) == 0 for n in names[1:]), be.gets
+    got = {r["id"]: r["val"] for r in cat.read(spark, "db.target").collect()}
+    assert got[1] == "p6"
+    # the public constant tracks the internal one
+    assert apply_mod.POOL_AUTO_THRESHOLD == 64

@@ -11,6 +11,7 @@ property the reference's golden sink tests sample by hand
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from change_data_capture_spark.apply import TableCatalog, apply_changelog
@@ -399,20 +400,22 @@ def test_crash_between_data_write_and_meta_publish_reads_old_state(
     cat, t = _mk(spark, tmp_path)
     before_rows = sorted(map(tuple, cat.read(spark, t).collect()))
     before_versions = cat.versions(t)
-    real_put = TableCatalog.put_meta
+    # the commit swap goes through the backend's put_if since r10 —
+    # inject the power loss at that layer
+    real_put_if = type(cat.backend).put_if
     boom = {"armed": True}
 
-    def exploding_put(self, tid, meta):
+    def exploding_put_if(be, tid, meta, tok):
         if boom["armed"]:
             boom["armed"] = False
             raise OSError("injected: power loss before meta publish")
-        return real_put(self, tid, meta)
+        return real_put_if(be, tid, meta, tok)
 
     upd = dml_records(
         spark.createDataFrame([(1, "post-crash")], "id long, val string"),
         t, ["id"], op="UPDATE", version=50,
     )
-    monkeypatch.setattr(TableCatalog, "put_meta", exploding_put)
+    monkeypatch.setattr(type(cat.backend), "put_if", exploding_put_if)
     import pytest
     with pytest.raises(OSError, match="injected"):
         apply_changelog(spark, upd, cat)
@@ -437,20 +440,22 @@ def test_crash_between_vacuum_deletes_and_meta_cleanup_self_heals(
     cat, t = _mk(spark, tmp_path, versions=4)
     hist_before = dict(cat.meta(t)["version_watermarks"])
     assert len(hist_before) == 4
-    real_put = TableCatalog.put_meta
+    # the history cleanup rides update_meta -> backend.put_if since
+    # r10 — inject the power loss at that layer
+    real_put_if = type(cat.backend).put_if
     boom = {"armed": True}
 
-    def exploding_put(self, tid, meta):
+    def exploding_put_if(be, tid, meta, tok):
         if boom["armed"]:
             boom["armed"] = False
             raise OSError("injected: power loss before history cleanup")
-        return real_put(self, tid, meta)
+        return real_put_if(be, tid, meta, tok)
 
-    monkeypatch.setattr(TableCatalog, "put_meta", exploding_put)
+    monkeypatch.setattr(type(cat.backend), "put_if", exploding_put_if)
     import pytest
     with pytest.raises(OSError, match="injected"):
         cat.vacuum(t, keep_last=1)
-    monkeypatch.setattr(TableCatalog, "put_meta", real_put)
+    monkeypatch.setattr(type(cat.backend), "put_if", real_put_if)
     # dirs are gone but the history still names them — the torn state
     assert len(cat.versions(t)) == 1
     assert len(cat.meta(t)["version_watermarks"]) == 4
@@ -642,14 +647,23 @@ def test_meta_lock_reentrant_and_mutually_exclusive(tmp_path):
         assert done == [True]
 
 
-def test_concurrent_apply_and_announce_hammer_loses_nothing(spark, tmp_path):
+@pytest.mark.parametrize("backend_kind", ["local", "genfs"])
+def test_concurrent_apply_and_announce_hammer_loses_nothing(
+    spark, tmp_path, backend_kind
+):
     """r8 meta-lock end-to-end: one thread streams apply batches while
     another streams metadata-only schema evolutions on the SAME table.
     Pre-lock, an announce's read-put could silently un-publish a
     concurrent version (the documented filesystem-CAS revert window).
     Post-hammer invariants: every batch's rows landed at their final
     values, the registered schema is the last announcement's, and
-    every published version has a watermark-history entry."""
+    every published version has a watermark-history entry.
+
+    Parameterized over BOTH concrete backends (r10 directive #3): the
+    flock backend serializes under the lock; the conditional-PUT-only
+    ``GenerationFSMetaBackend`` has a NO-OP lock, so the same hammer
+    proves the put_if-threaded commit/announce paths are exact with no
+    lock at all — the object-store deployment story, run for real."""
     import threading
 
     from change_data_capture_spark.changelog import snapshot_changelog
@@ -657,7 +671,13 @@ def test_concurrent_apply_and_announce_hammer_loses_nothing(spark, tmp_path):
 
     base = spark.createDataFrame([(i, f"v0_{i}") for i in range(8)],
                                  "id long, val string")
-    cat = TableCatalog(str(tmp_path / "h"))
+    root = str(tmp_path / "h")
+    if backend_kind == "genfs":
+        from change_data_capture_spark.metastore import GenerationFSMetaBackend
+
+        cat = TableCatalog(root, backend=GenerationFSMetaBackend(root))
+    else:
+        cat = TableCatalog(root)
     apply_changelog(spark, snapshot_changelog(base, "h.t", ["id"]), cat)
 
     N_BATCHES, N_DDL = 6, 6

