@@ -2011,8 +2011,22 @@ def apply_changes(
                         )
                     )
                 ).alias("ddl_schemas"),
-                F.first("dml.primary_keys").alias("primary_keys"),
-                F.first("dml.rows_schema").alias("rows_schema"),
+                # ignorenulls on BOTH descriptors (r10, reproduced
+                # under partest's local[8] partitioning): a keys-only
+                # DELETE row carries a null rows_schema, and a bare
+                # first() is shuffle-fetch-ordered — a first batch
+                # mixing inserts and deletes could nondeterministically
+                # pick the null descriptor and fail create-on-first-DML
+                # ("no schema from any source") on a table whose batch
+                # plainly carries one. Same fix shape as the
+                # typed-dead-letters collect (:1651), which already
+                # had it.
+                F.first("dml.primary_keys", ignorenulls=True).alias(
+                    "primary_keys"
+                ),
+                F.first("dml.rows_schema", ignorenulls=True).alias(
+                    "rows_schema"
+                ),
                 # Batch high-watermark rides the same scan: for the
                 # create path (no current version, applied==0) it is
                 # exactly the post-filter max, so the per-table stats

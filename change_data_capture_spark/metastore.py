@@ -290,7 +290,9 @@ class GenerationFSMetaBackend(MetaBackend):
     def _gens(self, table_id: str) -> list[int]:
         try:
             names = os.listdir(self._tdir(table_id))
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # a missing table dir or a stray regular file at the root
+            # (a torn tmp) is "no generations", not a crash
             return []
         out = []
         for n in names:

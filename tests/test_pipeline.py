@@ -339,7 +339,7 @@ def test_pipeline_stream_meta_reads_are_bounded_by_feed_tables(spark, tmp_path):
     base = _base(spark)
     cfg = {
         "source": {"format": "debezium"},
-        "tables": {T: {"keys": ["id"]}},
+        "tables": {T: {"keys": ["id"], "schema": base.schema.json()}},
     }
     msgs_dir = str(tmp_path / "msgs")
     _dbz_feed(spark, base).write.mode("append").parquet(msgs_dir)
