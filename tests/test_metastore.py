@@ -376,3 +376,35 @@ def test_quiesce_required_announce_terminal_fallback(spark, tmp_path):
             "t.x",
             spark.createDataFrame([], "id long, v string, e string").schema.json(),
         )
+
+
+def test_erasure_flow_works_on_genfs_backend(spark, tmp_path):
+    """forget_keys end-to-end on the conditional-PUT-only backend:
+    the hold stamps, the DELETE merge, vacuum's history prune, and the
+    every-remaining-version proof all ride update_meta/put_if — no
+    lock anywhere in the flow (drop_table and restore are the only
+    quiesce-class operations; erasure is not one of them)."""
+    from change_data_capture_spark.apply import apply_changelog, forget_keys
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+
+    root = str(tmp_path / "g")
+    cat = TableCatalog(root, backend=GenerationFSMetaBackend(root))
+    df = spark.createDataFrame(
+        [(i, f"u{i}@x") for i in range(10)], "id long, email string"
+    )
+    apply_changelog(spark, snapshot_changelog(df, "t.users", ["id"]), cat)
+    # pre-erasure history so vacuum has real bytes to retire
+    apply_changelog(
+        spark,
+        dml_records(
+            spark.createDataFrame([(0, "v2@x")], "id long, email string"),
+            "t.users", ["id"], op="UPDATE", version=2,
+        ),
+        cat,
+    )
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    rep = forget_keys(spark, cat, "t.users", keys)
+    assert rep["rows_deleted"] == 2
+    assert rep["versions_purged"] and rep["versions_verified"]
+    assert cat.read(spark, "t.users").count() == 8
+    assert "maintenance_hold" not in (cat.meta("t.users") or {})
