@@ -1473,6 +1473,47 @@ def cdc_apply_mutations(spark, sf_dir):
 
 
 @_q(
+    "cdc_apply_lockfree_backend",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 5
+    """,
+)
+def cdc_apply_lockfree_backend(spark, sf_dir):
+    """Snapshot + mutation apply with the catalog's meta pointer on
+    ``GenerationFSMetaBackend`` (metastore.py, r10) — the
+    conditional-PUT-ONLY backend: ``lock()`` is a no-op, so every
+    commit in this flow (create-on-first-DML, both merge publishes,
+    the watermark stamps) rides the put_if token discipline with NO
+    lock held anywhere — the S3/GCS object-store deployment shape.
+    Same mutation workload and oracle as ``cdc_apply_mutations``, so a
+    hash match certifies the lock-free commit path lands byte-identical
+    table state to the flock path."""
+    from .metastore import GenerationFSMetaBackend
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="cdc_q_genfs_")
+    cat = TableCatalog(root, backend=GenerationFSMetaBackend(root))
+    apply_changelog(
+        spark, snapshot_changelog(cust, "tpch.customer", ["c_custkey"]), cat
+    )
+    mut = mutation_changelog(
+        cust,
+        "tpch.customer",
+        ["c_custkey"],
+        update_where=F.col("c_custkey") % 7 == 3,
+        update_set={"c_acctbal": F.col("c_acctbal") + 100.0},
+        update_version=2,
+        delete_where=F.col("c_custkey") % 7 == 5,
+        delete_version=3,
+    )
+    apply_changelog(spark, mut, cat)
+    return cat.read(spark, "tpch.customer")
+
+
+@_q(
     "cdc_pk_type_coerce",
     """
     SELECT CAST(CAST(c_custkey AS DOUBLE) / 2 AS VARCHAR) AS ckey_f,
@@ -9931,11 +9972,12 @@ DRIVER_WINDOW: list[str] = [
     # temporal_scd2_lookup r07), and 18 r05-vintage rows biased to the
     # cdc/apply/maintenance paths the r8-r10 rewrites sit under.
     # 5 repeat anchors (<=5 per the standing directive). Oldest
-    # vintage remaining AFTER this window lands: r05 (15 rows:
-    # q20/q22/q8/q_event_rate_anomaly/q_exact_quantiles{,_by_group}/
-    # rag_hybrid_retrieval/text_bm25_topk/text_bpe_{encode,train}/
-    # text_length_mad_outliers/text_token_stats/text_winnowing/
-    # web_domain_cap/web_hits) — continue stale-first rotation in r11.
+    # vintage remaining AFTER this window lands: r05 (16 rows:
+    # q2_min_cost_supplier/q20/q22/q8/q_event_rate_anomaly/
+    # q_exact_quantiles{,_by_group}/rag_hybrid_retrieval/text_bm25_topk/
+    # text_bpe_{encode,train}/text_length_mad_outliers/text_token_stats/
+    # text_winnowing/web_domain_cap/web_hits) — continue stale-first
+    # rotation in r11.
     # --- anchors (5 repeats)
     "p_ct_change_scan",
     "cdc_apply_stream",
@@ -9990,7 +10032,11 @@ DRIVER_WINDOW: list[str] = [
     "q11_important_part_value",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
+    # --- mid-r10 registration, window slot taken SAME round so the
+    # cumulative driver ledger stays closed (displaces r05-vintage
+    # q2_min_cost_supplier, which keeps its r05 row and rejoins the
+    # r11 stale-first rotation)
+    "cdc_apply_lockfree_backend",
 ]
 
 

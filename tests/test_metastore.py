@@ -408,3 +408,19 @@ def test_erasure_flow_works_on_genfs_backend(spark, tmp_path):
     assert rep["versions_purged"] and rep["versions_verified"]
     assert cat.read(spark, "t.users").count() == 8
     assert "maintenance_hold" not in (cat.meta("t.users") or {})
+
+
+def test_genfs_torn_tmp_never_surfaces(tmp_path):
+    """Crash mid put_if (content tmp written+fsync'd, link never
+    claimed): the torn tmp must be invisible to get/list, and the next
+    conditional PUT proceeds normally — content-before-claim is the
+    generation backend's torn-write discipline."""
+    be = GenerationFSMetaBackend(str(tmp_path / "g"))
+    be.put("t.a", {"n": 0})
+    with open(os.path.join(be._tdir("t.a"), "crash123.gen.tmp"), "w") as f:
+        f.write('{"n": 99}')  # the stranded tmp of a killed writer
+    meta, tok = be.get("t.a")
+    assert meta == {"n": 0}  # torn write invisible
+    assert be.list_tables() == ["t.a"]
+    be.put_if("t.a", {"n": 1}, tok)
+    assert be.get("t.a")[0] == {"n": 1}
