@@ -778,9 +778,23 @@ class TableCatalog:
         )
         df = self.read(spark, table_id, version=pinned)
         df.write.mode("overwrite").parquet(data_dir)
-        # Count from the written files, not the source plan: cheaper
-        # (no merge lineage) and it verifies what actually landed.
-        n_rows = spark.read.parquet(data_dir).count()
+        # Count + content checksum from the written files, not the
+        # source plan: cheaper (no merge lineage) and it verifies what
+        # actually landed. The checksum is the order-insensitive sum of
+        # per-row xxhash64 over the canonically (name-)ordered columns,
+        # accumulated in DECIMAL(38,0) so it can never overflow-throw
+        # under ANSI; one aggregate job shares the scan with the count.
+        written = spark.read.parquet(data_dir)
+        agg = written.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in sorted(written.columns)]).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("chk"),
+        ).collect()[0]
+        n_rows = agg["n"]
+        content_sum = str(agg["chk"]) if agg["chk"] is not None else "0"
         files = sorted(
             f for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
@@ -811,6 +825,12 @@ class TableCatalog:
                 f"data_v{pinned:06d}" if pinned is not None else meta.get("current")
             ),
             "n_rows": int(n_rows),
+            # order-insensitive per-row xxhash64 sum (r10): lets a
+            # restore verify CONTENT equality for resumed tables, not
+            # just the row count — a live-created table with a
+            # coincidentally equal count was the one state the count
+            # check could not refuse
+            "content_sum": content_sum,
             "n_files": len(files),
             "files": [
                 {"name": f, "bytes": os.path.getsize(os.path.join(data_dir, f))}
@@ -2550,7 +2570,11 @@ def import_group_snapshot(
     precheck never ran for a table created AFTER it — so a
     live-created table at a lagging watermark is refused instead of
     being watermark-stamped unrestored (its own feed versions <= wm
-    would otherwise be skipped as replays: lost updates). Returns
+    would otherwise be skipped as replays: lost updates). When the
+    manifest carries ``content_sum`` (exports since r10), the locked
+    re-check also verifies the order-insensitive per-row-hash sum, so
+    even a live table with a COINCIDENTALLY equal row count is
+    refused; older manifests fall back to the count check. Returns
     {table: {n_rows, applied_version, resumed}} plus the group
     watermark."""
     if not getattr(catalog.backend, "supports_locks", True):
@@ -2642,13 +2666,41 @@ def import_group_snapshot(
                 # updates, wrong report). Only a rows-match +
                 # lagging-watermark state is the genuine crash
                 # signature of a prior import attempt.
-                got_rows = catalog.read(spark, t).count()
+                cur_df = catalog.read(spark, t)
+                want_sum = m.get("content_sum")
+                if want_sum is not None:
+                    # count + order-insensitive content checksum in ONE
+                    # aggregate (r10): an equal row count alone cannot
+                    # refuse a live-created table whose count happens
+                    # to match the manifest — the checksum can. Exports
+                    # predating the field fall back to the count check.
+                    row = cur_df.select(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.xxhash64(
+                                *[F.col(c) for c in sorted(cur_df.columns)]
+                            ).cast("decimal(38,0)")
+                        ).alias("chk"),
+                    ).collect()[0]
+                    got_rows = row["n"]
+                    got_sum = str(row["chk"]) if row["chk"] is not None else "0"
+                else:
+                    got_rows = cur_df.count()
+                    got_sum = None
                 if got_rows != int(m["n_rows"]):
                     raise ValueError(
                         f"restore target table {t!r} holds {got_rows} "
                         f"row(s) but the manifest says {m['n_rows']} — "
                         "a live feed created or advanced this table "
                         "between the precheck and the restore; quiesce "
+                        "it or restore into a fresh catalog"
+                    )
+                if want_sum is not None and got_sum != str(want_sum):
+                    raise ValueError(
+                        f"restore target table {t!r} matches the "
+                        "manifest's row count but not its content "
+                        "checksum — different data under an equal "
+                        "count (a live feed wrote this table); quiesce "
                         "it or restore into a fresh catalog"
                     )
                 if got_wm != wm:

@@ -82,6 +82,35 @@ def test_import_refuses_live_created_table_at_lagging_watermark(spark, tmp_path)
     assert int(dst.meta("g.a")["applied_version"]) == 2
 
 
+def test_import_refuses_equal_count_different_content(spark, tmp_path):
+    """The residual the count check cannot see: a live-created table
+    whose row count COINCIDENTALLY equals the manifest's. The export's
+    order-insensitive content checksum (r10, `content_sum`) refuses it
+    under the lock; manifests predating the field fall back to the
+    count-only check."""
+    src = TableCatalog(str(tmp_path / "src"))
+    a = spark.createDataFrame([(1, "real1"), (2, "real2")], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(a, "g.a", ["id"], insert_version=6), src)
+    exp = str(tmp_path / "exp")
+    src.export_group_snapshot(spark, ["g.a"], watermark=6, dest_dir=exp)
+
+    dst = _FirstMetaNoneCatalog(str(tmp_path / "dst"), "g.a")
+    # live content: SAME count (2), SAME schema, different values,
+    # lagging watermark — count check alone would stamp and skip
+    live = spark.createDataFrame([(1, "live1"), (9, "live9")], "id long, v string")
+    apply_changelog(
+        spark, snapshot_changelog(live, "g.a", ["id"], insert_version=2), dst
+    )
+    dst._armed = True
+    with pytest.raises(ValueError, match="content checksum"):
+        import_group_snapshot(spark, exp, dst)
+    assert dst._lied is True
+    assert sorted(map(tuple, dst.read(spark, "g.a").collect())) == [
+        (1, "live1"), (9, "live9"),
+    ]
+    assert int(dst.meta("g.a")["applied_version"]) == 2  # never stamped
+
+
 def test_import_still_resumes_the_genuine_crash_signature(spark, tmp_path):
     """rows-match + lagging-watermark (a crash between apply_changes
     and the stamp) must STILL resume — the tightened check refuses
