@@ -975,7 +975,15 @@ class TableCatalog:
         if protect_from is not None:
             drop = [v for v in drop if v < int(protect_from)]
         for v in drop:
-            shutil.rmtree(os.path.join(self.table_dir(table_id), f"data_v{v:06d}"))
+            try:
+                shutil.rmtree(
+                    os.path.join(self.table_dir(table_id), f"data_v{v:06d}")
+                )
+            except FileNotFoundError:
+                # a concurrent vacuum (possible on a lock-less backend,
+                # where _meta_lock is a no-op) already retired this
+                # version — retirement is idempotent, not an error
+                pass
         # Keep the watermark/schema index consistent with the READABLE
         # set (an AS-OF cut must never select a vacuumed version) —
         # mutating a FRESH meta snapshot read AFTER the deletes, so a
