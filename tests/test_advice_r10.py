@@ -247,3 +247,45 @@ def test_partest_poll_walls_records_each_workers_own_exit(monkeypatch):
     walls = pt._poll_walls(procs, t0=100.0)
     assert walls[1] < walls[0]
     assert max(walls) / min(walls) > 4.0  # the imbalance is visible now
+
+
+# -- ddl contention surfaced in the batch report ------------------------
+
+def test_apply_reports_ddl_contention_rows(spark, tmp_path, monkeypatch):
+    """announce_schema's contention report must reach the per-batch
+    apply report (the on_report observability hook) — an operator
+    watching micro-batch metrics sees re-type replans, not just the
+    announce's own return value deep inside apply."""
+    from change_data_capture_spark.changelog import ddl_record
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(df, "t.x", ["id"]), cat)
+
+    real = TableCatalog.announce_schema
+
+    def contended(self, table_id, schema_json, spark=None):
+        real(self, table_id, schema_json, spark=spark)
+        return {"replans": 2, "locked_fallback": False, "rewrite": True}
+
+    monkeypatch.setattr(TableCatalog, "announce_schema", contended)
+    batch = ddl_record(
+        spark, "t.x",
+        spark.createDataFrame([], "id long, v string, extra string").schema.json(),
+    )
+    rep = apply_changelog(spark, batch, cat)
+    rows = [r for r in rep if r.get("action") == "ddl_contention"]
+    assert rows == [{
+        "table": "t.x", "action": "ddl_contention",
+        "replans": 2, "locked_fallback": False,
+    }]
+    # zero contention adds NO report rows (the common case stays clean)
+    monkeypatch.undo()
+    batch2 = ddl_record(
+        spark, "t.x",
+        spark.createDataFrame(
+            [], "id long, v string, extra string, more string"
+        ).schema.json(),
+    )
+    rep2 = apply_changelog(spark, batch2, cat)
+    assert not [r for r in rep2 if r.get("action") == "ddl_contention"]
