@@ -424,3 +424,32 @@ def test_genfs_torn_tmp_never_surfaces(tmp_path):
     assert be.list_tables() == ["t.a"]
     be.put_if("t.a", {"n": 1}, tok)
     assert be.get("t.a")[0] == {"n": 1}
+
+
+def test_genfs_cross_process_hammer_loses_nothing(tmp_path):
+    """Threads share one interpreter; the real object-store analogy is
+    SEPARATE PROCESSES racing conditional PUTs. 4 subprocesses x 10
+    update_meta increments against one root — every increment must
+    survive purely on the kernel's atomic link() claims (no flock, no
+    shared memory, no GIL)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "g")
+    be = GenerationFSMetaBackend(root)
+    be.put("t.a", {"n": 0})
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from change_data_capture_spark.apply import TableCatalog
+from change_data_capture_spark.metastore import GenerationFSMetaBackend
+cat = TableCatalog({root!r}, backend=GenerationFSMetaBackend({root!r}))
+for _ in range(10):
+    cat.update_meta("t.a", lambda m: {{**m, "n": m["n"] + 1}}, attempts=100000)
+"""
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script]) for _ in range(4)
+    ]
+    rcs = [p.wait(timeout=120) for p in procs]
+    assert rcs == [0, 0, 0, 0]
+    assert be.get("t.a")[0]["n"] == 40
