@@ -3062,10 +3062,72 @@ def _set_maintenance_hold(
     (``skipped_hold``) until the erasure is re-run to completion —
     loud, resumable, never silently cleared."""
     hold = {"op": op, "pid": os.getpid()}
-    for t in table_ids:
-        catalog.update_meta(
-            t, lambda m: None if m is None else {**m, "maintenance_hold": hold}
-        )
+    prior: dict[str, dict | None] = {}
+
+    def _mk_stamp(table_id: str):
+        def _stamp(m: dict | None) -> dict | None:
+            if m is None:
+                return None
+            cur = m.get("maintenance_hold")
+            if (
+                cur
+                and cur.get("pid") not in (None, os.getpid())
+                and _pid_alive(int(cur["pid"]))
+            ):
+                # Two LIVE erasures on one table must collide loudly
+                # (r10 seam sweep — the matrix claimed it, the code
+                # silently overwrote: the second stomped the first's
+                # hold and the first's success-clear then unprotected
+                # the second mid-verification). A DEAD holder's hold is
+                # the crash signature and stays re-claimable (resume
+                # semantics). Same-host pid liveness only; cross-host
+                # deployments quiesce erasure operationally, as
+                # documented.
+                raise ConcurrentWriteError(
+                    f"{table_id}: a live {cur.get('op')!r} erasure "
+                    f"(pid {cur.get('pid')}) already holds this table — "
+                    "one erasure at a time; re-run after it completes"
+                )
+            prior[table_id] = cur
+            return {**m, "maintenance_hold": hold}
+
+        return _stamp
+
+    stamped: list[str] = []
+    try:
+        for t in table_ids:
+            catalog.update_meta(t, _mk_stamp(t))
+            stamped.append(t)
+    except ConcurrentWriteError:
+        # Roll back the holds THIS call stamped before the collision —
+        # RESTORING any pre-existing (dead-crash) hold rather than
+        # clearing it: the interrupted erasure's crash signature must
+        # survive this call's failure ("never silently cleared").
+        for t in stamped:
+            old = prior.get(t)
+            catalog.update_meta(
+                t,
+                lambda m, _old=old: (
+                    None
+                    if m is None
+                    else (
+                        {k: v for k, v in m.items() if k != "maintenance_hold"}
+                        if _old is None
+                        else {**m, "maintenance_hold": _old}
+                    )
+                ),
+            )
+        raise
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - exists, other user
+        return True
+    return True
 
 
 def _clear_maintenance_hold(

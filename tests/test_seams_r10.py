@@ -218,3 +218,76 @@ def test_zero_work_hold_is_resumable_and_loud(spark, tmp_path, monkeypatch):
     # maintenance is unblocked again
     acts = auto_maintain(spark, cat, keep_last=1)
     assert not any("skipped_hold" in a for a in acts if a.get("table") == "t.u")
+
+
+# -- erasure-vs-erasure: holds collide loudly ----------------------------
+
+def test_concurrent_live_erasures_collide_loudly(spark, tmp_path):
+    """CONCURRENCY.md's matrix says erasure-vs-erasure holds collide
+    loudly; pre-r10 the second stamp silently OVERWROTE the first's
+    hold (and the first's success-clear then unprotected the second
+    mid-verification). A hold owned by a LIVE foreign pid must refuse;
+    a DEAD holder's hold (the crash signature) stays re-claimable."""
+    import subprocess
+
+    from change_data_capture_spark.apply import ConcurrentWriteError
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(6)], "id long, v string")
+    apply_changelog(spark, snapshot_changelog(df, "t.u", ["id"]), cat)
+    keys = spark.createDataFrame([(1,)], "id long")
+
+    live = subprocess.Popen(["sleep", "60"])
+    try:
+        cat.update_meta(
+            "t.u",
+            lambda m: {**m, "maintenance_hold": {"op": "forget_keys",
+                                                 "pid": live.pid}},
+        )
+        with pytest.raises(ConcurrentWriteError, match="live 'forget_keys'"):
+            forget_keys(spark, cat, "t.u", keys)
+        # the live erasure's hold is untouched by the refusal
+        assert (cat.meta("t.u") or {})["maintenance_hold"]["pid"] == live.pid
+    finally:
+        live.kill()
+        live.wait()
+    # holder now DEAD: the hold is the crash signature — re-claimable,
+    # the erasure runs and clears it
+    rep = forget_keys(spark, cat, "t.u", keys)
+    assert rep["rows_deleted"] == 1
+    assert "maintenance_hold" not in (cat.meta("t.u") or {})
+
+
+def test_hold_collision_rollback_restores_prior_dead_hold(spark, tmp_path):
+    """A multi-table hold stamp that collides midway must roll back the
+    holds it stamped — RESTORING a pre-existing dead-crash hold it had
+    reclaimed, never clearing it (the interrupted erasure's crash
+    signature survives this call's failure)."""
+    import subprocess
+
+    import change_data_capture_spark.apply as am
+    from change_data_capture_spark.apply import ConcurrentWriteError
+
+    cat = TableCatalog(str(tmp_path / "c"))
+    for t in ("t.a", "t.b"):
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        apply_changelog(spark, snapshot_changelog(df, t, ["id"]), cat)
+    # t.a: DEAD holder's hold (a crashed prior erasure)
+    dead = subprocess.Popen(["true"]); dead.wait()
+    dead_hold = {"op": "forget_column", "pid": dead.pid}
+    cat.update_meta("t.a", lambda m: {**m, "maintenance_hold": dead_hold})
+    # t.b: LIVE foreign holder
+    live = subprocess.Popen(["sleep", "60"])
+    try:
+        cat.update_meta(
+            "t.b",
+            lambda m: {**m, "maintenance_hold": {"op": "forget_keys",
+                                                 "pid": live.pid}},
+        )
+        with pytest.raises(ConcurrentWriteError):
+            am._set_maintenance_hold(cat, ["t.a", "t.b"], "forget_keys")
+    finally:
+        live.kill()
+        live.wait()
+    # t.a's crash signature was RESTORED, not cleared or replaced
+    assert (cat.meta("t.a") or {})["maintenance_hold"] == dead_hold
