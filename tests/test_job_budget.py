@@ -18,6 +18,7 @@ from tools.job_budget import (
     BUDGET_FILE,
     headline_names,
     measure,
+    measure_lifecycle,
     measure_streaming,
 )
 
@@ -31,6 +32,7 @@ def test_headline_job_counts_match_budget(spark, sf_dir):
         budget = json.load(f)
     counts = measure(spark, sf_dir, headline_names())
     counts.update(measure_streaming(spark))
+    counts.update(measure_lifecycle(spark))
     drift = {
         k: {"budget": budget.get(k), "measured": v}
         for k, v in counts.items()

@@ -95,6 +95,69 @@ def measure_streaming(spark) -> dict[str, int]:
     return {"streaming_apply_batch": n}
 
 
+def measure_lifecycle(spark) -> dict[str, int]:
+    """Spark-action counts of the rare-but-expensive LIFECYCLE ops
+    (r10): erasure with proof, group export, fresh restore, and the
+    resumed-restore re-verification. These paths gained machinery in
+    r9/r10 (holds, checksums, locked re-checks) whose cost the bench
+    headline never sees — pinning their action counts stops silent
+    per-call action creep (an extra verification scan, a second
+    metadata collect) the same way the headline pins do. Driver-created
+    fixed-size inputs, so the counts are data-independent."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.apply import (
+        TableCatalog,
+        apply_changelog,
+        forget_keys,
+        import_group_snapshot,
+    )
+    from change_data_capture_spark.changelog import dml_records, snapshot_changelog
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+
+    root = tempfile.mkdtemp(prefix="job_budget_lifecycle_")
+    out: dict[str, int] = {}
+    src = TableCatalog(os.path.join(root, "src"))
+    rows = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), "id").alias("v")
+    )
+    apply_changelog(
+        spark, snapshot_changelog(rows, "lc.t", ["k"], insert_version=3), src
+    )
+    # history so the erasure's vacuum has a version to retire
+    apply_changelog(
+        spark,
+        dml_records(
+            rows.filter("k = 0"), "lc.t", ["k"], op="UPDATE", version=4,
+            value_overrides={"v": F.lit("v0b")},
+        ),
+        src,
+    )
+    with ExecutedPlanCollector(spark) as col:
+        col.drain(); col.clear()
+        src.export_group_snapshot(
+            spark, ["lc.t"], watermark=4, dest_dir=os.path.join(root, "exp")
+        )
+        out["lifecycle_export_group"] = len(col.drain())
+        col.clear()
+        dst = TableCatalog(os.path.join(root, "dst"))
+        import_group_snapshot(spark, os.path.join(root, "exp"), dst)
+        out["lifecycle_import_fresh"] = len(col.drain())
+        col.clear()
+        # resumed path: existence + count/checksum re-verify, no write
+        import_group_snapshot(spark, os.path.join(root, "exp"), dst)
+        out["lifecycle_import_resumed"] = len(col.drain())
+        col.clear()
+        keys = spark.createDataFrame([(1,), (2,)], "k long")
+        forget_keys(spark, src, "lc.t", keys, keep_last=1)
+        out["lifecycle_forget_keys_keep1"] = len(col.drain())
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     from change_data_capture_spark.session import get_spark
 
@@ -102,6 +165,7 @@ def main() -> int:
     spark = get_spark("job-budget")
     counts = measure(spark, sf_dir, headline_names())
     counts.update(measure_streaming(spark))
+    counts.update(measure_lifecycle(spark))
     if "--update" in sys.argv:
         with open(BUDGET_FILE, "w") as f:
             json.dump(counts, f, indent=1, sort_keys=True)
