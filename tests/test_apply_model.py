@@ -728,7 +728,10 @@ def test_concurrent_apply_and_announce_hammer_loses_nothing(
         assert str(v) in hist, (v, sorted(hist))
 
 
-def test_apply_matches_model_with_interleaved_erasure(spark, tmp_path):
+@pytest.mark.parametrize("backend_kind", ["local", "genfs"])
+def test_apply_matches_model_with_interleaved_erasure(
+    spark, tmp_path, backend_kind
+):
     """Randomized property over the r8/r9 erasure machinery: rounds
     interleave upsert batches, forget_keys erasures (keep_last=1),
     auto_maintain passes, compactions, and REPLAYS of previously
@@ -746,7 +749,16 @@ def test_apply_matches_model_with_interleaved_erasure(spark, tmp_path):
     from change_data_capture_spark.changelog import snapshot_changelog
 
     rng = _random.Random(92)
-    cat = TableCatalog(str(tmp_path / "erm"))
+    root = str(tmp_path / "erm")
+    if backend_kind == "genfs":
+        # r10: the full erasure/maintenance/replay interleaving on the
+        # conditional-PUT-only backend — holds, vacuum's history prune,
+        # the proof legs, all with lock() a no-op
+        from change_data_capture_spark.metastore import GenerationFSMetaBackend
+
+        cat = TableCatalog(root, backend=GenerationFSMetaBackend(root))
+    else:
+        cat = TableCatalog(root)
     t = "db.erase"
     base = spark.createDataFrame(
         [(i, f"v0_{i}") for i in range(12)], "id long, val string"
