@@ -267,11 +267,20 @@ class GenerationFSMetaBackend(MetaBackend):
     observe a half-written CURRENT generation (the same
     content-before-pointer discipline as ``LocalFSMetaBackend.put``).
 
-    Superseded generations are retired opportunistically (keep the
-    last few) — a bounded tail keeps ``get`` O(1)-ish without making
-    retirement a correctness event. ``remove`` is NOT race-safe
-    against concurrent writers (neither is an object-store DELETE) —
-    ``drop_table`` is already documented as a quiesce-class operation.
+    Superseded generations are retired opportunistically by
+    TRUNCATING them to zero bytes — the claim NAME is kept forever, so
+    ``os.link`` collides for every generation that was EVER published
+    and a deeply-stale writer (token older than the retired tail, e.g.
+    a delayed create-leg holding ``None`` against a table that has
+    advanced past the tail) can never false-succeed into an invisible
+    lost update (r10 hardening; the unlink-based retirement had
+    exactly that hole). The zero-byte markers are the local stand-in
+    for a versioned bucket's tombstones: one dirent per update, listed
+    in O(updates) — fine at meta-update rates; a real object-store
+    backend has true ETags and needs none of this. ``remove`` is NOT
+    race-safe against concurrent writers (neither is an object-store
+    DELETE) — ``drop_table`` is already documented as a quiesce-class
+    operation, and it discards the marker history with the table.
     """
 
     supports_locks = False
@@ -308,17 +317,43 @@ class GenerationFSMetaBackend(MetaBackend):
 
     # -- contract -----------------------------------------------------
     def get(self, table_id: str) -> tuple[dict | None, object]:
-        gens = self._gens(table_id)
-        if not gens:
-            return None, None
-        gen = gens[-1]
-        with open(self._gen_path(table_id, gen)) as f:
-            return json.load(f), gen
+        # The highest generation is never retired at publish time
+        # (retirement keeps the last _KEEP_GENERATIONS), so reading it
+        # races retirement only when >= _KEEP_GENERATIONS publishes
+        # land between our listdir and our open. Retry through that
+        # window — the re-list always finds a newer live maximum.
+        for _ in range(8):
+            gens = self._gens(table_id)
+            if not gens:
+                return None, None
+            gen = gens[-1]
+            try:
+                with open(self._gen_path(table_id, gen)) as f:
+                    text = f.read()
+                if not text:  # truncated marker: a newer gen exists
+                    continue
+                return json.loads(text), gen
+            except (FileNotFoundError, ValueError):
+                continue
+        raise ConcurrentWriteError(
+            f"{table_id}: could not read a stable current generation "
+            f"(publish rate outran {self._KEEP_GENERATIONS} retries)"
+        )
 
     def put_if(self, table_id: str, meta: dict, expected_token: object) -> None:
         tdir = self._tdir(table_id)
         os.makedirs(tdir, exist_ok=True)
         target = int(expected_token or 0) + 1
+        # Fast-path staleness check with a precise message; the link
+        # below remains the atomic decider (markers are kept for every
+        # generation ever published, so a retired target still
+        # collides — this precheck is never load-bearing).
+        gens = self._gens(table_id)
+        if (gens[-1] if gens else 0) != target - 1:
+            raise ConcurrentWriteError(
+                f"{table_id}: token {expected_token!r} is stale (current "
+                f"generation is {gens[-1] if gens else None})"
+            )
         fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".gen.tmp")
         try:
             with os.fdopen(fd, "w") as f:
@@ -342,12 +377,15 @@ class GenerationFSMetaBackend(MetaBackend):
             os.fsync(dfd)
         finally:
             os.close(dfd)
-        # retire the deep tail (never the window a concurrent reader's
-        # get may be inside: keep several) — best-effort
+        # retire the deep tail — TRUNCATE, never unlink: the kept name
+        # is the claim marker that makes a deeply-stale writer's link
+        # collide instead of false-succeeding (see class docstring)
         for g in self._gens(table_id)[: -self._KEEP_GENERATIONS]:
+            p = self._gen_path(table_id, g)
             try:
-                os.unlink(self._gen_path(table_id, g))
-            except FileNotFoundError:
+                if os.path.getsize(p):
+                    os.truncate(p, 0)
+            except (FileNotFoundError, OSError):
                 pass
 
     def put(self, table_id: str, meta: dict) -> None:

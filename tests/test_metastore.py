@@ -258,12 +258,37 @@ def test_genfs_token_and_conditional_put_contract(tmp_path):
 
 
 def test_genfs_retires_deep_generation_tail(tmp_path):
+    """Retirement truncates content but KEEPS every claim name (the
+    marker is what makes a deeply-stale link collide)."""
+    import os
+
     be = GenerationFSMetaBackend(str(tmp_path / "g"))
     for i in range(12):
         be.put("t.a", {"n": i})
     gens = be._gens("t.a")
-    assert len(gens) <= be._KEEP_GENERATIONS
+    assert gens == list(range(1, 13))  # names are forever
+    live = [g for g in gens if os.path.getsize(be._gen_path("t.a", g))]
+    assert len(live) <= be._KEEP_GENERATIONS
     assert be.get("t.a")[0] == {"n": 11}
+
+
+def test_genfs_deeply_stale_token_raises_not_lost_update(tmp_path):
+    """r10 regression: with unlink-based retirement, a writer whose
+    token predates the retired tail (the worst case: ``None`` from a
+    pre-create read, racing a hot stream past _KEEP_GENERATIONS
+    publishes) could link a LOW generation successfully — put_if
+    reported success but the write was never current: a silent lost
+    update. The kept zero-byte markers make every such link collide."""
+    be = GenerationFSMetaBackend(str(tmp_path / "g"))
+    _, stale_none = be.get("t.a")  # None: read before the table existed
+    tok = None
+    for i in range(be._KEEP_GENERATIONS + 4):
+        be.put_if("t.a", {"n": i}, tok)
+        _, tok = be.get("t.a")
+    for bad in (stale_none, 1, 3):  # create-race + two retired gens
+        with pytest.raises(ConcurrentWriteError):
+            be.put_if("t.a", {"n": "stale"}, bad)
+    assert be.get("t.a")[0] == {"n": be._KEEP_GENERATIONS + 3}
 
 
 def test_genfs_update_meta_hammer_loses_nothing(tmp_path):
