@@ -105,6 +105,41 @@ def _read_compatible(old_dt, new_dt) -> bool:
     return False
 
 
+def _content_hash(df: DataFrame) -> F.Column:
+    """Per-row ``xxhash64`` over the name-ordered columns — the term of
+    the export/restore content checksum. Spark prohibits hash
+    expressions on MAP elements (same map, different hashcodes), so
+    map-bearing columns are canonicalized first: a plain map becomes
+    its sorted entry array (exact — entry order no longer matters),
+    and a map nested inside a struct/array falls back to ``to_json``
+    (deterministic across the export→restore roundtrip because both
+    ``changelog.dml_records`` and parquet preserve stored entry order;
+    a SEMANTICALLY equal map in a different stored order would refuse,
+    which is the safe direction for a restore check)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = []
+    for name in sorted(df.columns):
+        dt = df.schema[name].dataType
+        c = F.col(name)
+        if not has_map(dt):
+            cols.append(c)
+        elif isinstance(dt, MapType) and not has_map(dt.valueType):
+            cols.append(F.array_sort(F.map_entries(c)))
+        else:
+            cols.append(F.to_json(c))
+    return F.xxhash64(*cols)
+
+
 def bucket_expr(pks: Sequence[str], n_buckets: int, value_of=None) -> F.Column:
     """Stable PK-hash bucket id in [0, n_buckets): the unit of merge
     granularity. Derived from the rowkey string so bucket identity and
@@ -781,17 +816,14 @@ class TableCatalog:
         # Count + content checksum from the written files, not the
         # source plan: cheaper (no merge lineage) and it verifies what
         # actually landed. The checksum is the order-insensitive sum of
-        # per-row xxhash64 over the canonically (name-)ordered columns,
-        # accumulated in DECIMAL(38,0) so it can never overflow-throw
-        # under ANSI; one aggregate job shares the scan with the count.
+        # per-row ``_content_hash`` (xxhash64 over name-ordered,
+        # map-canonicalized columns), accumulated in DECIMAL(38,0) so
+        # it can never overflow-throw under ANSI; one aggregate job
+        # shares the scan with the count.
         written = spark.read.parquet(data_dir)
         agg = written.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in sorted(written.columns)]).cast(
-                    "decimal(38,0)"
-                )
-            ).alias("chk"),
+            F.sum(_content_hash(written).cast("decimal(38,0)")).alias("chk"),
         ).collect()[0]
         n_rows = agg["n"]
         content_sum = str(agg["chk"]) if agg["chk"] is not None else "0"
@@ -2704,9 +2736,7 @@ def import_group_snapshot(
                     row = cur_df.select(
                         F.count(F.lit(1)).alias("n"),
                         F.sum(
-                            F.xxhash64(
-                                *[F.col(c) for c in sorted(cur_df.columns)]
-                            ).cast("decimal(38,0)")
+                            _content_hash(cur_df).cast("decimal(38,0)")
                         ).alias("chk"),
                     ).collect()[0]
                     got_rows = row["n"]

@@ -131,6 +131,36 @@ def test_import_still_resumes_the_genuine_crash_signature(spark, tmp_path):
     assert int(dst.meta("g.a")["applied_version"]) == 4
 
 
+def test_export_and_resume_checksum_handle_map_columns(spark, tmp_path):
+    """r10 regression: Spark prohibits xxhash64 on MAP elements, so the
+    first cut of the content checksum threw AnalysisException for any
+    table with a map column — on export AND on the resumed-restore
+    re-check. ``_content_hash`` canonicalizes maps (sorted entries) so
+    both legs work and the crash-resume equality still holds."""
+    src = TableCatalog(str(tmp_path / "src"))
+    a = spark.createDataFrame(
+        [(1, {"b": "y", "a": "x"}), (2, {"c": "z"}), (3, None)],
+        "id long, props map<string,string>",
+    )
+    apply_changelog(spark, snapshot_changelog(a, "g.m", ["id"], insert_version=4), src)
+    exp = str(tmp_path / "exp")
+    man = src.export_group_snapshot(spark, ["g.m"], watermark=4, dest_dir=exp)
+    assert man["tables"]["g.m"]  # export no longer throws
+
+    dst = TableCatalog(str(tmp_path / "dst"))
+    import_group_snapshot(spark, exp, dst)
+    # crash state (stamp lost) -> the resume path runs the checksum
+    # re-check over the map-bearing table and must MATCH
+    m = dst.meta("g.m")
+    m["applied_version"] = 1
+    dst.put_meta("g.m", m)
+    rep = import_group_snapshot(spark, exp, dst)
+    assert rep["tables"]["g.m"]["resumed"] is True
+    assert int(dst.meta("g.m")["applied_version"]) == 4
+    got = {r["id"]: r["props"] for r in dst.read(spark, "g.m").collect()}
+    assert got == {1: {"a": "x", "b": "y"}, 2: {"c": "z"}, 3: None}
+
+
 # -- 2. failed erasure keeps the maintenance hold ----------------------
 
 class _VacuumFailsOnceCatalog(TableCatalog):
