@@ -349,6 +349,50 @@ def test_catalog_flows_work_on_genfs_backend(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "t.x", "_meta.json"))
 
 
+def test_stream_apply_works_on_genfs_backend(spark, sf_dir, tmp_path):
+    """The streaming front door against the conditional-PUT-only
+    backend — the actual S3/GCS deployment shape the genfs backend
+    exists to prove: every micro-batch's create/merge commit rides
+    put_if, watermark stamps ride update_meta, and a checkpointed
+    RESTART resumes with only the new files (offsets in the
+    checkpoint, table state in lock-free meta)."""
+    from pyspark.sql import functions as F
+
+    from change_data_capture_spark.changelog import (
+        mutation_changelog,
+        snapshot_changelog,
+    )
+    from change_data_capture_spark.streaming import (
+        run_apply_stream,
+        write_changelog,
+    )
+    from conftest import load
+
+    region = load(spark, sf_dir, "region")
+    logdir, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+    root = str(tmp_path / "gcat")
+    cat = TableCatalog(root, backend=GenerationFSMetaBackend(root))
+
+    write_changelog(
+        snapshot_changelog(region, "t.region", ["r_regionkey"]), logdir
+    )
+    run_apply_stream(spark, logdir, cat, ckpt)
+    assert cat.read(spark, "t.region").count() == region.count()
+
+    write_changelog(
+        mutation_changelog(
+            region, "t.region", ["r_regionkey"],
+            delete_where=F.col("r_regionkey") == 0, delete_version=2,
+        ),
+        logdir,
+    )
+    run_apply_stream(spark, logdir, cat, ckpt)  # restart: resumes
+    got = cat.read(spark, "t.region")
+    assert got.count() == region.count() - 1
+    assert got.filter("r_regionkey = 0").count() == 0
+    assert not os.path.exists(os.path.join(root, "t.region", "_meta.json"))
+
+
 def test_quiesce_required_restore_on_lockfree_backend(spark, tmp_path):
     """import_group_snapshot's restore leg NEEDS held exclusivity; on
     a backend that cannot lock it must refuse with the typed error,
