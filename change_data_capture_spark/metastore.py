@@ -337,7 +337,7 @@ class GenerationFSMetaBackend(MetaBackend):
                 continue
         raise ConcurrentWriteError(
             f"{table_id}: could not read a stable current generation "
-            f"(publish rate outran {self._KEEP_GENERATIONS} retries)"
+            "(concurrent publishes outran 8 read retries)"
         )
 
     def put_if(self, table_id: str, meta: dict, expected_token: object) -> None:
