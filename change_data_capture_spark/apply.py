@@ -74,6 +74,21 @@ ConcurrentWriteError = _metastore.ConcurrentWriteError
 QuiesceRequiredError = _metastore.QuiesceRequiredError
 
 
+class ErasureInProgressError(RuntimeError):
+    """The table carries a ``maintenance_hold`` — an erasure
+    (``forget_keys`` / ``forget_column``) is in flight, or a crashed/
+    failed one has not been re-run to completion. Durable-egress and
+    restore operations refuse while the hold stands (r10 seam sweep):
+    an export taken mid-erasure would persist the keys being forgotten
+    into a DR artifact OUTSIDE the catalog's erasure machinery — the
+    one copy ``forget``'s proof legs can never reach — and a restore
+    stamped over a half-erased table would interleave with the delete
+    legs. Dead-holder holds refuse too: a crashed erasure means the
+    data is PARTIALLY present, which is exactly the state that must
+    not escape. Re-run the erasure to completion (the hold clears on
+    success), then retry."""
+
+
 def _read_compatible(old_dt, new_dt) -> bool:
     """Can parquet files physically written as ``old_dt`` be READ under
     a schema declaring ``new_dt``? The empirically-probed Spark 4
@@ -799,6 +814,18 @@ class TableCatalog:
         meta = self.meta(table_id)
         if meta is None or meta["schema"] is None:
             raise KeyError(f"unknown table {table_id!r}")
+        hold = meta.get("maintenance_hold")
+        if hold:
+            # Durable egress mid-erasure persists the keys being
+            # forgotten beyond the proof legs' reach — refuse loudly,
+            # live OR dead holder (r10 seam sweep; see
+            # ErasureInProgressError).
+            raise ErasureInProgressError(
+                f"{table_id}: refusing to export while a "
+                f"{hold.get('op')!r} erasure holds the table (pid "
+                f"{hold.get('pid')}) — re-run the erasure to completion, "
+                "then export"
+            )
         data_dir = os.path.join(dest_dir, "data")
         # Pin the version from the ONE meta read above: a plain read()
         # would re-read _meta.json and could resolve a version published
@@ -956,6 +983,24 @@ class TableCatalog:
             raise KeyError(
                 f"no published version at or below watermark {watermark} "
                 f"for: {missing}"
+            )
+        # Hold precheck for the WHOLE group before any bytes land
+        # (export_snapshot's own check is the per-table backstop): a
+        # mid-erasure member must fail the group export up front, not
+        # after N-1 tables were already written (r10 seam sweep).
+        held = {
+            t: h
+            for t in table_ids
+            if (h := (self.meta(t) or {}).get("maintenance_hold"))
+        }
+        if held:
+            raise ErasureInProgressError(
+                "refusing group export: erasure hold(s) on "
+                + ", ".join(
+                    f"{t} ({h.get('op')!r}, pid {h.get('pid')})"
+                    for t, h in sorted(held.items())
+                )
+                + " — re-run the erasure(s) to completion, then export"
             )
         tables = {}
         for t in table_ids:
@@ -2703,6 +2748,18 @@ def import_group_snapshot(
             existing = catalog.meta(t)
             resumed = existing is not None
             if resumed:
+                rhold = existing.get("maintenance_hold")
+                if rhold:
+                    # a half-erased table must not be stamped/resumed
+                    # over (r10 seam sweep; dead holders refuse too —
+                    # partial erasure is the state that must not
+                    # escape into "restored" status)
+                    raise ErasureInProgressError(
+                        f"restore target table {t!r} is held by a "
+                        f"{rhold.get('op')!r} erasure (pid "
+                        f"{rhold.get('pid')}) — re-run the erasure to "
+                        "completion, then re-run the import"
+                    )
                 got_wm = int(existing.get("applied_version", -1))
                 if got_wm > wm and got_wm != 1:
                     raise ValueError(

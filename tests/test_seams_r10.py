@@ -291,3 +291,86 @@ def test_hold_collision_rollback_restores_prior_dead_hold(spark, tmp_path):
         live.wait()
     # t.a's crash signature was RESTORED, not cleared or replaced
     assert (cat.meta("t.a") or {})["maintenance_hold"] == dead_hold
+
+
+# -- durable egress / restore vs erasure: exports refuse a held table ----
+
+def _held_table(spark, tmp_path, name="t.h"):
+    """A table mid-erasure: the hold stamped, zero work done (the
+    crash/failed-erasure signature — partially-present data)."""
+    cat = TableCatalog(str(tmp_path / "hc"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    )
+    apply_changelog(
+        spark, snapshot_changelog(df, name, ["id"], insert_version=3), cat
+    )
+    apply_mod._set_maintenance_hold(cat, [name], "forget_keys")
+    return cat
+
+
+def test_export_refuses_held_table_then_succeeds_after_erasure(
+    spark, tmp_path
+):
+    """A DR export taken mid-erasure would durably persist the keys
+    being forgotten OUTSIDE the catalog — the one copy the erasure's
+    proof legs can never reach. Both export doors refuse while the
+    hold stands (live or dead holder: partial erasure is the state
+    that must not escape) and work again once the erasure completes."""
+    from change_data_capture_spark.apply import ErasureInProgressError
+
+    cat = _held_table(spark, tmp_path)
+    with pytest.raises(ErasureInProgressError, match="forget_keys"):
+        cat.export_snapshot(spark, "t.h", str(tmp_path / "exp1"))
+    with pytest.raises(ErasureInProgressError, match="t.h"):
+        cat.export_group_snapshot(
+            spark, ["t.h"], watermark=3, dest_dir=str(tmp_path / "exp2")
+        )
+    # the complete-the-erasure path unblocks export
+    keys = spark.createDataFrame([(0,)], "id long")
+    forget_keys(spark, cat, "t.h", keys)
+    man = cat.export_snapshot(spark, "t.h", str(tmp_path / "exp3"))
+    assert man["n_rows"] == 5  # and the erased key is genuinely absent
+
+
+def test_group_export_hold_precheck_writes_nothing(spark, tmp_path):
+    """The group door prechecks EVERY member's hold before any bytes
+    land: one held table among many must not leave N-1 exported table
+    dirs of a group that can never complete."""
+    import os as _os
+
+    from change_data_capture_spark.apply import ErasureInProgressError
+
+    cat = TableCatalog(str(tmp_path / "gc"))
+    for t in ("g.clean", "g.held"):
+        df = spark.createDataFrame([(1, t)], "id long, v string")
+        apply_changelog(
+            spark, snapshot_changelog(df, t, ["id"], insert_version=2), cat
+        )
+    apply_mod._set_maintenance_hold(cat, ["g.held"], "forget_column")
+    dest = str(tmp_path / "gexp")
+    with pytest.raises(ErasureInProgressError, match="g.held"):
+        cat.export_group_snapshot(
+            spark, ["g.clean", "g.held"], watermark=2, dest_dir=dest
+        )
+    assert not _os.path.exists(dest) or _os.listdir(dest) == []
+
+
+def test_import_refuses_resume_into_held_table(spark, tmp_path):
+    """The restore leg must not stamp/resume over a half-erased table:
+    a hold on the target refuses the import until the erasure is
+    re-run to completion."""
+    from change_data_capture_spark.apply import ErasureInProgressError
+
+    src = TableCatalog(str(tmp_path / "src"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4)], "id long, v string")
+    apply_changelog(
+        spark, snapshot_changelog(df, "g.r", ["id"], insert_version=5), src
+    )
+    exp = str(tmp_path / "exp")
+    src.export_group_snapshot(spark, ["g.r"], watermark=5, dest_dir=exp)
+    dst = TableCatalog(str(tmp_path / "dst"))
+    import_group_snapshot(spark, exp, dst)
+    apply_mod._set_maintenance_hold(dst, ["g.r"], "forget_keys")
+    with pytest.raises(ErasureInProgressError, match="g.r"):
+        import_group_snapshot(spark, exp, dst)
