@@ -206,6 +206,13 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     total = round(sum(timings.values()), 3)
     host = _steal_verdict(host_before, _host_snapshot())
+    n_codegen = 0
+    if _STDERR_CAPTURE[0]:
+        try:
+            with open(_STDERR_CAPTURE[0], errors="replace") as f:
+                n_codegen = f.read().count("Failed to compile")
+        except OSError:
+            n_codegen = -1
     result = {
         "metric": "headline_total",
         "value": total,
@@ -216,6 +223,9 @@ def run_bench(spark, sf_dir: str) -> dict:
         "spreads": spreads,
         "host": host,
         "steal_detected": host["steal_detected"],
+        # cumulative count for the process — a nonzero value means some
+        # stage in this run (warmup included) ran interpreted
+        "codegen_failures": n_codegen,
     }
     return result
 
@@ -269,8 +279,27 @@ def anchor(spark, sf_dir: str, budget_min: float = 45.0) -> int:
         time.sleep(30.0)
 
 
+def _capture_stderr() -> str:
+    """Route fd 2 (ours and the JVM's) through a file so the artifact
+    can report whole-stage-codegen compile failures (r11, VERDICT r10
+    directive #1): Spark logs `ERROR CodeGenerator: ... Failed to
+    compile` and silently falls back to interpreted execution — a
+    constant-factor perf loss the wall clock alone cannot attribute.
+    The timed work is unchanged; only where stderr lands moves."""
+    fd, path = tempfile.mkstemp(prefix="bench_stderr_")
+    os.close(fd)
+    f = open(path, "w")
+    os.dup2(f.fileno(), 2)
+    _STDERR_CAPTURE[0] = path
+    return path
+
+
+_STDERR_CAPTURE: list[str | None] = [None]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    stderr_path = _capture_stderr()
     spark = get_spark("cdc-spark-bench")
     if "--anchor" in sys.argv:
         budget = 45.0

@@ -1048,39 +1048,70 @@ def ivfpq_ann_topk(
             corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col
         ).select(F.col(id_col).alias("neighbor_id"), *code_cols)
         lists = assign(c, "cv", 1, ["neighbor_id"]).join(codes, "neighbor_id")
-    probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
 
-    # Query-side element columns once; ADC per subspace is CASE(code).
-    qel = [f"qv[{i}]" for i in range(dim)]
-
-    def adc_case(s: int) -> str:
-        arms = []
-        for c_ix in range(kc):
-            terms = " + ".join(
-                f"({qel[s * sub_d + i]} - ({cents[c_ix][s * sub_d + i]!r}))"
-                f" * ({qel[s * sub_d + i]} - ({cents[c_ix][s * sub_d + i]!r}))"
-                for i in range(sub_d)
-            )
-            arms.append(f"WHEN {c_ix} THEN ({terms})")
-        # ELSE +inf: an out-of-range code (index built with a larger
-        # kc than queried — the one undetectable mismatch) must rank
-        # WORST, not ride a NULL to the top of the ascending NULLS
-        # FIRST shortlist window and crowd out the whole rerank budget
-        return (
-            f"CASE code{s} {' '.join(arms)} "
-            f"ELSE cast('Infinity' as double) END"
+    # ADC distance TABLE per query — the standard IVF-PQ query-prep
+    # step: for each subspace s, an array of the kc squared distances
+    # from the query's subvector to every codebook centroid, computed
+    # ONCE per query row on the (small, broadcast) query side. The
+    # previous form inlined the full m*kc*sub_d-term arithmetic as one
+    # CASE expression per CANDIDATE row; at the default 8*16*8 that is
+    # a ~2000-node expression tree, which janino refused to compile
+    # inside the shortlist sort's whole-stage codegen — Spark silently
+    # demoted the ranking sort to interpreted execution (the one
+    # codegen ERROR in the r10 bare gate). HOF folds are deliberate
+    # here (same rationale as _dot_sql): tiny expression tree, and the
+    # interpreted per-element cost lands on query rows only, never on
+    # the candidate stream. Bit-identical to the inlined form: each
+    # element is the same left-associated (q[i]-c[i])^2 sum (the fold's
+    # leading 0.0 add is an exact IEEE no-op on squares), and the
+    # candidate-side sum keeps the same subspace order.
+    adc_tabs = [
+        "transform(array({cs}), c -> aggregate("
+        "zip_with(slice(qv, {start}, {n}), c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)) as __adct{s}".format(
+            cs=", ".join(
+                _array_sql(cents[c_ix][s * sub_d:(s + 1) * sub_d])
+                for c_ix in range(kc)
+            ),
+            start=s * sub_d + 1,
+            n=sub_d,
+            s=s,
         )
+        for s in range(m)
+    ]
+    probes = (
+        assign(q, "qv", n_probe, ["query_id"])
+        .join(q, "query_id")
+        .selectExpr("query_id", "list_id", "qv", *adc_tabs)
+    )
 
-    adc = " + ".join(f"({adc_case(s)})" for s in range(m))
+    # Per-candidate ADC is now m table lookups. The range CASE keeps
+    # the old fail-safe exactly: an out-of-range code (index built
+    # with a larger kc than queried — the one undetectable mismatch)
+    # must rank WORST, not ride a NULL to the top of the ascending
+    # NULLS FIRST shortlist window and crowd out the rerank budget.
+    adc = " + ".join(
+        f"(CASE WHEN code{s} >= 0 AND code{s} < {kc} "
+        f"THEN element_at(__adct{s}, code{s} + 1) "
+        f"ELSE cast('Infinity' as double) END)"
+        for s in range(m)
+    )
+    # Explicit broadcast: the probe side is (queries x n_probe) rows —
+    # small by design at any corpus scale — but it sits under two
+    # windows and a join, so the planner's size estimate balloons and
+    # it previously chose a SortMergeJoin (full exchange+sort of the
+    # corpus-sized code table on list_id).
     cand = (
-        lists.join(probes, "list_id")
+        lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # single-assignment IVF: a (query, neighbor) pair meets in at
-        # most one probed list — the old distinct was a no-op that
-        # shuffled the dim-double qv array per candidate row, exactly
-        # the bandwidth PQ exists to avoid
-        .select("query_id", "neighbor_id", "qv", *[f"code{s}" for s in range(m)])
+        # most one probed list — no dedup shuffle needed
         .withColumn("__adc", F.expr(f"round({adc}, 6)"))
+        # drop qv (and the ADC tables) BEFORE the ranking shuffle: the
+        # shortlist window needs only (query, neighbor, distance);
+        # re-attach qv to the <= rerank survivors from the broadcast
+        # query side instead of shuffling dim doubles per candidate
+        .select("query_id", "neighbor_id", "__adc")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__adc").asc(), F.col("neighbor_id").asc()
@@ -1088,7 +1119,8 @@ def ivfpq_ann_topk(
     shortlist = (
         cand.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= rerank)
-        .select("query_id", "neighbor_id", "qv")
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
     )
     exact = shortlist.join(c, "neighbor_id").withColumn(
         "score", F.expr(f"round({_cosine_sql('qv', 'cv')}, 6)")

@@ -69,6 +69,26 @@ def canon_frame(pdf) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _capture_stderr() -> str:
+    """Route fd 2 (ours AND the child JVM's) through a file so the gate
+    can scan for whole-stage-codegen compile failures afterwards. Spark
+    logs `ERROR CodeGenerator: ... Failed to compile` and then silently
+    falls back to interpreted execution — correct answers, hidden
+    constant-factor loss (the r10 `ann_ivfpq` janino fallback sat
+    undetected in 681 s of gate stderr). Returns the capture path."""
+    import tempfile
+
+    path = tempfile.mkstemp(prefix="check_oracle_stderr_")[1]
+    f = open(path, "w")
+    os.dup2(f.fileno(), 2)
+    return path
+
+
+def _codegen_failures(path: str) -> int:
+    with open(path, errors="replace") as f:
+        return f.read().count("Failed to compile")
+
+
 def main() -> int:
     global LENIENT
     argv = sys.argv[1:]
@@ -77,6 +97,7 @@ def main() -> int:
         argv = [a for a in argv if a != "--lenient"]
     bare = "--bare" in argv
     argv = [a for a in argv if a != "--bare"]
+    stderr_path = _capture_stderr()
     sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
@@ -150,6 +171,18 @@ def main() -> int:
     print(f"\n{len(names) - len(failures)}/{len(names)} ok in {time.time()-t_all:.0f}s")
     if failures:
         print("failing:", " ".join(failures))
+    n_codegen = _codegen_failures(stderr_path)
+    if n_codegen:
+        # A codegen fallback is a PERF failure this gate refuses to
+        # pass silently (VERDICT r10 directive #1): the query answers
+        # correctly but runs a stage interpreted — rerun the named
+        # queries one by one against this gate to isolate the plan.
+        print(
+            f"CODEGEN-FALLBACK: {n_codegen} 'Failed to compile' in "
+            f"{stderr_path} — a stage ran interpreted; fix the "
+            "expression width before trusting any timing"
+        )
+        return 1
     return 1 if failures else 0
 
 
