@@ -164,6 +164,53 @@ def _array_sql(values) -> str:
     return "array(" + ", ".join(f"{float(v)!r}D" for v in values) + ")"
 
 
+def _centroid_literals(cent: DataFrame) -> list[tuple[int, list[float]]] | None:
+    """Bounded collect of the (list_id, centroid) relation for the
+    literal-argmax corpus assignment (see _list_assign_literal_sql).
+    n_lists rows by construction — the same bounded-collect contract as
+    the PQ codebook seeds. Returns None when list ids are not plain
+    ints (the negated-id tiebreak needs integer ids); callers fall back
+    to the relational crossJoin+window assignment."""
+    out = []
+    for r in cent.select("list_id", "centroid").collect():
+        lid = r["list_id"]
+        if isinstance(lid, bool) or not isinstance(lid, int):
+            return None
+        out.append((int(lid), [float(x) for x in r["centroid"]]))
+    return out or None
+
+
+def _list_assign_literal_sql(
+    cent_lits: list[tuple[int, list[float]]],
+    sim_of,
+    id_type: str,
+) -> str:
+    """Nearest-centroid assignment as ONE projection expression: argmax
+    over literal centroids of (sim, -list_id) structs — the inverted-
+    list twin of pq_encode's argmin codebook scan. Replaces the
+    crossJoin(broadcast(cent)) -> Window(partitionBy id) -> row_number
+    form, whose per-row arithmetic is identical but which additionally
+    materializes n_lists rows per input row, sorts them map-side, and
+    pays a full corpus Exchange for the window — plus the id equi-join
+    (another corpus Exchange + sorts) to get the assignment back onto
+    the vector row. At 100 TB that is the difference between zero and
+    two full-corpus shuffles before the candidate join.
+
+    Ordering semantics match the window exactly: array_max compares the
+    struct fields with SQLOrderingUtil.compareDoubles — NaN greatest
+    (the window's DESC NULLS/Nan-first pick), -0.0 == 0.0 — and the
+    negated integer list_id breaks ties toward the SMALLER id, the
+    window's ``list_id ASC`` tiebreak. ``sim_of`` must emit the same
+    expression tree the relational form evaluated per (row, centroid)
+    pair, with the centroid column replaced by the array literal, so
+    every score is bit-identical."""
+    structs = ", ".join(
+        f"struct({sim_of(_array_sql(vec))} as s, {-lid}L as nl)"
+        for lid, vec in cent_lits
+    )
+    return f"CAST(-(array_max(array({structs})).nl) AS {id_type})"
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: each coordinate is a
     uniform [-1, 1] value derived from md5(plane:dim) — reproducible
@@ -422,9 +469,53 @@ def ivf_ann_topk(
             .select(*out_cols, "list_id")
         )
 
+    # Literal-argmax corpus assignment (r11): when the corpus needs
+    # assigning (no prebuilt index) and list ids are plain ints,
+    # collect the n_lists centroids (bounded — the codebook-seed
+    # pattern) and fuse the nearest-centroid pick into ONE projection
+    # on the vector row. The relational `assign` form costs a corpus
+    # Exchange for its window plus a corpus id equi-join (Exchange +
+    # sorts on both sides) to re-attach the assignment; the fused form
+    # costs zero shuffles and does the SAME per-row arithmetic. The
+    # HOF fold is used for the per-centroid sims in BOTH dim branches:
+    # n_lists unrolled dots fused into one projection would blow the
+    # 64 KB codegen limit (measured — see dot()); values are
+    # IEEE-identical either way.
+    cent_lits = _centroid_literals(cent) if index is None else None
+    if cent_lits is not None:
+        id_type = corpus.schema[id_col].dataType.simpleString()
+
+        def _sim_of(lit: str) -> str:
+            return f"round(({_dot_sql('cv', lit)} / (cn * sqrt({_dot_sql(lit, lit)}))), 6)"
+
+        asg_sql = _list_assign_literal_sql(cent_lits, _sim_of, id_type)
+        # probes-side assignment reuses the SAME collected centroids as
+        # a local relation — one less corpus scan under the broadcast
+        cent = corpus.sparkSession.createDataFrame(
+            [(lid, vec) for lid, vec in cent_lits],
+            schema="list_id long, centroid array<double>",
+        ).select(F.col("list_id").cast(id_type).alias("list_id"), "centroid")
+        cent = cent.withColumn(
+            "__centn",
+            F.expr(f"sqrt({_dot_sql('centroid', 'centroid')})")
+            if dim is None
+            else norm(F.col("centroid"), dim),
+        )
     if _emit_index:
         # index-build mode: corpus assignment only, original vectors
         # carried through (float-exact for the catalog round-trip)
+        if cent_lits is not None:
+            base = spread(corpus).select(F.col(id_col), F.col(vec_col))
+            base = base.withColumn("cv", as_double_vec(F.col(vec_col)))
+            base = base.withColumn(
+                "cn",
+                F.expr(f"sqrt({_dot_sql('cv', 'cv')})")
+                if dim is None
+                else norm(F.col("cv"), dim),
+            )
+            return base.withColumn("list_id", F.expr(asg_sql)).select(
+                F.col(id_col), "list_id", F.col(vec_col)
+            )
         asg = assign(c.drop("__asg") if "__asg" in c.columns else c, "cv", 1, ["neighbor_id"])
         return asg.join(
             corpus.select(F.col(id_col), F.col(vec_col)),
@@ -432,6 +523,8 @@ def ivf_ann_topk(
         ).select(F.col(id_col), "list_id", F.col(vec_col))
     if index is not None:
         lists = c.withColumnRenamed("__asg", "list_id")
+    elif cent_lits is not None:
+        lists = c.withColumn("list_id", F.expr(asg_sql))
     else:
         lists = assign(c, "cv", 1, ["neighbor_id"]).join(c, "neighbor_id")
     probes = assign(q, "qv", n_probe, ["query_id"]).join(q, "query_id")
@@ -440,8 +533,12 @@ def ivf_ann_topk(
         if dim is not None
         else F.expr(f"round(({_dot_sql('qv', 'cv')} / (qn * cn)), 6)")
     )
+    # the probe side is (queries x n_probe) rows — small by design at
+    # any corpus scale; without the hint the planner's estimate for a
+    # two-window subtree balloons and it falls back to a corpus-wide
+    # SortMergeJoin on list_id
     scored = (
-        lists.join(probes, "list_id")
+        lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", pair_score)
         # single-assignment IVF: each corpus vector lives in exactly
@@ -822,6 +919,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product quantization (the FAISS PQ baseline, public): split each
     vector into ``m`` subvectors of ``dim/m`` components; per subspace,
@@ -868,9 +966,14 @@ def pq_encode(
     # Three stacked projections keep the expression tree small: cast
     # each element once, difference each (element, centroid) pair once,
     # then fold — vs inlining, which repeats every cast 2k times and
-    # bloats the codegen unit past the JIT threshold.
+    # bloats the codegen unit past the JIT threshold. ``carry_cols``
+    # ride through every projection unchanged so a caller can fuse its
+    # own per-row derivation (the IVF list assignment) into this single
+    # narrow pass instead of paying an id equi-join to re-attach it.
+    carry = [f"`{c}`" for c in (carry_cols or [])]
     elems = vectors.selectExpr(
         f"`{id_col}`",
+        *carry,
         *[f"CAST(`{vec_col}`[{i}] AS DOUBLE) as __v{i}" for i in range(dim)],
     )
 
@@ -892,10 +995,11 @@ def pq_encode(
     ]
     err = " + ".join(f"__m{s}.d" for s in range(m))
     return (
-        elems.selectExpr(f"`{id_col}`", *diffs)
-        .selectExpr(f"`{id_col}`", *best)
+        elems.selectExpr(f"`{id_col}`", *carry, *diffs)
+        .selectExpr(f"`{id_col}`", *carry, *best)
         .selectExpr(
             f"`{id_col}`",
+            *carry,
             *[f"CAST(__m{s}.c AS INT) as code{s}" for s in range(m)],
             f"round({err}, 6) as recon_err",
         )
@@ -1023,7 +1127,59 @@ def ivfpq_ann_topk(
         )
 
     code_cols = [f"code{s}" for s in range(m)]
+
+    # Literal-argmax corpus assignment fused INTO the PQ encode pass
+    # (r11, see _list_assign_literal_sql): with the n_lists centroids
+    # collected (bounded — the same contract as the `seeds` codebook
+    # collect above), list assignment and PQ codes both become narrow
+    # projections of the same corpus scan, so the whole index side of
+    # the query is ZERO-shuffle. The relational form paid a corpus
+    # Exchange for the assignment window plus an Exchange+sort pair
+    # for the codes equi-join. Same per-row arithmetic, bit-identical
+    # assignment (__cn hoists the row's self-norm out of the
+    # per-centroid cosine — same subtree, evaluated once).
+    cent_lits = _centroid_literals(cent) if index is None else None
+    if cent_lits is not None:
+        # probes-side assignment (the `assign` closure reads `cent`
+        # late-bound) reuses the SAME collected centroids as a local
+        # relation — one less corpus scan under its broadcast build
+        cent = corpus.sparkSession.createDataFrame(
+            [(lid, vec) for lid, vec in cent_lits],
+            schema="list_id long, centroid array<double>",
+        ).select(
+            F.col("list_id")
+            .cast(corpus.schema[id_col].dataType.simpleString())
+            .alias("list_id"),
+            "centroid",
+        )
+
+    def _fused_lists():
+        id_type = corpus.schema[id_col].dataType.simpleString()
+
+        def _sim_of(lit: str) -> str:
+            return (
+                f"round(({_dot_sql('cv', lit)} / "
+                f"(__cn * sqrt({_dot_sql(lit, lit)}))), 6)"
+            )
+
+        asg_sql = _list_assign_literal_sql(cent_lits, _sim_of, id_type)
+        cwl = (
+            spread(corpus)
+            .withColumn("cv", as_double_vec(F.col(vec_col)))
+            .withColumn("__cn", F.expr(f"sqrt({_dot_sql('cv', 'cv')})"))
+            .withColumn("__list", F.expr(asg_sql))
+            .drop("cv", "__cn")
+        )
+        return pq_encode(
+            cwl, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col,
+            carry_cols=["__list"],
+        )
+
     if _emit_index:
+        if cent_lits is not None:
+            return _fused_lists().select(
+                F.col(id_col), F.col("__list").alias("list_id"), *code_cols
+            )
         codes = pq_encode(
             corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col
         ).select(F.col(id_col).alias("neighbor_id"), *code_cols)
@@ -1042,6 +1198,12 @@ def ivfpq_ann_topk(
             )
         lists = index.select(
             F.col(id_col).alias("neighbor_id"), "list_id", *code_cols
+        )
+    elif cent_lits is not None:
+        lists = _fused_lists().select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__list").alias("list_id"),
+            *code_cols,
         )
     else:
         codes = pq_encode(
