@@ -805,27 +805,29 @@ def exact_quantiles(
     The scale story versus the two built-ins: ``percentile`` (exact)
     concentrates a value->count map in one executor; a global sort
     shuffles everything. This touches only count histograms — the
-    data rows never move. The input is persisted for the shared
-    refinement scans and unpersisted once the scalars are out."""
-    nn = df.select(F.col(value_col).alias("__v")).filter(F.col("__v").isNotNull())
-    nn = nn.persist()
-    try:
-        n = nn.count()
-        out = []
-        for q in qs:
-            if not 0.0 <= q <= 1.0:
-                raise ValueError(f"quantile {q} outside [0, 1]")
-            k = int(math.floor(q * (n - 1))) if n else 0
-            out.append(
-                (float(q), kth_order_statistic(
-                    nn, "__v", k, n_ranges=n_ranges, collect_limit=collect_limit
-                ))
-            )
-    finally:
-        nn.unpersist()
+    data rows never move.
+
+    r11: delegates to ``exact_quantiles_by_group`` under a constant
+    group so ALL quantiles refine SIMULTANEOUSLY — one histogram
+    aggregate per round covers every quantile, and the bounded
+    finishes batch into one action, where the old per-quantile
+    ``kth_order_statistic`` loop paid ~3 independent jobs per
+    quantile (pure scheduler fixed cost at any scale; the per-round
+    scan work is unchanged). Same elements, same (q, value) frame."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
     spark = df.sparkSession
     vtype = dict(df.dtypes)[value_col]
-    return spark.createDataFrame(out, f"q double, value {vtype}")
+    tagged = df.select(F.lit(0).alias("__qg"), F.col(value_col))
+    out_rows = exact_quantiles_by_group(
+        tagged, ["__qg"], value_col, qs,
+        n_ranges=n_ranges, collect_limit=collect_limit,
+    ).collect()
+    pairs = [(float(r["q"]), r["value"]) for r in out_rows] or [
+        (float(q), None) for q in qs
+    ]
+    return spark.createDataFrame(pairs, f"q double, value {vtype}")
 
 
 def _selector_join(rows: DataFrame, sel_df: DataFrame, gcols: Sequence[str]) -> DataFrame:
@@ -962,6 +964,7 @@ def exact_quantiles_by_group(
                 .count()
                 .collect()
             }
+            finishers: dict[int, int] = {}  # sid -> winning bucket
             for s, st in live.items():
                 gkey, q, k, lo, hi, _ = st
                 w = max((float(hi) - float(lo)) / n_ranges, 1e-300)
@@ -973,24 +976,50 @@ def exact_quantiles_by_group(
                         st[3] = float(lo) + b * w
                         st[4] = min(float(hi), float(lo) + (b + 1) * w)
                         if c <= collect_limit:
-                            # bounded finish: exact candidates of this
-                            # one bucket, TakeOrdered k+1
-                            cond = (bucket == b) & in_range & (
-                                F.col("__sid") == s
-                            )
-                            vals = (
-                                joined.filter(cond)
-                                .orderBy("__v")
-                                .limit(st[2] + 1)
-                                .tail(1)
-                            )
-                            st[5] = vals[0]["__v"]
+                            finishers[s] = b
                         elif st[3] == st[4] or w <= 1e-299:
                             st[5] = st[3]
                         break
                     running += c
                 else:  # pragma: no cover
                     raise AssertionError("selector counts lost rows")
+            if finishers:
+                # bounded finish, BATCHED (r11): every selector whose
+                # winning bucket fits collect_limit resolves in ONE
+                # Spark action — the k-th smallest of each selector's
+                # candidate bucket via sort_array(collect_list) per
+                # sid (each list bounded by collect_limit). The old
+                # form ran one TakeOrdered JOB per selector, so a
+                # round resolving G groups x Q quantiles paid G*Q
+                # scheduler round trips of pure fixed cost.
+                fin_cond = None
+                for s, b in finishers.items():
+                    c0 = (F.col("__sid") == s) & (bucket == b)
+                    fin_cond = c0 if fin_cond is None else (fin_cond | c0)
+                # per-sid 0-based target index as a map literal
+                idx = F.create_map(
+                    *[
+                        x
+                        for s in finishers
+                        for x in (F.lit(s), F.lit(sels[s][2]))
+                    ]
+                )
+                got = (
+                    joined.filter(in_range & fin_cond)
+                    .groupBy("__sid")
+                    .agg(
+                        F.element_at(
+                            F.sort_array(F.collect_list("__v")),
+                            (idx[F.col("__sid")] + 1).cast("int"),
+                        ).alias("__kth")
+                    )
+                    .collect()
+                )
+                vals = {r["__sid"]: r["__kth"] for r in got}
+                for s in finishers:
+                    # KeyError here would mean the counts and the
+                    # candidate fetch disagreed — loud, never silent
+                    sels[s][5] = vals[s]
         still = unresolved()
         if still:  # pragma: no cover
             raise AssertionError(f"{len(still)} selectors did not converge")
