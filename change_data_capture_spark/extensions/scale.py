@@ -830,6 +830,29 @@ def exact_quantiles(
     return spark.createDataFrame(pairs, f"q double, value {vtype}")
 
 
+def _batched_kth(cands: DataFrame, idx: dict[int, int]) -> dict:
+    """k-th smallest ``__v`` per ``__sid`` in ONE Spark action: each
+    selector's candidate list (bounded by collect_limit at every call
+    site) is sorted engine-side and the per-selector 0-based target
+    index — a map literal — extracts the element, so only one value
+    per selector crosses to the driver. Ties cannot change the result:
+    the k-th order statistic of a multiset is a value, not a row."""
+    m = F.create_map(
+        *[x for s, k in idx.items() for x in (F.lit(s), F.lit(k))]
+    )
+    got = (
+        cands.groupBy("__sid")
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list("__v")),
+                (m[F.col("__sid")] + 1).cast("int"),
+            ).alias("__kth")
+        )
+        .collect()
+    )
+    return {r["__sid"]: r["__kth"] for r in got}
+
+
 def _selector_join(rows: DataFrame, sel_df: DataFrame, gcols: Sequence[str]) -> DataFrame:
     """Fan the data rows onto their group's live selectors. The
     selector table is driver-bounded metadata (O(#groups x #quantiles)
@@ -886,15 +909,24 @@ def exact_quantiles_by_group(
     ).filter(F.col("__v").isNotNull()).persist()
     try:
         spark = df.sparkSession
-        # Bounded cardinality probe BEFORE any full group collect: the
-        # cap must fire without the driver ever materializing the key
-        # set it is guarding against (limit keeps the probe to at most
-        # cap+1 rows executor-side; only the count crosses).
+        # Bounded base stats WITH the cardinality guard fused in (r11):
+        # the guard used to be a separate distinct().limit().count()
+        # probe — one whole extra pass over the rows. The limit bounds
+        # driver materialization the same way (at most cap+1 group rows
+        # cross, never the full key set), and overflow still fails fast
+        # before any selector state exists.
         cap_groups = max(max_selectors // max(len(qs), 1), 1)
-        probed = (
-            rows.select(*gcols).distinct().limit(cap_groups + 1).count()
+        base_rows = (
+            rows.groupBy(*gcols)
+            .agg(
+                F.min("__v").alias("__lo"),
+                F.max("__v").alias("__hi"),
+                F.count("__v").alias("__n"),
+            )
+            .limit(cap_groups + 1)
+            .collect()
         )
-        if probed > cap_groups:
+        if len(base_rows) > cap_groups:
             raise ValueError(
                 f"exact_quantiles_by_group selector state would exceed "
                 f"max_selectors={max_selectors} (> {cap_groups} groups x "
@@ -905,21 +937,18 @@ def exact_quantiles_by_group(
             )
         base = {
             tuple(r[g] for g in gcols): (r["__lo"], r["__hi"], r["__n"])
-            for r in rows.groupBy(*gcols)
-            .agg(
-                F.min("__v").alias("__lo"),
-                F.max("__v").alias("__hi"),
-                F.count("__v").alias("__n"),
-            )
-            .collect()
+            for r in base_rows
         }
         # selector state: sid -> [group_key, q, k, lo, hi, resolved_value]
         sels: dict[int, list] = {}
         sid = 0
+        small: dict[int, int] = {}  # sid -> group count n (direct finish)
         for gkey, (lo, hi, n) in base.items():
             for q in qs:
                 k = int(math.floor(q * (n - 1)))
                 sels[sid] = [gkey, q, k, lo, hi, lo if lo == hi else None]
+                if sels[sid][5] is None and n <= collect_limit:
+                    small[sid] = n
                 sid += 1
 
         def unresolved():
@@ -929,6 +958,24 @@ def exact_quantiles_by_group(
             [f"`__g{i}` {dict(df.dtypes)[g]}" for i, g in enumerate(gcols)]
             + ["__sid int", "__lo double", "__w double"]
         )
+        if small:
+            # Direct finish (r11): a selector whose WHOLE group fits
+            # collect_limit needs no histogram refinement — its
+            # candidate set is the group itself. Resolve all such
+            # selectors in one batched action, so the common
+            # metadata-sized-groups call is 2 actions total (base
+            # stats + this) instead of probe + base + a count round +
+            # one TakeOrdered per selector.
+            sel_rows = []
+            for s in small:
+                gkey, _q, _k, lo, hi, _ = sels[s]
+                w = max((float(hi) - float(lo)) / n_ranges, 1e-300)
+                sel_rows.append((*gkey, s, float(lo), w))
+            sel_df = spark.createDataFrame(sel_rows, sel_schema)
+            joined = _selector_join(rows, sel_df, gcols)
+            vals = _batched_kth(joined, {s: sels[s][2] for s in small})
+            for s in small:
+                sels[s][5] = vals[s]
         for _ in range(max_rounds):
             live = unresolved()
             if not live:
@@ -986,36 +1033,18 @@ def exact_quantiles_by_group(
             if finishers:
                 # bounded finish, BATCHED (r11): every selector whose
                 # winning bucket fits collect_limit resolves in ONE
-                # Spark action — the k-th smallest of each selector's
-                # candidate bucket via sort_array(collect_list) per
-                # sid (each list bounded by collect_limit). The old
-                # form ran one TakeOrdered JOB per selector, so a
-                # round resolving G groups x Q quantiles paid G*Q
-                # scheduler round trips of pure fixed cost.
+                # Spark action. The old form ran one TakeOrdered JOB
+                # per selector, so a round resolving G groups x Q
+                # quantiles paid G*Q scheduler round trips of pure
+                # fixed cost.
                 fin_cond = None
                 for s, b in finishers.items():
                     c0 = (F.col("__sid") == s) & (bucket == b)
                     fin_cond = c0 if fin_cond is None else (fin_cond | c0)
-                # per-sid 0-based target index as a map literal
-                idx = F.create_map(
-                    *[
-                        x
-                        for s in finishers
-                        for x in (F.lit(s), F.lit(sels[s][2]))
-                    ]
+                vals = _batched_kth(
+                    joined.filter(in_range & fin_cond),
+                    {s: sels[s][2] for s in finishers},
                 )
-                got = (
-                    joined.filter(in_range & fin_cond)
-                    .groupBy("__sid")
-                    .agg(
-                        F.element_at(
-                            F.sort_array(F.collect_list("__v")),
-                            (idx[F.col("__sid")] + 1).cast("int"),
-                        ).alias("__kth")
-                    )
-                    .collect()
-                )
-                vals = {r["__sid"]: r["__kth"] for r in got}
                 for s in finishers:
                     # KeyError here would mean the counts and the
                     # candidate fetch disagreed — loud, never silent

@@ -472,8 +472,9 @@ def ivf_ann_topk(
     # Literal-argmax corpus assignment (r11): when the corpus needs
     # assigning (no prebuilt index) and list ids are plain ints,
     # collect the n_lists centroids (bounded — the codebook-seed
-    # pattern) and fuse the nearest-centroid pick into ONE projection
-    # on the vector row. The relational `assign` form costs a corpus
+    # pattern; collected via a plain TakeOrdered, no spread exchange)
+    # and fuse the nearest-centroid pick into ONE projection on the
+    # vector row. The relational `assign` form costs a corpus
     # Exchange for its window plus a corpus id equi-join (Exchange +
     # sorts on both sides) to re-attach the assignment; the fused form
     # costs zero shuffles and does the SAME per-row arithmetic. The
@@ -481,7 +482,18 @@ def ivf_ann_topk(
     # n_lists unrolled dots fused into one projection would blow the
     # 64 KB codegen limit (measured — see dot()); values are
     # IEEE-identical either way.
-    cent_lits = _centroid_literals(cent) if index is None else None
+    cent_lits = (
+        _centroid_literals(
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_lists)
+            .select(
+                F.col(id_col).alias("list_id"),
+                as_double_vec(F.col(vec_col)).alias("centroid"),
+            )
+        )
+        if index is None
+        else None
+    )
     if cent_lits is not None:
         id_type = corpus.schema[id_col].dataType.simpleString()
 
@@ -920,6 +932,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_cols: list[str] | None = None,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """Product quantization (the FAISS PQ baseline, public): split each
     vector into ``m`` subvectors of ``dim/m`` components; per subspace,
@@ -953,10 +966,17 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub_d = dim // m
-    seeds = (
-        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
-    )
-    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    if codebook is not None:
+        # caller already holds the deterministic smallest-id seed
+        # vectors (e.g. ivfpq_ann_topk's single head collect serves
+        # the ADC table, the centroid literals AND this codebook) —
+        # skip the redundant collect action
+        cents = [[float(x) for x in v] for v in codebook]
+    else:
+        seeds = (
+            vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+        )
+        cents = [[float(x) for x in r[vec_col]] for r in seeds]
     if len(cents) != k:
         raise ValueError(
             f"corpus has only {len(cents)} vectors — smaller than the "
@@ -1104,8 +1124,25 @@ def ivfpq_ann_topk(
                 F.col(id_col).alias("list_id"), as_double_vec(F.col(vec_col)).alias("centroid")
             )
         )
-    seeds = corpus.orderBy(id_col).limit(kc).select(vec_col).collect()
-    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    # ONE bounded head collect serves all three driver-side needs
+    # (r11): the ADC codebook (first kc vectors), the literal
+    # assignment centroids (first n_lists (id, vector) pairs), and —
+    # threaded through pq_encode's ``codebook`` parameter — the PQ
+    # encoder's seeds, which previously re-collected the same rows in
+    # a second action.
+    nhead = kc if index is not None else max(kc, n_lists)
+    head = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nhead)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in head[:kc]]
+    if len(cents) != kc:
+        raise ValueError(
+            f"corpus has only {len(cents)} vectors — smaller than the "
+            f"codebook k={kc}"
+        )
 
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
@@ -1138,7 +1175,15 @@ def ivfpq_ann_topk(
     # for the codes equi-join. Same per-row arithmetic, bit-identical
     # assignment (__cn hoists the row's self-norm out of the
     # per-centroid cosine — same subtree, evaluated once).
-    cent_lits = _centroid_literals(cent) if index is None else None
+    cent_lits = None
+    if index is None:
+        cent_lits = [
+            (int(r[id_col]), [float(x) for x in r[vec_col]])
+            for r in head[:n_lists]
+            if isinstance(r[id_col], int) and not isinstance(r[id_col], bool)
+        ] or None
+        if cent_lits is not None and len(cent_lits) != len(head[:n_lists]):
+            cent_lits = None  # mixed/non-int ids: relational fallback
     if cent_lits is not None:
         # probes-side assignment (the `assign` closure reads `cent`
         # late-bound) reuses the SAME collected centroids as a local
@@ -1172,7 +1217,7 @@ def ivfpq_ann_topk(
         )
         return pq_encode(
             cwl, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col,
-            carry_cols=["__list"],
+            carry_cols=["__list"], codebook=cents,
         )
 
     if _emit_index:
@@ -1181,7 +1226,8 @@ def ivfpq_ann_topk(
                 F.col(id_col), F.col("__list").alias("list_id"), *code_cols
             )
         codes = pq_encode(
-            corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col
+            corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col,
+            codebook=cents,
         ).select(F.col(id_col).alias("neighbor_id"), *code_cols)
         return (
             assign(c, "cv", 1, ["neighbor_id"])
@@ -1207,7 +1253,8 @@ def ivfpq_ann_topk(
         )
     else:
         codes = pq_encode(
-            corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col
+            corpus, m=m, k=kc, dim=dim, id_col=id_col, vec_col=vec_col,
+            codebook=cents,
         ).select(F.col(id_col).alias("neighbor_id"), *code_cols)
         lists = assign(c, "cv", 1, ["neighbor_id"]).join(codes, "neighbor_id")
 
