@@ -548,3 +548,32 @@ def test_prefix_sum_rejects_non_numeric_order_column(spark):
     df = spark.createDataFrame([("doc_001", 3)], "id string, n bigint")
     with pytest.raises(ValueError, match="'id' is string"):
         prefix_sum(df, "id", "n")
+
+
+def test_exact_quantiles_by_group_small_groups_resolve_in_two_actions(spark):
+    """r11 structural pin: with every group under collect_limit the
+    whole call is TWO Spark actions — the limited base-stats collect
+    and ONE batched k-th-smallest finish. The pre-r11 shape paid a
+    separate cardinality probe, a histogram-count round, and one
+    TakeOrdered job PER selector (G groups x Q quantiles of pure
+    scheduler fixed cost)."""
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)]
+        + [("b", float(i)) for i in range(30)],
+        "g string, x double",
+    )
+    with ExecutedPlanCollector(spark) as col:
+        col.drain()
+        col.clear()
+        out = scale.exact_quantiles_by_group(df, ["g"], "x", [0.25, 0.5, 0.75])
+        n_build = len(col.drain())
+    assert n_build == 2, f"expected 2 build actions, saw {n_build}"
+    got = {(r["g"], r["q"]): r["value"] for r in out.collect()}
+    import math as _m
+
+    for g, n in (("a", 20), ("b", 30)):
+        vals = sorted(range(n))
+        for q in (0.25, 0.5, 0.75):
+            assert got[(g, q)] == float(vals[int(_m.floor(q * (n - 1)))])

@@ -277,3 +277,29 @@ def test_similarity_params_fail_fast(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="iters=-1"):
         sm.kmeans_lloyd(emb, k=4, iters=-1)
+
+
+def test_ivf_corpus_side_plan_is_shuffle_free(spark, sf_dir):
+    """r11 structural pin: the literal-centroid fused assignment keeps
+    the whole IVF-PQ index side (list ids + PQ codes) a narrow
+    projection chain — no Exchange, no join — and builds each query
+    with exactly ONE bounded collect (the shared head of the corpus).
+    The pre-r11 shape paid a corpus Exchange for the assignment window
+    plus an Exchange+sort pair for the codes equi-join."""
+    from change_data_capture_spark.extensions import similarity as sm
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+
+    emb = load(spark, sf_dir, "embeddings")
+    # index side alone (emit mode): zero shuffles in the plan
+    with ExecutedPlanCollector(spark) as col:
+        col.drain()
+        col.clear()
+        idx = sm.ivfpq_index(emb)
+        n_build = len(col.drain())
+    assert n_build == 1, f"expected 1 bounded head collect, saw {n_build}"
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # spread()'s round-robin scan-parallelism repartition is the ONLY
+    # allowed exchange; no key shuffle, no join anywhere
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
