@@ -2719,10 +2719,16 @@ def dedup_score_histogram(spark, sf_dir):
     counts — (20k) div (na+nb-k) — never a float multiply of the
     rounded score (0.35*20 is 6.999... in doubles, 7 in decimals;
     engines would split at band edges). The threshold-tuning signal
-    read before choosing a dedup cut; O(near-dup docs) recompute."""
+    read before choosing a dedup cut. r11: the banding integers
+    (k, na, nb) ride out of the verify stage (``_with_counts``)
+    instead of being recomputed by a second shingle + inverted-index
+    pass — same integer arithmetic, same bands, one pipeline instead
+    of two."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_duplicates(docs, n=5, k=72, bands=24, threshold=0.8)
-    return dedup.jaccard_score_histogram(docs, pairs, n=5)
+    pairs = dedup.minhash_lsh_duplicates(
+        docs, n=5, k=72, bands=24, threshold=0.8, _with_counts=True
+    )
+    return dedup.jaccard_score_histogram_from_counts(pairs)
 
 
 @_q(

@@ -458,3 +458,45 @@ def test_score_histogram_handles_reversed_pair_orientation(spark):
     pairs = spark.createDataFrame([(9, 2)], "a_id long, b_id long")  # reversed
     out = dedup.jaccard_score_histogram(docs, pairs, n=5).collect()
     assert len(out) == 1 and out[0]["n_pairs"] == 1
+
+
+def test_score_histogram_from_counts_matches_recompute(spark):
+    """r11 optimization pin: the one-pipeline histogram over the verify
+    stage's (inter_k, n_a, n_b) integers must band IDENTICALLY to the
+    recompute form (second shingle + inverted-index pass) it replaced
+    in dedup_score_histogram — same integer arithmetic, same rows."""
+    from change_data_capture_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dof"),
+            (3, "pack my box with five dozen liquor jugs now"),
+            (4, "pack my box with five dozen liquor jugs nov"),
+            (5, "sphinx of black quartz judge my vow today ok"),
+            (6, "completely unrelated text with no dup at all"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = dedup.minhash_lsh_duplicates(docs, n=5, k=32, bands=8, threshold=0.5)
+    # default output contract unchanged: exactly the three public columns
+    assert plain.columns == ["a_id", "b_id", "jaccard"]
+
+    counted = dedup.minhash_lsh_duplicates(
+        docs, n=5, k=32, bands=8, threshold=0.5, _with_counts=True
+    )
+    assert counted.columns == ["a_id", "b_id", "jaccard", "inter_k", "n_a", "n_b"]
+    # same verified pairs, same scores
+    assert sorted((r["a_id"], r["b_id"], r["jaccard"]) for r in counted.collect()) == sorted(
+        (r["a_id"], r["b_id"], r["jaccard"]) for r in plain.collect()
+    )
+
+    fast = {
+        (r["bucket"], r["bucket_lo"], r["n_pairs"])
+        for r in dedup.jaccard_score_histogram_from_counts(counted).collect()
+    }
+    slow = {
+        (r["bucket"], r["bucket_lo"], r["n_pairs"])
+        for r in dedup.jaccard_score_histogram(docs, plain, n=5).collect()
+    }
+    assert fast == slow and fast  # identical, and non-empty
