@@ -1780,7 +1780,13 @@ def cdc_goldengate_binary_e2e(spark, sf_dir):
                 gg_row("U", k + 100000, inner(k, nm), inner(k + 9000, nm))),))
     df = spark.createDataFrame(msgs, "value binary")
     dec = avro_binary.decode_generic_wrapper(df, "value")
-    dec = avro_binary.decode_record(dec, spec, payload_col="payload", out_col="rec")
+    # max_array_items=1: this feed's primary_keys arity IS 1 (the
+    # builder encodes ["s_suppkey"] above) — each unrolled array slot
+    # costs ~4 alias columns whose plan-analysis price is paid per
+    # action (r11; see decode_record docstring)
+    dec = avro_binary.decode_record(
+        dec, spec, payload_col="payload", out_col="rec", max_array_items=1
+    )
 
     img_cols = ["s_suppkey", "s_name"]
 

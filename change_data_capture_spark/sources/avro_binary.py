@@ -265,24 +265,41 @@ _ARRAY_UNROLL = 8  # max items decoded per (single-block) array
 
 
 def decode_record(
-    df: DataFrame, spec, payload_col: str = "payload", out_col: str = "rec"
+    df: DataFrame, spec, payload_col: str = "payload", out_col: str = "rec",
+    max_array_items: int | None = None,
 ) -> DataFrame:
     """Decode an Avro binary record of ``spec`` shape from
     ``payload_col`` into a struct column ``out_col`` — the
     set-oriented, codegen'd equivalent of the reference's
     ``GenericDatumReader`` loop.
 
-    EVERY intermediate (varint struct, offset, decoded value) is
-    materialized as its own projection column, including inside union
-    branches and array items: a varint decode references its offset
-    ~10 times, so a tree-shaped build is exponential in nesting depth
-    (a first version heap-OOM'd the analyzer on the GoldenGate shape).
+    Every MULTIPLY-REFERENCED intermediate (varint struct, running
+    offset) is materialized as its own projection column, including
+    inside union branches and array items: a varint decode references
+    its offset ~10 times, so a tree-shaped build is exponential in
+    nesting depth (a first version heap-OOM'd the analyzer on the
+    GoldenGate shape). Single-use DAG leaves (decoded field values,
+    union inner values, array items) stay inline — they reference only
+    already-materialized offsets, cannot duplicate anything, and each
+    alias column they'd otherwise occupy is carried through every
+    subsequent projection, which is exactly the O(width x batches)
+    plan-analysis cost this operator pays per action (r11 measurement:
+    halving the alias count cut build+exec wall ~2x on 120 rows).
     Speculative decode of a not-taken union branch reads junk bytes,
     which every primitive tolerates (conv/substring return null/empty,
     never error) — the ``when()`` on the branch index discards it.
     Catalyst's CollapseProject keeps multiply-referenced non-cheap
-    aliases in place, so the linear shape survives optimization."""
+    aliases in place, so the linear shape survives optimization.
+
+    ``max_array_items`` bounds the per-array decode unroll (default
+    ``_ARRAY_UNROLL``). An array<string> costs ~4 alias columns per
+    unrolled slot, so a caller that KNOWS its arrays' arity (e.g. a
+    CDC feed whose primary_keys list is the table's fixed key arity)
+    should pass it; items beyond the bound are not decoded (same
+    contract as the default bound, just tighter)."""
     assert spec[0] == "record"
+    n_items = _ARRAY_UNROLL if max_array_items is None else max_array_items
+    assert n_items >= 1
     hexc = F.col("__rec_hex")
     binc = F.col(payload_col)
     # Intermediates are emitted as LATERAL column aliases (each alias
@@ -333,11 +350,13 @@ def decode_record(
             return val, emit(start + v["value"])
         kind = sp[0]
         if kind == "nullable":
-            b = emit(varint_at(hexc, off, _LEN_MAX))  # union index: 0=null
+            # union index of a 2-branch union is canonically ONE byte
+            # (zigzag 0 -> 0x00, 1 -> 0x02); a 1-byte decode is exact
+            # and 5x smaller than the _LEN_MAX expression tree (r11)
+            b = emit(varint_at(hexc, off, 1))  # union index: 0=null
             inner_off = emit(off + b["width"])
             ival, iend = walk(inner_off, sp[1])
-            ival = emit(ival)
-            val = F.when(b["value"] == 1, ival)
+            val = F.when(b["value"] == 1, ival)  # single-use: stays inline
             end = emit(F.when(b["value"] == 1, iend).otherwise(inner_off))
             return val, end
         if kind == "array":
@@ -346,12 +365,12 @@ def decode_record(
             n = c["value"]
             first = emit(off + c["width"])
             cur, items, ends = first, [], []
-            for _ in range(_ARRAY_UNROLL):
+            for _ in range(n_items):
                 iv, cur = walk(cur, "string")
-                items.append(emit(iv))
+                items.append(iv)  # single-use: stays inline
                 ends.append(cur)
             end_items: Column = first  # offset after 0 items
-            for i in range(_ARRAY_UNROLL):
+            for i in range(n_items):
                 end_items = F.when(n == i + 1, ends[i]).otherwise(end_items)
             # terminator varint (0) follows any non-empty block
             term = F.when(n > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
@@ -361,7 +380,7 @@ def decode_record(
             fields, cur = [], off
             for name, fspec in sp[1]:
                 fv, cur = walk(cur, fspec)
-                fields.append(emit(fv).alias(name))
+                fields.append(fv.alias(name))  # single-use: stays inline
             return F.struct(*fields), cur
         raise ValueError(f"unsupported avro spec: {sp!r}")
 

@@ -208,6 +208,33 @@ def test_nested_gg_payload_decode(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_decode_record_max_array_items_bound(spark):
+    """``max_array_items=N`` decodes arity<=N arrays identically to the
+    default bound — including every field AFTER the array, i.e. the
+    offset chain stays exact — it just emits fewer unrolled slots
+    (the r11 plan-width trim used by the fixed-arity GoldenGate feed)."""
+    cases = [
+        ("gg.supplier", "I", "2020-01-01 00:00:00", 7,
+         ["s_suppkey"], None, _enc_inner(42, "alice")),
+        ("gg.supplier", "U", "", 2**40, [], _enc_inner(44, ""), _enc_inner(44, "carol")),
+    ]
+    df = spark.createDataFrame(
+        [(i, _enc_gg_row(*c)) for i, c in enumerate(cases)], "i int, payload binary"
+    )
+    full = ab.decode_record(df, GG_ROW_SPEC).select("i", "rec").orderBy("i").collect()
+    tight = (
+        ab.decode_record(df, GG_ROW_SPEC, max_array_items=1)
+        .select("i", "rec").orderBy("i").collect()
+    )
+    assert full == tight
+    # and the values themselves are right (not both paths equally wrong)
+    assert tight[0]["rec"]["primary_keys"] == ["s_suppkey"]
+    assert tight[0]["rec"]["after"]["s_name"] == "alice"
+    assert tight[1]["rec"]["primary_keys"] == []
+    assert tight[1]["rec"]["before"]["s_suppkey"] == 44
+    assert tight[1]["rec"]["after"]["s_name"] == "carol"
+
+
 DOUBLE_SPECIALS = [
     0.0, -0.0, 1.0, -1.5, 1e308, -1e308, 5e-324, -5e-324,
     2.2250738585072014e-308, 1.7976931348623157e308, 1e-310,
