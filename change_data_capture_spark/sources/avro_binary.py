@@ -262,6 +262,13 @@ def encode_generic_wrapper(table_name: str, fingerprint: int, payload: bytes) ->
 # ---------------------------------------------------------------------------
 
 _ARRAY_UNROLL = 8  # max items decoded per (single-block) array
+# Lateral-alias flush batch size for decode_record: one withColumn per
+# intermediate re-runs the analyzer on the whole growing plan (O(n^2)),
+# a single select with every alias chained trips an internal analyzer
+# error at depth. Re-A/B'd at the r11 slimmed plan width: 10 still
+# optimal (see decode_record docstring). Module-level so experiments
+# can monkeypatch it.
+_FLUSH_AT = 10
 
 
 def decode_record(
@@ -313,7 +320,6 @@ def decode_record(
     pending: list[tuple[str, Column]] = [("__rec_hex", F.hex(binc))]
     tmps = ["__rec_hex"]
     state = {"n": 0, "df": df}
-    _FLUSH_AT = 10
 
     def flush() -> None:
         if pending:
