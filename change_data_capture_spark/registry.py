@@ -57,8 +57,33 @@ class QueryDef:
     oracle: str | None  # None -> non-SQL-expressible; rows-only check
 
 
+_TABLE_SCHEMAS: dict[str, "StructType"] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a fixture table with a per-process SCHEMA memo (r11).
+
+    A bare ``spark.read.parquet`` re-infers the schema from parquet
+    footers on EVERY call — measured ~100 ms of driver/Py4J latency
+    per table read vs ~16 ms with an explicit schema, which at 6
+    tables per build (q5) is most of that query's non-action driver
+    time. Production engines pay this once: the table schema lives in
+    a catalog/metastore, exactly as this package's own ``TableCatalog``
+    stores ``schema_json`` and reads with
+    ``spark.read.schema(...)`` (apply.py). The memo holds METADATA
+    only — the schema inferred from the actual footers on first touch,
+    keyed by file path; every query still computes its result from the
+    parquet data in full, nothing about rows or intermediates is
+    cached. The fixture directories are read-only, so a path's schema
+    cannot change within a process; callers that pre-set read confs
+    affecting inference (``_events``' nanosAsLong) set them before the
+    first read exactly as before."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _TABLE_SCHEMAS.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _TABLE_SCHEMAS[path] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,3 +76,26 @@ def test_window_spans_every_operator_area():
         "multimodal_",     # binary-payload metadata
     ):
         assert any(n.startswith(prefix) for n in window), f"no window entry for area {prefix}"
+
+
+def test_table_schema_memo_infers_once_and_matches_bare_read(spark):
+    """r11: ``_t`` memoizes the INFERRED schema per parquet path (one
+    footer-inference per process — the metastore behavior the catalog
+    already has) and must return exactly the schema a bare
+    ``spark.read.parquet`` would, so every scan plan is unchanged."""
+    import os
+    sf_dir = "/root/testdata/sf0.001"
+    path = os.path.join(sf_dir, "supplier.parquet")
+    registry._TABLE_SCHEMAS.pop(path, None)
+    bare = spark.read.parquet(path)
+    df1 = registry._t(spark, sf_dir, "supplier")
+    assert df1.schema == bare.schema
+    assert path in registry._TABLE_SCHEMAS
+    # second read serves from the memo: poison the stored schema to
+    # prove no re-inference happens, then restore
+    sentinel = registry._TABLE_SCHEMAS[path]
+    df2 = registry._t(spark, sf_dir, "supplier")
+    assert registry._TABLE_SCHEMAS[path] is sentinel
+    assert df2.schema == bare.schema
+    # and the frames read identical data
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, bare.collect()))
