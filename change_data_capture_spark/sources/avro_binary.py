@@ -128,35 +128,118 @@ def float_from_bits(bits: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL-TEXT twins of the Column primitives (r11 optimization round).
+#
+# Composing the decode as SQL text costs ZERO Py4J round trips: the
+# Column builders above make one JVM call per operator node (~145
+# calls for one 10-byte varint), which profiled as the single largest
+# share of decode_record's driver wall on the GoldenGate shape —
+# ~3 s of pure expression construction, re-paid on every build. The
+# text twins mirror the Column builders op for op; Catalyst parses
+# them into the same expression trees, so analysis, codegen and
+# results are identical (golden-byte, IEEE-exactness and oracle-hash
+# tests all run through this path). A textual reference is a copy
+# where a Column reference shares the JVM object, but every
+# multiply-referenced intermediate is materialized as a lateral alias
+# by the decoders, so per-alias text stays bounded (~tens of KB for a
+# full zigzag long) and parses in milliseconds. Double/float literals
+# carry the D suffix — a bare ``1.0`` parses as DECIMAL in SQL text,
+# unlike ``F.lit(1.0)``.
+# ---------------------------------------------------------------------------
+
+
+def _byte_at_sql(h: str, off: str) -> str:
+    """SQL twin of :func:`_byte_at`; ``h``/``off`` are SQL fragments."""
+    return f"CAST(conv(substring({h}, ({off}) * 2 + 1, 2), 16, 10) AS BIGINT)"
+
+
+def varint_at_sql(h: str, off: str, max_bytes: int = _LONG_MAX) -> str:
+    """SQL twin of :func:`varint_at`; returns
+    ``named_struct('value', ..., 'width', ...)`` text."""
+    off = f"CAST({off} AS BIGINT)"
+    raw = "CAST(0 AS BIGINT)"
+    width = "CAST(0 AS BIGINT)"
+    prefix = "true"
+    for i in range(max_bytes):
+        b = _byte_at_sql(h, f"{off} + {i}")
+        group = f"shiftleft(({b}) & 127, {7 * i})"
+        raw = f"({raw} | (CASE WHEN {prefix} THEN {group} ELSE CAST(0 AS BIGINT) END))"
+        width = f"({width} + CAST(CASE WHEN {prefix} THEN 1 ELSE 0 END AS BIGINT))"
+        prefix = f"({prefix} AND (({b}) >= 128))"
+    value = f"(shiftrightunsigned({raw}, 1) ^ -({raw} & 1))"
+    return f"named_struct('value', {value}, 'width', {width})"
+
+
+def _le_bits_sql(h: str, off: str, nbytes: int) -> str:
+    """SQL twin of :func:`_le_bits`."""
+    bits = "CAST(0 AS BIGINT)"
+    for i in range(nbytes):
+        bits = f"({bits} | shiftleft({_byte_at_sql(h, f'({off}) + {i}')}, {8 * i}))"
+    return bits
+
+
+def double_from_bits_sql(bits: str) -> str:
+    """SQL twin of :func:`double_from_bits` (same exactness argument)."""
+    sign = f"(CASE WHEN {bits} < 0 THEN -1.0D ELSE 1.0D END)"
+    exp = f"(shiftrightunsigned({bits}, 52) & 2047)"
+    frac = f"({bits} & {(1 << 52) - 1})"
+    mant = f"CAST(({frac} + {1 << 52}) AS DOUBLE)"
+    val_norm = f"(({sign} * {mant}) * power(2.0D, CAST(({exp} - 1075) AS DOUBLE)))"
+    val_denorm = f"(({sign} * CAST({frac} AS DOUBLE)) * power(2.0D, -1074.0D))"
+    val_special = (
+        f"(CASE WHEN {frac} = 0 THEN {sign} * CAST('Infinity' AS DOUBLE)"
+        f" ELSE CAST('NaN' AS DOUBLE) END)"
+    )
+    return (
+        f"(CASE WHEN {exp} = 2047 THEN {val_special}"
+        f" WHEN {exp} = 0 THEN {val_denorm} ELSE {val_norm} END)"
+    )
+
+
+def float_from_bits_sql(bits: str) -> str:
+    """SQL twin of :func:`float_from_bits`."""
+    sign = f"(CASE WHEN shiftrightunsigned({bits}, 31) = 1 THEN -1.0D ELSE 1.0D END)"
+    exp = f"(shiftrightunsigned({bits}, 23) & 255)"
+    frac = f"({bits} & {(1 << 23) - 1})"
+    mant = f"CAST(({frac} + {1 << 23}) AS DOUBLE)"
+    val_norm = f"(({sign} * {mant}) * power(2.0D, CAST(({exp} - 150) AS DOUBLE)))"
+    val_denorm = f"(({sign} * CAST({frac} AS DOUBLE)) * power(2.0D, -149.0D))"
+    val_special = (
+        f"(CASE WHEN {frac} = 0 THEN {sign} * CAST('Infinity' AS DOUBLE)"
+        f" ELSE CAST('NaN' AS DOUBLE) END)"
+    )
+    return (
+        f"CAST((CASE WHEN {exp} = 255 THEN {val_special}"
+        f" WHEN {exp} = 0 THEN {val_denorm} ELSE {val_norm} END) AS FLOAT)"
+    )
+
+
 def decode_generic_wrapper(df: DataFrame, bin_col: str = "value") -> DataFrame:
     """Decode the generic-wrapper frame (``Normalizer.java:124-140``):
     appends ``table_name`` (string), ``schema_fingerprint`` (long) and
     ``payload`` (binary) columns. Pure projection — no shuffle, no
-    Python; scales as a map stage over the Kafka scan."""
+    Python; scales as a map stage over the Kafka scan. Built as ONE
+    lateral-alias ``selectExpr`` from the SQL-text twins (r11): one
+    analyzer pass instead of seven ``withColumn`` re-analyses, zero
+    Py4J expression-construction round trips."""
+    b = f"`{bin_col}`"
     h = "__gw_hex"
-    out = df.withColumn(h, F.hex(F.col(bin_col)))
-    # table_name: varint byte length, then UTF-8 bytes
-    out = out.withColumn("__v0", varint_at(F.col(h), F.lit(0), _LEN_MAX))
-    name_off = F.col("__v0.width")  # 0-based offset of the name bytes
-    name_len = F.col("__v0.value")
-    out = out.withColumn(
-        "table_name",
-        F.substring(F.col(bin_col), (name_off + 1).cast("int"), name_len.cast("int")).cast(
-            "string"
-        ),
-    )
-    # schema_fingerprint: full zigzag long
-    out = out.withColumn("__v1", varint_at(F.col(h), name_off + name_len, _LONG_MAX))
-    out = out.withColumn("schema_fingerprint", F.col("__v1.value"))
-    # payload: varint byte length, then raw bytes
-    pay_len_off = name_off + name_len + F.col("__v1.width")
-    out = out.withColumn("__v2", varint_at(F.col(h), pay_len_off, _LEN_MAX))
-    pay_off = pay_len_off + F.col("__v2.width")
-    out = out.withColumn(
-        "payload",
-        F.substring(F.col(bin_col), (pay_off + 1).cast("int"), F.col("__v2.value").cast("int")),
-    )
-    return out.drop(h, "__v0", "__v1", "__v2")
+    return df.selectExpr(
+        "*",
+        f"hex({b}) AS {h}",
+        # table_name: varint byte length, then UTF-8 bytes
+        f"{varint_at_sql(h, '0', _LEN_MAX)} AS __v0",
+        f"CAST(substring({b}, CAST((__v0.width + 1) AS INT),"
+        f" CAST(__v0.value AS INT)) AS STRING) AS table_name",
+        # schema_fingerprint: full zigzag long
+        f"{varint_at_sql(h, '__v0.width + __v0.value', _LONG_MAX)} AS __v1",
+        "__v1.value AS schema_fingerprint",
+        # payload: varint byte length, then raw bytes
+        f"{varint_at_sql(h, '__v0.width + __v0.value + __v1.width', _LEN_MAX)} AS __v2",
+        f"substring({b}, CAST((__v0.width + __v0.value + __v1.width + __v2.width + 1)"
+        f" AS INT), CAST(__v2.value AS INT)) AS payload",
+    ).drop(h, "__v0", "__v1", "__v2")
 
 
 def decode_flat_payload(
@@ -169,41 +252,60 @@ def decode_flat_payload(
     varints, strings varint-length-framed UTF-8, doubles/floats
     fixed-width little-endian IEEE) — the simple-type subset of the
     reference's datum-reader path (``AvroConverter.java:51-85``),
-    vectorized as one Catalyst projection."""
+    vectorized as one Catalyst projection. Built from the SQL-text
+    twins in lateral-alias ``selectExpr`` batches (r11): zero Py4J
+    expression construction, one analyzer pass per ~``_FLUSH_AT``
+    aliases instead of one per ``withColumn``."""
+    b = f"`{payload_col}`"
     h = "__fp_hex"
-    out = df.withColumn(h, F.hex(F.col(payload_col)))
-    off: Column = F.lit(0).cast("long")
+    pending: list[str] = [f"hex({b}) AS {h}"]
+    tmps = [h]
+    state = {"df": df}
+
+    def flush() -> None:
+        if pending:
+            state["df"] = state["df"].selectExpr("*", *pending)
+            pending.clear()
+
+    def emit(expr: str, name: str, tmp: bool = True) -> None:
+        pending.append(f"{expr} AS `{name}`")
+        if tmp:
+            tmps.append(name)
+        if len(pending) >= _FLUSH_AT:
+            flush()
+
+    off = "CAST(0 AS BIGINT)"
     for i, (name, ftype) in enumerate(fields):
         v = f"__f{i}"
         if ftype in ("long", "int"):
-            out = out.withColumn(v, varint_at(F.col(h), off, _LONG_MAX))
-            col = F.col(f"{v}.value")
-            out = out.withColumn(name, col.cast("int") if ftype == "int" else col)
-            off = off + F.col(f"{v}.width")
+            emit(varint_at_sql(h, off, _LONG_MAX), v)
+            col = f"{v}.value"
+            emit(f"CAST({col} AS INT)" if ftype == "int" else col, name, tmp=False)
+            off = f"({off} + {v}.width)"
         elif ftype == "string":
-            out = out.withColumn(v, varint_at(F.col(h), off, _LEN_MAX))
-            start = off + F.col(f"{v}.width")
-            out = out.withColumn(
+            emit(varint_at_sql(h, off, _LEN_MAX), v)
+            start = f"({off} + {v}.width)"
+            emit(
+                f"CAST(substring({b}, CAST(({start} + 1) AS INT),"
+                f" CAST({v}.value AS INT)) AS STRING)",
                 name,
-                F.substring(
-                    F.col(payload_col), (start + 1).cast("int"), F.col(f"{v}.value").cast("int")
-                ).cast("string"),
+                tmp=False,
             )
-            off = start + F.col(f"{v}.value")
+            off = f"({start} + {v}.value)"
         elif ftype == "double":
-            out = out.withColumn(name, double_from_bits(_le_bits(F.col(h), off, 8)))
-            off = off + 8
+            emit(double_from_bits_sql(_le_bits_sql(h, off, 8)), name, tmp=False)
+            off = f"({off} + 8)"
         elif ftype == "float":
-            out = out.withColumn(name, float_from_bits(_le_bits(F.col(h), off, 4)))
-            off = off + 4
+            emit(float_from_bits_sql(_le_bits_sql(h, off, 4)), name, tmp=False)
+            off = f"({off} + 4)"
         else:  # pragma: no cover - guarded by callers
             raise ValueError(f"unsupported flat-payload type {ftype!r} for field {name!r}")
         # materialize the running offset per field to keep the
-        # expression tree linear instead of exponential
-        out = out.withColumn(f"__off{i}", off)
-        off = F.col(f"__off{i}")
-    drop = [h] + [f"__f{i}" for i in range(len(fields))] + [f"__off{i}" for i in range(len(fields))]
-    return out.drop(*drop)
+        # expression text linear instead of exponential
+        emit(off, f"__off{i}")
+        off = f"__off{i}"
+    flush()
+    return state["df"].drop(*tmps)
 
 
 def encode_zigzag_varint(n: int) -> bytes:
@@ -307,8 +409,8 @@ def decode_record(
     assert spec[0] == "record"
     n_items = _ARRAY_UNROLL if max_array_items is None else max_array_items
     assert n_items >= 1
-    hexc = F.col("__rec_hex")
-    binc = F.col(payload_col)
+    hexc = "__rec_hex"
+    binc = f"`{payload_col}`"
     # Intermediates are emitted as LATERAL column aliases (each alias
     # may reference earlier aliases in the same projection, Spark
     # 3.4+), flushed in bounded batches: one withColumn per
@@ -317,82 +419,86 @@ def decode_record(
     # chain), while a SINGLE select with 60 chained lateral aliases
     # trips an internal analyzer error at depth. Batches of 10 keep
     # per-select lateral depth shallow and cut analysis passes ~6x.
-    pending: list[tuple[str, Column]] = [("__rec_hex", F.hex(binc))]
+    # Expressions are SQL TEXT from the *_sql twins (r11): composing
+    # them Column-by-Column cost one Py4J call per operator node —
+    # ~3 s of driver wall for this shape, the largest single share.
+    pending: list[str] = [f"hex({binc}) AS __rec_hex"]
     tmps = ["__rec_hex"]
     state = {"n": 0, "df": df}
 
     def flush() -> None:
         if pending:
-            state["df"] = state["df"].select(
-                "*", *[e.alias(n) for n, e in pending]
-            )
+            state["df"] = state["df"].selectExpr("*", *pending)
             pending.clear()
 
-    def emit(expr: Column) -> Column:
+    def emit(expr: str) -> str:
         name = f"__av{state['n']}"
         state["n"] += 1
-        pending.append((name, expr))
+        pending.append(f"{expr} AS {name}")
         tmps.append(name)
         if len(pending) >= _FLUSH_AT:
             flush()
-        return F.col(name)
+        return name
 
-    def walk(off: Column, sp):
+    def walk(off: str, sp):
         if sp in ("long", "int"):
-            v = emit(varint_at(hexc, off, _LONG_MAX))
-            val = v["value"].cast("int") if sp == "int" else v["value"]
-            return val, emit(off + v["width"])
+            v = emit(varint_at_sql(hexc, off, _LONG_MAX))
+            val = f"CAST({v}.value AS INT)" if sp == "int" else f"{v}.value"
+            return val, emit(f"({off} + {v}.width)")
         if sp == "boolean":
-            return _byte_at(hexc, off) == 1, emit(off + 1)
+            return f"({_byte_at_sql(hexc, off)} = 1)", emit(f"({off} + 1)")
         if sp == "double":
-            return double_from_bits(_le_bits(hexc, off, 8)), emit(off + 8)
+            return double_from_bits_sql(_le_bits_sql(hexc, off, 8)), emit(f"({off} + 8)")
         if sp == "float":
-            return float_from_bits(_le_bits(hexc, off, 4)), emit(off + 4)
+            return float_from_bits_sql(_le_bits_sql(hexc, off, 4)), emit(f"({off} + 4)")
         if sp in ("string", "bytes"):
-            v = emit(varint_at(hexc, off, _LEN_MAX))
-            start = emit(off + v["width"])
-            raw = F.substring(binc, (start + 1).cast("int"), v["value"].cast("int"))
-            val = raw.cast("string") if sp == "string" else raw
-            return val, emit(start + v["value"])
+            v = emit(varint_at_sql(hexc, off, _LEN_MAX))
+            start = emit(f"({off} + {v}.width)")
+            raw = f"substring({binc}, CAST(({start} + 1) AS INT), CAST({v}.value AS INT))"
+            val = f"CAST({raw} AS STRING)" if sp == "string" else raw
+            return val, emit(f"({start} + {v}.value)")
         kind = sp[0]
         if kind == "nullable":
             # union index of a 2-branch union is canonically ONE byte
             # (zigzag 0 -> 0x00, 1 -> 0x02); a 1-byte decode is exact
             # and 5x smaller than the _LEN_MAX expression tree (r11)
-            b = emit(varint_at(hexc, off, 1))  # union index: 0=null
-            inner_off = emit(off + b["width"])
+            b = emit(varint_at_sql(hexc, off, 1))  # union index: 0=null
+            inner_off = emit(f"({off} + {b}.width)")
             ival, iend = walk(inner_off, sp[1])
-            val = F.when(b["value"] == 1, ival)  # single-use: stays inline
-            end = emit(F.when(b["value"] == 1, iend).otherwise(inner_off))
+            val = f"(CASE WHEN {b}.value = 1 THEN {ival} END)"  # single-use: stays inline
+            end = emit(f"(CASE WHEN {b}.value = 1 THEN {iend} ELSE {inner_off} END)")
             return val, end
         if kind == "array":
             assert sp[1] == "string", "only array<string> is needed/supported"
-            c = emit(varint_at(hexc, off, _LEN_MAX))
-            n = c["value"]
-            first = emit(off + c["width"])
+            c = emit(varint_at_sql(hexc, off, _LEN_MAX))
+            n = f"{c}.value"
+            first = emit(f"({off} + {c}.width)")
             cur, items, ends = first, [], []
             for _ in range(n_items):
                 iv, cur = walk(cur, "string")
                 items.append(iv)  # single-use: stays inline
                 ends.append(cur)
-            end_items: Column = first  # offset after 0 items
+            end_items: str = first  # offset after 0 items
             for i in range(n_items):
-                end_items = F.when(n == i + 1, ends[i]).otherwise(end_items)
+                end_items = f"(CASE WHEN {n} = {i + 1} THEN {ends[i]} ELSE {end_items} END)"
             # terminator varint (0) follows any non-empty block
-            term = F.when(n > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            val = F.slice(F.array(*items), 1, F.greatest(n, F.lit(0)).cast("int"))
-            return val, emit(end_items + term)
+            term = f"CAST(CASE WHEN {n} > 0 THEN 1 ELSE 0 END AS BIGINT)"
+            val = (
+                f"slice(array({', '.join(items)}), 1,"
+                f" CAST(greatest({n}, 0) AS INT))"
+            )
+            return val, emit(f"({end_items} + {term})")
         if kind == "record":
-            fields, cur = [], off
+            parts, cur = [], off
             for name, fspec in sp[1]:
                 fv, cur = walk(cur, fspec)
-                fields.append(fv.alias(name))  # single-use: stays inline
-            return F.struct(*fields), cur
+                parts.append(f"'{name}', {fv}")  # single-use: stays inline
+            return f"named_struct({', '.join(parts)})", cur
         raise ValueError(f"unsupported avro spec: {sp!r}")
 
-    val, _ = walk(emit(F.lit(0).cast("long")), spec)
+    val, _ = walk(emit("CAST(0 AS BIGINT)"), spec)
     flush()
-    out = state["df"].withColumn(out_col, val)
+    out = state["df"].withColumn(out_col, F.expr(val))
     return out.drop(*tmps)
 
 

@@ -316,3 +316,40 @@ def test_nested_decode_with_double_fields(spark):
     plan = ab.decode_record(df, spec)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_twins_match_column_primitives(spark):
+    """r11: the decoders compose SQL text (zero Py4J round trips); the
+    *_sql twins must stay expression-for-expression equal to the
+    Column primitives. Decode the INTERESTING zigzag vectors and the
+    IEEE bit patterns through BOTH paths and assert identical values
+    (NaN compared by bit pattern via isnan)."""
+    import struct
+
+    rows = [(i, v, ab.encode_zigzag_varint(v)) for i, v in enumerate(INTERESTING)]
+    df = spark.createDataFrame(rows, "i int, expect long, value binary")
+    got = (
+        df.withColumn("__h", F.hex("value"))
+        .withColumn("col_dec", ab.varint_at(F.col("__h"), F.lit(0)))
+        .withColumn("sql_dec", F.expr(ab.varint_at_sql("__h", "0")))
+        .select("i", "expect", "col_dec", "sql_dec")
+        .orderBy("i")
+        .collect()
+    )
+    for r in got:
+        assert r["col_dec"] == r["sql_dec"], r
+        assert r["sql_dec"]["value"] == r["expect"], r
+
+    doubles = [0.0, -0.0, 1.5, -1e308, 5e-324, float("inf"), float("-inf"), float("nan")]
+    drows = [(i, d, ab.encode_double(d)) for i, (d) in enumerate(doubles)]
+    ddf = spark.createDataFrame(drows, "i int, expect double, value binary")
+    dgot = (
+        ddf.withColumn("__h", F.hex("value"))
+        .withColumn("col_d", ab.double_from_bits(ab._le_bits(F.col("__h"), F.lit(0).cast("long"), 8)))
+        .withColumn("sql_d", F.expr(ab.double_from_bits_sql(ab._le_bits_sql("__h", "CAST(0 AS BIGINT)", 8))))
+        .orderBy("i")
+        .collect()
+    )
+    for r, d in zip(dgot, doubles):
+        ec, es = struct.pack("<d", r["col_d"]), struct.pack("<d", r["sql_d"])
+        assert ec == es == struct.pack("<d", d), (r["i"], r["col_d"], r["sql_d"], d)
