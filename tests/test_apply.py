@@ -164,6 +164,42 @@ def test_multi_table_batch(spark, sf_dir, tmp_path):
     assert cat.tables() == ["tpch.nation", "tpch.region"]
 
 
+def test_two_table_snapshot_batch_matches_sequential_and_costs_fewer_actions(
+    spark, sf_dir, tmp_path
+):
+    """r11: several registry builders merged same-step independent-table
+    snapshot applies into ONE batch. Pin the contract that makes the
+    merge a pure optimization: identical per-table end state (rows AND
+    version trail) with strictly fewer Spark actions than the
+    sequential form."""
+    from change_data_capture_spark.planaudit import ExecutedPlanCollector
+
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    log_r = snapshot_changelog(region, "tpch.region", ["r_regionkey"])
+    log_n = snapshot_changelog(nation, "tpch.nation", ["n_nationkey"])
+
+    seq = TableCatalog(str(tmp_path / "seq"))
+    with ExecutedPlanCollector(spark) as col:
+        col.drain(); col.clear()
+        apply_changelog(spark, log_r, seq)
+        apply_changelog(spark, log_n, seq)
+        n_seq = len(col.drain())
+
+    merged = TableCatalog(str(tmp_path / "merged"))
+    with ExecutedPlanCollector(spark) as col:
+        col.drain(); col.clear()
+        apply_changelog(spark, log_r.unionByName(log_n), merged)
+        n_merged = len(col.drain())
+
+    for t, key in (("tpch.region", "r_regionkey"), ("tpch.nation", "n_nationkey")):
+        a = sorted(map(tuple, seq.read(spark, t).collect()))
+        b = sorted(map(tuple, merged.read(spark, t).collect()))
+        assert a == b, t
+        assert seq.versions(t) == merged.versions(t), t
+    assert n_merged < n_seq, (n_merged, n_seq)
+
+
 def test_unchanged_buckets_are_file_reused(spark, sf_dir, tmp_path):
     """A small mutation batch must rewrite only the touched PK-hash
     buckets; every other bucket's files are hard-linked (same inode)
