@@ -560,7 +560,12 @@ def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         # carry the previous label through the checkpoint so convergence
         # detection is a filter+count on the already-materialized rows
         # instead of a second join of new vs old labels (halves the
-        # shuffles per round)
+        # shuffles per round). The checkpoint is LAZY (r11): the
+        # convergence count is the round's first job anyway, and a
+        # count over a lazy local checkpoint materializes (and stores)
+        # the full label partitions as a side effect of the RDD
+        # checkpoint contract — one job per round instead of an eager
+        # checkpoint job plus a rescan-and-count job.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
@@ -568,7 +573,7 @@ def duplicate_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias("label"),
                 F.col("label").alias("prev"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("prev")).count()
         labels.unpersist()
@@ -865,8 +870,23 @@ def refresh_signature_index(
         dels = dml_records(
             gone, index_table, [id_col], op=OP_DELETE, version=2 * cur, keys_only=True
         )
-        signed = upserted.count()
-        deleted = gone.count()
+        if resync:
+            # the two sides are different frames (full base vs anti-join)
+            signed = upserted.count()
+            deleted = gone.count()
+        else:
+            # Both counts are conditional tallies over the SAME persisted
+            # change diff — one aggregate action materializes the cache
+            # and returns both, instead of two counts (r11).
+            r = changes.agg(
+                F.count(
+                    F.when(
+                        F.col("_change_type").isin("insert", "update_postimage"), 1
+                    )
+                ).alias("s"),
+                F.count(F.when(F.col("_change_type") == "delete", 1)).alias("d"),
+            ).first()
+            signed, deleted = int(r["s"]), int(r["d"])
         if signed or deleted:
             apply_changelog(spark, dels.unionByName(ups), catalog)
     finally:

@@ -347,13 +347,19 @@ def pagerank(
     scale = 10**12
     base = (scale * (100 - damping_pct)) // (100 * n)
     ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             e.join(ranks.join(outdeg, ranks.id == outdeg.src).select(
                 "id", F.expr("rank div outdeg").alias("give")), e.src == F.col("id"))
             .groupBy("dst")
             .agg(F.sum("give").alias("incoming"))
         )
+        # Intermediate rounds checkpoint LAZILY (r11): the lineage cut
+        # (LogicalRDD) happens at construction either way, but only the
+        # LAST round pays an eager materialization job — it must run
+        # while the edge/node caches are still alive (the unpersist
+        # below), and it computes the lazy intermediate checkpoints as
+        # dependencies in the same job instead of one job per round.
         ranks = (
             nodes.join(contribs, nodes.id == contribs.dst, "left")
             .select(
@@ -362,7 +368,7 @@ def pagerank(
                     f"({damping_pct} * coalesce(incoming, 0L)) div 100"
                 )).cast("long").alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=(it == iters - 1))
         )
     e.unpersist()
     nodes.unpersist()
@@ -452,7 +458,10 @@ def pagerank_full(
                 ).cast("long").alias("rank"),
                 "prev",
             )
-            .localCheckpoint()
+            # lazy (r11): the delta aggregate below is the round's
+            # first job anyway and materializes the checkpoint as a
+            # side effect — one job per round, not checkpoint + rescan
+            .localCheckpoint(eager=False)
         )
         delta = ranks.select(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d")).first()["d"]
         ranks = ranks.drop("prev")
@@ -535,7 +544,10 @@ def hits(
         hub = (
             nodes.join(h, nodes.id == h.src, "left")
             .select("id", F.coalesce("__h", F.lit(0)).cast("long").alias("hub"))
-            .localCheckpoint()
+            # lazy (r11): the eager scores checkpoint below computes the
+            # per-round hub checkpoints as dependencies in ONE job
+            # (lineage is still cut per round at construction)
+            .localCheckpoint(eager=False)
         )
     # cut the final lineage BEFORE releasing the edge/node caches (the
     # same contract as pagerank's per-round checkpoints): the joined

@@ -57,6 +57,22 @@ def test_duplicate_clusters_fixpoint(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_duplicate_clusters_long_chain_converges(spark):
+    # A diameter-11 chain forces many label-propagation rounds, each
+    # reading the PREVIOUS round's lazily-materialized local checkpoint
+    # (r11: the convergence count is the job that stores it) — a
+    # regression here would mean a round consumed an unmaterialized or
+    # stale checkpoint.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "a_id long, b_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {i: 100 for i in range(100, 112)}
+
+
 def test_exact_duplicates_on_injected_copies(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.limit(7).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
